@@ -1,0 +1,365 @@
+"""SCD2 temporal versioned triple store — the reference's load layer
+re-expressed as declarative DataFrame MERGE logic.
+
+Covers SURVEY §2.6 V2–V7 and the query surface Q7–Q10:
+
+- V2 triplet get-or-create  (``GraphHandler.py:455-546``)  → left-anti + union
+- V3 extraction-info get-or-create (``GraphHandler.py:548-633``) → same
+- V4 version-range upsert   (``GraphHandler.py:635-714``)  → outer-join MERGE
+- V5 deprecate changed subjects (``GraphHandler.py:372-419``)
+- V6 touch unchanged        (``GraphHandler.py:348-370``)
+- V7 current-graph delta publish (``GraphHandler.py:78-177``)
+- Q7 current graph, Q8 counts, Q10 point-in-time history
+
+Design (SURVEY §7.0): everything is keyed by *content hashes* —
+``triplet_hash = md5(s+p+o)``, ``info_hash = md5(method+conf)`` — so
+upserts are idempotent set operations and the keys double as shuffle
+keys. No sequences, no driver-side state.
+
+Scale posture: each merge is a handful of hash-partitioned joins on
+``triplet_hash``; the store tables should be bucketed/partitioned by a
+prefix of the hash at lake scale so successive merges co-locate. The
+batch side is typically ≪ the store side → Spark picks broadcast or
+shuffled-hash joins via AQE; nothing here materializes to the driver.
+
+The merge core is *pure* (state-in → state-out DataFrames): the
+persistence wrapper (:class:`VersionedTripleStore`) adds parquet
+round-trips with atomic directory swap (a stand-in for Delta ACID —
+on a real lake these writes become ``MERGE INTO`` on Delta/Iceberg).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.functions.hashing import (
+    extraction_info_hash,
+    triplet_hash,
+)
+
+TRIPLET_SCHEMA = "triplet_hash string, subject string, predicate string, object string"
+INFO_SCHEMA = (
+    "info_hash string, extraction_method string, extraction_confidence double"
+)
+RANGE_SCHEMA = (
+    "triplet_hash string, info_hash string, use_start timestamp, "
+    "use_end timestamp, deprecated boolean"
+)
+
+BATCH_COLUMNS = (
+    "subject",
+    "predicate",
+    "object",
+    "extraction_method",
+    "confidence",
+    "extraction_time",
+)
+
+
+@dataclass
+class StoreState:
+    """The three versioned tables (SURVEY §1.3 / ``init.sql:4-26``)."""
+
+    triplet: DataFrame
+    extraction_info: DataFrame
+    version_range: DataFrame
+
+
+def empty_state(spark: SparkSession) -> StoreState:
+    return StoreState(
+        triplet=spark.createDataFrame([], TRIPLET_SCHEMA),
+        extraction_info=spark.createDataFrame([], INFO_SCHEMA),
+        version_range=spark.createDataFrame([], RANGE_SCHEMA),
+    )
+
+
+def with_hashes(batch: DataFrame) -> DataFrame:
+    """Attach content-hash keys to a raw (s, p, o, method, confidence,
+    extraction_time) batch."""
+    return batch.withColumn(
+        "triplet_hash", triplet_hash(F.col("subject"), F.col("predicate"), F.col("object"))
+    ).withColumn(
+        "info_hash", extraction_info_hash(F.col("extraction_method"), F.col("confidence"))
+    )
+
+
+def disambiguate_statements(batch: DataFrame) -> DataFrame:
+    """G9 statement-metadata disambiguation
+    (``MlentoryTransformWithGraphBuilder.py:466-487``): for duplicate
+    (s, p, o) keep the provenance with max confidence, ties broken by
+    max extraction_time.
+
+    ``max_by`` over a struct = single map-side-combinable aggregation —
+    one shuffle on ``triplet_hash``, no window sort.
+    """
+    prov = F.struct(
+        F.col("confidence"),
+        F.col("extraction_time"),
+        F.col("extraction_method"),
+        F.col("info_hash"),
+    )
+    return (
+        batch.groupBy("triplet_hash", "subject", "predicate", "object")
+        .agg(F.max(prov).alias("p"))
+        .select(
+            "triplet_hash",
+            "subject",
+            "predicate",
+            "object",
+            F.col("p.extraction_method").alias("extraction_method"),
+            F.col("p.confidence").alias("confidence"),
+            F.col("p.extraction_time").alias("extraction_time"),
+            F.col("p.info_hash").alias("info_hash"),
+        )
+    )
+
+
+def merge_batch(
+    state: StoreState,
+    batch: DataFrame,
+    touch_unchanged: bool = False,
+) -> StoreState:
+    """One incremental load (the reference's ``update_graph`` V-sequence).
+
+    ``batch`` columns: subject, predicate, object, extraction_method,
+    confidence, extraction_time.
+
+    Semantics (matching ``GraphHandler.py`` — see module docstring):
+
+    1. batch is disambiguated (G9) so each (s,p,o) appears once;
+    2. ``batch_time`` = max extraction_time in the batch
+       (``GraphHandlerForKG.py:206-215``);
+    3. unseen triplets / infos are appended (V2/V3, is_new = anti-join);
+    4. per (triplet_hash, info_hash): an open non-deprecated range gets
+       ``use_end = batch_time``; otherwise a fresh ``[t, t]`` range is
+       inserted (V4);
+    5. subjects present in the batch have their *untouched* open ranges
+       flagged ``deprecated`` (V5) — the triple was dropped from the
+       entity's current description;
+    6. optionally, open ranges of subjects *not* in the batch get
+       ``use_end`` advanced too (V6 — the reference's "touch unchanged
+       models"; off by default because advancing validity without
+       observation is a policy choice, not an invariant).
+    """
+    b = disambiguate_statements(with_hashes(batch.select(*BATCH_COLUMNS)))
+    batch_time = F.lit(
+        b.agg(F.max("extraction_time")).collect()[0][0]
+    ).cast("timestamp")
+
+    # V2: append unseen triplets (anti-join on the content hash).
+    new_triplets = (
+        b.select("triplet_hash", "subject", "predicate", "object")
+        .join(state.triplet, "triplet_hash", "left_anti")
+    )
+    triplet = state.triplet.unionByName(new_triplets)
+
+    # V3: append unseen extraction-info rows.
+    new_infos = (
+        b.select(
+            "info_hash",
+            F.col("extraction_method"),
+            F.col("confidence").alias("extraction_confidence"),
+        )
+        .dropDuplicates(["info_hash"])
+        .join(state.extraction_info, "info_hash", "left_anti")
+    )
+    extraction_info = state.extraction_info.unionByName(new_infos)
+
+    # V4: MERGE on (triplet_hash, info_hash) against *open* ranges.
+    touched = b.select("triplet_hash", "info_hash").withColumn("_touched", F.lit(True))
+    open_ranges = state.version_range.where(~F.col("deprecated"))
+    closed_ranges = state.version_range.where(F.col("deprecated"))
+
+    merged_open = (
+        open_ranges.join(touched, ["triplet_hash", "info_hash"], "left")
+        .select(
+            "triplet_hash",
+            "info_hash",
+            "use_start",
+            F.when(F.col("_touched"), batch_time).otherwise(F.col("use_end")).alias("use_end"),
+            F.col("deprecated"),
+            F.coalesce("_touched", F.lit(False)).alias("_touched"),
+        )
+    )
+    inserted = (
+        touched.join(
+            open_ranges.select("triplet_hash", "info_hash"),
+            ["triplet_hash", "info_hash"],
+            "left_anti",
+        )
+        .select(
+            "triplet_hash",
+            "info_hash",
+            batch_time.alias("use_start"),
+            batch_time.alias("use_end"),
+            F.lit(False).alias("deprecated"),
+            F.lit(True).alias("_touched"),
+        )
+    )
+
+    # V5: deprecate untouched open ranges of subjects present in the batch.
+    batch_subjects = b.select("subject").distinct()
+    subj_of_range = state.triplet.select("triplet_hash", "subject")
+    merged_open = (
+        merged_open.join(subj_of_range, "triplet_hash", "left")
+        .join(batch_subjects.withColumn("_subj_in_batch", F.lit(True)), "subject", "left")
+        .select(
+            "triplet_hash",
+            "info_hash",
+            "use_start",
+            # V6 (optional): advance validity of untouched subjects.
+            (
+                F.when(
+                    F.col("_touched") | ~F.coalesce("_subj_in_batch", F.lit(False)),
+                    F.when(F.col("_touched"), F.col("use_end")).otherwise(
+                        batch_time if touch_unchanged else F.col("use_end")
+                    ),
+                ).otherwise(F.col("use_end"))
+            ).alias("use_end"),
+            (
+                F.col("deprecated")
+                | (F.coalesce("_subj_in_batch", F.lit(False)) & ~F.col("_touched"))
+            ).alias("deprecated"),
+        )
+    )
+
+    version_range = merged_open.unionByName(
+        inserted.drop("_touched")
+    ).unionByName(closed_ranges)
+
+    return StoreState(triplet=triplet, extraction_info=extraction_info, version_range=version_range)
+
+
+# ---------------------------------------------------------------- queries
+
+def current_graph(state: StoreState) -> DataFrame:
+    """Q7 — triples having an open, non-deprecated range
+    (the reference's Virtuoso "current" named graph, V7)."""
+    open_hashes = (
+        state.version_range.where(~F.col("deprecated"))
+        .select("triplet_hash")
+        .distinct()
+    )
+    return state.triplet.join(open_hashes, "triplet_hash").select(
+        "subject", "predicate", "object"
+    )
+
+
+def deprecated_graph(state: StoreState) -> DataFrame:
+    """The deprecated named graph (feeds the reference's S14 delta-delete)."""
+    dep = state.version_range.groupBy("triplet_hash").agg(
+        F.min(F.when(~F.col("deprecated"), F.lit(0)).otherwise(F.lit(1))).alias("_all_dep")
+    )
+    return (
+        state.triplet.join(dep.where(F.col("_all_dep") == 1), "triplet_hash")
+        .select("subject", "predicate", "object")
+    )
+
+
+def graph_at(state: StoreState, ts) -> DataFrame:
+    """Q10 point-in-time query: triples valid at ``ts``
+    (``use_start <= ts <= use_end`` — deprecated ranges were still valid
+    inside their interval)."""
+    t = F.lit(ts).cast("timestamp")
+    valid = (
+        state.version_range.where((F.col("use_start") <= t) & (F.col("use_end") >= t))
+        .select("triplet_hash")
+        .distinct()
+    )
+    return state.triplet.join(valid, "triplet_hash").select("subject", "predicate", "object")
+
+
+def history(state: StoreState, subject: str) -> DataFrame:
+    """Q10 audit trail for one subject: every version range with its
+    provenance."""
+    return (
+        state.triplet.where(F.col("subject") == subject)
+        .join(state.version_range, "triplet_hash")
+        .join(state.extraction_info, "info_hash")
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            "use_start",
+            "use_end",
+            "deprecated",
+            "extraction_method",
+            "extraction_confidence",
+        )
+    )
+
+
+def counts(state: StoreState) -> DataFrame:
+    """Q8-style store statistics."""
+    return (
+        current_graph(state)
+        .agg(
+            F.countDistinct("subject").alias("n_subjects"),
+            F.count(F.lit(1)).alias("n_triples"),
+        )
+    )
+
+
+# ---------------------------------------------------------- persistence
+
+class VersionedTripleStore:
+    """Parquet-backed persistence for :class:`StoreState`.
+
+    Writes go to a temp dir then atomically swap into place — a local
+    stand-in for Delta/Iceberg ACID commits (SURVEY §7.0 decision 3).
+    At lake scale, swap this class for ``MERGE INTO`` statements; the
+    pure merge logic above is unchanged.
+    """
+
+    TABLE_NAMES = ("triplet", "extraction_info", "version_range")
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def state(self) -> StoreState:
+        if not os.path.exists(self._table_path("triplet")):
+            return empty_state(self.spark)
+        return StoreState(
+            *(self.spark.read.parquet(self._table_path(n)) for n in self.TABLE_NAMES)
+        )
+
+    def _write(self, state: StoreState) -> None:
+        # Two-phase commit: materialize EVERY table to a temp dir first
+        # (the new plans still read the old files — e.g. the new
+        # version_range joins the old triplet table), then swap all.
+        tmps = []
+        for name, df in zip(
+            self.TABLE_NAMES,
+            (state.triplet, state.extraction_info, state.version_range),
+        ):
+            tmp = os.path.join(tempfile.gettempdir(), f"vts-{name}-{uuid.uuid4().hex}")
+            # Keep files chunky: the store tables are small relative to
+            # the cluster; at lake scale partition by hash prefix instead.
+            df.coalesce(max(1, df.rdd.getNumPartitions() // 8)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            tmps.append((name, tmp))
+        for name, tmp in tmps:
+            target = self._table_path(name)
+            old = target + ".old"
+            if os.path.exists(target):
+                os.rename(target, old)
+            shutil.move(tmp, target)
+            shutil.rmtree(old, ignore_errors=True)
+
+    def load_batch(self, batch: DataFrame, touch_unchanged: bool = False) -> StoreState:
+        new_state = merge_batch(self.state(), batch, touch_unchanged=touch_unchanged)
+        self._write(new_state)
+        return self.state()
