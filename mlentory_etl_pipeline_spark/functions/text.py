@@ -45,10 +45,15 @@ def edge_ngram_prefixes(name: Column, min_len: int = 3, max_len: int = 30) -> Co
     ``LIKE 'q%'``.
     """
     lowered = F.lower(name)
-    return F.transform(
+    prefixes = F.transform(
         F.sequence(
             F.lit(min_len),
             F.least(F.length(lowered), F.lit(max_len)),
         ),
         lambda n: F.substring(lowered, F.lit(1), n),
+    )
+    # Guard: sequence(a, b) with b < a yields a DESCENDING sequence in
+    # Spark, not an empty one — names shorter than min_len get no prefixes.
+    return F.when(F.length(lowered) >= min_len, prefixes).otherwise(
+        F.array().cast("array<string>")
     )

@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference layer (per the build brief): exact hash-dedup,
+MinHash + LSH near-dup, SimHash, and n-gram Jaccard — all expressed as
+deterministic DataFrame plans so a SQL oracle can verify them.
+
+Scale notes:
+- exact dedup = one hash-partitioned aggregation on the content hash;
+- MinHash: one explode + one groupBy(doc) with K map-side-combinable
+  ``min`` aggs; LSH banding turns the quadratic pair search into an
+  equi-join on (band, band_hash) — the only shuffle that grows with
+  candidate count, and AQE skew-split handles hot buckets;
+- verification joins operate only on candidate pairs, never all pairs.
+
+Hash functions are md5-hex based (not Spark's ``hash()``/xxhash) so the
+identical computation is expressible in any engine — determinism is
+what makes near-dup results auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], keep_min_col: str) -> DataFrame:
+    """Exact dedup: group by md5 of the concatenated content columns,
+    keep the row with the minimum ``keep_min_col`` (deterministic
+    survivor). Single aggregation — no window sort."""
+    content_hash = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    payload_cols = [c for c in df.columns]
+    h = df.withColumn("_h", content_hash)
+    agged = h.groupBy("_h").agg(
+        F.min_by(F.struct(*payload_cols), F.col(keep_min_col)).alias("_row")
+    )
+    return agged.select(*[F.col(f"_row.{c}").alias(c) for c in payload_cols])
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of ``lower(trim(text))`` as an array column.
+    Texts shorter than n words produce one shingle of all their words."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + F.lit(1), F.lit(n)), " "),
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows — the set representation used by both
+    Jaccard verification and MinHash."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int = 12) -> DataFrame:
+    """K-permutation MinHash: hash_i(shingle) = md5(i || '|' || shingle);
+    signature component i = min over the doc's shingles. One shuffle."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes // bands), bucket
+    by md5 of each band, and self-join buckets → distinct candidate
+    pairs with ``id_a < id_b``."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    # long-form (id, band_idx, band_hash) so the join key is one column pair
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
+    long = banded.selectExpr(id_col, f"stack({bands}, {stack_expr}) as (band_idx, band_hash)")
+    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, id_col: str, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard per pair. With ``candidates`` given, only
+    those pairs are scored (the LSH path); otherwise all co-shingled
+    pairs (shingle-inverted-index join — still never a full cross join).
+    Returns (id_a, id_b, jaccard)."""
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band
+    join → exact-Jaccard verification of the candidates ≥ threshold."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    return jaccard_pairs(sh, id_col, cand).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- SimHash
+
+def _nibble_expr(hex_col: str, pos: int) -> str:
+    """SQL for the integer value of hex digit ``pos`` (1-based) of a
+    md5 hex string — portable across engines via strpos on a constant
+    alphabet (no conv())."""
+    return f"(instr('0123456789abcdef', substring({hex_col}, {pos}, 1)) - 1)"
+
+
+def simhash16(shingled: DataFrame, id_col: str) -> DataFrame:
+    """16-bit SimHash over the shingle set: per bit position, sum ±1
+    votes from each shingle's md5; the signature bit is 1 where the sum
+    is positive. Pure SQL expressions (nibble extraction via strpos) so
+    the oracle can replicate bit-for-bit. Returns (id, simhash)."""
+    h = shingled.select(F.col(id_col), F.md5("shingle").alias("_hx"))
+    vote_cols = []
+    for bit in range(16):
+        nib = _nibble_expr("_hx", bit // 4 + 1)
+        mask = 1 << (bit % 4)
+        vote_cols.append(
+            F.expr(f"CASE WHEN ({nib} & {mask}) > 0 THEN 1 ELSE -1 END").alias(f"v{bit}")
+        )
+    votes = h.select(F.col(id_col), *vote_cols)
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(16)])
+    sig = None
+    for bit in range(16):
+        term = F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k (k ≤ 3 for a
+    16-bit signature). Blocks on the four 4-bit quarters — pigeonhole:
+    distance ≤ 3 over 4 blocks ⟹ at least one block equal — so the
+    search is 4 equi-joins on small keys instead of a cross join; the
+    blocked candidate set is then verified with bit_count(xor)."""
+    if max_hamming > 3:
+        raise ValueError("quarter-blocking on a 16-bit signature is complete only for hamming <= 3")
+    s = sim.select(F.col(id_col).alias("id"), F.col("simhash"))
+    for q in range(4):
+        s = s.withColumn(f"q{q}", F.expr(f"(simhash >> {4 * q}) & 15"))
+    pairs = None
+    for q in range(4):
+        a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"q{q}"))
+        b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"q{q}"))
+        p = a.join(b, f"q{q}").where(F.col("id_a") < F.col("id_b")).drop(f"q{q}")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Extract-stage row-level operators (SURVEY §2.2 F1–F8, §2.3 T1/T3).
+
+All pure Column expressions → full Catalyst pushdown: the quality
+filter lands in ``PushedFilters`` of the parquet scan, pagination is a
+global-sort TopK (Spark runs it as a per-partition TakeOrdered + final
+merge, no full shuffle sort for small N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "card",
+    required_cols: tuple[str, ...] = (),
+    min_len: int = 200,
+    boilerplate_marker: str = "[More Information Needed]",
+    max_marker_count: int = 38,
+) -> DataFrame:
+    """F1 — the reference's model-card quality filter
+    (``HFDatasetManager.py:717-799``): drop rows with missing required
+    fields, short text, or "default card" boilerplate (≥N markers).
+
+    The marker count is ``(len(text) - len(replace(text, marker))) /
+    len(marker)`` — a pure expression, no UDF (the reference uses a
+    row-wise ``df.apply``).
+    """
+    text = F.col(text_col)
+    marker_count = (
+        F.length(text) - F.length(F.replace(text, F.lit(boilerplate_marker), F.lit("")))
+    ) / F.lit(len(boilerplate_marker))
+    cond = text.isNotNull() & (F.length(text) >= min_len) & (marker_count < max_marker_count)
+    for c in required_cols:
+        cond = cond & F.col(c).isNotNull()
+    return df.where(cond)
+
+
+def paginate(df: DataFrame, order_by: list[Column], offset: int, limit: int) -> DataFrame:
+    """F2 — deterministic offset/limit pagination
+    (``HFDatasetManager.py:234-241``). Requires a total order (pass
+    tie-breaking columns)."""
+    return df.orderBy(*order_by).offset(offset).limit(limit)
+
+
+def top_n_recent(df: DataFrame, ts_col: str, n: int, tiebreak: str | None = None) -> DataFrame:
+    """F3 — top-N recency trim (``HFDatasetManager.py:226-233``).
+    Runs as TakeOrderedAndProject — no global sort materialized."""
+    order = [F.desc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    return df.orderBy(*order).limit(n)
+
+
+def classify_tokens(
+    df: DataFrame,
+    id_cols: list[str],
+    tokens_col: Column,
+    classes: dict[str, list[str] | None],
+    default_class: str | None = None,
+) -> DataFrame:
+    """T1 — tag-set classification (``ModelCardToSchemaParser.py:296-398``).
+
+    Explode the token array, route each token into a class by vocabulary
+    membership (vocab sets are literal/broadcast — they are tiny config
+    tables), then fold back to one sorted distinct array per class.
+    One shuffle (the groupBy); collect_set is map-side combined.
+
+    ``classes``: ordered mapping class → vocabulary (None = fallback).
+    """
+    tok = F.explode(tokens_col).alias("_tok")
+    exploded = df.select(*id_cols, tok)
+    expr = None
+    for cls, vocab in classes.items():
+        if vocab is None:
+            continue
+        cond = F.col("_tok").isin(*vocab)
+        expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(cond, F.lit(cls))
+    fallback = F.lit(default_class) if default_class else F.lit(None)
+    exploded = exploded.withColumn("_cls", expr.otherwise(fallback) if expr is not None else fallback)
+    aggs = [
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(F.col("_cls") == cls, F.col("_tok"))))
+        ).alias(cls)
+        for cls in classes
+        if classes[cls] is not None or default_class == cls
+    ]
+    if default_class and default_class not in classes:
+        aggs.append(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(F.when(F.col("_cls") == default_class, F.col("_tok")))
+                )
+            ).alias(default_class)
+        )
+    return exploded.groupBy(*id_cols).agg(*aggs)
+
+
+def harvest_related(df: DataFrame, cols: list[str]) -> DataFrame:
+    """T3 — union the values of several array columns into one distinct
+    set of (kind, name) rows (``HFExtractor.py:365-402``): melt + explode
+    + distinct."""
+    parts = [
+        df.select(F.lit(c).alias("kind"), F.explode_outer(F.col(c)).alias("name"))
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("name").isNotNull()).distinct()
+
+
+def frontier_diff(refs: DataFrame, seen: DataFrame, key: str) -> DataFrame:
+    """T4 — one round of the recursive base-model crawl
+    (``HFExtractor.py:105-107``): referenced ids not yet processed =
+    left-anti join. The BFS driver loops this until the frontier is
+    empty; each round is one distributed anti-join, never a driver set."""
+    return refs.join(seen, key, "left_anti")

@@ -1,0 +1,109 @@
+"""Graph-shaped relational operators (SURVEY §2.4 G8/G9, §2.7 Q1–Q3, §2.1 S12/S14).
+
+The KG is a plain DataFrame of ``(subject, predicate, object,
+object_is_uri)`` — graph union is ``unionByName`` + hash-dedup, pivots
+are aggregations, and N-Triples serialization is a formatting select.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def union_graphs(*graphs: DataFrame, dedup_cols: tuple[str, ...] = ("subject", "predicate", "object")) -> DataFrame:
+    """G8 — graph union with idempotent insertion semantics
+    (``GraphBuilderBase.py:121-123`` dup-check + ``MlentoryTransformWith
+    GraphBuilder.py:328-369`` union): one union + one hash-partition
+    dedup shuffle."""
+    return reduce(lambda a, b: a.unionByName(b), graphs).dropDuplicates(list(dedup_cols))
+
+
+def argmax_per_group(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """G9-style argmax-by-key: keep, per key group, the row maximizing
+    ``order_cols`` lexicographically. ``max_by(struct)`` = single
+    map-side-combinable agg — preferred over a window sort at scale."""
+    payload_cols = [c for c in df.columns if c not in keys]
+    order = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    agged = df.groupBy(*keys).agg(F.max_by(payload, order).alias("_p"))
+    return agged.select(*keys, *[F.col(f"_p.{c}").alias(c) for c in payload_cols])
+
+
+def subject_pivot(triples: DataFrame) -> DataFrame:
+    """Q1 — fold triples into one row per subject with a
+    predicate→values map (``GraphHandlerForKG.py:269-281``). Two-level
+    agg, both map-side combinable."""
+    per_pred = triples.groupBy("subject", "predicate").agg(
+        F.array_sort(F.collect_set("object")).alias("objects")
+    )
+    return per_pred.groupBy("subject").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("predicate", "objects")))
+        ).alias("properties")
+    )
+
+
+def resolve_uris(
+    triples: DataFrame,
+    names: DataFrame,
+    predicates: list[str],
+    name_subject_col: str = "subject",
+    name_col: str = "name",
+) -> DataFrame:
+    """Q2 — URI→name resolution (``GraphHandlerForKG.py:217-261``): for
+    a configured predicate list, replace the object URI by the target
+    entity's name via a self hash-join; unresolved URIs pass through
+    (``coalesce``)."""
+    n = names.select(
+        F.col(name_subject_col).alias("_target"), F.col(name_col).alias("_name")
+    )
+    resolved = (
+        triples.where(F.col("predicate").isin(predicates))
+        .join(n, triples["object"] == n["_target"], "left")
+        .select(
+            "subject",
+            "predicate",
+            F.coalesce("_name", "object").alias("object"),
+        )
+    )
+    passthrough = triples.where(~F.col("predicate").isin(predicates)).select(
+        "subject", "predicate", "object"
+    )
+    return resolved.unionByName(passthrough)
+
+
+def platform_of(url: Column) -> Column:
+    """Q3 — platform inference by URL prefix (``GraphHandlerForKG.py:300-307``)."""
+    return (
+        F.when(url.contains("openml.org"), F.lit("openml"))
+        .when(url.contains("bioimage.io"), F.lit("ai4life"))
+        .otherwise(F.lit("huggingface"))
+    )
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """S12 — N-Triples serialization as a formatting select
+    (``MlentoryTransform.py:145-155``): write with ``df.write.text``."""
+    obj = F.when(
+        F.col("object_is_uri"), F.concat(F.lit("<"), F.col("object"), F.lit(">"))
+    ).otherwise(
+        F.concat(F.lit('"'), F.regexp_replace("object", '"', '\\\\"'), F.lit('"'))
+    )
+    return triples.select(
+        F.concat(
+            F.lit("<"), F.col("subject"), F.lit("> <"), F.col("predicate"), F.lit("> "),
+            obj, F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def anti_join_delete(current: DataFrame, deprecated: DataFrame) -> DataFrame:
+    """S14 — Virtuoso delta-delete re-expressed: remove deprecated
+    triples from the current graph via left-anti join
+    (``RDFHandler.py:112-144``)."""
+    return current.join(
+        deprecated, ["subject", "predicate", "object"], "left_anti"
+    )

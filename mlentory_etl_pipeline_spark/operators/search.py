@@ -1,0 +1,69 @@
+"""Search-document build + query surface (SURVEY §2.7 Q4–Q6, §1.5).
+
+The reference denormalizes the KG into Elasticsearch documents with an
+edge-ngram(3,30) name analyzer (``Entities.py:18-44``) and queries via
+match_phrase / prefix match. Spark-first: one ``model_search``
+DataFrame; prefix search = ``array_contains`` on a precomputed prefix
+array (an *equality* predicate — hash-joinable and prunable at scale,
+unlike LIKE); facets = plain predicates; relevance = a scoring
+expression + top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.functions.text import edge_ngram_prefixes
+
+
+def build_search_docs(
+    entities: DataFrame,
+    id_col: str,
+    name_col: str,
+    facet_cols: list[str] = (),
+    text_cols: list[str] = (),
+    min_prefix: int = 3,
+    max_prefix: int = 30,
+) -> DataFrame:
+    """Q4 — construct the denormalized search-doc table
+    (``IndexHandler.py:250-305``): identifier, display name, lowercase
+    facets, searchable text, and the edge-ngram prefix array."""
+    cols = [
+        F.col(id_col).cast("string").alias("db_identifier"),
+        F.col(name_col).alias("name"),
+        edge_ngram_prefixes(F.col(name_col), min_prefix, max_prefix).alias("name_prefixes"),
+    ]
+    cols += [F.lower(F.col(c)).alias(c) for c in facet_cols]
+    cols += [F.col(c) for c in text_cols]
+    return entities.select(*cols)
+
+
+def prefix_search(
+    docs: DataFrame,
+    query: str,
+    facet_filters: dict[str, str] | None = None,
+    limit: int = 20,
+) -> DataFrame:
+    """Q6 — prefix search with facet filters and a simple relevance
+    score (exact-match boost + shorter-name boost), top-k."""
+    q = query.lower()
+    cond = F.array_contains("name_prefixes", q) | (F.lower("name") == q)
+    for col, val in (facet_filters or {}).items():
+        cond = cond & (F.col(col) == val.lower())
+    score = (
+        F.when(F.lower("name") == q, F.lit(2.0)).otherwise(F.lit(1.0))
+        + F.lit(1.0) / (F.length("name") + F.lit(1.0))
+    )
+    return (
+        docs.where(cond)
+        .withColumn("score", F.round(score, 6))
+        .orderBy(F.desc("score"), F.asc("db_identifier"))
+        .limit(limit)
+        .drop("name_prefixes")
+    )
+
+
+def exact_lookup(docs: DataFrame, identifier: str) -> DataFrame:
+    """Q5/Q6 match_phrase on db_identifier → plain equality."""
+    return docs.where(F.col("db_identifier") == identifier).drop("name_prefixes")

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data curation (beyond-reference
+layer): language-ID heuristic, quality scoring, token counting,
+document fingerprinting. All pure Column expressions — whole-stage
+codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+}
+
+PUNCT = ".,!?;:"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of the trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy: count word-piece units = words + intra-word
+    transitions between letters and digits/punctuation. Cheap, regex
+    based, deterministic — the standard pretraining-corpus sizing
+    heuristic when a real tokenizer is too expensive."""
+    pieces = F.split(F.trim(text), r"[\s]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
+    return F.size(pieces)
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Number of tokens that are in ``words``."""
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(wl, t)))
+
+
+def lang_id(text: Column, default: str = "unknown") -> Column:
+    """Stopword-voting language ID: the language with the most stopword
+    hits wins; ties break alphabetically; zero hits → ``default``.
+    (The real-corpus version swaps the vocab lists for char-n-gram
+    profiles — same plan shape.)"""
+    entries = [
+        F.struct(stopword_hits(text, ws).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    # max over (hits, lang-reversed) — ties pick alphabetically-first lang.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    e["hits"].alias("hits"),
+                    # invert lang for tie-break: max on negated ordinal ≈ min on lang
+                    F.lit(-i).alias("ord"),
+                    e["lang"].alias("lang"),
+                )
+                for i, e in enumerate(entries)
+            ]
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.translate(text, PUNCT, "")
+    return (F.length(text) - F.length(stripped)) / F.length(text).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]: length factor, stopword
+    presence, punctuation moderation. Deterministic arithmetic —
+    portable to any SQL oracle."""
+    length_factor = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    sw = stopword_hits(text, STOPWORDS["en"])
+    sw_factor = F.least(sw / F.lit(5.0), F.lit(1.0))
+    p = punct_ratio(text)
+    punct_factor = F.when(p > 0.1, F.lit(0.5)).otherwise(F.lit(1.0))
+    return F.round(punct_factor * (length_factor * 0.5 + sw_factor * 0.3 + 0.2), 4)
+
+
+def normalize_ws(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized text."""
+    return F.md5(normalize_ws(text))
+
+
+def rolling_fingerprint(text: Column, gram: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum md5 over all character
+    ``gram``-grams of the normalized text. Robust to local edits
+    anywhere except at the minimizing gram — the classic rolling-hash
+    document sketch, as one HOF expression."""
+    t = normalize_ws(text)
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(gram - 1), F.lit(1))),
+            lambda i: F.md5(F.substring(t, i, F.lit(gram))),
+        )
+    )

@@ -1,0 +1,1317 @@
+"""The operator-coverage query registry.
+
+One entry per implemented operator from SURVEY §2 (plus the
+beyond-reference training-data ops), each with:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built from the
+  package's operator library, and
+- an equivalent ANSI-SQL oracle string for DuckDB over the same parquet
+  tables (views: region nation customer supplier part orders lineitem
+  events documents embeddings).
+
+Determinism rules (so the driver's order-insensitive value-hash
+matches):
+- every computed column is aliased identically on both sides;
+- money aggregations go through DECIMAL (exact) and are cast to DOUBLE
+  at the end — no float-summation-order hazards;
+- float-valued scores (cosine etc.) are rounded before ranking, and all
+  rankings carry a total order (id tie-breaks);
+- array outputs are sorted.
+
+Table mapping (FIXTURES.md §7): ``events`` stands in for the triple
+stream feeding the SCD2 store; ``orders``/``lineitem`` for long-form
+entity/property tables; the dimensions for broadcast vocab joins;
+``documents``/``embeddings`` for the training-data ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.functions.hashing import BASE_NAMESPACE, entity_uri
+from mlentory_etl_pipeline_spark.functions.text import strip_yaml_front_matter
+from mlentory_etl_pipeline_spark.operators import (
+    dedup,
+    extract_ops,
+    graph,
+    melt as melt_ops,
+    multimodal,
+    search,
+    similarity,
+    textstats,
+    versioned_store as vs,
+)
+from mlentory_etl_pipeline_spark.sources.tpch import load_table
+from mlentory_etl_pipeline_spark.streaming import incremental
+
+
+@dataclass
+class Query:
+    name: str
+    description: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # DuckDB SQL; None → driver does rows-only check
+    survey_ops: tuple[str, ...] = field(default_factory=tuple)
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    description: str,
+    oracle: str | None = None,
+    survey_ops: tuple[str, ...] = (),
+    headline: bool = False,
+):
+    def deco(fn):
+        REGISTRY[name] = Query(name, description, fn, oracle, survey_ops, headline)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark_fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# A decimal-exact money aggregation: per-row double arithmetic (single
+# expression, deterministic) → DECIMAL cast → exact decimal SUM →
+# DOUBLE at the end. Identical in DuckDB.
+def _dec(col, scale=4):
+    return col.cast(f"decimal(18,{scale})")
+
+
+T_SPLIT = "2024-01-15 00:00:00"
+SHIP_CUTOFF = "1998-09-02 00:00:00"
+ORDER_CUT = "1997-01-01 00:00:00"
+
+
+# =====================================================================
+# Aggregations / TPC-H-style headline queries
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    "TPC-H Q1-style grouped aggregation with decimal-exact money math",
+    oracle=f"""
+    -- inputs are 2-dp money values: cast BEFORE arithmetic so every op is
+    -- exact decimal math (identical in any engine); double only at the end
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ops=("§2.9 aggregations",),
+    headline=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    "3-way join + grouped revenue + top-10 (TPC-H Q3 shape)",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{ORDER_CUT}'
+      AND l.l_shipdate > TIMESTAMP '{ORDER_CUT}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+    survey_ops=("§2.9 joins", "F3"),
+    headline=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(ORDER_CUT).cast("timestamp"))
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(ORDER_CUT).cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+    )
+
+
+@register(
+    "q5_region_rollup",
+    "broadcast dim joins (S6-style lookup) + per-region aggregate",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    survey_ops=("S6", "§2.9 joins"),
+    headline=True,
+)
+def q5_region_rollup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    "top-3 parts per brand by retail price (window row_number, F3/N5 shape)",
+    oracle="""
+    SELECT p_brand AS brand, p_partkey AS partkey, p_retailprice AS retailprice, rn AS rank
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+    survey_ops=("F3", "N5", "§2.9 windows"),
+)
+def topk_per_group(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_retailprice").alias("retailprice"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "argmax_disambiguation",
+    "G9 statement disambiguation: per (user,event_type) keep max value, tie-break latest ts then id",
+    oracle="""
+    SELECT user_id, event_type, event_id, value, ts
+    FROM (
+      SELECT user_id, event_type, event_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    survey_ops=("G9",),
+)
+def argmax_disambiguation(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    picked = graph.argmax_per_group(
+        e.select("user_id", "event_type", "event_id", "value", "ts"),
+        keys=["user_id", "event_type"],
+        order_cols=["value", "ts", "event_id"],
+    )
+    return picked.select("user_id", "event_type", "event_id", "value", "ts")
+
+
+@register(
+    "count_distinct_subjects",
+    "Q8 SPARQL-aggregate equivalent: COUNT(DISTINCT subject) + total",
+    oracle="SELECT COUNT(DISTINCT user_id) AS n_subjects, COUNT(*) AS n_events FROM events",
+    survey_ops=("Q8",),
+)
+def count_distinct_subjects(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .agg(
+            F.countDistinct("user_id").alias("n_subjects"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "subject_pivot_counts",
+    "Q1/V1 subject pivot: per-subject predicate→count columns (conditional agg)",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS n_click,
+           COUNT(*) FILTER (event_type = 'view') AS n_view,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (event_type = 'error') AS n_error,
+           COUNT(*) AS n_total
+    FROM events GROUP BY user_id
+    """,
+    survey_ops=("Q1", "V1"),
+)
+def subject_pivot_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == et, 1)).alias(f"n_{et}")
+        for et in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+
+
+# =====================================================================
+# Filters / projections / pagination (F1–F8)
+# =====================================================================
+
+@register(
+    "quality_filter_docs",
+    "F1 quality filter: drop null-lang / short documents",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL AND LENGTH(text) >= 200
+    """,
+    survey_ops=("F1", "F4"),
+)
+def quality_filter_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return extract_ops.quality_filter(
+        d, text_col="text", required_cols=("lang",), min_len=200,
+        boilerplate_marker="[More Information Needed]", max_marker_count=38,
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "paginate_orders",
+    "F2 deterministic offset/limit pagination over a total order",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY o_orderdate ASC, o_orderkey ASC
+    LIMIT 50 OFFSET 100
+    """,
+    survey_ops=("F2",),
+)
+def paginate_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return extract_ops.paginate(
+        o.select("o_orderkey", "o_orderdate"),
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        offset=100,
+        limit=50,
+    )
+
+
+@register(
+    "topn_recent_events",
+    "F3 top-N recency trim (TakeOrdered, no global sort)",
+    oracle="""
+    SELECT event_id, ts FROM events ORDER BY ts DESC, event_id ASC LIMIT 100
+    """,
+    survey_ops=("F3",),
+)
+def topn_recent_events(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return extract_ops.top_n_recent(e.select("event_id", "ts"), "ts", 100, tiebreak="event_id")
+
+
+@register(
+    "projection_derivations",
+    "F5/F7/F8 derived columns: identity URL, regex rewrite, normalization",
+    oracle="""
+    SELECT c_custkey,
+           'https://example.org/customer/' || CAST(c_custkey AS VARCHAR) AS url,
+           REGEXP_REPLACE(c_name, 'Customer#0*', 'C-') AS short_name,
+           LOWER(TRIM(c_mktsegment)) AS segment_norm,
+           CAST(c_custkey % 10 AS VARCHAR) || '.' ||
+             REGEXP_REPLACE(CAST(c_custkey AS VARCHAR) || 'v2', 'v[0-9]+$', '') AS arxiv_like_id
+    FROM customer
+    """,
+    survey_ops=("F5", "F7", "F8"),
+)
+def projection_derivations(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.functions.text import normalize_arxiv_id, normalize_license
+
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.lit("https://example.org/customer/"), F.col("c_custkey").cast("string")).alias("url"),
+        F.regexp_replace("c_name", "Customer#0*", "C-").alias("short_name"),
+        normalize_license(F.col("c_mktsegment")).alias("segment_norm"),
+        F.concat(
+            (F.col("c_custkey") % 10).cast("string"),
+            F.lit("."),
+            normalize_arxiv_id(F.concat(F.col("c_custkey").cast("string"), F.lit("v2"))),
+        ).alias("arxiv_like_id"),
+    )
+
+
+@register(
+    "yaml_front_matter_strip",
+    "T2/F5 YAML front-matter strip via anchored non-greedy regex",
+    oracle=r"""
+    SELECT doc_id,
+           REGEXP_REPLACE('---' || CHR(10) || 'license: mit' || CHR(10) || '---' || CHR(10) || text,
+                          '(?s)^---.*?---\s*', '') AS body
+    FROM documents WHERE doc_id < 200
+    """,
+    survey_ops=("T2", "F5"),
+)
+def yaml_front_matter_strip(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id < 200")
+    carded = d.select(
+        "doc_id",
+        F.concat(F.lit("---\nlicense: mit\n---\n"), F.col("text")).alias("card"),
+    )
+    return carded.select("doc_id", strip_yaml_front_matter(F.col("card")).alias("body"))
+
+
+# =====================================================================
+# Tag classification / harvest / frontier (T1, T3, T4)
+# =====================================================================
+
+@register(
+    "tag_classification",
+    "T1 tag-set classification: explode tokens, vocab routing, collect per class",
+    oracle="""
+    WITH toks AS (
+      SELECT p_partkey, UNNEST(STRING_SPLIT(p_name, ' ')) AS tok FROM part
+    ), cls AS (
+      SELECT p_partkey, tok,
+             CASE WHEN tok IN ('blue','red') THEN 'color'
+                  WHEN tok IN ('cold','hot','new','old') THEN 'condition'
+                  WHEN tok IN ('large','small') THEN 'size'
+                  ELSE 'item' END AS cls
+      FROM toks
+    )
+    SELECT p_partkey,
+           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'color'), [])) AS color,
+           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'condition'), [])) AS condition,
+           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'size'), [])) AS size,
+           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'item'), [])) AS item
+    FROM cls GROUP BY p_partkey
+    """,
+    survey_ops=("T1",),
+)
+def tag_classification(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return extract_ops.classify_tokens(
+        p,
+        id_cols=["p_partkey"],
+        tokens_col=F.split(F.col("p_name"), " "),
+        classes={
+            "color": ["blue", "red"],
+            "condition": ["cold", "hot", "new", "old"],
+            "size": ["large", "small"],
+        },
+        default_class="item",
+    )
+
+
+@register(
+    "harvest_related_entities",
+    "T3 related-entity harvest: melt array columns → distinct (kind, name)",
+    oracle="""
+    SELECT 'brand' AS kind, p_brand AS name FROM part WHERE p_brand IS NOT NULL
+    UNION
+    SELECT 'name_word' AS kind, UNNEST(STRING_SPLIT(p_name, ' ')) AS name FROM part
+    """,
+    survey_ops=("T3",),
+)
+def harvest_related_entities(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select(
+        F.array(F.col("p_brand")).alias("brand"),
+        F.split(F.col("p_name"), " ").alias("name_word"),
+    )
+    return extract_ops.harvest_related(p, ["brand", "name_word"])
+
+
+@register(
+    "frontier_diff",
+    "T4 crawl frontier: referenced ids not yet seen (left-anti join)",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 500)
+    """,
+    survey_ops=("T4", "§2.9 set ops"),
+)
+def frontier_diff(spark, sf_dir):
+    seen = t(spark, sf_dir, "customer").where("c_custkey < 500").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    refs = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    return extract_ops.frontier_diff(refs, seen, "custkey")
+
+
+# =====================================================================
+# Transform: hashing, melt, range dispatch, graph ops (G1–G9, S12)
+# =====================================================================
+
+@register(
+    "entity_hash_uris",
+    "G1 deterministic entity URIs: sha256 of sorted-JSON {platform,type,id}",
+    oracle=f"""
+    SELECT c_custkey,
+           '{BASE_NAMESPACE}' || SHA256(
+             '{{"id": "' || CAST(c_custkey AS VARCHAR) ||
+             '", "platform": "tpch", "type": "customer"}}'
+           ) AS uri
+    FROM customer
+    """,
+    survey_ops=("G1",),
+)
+def entity_hash_uris(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        entity_uri("tpch", "customer", F.col("c_custkey")).alias("uri"),
+    )
+
+
+@register(
+    "melt_wide_to_long",
+    "G2 melt: unpivot wide entity columns into (entity, property, value)",
+    oracle="""
+    SELECT o_orderkey, 'o_orderpriority' AS property, o_orderpriority AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_orderstatus' AS property, o_orderstatus AS value FROM orders
+    """,
+    survey_ops=("G2",),
+)
+def melt_wide_to_long(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return melt_ops.melt(
+        o, ["o_orderkey"], ["o_orderpriority", "o_orderstatus"], "property", "value"
+    )
+
+
+@register(
+    "range_dispatch_typing",
+    "G2 range dispatch: schema-driven typing of long-form values",
+    oracle="""
+    WITH long AS (
+      SELECT o_orderkey, 'status' AS property, o_orderstatus AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'homepage', 'https://example.org/order/' || CAST(o_orderkey AS VARCHAR) FROM orders
+    )
+    SELECT o_orderkey, property,
+           CASE property
+             WHEN 'orderdate' THEN STRFTIME(CAST(value AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S')
+             WHEN 'totalprice' THEN CAST(CAST(value AS DOUBLE) AS VARCHAR)
+             ELSE value END AS object,
+           property = 'homepage' AS object_is_uri,
+           CASE property WHEN 'orderdate' THEN 'xsd:dateTime'
+                         WHEN 'totalprice' THEN 'xsd:double'
+                         WHEN 'homepage' THEN 'xsd:anyURI'
+                         ELSE 'xsd:string' END AS object_type
+    FROM long
+    """,
+    survey_ops=("G2",),
+)
+def range_dispatch_typing(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").withColumn(
+        "homepage",
+        F.concat(F.lit("https://example.org/order/"), F.col("o_orderkey").cast("string")),
+    ).withColumnsRenamed(
+        {"o_orderstatus": "status", "o_orderdate": "orderdate", "o_totalprice": "totalprice"}
+    )
+    long = melt_ops.melt(o, ["o_orderkey"], ["status", "orderdate", "totalprice", "homepage"],
+                         "property", "value")
+    schema_df = spark.createDataFrame(
+        [("status", "Text"), ("orderdate", "Date"), ("totalprice", "Number"), ("homepage", "URL")],
+        "property string, range string",
+    )
+    return melt_ops.range_dispatch(long, schema_df)
+
+
+@register(
+    "union_graphs_dedup",
+    "G8 graph union + idempotent dedup on (subject, predicate, object)",
+    oracle=f"""
+    SELECT CAST(l_orderkey AS VARCHAR) AS subject,
+           'hasLine' AS predicate,
+           CAST(l_linenumber AS VARCHAR) AS object
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '{ORDER_CUT}'
+    UNION
+    SELECT CAST(l_orderkey AS VARCHAR), 'hasLine', CAST(l_linenumber AS VARCHAR)
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '{SHIP_CUTOFF}'
+    """,
+    survey_ops=("G8", "§2.9 set ops"),
+)
+def union_graphs_dedup(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    def triples(cutoff):
+        return l.where(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp")).select(
+            F.col("l_orderkey").cast("string").alias("subject"),
+            F.lit("hasLine").alias("predicate"),
+            F.col("l_linenumber").cast("string").alias("object"),
+        )
+    return graph.union_graphs(triples(ORDER_CUT), triples(SHIP_CUTOFF))
+
+
+@register(
+    "resolve_uri_names",
+    "Q2 URI→name resolution via self hash-join with coalesce passthrough",
+    oracle="""
+    SELECT CAST(s.s_suppkey AS VARCHAR) AS subject, 'locatedIn' AS predicate,
+           COALESCE(n.n_name, CAST(s.s_nationkey AS VARCHAR)) AS object
+    FROM supplier s LEFT JOIN nation n ON CAST(s.s_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+    UNION ALL
+    SELECT CAST(s_suppkey AS VARCHAR), 'acctbal', CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+    FROM supplier
+    """,
+    survey_ops=("Q2",),
+)
+def resolve_uri_names(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    triples = s.select(
+        F.col("s_suppkey").cast("string").alias("subject"),
+        F.lit("locatedIn").alias("predicate"),
+        F.col("s_nationkey").cast("string").alias("object"),
+    ).unionByName(
+        s.select(
+            F.col("s_suppkey").cast("string").alias("subject"),
+            F.lit("acctbal").alias("predicate"),
+            F.col("s_acctbal").cast("decimal(18,2)").cast("string").alias("object"),
+        )
+    )
+    names = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("subject"),
+        F.col("n_name").alias("name"),
+    )
+    return graph.resolve_uris(triples, names, ["locatedIn"])
+
+
+@register(
+    "ntriples_serialization",
+    "S12 N-Triples sink: formatting select over the triple table",
+    oracle="""
+    SELECT '<urn:supplier:' || CAST(s_suppkey AS VARCHAR) || '> <urn:p:name> "' || s_name || '" .' AS line
+    FROM supplier
+    """,
+    survey_ops=("S12",),
+)
+def ntriples_serialization(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    triples = s.select(
+        F.concat(F.lit("urn:supplier:"), F.col("s_suppkey").cast("string")).alias("subject"),
+        F.lit("urn:p:name").alias("predicate"),
+        F.col("s_name").alias("object"),
+        F.lit(False).alias("object_is_uri"),
+    )
+    return graph.to_ntriples(triples)
+
+
+# =====================================================================
+# Versioned store: SCD2 fold over the event stream (V2–V7, Q7, Q10)
+# =====================================================================
+
+def _events_as_triples(spark, sf_dir, lo=None, hi=None):
+    """events → (subject, predicate, object) triple batch with provenance.
+    Object = coarse value bucket so re-observations of the same fact
+    occur across batches (the SCD2-interesting case)."""
+    e = t(spark, sf_dir, "events")
+    if lo is not None:
+        e = e.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+    if hi is not None:
+        e = e.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+    return e.select(
+        F.col("user_id").cast("string").alias("subject"),
+        F.col("event_type").alias("predicate"),
+        F.floor(F.col("value") / 100).cast("int").cast("string").alias("object"),
+        F.lit("events").alias("extraction_method"),
+        F.lit(1.0).alias("confidence"),
+        F.col("ts").alias("extraction_time"),
+    )
+
+
+def _scd2_state(spark, sf_dir):
+    s = vs.merge_batch(vs.empty_state(spark), _events_as_triples(spark, sf_dir, hi=T_SPLIT))
+    return vs.merge_batch(s, _events_as_triples(spark, sf_dir, lo=T_SPLIT))
+
+
+_SCD2_ORACLE_CTE = f"""
+    WITH b1 AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject, event_type AS predicate,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS object
+      FROM events WHERE ts < TIMESTAMP '{T_SPLIT}'
+    ), b2 AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject, event_type AS predicate,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS object
+      FROM events WHERE ts >= TIMESTAMP '{T_SPLIT}'
+    ), t1 AS (SELECT MAX(ts) AS t FROM events WHERE ts < TIMESTAMP '{T_SPLIT}'),
+    t2 AS (SELECT MAX(ts) AS t FROM events WHERE ts >= TIMESTAMP '{T_SPLIT}'),
+    b2subj AS (SELECT DISTINCT subject FROM b2),
+    ranges AS (
+      SELECT b1.subject, b1.predicate, b1.object, t1.t AS use_start, t2.t AS use_end,
+             FALSE AS deprecated
+      FROM b1 JOIN b2 USING (subject, predicate, object), t1, t2
+      UNION ALL
+      SELECT b1.subject, b1.predicate, b1.object, t1.t, t1.t,
+             b1.subject IN (SELECT subject FROM b2subj)
+      FROM b1 ANTI JOIN b2 USING (subject, predicate, object), t1
+      UNION ALL
+      SELECT b2.subject, b2.predicate, b2.object, t2.t, t2.t, FALSE
+      FROM b2 ANTI JOIN b1 USING (subject, predicate, object), t2
+    )
+"""
+
+
+@register(
+    "scd2_version_ranges",
+    "V2–V5 SCD2 fold: two-batch load → final version_range state",
+    oracle=_SCD2_ORACLE_CTE
+    + "SELECT subject, predicate, object, use_start, use_end, deprecated FROM ranges",
+    survey_ops=("V2", "V3", "V4", "V5", "G9"),
+    headline=True,
+)
+def scd2_version_ranges(spark, sf_dir):
+    state = _scd2_state(spark, sf_dir)
+    return state.version_range.join(state.triplet, "triplet_hash").select(
+        "subject", "predicate", "object", "use_start", "use_end", "deprecated"
+    )
+
+
+@register(
+    "scd2_current_graph",
+    "Q7/V7 current graph: triples with an open, non-deprecated range",
+    oracle=_SCD2_ORACLE_CTE
+    + "SELECT subject, predicate, object FROM ranges WHERE NOT deprecated",
+    survey_ops=("Q7", "V7"),
+)
+def scd2_current_graph(spark, sf_dir):
+    return vs.current_graph(_scd2_state(spark, sf_dir))
+
+
+@register(
+    "scd2_deprecated_graph",
+    "S14/V5 deprecated graph: triples whose every range is deprecated",
+    oracle=_SCD2_ORACLE_CTE
+    + """
+    SELECT subject, predicate, object FROM ranges
+    GROUP BY subject, predicate, object
+    HAVING BOOL_AND(deprecated)
+    """,
+    survey_ops=("S14", "V5"),
+)
+def scd2_deprecated_graph(spark, sf_dir):
+    return vs.deprecated_graph(_scd2_state(spark, sf_dir))
+
+
+@register(
+    "scd2_point_in_time",
+    "Q10 point-in-time graph: triples valid at the first-batch close",
+    oracle=_SCD2_ORACLE_CTE
+    + f"""
+    , t AS (SELECT MAX(ts) AS pit FROM events WHERE ts < TIMESTAMP '{T_SPLIT}')
+    SELECT DISTINCT subject, predicate, object FROM ranges, t
+    WHERE use_start <= t.pit AND use_end >= t.pit
+    """,
+    survey_ops=("Q10",),
+)
+def scd2_point_in_time(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp"))
+    pit = e.agg(F.max("ts")).collect()[0][0]
+    return vs.graph_at(_scd2_state(spark, sf_dir), pit)
+
+
+@register(
+    "anti_join_is_new",
+    "V2 is_new detection: batch triples absent from the existing store",
+    oracle=f"""
+    WITH existing AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject, event_type AS predicate,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS object
+      FROM events WHERE ts < TIMESTAMP '{T_SPLIT}'
+    ), batch AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject, event_type AS predicate,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS object
+      FROM events WHERE ts >= TIMESTAMP '{T_SPLIT}'
+    )
+    SELECT subject, predicate, object FROM batch
+    ANTI JOIN existing USING (subject, predicate, object)
+    """,
+    survey_ops=("V2", "§2.9 joins"),
+)
+def anti_join_is_new(spark, sf_dir):
+    existing = _events_as_triples(spark, sf_dir, hi=T_SPLIT).select(
+        "subject", "predicate", "object"
+    ).distinct()
+    batch = _events_as_triples(spark, sf_dir, lo=T_SPLIT).select(
+        "subject", "predicate", "object"
+    ).distinct()
+    return batch.join(existing, ["subject", "predicate", "object"], "left_anti")
+
+
+# =====================================================================
+# Incremental / streaming (S2, §3.2, streaming window agg)
+# =====================================================================
+
+@register(
+    "watermark_incremental",
+    "S2 incremental fetch: rows newer than the landed watermark",
+    oracle="""
+    SELECT event_id, ts FROM events
+    WHERE ts > (SELECT MAX(ts) FROM events WHERE event_id < 5000)
+    """,
+    survey_ops=("S2",),
+)
+def watermark_incremental(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    landed = e.where("event_id < 5000")
+    wm = incremental.watermark_of(landed, "ts")
+    return incremental.incremental_rows(e, "ts", wm).select("event_id", "ts")
+
+
+@register(
+    "tumbling_window_agg",
+    "streaming-parity tumbling 1h window aggregation (batch mode)",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    survey_ops=("§2.9 streaming",),
+    headline=True,
+)
+def tumbling_window_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return incremental.tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        ],
+    )
+
+
+# =====================================================================
+# Search layer (Q4–Q6, §1.5)
+# =====================================================================
+
+@register(
+    "search_doc_build",
+    "Q4 search-doc construction incl. edge-ngram(3,30) prefix array",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS db_identifier,
+           c_name AS name,
+           LIST_TRANSFORM(RANGE(3, LEAST(LENGTH(c_name), 30) + 1),
+                          n -> SUBSTR(LOWER(c_name), 1, n)) AS name_prefixes,
+           LOWER(c_mktsegment) AS c_mktsegment
+    FROM customer
+    """,
+    survey_ops=("Q4", "§1.5"),
+)
+def search_doc_build(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return search.build_search_docs(
+        c, id_col="c_custkey", name_col="c_name", facet_cols=["c_mktsegment"]
+    )
+
+
+@register(
+    "prefix_search",
+    "Q6 edge-ngram prefix search + facet filter + relevance ranking",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS db_identifier, c_name AS name,
+           LOWER(c_mktsegment) AS c_mktsegment,
+           ROUND(CASE WHEN LOWER(c_name) = 'customer#00000001' THEN 2.0 ELSE 1.0 END
+                 + 1.0 / (LENGTH(c_name) + 1.0), 6) AS score
+    FROM customer
+    WHERE LOWER(c_name) LIKE 'customer#00000001%'
+    ORDER BY score DESC, db_identifier ASC
+    LIMIT 20
+    """,
+    survey_ops=("Q6",),
+)
+def prefix_search(spark, sf_dir):
+    docs = search_doc_build(spark, sf_dir)
+    return search.prefix_search(docs, "Customer#00000001", limit=20)
+
+
+@register(
+    "exact_identifier_lookup",
+    "Q5 match_phrase on db_identifier → equality lookup",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS db_identifier, c_name AS name,
+           LOWER(c_mktsegment) AS c_mktsegment
+    FROM customer WHERE CAST(c_custkey AS VARCHAR) = '42'
+    """,
+    survey_ops=("Q5", "Q6"),
+)
+def exact_identifier_lookup(spark, sf_dir):
+    docs = search_doc_build(spark, sf_dir)
+    return search.exact_lookup(docs, "42")
+
+
+# =====================================================================
+# Dedup suite (beyond-reference layer; N3 is the reference analogue)
+# =====================================================================
+
+# Corpus with planted near-duplicates: every doc gets a sibling copy
+# (id + 1_000_000) with one word appended — deterministic, same in SQL.
+_NEARDUP_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra' FROM documents
+    )
+"""
+
+
+def _neardup_corpus(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sib = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(sib)
+
+
+@register(
+    "dedup_exact",
+    "exact dedup: md5 content hash, deterministic min-id survivor",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents  -- planted exact dups
+    )
+    SELECT MD5(text) AS text_hash, MIN(doc_id) AS doc_id
+    FROM corpus GROUP BY MD5(text)
+    """,
+    survey_ops=("N3", "dedup-exact"),
+)
+def dedup_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    kept = dedup.exact_dedup(c, content_cols=["text"], keep_min_col="doc_id")
+    return kept.select(F.md5("text").alias("text_hash"), "doc_id")
+
+
+_SHINGLE_SQL = """
+    words AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS w FROM corpus
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 3, 0) + 1),
+                      i -> ARRAY_TO_STRING(w[i + 1 : i + 3], ' '))) AS shingle
+        FROM words
+      )
+    )
+"""
+
+
+def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
+    """Generate the DuckDB SQL replicating the exact MinHash+LSH plan
+    (same md5-based hash family, banding, and Jaccard verification)."""
+    rows_per_band = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(MD5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, MD5({cols}) AS band_hash FROM signatures".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        "WITH "
+        + _NEARDUP_CORPUS_SQL
+        + ","
+        + _SHINGLE_SQL
+        + f""",
+    signatures AS (
+      SELECT doc_id, {mh_cols}
+      FROM shingled GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS i
+      FROM cand
+      JOIN shingled a ON a.doc_id = id_a
+      JOIN shingled b ON b.doc_id = id_b AND a.shingle = b.shingle
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {threshold}
+    """
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    "MinHash(12)+LSH(4 bands) near-dup candidates verified by exact Jaccard ≥ 0.5",
+    oracle=_minhash_lsh_oracle(),
+    survey_ops=("dedup-minhash-lsh",),
+    headline=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    c = _neardup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        c, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "exact n-gram Jaccard near-dup pairs (inverted-index join, no LSH)",
+    oracle="WITH " + _NEARDUP_CORPUS_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 100"
+    ) + "," + _SHINGLE_SQL + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+    """,
+    survey_ops=("dedup-ngram-jaccard",),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id < 100").select("doc_id", "text")
+    sib = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    c = d.unionByName(sib)
+    sh = dedup.doc_shingles(c, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id").where(F.col("jaccard") >= 0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    """DuckDB SQL replicating simhash16 bit-for-bit (nibble extraction
+    via strpos on a constant hex alphabet — portable, no conv())."""
+    sum_exprs = ",\n        ".join(
+        "SUM(CASE WHEN ((STRPOS('0123456789abcdef', SUBSTR(hx, {pos}, 1)) - 1) & {mask}) > 0 "
+        "THEN 1 ELSE -1 END) AS s{bit}".format(pos=bit // 4 + 1, mask=1 << (bit % 4), bit=bit)
+        for bit in range(16)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(16)
+    )
+    return (
+        "WITH "
+        + _NEARDUP_CORPUS_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 150")
+        + ","
+        + _SHINGLE_SQL
+        + f""",
+    votes AS (
+      SELECT doc_id, MD5(shingle) AS hx FROM shingled
+    ),
+    sums AS (
+      SELECT doc_id,
+        {sum_exprs}
+      FROM votes GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+    """
+    )
+
+
+@register(
+    "dedup_simhash",
+    "16-bit SimHash near-dup pairs, Hamming ≤ 3 via quarter-blocking",
+    oracle=_simhash_oracle(),
+    survey_ops=("dedup-simhash",),
+)
+def dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id < 150").select("doc_id", "text")
+    sib = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    c = d.unionByName(sib)
+    sh = dedup.doc_shingles(c, "doc_id", "text", n=3)
+    sigs = dedup.simhash16(sh, "doc_id")
+    return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+
+
+# =====================================================================
+# Similarity search (N5 + beyond-reference ANN)
+# =====================================================================
+
+@register(
+    "ann_brute_force_topk",
+    "exact cosine top-5 neighbors for 10 query vectors (broadcast cross join + bounded window)",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qv) + 1),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, v -> CAST(v AS DOUBLE) * v)))),
+               4) AS score
+      FROM q CROSS JOIN embeddings e
+      WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey_ops=("N5", "ann-brute-force"),
+    headline=True,
+)
+def ann_brute_force_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    "approximate top-5 via sign-random-projection buckets (single-probe); "
+    "recall vs brute force asserted in tests — rows-only driver check",
+    oracle=None,
+    survey_ops=("ann-lsh",),
+)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucket_topk(e, q, dim=64, k=5, num_planes=6).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+@register(
+    "embedding_norms",
+    "vector math sanity: L2 norms + label centroids distance base",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT((SELECT SUM(a.v * a.v) FROM UNNEST(embedding) AS a(v))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    survey_ops=("N4-plumbing",),
+)
+def embedding_norms(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.functions.vectors import l2_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"))
+
+
+# =====================================================================
+# Text analysis (beyond-reference layer; N1–N3 plumbing analogues)
+# =====================================================================
+
+@register(
+    "text_token_stats",
+    "token/char counts + punctuation ratio per document",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+           LENGTH(text) AS n_chars_computed,
+           ROUND((LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', ''))) / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio
+    FROM documents
+    """,
+    survey_ops=("text-token-count",),
+)
+def text_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(textstats.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang, ws in sorted(textstats.STOPWORDS.items()):
+        in_list = ", ".join(f"'{w}'" for w in ws)
+        hits.append(
+            f"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), w -> w IN ({in_list}))) AS hits_{lang}"
+        )
+    langs = [lang for lang, _ in sorted(textstats.STOPWORDS.items())]
+    m = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + " + ".join(f"hits_{lg}" for lg in langs) + " = 0 THEN 'unknown' "
+    for lg in langs:
+        case += f"WHEN hits_{lg} = {m} THEN '{lg}' "
+    case += "END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {', '.join(hits)} FROM documents
+    )
+    SELECT doc_id, {case} AS lang_pred FROM h
+    """
+
+
+@register(
+    "text_lang_id",
+    "stopword-voting language ID heuristic (deterministic)",
+    oracle=_langid_oracle(),
+    survey_ops=("text-lang-id",),
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    "composite document quality score (length/stopword/punctuation factors)",
+    oracle="""
+    SELECT doc_id,
+      ROUND(
+        (CASE WHEN (LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', ''))) / CAST(LENGTH(text) AS DOUBLE) > 0.1
+              THEN 0.5 ELSE 1.0 END)
+        * (LEAST(LENGTH(text) / 500.0, 1.0) * 0.5
+           + LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                        w -> w IN ('the','a','of','and','to','in','is'))) / 5.0, 1.0) * 0.3
+           + 0.2), 4) AS quality
+    FROM documents
+    """,
+    survey_ops=("text-quality",),
+)
+def text_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_fingerprints",
+    "document fingerprinting: normalized md5 + rolling min-hash sketch",
+    oracle=r"""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+           LIST_MIN(LIST_TRANSFORM(
+             RANGE(1, GREATEST(LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) - 7, 1) + 1),
+             i -> MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), i, 8)))) AS rolling_fp
+    FROM documents
+    """,
+    survey_ops=("text-fingerprint",),
+)
+def text_fingerprints(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.rolling_fingerprint(F.col("text"), gram=8).alias("rolling_fp"),
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (rows-only driver checks; full tests in pytest)
+# =====================================================================
+
+@register(
+    "multimodal_decode_features",
+    "binary media column → deterministic fake decode via mapInPandas "
+    "(real Spark plumbing, stubbed codec)",
+    oracle=None,
+    survey_ops=("multimodal-decode",),
+)
+def multimodal_decode_features(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.decode_media(media, fake=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    "video frame-sampling plan: sequence+explode fan-out JVM-side",
+    oracle=None,
+    survey_ops=("multimodal-frames",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.frame_sample_plan(media, every_ms=500)

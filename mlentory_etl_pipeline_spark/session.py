@@ -46,6 +46,10 @@ def get_spark(
         # Deterministic session timezone so timestamp comparisons against
         # the DuckDB oracle are stable.
         .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet TIMESTAMP(NANOS) columns (Spark has no nanos
+        # timestamp type) as long; the source layer converts to
+        # micros-precision TimestampType (matching DuckDB's truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

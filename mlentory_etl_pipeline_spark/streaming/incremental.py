@@ -1,0 +1,53 @@
+"""Incremental / streaming layer.
+
+The reference is batch-with-watermark (SURVEY §3.2): each refresh
+computes ``max(last_modified)`` over the landed data (S2,
+``HFDatasetManager.py:216-218``) and fetches only newer rows; the SCD2
+store makes the load itself incremental. We keep that shape and add the
+Structured Streaming expression of the same pipeline for true streams.
+
+Scale notes: the watermark scan is a single max over the landing
+table's partition column — with date-partitioned landing data this
+prunes to the newest partitions. The streaming variant uses
+``withWatermark`` + windowed aggregation; state store size is bounded
+by (watermark horizon × key cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def watermark_of(df: DataFrame, ts_col: str):
+    """S2 watermark: latest timestamp already landed."""
+    return df.agg(F.max(ts_col)).collect()[0][0]
+
+
+def incremental_rows(df: DataFrame, ts_col: str, watermark) -> DataFrame:
+    """Rows strictly newer than the watermark — the fetch filter of the
+    incremental refresh path (S2)."""
+    return df.where(F.col(ts_col) > F.lit(watermark))
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    keys: list[str],
+    aggs: list,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregation usable in BOTH batch and streaming
+    plans (identical code path; pass a streaming df + ``watermark_delay``
+    for the stateful variant with late-data eviction). Aggregate columns
+    must carry their own aliases."""
+    if watermark_delay is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    w = F.window(F.col(ts_col), window_duration).alias("win")
+    out = df.groupBy(w, *keys).agg(*aggs)
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[c for c in out.columns if c != "win"],
+    )

@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+For every registry query with an oracle: run the Spark plan and the
+DuckDB SQL on the same sf dir, compare row count, column-name set, and
+an order-insensitive canonicalized multiset of values. Prints a table
+and exits nonzero on any mismatch.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from collections import Counter
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mlentory_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from mlentory_etl_pipeline_spark.session import get_spark  # noqa: E402
+from mlentory_etl_pipeline_spark.sources.tpch import TABLES  # noqa: E402
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        return ("num", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("num", "nan")
+        return ("num", round(v, 9))
+    if isinstance(v, int):
+        return ("num", float(v))
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("ts", datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def spark_result(spark, name, sf_dir):
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    cols = df.columns
+    rows = df.collect()
+    return cols, [tuple(r[c] for c in cols) for r in rows]
+
+
+def duck_result(con, name):
+    cur = con.execute(REGISTRY[name].oracle)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def compare(name, s_cols, s_rows, d_cols, d_rows):
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+    order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    s_set = Counter(tuple(canon(r[i]) for i in order) for r in s_rows)
+    d_set = Counter(tuple(canon(r[i]) for i in d_order) for r in d_rows)
+    if s_set != d_set:
+        only_s = list((s_set - d_set).items())[:3]
+        only_d = list((d_set - s_set).items())[:3]
+        problems.append(f"values: only-spark={only_s} only-duck={only_d}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or [n for n, q in REGISTRY.items() if q.oracle]
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    failures = 0
+    for name in names:
+        q = REGISTRY[name]
+        if not q.oracle:
+            print(f"  SKIP (rows-only) {name}")
+            continue
+        t0 = time.time()
+        try:
+            s_cols, s_rows = spark_result(spark, name, sf_dir)
+        except Exception as e:
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            failures += 1
+            continue
+        try:
+            d_cols, d_rows = duck_result(con, name)
+        except Exception as e:
+            print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}")
+            failures += 1
+            continue
+        problems = compare(name, s_cols, s_rows, d_cols, d_rows)
+        dt = time.time() - t0
+        if problems:
+            failures += 1
+            print(f"✗ {name} ({dt:.1f}s, {len(s_rows)} rows)")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            print(f"✓ {name} ({dt:.1f}s, {len(s_rows)} rows)")
+    print(f"\n{len(names) - failures}/{len(names)} matched")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

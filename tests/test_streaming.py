@@ -1,0 +1,63 @@
+"""Structured Streaming parity: the tumbling-window aggregation must
+produce identical results via the batch path and a real streaming run
+(memory sink, processing-time trigger)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.streaming import incremental
+
+
+def test_streaming_batch_parity(spark, tmp_path):
+    rows = [
+        (i, dt.datetime(2024, 1, 1, hour, i % 60), "click" if i % 2 else "view", float(i))
+        for i, hour in ((i, (i * 7) % 24) for i in range(500))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    src = str(tmp_path / "stream_src")
+    df.coalesce(2).write.parquet(src)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    ]
+    batch_out = incremental.tumbling_window_agg(
+        spark.read.parquet(src), "ts", "1 hour", ["event_type"], aggs
+    )
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    stream_agg = incremental.tumbling_window_agg(
+        stream, "ts", "1 hour", ["event_type"], aggs, watermark_delay="2 hours"
+    )
+    q = (
+        stream_agg.writeStream.format("memory")
+        .queryName("win_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_parity").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch_out.collect()
+    }
+    assert got == want
+
+
+def test_watermark_incremental(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)), (3, dt.datetime(2024, 1, 3))],
+        "id long, ts timestamp",
+    )
+    wm = incremental.watermark_of(df.where("id <= 2"), "ts")
+    assert wm == dt.datetime(2024, 1, 2)
+    newer = incremental.incremental_rows(df, "ts", wm).collect()
+    assert [r.id for r in newer] == [3]
