@@ -98,12 +98,18 @@ def jaccard_pairs(
     shingled: DataFrame, id_col: str, candidates: DataFrame | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard per pair. With ``candidates`` given, only
-    those pairs are scored (the LSH path); otherwise all co-shingled
-    pairs (shingle-inverted-index join — still never a full cross join).
-    Returns (id_a, id_b, jaccard)."""
+    those pairs are scored (the LSH path) — the shingle inverted index
+    is first pruned to candidate docs, so verification cost scales with
+    the candidate set, not with every co-shingled pair in the corpus.
+    Without candidates, all co-shingled pairs are scored (still never a
+    full cross join). Returns (id_a, id_b, jaccard)."""
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        # Prune both sides to docs that appear in any candidate pair.
+        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
@@ -128,6 +134,32 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_candidates(
+    shingled: DataFrame, id_col: str, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for a candidate pair list via per-doc shingle *sets*
+    (collect_set → two joins → ``array_intersect``). Cost scales with
+    |candidates| × avg shingle-set size — no inverted-index self-join.
+    This is the right verification shape when candidates ≪ co-shingled
+    pairs (the LSH regime). Returns (id_a, id_b, jaccard)."""
+    sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -142,7 +174,9 @@ def minhash_lsh_dedup_pairs(
     sh = doc_shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_pairs(sh, id_col, cand).where(F.col("jaccard") >= threshold)
+    return jaccard_verify_candidates(sh, id_col, cand).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ------------------------------------------------------------- SimHash

@@ -21,7 +21,11 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mlentory_etl_pipeline_spark.functions.vectors import cosine_similarity, dot_product
+from mlentory_etl_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def brute_force_topk(
@@ -40,8 +44,18 @@ def brute_force_topk(
     (default 4 dp) so results are stable across engines' float
     summation orders; ranking ties break on neighbor id.
     """
-    joined = F.broadcast(queries).crossJoin(corpus)
-    score = cosine_similarity(F.col(query_vec_col), F.col(vec_col))
+    # Precompute norms once per side — the cross join then evaluates a
+    # single dot product per pair instead of re-deriving both norms.
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col), l2_norm(F.col(query_vec_col)).alias("_qn")
+    )
+    joined = F.broadcast(q).crossJoin(c)
+    score = dot_product(F.col(query_vec_col), F.col(vec_col)) / (
+        F.col("_qn") * F.col("_cn")
+    )
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = joined.select(

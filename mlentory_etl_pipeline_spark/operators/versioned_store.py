@@ -148,7 +148,9 @@ def merge_batch(
        models"; off by default because advancing validity without
        observation is a policy choice, not an invariant).
     """
-    b = disambiguate_statements(with_hashes(batch.select(*BATCH_COLUMNS)))
+    # The disambiguated batch feeds the batch-time scan plus four joins:
+    # cache it so the shuffle+agg runs once.
+    b = disambiguate_statements(with_hashes(batch.select(*BATCH_COLUMNS))).cache()
     batch_time = F.lit(
         b.agg(F.max("extraction_time")).collect()[0][0]
     ).cast("timestamp")
