@@ -13,20 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mlentory_etl_pipeline_spark.plans import queries as _queries_registry
+from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+from mlentory_etl_pipeline_spark.plans.queries import oracle_sql as _oracle_sql
+from mlentory_etl_pipeline_spark.plans.queries import queries as _queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the SCD2 versioned-store
     fold (the engine's centerpiece — V2–V5 merge over the event stream)."""
-    return _queries_registry.REGISTRY["scd2_version_ranges"].spark_fn(
-        spark, "/root/testdata/sf0.001"
-    )
+    return REGISTRY["scd2_version_ranges"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _queries_registry.queries()
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return _queries_registry.oracle_sql()
+    return _oracle_sql()

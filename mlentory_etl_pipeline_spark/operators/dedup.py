@@ -233,3 +233,93 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embedding_near_dup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline): every unordered
+    pair (a_id < b_id) whose cosine similarity ≥ ``threshold``.
+
+    Norms are precomputed per side so the pair loop evaluates one dot
+    product. The ``a < b`` theta join is a nested-loop product — correct
+    but quadratic; it is the small-corpus / verification baseline, and
+    :func:`embedding_near_dup_lsh` is the scale path.
+    """
+    from mlentory_etl_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    a = vecs.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return scored.where(F.col("score") >= threshold)
+
+
+def embedding_near_dup_lsh(
+    vecs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_planes: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-random-projection buckets
+    turn the all-pairs product into an equi-join on ``bucket`` —
+    candidates shrink ~2^planes-fold and the join shuffles by bucket
+    (AQE splits skewed buckets). Approximate: pairs whose cosine crosses
+    the threshold but land in different buckets are missed; recall vs
+    the exact baseline is asserted in tests."""
+    from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket
+    from mlentory_etl_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    bucketed = rp_bucket(vecs, vec_col, dim, num_planes).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket"), l2_norm(F.col(vec_col)).alias("_n")
+    )
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return scored.where(F.col("score") >= threshold)

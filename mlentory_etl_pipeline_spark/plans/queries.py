@@ -40,6 +40,7 @@ from mlentory_etl_pipeline_spark.operators import (
     graph,
     melt as melt_ops,
     multimodal,
+    nlp,
     search,
     similarity,
     textstats,
@@ -1315,3 +1316,230 @@ def multimodal_decode_features(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     media = multimodal.synthetic_media(spark, n=64)
     return multimodal.frame_sample_plan(media, every_ms=500)
+
+
+# =====================================================================
+# NLP plumbing (SURVEY §2.8 N1–N8) — deterministic fake engines; the
+# Spark shapes (pandas_udf sectionizer, mapInPandas embedder, grouped
+# QA packing, top-k matching) are the real operators a GPU engine
+# plugs into.
+# =====================================================================
+
+@register(
+    "nlp_sectionize",
+    "markdown sectionizer (N1): header-hierarchy split with breadcrumb "
+    "titles via Arrow-batched pandas_udf, exploded to long form",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, SUBSTR(text, 1, 40) AS a, SUBSTR(text, 41, 60) AS b
+      FROM documents
+    )
+    SELECT doc_id, 'D' || doc_id AS title, TRIM('intro ' || a) AS content,
+           1 AS level, 0 AS start_line
+    FROM base
+    UNION ALL
+    SELECT doc_id, 'D' || doc_id || ' > S' AS title, TRIM('body ' || b) AS content,
+           2 AS level, 2 AS start_line
+    FROM base
+    """,
+    survey_ops=("N1", "N2"),
+)
+def nlp_sectionize(spark, sf_dir):
+    # documents.text carries no '#'/backtick/newline chars (TESTDATA is
+    # single-line word streams), so a 2-header markdown doc built from
+    # it has a closed-form oracle while still exercising the header
+    # parser + breadcrumb stack.
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    md = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("# D"), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.lit("intro "), F.substring("text", 1, 40), F.lit("\n"),
+            F.lit("## S\n"),
+            F.lit("body "), F.substring("text", 41, 60),
+        ).alias("md"),
+    )
+    secs = nlp.sectionize(md, "md")
+    return secs.select("doc_id", F.explode("sections").alias("s")).select(
+        "doc_id",
+        F.col("s.title").alias("title"),
+        F.col("s.content").alias("content"),
+        F.col("s.level").alias("level"),
+        F.col("s.start_line").alias("start_line"),
+    )
+
+
+@register(
+    "nlp_section_dedup",
+    "section dedup on sha256(content) keeping the shortest title (N3 — "
+    "MarkdownParser.py:543-610): one min_by aggregation, no window sort",
+    oracle="""
+    SELECT sha256(content) AS content_sha, doc_id, title, content FROM (
+      SELECT doc_id, 'D' || doc_id AS title, SUBSTR(text, 1, 20) AS content,
+             ROW_NUMBER() OVER (
+               PARTITION BY SUBSTR(text, 1, 20)
+               ORDER BY LENGTH('D' || doc_id), 'D' || doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    survey_ops=("N3",),
+)
+def nlp_section_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sections = d.select(
+        "doc_id",
+        F.concat(F.lit("D"), F.col("doc_id").cast("string")).alias("title"),
+        F.substring("text", 1, 20).alias("content"),
+    )
+    return nlp.dedup_sections(sections)
+
+
+def _embed_oracle(dim: int = 16) -> str:
+    comps = [
+        f"(CAST(CONCAT('0x', SUBSTR(h, {2 * (i % 32) + 1}, 2)) AS INT)/255.0 - 0.5)"
+        for i in range(dim)
+    ]
+    norm = "SQRT(" + " + ".join(f"POWER({c}, 2)" for c in comps) + ")"
+    elems = ", ".join(
+        f"ROUND(CAST(CAST({c}/{norm} AS REAL) AS DOUBLE), 4)" for c in comps
+    )
+    return f"""
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 200)
+    SELECT doc_id, [{elems}] AS embedding FROM hx
+    """
+
+
+@register(
+    "nlp_embed_digest",
+    "embedding generation plumbing (N4): mapInPandas with per-partition "
+    "engine init; deterministic digest-derived unit vectors stand in for "
+    "the transformer encode",
+    oracle=_embed_oracle(),
+    survey_ops=("N4",),
+)
+def nlp_embed_digest(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id", "text")
+    emb = nlp.embed_texts(d, "text")
+    return emb.select(
+        "doc_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 4)).alias(
+            "embedding"
+        ),
+    )
+
+
+@register(
+    "nlp_match_topk",
+    "question×section cosine top-k routing (N5 — QAMatchingEngine.py:"
+    "154-237): broadcast question side, JVM-side scoring, bounded window",
+    oracle="""
+    WITH q AS (SELECT vec_id AS question_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.question_id, e.vec_id AS section_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qv) + 1),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, v -> CAST(v AS DOUBLE) * v)))),
+               6) AS score
+      FROM q CROSS JOIN embeddings e
+    )
+    SELECT question_id, section_id, score, rank FROM (
+      SELECT question_id, section_id, score,
+             ROW_NUMBER() OVER (PARTITION BY question_id ORDER BY score DESC, section_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    survey_ops=("N5",),
+)
+def nlp_match_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.where("vec_id < 8").select(
+        F.col("vec_id").alias("question_id"), "embedding"
+    )
+    secs = e.select(F.col("vec_id").alias("section_id"), "embedding")
+    return nlp.match_sections_to_questions(secs, qs, k=3).select(
+        "question_id", "section_id", "score", "rank"
+    )
+
+
+_QA_QUESTIONS = ["what is the task", "which language", "who shared it"]
+
+
+def _qa_oracle() -> str:
+    values = ", ".join(f"('{q}')" for q in _QA_QUESTIONS)
+    ctx = "SUBSTR(text, 1, 120)"
+    words = f"STRING_SPLIT_REGEX(TRIM({ctx}), '\\s+')"
+    idx = (
+        f"CAST(CAST(CONCAT('0x', SUBSTR(sha256(q.question || CHR(0) || {ctx}), 1, 8)) AS UBIGINT)"
+        f" % LEN({words}) AS INT) + 1"
+    )
+    return f"""
+    SELECT {ctx} AS context, q.question AS question,
+           CASE WHEN TRIM({ctx}) = '' THEN 'Information not found'
+                ELSE LIST_EXTRACT({words}, {idx}) END AS answer
+    FROM documents, (VALUES {values}) AS q(question)
+    WHERE doc_id < 200
+    """
+
+
+@register(
+    "nlp_grouped_qa",
+    "grouped extractive QA (N7/N8 — QAInferenceEngine.py:405-503): "
+    "groupBy(context) packs all questions into one engine call per "
+    "context, answers exploded back out; deterministic fake engine",
+    oracle=_qa_oracle(),
+    survey_ops=("N7", "N8"),
+)
+def nlp_grouped_qa(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id < 200")
+    contexts = d.select(F.substring("text", 1, 120).alias("context"))
+    questions = spark.createDataFrame(
+        [(q,) for q in _QA_QUESTIONS], "question string"
+    )
+    pairs = contexts.crossJoin(F.broadcast(questions))
+    return nlp.grouped_qa(pairs)
+
+
+# =====================================================================
+# Embedding-cosine near-dup (beyond-reference dedup family)
+# =====================================================================
+
+@register(
+    "dedup_embedding_cosine",
+    "embedding-cosine near-dup pairs, exact all-pairs baseline "
+    "(a<b theta join, precomputed norms, threshold 0.3)",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM embeddings
+    )
+    SELECT a_id, b_id, score FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.n * b.n), 4) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE score >= 0.3
+    """,
+    survey_ops=("dedup-embedding-cosine",),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, threshold=0.3)
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    "embedding near-dup scale path: random-projection buckets replace "
+    "the all-pairs product with an equi-join on bucket; recall vs exact "
+    "asserted in tests — rows-only driver check",
+    oracle=None,
+    survey_ops=("dedup-embedding-cosine-lsh",),
+)
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(e, dim=64, threshold=0.3, num_planes=4)

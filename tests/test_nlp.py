@@ -1,0 +1,143 @@
+"""Unit tests for the NLP plumbing operators (SURVEY §2.8 N1–N8):
+sectionizer edge cases the oracle-backed registry query can't reach
+(code fences, breadcrumb pops, empty docs), grouped-QA contract,
+embedding normalization, question clustering, and the embedding
+near-dup LSH recall bound."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators import dedup, nlp
+
+MD = """intro line before any header
+# Title
+alpha
+```
+# not a header (inside code fence)
+```
+## Sub A
+beta
+### Deep
+gamma
+## Sub B
+delta
+# Other
+epsilon
+"""
+
+
+def test_sectionize_breadcrumbs_and_code_fences(spark):
+    df = spark.createDataFrame([(1, MD)], "id int, md string")
+    rows = nlp.sectionize(df, "md").select(F.explode("sections").alias("s")).collect()
+    secs = [(r.s.title, r.s.level, r.s.content) for r in rows]
+    titles = [t for t, _, _ in secs]
+    assert titles == [
+        "",  # preamble before first header
+        "Title",
+        "Title > Sub A",
+        "Title > Sub A > Deep",
+        "Title > Sub B",  # Deep popped when level-2 arrives
+        "Other",  # full stack popped by new h1
+    ]
+    by_title = {t: c for t, _, c in secs}
+    # the fenced pseudo-header stays inside Title's content
+    assert "# not a header" in by_title["Title"]
+    assert by_title["Title > Sub B"] == "delta"
+    levels = [lv for _, lv, _ in secs]
+    assert levels == [0, 1, 2, 3, 2, 1]
+
+
+def test_sectionize_empty_and_headerless(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "just prose\ntwo lines")],
+        "id int, md string",
+    )
+    out = nlp.sectionize(df, "md").collect()
+    by_id = {r.id: r.sections for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == []
+    assert len(by_id[3]) == 1
+    assert by_id[3][0].title == ""
+    assert by_id[3][0].content == "just prose\ntwo lines"
+
+
+def test_dedup_sections_keeps_shortest_title(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Long Title Here", "same content"),
+            (2, "Tiny", "same content"),
+            (3, "Tinz", "same content"),  # same length as Tiny → lexicographic
+            (4, "Unique", "other content"),
+        ],
+        "doc_id int, title string, content string",
+    )
+    rows = nlp.dedup_sections(df).collect()
+    by_content = {r.content: r for r in rows}
+    assert len(rows) == 2
+    assert by_content["same content"].title == "Tiny"
+    assert by_content["same content"].doc_id == 2
+    assert by_content["other content"].title == "Unique"
+
+
+def test_embed_texts_unit_norm_and_determinism(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world"), (3, "hello")],
+                               "id int, text string")
+    rows = nlp.embed_texts(df, "text").collect()
+    by_id = {r.id: r.embedding for r in rows}
+    assert len(by_id[1]) == 16
+    assert math.isclose(sum(x * x for x in by_id[1]), 1.0, rel_tol=1e-5)
+    assert by_id[1] == by_id[3]  # same text → same vector
+    assert by_id[1] != by_id[2]
+
+
+def test_grouped_qa_contract(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("the quick brown fox", "q1"),
+            ("the quick brown fox", "q2"),
+            ("", "q1"),
+            ("   ", "q3"),
+        ],
+        "context string, question string",
+    )
+    rows = nlp.grouped_qa(pairs).collect()
+    assert len(rows) == 4
+    by_key = {(r.context, r.question): r.answer for r in rows}
+    # empty/whitespace contexts honor the reference's not-found contract
+    assert by_key[("", "q1")] == nlp.FakeQAEngine.NOT_FOUND
+    assert by_key[("   ", "q3")] == nlp.FakeQAEngine.NOT_FOUND
+    # answers are words drawn from the context, deterministic
+    assert by_key[("the quick brown fox", "q1")] in {"the", "quick", "brown", "fox"}
+    again = {(r.context, r.question): r.answer for r in nlp.grouped_qa(pairs).collect()}
+    assert again == by_key
+
+
+def test_cluster_questions_deterministic_partition():
+    qs = [f"question number {i}" for i in range(12)]
+    a = nlp.cluster_questions(qs, k=3)
+    b = nlp.cluster_questions(qs, k=3)
+    assert a == b
+    assert set(a) == set(qs)
+    assert set(a.values()) <= {0, 1, 2}
+    assert nlp.cluster_questions([]) == {}
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.embedding_near_dup_pairs(e, threshold=0.25).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in dedup.embedding_near_dup_lsh(
+            e, dim=64, threshold=0.25, num_planes=2
+        ).collect()
+    }
+    assert approx <= exact  # no false positives (scores verified exactly)
+    assert exact  # threshold chosen to produce pairs at this sf
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2  # single-probe, 2 planes → ≥ quarter-ish survive
