@@ -116,3 +116,71 @@ def frontier_diff(refs: DataFrame, seen: DataFrame, key: str) -> DataFrame:
     left-anti join. The BFS driver loops this until the frontier is
     empty; each round is one distributed anti-join, never a driver set."""
     return refs.join(seen, key, "left_anti")
+
+
+def canonicalize_licenses(
+    df: DataFrame,
+    license_col: str,
+    spdx_ref: DataFrame,
+    ref_key: str = "alias",
+) -> DataFrame:
+    """S6 — SPDX license canonicalization as a broadcast join against a
+    static reference table (the reference calls ``spdx_lookup`` per
+    string, ``HFExtractor.py:612-667``). Match key is
+    ``lower(trim(license))``; unmatched licenses keep their cleaned
+    input with a null spdx_id."""
+    cleaned = df.withColumn("_lic_key", F.lower(F.trim(F.col(license_col))))
+    ref = F.broadcast(spdx_ref.withColumnRenamed(ref_key, "_lic_key"))
+    return (
+        cleaned.join(ref, "_lic_key", "left")
+        .withColumn(
+            "license_canonical", F.coalesce(F.col("spdx_id"), F.col("_lic_key"))
+        )
+        .drop("_lic_key")
+    )
+
+
+def coalesce_side_input(
+    primary: DataFrame,
+    side: DataFrame,
+    key: str,
+    cols: list[str],
+    side_suffix: str = "_scraped",
+) -> DataFrame:
+    """S9 — merge a scraped/side-input table over API values:
+    ``coalesce(scraped, api)`` per column after a left join on the key
+    (``OpenMLExtractor.py:522-534``). The side input is broadcast — it
+    is a per-batch scrape, small by construction."""
+    renamed = side.select(
+        F.col(key), *[F.col(c).alias(c + side_suffix) for c in cols]
+    )
+    out = primary.join(F.broadcast(renamed), key, "left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c + side_suffix), F.col(c))).drop(
+            c + side_suffix
+        )
+    return out
+
+
+def semi_join_fetch(
+    df: DataFrame,
+    wanted: DataFrame,
+    key: str,
+    last_by: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """S3 — specific-id fetch: restrict to requested ids (left-semi
+    join) then dedup keeping the latest row per id
+    (``HFDatasetManager.py:316-385``; ``drop_duplicates(keep="last")``
+    at ``:384``). keep-last = one ``max_by`` aggregation on
+    ``(last_by, tiebreak)`` — no window sort."""
+    hit = df.join(wanted.select(key), key, "left_semi")
+    order = F.struct(
+        F.col(last_by), *( [F.col(tiebreak)] if tiebreak else [] )
+    )
+    payload = [c for c in df.columns]
+    return (
+        hit.groupBy(key)
+        .agg(F.max_by(F.struct(*payload), order).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in payload])
+    )

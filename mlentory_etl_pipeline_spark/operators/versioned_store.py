@@ -365,3 +365,40 @@ class VersionedTripleStore:
         new_state = merge_batch(self.state(), batch, touch_unchanged=touch_unchanged)
         self._write(new_state)
         return self.state()
+
+
+def entity_chunking(
+    triples: DataFrame,
+    chunk_size: int = 1000,
+    meta_multiplier: int = 7,
+    subject_col: str = "subject",
+) -> DataFrame:
+    """V8 — entity-colocated chunk assignment
+    (``LoadProcessor.py:162-288``): all triples of one subject land in
+    the same chunk; a chunk is cut when accumulated ``triples × 7``
+    reaches ``chunk_size`` (7 = metadata fan-out per fact,
+    ``LoadProcessor.py:240``).
+
+    The reference's greedy sequential cut becomes a prefix-sum over
+    subjects: ``chunk_id = floor(preceding_weight / chunk_size)`` —
+    deterministic, order-insensitive to input partitioning, and each
+    chunk still holds whole subjects. Returns one row per subject:
+    ``(subject, n_triples, chunk_id)``.
+
+    Scale note: the global prefix sum is a single-partition window over
+    the *per-subject counts* (|subjects| rows, not |triples|) — fine to
+    ~10⁸ subjects; beyond that, range-partition by subject and offset
+    per-range prefix sums by the range totals.
+    """
+    from pyspark.sql import Window
+
+    counts_df = triples.groupBy(F.col(subject_col).alias("subject")).agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    w = Window.orderBy("subject").rowsBetween(Window.unboundedPreceding, -1)
+    preceding = F.coalesce(F.sum("n_triples").over(w), F.lit(0))
+    return counts_df.select(
+        "subject",
+        "n_triples",
+        F.floor(preceding * meta_multiplier / chunk_size).cast("int").alias("chunk_id"),
+    )

@@ -1543,3 +1543,350 @@ def dedup_embedding_cosine(spark, sf_dir):
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_lsh(e, dim=64, threshold=0.3, num_planes=4)
+
+
+# =====================================================================
+# G3 Croissant JSON-LD ingest + Q9 bnode scan
+# =====================================================================
+
+def _croissant_spark_json():
+    creator_type = F.when(F.col("p_size") % 2 == 0, F.lit("Organization")).otherwise(
+        F.lit("Person")
+    )
+    return F.concat(
+        F.lit('{"@id": "_:d'), F.col("p_partkey").cast("string"),
+        F.lit('", "@type": "Dataset", "name": "'), F.col("p_name"),
+        F.lit('", "url": "https://example.org/part/'), F.col("p_partkey").cast("string"),
+        F.lit('", "creator": {"@id": "_:c'), F.col("p_partkey").cast("string"),
+        F.lit('", "@type": "'), creator_type,
+        F.lit('", "name": "'), F.col("p_brand"),
+        F.lit('"}, "distribution": [{"@id": "_:f'), F.col("p_partkey").cast("string"),
+        F.lit('", "@type": "FileObject", "name": "data.parquet", "contentUrl": '
+              '"https://example.org/part/'), F.col("p_partkey").cast("string"),
+        F.lit('/data.parquet"}], "recordSet": [{"@id": "_:r'),
+        F.col("p_partkey").cast("string"),
+        F.lit('", "@type": "RecordSet", "name": "default"}]}'),
+    )
+
+
+def _croissant_oracle() -> str:
+    # Hashed URIs reproduce functions/hashing.entity_hash byte-for-byte:
+    # sha256 of the sorted-keys JSON payload, under the base namespace.
+    ns = BASE_NAMESPACE
+    ds_uri = (
+        f"'{ns}' || sha256('{{\"id\": \"' || p_name || '\", \"platform\": \"hf\", \"type\": \"Dataset\"}}')"
+    )
+    ctype = "CASE WHEN p_size % 2 = 0 THEN 'Organization' ELSE 'Person' END"
+    c_uri = (
+        f"'{ns}' || sha256('{{\"id\": \"' || p_brand || '\", \"platform\": \"hf\", \"type\": \"' || {ctype} || '\"}}')"
+    )
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+    SELECT {ds_uri} AS subject, '{rdf}' AS predicate,
+           'https://schema.org/Dataset' AS object, TRUE AS object_is_uri FROM part
+    UNION ALL
+    SELECT {ds_uri}, 'https://schema.org/name', p_name, FALSE FROM part
+    UNION ALL
+    SELECT {ds_uri}, 'https://schema.org/url',
+           'https://example.org/part/' || p_partkey, TRUE FROM part
+    UNION ALL
+    SELECT {ds_uri}, 'https://schema.org/creator', {c_uri}, TRUE FROM part
+    UNION ALL
+    SELECT {c_uri}, '{rdf}', 'https://schema.org/' || {ctype}, TRUE FROM part
+    UNION ALL
+    SELECT {c_uri}, 'https://schema.org/name', p_brand, FALSE FROM part
+    """
+
+
+@register(
+    "croissant_ingest",
+    "Croissant JSON-LD ingest (G3): from_json parse, type-delete via "
+    "anti-join, bnode→hashed-URI replacement, residual bnode drop — "
+    "file nodes deleted by type, record sets dropped as residual bnodes",
+    oracle=_croissant_oracle(),
+    survey_ops=("G3", "Q9", "G1"),
+)
+def croissant_ingest(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import croissant as cr
+
+    p = t(spark, sf_dir, "part")
+    docs = p.select(_croissant_spark_json().alias("croissant_json"))
+    return cr.flatten_croissant(docs, "croissant_json", platform="hf")
+
+
+@register(
+    "croissant_bnode_scan",
+    "Q9 bnode scan: distinct blank nodes with their rdf:type",
+    oracle="""
+    SELECT DISTINCT '_:r' || p_partkey AS node,
+           'https://schema.org/RecordSet' AS type
+    FROM part WHERE p_size % 3 = 0
+    """,
+    survey_ops=("Q9",),
+)
+def croissant_bnode_scan(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import croissant as cr
+
+    p = t(spark, sf_dir, "part")
+    triples = p.select(
+        F.when(
+            F.col("p_size") % 3 == 0,
+            F.concat(F.lit("_:r"), F.col("p_partkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("uri:part/"), F.col("p_partkey").cast("string")))
+        .alias("subject"),
+        F.lit(cr.RDF_TYPE).alias("predicate"),
+        F.lit("https://schema.org/RecordSet").alias("object"),
+        F.lit(True).alias("object_is_uri"),
+    )
+    return cr.bnode_scan(triples)
+
+
+# =====================================================================
+# L1 rule-table mapper
+# =====================================================================
+
+@register(
+    "rule_table_mapper",
+    "rule-table-driven projection (L1 — FieldProcessorHF.py:31-203): "
+    "each (target, function, params) rule row compiles to one Column "
+    "expression; the table becomes a single select",
+    oracle="""
+    SELECT o_orderkey AS model_id,
+           'https://huggingface.co/order/' || o_orderkey AS model_url,
+           CONCAT_WS(' | ', o_orderstatus, o_orderpriority) AS trained_on,
+           LOWER(TRIM(o_orderpriority)) AS priority_norm,
+           'hf' AS platform,
+           'Information not found' AS not_extracted
+    FROM orders
+    """,
+    survey_ops=("L1",),
+)
+def rule_table_mapper(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.rules import Rule, apply_rules
+
+    rules = [
+        Rule("model_id", "copy", {"source": "o_orderkey"}),
+        Rule("model_url", "build_link",
+             {"prefix": "https://huggingface.co/order/", "source": "o_orderkey"}),
+        Rule("trained_on", "concat_fields",
+             {"sources": ["o_orderstatus", "o_orderpriority"], "sep": " | "}),
+        Rule("priority_norm", "lower_strip", {"source": "o_orderpriority"}),
+        Rule("platform", "constant", {"value": "hf"}),
+        Rule("not_extracted", "not_extracted", {}),
+    ]
+    return apply_rules(t(spark, sf_dir, "orders"), rules)
+
+
+# =====================================================================
+# S3 / S6 / S9 extract-side joins
+# =====================================================================
+
+_SPDX_ROWS = [
+    ("mit", "MIT", "MIT License"),
+    ("apache-2.0", "Apache-2.0", "Apache License 2.0"),
+    ("bsd-3-clause", "BSD-3-Clause", "BSD 3-Clause License"),
+    ("gpl-3.0", "GPL-3.0-only", "GNU GPL v3.0 only"),
+    ("cc-by-4.0", "CC-BY-4.0", "Creative Commons Attribution 4.0"),
+]
+
+
+@register(
+    "spdx_license_join",
+    "SPDX license canonicalization (S6): broadcast join against a "
+    "static reference table on lower(trim), coalesce to cleaned input",
+    oracle=f"""
+    WITH spdx(alias, spdx_id, spdx_name) AS (
+      VALUES {", ".join(f"('{a}', '{i}', '{n}')" for a, i, n in _SPDX_ROWS)}
+    ),
+    docs AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN 'MIT' WHEN 1 THEN ' Apache-2.0 '
+               WHEN 2 THEN 'bsd-3-clause' WHEN 3 THEN 'GPL-3.0'
+               WHEN 4 THEN 'CC-BY-4.0' WHEN 5 THEN 'proprietary'
+               ELSE 'mit' END AS license
+      FROM documents
+    )
+    SELECT d.doc_id, d.license, s.spdx_id, s.spdx_name,
+           COALESCE(s.spdx_id, LOWER(TRIM(d.license))) AS license_canonical
+    FROM docs d LEFT JOIN spdx s ON LOWER(TRIM(d.license)) = s.alias
+    """,
+    survey_ops=("S6", "F8"),
+)
+def spdx_license_join(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.lit("MIT"), F.lit(" Apache-2.0 "), F.lit("bsd-3-clause"),
+                F.lit("GPL-3.0"), F.lit("CC-BY-4.0"), F.lit("proprietary"), F.lit("mit"),
+            ),
+            (F.col("doc_id") % 7 + 1).cast("int"),
+        ).alias("license"),
+    )
+    ref = d.sparkSession.createDataFrame(
+        _SPDX_ROWS, "alias string, spdx_id string, spdx_name string"
+    )
+    return extract_ops.canonicalize_licenses(d, "license", ref).select(
+        "doc_id", "license", "spdx_id", "spdx_name", "license_canonical"
+    )
+
+
+@register(
+    "coalesce_side_input",
+    "scraped-over-API merge (S9): left broadcast join + per-column "
+    "coalesce(scraped, api)",
+    oracle="""
+    WITH scraped AS (
+      SELECT p_partkey, p_retailprice * 2 AS p_retailprice, 'scraped' AS p_brand
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT p.p_partkey,
+           COALESCE(s.p_retailprice, p.p_retailprice) AS p_retailprice,
+           COALESCE(s.p_brand, p.p_brand) AS p_brand
+    FROM part p LEFT JOIN scraped s ON p.p_partkey = s.p_partkey
+    """,
+    survey_ops=("S9",),
+)
+def coalesce_side_input(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_brand")
+    scraped = p.where("p_partkey % 10 = 0").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 2).alias("p_retailprice"),
+        F.lit("scraped").alias("p_brand"),
+    )
+    return extract_ops.coalesce_side_input(
+        p, scraped, "p_partkey", ["p_retailprice", "p_brand"]
+    )
+
+
+@register(
+    "semi_join_fetch_latest",
+    "specific-id fetch (S3): left-semi restrict + keep-last dedup via "
+    "one max_by aggregation (no window sort)",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+    ) WHERE rn = 1
+    """,
+    survey_ops=("S3",),
+)
+def semi_join_fetch_latest(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    wanted = t(spark, sf_dir, "customer").where("c_custkey < 100").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return extract_ops.semi_join_fetch(
+        o, wanted, "o_custkey", last_by="o_orderdate", tiebreak="o_orderkey"
+    )
+
+
+# =====================================================================
+# Q3 platform inference + V8 entity chunking
+# =====================================================================
+
+@register(
+    "platform_inference",
+    "platform classification by URL prefix (Q3 — GraphHandlerForKG.py:"
+    "300-307)",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN url LIKE '%openml.org%' THEN 'openml'
+                WHEN url LIKE '%bioimage.io%' THEN 'ai4life'
+                ELSE 'huggingface' END AS platform
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'https://openml.org/r/' || doc_id
+                  WHEN 1 THEN 'https://bioimage.io/m/' || doc_id
+                  ELSE 'https://huggingface.co/m/' || doc_id END AS url
+      FROM documents
+    )
+    """,
+    survey_ops=("Q3",),
+)
+def platform_inference(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.concat(F.lit("https://openml.org/r/"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("https://bioimage.io/m/"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("https://huggingface.co/m/"), F.col("doc_id").cast("string")),
+            ),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("url"),
+    )
+    return d.select("doc_id", graph.platform_of(F.col("url")).alias("platform"))
+
+
+@register(
+    "entity_chunking",
+    "entity-colocated chunk assignment (V8 — LoadProcessor.py:162-288): "
+    "per-subject triple counts, prefix-sum chunk ids, whole subjects "
+    "per chunk with the reference's ×7 metadata multiplier",
+    oracle="""
+    SELECT subject, n_triples,
+           CAST(FLOOR(COALESCE(SUM(n_triples) OVER (
+             ORDER BY subject ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) * 7 / 1000) AS INT) AS chunk_id
+    FROM (
+      SELECT 'user:' || user_id AS subject, COUNT(*) AS n_triples
+      FROM events GROUP BY user_id
+    )
+    """,
+    survey_ops=("V8",),
+)
+def entity_chunking(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("subject")
+    )
+    return vs.entity_chunking(e, chunk_size=1000, meta_multiplier=7)
+
+
+# =====================================================================
+# Stateful streaming (applyInPandasWithState) — rows-only
+# =====================================================================
+
+@register(
+    "streaming_stateful_running_agg",
+    "per-key running aggregates via applyInPandasWithState over a "
+    "file-source stream (availableNow, multi-micro-batch); batch parity "
+    "asserted in tests — rows-only driver check",
+    oracle=None,
+    survey_ops=("streaming-stateful",),
+)
+def streaming_stateful_running_agg(spark, sf_dir):
+    import tempfile
+
+    from mlentory_etl_pipeline_spark.streaming.stateful import running_entity_stats
+
+    events = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = tempfile.mkdtemp(prefix="stateful-src-")
+    ckpt = tempfile.mkdtemp(prefix="stateful-ckpt-")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sink = f"stateful_out_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        running_entity_stats(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per key = last update emitted (max n_events wins)
+    out = spark.table(sink)
+    return graph.argmax_per_group(out, ["user_id"], ["n_events", "last_ts"]).select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
