@@ -36,33 +36,82 @@ def exact_dedup(df: DataFrame, content_cols: list[str], keep_min_col: str) -> Da
     return agged.select(*[F.col(f"_row.{c}").alias(c) for c in payload_cols])
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of ``lower(trim(text))`` as an array column.
-    Texts shorter than n words produce one shingle of all their words."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+def _shingles_of_words(words: Column, n: int) -> Column:
+    """Shingle array from an ALREADY-PROJECTED words-array column.
+
+    The words array must be a materialized column, not an inline
+    ``split(...)`` expression: expressions referenced inside a
+    higher-order-function lambda are not CSE'd, so an inline split
+    would re-tokenize the text once per shingle (~8× slower measured).
+    """
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + F.lit(1), F.lit(n)), " "),
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) rows — the set representation used by both
-    Jaccard verification and MinHash."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of ``lower(trim(text))`` as an array column.
+    Texts shorter than n words produce one shingle of all their words.
+    Prefer :func:`doc_shingles` in plans — it projects the tokenized
+    words first (see :func:`_shingles_of_words`)."""
+    return _shingles_of_words(F.split(F.lower(F.trim(text)), r"\s+"), n)
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) rows — the set representation used by Jaccard
+    verification, MinHash and SimHash. ``distinct=False`` skips the
+    dedup shuffle for consumers whose aggregation is already
+    set-semantic (``min``/``collect_set``)."""
+    words = df.select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
     )
+    sh = words.select(
+        F.col(id_col), F.explode(_shingles_of_words(F.col("_w"), n)).alias("shingle")
+    )
+    return sh.distinct() if distinct else sh
+
+
+#: MinHash permutation family: ONE md5 per shingle → a 60-bit integer →
+#: ``mh_i = (A_i · h + B_i) mod P``. 12× cheaper than hashing each
+#: shingle 12 times, and the integer arithmetic is byte-replicable in
+#: any engine (the DuckDB oracle uses the same constants).
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) affine-permutation constants."""
+    return [
+        ((1103515245 * (i + 1)) % MINHASH_P, (12345 * (i + 1)) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """60-bit integer hash of a shingle: first 15 hex chars of its md5
+    (fits a signed 64-bit long), reduced mod P."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
+def _minhash_aggs(num_hashes: int, base: Column) -> list[Column]:
+    return [
+        F.min((F.lit(a) * base + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int = 12) -> DataFrame:
-    """K-permutation MinHash: hash_i(shingle) = md5(i || '|' || shingle);
-    signature component i = min over the doc's shingles. One shuffle."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    """K-permutation MinHash signature per doc — min of each affine
+    permutation over the doc's shingles. One shuffle, map-side combine.
+
+    The md5 base hash is projected BEFORE the aggregation: aggregate
+    expressions are not common-subexpression-eliminated across each
+    other, so referencing ``shingle_base_hash`` inside each of the K
+    ``min`` aggs would recompute the md5 K times per shingle."""
+    h = shingled.withColumn("_h", shingle_base_hash(F.col("shingle")))
+    return h.groupBy(id_col).agg(*_minhash_aggs(num_hashes, F.col("_h")))
 
 
 def lsh_candidate_pairs(
@@ -170,12 +219,40 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
-    join → exact-Jaccard verification of the candidates ≥ threshold."""
-    sh = doc_shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_verify_candidates(sh, id_col, cand).where(
-        F.col("jaccard") >= threshold
+    join → exact-Jaccard verification of the candidates ≥ threshold.
+
+    The per-doc signature AND shingle set come out of ONE groupBy (the
+    shingle explode is shuffled once, not once per consumer); the tiny
+    per-doc table is cached because the band self-join and the two
+    verification joins all read it."""
+    # Only the 60-bit shingle hashes leave the map side — signature mins
+    # AND the Jaccard sets work on them, so the shuffle carries 8-byte
+    # longs instead of multi-word shingle strings. Jaccard over hashed
+    # shingles equals Jaccard over shingles up to md5 collisions
+    # (~2^-60 per pair — and the SQL oracle applies the identical hash,
+    # so results stay bit-identical regardless).
+    sh = doc_shingles(df, id_col, text_col, n, distinct=False).select(
+        F.col(id_col), shingle_base_hash(F.col("shingle")).alias("_h")
+    )
+    per_doc = sh.groupBy(id_col).agg(
+        F.collect_set("_h").alias("sh"),
+        *_minhash_aggs(num_hashes, F.col("_h")),
+    ).cache()
+    cand = lsh_candidate_pairs(per_doc, id_col, num_hashes, bands)
+    sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

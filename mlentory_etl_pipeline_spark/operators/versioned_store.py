@@ -72,11 +72,28 @@ class StoreState:
     version_range: DataFrame
 
 
+def _empty_df(spark: SparkSession, schema: str):
+    """Empty DataFrame as a true empty LocalRelation.
+
+    ``spark.createDataFrame([], schema)`` goes through the Python-RDD
+    path and scans an opaque ExistingRDD — the optimizer cannot prove
+    it empty, so every join against a fresh store runs a real
+    shuffle+SortMergeJoin. ``SELECT … LIMIT 0`` folds to an empty
+    LocalRelation (OptimizeLimitZero), and PropagateEmptyRelation then
+    collapses first-load joins to nothing.
+    """
+    cols = ", ".join(
+        f"CAST(NULL AS {c.rsplit(' ', 1)[1]}) AS {c.rsplit(' ', 1)[0]}"
+        for c in schema.split(", ")
+    )
+    return spark.sql(f"SELECT {cols} LIMIT 0")
+
+
 def empty_state(spark: SparkSession) -> StoreState:
     return StoreState(
-        triplet=spark.createDataFrame([], TRIPLET_SCHEMA),
-        extraction_info=spark.createDataFrame([], INFO_SCHEMA),
-        version_range=spark.createDataFrame([], RANGE_SCHEMA),
+        triplet=_empty_df(spark, TRIPLET_SCHEMA),
+        extraction_info=_empty_df(spark, INFO_SCHEMA),
+        version_range=_empty_df(spark, RANGE_SCHEMA),
     )
 
 
@@ -148,12 +165,23 @@ def merge_batch(
        models"; off by default because advancing validity without
        observation is a policy choice, not an invariant).
     """
+    et = {f.name: f.dataType.simpleString() for f in batch.schema.fields}.get(
+        "extraction_time"
+    )
+    if et not in ("timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"merge_batch: extraction_time must be a timestamp, got {et!r} "
+            "(raw parquet ns-timestamps read as long? route through "
+            "sources.tpch.load_table or cast explicitly)"
+        )
     # The disambiguated batch feeds the batch-time scan plus four joins:
     # cache it so the shuffle+agg runs once.
     b = disambiguate_statements(with_hashes(batch.select(*BATCH_COLUMNS))).cache()
-    batch_time = F.lit(
-        b.agg(F.max("extraction_time")).collect()[0][0]
-    ).cast("timestamp")
+    # batch_time stays IN-PLAN: a broadcast 1-row aggregate cross-joined
+    # where needed — no driver collect(), so folding N batches issues no
+    # blocking job per batch and the whole load stays one lazy plan.
+    bt = F.broadcast(b.agg(F.max("extraction_time").alias("_bt")))
+    batch_time = F.col("_bt")
 
     # V2: append unseen triplets (anti-join on the content hash).
     new_triplets = (
@@ -181,6 +209,7 @@ def merge_batch(
 
     merged_open = (
         open_ranges.join(touched, ["triplet_hash", "info_hash"], "left")
+        .crossJoin(bt)
         .select(
             "triplet_hash",
             "info_hash",
@@ -188,6 +217,7 @@ def merge_batch(
             F.when(F.col("_touched"), batch_time).otherwise(F.col("use_end")).alias("use_end"),
             F.col("deprecated"),
             F.coalesce("_touched", F.lit(False)).alias("_touched"),
+            F.col("_bt"),
         )
     )
     inserted = (
@@ -196,6 +226,7 @@ def merge_batch(
             ["triplet_hash", "info_hash"],
             "left_anti",
         )
+        .crossJoin(bt)
         .select(
             "triplet_hash",
             "info_hash",
@@ -401,4 +432,21 @@ def entity_chunking(
         "subject",
         "n_triples",
         F.floor(preceding * meta_multiplier / chunk_size).cast("int").alias("chunk_id"),
+    )
+
+
+def materialized(state: StoreState, eager: bool = False) -> StoreState:
+    """Truncate plan lineage between incremental loads.
+
+    Each :func:`merge_batch` references every state table in several
+    joins; folding N batches without materializing re-executes batch
+    k's joins once per downstream branch — the plan grows
+    super-linearly. ``localCheckpoint`` pins the computed partitions on
+    the executors (the in-memory analogue of the parquet round-trip
+    :class:`VersionedTripleStore` does), keeping each fold O(batch).
+    """
+    return StoreState(
+        triplet=state.triplet.localCheckpoint(eager=eager),
+        extraction_info=state.extraction_info.localCheckpoint(eager=eager),
+        version_range=state.version_range.localCheckpoint(eager=eager),
     )

@@ -679,7 +679,9 @@ def _events_as_triples(spark, sf_dir, lo=None, hi=None):
 
 def _scd2_state(spark, sf_dir):
     s = vs.merge_batch(vs.empty_state(spark), _events_as_triples(spark, sf_dir, hi=T_SPLIT))
-    return vs.merge_batch(s, _events_as_triples(spark, sf_dir, lo=T_SPLIT))
+    # truncate lineage between folds — without this the second merge
+    # re-executes the first merge's joins once per downstream branch
+    return vs.merge_batch(vs.materialized(s), _events_as_triples(spark, sf_dir, lo=T_SPLIT))
 
 
 _SCD2_ORACLE_CTE = f"""
@@ -964,10 +966,13 @@ _SHINGLE_SQL = """
 
 def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
     """Generate the DuckDB SQL replicating the exact MinHash+LSH plan
-    (same md5-based hash family, banding, and Jaccard verification)."""
+    (same affine-permutation hash family over one md5 per shingle,
+    banding, and Jaccard verification)."""
     rows_per_band = num_hashes // bands
+    p = dedup.MINHASH_P
     mh_cols = ",\n             ".join(
-        f"MIN(MD5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+        f"MIN(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
     )
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band_idx, MD5({cols}) AS band_hash FROM signatures".format(
@@ -984,9 +989,14 @@ def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
         + ","
         + _SHINGLE_SQL
         + f""",
+    hashed AS (
+      SELECT DISTINCT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5(shingle), 1, 15)) AS UBIGINT) % {p} AS h
+      FROM shingled
+    ),
     signatures AS (
       SELECT doc_id, {mh_cols}
-      FROM shingled GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     banded AS (
       {band_selects}
@@ -996,12 +1006,12 @@ def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
       FROM banded a JOIN banded b USING (band_idx, band_hash)
       WHERE a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
     inter AS (
       SELECT id_a, id_b, COUNT(*) AS i
       FROM cand
-      JOIN shingled a ON a.doc_id = id_a
-      JOIN shingled b ON b.doc_id = id_b AND a.shingle = b.shingle
+      JOIN hashed a ON a.doc_id = id_a
+      JOIN hashed b ON b.doc_id = id_b AND a.h = b.h
       GROUP BY id_a, id_b
     )
     SELECT id_a, id_b,

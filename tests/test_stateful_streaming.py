@@ -73,8 +73,12 @@ def _events_as_triples(events):
 
 
 def test_foreach_batch_merge_parity(spark, tmp_path):
+    from mlentory_etl_pipeline_spark.sources.tpch import load_table
+
+    # load_table normalizes the parquet ns-timestamps to TimestampType —
+    # merge_batch's contract requires extraction_time: timestamp
     events = (
-        spark.read.parquet(f"{SF}/events.parquet")
+        load_table(spark, SF, "events")
         .where("user_id < 6")
         .orderBy("ts")
         .limit(200)
