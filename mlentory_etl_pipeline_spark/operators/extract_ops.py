@@ -184,3 +184,66 @@ def semi_join_fetch(
         .agg(F.max_by(F.struct(*payload), order).alias("_r"))
         .select(*[F.col(f"_r.{c}").alias(c) for c in payload])
     )
+
+
+YAML_META_SCHEMA = (
+    "license string, license_name string, conditions_of_access string, "
+    "yaml_error string"
+)
+
+
+def parse_yaml_front_matter(
+    df: DataFrame, card_col: str, out_col: str = "card_meta"
+) -> DataFrame:
+    """T2 — YAML front-matter parse (``ModelCardToSchemaParser.py:
+    400-506``): extract the leading ``---…---`` block, ``yaml.safe_load``
+    it, and pull ``license`` / ``license_name`` / ``extra_gated_prompt``
+    (→ conditionsOfAccess). One Arrow-batched pandas_udf — yaml parsing
+    is the one part of T2 that genuinely needs Python (SURVEY §2.9);
+    the downstream SPDX canonicalization is :func:`canonicalize_licenses`.
+
+    Malformed YAML never kills the batch: the struct carries a
+    ``yaml_error`` field instead (the reference wraps the parse in a
+    bare try/except).
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    out_type = StructType.fromDDL(YAML_META_SCHEMA)
+    fm_re = _re.compile(r"^---\s*\n(.*?)\n---", _re.DOTALL)
+
+    # no inner type annotations: `from __future__ import annotations`
+    # stringifies them and pandas_udf's signature inference rejects that
+    @F.pandas_udf(out_type)
+    def run(cards):
+        import yaml
+
+        rows = []
+        for card in cards:
+            lic = name = cond = err = None
+            m = fm_re.match(card or "")
+            if m:
+                try:
+                    data = yaml.safe_load(m.group(1))
+                    if isinstance(data, dict):
+                        lic = data.get("license")
+                        if isinstance(lic, list):
+                            lic = ", ".join(str(x) for x in lic)
+                        elif lic is not None:
+                            lic = str(lic)
+                        name = data.get("license_name")
+                        name = None if name is None else str(name)
+                        cond = data.get("extra_gated_prompt")
+                        cond = None if cond is None else str(cond)
+                except Exception as e:  # malformed YAML -> error column
+                    # class name only: message text varies across pyyaml
+                    # versions, and the error column is a signal, not a log
+                    err = type(e).__name__
+            rows.append((lic, name, cond, err))
+        return pd.DataFrame(
+            rows, columns=["license", "license_name", "conditions_of_access", "yaml_error"]
+        )
+
+    return df.withColumn(out_col, run(F.col(card_col)))

@@ -1900,3 +1900,121 @@ def streaming_stateful_running_agg(spark, sf_dir):
     return graph.argmax_per_group(out, ["user_id"], ["n_events", "last_ts"]).select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
+
+
+# =====================================================================
+# T2 full YAML parse + S4/S5 connector plumbing
+# =====================================================================
+
+@register(
+    "yaml_front_matter_parse",
+    "full YAML front-matter parse (T2 — ModelCardToSchemaParser.py:"
+    "400-506): pandas_udf yaml.safe_load pulling license/license_name/"
+    "extra_gated_prompt, malformed YAML surfaces an error column",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'mit' WHEN doc_id % 3 = 1 THEN 'apache-2.0'
+                ELSE 'cc-by-4.0' END AS license,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'License ' || (doc_id % 3) ELSE NULL END AS license_name,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                WHEN doc_id % 4 = 0 THEN 'You must agree to terms ' || doc_id ELSE NULL END
+             AS conditions_of_access,
+           CASE WHEN doc_id % 5 = 4 THEN 'ParserError' ELSE NULL END AS yaml_error
+    FROM documents
+    """,
+    survey_ops=("T2",),
+)
+def yaml_front_matter_parse(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    lic = F.element_at(
+        F.array(F.lit("mit"), F.lit("apache-2.0"), F.lit("cc-by-4.0")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    name_line = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("license_name: License "), (F.col("doc_id") % 3).cast("string"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    gated_line = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("extra_gated_prompt: You must agree to terms "),
+                 F.col("doc_id").cast("string"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    good = F.concat(
+        F.lit("---\nlicense: "), lic, F.lit("\n"), name_line, gated_line,
+        F.lit("---\n# Model Card\nBody text."),
+    )
+    bad = F.lit("---\nbroken: [ : unclosed\n---\nbody")
+    cards = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 4, bad).otherwise(good).alias("card"),
+    )
+    parsed = extract_ops.parse_yaml_front_matter(cards, "card")
+    return parsed.select(
+        "doc_id",
+        F.col("card_meta.license").alias("license"),
+        F.col("card_meta.license_name").alias("license_name"),
+        F.col("card_meta.conditions_of_access").alias("conditions_of_access"),
+        F.col("card_meta.yaml_error").alias("yaml_error"),
+    )
+
+
+@register(
+    "connector_croissant_fetch",
+    "S4 Croissant fetch connector: request-table build + mapInPandas "
+    "transport with retry/backoff (deterministic offline transport)",
+    oracle="""
+    SELECT doc_id AS dataset_id,
+           'https://huggingface.co/api/datasets/' || doc_id || '/croissant' AS url,
+           '{"url": "https://huggingface.co/api/datasets/' || doc_id ||
+             '/croissant", "status": "ok"}' AS response
+    FROM documents WHERE doc_id < 300
+    """,
+    survey_ops=("S4", "S2-plumbing"),
+)
+def connector_croissant_fetch(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.sources import connectors as cx
+
+    ids = t(spark, sf_dir, "documents").where("doc_id < 300").select(
+        F.col("doc_id").alias("dataset_id")
+    )
+    reqs = cx.croissant_requests(ids, "dataset_id")
+    return cx.fetch_urls(reqs).select("dataset_id", "url", "response")
+
+
+@register(
+    "connector_arxiv_batching",
+    "S5 arXiv connector: version-suffix normalization + deterministic "
+    "200-id request batching",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT REGEXP_REPLACE(
+        (o_orderkey % 2000) || '.' || LPAD(CAST(o_orderkey % 97 AS VARCHAR), 5, '0')
+          || CASE WHEN o_orderkey % 3 = 0 THEN 'v2' ELSE '' END,
+        'v\\d+$', '') AS aid
+      FROM orders
+    ),
+    ranked AS (
+      SELECT aid, ROW_NUMBER() OVER (ORDER BY aid) AS rn FROM ids
+    )
+    SELECT batch_no,
+           'https://export.arxiv.org/api/query?id_list=' ||
+             STRING_AGG(aid, ',' ORDER BY aid) AS url
+    FROM (SELECT aid, CAST(FLOOR((rn - 1) / 200) AS INT) AS batch_no FROM ranked)
+    GROUP BY batch_no
+    """,
+    survey_ops=("S5", "F8"),
+)
+def connector_arxiv_batching(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.sources import connectors as cx
+
+    o = t(spark, sf_dir, "orders").select(
+        F.concat(
+            (F.col("o_orderkey") % 2000).cast("string"),
+            F.lit("."),
+            F.lpad((F.col("o_orderkey") % 97).cast("string"), 5, "0"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("v2")).otherwise(F.lit("")),
+        ).alias("arxiv_id")
+    )
+    return cx.arxiv_requests(o, "arxiv_id", batch=200)

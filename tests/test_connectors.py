@@ -1,0 +1,94 @@
+"""Connector plumbing (S2/S4/S5): retry/backoff behavior, permanent
+errors surfacing per-row, landing-zone partitioned appends, and the
+YAML front-matter parser's error contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators import extract_ops
+from mlentory_etl_pipeline_spark.sources import connectors as cx
+
+
+def test_fetch_retries_then_succeeds(spark):
+    # transient failures on first two calls per URL, then success —
+    # attempts tracked per-URL in a module-level dict inside the
+    # transport closure (executes in the same process on local mode)
+    attempts: dict[str, int] = {}
+
+    def flaky(url: str) -> str:
+        attempts[url] = attempts.get(url, 0) + 1
+        if attempts[url] <= 2:
+            raise cx.TransientFetchError("429")
+        return f"ok:{url}"
+
+    reqs = spark.createDataFrame([("a", "u/1"), ("b", "u/2")], "id string, url string")
+    rows = cx.fetch_urls(
+        reqs.coalesce(1), transport=flaky, policy=cx.RetryPolicy(retries=3, base_delay=0.001)
+    ).collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id["a"].response == "ok:u/1"
+    assert by_id["a"].fetch_error is None
+
+
+def test_fetch_exhausted_and_permanent_errors(spark):
+    def failing(url: str) -> str:
+        if url.endswith("transient"):
+            raise cx.TransientFetchError("always 429")
+        raise ValueError("404 not found")
+
+    reqs = spark.createDataFrame(
+        [("t", "u/transient"), ("p", "u/permanent")], "id string, url string"
+    )
+    rows = cx.fetch_urls(
+        reqs.coalesce(1), transport=failing, policy=cx.RetryPolicy(retries=2, base_delay=0.001)
+    ).collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id["t"].response is None
+    assert "retries exhausted" in by_id["t"].fetch_error
+    assert by_id["p"].response is None
+    assert "404" in by_id["p"].fetch_error
+
+
+def test_arxiv_version_normalization(spark):
+    ids = spark.createDataFrame(
+        [("2106.09685v2",), ("2106.09685",), ("1801.00001v13",)], "arxiv_id string"
+    )
+    rows = cx.arxiv_requests(ids, batch=10).collect()
+    assert len(rows) == 1
+    # v-suffixes stripped AND deduped against the bare id
+    assert rows[0].url.endswith("id_list=1801.00001,2106.09685")
+
+
+def test_landing_append_partitions(spark, tmp_path):
+    reqs = spark.createDataFrame([("a", "u/1")], "id string, url string")
+    fetched = cx.fetch_urls(reqs)
+    cx.landing_append(fetched, str(tmp_path / "landing"), "2026-08-13")
+    cx.landing_append(fetched, str(tmp_path / "landing"), "2026-08-14")
+    landed = spark.read.parquet(str(tmp_path / "landing"))
+    assert landed.count() == 2
+    # partition values come back type-inferred (DateType)
+    assert {str(r.fetch_date) for r in landed.select("fetch_date").collect()} == {
+        "2026-08-13",
+        "2026-08-14",
+    }
+    # incremental pruning: one partition read back
+    assert landed.where("fetch_date = '2026-08-14'").count() == 1
+
+
+def test_yaml_parse_contract(spark):
+    cards = spark.createDataFrame(
+        [
+            (1, "---\nlicense: mit\nlicense_name: MIT\n---\nbody"),
+            (2, "no front matter at all"),
+            (3, "---\nlicense: [mit, apache-2.0]\n---\nbody"),
+            (4, None),
+        ],
+        "id int, card string",
+    )
+    rows = extract_ops.parse_yaml_front_matter(cards, "card").collect()
+    m = {r.id: r.card_meta for r in rows}
+    assert m[1].license == "mit" and m[1].license_name == "MIT"
+    assert m[2].license is None and m[2].yaml_error is None
+    assert m[3].license == "mit, apache-2.0"  # list licenses joined
+    assert m[4].license is None
