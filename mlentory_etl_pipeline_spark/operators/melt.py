@@ -77,3 +77,73 @@ def range_dispatch(
         ((rng == "URL") | ((rng == "Text") & is_url)).alias("object_is_uri"),
         obj_type.alias("object_type"),
     ).where(F.col("object").isNotNull())
+
+
+def mint_side_entities(
+    long_df: DataFrame,
+    schema_df: DataFrame,
+    platform: str = "hf",
+    subject_col: str = "subject",
+    property_col: str = "property",
+    value_col: str = "value",
+    entity_ranges: tuple[str, ...] = (
+        "Dataset",
+        "Person",
+        "Organization",
+        "ScholarlyArticle",
+        "DefinedTerm",
+        "CreativeWork",
+    ),
+) -> DataFrame:
+    """G2 side-entity minting (``GraphBuilderFAIR4ML.py:336-704``): for
+    long-form rows whose schema Range names an entity type, mint a
+    deterministic hashed URI for the referenced entity and emit
+
+    - the link triple   ``(subject, property, entity_uri)``, and
+    - the side triples  ``(entity_uri, rdf:type, schema:<Range>)`` and
+      ``(entity_uri, schema:name, value)`` — deduplicated, since many
+      rows reference the same entity.
+
+    One broadcast join against the (46-row) schema table, one distinct
+    over the minted entities — the reference's per-row branchy minting
+    becomes two projections and a dedup.
+    """
+    from mlentory_etl_pipeline_spark.functions.hashing import entity_uri
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    schema_ns = "https://schema.org/"
+
+    typed = long_df.join(F.broadcast(schema_df), property_col)
+    ent = typed.where(F.col("range").isin(*entity_ranges))
+    uri = entity_uri(platform, F.col("range"), F.col(value_col))
+
+    links = ent.select(
+        F.col(subject_col).alias("subject"),
+        F.col(property_col).alias("predicate"),
+        uri.alias("object"),
+        F.lit(True).alias("object_is_uri"),
+    )
+    side = (
+        ent.select(F.col("range"), F.col(value_col), uri.alias("uri"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("uri").alias("subject"),
+                        F.lit(rdf_type).alias("predicate"),
+                        F.concat(F.lit(schema_ns), F.col("range")).alias("object"),
+                        F.lit(True).alias("object_is_uri"),
+                    ),
+                    F.struct(
+                        F.col("uri").alias("subject"),
+                        F.lit(schema_ns + "name").alias("predicate"),
+                        F.col(value_col).alias("object"),
+                        F.lit(False).alias("object_is_uri"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.*")
+    )
+    return links.unionByName(side)

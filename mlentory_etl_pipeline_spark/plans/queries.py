@@ -2018,3 +2018,75 @@ def connector_arxiv_batching(spark, sf_dir):
         ).alias("arxiv_id")
     )
     return cx.arxiv_requests(o, "arxiv_id", batch=200)
+
+
+# =====================================================================
+# G2 side-entity minting + Q10 history audit trail
+# =====================================================================
+
+@register(
+    "side_entity_minting",
+    "G2 side-entity minting: entity-ranged values get hashed URIs, one "
+    "link triple per reference + deduped type/name triples per entity",
+    oracle=f"""
+    WITH long AS (
+      SELECT 'customer:' || c_custkey AS subject, 'owner' AS property, c_name AS value,
+             'Person' AS range
+      FROM customer
+      UNION ALL
+      SELECT 'customer:' || c_custkey, 'nation', n_name, 'Organization'
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    uris AS (
+      SELECT *, '{BASE_NAMESPACE}' || sha256(
+        '{{"id": "' || value || '", "platform": "hf", "type": "' || range || '"}}') AS uri
+      FROM long
+    )
+    SELECT subject, property AS predicate, uri AS object, TRUE AS object_is_uri FROM uris
+    UNION ALL
+    SELECT DISTINCT uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'https://schema.org/' || range, TRUE FROM uris
+    UNION ALL
+    SELECT DISTINCT uri, 'https://schema.org/name', value, FALSE FROM uris
+    """,
+    survey_ops=("G2", "G1", "G5", "G6"),
+)
+def side_entity_minting(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    owners = c.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("owner").alias("property"),
+        F.col("c_name").alias("value"),
+    )
+    nations = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("subject"),
+            F.lit("nation").alias("property"),
+            F.col("n_name").alias("value"),
+        )
+    )
+    long = owners.unionByName(nations)
+    schema_df = spark.createDataFrame(
+        [("owner", "Person"), ("nation", "Organization")], "property string, range string"
+    )
+    return melt_ops.mint_side_entities(long, schema_df, platform="hf")
+
+
+@register(
+    "scd2_history",
+    "Q10 audit trail: every version range of one subject with its "
+    "provenance (the reference's history lookups, GraphHandler tests)",
+    oracle=_SCD2_ORACLE_CTE
+    + """
+    SELECT subject, predicate, object, use_start, use_end, deprecated,
+           'events' AS extraction_method,
+           CAST(1.0 AS DOUBLE) AS extraction_confidence
+    FROM ranges WHERE subject = '42'
+    """,
+    survey_ops=("Q10",),
+)
+def scd2_history(spark, sf_dir):
+    state = _scd2_state(spark, sf_dir)
+    return vs.history(state, "42")
