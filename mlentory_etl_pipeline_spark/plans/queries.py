@@ -2090,3 +2090,58 @@ def side_entity_minting(spark, sf_dir):
 def scd2_history(spark, sf_dir):
     state = _scd2_state(spark, sf_dir)
     return vs.history(state, "42")
+
+
+# =====================================================================
+# S14 delta publish + F7 string sanitation
+# =====================================================================
+
+@register(
+    "graph_delta_publish",
+    "current-graph delta publish (S14/V7 — RDFHandler.py:112-144): "
+    "deprecated triples removed from the published graph by anti-join",
+    oracle="""
+    WITH current AS (
+      SELECT 'order:' || o_orderkey AS subject, 'status' AS predicate,
+             o_orderstatus AS object FROM orders
+    ),
+    deprecated AS (
+      SELECT subject, predicate, object FROM current
+      WHERE CAST(SUBSTR(subject, 7) AS BIGINT) % 4 = 0
+    )
+    SELECT subject, predicate, object FROM current
+    EXCEPT ALL
+    SELECT subject, predicate, object FROM deprecated
+    """,
+    survey_ops=("S14", "V7"),
+)
+def graph_delta_publish(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    current = o.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("status").alias("predicate"),
+        F.col("o_orderstatus").alias("object"),
+    )
+    deprecated = current.where(F.col("subject").substr(F.lit(7), F.lit(30)).cast("bigint") % 4 == 0)
+    return graph.anti_join_delete(current, deprecated)
+
+
+@register(
+    "string_sanitation",
+    "NUL-byte sanitation before persistence (F7 — SQLHandler.py:556-563)",
+    oracle="""
+    SELECT doc_id,
+           REPLACE(SUBSTR(text, 1, 30) || CHR(0) || 'tail',
+                   CHR(0), CHR(65533)) AS clean
+    FROM documents
+    """,
+    survey_ops=("F7",),
+)
+def string_sanitation(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.functions.text import sanitize_nul
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 30), F.lit("\x00"), F.lit("tail")).alias("dirty"),
+    )
+    return d.select("doc_id", sanitize_nul(F.col("dirty")).alias("clean"))
