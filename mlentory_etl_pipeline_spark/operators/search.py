@@ -67,3 +67,34 @@ def prefix_search(
 def exact_lookup(docs: DataFrame, identifier: str) -> DataFrame:
     """Q5/Q6 match_phrase on db_identifier → plain equality."""
     return docs.where(F.col("db_identifier") == identifier).drop("name_prefixes")
+
+
+def term_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str,
+    name_col: str = "name",
+    k: int = 20,
+) -> DataFrame:
+    """Q6 — ES ``match``-style multi-term relevance: score = distinct
+    query terms present in the text + 2× the terms present in the name
+    (the reference's analyzed-name boost), top-k with a total order.
+
+    JVM-side: tokenization is ``split``, term matching is
+    ``array_intersect`` against a literal term array — no UDF, and the
+    score expression stays inside codegen.
+    """
+    term_arr = F.array(*[F.lit(t.lower()) for t in terms])
+    text_hits = F.size(F.array_intersect(term_arr, F.split(F.lower(F.col(text_col)), r"\s+")))
+    name_hits = F.size(F.array_intersect(term_arr, F.split(F.lower(F.col(name_col)), r"\s+")))
+    scored = docs.withColumn("score", text_hits + F.lit(2) * name_hits).where(
+        F.col("score") > 0
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("db_identifier"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("db_identifier", name_col, "score", "rank")
+    )
