@@ -2183,3 +2183,28 @@ def search_term_relevance(spark, sf_dir):
         "text",
     )
     return search.term_search(d, ["spark", "merge", "join"], text_col="text", k=20)
+
+
+@register(
+    "path_expression_extract",
+    "schema-driven path-expression extraction (S8/§1.2 — OpenML's "
+    "obj.attr reflection, OpenMLExtractor.py:439-499): each config row "
+    "(output_property, json_path) compiles to one get_json_object "
+    "column; the whole mapping table is a single select",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_value,
+           event_type AS kind
+    FROM events
+    """,
+    survey_ops=("S8", "S10"),
+)
+def path_expression_extract(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    # the reference's metadata_schema.json: output property -> path
+    mapping = [("k_value", "$.k", "props"), ("kind", None, "event_type")]
+    cols = [F.col("event_id")]
+    for target, path, source in mapping:
+        col = F.get_json_object(F.col(source), path) if path else F.col(source)
+        cols.append(col.alias(target))
+    return e.select(*cols)
