@@ -400,3 +400,61 @@ def embedding_near_dup_lsh(
         )
     )
     return scored.where(F.col("score") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the pair graph by
+    iterative min-label propagation — each doc's cluster id converges to
+    the minimum doc id reachable from it. The canonical survivor of a
+    cluster is then simply ``component == id``.
+
+    Scale shape: each iteration is one groupBy(min) over the undirected
+    edge list joined with current labels — shuffles keyed by node id.
+    Iterations needed = graph diameter (near-dup graphs are shallow:
+    dup clusters are cliques or short chains from LSH banding, so this
+    converges in a handful of rounds; ``max_iter`` is a backstop).
+    Lineage is truncated per round (localCheckpoint) — an iterative
+    driver loop exactly like the reference's BFS crawl (T4).
+
+    Returns (node, component) for every node appearing in ``edges``.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

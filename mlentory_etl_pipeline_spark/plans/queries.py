@@ -2208,3 +2208,35 @@ def path_expression_extract(spark, sf_dir):
         col = F.get_json_object(F.col(source), path) if path else F.col(source)
         cols.append(col.alias(target))
     return e.select(*cols)
+
+
+@register(
+    "dedup_cluster_components",
+    "near-dup clustering: connected components over exact-dup pairs by "
+    "iterative min-label propagation (cluster id = min doc id reachable)",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM documents a JOIN documents b
+        ON SUBSTR(a.text, 1, 12) = SUBSTR(b.text, 1, 12) AND a.doc_id < b.doc_id
+      WHERE LENGTH(a.text) > 0
+    ),
+    und AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """,
+    survey_ops=("dedup-clustering", "T4"),
+)
+def dedup_cluster_components(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("length(text) > 0")
+    a = d.select(F.col("doc_id").alias("a_id"), F.substring("text", 1, 12).alias("k"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 12).alias("k"))
+    pairs = a.join(b, "k").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+    return dedup.connected_components(pairs)

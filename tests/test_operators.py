@@ -136,3 +136,16 @@ def test_simhash_blocking_complete(spark):
         .collect()
     }
     assert blocked == brute
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 plus clique {10,11,12} plus isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id bigint, b_id bigint",
+    )
+    labels = {r.node: r.component for r in dedup.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # canonical survivor per cluster = node whose component == itself
+    survivors = sorted(n for n, c in labels.items() if n == c)
+    assert survivors == [1, 10, 20]
