@@ -375,7 +375,7 @@ def topn_recent_events(spark, sf_dir):
              REGEXP_REPLACE(CAST(c_custkey AS VARCHAR) || 'v2', 'v[0-9]+$', '') AS arxiv_like_id
     FROM customer
     """,
-    survey_ops=("F5", "F7", "F8"),
+    survey_ops=("F5", "F6", "F7", "F8"),
 )
 def projection_derivations(spark, sf_dir):
     from mlentory_etl_pipeline_spark.functions.text import normalize_arxiv_id, normalize_license
@@ -720,7 +720,7 @@ _SCD2_ORACLE_CTE = f"""
     "V2–V5 SCD2 fold: two-batch load → final version_range state",
     oracle=_SCD2_ORACLE_CTE
     + "SELECT subject, predicate, object, use_start, use_end, deprecated FROM ranges",
-    survey_ops=("V2", "V3", "V4", "V5", "G9"),
+    survey_ops=("V2", "V3", "V4", "V5", "G9", "V9", "S15"),
     headline=True,
 )
 def scd2_version_ranges(spark, sf_dir):
@@ -864,7 +864,7 @@ def tumbling_window_agg(spark, sf_dir):
            LOWER(c_mktsegment) AS c_mktsegment
     FROM customer
     """,
-    survey_ops=("Q4", "§1.5"),
+    survey_ops=("Q4", "§1.5", "S16"),
 )
 def search_doc_build(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
@@ -1618,7 +1618,7 @@ def _croissant_oracle() -> str:
     "anti-join, bnode→hashed-URI replacement, residual bnode drop — "
     "file nodes deleted by type, record sets dropped as residual bnodes",
     oracle=_croissant_oracle(),
-    survey_ops=("G3", "Q9", "G1"),
+    survey_ops=("G3", "Q9", "G1", "L2"),
 )
 def croissant_ingest(spark, sf_dir):
     from mlentory_etl_pipeline_spark.operators import croissant as cr
@@ -2089,7 +2089,7 @@ def side_entity_minting(spark, sf_dir):
            CAST(1.0 AS DOUBLE) AS extraction_confidence
     FROM ranges WHERE subject = '42'
     """,
-    survey_ops=("Q10",),
+    survey_ops=("Q10", "G7"),
 )
 def scd2_history(spark, sf_dir):
     state = _scd2_state(spark, sf_dir)
@@ -2117,7 +2117,7 @@ def scd2_history(spark, sf_dir):
     EXCEPT ALL
     SELECT subject, predicate, object FROM deprecated
     """,
-    survey_ops=("S14", "V7"),
+    survey_ops=("S14", "V7", "S13"),
 )
 def graph_delta_publish(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
@@ -2240,3 +2240,204 @@ def dedup_cluster_components(spark, sf_dir):
     b = d.select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 12).alias("k"))
     pairs = a.join(b, "k").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
     return dedup.connected_components(pairs)
+
+
+# =====================================================================
+# G4 arXiv triples, N9 context synthesis, S7 vocab scan, V6 touch
+# =====================================================================
+
+@register(
+    "arxiv_triples",
+    "arXiv row→triples (G4 — GraphBuilderArxiv.py:29-127): "
+    "ScholarlyArticle entity + name/url/datePublished + exploded "
+    "authors, via melt + explode",
+    oracle=f"""
+    WITH papers AS (
+      SELECT (o_orderkey % 2000) || '.' || LPAD(CAST(o_orderkey % 97 AS VARCHAR), 5, '0') AS aid,
+             'Paper ' || o_orderkey AS title,
+             CAST(o_orderdate AS DATE) AS published,
+             o_orderpriority AS author1, o_orderstatus AS author2
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    uris AS (
+      SELECT *, '{BASE_NAMESPACE}' || sha256(
+        '{{"id": "' || aid || '", "platform": "arxiv", "type": "ScholarlyArticle"}}') AS uri
+      FROM papers
+    )
+    SELECT uri AS subject, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+           'https://schema.org/ScholarlyArticle' AS object, TRUE AS object_is_uri FROM uris
+    UNION ALL
+    SELECT uri, 'https://schema.org/name', title, FALSE FROM uris
+    UNION ALL
+    SELECT uri, 'https://schema.org/url', 'https://arxiv.org/abs/' || aid, TRUE FROM uris
+    UNION ALL
+    SELECT uri, 'https://schema.org/datePublished', STRFTIME(published, '%Y-%m-%d'), FALSE FROM uris
+    UNION ALL
+    SELECT uri, 'https://schema.org/author', author, FALSE
+    FROM (SELECT uri, UNNEST([author1, author2]) AS author FROM uris)
+    """,
+    survey_ops=("G4", "L2"),
+)
+def arxiv_triples(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.functions.hashing import entity_uri
+
+    o = t(spark, sf_dir, "orders").where("o_orderkey < 2000")
+    papers = o.select(
+        F.concat(
+            (F.col("o_orderkey") % 2000).cast("string"), F.lit("."),
+            F.lpad((F.col("o_orderkey") % 97).cast("string"), 5, "0"),
+        ).alias("aid"),
+        F.concat(F.lit("Paper "), F.col("o_orderkey").cast("string")).alias("title"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("published"),
+        F.col("o_orderpriority").alias("author1"),
+        F.col("o_orderstatus").alias("author2"),
+    ).withColumn("uri", entity_uri("arxiv", "ScholarlyArticle", F.col("aid")))
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def tr(s, p, obj, is_uri):
+        return F.struct(
+            s.alias("subject"), F.lit(p).alias("predicate"),
+            obj.alias("object"), F.lit(is_uri).alias("object_is_uri"),
+        )
+
+    base = papers.select(
+        F.explode(
+            F.array(
+                tr(F.col("uri"), rdf, F.lit("https://schema.org/ScholarlyArticle"), True),
+                tr(F.col("uri"), "https://schema.org/name", F.col("title"), False),
+                tr(F.col("uri"), "https://schema.org/url",
+                   F.concat(F.lit("https://arxiv.org/abs/"), F.col("aid")), True),
+                tr(F.col("uri"), "https://schema.org/datePublished", F.col("published"), False),
+            )
+        ).alias("t")
+    ).select("t.*")
+    authors = papers.select(
+        "uri", F.explode(F.array("author1", "author2")).alias("author")
+    ).select(
+        F.col("uri").alias("subject"),
+        F.lit("https://schema.org/author").alias("predicate"),
+        F.col("author").alias("object"),
+        F.lit(False).alias("object_is_uri"),
+    )
+    return base.unionByName(authors)
+
+
+@register(
+    "property_context_synthesis",
+    "property→query-context synthesis (N9 — SchemaPropertyExtractor.py:"
+    "72-120): derived text column on the broadcast schema table",
+    oracle="""
+    SELECT property,
+           'Property: ' || property || CHR(10) ||
+           'Description: ' || description || CHR(10) ||
+           'Likely sections: ' || sections AS context
+    FROM (VALUES
+      ('license', 'The license of the model', 'License, Terms'),
+      ('mlTask', 'The machine-learning task', 'Intended uses, Task'),
+      ('baseModel', 'The model this was fine-tuned from', 'Training, Model description')
+    ) AS s(property, description, sections)
+    """,
+    survey_ops=("N9",),
+)
+def property_context_synthesis(spark, sf_dir):
+    schema_df = spark.createDataFrame(
+        [
+            ("license", "The license of the model", "License, Terms"),
+            ("mlTask", "The machine-learning task", "Intended uses, Task"),
+            ("baseModel", "The model this was fine-tuned from", "Training, Model description"),
+        ],
+        "property string, description string, sections string",
+    )
+    return schema_df.select(
+        "property",
+        F.concat(
+            F.lit("Property: "), F.col("property"), F.lit("\n"),
+            F.lit("Description: "), F.col("description"), F.lit("\n"),
+            F.lit("Likely sections: "), F.col("sections"),
+        ).alias("context"),
+    )
+
+
+_VOCAB_DIR = "/root/repo/data/configuration"
+
+
+@register(
+    "vocab_scan",
+    "tag-vocabulary scan (S7 — HFExtractor.py:605-610): TSV config "
+    "reads + unionByName, the broadcast side of tag classification",
+    oracle=f"""
+    SELECT tag, label, vocab FROM (
+      SELECT tag, label, 'task' AS vocab
+      FROM read_csv('{_VOCAB_DIR}/vocab_tasks.tsv', delim='\t', header=true)
+      UNION ALL
+      SELECT tag, label, 'library'
+      FROM read_csv('{_VOCAB_DIR}/vocab_libraries.tsv', delim='\t', header=true)
+    )
+    """,
+    survey_ops=("S7", "S1"),
+)
+def vocab_scan(spark, sf_dir):
+    def read(name, vocab):
+        return (
+            spark.read.option("sep", "\t").option("header", True)
+            .csv(f"{_VOCAB_DIR}/{name}")
+            .withColumn("vocab", F.lit(vocab))
+        )
+
+    return read("vocab_tasks.tsv", "task").unionByName(
+        read("vocab_libraries.tsv", "library")
+    )
+
+
+# Batch 2 is restricted to user_id < 100 (of ~150 active users) so a
+# real set of subjects goes UNTOUCHED by the second load — without the
+# restriction every subject appears in both halves and the V6 branch
+# would never fire (vacuously-matching oracle).
+_V6_ORACLE = f"""
+    WITH b1 AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject, event_type AS predicate,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS object
+      FROM events WHERE ts < TIMESTAMP '{T_SPLIT}'
+    ), b2 AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS subject, event_type AS predicate,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS object
+      FROM events WHERE ts >= TIMESTAMP '{T_SPLIT}' AND user_id < 100
+    ), t1 AS (SELECT MAX(ts) AS t FROM events WHERE ts < TIMESTAMP '{T_SPLIT}'),
+    t2 AS (SELECT MAX(ts) AS t FROM events WHERE ts >= TIMESTAMP '{T_SPLIT}' AND user_id < 100),
+    b2subj AS (SELECT DISTINCT subject FROM b2),
+    ranges AS (
+      SELECT b1.subject, b1.predicate, b1.object, t1.t AS use_start, t2.t AS use_end,
+             FALSE AS deprecated
+      FROM b1 JOIN b2 USING (subject, predicate, object), t1, t2
+      UNION ALL
+      SELECT b1.subject, b1.predicate, b1.object, t1.t,
+             CASE WHEN b1.subject IN (SELECT subject FROM b2subj)
+                  THEN t1.t ELSE (SELECT t FROM t2) END,
+             b1.subject IN (SELECT subject FROM b2subj)
+      FROM b1 ANTI JOIN b2 USING (subject, predicate, object), t1
+      UNION ALL
+      SELECT b2.subject, b2.predicate, b2.object, t2.t, t2.t, FALSE
+      FROM b2 ANTI JOIN b1 USING (subject, predicate, object), t2
+    )
+    SELECT subject, predicate, object, use_start, use_end, deprecated FROM ranges
+"""
+
+
+@register(
+    "scd2_touch_unchanged",
+    "V6 touch-unchanged: open ranges of subjects absent from the second "
+    "batch get use_end advanced to the new batch time (batch 2 covers a "
+    "user subset so untouched subjects actually exist)",
+    oracle=_V6_ORACLE,
+    survey_ops=("V6",),
+)
+def scd2_touch_unchanged(spark, sf_dir):
+    s = vs.merge_batch(vs.empty_state(spark), _events_as_triples(spark, sf_dir, hi=T_SPLIT))
+    b2 = _events_as_triples(spark, sf_dir, lo=T_SPLIT).where(
+        F.col("subject").cast("bigint") < 100
+    )
+    s2 = vs.merge_batch(s, b2, touch_unchanged=True)
+    return s2.version_range.join(s2.triplet, "triplet_hash").select(
+        "subject", "predicate", "object", "use_start", "use_end", "deprecated"
+    )
