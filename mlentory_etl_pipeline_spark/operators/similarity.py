@@ -108,12 +108,58 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    extra_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    bucket (single-probe). Equi-join on bucket replaces the cross join —
-    the candidate set shrinks ~2^planes-fold."""
+    bucket. Equi-join on bucket replaces the cross join — the candidate
+    set shrinks ~2^planes-fold.
+
+    ``extra_probes`` > 0 enables multi-probe LSH: each query also
+    probes the buckets reached by flipping one sign bit, in order of
+    the query's distance to that hyperplane (nearest hyperplane first —
+    the bucket most likely to hide a missed neighbor). Recall rises
+    steeply with probes while the scored candidate set stays
+    ``(1 + extra_probes) / 2^planes`` of the corpus — the corpus side
+    is still bucketed once, only the (tiny) query side fans out."""
     c = rp_bucket(corpus, vec_col, dim, num_planes)
-    q = rp_bucket(queries, query_vec_col, dim, num_planes)
+    if extra_probes > 0:
+        planes = _hyperplanes(dim, num_planes)
+        # Project per-plane dots first (expressions inside HOF lambdas
+        # are not CSE'd — see dedup._shingles_of_words).
+        q = queries.select(
+            "*",
+            *[
+                dot_product(F.col(query_vec_col), F.array(*[F.lit(x) for x in p])).alias(
+                    f"_d{i}"
+                )
+                for i, p in enumerate(planes)
+            ],
+        )
+        bucket = None
+        for i in range(num_planes):
+            bit = F.when(F.col(f"_d{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        q = q.withColumn("_b0", bucket.cast("int"))
+        # (|distance to plane|, flip mask) sorted ascending = probe order.
+        by_closeness = F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(F.col(f"_d{i}")).alias("d"), F.lit(1 << i).alias("mask"))
+                    for i in range(num_planes)
+                ]
+            )
+        )
+        flips = F.transform(
+            F.slice(by_closeness, 1, min(extra_probes, num_planes)),
+            lambda x: F.col("_b0").bitwiseXOR(x["mask"]),
+        )
+        q = q.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(F.concat(F.array(F.col("_b0")), flips)).alias("bucket"),
+        )
+    else:
+        q = rp_bucket(queries, query_vec_col, dim, num_planes)
     joined = q.join(c, "bucket")
     score = F.round(cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4)
     scored = joined.select(
@@ -121,5 +167,117 @@ def lsh_bucket_topk(
         F.col(id_col).alias("neighbor_id"),
         score.alias("score"),
     ).where(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------ IVF
+
+def seed_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row DataFrame holding the centroid array
+    ``_cents: array<struct<cid, cv, cn>>`` sorted by centroid id.
+
+    Centroids are the corpus vectors with ``id < n_centroids`` — a
+    deterministic stand-in for a trained coarse quantizer, which keeps
+    the whole IVF pipeline replicable by a SQL oracle. At lake scale,
+    swap this for ``pyspark.ml.clustering.KMeans`` centers (sampled
+    training, then the same broadcast-array shape); every downstream
+    step is unchanged.
+    """
+    cent = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    return cent.agg(F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("_cents"))
+
+
+def ivf_probe_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    norm_alias: str = "_n",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest centroid cells
+    (cosine, ties → lower centroid id) — one row per (vector, cell).
+
+    The scale-critical property: assignment is a pure MAP over a
+    broadcast centroid array (transform → sort → slice → explode), no
+    shuffle and no N×C join. ``nprobe=1`` is plain IVF assignment for
+    the corpus side; queries probe several cells. Scores are rounded
+    before ranking so the centroid choice is reproducible across
+    engines (the oracle ranks with the identical rounded cosine).
+    """
+    v = df.crossJoin(F.broadcast(centroids)).withColumn(
+        norm_alias, l2_norm(F.col(vec_col))
+    )
+    # struct(-score, cid): ascending array_sort = score desc, cid asc.
+    scored_cells = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                -F.round(
+                    dot_product(F.col(vec_col), c["cv"]) / (F.col(norm_alias) * c["cn"]),
+                    round_digits,
+                )
+            ).alias("negsc"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored_cells), 1, nprobe)
+    return v.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(norm_alias),
+        F.explode(probes).alias("_p"),
+    ).select(F.col(id_col), F.col(vec_col), F.col(norm_alias), F.col("_p.cid").alias("cell"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors are inverted-listed
+    under their nearest centroid; each query scores only the vectors in
+    its ``nprobe`` nearest cells.
+
+    Plan shape at 100 TB: centroid assignment is map-only (broadcast
+    centroid array, see :func:`ivf_probe_cells`); the single shuffle is
+    the cell equi-join, and with the corpus written
+    ``partitionBy("cell")`` it becomes partition pruning — a query
+    touches nprobe/​n_centroids of the data. Recall vs
+    :func:`brute_force_topk` is asserted in tests; with
+    ``nprobe = n_centroids`` results are exact.
+    """
+    cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    c = ivf_probe_cells(corpus, cents, id_col, vec_col, nprobe=1, norm_alias="_cn")
+    q = ivf_probe_cells(
+        queries, cents, query_id_col, query_vec_col, nprobe=nprobe, norm_alias="_qn"
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot_product(F.col(query_vec_col), F.col(vec_col))
+                / (F.col("_qn") * F.col("_cn")),
+                4,
+            ).alias("score"),
+        )
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

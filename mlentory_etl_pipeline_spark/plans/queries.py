@@ -1172,8 +1172,9 @@ def ann_brute_force_topk(spark, sf_dir):
 
 @register(
     "ann_lsh_bucketed_topk",
-    "approximate top-5 via sign-random-projection buckets (single-probe); "
-    "recall vs brute force asserted in tests — rows-only driver check",
+    "approximate top-5 via sign-random-projection buckets, multi-probe "
+    "(base bucket + 3 nearest-hyperplane flips); recall vs brute force "
+    "asserted in tests — rows-only driver check",
     oracle=None,
     survey_ops=("ann-lsh",),
 )
@@ -1182,7 +1183,68 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     q = e.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.lsh_bucket_topk(e, q, dim=64, k=5, num_planes=6).select(
+    return similarity.lsh_bucket_topk(
+        e, q, dim=64, k=5, num_planes=6, extra_probes=3
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+_IVF_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    "IVF-Flat approximate top-5: map-side assignment to 16 seed centroids, "
+    "4-probe query fan-out, cell equi-join",
+    oracle=f"""
+    WITH cent AS (
+      SELECT CAST(vec_id AS INT) AS cid, embedding AS cv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS cn
+      FROM embeddings WHERE vec_id < 16
+    ),
+    vec AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_IVF_DOT.format(a="v.embedding", b="c.cv")} / (v.n * c.cn), 6) DESC,
+                        c.cid ASC
+             ) AS rn
+      FROM vec v CROSS JOIN cent c
+    ),
+    corpus_cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    q_cells AS (
+      SELECT vec_id AS query_id, cid AS cell FROM assign WHERE vec_id < 10 AND rn <= 4
+    ),
+    scored AS (
+      SELECT q.query_id, cc.vec_id AS neighbor_id,
+             ROUND({_IVF_DOT.format(a="qv.embedding", b="nv.embedding")} / (qv.n * nv.n), 4) AS score
+      FROM q_cells q
+      JOIN corpus_cell cc ON cc.cell = q.cell
+      JOIN vec qv ON qv.vec_id = q.query_id
+      JOIN vec nv ON nv.vec_id = cc.vec_id
+      WHERE q.query_id <> cc.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    survey_ops=("ann-ivf",),
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(e, q, n_centroids=16, nprobe=4, k=5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
 

@@ -75,6 +75,35 @@ def test_lsh_bucket_recall_vs_brute_force(spark):
     # must be well above random chance (5/500 ≈ 1%).
     assert recall > 0.05, f"recall {recall}"
 
+    # Multi-probe (base + 4 nearest-hyperplane flips) must strictly
+    # improve on single-probe, at 5/16ths of the full-scan cost.
+    multi = similarity.lsh_bucket_topk(e, q, dim=64, k=5, num_planes=4, extra_probes=4)
+    multi_pairs = {(r.query_id, r.neighbor_id) for r in multi.collect()}
+    multi_recall = len(exact_pairs & multi_pairs) / len(exact_pairs)
+    assert multi_recall > recall, f"multi {multi_recall} vs single {recall}"
+    assert multi_recall >= 0.3, f"multi-probe recall {multi_recall}"
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, q, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    approx = similarity.ivf_topk(e, q, n_centroids=16, nprobe=4, k=5)
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 4 of 16 cells probed on uniform random vectors → recall well above
+    # the 25%-of-corpus scan it pays for.
+    assert recall >= 0.3, f"IVF recall {recall}"
+
+    # Probing every cell must reproduce brute force exactly.
+    full = similarity.ivf_topk(e, q, n_centroids=16, nprobe=16, k=5)
+    full_pairs = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert full_pairs == exact_pairs
+
 
 def test_bfs_crawl_loop(spark):
     """T4 recursive crawl: iterate frontier_diff until empty, as the
