@@ -849,6 +849,49 @@ def tumbling_window_agg(spark, sf_dir):
     )
 
 
+@register(
+    "session_window_agg",
+    "gap-based sessionization (4h session windows per user) — Spark-native "
+    "session_window vs the oracle's gaps-and-islands rewrite",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM ordered
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 4 HOUR AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_ops=("§2.9 streaming", "streaming-session"),
+)
+def session_window_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return incremental.session_window_agg(
+        e,
+        "ts",
+        "4 hours",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        ],
+    )
+
+
 # =====================================================================
 # Search layer (Q4–Q6, §1.5)
 # =====================================================================

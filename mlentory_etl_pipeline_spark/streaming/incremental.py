@@ -51,3 +51,35 @@ def tumbling_window_agg(
         F.col("win.end").alias("window_end"),
         *[c for c in out.columns if c != "win"],
     )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (gap-based sessionization), batch AND
+    streaming from the same code path — ``F.session_window`` merges
+    events whose ``[ts, ts+gap)`` windows overlap, so a new session
+    starts exactly when the gap to the previous event is ≥ ``gap``.
+    The window is ``[first_ts, last_ts + gap)``.
+
+    Batch-engine equivalence (the oracle's shape) is the classic
+    gaps-and-islands rewrite: ``lag`` marks session starts, a running
+    sum numbers them, then group. Spark's native operator needs no such
+    window-function pass — in batch it plans as a sort-based
+    aggregation within each key's partition; in streaming the state
+    store keeps one entry per open session, bounded by
+    (watermark horizon × active keys)."""
+    if watermark_delay is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    w = F.session_window(F.col(ts_col), gap).alias("win")
+    out = df.groupBy(w, *keys).agg(*aggs)
+    return out.select(
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        *[c for c in out.columns if c != "win"],
+    )

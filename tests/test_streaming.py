@@ -52,6 +52,44 @@ def test_streaming_batch_parity(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows in a real streaming run must reproduce the batch
+    result exactly (complete output mode — session-window aggregations
+    reject update mode)."""
+    rows = [
+        # user 1: two sessions (gap 30 min); user 2: one session.
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1.0),
+        (1, dt.datetime(2024, 1, 1, 10, 10), 2.0),
+        (1, dt.datetime(2024, 1, 1, 11, 0), 4.0),
+        (2, dt.datetime(2024, 1, 1, 10, 5), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    aggs = [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")]
+    batch_out = incremental.session_window_agg(
+        spark.read.parquet(src), "ts", "30 minutes", ["user_id"], aggs
+    )
+    want = {tuple(r) for r in batch_out.collect()}
+    assert len(want) == 3  # sanity: sessionization actually split
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    stream_agg = incremental.session_window_agg(
+        stream, "ts", "30 minutes", ["user_id"], aggs, watermark_delay="1 hour"
+    )
+    q = (
+        stream_agg.writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("sess_complete").collect()}
+    assert want == got
+
+
 def test_watermark_incremental(spark):
     df = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)), (3, dt.datetime(2024, 1, 3))],
