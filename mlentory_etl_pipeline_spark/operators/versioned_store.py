@@ -49,8 +49,8 @@ INFO_SCHEMA = (
     "info_hash string, extraction_method string, extraction_confidence double"
 )
 RANGE_SCHEMA = (
-    "triplet_hash string, info_hash string, use_start timestamp, "
-    "use_end timestamp, deprecated boolean"
+    "triplet_hash string, info_hash string, subject string, "
+    "use_start timestamp, use_end timestamp, deprecated boolean"
 )
 
 BATCH_COLUMNS = (
@@ -203,21 +203,41 @@ def merge_batch(
     extraction_info = state.extraction_info.unionByName(new_infos)
 
     # V4: MERGE on (triplet_hash, info_hash) against *open* ranges.
-    touched = b.select("triplet_hash", "info_hash").withColumn("_touched", F.lit(True))
+    # version_range denormalizes ``subject`` (the entity key), so the
+    # V5 subject lookup needs NO join against the triplet table — one
+    # fewer store-sized shuffle per merge, and the range table can be
+    # partitioned by entity at lake scale (the reference's V8 affinity).
+    touched = b.select("triplet_hash", "info_hash", "subject").withColumn(
+        "_touched", F.lit(True)
+    )
     open_ranges = state.version_range.where(~F.col("deprecated"))
     closed_ranges = state.version_range.where(F.col("deprecated"))
 
+    # V4 + V5 + V6 in one pass over the open ranges:
+    #   touched               → use_end advances to batch_time
+    #   untouched, subject in batch  → deprecated (V5)
+    #   untouched, subject absent    → use_end advances only under V6
+    batch_subjects = b.select("subject").distinct()
     merged_open = (
-        open_ranges.join(touched, ["triplet_hash", "info_hash"], "left")
+        open_ranges.join(touched.drop("subject"), ["triplet_hash", "info_hash"], "left")
+        .join(batch_subjects.withColumn("_subj_in_batch", F.lit(True)), "subject", "left")
         .crossJoin(bt)
         .select(
             "triplet_hash",
             "info_hash",
+            "subject",
             "use_start",
-            F.when(F.col("_touched"), batch_time).otherwise(F.col("use_end")).alias("use_end"),
-            F.col("deprecated"),
-            F.coalesce("_touched", F.lit(False)).alias("_touched"),
-            F.col("_bt"),
+            F.when(F.col("_touched"), batch_time)
+            .when(F.coalesce("_subj_in_batch", F.lit(False)), F.col("use_end"))
+            .otherwise(batch_time if touch_unchanged else F.col("use_end"))
+            .alias("use_end"),
+            (
+                F.col("deprecated")
+                | (
+                    F.coalesce("_subj_in_batch", F.lit(False))
+                    & ~F.coalesce("_touched", F.lit(False))
+                )
+            ).alias("deprecated"),
         )
     )
     inserted = (
@@ -230,42 +250,14 @@ def merge_batch(
         .select(
             "triplet_hash",
             "info_hash",
+            "subject",
             batch_time.alias("use_start"),
             batch_time.alias("use_end"),
             F.lit(False).alias("deprecated"),
-            F.lit(True).alias("_touched"),
         )
     )
 
-    # V5: deprecate untouched open ranges of subjects present in the batch.
-    batch_subjects = b.select("subject").distinct()
-    subj_of_range = state.triplet.select("triplet_hash", "subject")
-    merged_open = (
-        merged_open.join(subj_of_range, "triplet_hash", "left")
-        .join(batch_subjects.withColumn("_subj_in_batch", F.lit(True)), "subject", "left")
-        .select(
-            "triplet_hash",
-            "info_hash",
-            "use_start",
-            # V6 (optional): advance validity of untouched subjects.
-            (
-                F.when(
-                    F.col("_touched") | ~F.coalesce("_subj_in_batch", F.lit(False)),
-                    F.when(F.col("_touched"), F.col("use_end")).otherwise(
-                        batch_time if touch_unchanged else F.col("use_end")
-                    ),
-                ).otherwise(F.col("use_end"))
-            ).alias("use_end"),
-            (
-                F.col("deprecated")
-                | (F.coalesce("_subj_in_batch", F.lit(False)) & ~F.col("_touched"))
-            ).alias("deprecated"),
-        )
-    )
-
-    version_range = merged_open.unionByName(
-        inserted.drop("_touched")
-    ).unionByName(closed_ranges)
+    version_range = merged_open.unionByName(inserted).unionByName(closed_ranges)
 
     return StoreState(triplet=triplet, extraction_info=extraction_info, version_range=version_range)
 
@@ -314,7 +306,7 @@ def history(state: StoreState, subject: str) -> DataFrame:
     provenance."""
     return (
         state.triplet.where(F.col("subject") == subject)
-        .join(state.version_range, "triplet_hash")
+        .join(state.version_range.drop("subject"), "triplet_hash")
         .join(state.extraction_info, "info_hash")
         .select(
             "subject",

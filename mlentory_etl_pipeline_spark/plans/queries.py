@@ -725,9 +725,11 @@ _SCD2_ORACLE_CTE = f"""
 )
 def scd2_version_ranges(spark, sf_dir):
     state = _scd2_state(spark, sf_dir)
-    return state.version_range.join(state.triplet, "triplet_hash").select(
-        "subject", "predicate", "object", "use_start", "use_end", "deprecated"
-    )
+    # subject comes from the denormalized range table; predicate/object
+    # from the triplet table — the oracle cross-checks both.
+    return state.version_range.join(
+        state.triplet.drop("subject"), "triplet_hash"
+    ).select("subject", "predicate", "object", "use_start", "use_end", "deprecated")
 
 
 @register(
@@ -2543,6 +2545,6 @@ def scd2_touch_unchanged(spark, sf_dir):
         F.col("subject").cast("bigint") < 100
     )
     s2 = vs.merge_batch(s, b2, touch_unchanged=True)
-    return s2.version_range.join(s2.triplet, "triplet_hash").select(
+    return s2.version_range.join(s2.triplet.drop("subject"), "triplet_hash").select(
         "subject", "predicate", "object", "use_start", "use_end", "deprecated"
     )
