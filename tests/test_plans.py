@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — the scale posture, enforced.
+
+SCALE.md's claims (filters reach the parquet scan, dimensions
+broadcast, no accidental cartesian products, top-k never global-sorts)
+are asserted here against `.explain("formatted")` output so a plan
+regression fails the suite, not a 100 TB run. Plan *shape* is scale-
+invariant: predicate pushdown, join strategy selection against known
+small tables, and generator placement look the same at sf0.001 as at
+sf100 — only AQE's runtime coalescing differs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # Date predicate reaches the parquet reader (partition pruning at scale).
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # Column pruning: the wide comment column must not be read.
+    assert "l_comment" not in plan
+    # Aggregation is partial→final (map-side combine before the shuffle).
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    # Both dimension joins broadcast; the fact table never shuffles for a join.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # Top-10 is TakeOrderedAndProject — never a global sort of all groups.
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_region_rollup_broadcasts(spark):
+    plan = _plan(spark, "q5_region_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = _plan(spark, "ann_brute_force_topk")
+    # The tiny query side is broadcast; corpus streams through map-side.
+    assert "BroadcastNestedLoopJoin" in plan
+    # Bounded top-k per query: one shuffle keyed by query, local sort.
+    assert "Sort" in plan and "hashpartitioning(query_id" in plan
+
+
+def test_minhash_has_no_cross_join(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # LSH banding must keep everything equi-join — a cartesian pair
+    # scan appearing here is the exact failure mode LSH exists to avoid.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_no_cartesian_beyond_batch_time(spark):
+    plan = _plan(spark, "scd2_version_ranges")
+    # The only nested-loop join allowed is the broadcast of the 1-row
+    # batch-time aggregate; everything else is hash-keyed.
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tag_classification_broadcasts_vocab(spark):
+    plan = _plan(spark, "tag_classification")
+    assert "CartesianProduct" not in plan
