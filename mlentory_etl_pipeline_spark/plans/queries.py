@@ -852,6 +852,34 @@ def tumbling_window_agg(spark, sf_dir):
 
 
 @register(
+    "skew_salted_join",
+    "hot-key-safe salted join: events fact salted over 8 shuffle tasks per "
+    "key, user dimension replicated 8x — results identical to the plain join "
+    "(the oracle), only the shuffle distribution changes",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    survey_ops=("skew-salting",),
+)
+def skew_salted_join(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import skew
+
+    e = t(spark, sf_dir, "events").select("user_id", "value")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew.salted_join(e, c, on=["user_id"], salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "session_window_agg",
     "gap-based sessionization (4h session windows per user) — Spark-native "
     "session_window vs the oracle's gaps-and-islands rewrite",

@@ -13,6 +13,7 @@ from mlentory_etl_pipeline_spark.operators import (
     graph,
     multimodal,
     similarity,
+    skew,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -103,6 +104,32 @@ def test_ivf_topk_recall_and_exactness(spark):
     full = similarity.ivf_topk(e, q, n_centroids=16, nprobe=16, k=5)
     full_pairs = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert full_pairs == exact_pairs
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pytest
+
+    # Deliberately skewed fact: 90% of rows share key 1.
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(200)], "k long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 200, 2)], "k long, name string"
+    )
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    salted = {tuple(r) for r in skew.salted_join(fact, dim, on=["k"], salt=8).collect()}
+    assert salted == plain
+
+    # Left join: unmatched skewed rows survive exactly once.
+    plain_l = sorted(tuple(r) for r in fact.join(dim, "k", "left").collect())
+    salted_l = sorted(
+        tuple(r) for r in skew.salted_join(fact, dim, on=["k"], how="left", salt=8).collect()
+    )
+    assert salted_l == plain_l
+
+    # Right/full joins would duplicate unmatched dim rows — rejected.
+    with pytest.raises(ValueError):
+        skew.salted_join(fact, dim, on=["k"], how="full")
 
 
 def test_bfs_crawl_loop(spark):
