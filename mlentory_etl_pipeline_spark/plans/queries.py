@@ -852,6 +852,24 @@ def tumbling_window_agg(spark, sf_dir):
 
 
 @register(
+    "approx_aggregates",
+    "sketch aggregates per event_type: HyperLogLog++ distinct users and "
+    "approximate median value — the fixed-memory substitutes for exact "
+    "distinct/median at 100 TB; accuracy vs exact asserted in tests "
+    "(sketch values are engine-specific — rows-only driver check)",
+    oracle=None,
+    survey_ops=("approx-aggregates",),
+)
+def approx_aggregates(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.percentile_approx("value", 0.5, 10000).alias("median_value_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "skew_salted_join",
     "hot-key-safe salted join: events fact salted over 8 shuffle tasks per "
     "key, user dimension replicated 8x — results identical to the plain join "

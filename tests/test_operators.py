@@ -132,6 +132,67 @@ def test_salted_join_matches_plain_join(spark):
         skew.salted_join(fact, dim, on=["k"], how="full")
 
 
+def test_approx_aggregates_accuracy(spark):
+    """HLL++ distinct and approx median must land within tight bounds
+    of the exact answers (rsd=2%, percentile accuracy 1/10000)."""
+    from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+
+    approx = {
+        r.event_type: r for r in REGISTRY["approx_aggregates"].spark_fn(spark, SF).collect()
+    }
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.n_users_approx - ex.n_users) <= max(2, 0.05 * ex.n_users)
+        assert abs(ap.median_value_approx - ex.median_value) <= 0.02 * abs(ex.median_value)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed by the join key must join without a single
+    shuffle Exchange — the lake-layout discipline for repeated
+    fact-to-fact joins (triplet_hash / subject / doc_id)."""
+    import contextlib
+    import io
+
+    from mlentory_etl_pipeline_spark.sources import bucketing
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    bucketing.write_bucketed(orders, "b_orders", str(tmp_path / "bo"), 8, "o_orderkey")
+    bucketing.write_bucketed(lineitem, "b_lineitem", str(tmp_path / "bl"), 8, "o_orderkey")
+    # Force the shuffle-join path the layout exists for (at sf0.001 the
+    # planner would broadcast and hide the bucketing benefit).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        # Same result as the plain (shuffling) join.
+        assert joined.count() == orders.join(lineitem, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_bfs_crawl_loop(spark):
     """T4 recursive crawl: iterate frontier_diff until empty, as the
     driver loop would."""
