@@ -1,0 +1,72 @@
+"""Temporal joins over event/version tables.
+
+The reference's only temporal query is the SCD2 interval predicate
+(Q10, `GraphHandler.py` history lookups — see versioned_store.graph_at);
+SURVEY §2.9 notes it has no as-of join. This module adds the general
+operator Spark lacks natively, composed from existing DataFrame ops
+(build-brief option (a): no UDF, no mapPartitions).
+
+``asof_join``: for each left row, the single latest right row of the
+same key with ``right_ts < left_ts`` (strict; or ``<=`` with
+``strict=False``). Plan shape: one equi-join on the key (hash shuffle
+both sides, AQE-broadcast if the right side is small) followed by one
+``max_by`` aggregation keyed by the left row — map-side combinable, so
+the per-key fan-out collapses before the final shuffle. Unmatched left
+rows return via a left-anti join with null right columns, exactly the
+LEFT JOIN + ROW_NUMBER()=1 SQL the oracle runs.
+
+At 100 TB: both sides bucketed by the key (sources/bucketing.py) make
+the equi-join shuffle-free; the window alternative (row_number over
+pairs) would sort the full fan-out instead — max_by is the right
+aggregation shape. Skewed hot keys fall back to operators/skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strict: bool = True,
+) -> DataFrame:
+    """Latest-prior match per left row (nulls where none exists).
+
+    Right columns are prefixed ``asof_`` in the output; ties on
+    ``right_ts`` break deterministically on the remaining right columns
+    (lexicographic max), mirroring ``ORDER BY ts DESC, ... DESC``.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (
+        (rt < lt) if strict else (rt <= lt)
+    )
+    right_payload = [c for c in right.columns if c != on]
+    ord_cols: list[Column] = [rt] + [
+        F.col(f"r.{c}") for c in right_payload if c != right_ts
+    ]
+    picked = (
+        l.join(r, cond, "inner")
+        .groupBy(*[F.col(f"l.{c}") for c in left.columns])
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(f"r.{c}").alias(c) for c in right_payload]),
+                F.struct(*ord_cols),
+            ).alias("_m")
+        )
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_payload],
+        )
+    )
+    unmatched = l.join(r, cond, "left_anti").select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_payload],
+    )
+    return picked.unionByName(unmatched)

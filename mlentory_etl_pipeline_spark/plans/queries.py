@@ -852,6 +852,45 @@ def tumbling_window_agg(spark, sf_dir):
 
 
 @register(
+    "asof_join_prior_view",
+    "as-of join: for each click event, the user's latest strictly-prior "
+    "view event (equi-join + map-side-combinable max_by; nulls where no "
+    "prior view exists)",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT c.user_id, c.click_id, c.click_ts, v.event_id, v.ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.click_id
+               ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+             ) AS rn
+      FROM clicks c LEFT JOIN views v
+        ON v.user_id = c.user_id AND v.ts < c.click_ts
+    )
+    SELECT user_id, click_id, click_ts,
+           event_id AS asof_event_id, ts AS asof_ts
+    FROM j WHERE rn = 1
+    """,
+    survey_ops=("asof-join",),
+)
+def asof_join_prior_view(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    views = e.where("event_type = 'view'").select("user_id", "event_id", "ts")
+    return asof_join(clicks, views, on="user_id", left_ts="click_ts", right_ts="ts")
+
+
+@register(
     "approx_aggregates",
     "sketch aggregates per event_type: HyperLogLog++ distinct users and "
     "approximate median value — the fixed-memory substitutes for exact "

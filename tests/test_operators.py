@@ -132,6 +132,36 @@ def test_salted_join_matches_plain_join(spark):
         skew.salted_join(fact, dim, on=["k"], how="full")
 
 
+def test_asof_join_semantics(spark):
+    """Strictness, tie-breaking, and the unmatched-null path."""
+    import datetime as dt
+
+    from mlentory_etl_pipeline_spark.operators.temporal import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(3)), (2, T(5))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        # k=1: two candidates before T(10), tied ts → higher rid wins.
+        [(1, 100, T(7)), (1, 101, T(7)), (1, 102, T(10)), (3, 300, T(1))],
+        "k long, rid long, rts timestamp",
+    )
+    out = {
+        (r.k, r.lts): (r.asof_rid, r.asof_rts)
+        for r in asof_join(left, right, "k", "lts", "rts").collect()
+    }
+    assert out[(1, T(10))] == (101, T(7))  # strict: T(10) row excluded; tie → max rid
+    assert out[(1, T(3))] == (None, None)  # no prior
+    assert out[(2, T(5))] == (None, None)  # key absent
+
+    inclusive = {
+        (r.k, r.lts): r.asof_rid
+        for r in asof_join(left, right, "k", "lts", "rts", strict=False).collect()
+    }
+    assert inclusive[(1, T(10))] == 102  # <= admits the equal-ts row
+
+
 def test_approx_aggregates_accuracy(spark):
     """HLL++ distinct and approx median must land within tight bounds
     of the exact answers (rsd=2%, percentile accuracy 1/10000)."""
