@@ -70,3 +70,46 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_payload],
     )
     return picked.unionByName(unmatched)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join, shuffle-keyed instead of theta.
+
+    A naive ``p.ts >= i.start AND p.ts < i.end`` predicate is a theta
+    join — nested-loop per key, quadratic in hot keys. Bucketizing time
+    makes it an equi-join: each point owns one bucket
+    (``floor(ts / w)``); each interval explodes to every bucket it
+    covers (``sequence(floor(start/w), floor(end/w))``); the join runs
+    on (key, bucket) and the exact range predicate refines the bucket
+    matches. No duplicates possible — a point matches an interval only
+    in the point's single bucket. ``bucket_seconds`` trades replication
+    (long intervals explode into more buckets) against candidate
+    precision; pick ~the median interval length.
+
+    Returns points columns + matching interval columns (inner join:
+    points in no interval drop out, points in several match each).
+    """
+    w = F.lit(int(bucket_seconds))
+    p = points.withColumn("_bkt", (F.unix_timestamp(F.col(ts)) / w).cast("long"))
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start)) / w).cast("long"),
+                (F.unix_timestamp(F.col(end)) / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, [on, "_bkt"])
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_bkt")
+    )

@@ -891,6 +891,59 @@ def asof_join_prior_view(spark, sf_dir):
 
 
 @register(
+    "range_join_event_sessions",
+    "point-in-interval range join: each event matched into its user's 4h "
+    "session window via time-bucketed equi-join + exact refine (no theta join)",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 4 HOUR AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT e.user_id, e.event_id, e.ts,
+           s.session_start, s.session_end, s.n_events
+    FROM events e JOIN sessions s
+      ON s.user_id = e.user_id
+     AND e.ts >= s.session_start AND e.ts < s.session_end
+    """,
+    survey_ops=("range-join",),
+)
+def range_join_event_sessions(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import range_join
+
+    e = t(spark, sf_dir, "events")
+    sessions = incremental.session_window_agg(
+        e, "ts", "4 hours", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    pts = e.select("user_id", "event_id", "ts")
+    return range_join(
+        pts,
+        sessions,
+        on="user_id",
+        ts="ts",
+        start="session_start",
+        end="session_end",
+        bucket_seconds=4 * 3600,
+    ).select("user_id", "event_id", "ts", "session_start", "session_end", "n_events")
+
+
+@register(
     "approx_aggregates",
     "sketch aggregates per event_type: HyperLogLog++ distinct users and "
     "approximate median value — the fixed-memory substitutes for exact "

@@ -80,3 +80,19 @@ def test_scd2_no_cartesian_beyond_batch_time(spark):
 def test_tag_classification_broadcasts_vocab(spark):
     plan = _plan(spark, "tag_classification")
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_keyed(spark):
+    # The whole point of the bucketed rewrite: the interval predicate
+    # must NOT plan as a nested-loop theta join.
+    plan = _plan(spark, "range_join_event_sessions")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_aggregates_not_sorts(spark):
+    # max_by collapses the per-key fan-out map-side; no window sort of
+    # the joined pairs.
+    plan = _plan(spark, "asof_join_prior_view")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
