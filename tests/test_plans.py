@@ -90,6 +90,32 @@ def test_range_join_is_equi_keyed(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The 100 TB layout claim made concrete: a date-partitioned lake
+    write + date filter must show PartitionFilters at the scan (whole
+    partitions skipped), not a row-level filter over everything."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.sources.tpch import load_table
+
+    e = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "events_by_date")
+    e.write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+    pruned = spark.read.parquet(path).where(F.col("event_date") == "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # And the filter really prunes: only that day's rows are read.
+    day = e.where(F.col("event_date") == "2024-01-02").count()
+    assert pruned.count() == day > 0
+
+
 def test_asof_join_aggregates_not_sorts(spark):
     # max_by collapses the per-key fan-out map-side; no window sort of
     # the joined pairs.
