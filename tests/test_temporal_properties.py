@@ -1,0 +1,81 @@
+"""Property-based checks for the temporal joins: hypothesis generates
+small random event sets (tiny key/timestamp domains force ties, equal
+boundaries, empty sides) and the Spark operators must match brute-force
+Python references computed row-by-row."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mlentory_etl_pipeline_spark.operators.temporal import asof_join, range_join
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> datetime:
+    return T0 + timedelta(seconds=s)
+
+
+row_st = st.tuples(st.integers(0, 2), st.integers(0, 10))  # (key, seconds)
+rows_st = st.lists(row_st, max_size=8)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=st.lists(row_st, min_size=1, max_size=6), right=rows_st)
+def test_asof_join_matches_reference(spark, left, right):
+    lrows = [(k, i, _ts(s)) for i, (k, s) in enumerate(left)]
+    rrows = [(k, 100 + i, _ts(s)) for i, (k, s) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k long, lid long, lts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, rid long, rts timestamp")
+
+    got = {
+        r.lid: (r.asof_rid, r.asof_rts)
+        for r in asof_join(ldf, rdf, "k", "lts", "rts").collect()
+    }
+    assert set(got) == {lid for _, lid, _ in lrows}
+    for k, lid, lts in lrows:
+        cands = [(rts, rid) for rk, rid, rts in rrows if rk == k and rts < lts]
+        want = max(cands) if cands else None
+        assert got[lid] == ((want[1], want[0]) if want else (None, None))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(row_st, min_size=1, max_size=6),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10), st.integers(0, 10)),
+        max_size=5,
+    ),
+)
+def test_range_join_matches_reference(spark, points, intervals):
+    prows = [(k, i, _ts(s)) for i, (k, s) in enumerate(points)]
+    irows = [
+        (k, 100 + i, _ts(min(a, b)), _ts(max(a, b) + 1))
+        for i, (k, a, b) in enumerate(intervals)
+    ]
+    pdf = spark.createDataFrame(prows, "k long, pid long, ts timestamp")
+    idf = spark.createDataFrame(irows, "k long, iid long, start timestamp, end timestamp")
+
+    # Bucket width 3 s << interval lengths: intervals span several buckets.
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "k", "ts", "start", "end", bucket_seconds=3).collect()
+    }
+    want = {
+        (pid, iid)
+        for k, pid, ts in prows
+        for ik, iid, start, end in irows
+        if ik == k and start <= ts < end
+    }
+    assert got == want
