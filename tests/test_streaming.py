@@ -90,6 +90,49 @@ def test_streaming_session_window(spark, tmp_path):
     assert want == got
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks joined to views of the
+    same user within a 10-minute lookback must equal the batch interval
+    join. Both sides carry watermarks so the view-side state store is
+    bounded by the time bound — the streaming analogue of range_join."""
+    clicks = [(1, 10, dt.datetime(2024, 1, 1, 10, 15)), (2, 11, dt.datetime(2024, 1, 1, 10, 40))]
+    views = [
+        (1, 20, dt.datetime(2024, 1, 1, 10, 10)),  # within 10 min of click 10
+        (1, 21, dt.datetime(2024, 1, 1, 9, 0)),    # too old
+        (2, 22, dt.datetime(2024, 1, 1, 10, 39)),  # within
+    ]
+    cdf = spark.createDataFrame(clicks, "user_id long, click_id long, click_ts timestamp")
+    vdf = spark.createDataFrame(views, "user_id long, view_id long, view_ts timestamp")
+    csrc, vsrc = str(tmp_path / "clicks"), str(tmp_path / "views")
+    cdf.write.parquet(csrc)
+    vdf.write.parquet(vsrc)
+
+    def joined(c, v):
+        return c.join(
+            v,
+            (c.user_id == v.user_id)
+            & (v.view_ts <= c.click_ts)
+            & (v.view_ts >= c.click_ts - F.expr("INTERVAL 10 MINUTES")),
+        ).select("click_id", "view_id")
+
+    want = {tuple(r) for r in joined(cdf.alias("c"), vdf.alias("v")).collect()}
+    assert want == {(10, 20), (11, 22)}
+
+    cs = spark.readStream.schema(cdf.schema).parquet(csrc).withWatermark("click_ts", "1 hour")
+    vs_ = spark.readStream.schema(vdf.schema).parquet(vsrc).withWatermark("view_ts", "1 hour")
+    q = (
+        joined(cs, vs_)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("ss_join").collect()}
+    assert got == want
+
+
 def test_watermark_incremental(spark):
     df = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)), (3, dt.datetime(2024, 1, 3))],
