@@ -878,6 +878,7 @@ def tumbling_window_agg(spark, sf_dir):
     FROM j WHERE rn = 1
     """,
     survey_ops=("asof-join",),
+    headline=True,
 )
 def asof_join_prior_view(spark, sf_dir):
     from mlentory_etl_pipeline_spark.operators.temporal import asof_join
@@ -964,6 +965,7 @@ def rollup_revenue(spark, sf_dir):
      AND e.ts >= s.session_start AND e.ts < s.session_end
     """,
     survey_ops=("range-join",),
+    headline=True,
 )
 def range_join_event_sessions(spark, sf_dir):
     from mlentory_etl_pipeline_spark.operators.temporal import range_join
@@ -1058,6 +1060,7 @@ def skew_salted_join(spark, sf_dir):
     FROM sess GROUP BY user_id, sid
     """,
     survey_ops=("§2.9 streaming", "streaming-session"),
+    headline=True,
 )
 def session_window_agg(spark, sf_dir):
     e = t(spark, sf_dir, "events")
@@ -1462,6 +1465,7 @@ _IVF_DOT = (
     ) WHERE rank <= 5
     """,
     survey_ops=("ann-ivf",),
+    headline=True,
 )
 def ann_ivf_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
