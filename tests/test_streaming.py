@@ -133,6 +133,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup with bounded state: duplicate event_ids
+    arriving within the watermark horizon are dropped; state evicts
+    beyond it (the streaming face of the dedup family — batch exact
+    dedup is operators/dedup.exact_dedup)."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), "a"),
+        (1, dt.datetime(2024, 1, 1, 10, 1), "a-dup"),   # dropped
+        (2, dt.datetime(2024, 1, 1, 10, 2), "b"),
+        (2, dt.datetime(2024, 1, 1, 10, 2), "b-dup"),   # dropped
+        (3, dt.datetime(2024, 1, 1, 10, 3), "c"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, payload string")
+    src = str(tmp_path / "dedup_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+
 def test_watermark_incremental(spark):
     df = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)), (3, dt.datetime(2024, 1, 3))],
