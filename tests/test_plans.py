@@ -116,6 +116,36 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert pruned.count() == day > 0
 
 
+def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
+    """The IVF scale claim made concrete: corpus written
+    partitionBy("cell") + a probe-cell filter reads only the probed
+    cells' partitions — a query touches nprobe/n_centroids of the data."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        ivf_probe_cells,
+        seed_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = seed_centroids(e, 8)
+    assigned = ivf_probe_cells(e, cents, "vec_id", "embedding", nprobe=1, norm_alias="_cn")
+    path = str(tmp_path / "corpus_by_cell")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("cell").isin(0, 3))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters:" in plan and "cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    want = assigned.where(F.col("cell").isin(0, 3)).count()
+    assert probe.count() == want
+
+
 def test_asof_join_aggregates_not_sorts(spark):
     # max_by collapses the per-key fan-out map-side; no window sort of
     # the joined pairs.
