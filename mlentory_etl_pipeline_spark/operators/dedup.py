@@ -376,35 +376,50 @@ def embedding_near_dup_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     num_planes: int = 4,
+    num_bands: int = 1,
     round_digits: int = 4,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-random-projection buckets
     turn the all-pairs product into an equi-join on ``bucket`` —
     candidates shrink ~2^planes-fold and the join shuffles by bucket
-    (AQE splits skewed buckets). Approximate: pairs whose cosine crosses
-    the threshold but land in different buckets are missed; recall vs
-    the exact baseline is asserted in tests."""
+    (AQE splits skewed buckets).
+
+    ``num_bands`` > 1 is the OR-amplification (same AND-OR construction
+    as MinHash banding): each band is an independent plane set (distinct
+    seed), a pair is a candidate if it collides in ANY band, and
+    candidates are deduped before scoring so each pair is scored once.
+    Recall ≈ 1-(1-p^planes)^bands rises steeply with bands while cost
+    stays bands × per-band-join; asserted against the exact baseline in
+    tests. Approximate: pairs colliding in no band are missed."""
     from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket
     from mlentory_etl_pipeline_spark.functions.vectors import dot_product, l2_norm
 
-    bucketed = rp_bucket(vecs, vec_col, dim, num_planes).select(
-        F.col(id_col), F.col(vec_col), F.col("bucket"), l2_norm(F.col(vec_col)).alias("_n")
+    with_norm = vecs.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
     )
-    a = bucketed.select(
-        F.col("bucket"),
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
+    cand = None
+    for band in range(num_bands):
+        bucketed = rp_bucket(
+            with_norm, vec_col, dim, num_planes, seed=7 + 1000 * band
+        ).select(F.col(id_col), F.col("bucket"))
+        a = bucketed.select(F.col("bucket"), F.col(id_col).alias("a_id"))
+        b = bucketed.select(F.col("bucket"), F.col(id_col).alias("b_id"))
+        pairs = (
+            a.join(b, "bucket").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if num_bands > 1:
+        cand = cand.distinct()
+
+    va = with_norm.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na")
     )
-    b = bucketed.select(
-        F.col("bucket"),
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
+    vb = with_norm.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
     )
     scored = (
-        a.join(b, "bucket")
-        .where(F.col("a_id") < F.col("b_id"))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
             "a_id",
             "b_id",

@@ -1839,14 +1839,17 @@ def dedup_embedding_cosine(spark, sf_dir):
 @register(
     "dedup_embedding_cosine_lsh",
     "embedding near-dup scale path: random-projection buckets replace "
-    "the all-pairs product with an equi-join on bucket; recall vs exact "
-    "asserted in tests — rows-only driver check",
+    "the all-pairs product with per-band equi-joins (3-band "
+    "OR-amplification); recall vs exact asserted in tests — rows-only "
+    "driver check",
     oracle=None,
     survey_ops=("dedup-embedding-cosine-lsh",),
 )
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_lsh(e, dim=64, threshold=0.3, num_planes=4)
+    return dedup.embedding_near_dup_lsh(
+        e, dim=64, threshold=0.3, num_planes=4, num_bands=3
+    )
 
 
 # =====================================================================

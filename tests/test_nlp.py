@@ -141,3 +141,16 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert exact  # threshold chosen to produce pairs at this sf
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.2  # single-probe, 2 planes → ≥ quarter-ish survive
+
+    # OR-amplification: 4 independent bands must beat one band clearly
+    # (recall ≈ 1-(1-p²)⁴ vs p²) at 4× the join cost, still no cross join.
+    banded = {
+        (r.a_id, r.b_id)
+        for r in dedup.embedding_near_dup_lsh(
+            e, dim=64, threshold=0.25, num_planes=2, num_bands=4
+        ).collect()
+    }
+    assert banded <= exact
+    banded_recall = len(banded & exact) / len(exact)
+    assert banded_recall > recall
+    assert banded_recall >= 0.5, f"banded recall {banded_recall}"
