@@ -1,0 +1,209 @@
+"""Corpus-curation operators for large-scale training-data pipelines
+(beyond-reference layer): benchmark decontamination, PII redaction,
+repetition statistics, deterministic hash splits and per-group quota
+sampling.
+
+These are the standard pretraining-corpus hygiene passes (the public
+C4 / Gopher / Llama data-prep recipes describe them all); none exist in
+the reference, which curates ~10^2 model cards, but at 100 TB they are
+the bulk of the pipeline. Everything here is pure Column expressions —
+whole-stage codegen, zero Python in the hot path — and every operator
+is hash-replicable in ANSI SQL so the DuckDB oracle gate covers it.
+
+Scale posture (see SCALE.md):
+
+- decontaminate: the eval set is tiny by construction (benchmarks are
+  10^3-10^5 docs vs 10^9+ corpus docs) so its shingle table broadcasts;
+  the corpus side streams map-only through shingle-explode + broadcast
+  hash join + one aggregation shuffle on (corpus_id, eval_id) pairs —
+  the only shuffle, sized by |contaminated pairs| not |corpus|.
+- pii_redact / repetition / hash_split: map-only, no shuffle at all
+  (repetition's top-bigram needs one doc-local aggregation shuffle,
+  hash-partitioned on doc_id).
+- hash_split keys on md5(id) so the assignment is stable under
+  re-partitioning, re-runs and engine changes — the property that makes
+  train/test membership reproducible across the fleet.
+- quota_sample is a bounded top-k per group: one shuffle on the group
+  key; AQE splits a skewed group (one giant source domain) at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators.dedup import (
+    _ensure_parallelism,
+    _shingles_of_words,
+)
+
+# --------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (no lookaround, no backreferences) —
+#: portable between Spark (Java regex) and the DuckDB oracle (RE2).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+#: Redaction order matters: emails contain dots/digits, so scrub them
+#: before IPs; phones before IPs so "555-867-5309" is not half-eaten.
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (size of regexp_extract_all, group 0)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with ``[KIND]``. Single pass per kind,
+    JVM-side ``regexp_replace`` — no UDF."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+# --------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# --------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals over word n-grams:
+
+    - ``dup_trigram_frac``: 1 − |distinct trigrams| / |trigrams| —
+      computed doc-locally with array HOFs, no shuffle.
+    - ``top_bigram_frac``: occurrences of the most frequent bigram /
+      total bigrams — needs a per-(doc, bigram) count, one aggregation
+      shuffle hash-partitioned on (doc_id, bigram) then (doc_id);
+      map-side combine keeps the explode fan-out local.
+
+    The word arrays are projected once before the HOF lambdas (see
+    ``dedup._shingles_of_words`` — inline expressions in lambdas are
+    not CSE'd)."""
+    words = _ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    )
+    grams = words.select(
+        F.col(id_col),
+        _shingles_of_words(F.col("_w"), 2).alias("_bg"),
+        _shingles_of_words(F.col("_w"), 3).alias("_tg"),
+    )
+    exploded = grams.select(
+        F.col(id_col),
+        F.explode("_bg").alias("bigram"),
+        F.size("_tg").alias("_n_tg"),
+        F.size(F.array_distinct("_tg")).alias("_d_tg"),
+    )
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(
+        F.count("*").alias("_c"), F.min("_n_tg").alias("_n_tg"), F.min("_d_tg").alias("_d_tg")
+    )
+    return per_bigram.groupBy(id_col).agg(
+        F.round(F.max("_c") / F.sum("_c").cast("double"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0) - F.min("_d_tg") / F.min("_n_tg").cast("double"), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic splits & sampling
+# --------------------------------------------------------------------
+
+
+def split_bucket(id_col: Column) -> Column:
+    """First md5 hex byte of the stringified id — a uniform, engine-
+    portable 256-bucket hash. The basis for reproducible train/val/test
+    membership: stable under repartitioning, re-runs, and engines."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 2)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, bounds: tuple[tuple[str, str], ...] = (
+        ("train", "cd"),  # buckets 00..cc ≈ 80.1%
+        ("val", "e6"),    # cd..e5  ≈  9.8%
+        ("test", "\x7f"), # e6..ff  ≈ 10.2% ("\x7f" > any hex char)
+    ),
+) -> DataFrame:
+    """Assign each row a deterministic split by md5-bucket thresholds.
+    Map-only — no shuffle, no RNG, no driver state."""
+    b = split_bucket(F.col(id_col))
+    expr = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(b < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame, group_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically by
+    md5(id) order (a reproducible uniform sample — no RNG). One shuffle
+    on the group key; rank is bounded so the sort never materializes
+    more than k rows per group after AQE skew-split."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        split_bucket(F.col(id_col)), F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥1 word ``n``-gram with any eval
+    document (the public GPT-3/Llama decontamination recipe; 8-13-gram
+    overlap is the standard test-set-leak detector).
+
+    Returns (corpus_id, eval_id, n_shared) per contaminated pair.
+
+    Plan: both sides shingle map-locally; the eval side (tiny by
+    construction) is broadcast, so the corpus never shuffles for the
+    join — the only shuffle is the final pair-count aggregation, sized
+    by the number of *contaminated* pairs, not the corpus. Shingles are
+    md5-hashed before the join so only 32-byte keys move."""
+    c = (
+        _shingled(corpus, id_col, text_col, n)
+        .withColumnRenamed(id_col, "corpus_id")
+    )
+    e = (
+        _shingled(eval_df, id_col, text_col, n)
+        .withColumnRenamed(id_col, "eval_id")
+    )
+    joined = c.join(F.broadcast(e), "gram_hash").where(
+        F.col("corpus_id") != F.col("eval_id")
+    )
+    return joined.groupBy("corpus_id", "eval_id").agg(
+        F.count("*").alias("n_shared")
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    words = _ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    )
+    return words.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles_of_words(F.col("_w"), n))).alias("_g"),
+    ).select(F.col(id_col), F.md5("_g").alias("gram_hash"))

@@ -2734,3 +2734,175 @@ def scd2_touch_unchanged(spark, sf_dir):
     return s2.version_range.join(s2.triplet.drop("subject"), "triplet_hash").select(
         "subject", "predicate", "object", "use_start", "use_end", "deprecated"
     )
+
+
+# =====================================================================
+# Corpus curation (beyond-reference layer: decontamination, PII,
+# repetition, deterministic splits/sampling — operators/curation.py)
+# =====================================================================
+
+from mlentory_etl_pipeline_spark.operators import curation  # noqa: E402
+
+# Deterministic PII decoration derived from doc_id (the synthetic docs
+# carry no PII, so the redaction pass would be a no-op; appending
+# id-derived contact strings makes the scrub observable and keeps the
+# oracle exact). Same expression in both engines.
+_PII_DECORATE_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com ph 555-867-' || "
+    "LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+def _pii_decorate(col_text, col_id):
+    return F.concat(
+        col_text,
+        F.lit(" contact user"),
+        col_id.cast("string"),
+        F.lit("@mail.example.com ph 555-867-"),
+        F.lpad((col_id % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (col_id % 256).cast("string"),
+        F.lit("."),
+        ((col_id * 7) % 256).cast("string"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    "PII scrubbing: email/phone/IPv4 redaction + per-kind match counts, "
+    "pure JVM regexp (map-only, no shuffle)",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_PII_DECORATE_SQL} AS t FROM documents)
+    SELECT doc_id,
+      REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+        '{curation.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+        '{curation.PII_PATTERNS["phone"]}', '[PHONE]', 'g'),
+        '{curation.PII_PATTERNS["ipv4"]}', '[IPV4]', 'g') AS redacted,
+      LEN(REGEXP_EXTRACT_ALL(t, '{curation.PII_PATTERNS["email"]}')) AS n_emails,
+      LEN(REGEXP_EXTRACT_ALL(t, '{curation.PII_PATTERNS["phone"]}')) AS n_phones,
+      LEN(REGEXP_EXTRACT_ALL(t, '{curation.PII_PATTERNS["ipv4"]}')) AS n_ipv4
+    FROM d
+    """,
+    survey_ops=("text-pii-redact",),
+)
+def text_pii_redact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_decorate(F.col("text"), F.col("doc_id")).alias("t")
+    )
+    counts = curation.pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        curation.pii_redact(F.col("t")).alias("redacted"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ipv4"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    "Gopher-style repetition signals: top-bigram fraction + duplicate "
+    "trigram fraction per document",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1]) AS bgs,
+        LIST_TRANSFORM(RANGE(1, LEN(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tgs
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, UNNEST(bgs) AS bigram, LEN(tgs) AS n_tg,
+             LEN(LIST_DISTINCT(tgs)) AS d_tg
+      FROM g
+    ),
+    p AS (
+      SELECT doc_id, bigram, COUNT(*) AS c, MIN(n_tg) AS n_tg, MIN(d_tg) AS d_tg
+      FROM e GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac,
+           ROUND(1 - MIN(d_tg) / CAST(MIN(n_tg) AS DOUBLE), 6) AS dup_trigram_frac
+    FROM p GROUP BY doc_id
+    """,
+    survey_ops=("text-repetition",),
+)
+def text_repetition_stats(spark, sf_dir):
+    return curation.repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "hash_split_assign",
+    "deterministic md5-bucket train/val/test assignment (map-only, "
+    "reproducible across engines/runs/partitionings)",
+    oracle="""
+    SELECT doc_id,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey_ops=("sampling-hash-split",),
+)
+def hash_split_assign(spark, sf_dir):
+    return curation.hash_split(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "bucket", "split"
+    )
+
+
+@register(
+    "quota_sample_per_group",
+    "deterministic per-(lang,source) quota sample: keep ≤5 docs per "
+    "group by md5(id) order — bounded top-k, one shuffle",
+    oracle="""
+    SELECT doc_id, lang, source, sample_rank FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+    survey_ops=("sampling-quota",),
+)
+def quota_sample_per_group(spark, sf_dir):
+    return curation.quota_sample(
+        t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id", 5
+    ).select("doc_id", "lang", "source", "sample_rank")
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    "benchmark decontamination: corpus docs sharing a word 4-gram with "
+    "the eval subset (doc_id % 97 = 0); eval shingles broadcast so the "
+    "corpus side never shuffles for the join. (Real corpora use 8-13 "
+    "grams; the synthetic vocab is ~30 words so 4-grams are the "
+    "selective-but-nonempty equivalent here.)",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        LIST_TRANSFORM(RANGE(1, LEN(w) - 2),
+          i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 3), ' ')))) AS gram
+      FROM w
+    )
+    SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+    FROM g c JOIN g e ON c.gram = e.gram
+    WHERE e.doc_id % 97 = 0 AND c.doc_id <> e.doc_id
+    GROUP BY 1, 2
+    """,
+    survey_ops=("decontamination",),
+    headline=True,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(docs, eval_df, "doc_id", "text", n=4)

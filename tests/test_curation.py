@@ -1,0 +1,125 @@
+"""Unit tests for the corpus-curation operators (beyond-reference
+layer, operators/curation.py): PII redaction on crafted strings, planted
+decontamination overlap, hash-split determinism and proportions, quota
+bounds, and repetition stats on constructed repetitive text. The
+oracle-backed registry queries cover the engine-parity side; these
+cover semantics the synthetic corpus can't reach."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators import curation
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.example.org now"),
+            (2, "call 555-867-5309 or 555.867.5309 twice"),
+            (3, "host 192.168.0.1 up, not 1234.5.6.7 weird"),
+            (4, "clean text with no pii at all"),
+        ],
+        "id int, t string",
+    )
+    counts = curation.pii_counts(F.col("t"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            curation.pii_redact(F.col("t")).alias("red"),
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ipv4"].alias("i"),
+        ).collect()
+    }
+    assert rows[1].red == "mail [EMAIL] now" and rows[1].e == 1
+    assert rows[2].red == "call [PHONE] or [PHONE] twice" and rows[2].p == 2
+    # 1234.5.6.7: \b\d{1,3}\. can't start inside "1234" cleanly — the
+    # match anchors at "234.5.6.7" (word boundary between digits doesn't
+    # exist, so no match inside 1234) → only the real IP is redacted.
+    assert rows[3].red.startswith("host [IPV4] up") and rows[3].i >= 1
+    assert rows[4].red == rows[4].t if hasattr(rows[4], "t") else True
+    assert rows[4].e == rows[4].p == rows[4].i == 0
+
+
+def test_pii_redact_order_email_before_ip(spark):
+    # An email whose domain looks IP-ish must be scrubbed as ONE email,
+    # not partially as an IP.
+    df = spark.createDataFrame([(1, "x user@10.0.0.1.example.com y")], "id int, t string")
+    out = df.select(curation.pii_redact(F.col("t")).alias("r")).first().r
+    assert out == "x [EMAIL] y"
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    out = curation.hash_split(df, "doc_id")
+    frac = {
+        r["split"]: r["n"] / 20000.0
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 205 / 256) < 0.02
+    assert abs(frac["val"] - 25 / 256) < 0.01
+    assert abs(frac["test"] - 26 / 256) < 0.01
+    # Determinism: same assignment after an arbitrary repartition.
+    again = curation.hash_split(df.repartition(7), "doc_id")
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_quota_sample_bounds_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "doc_id long, grp string"
+    )
+    out = curation.quota_sample(df, ["grp"], "doc_id", 4)
+    per = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 4 for n in per.values()) and len(per) == 3
+    again = curation.quota_sample(df.repartition(5), ["grp"], "doc_id", 4)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_repetition_stats_detects_loops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),             # one bigram dominates
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].top_bigram_frac > 0.4
+    assert rows[1].dup_trigram_frac > 0.9
+    assert rows[2].top_bigram_frac < 0.02
+    assert rows[2].dup_trigram_frac == 0.0
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 " + leak + " y1 y2"),
+            (2, "completely different words here nothing shared at all ok"),
+            (3, "prefix words then " + leak),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "eval head " + leak + " eval tail")], "doc_id long, text string"
+    )
+    out = curation.decontaminate(corpus, eval_df, "doc_id", "text", n=8).collect()
+    hit = {r.corpus_id: r.n_shared for r in out}
+    assert set(hit) == {1, 3}
+    assert all(n >= 1 for n in hit.values())
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    corpus = spark.createDataFrame(
+        [(i, "w%d a b c d e f g h" % i) for i in range(20)], "doc_id long, text string"
+    )
+    eval_df = corpus.where(F.col("doc_id") < 2)
+    plan = curation.decontaminate(corpus, eval_df, "doc_id", "text", n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
