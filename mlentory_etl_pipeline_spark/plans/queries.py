@@ -2906,3 +2906,64 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 97 == 0)
     return curation.decontaminate(docs, eval_df, "doc_id", "text", n=4)
+
+
+@register(
+    "curation_pipeline_stats",
+    "end-to-end corpus curation as ONE declarative plan: quality gate → "
+    "exact dedup (min doc per fingerprint) → deterministic hash split → "
+    "per-split stats. Catalyst fuses the whole map chain; the only "
+    "shuffles are the dedup groupBy and the final 3-row aggregate",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, text,
+        ROUND(
+          (CASE WHEN (LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', ''))) / CAST(LENGTH(text) AS DOUBLE) > 0.1
+                THEN 0.5 ELSE 1.0 END)
+          * (LEAST(LENGTH(text) / 500.0, 1.0) * 0.5
+             + LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                          w -> w IN ('the','a','of','and','to','in','is'))) / 5.0, 1.0) * 0.3
+             + 0.2), 4) AS quality,
+        MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+        LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+      ) WHERE rn = 1
+    ),
+    split AS (
+      SELECT *,
+        CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           SUM(n_tokens) AS total_tokens
+    FROM split GROUP BY split
+    """,
+    survey_ops=("decontamination", "sampling-hash-split", "text-quality", "dedup-exact"),
+)
+def curation_pipeline_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+    )
+    gated = d.where(F.col("quality") >= 0.5)
+    deduped = (
+        gated.groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "quality", "n_tokens"), "doc_id").alias("_r"))
+        .select("_r.doc_id", "_r.quality", "_r.n_tokens")
+    )
+    assigned = curation.hash_split(deduped, "doc_id")
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
