@@ -207,3 +207,59 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         F.col(id_col),
         F.explode(F.array_distinct(_shingles_of_words(F.col("_w"), n))).alias("_g"),
     ).select(F.col(id_col), F.md5("_g").alias("gram_hash"))
+
+
+# --------------------------------------------------------------------
+# Chunking & sequence packing (training-sample construction)
+# --------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, size: int = 30, stride: int = 25
+) -> DataFrame:
+    """Split each document into token windows of ``size`` tokens every
+    ``stride`` tokens (overlap = size − stride) — the standard
+    training-sample windowing pass. Every token is covered: starts run
+    at 1, 1+stride, … while ``start ≤ n − overlap``, so the final
+    window may be short but the tail is never dropped; a doc shorter
+    than ``size`` yields one partial chunk. Map-only: tokenize once,
+    ``sequence``+``explode`` fan out the windows, no shuffle anywhere."""
+    words = _ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    )
+    overlap = size - stride
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_w") - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = words.select(
+        F.col(id_col), F.size("_w").alias("_n"), F.posexplode(starts).alias("chunk_id", "_s")
+    ).join(words, id_col)
+    piece = F.slice(F.col("_w"), F.col("_s"), F.lit(size))
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, token_col: str, context: int, part_col: str | None = None
+) -> DataFrame:
+    """Assign documents to fixed-budget training bins: docs are laid out
+    in deterministic md5(id) order and doc → bin ``floor(tokens_before /
+    context)`` — reproducible approximate first-fit packing with no RNG
+    and no driver loop.
+
+    ``part_col`` bounds the window: packing runs independently per
+    partition value (split/shard), so the sort parallelizes instead of
+    funneling 10⁹ docs through one window partition. Pass None only for
+    small inputs."""
+    from pyspark.sql import Window
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = (Window.partitionBy(part_col) if part_col else Window.partitionBy()).orderBy(
+        *order
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(before / context))

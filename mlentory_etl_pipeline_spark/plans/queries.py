@@ -2967,3 +2967,61 @@ def curation_pipeline_stats(spark, sf_dir):
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "chunk_documents_windows",
+    "training-sample construction: token windows of 30 every 25 tokens "
+    "per doc, tail-covering (sequence+posexplode, map-only — no shuffle)",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w,
+             UNNEST(RANGE(1, GREATEST(LEN(w) - 5, 1) + 1, 25)) AS st
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((st - 1) / 25 AS INT) AS chunk_id,
+           ARRAY_TO_STRING(LIST_SLICE(w, st, st + 29), ' ') AS chunk_text,
+           LEN(LIST_SLICE(w, st, st + 29)) AS chunk_tokens
+    FROM s
+    """,
+    survey_ops=("chunking",),
+)
+def chunk_documents_windows(spark, sf_dir):
+    return curation.chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", size=30, stride=25
+    )
+
+
+@register(
+    "pack_sequences_bins",
+    "deterministic sequence packing: docs laid out in md5(id) order per "
+    "split, binned by cumulative token budget (512/bin) — the window "
+    "partitions by split so packing parallelizes at corpus scale",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT doc_id, split, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY split
+             ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+    FROM d
+    """,
+    survey_ops=("sequence-packing",),
+)
+def pack_sequences_bins(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    assigned = curation.hash_split(d, "doc_id").select("doc_id", "n_tokens", "split")
+    return curation.pack_sequences(assigned, "doc_id", "n_tokens", 512, part_col="split")

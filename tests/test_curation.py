@@ -123,3 +123,40 @@ def test_decontaminate_broadcasts_eval_side(spark):
     eval_df = corpus.where(F.col("doc_id") < 2)
     plan = curation.decontaminate(corpus, eval_df, "doc_id", "text", n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(70))
+    df = spark.createDataFrame([(1, text), (2, "short doc only")], "doc_id long, text string")
+    rows = sorted(
+        curation.chunk_documents(df, "doc_id", "text", size=30, stride=25).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 70 tokens, size 30, stride 25 → starts 1,26 (X = 70-29 = 41 → 1,26) ... 41>26 → also 51? 1,26,51
+    starts = [r.chunk_id * 25 for r in d1]
+    assert starts == [0, 25, 50]
+    assert d1[0].chunk_tokens == 30 and d1[-1].chunk_tokens == 20
+    # consecutive chunks overlap by size - stride = 5 tokens
+    assert d1[0].chunk_text.split()[25:] == d1[1].chunk_text.split()[:5]
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_tokens == 3
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(50)], "doc_id long, n_tokens int"
+    )
+    out = curation.pack_sequences(df, "doc_id", "n_tokens", 512)
+    agg = out.groupBy("bin").agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n"))
+    rows = agg.collect()
+    last = max(r.bin for r in rows)
+    for r in rows:
+        # each full bin holds ~512 tokens of 100-token docs (5-6 docs);
+        # the final bin keeps the remainder
+        assert r.n in (5, 6) or (r.bin == last and r.n <= 6)
+    # bins are dense 0..k
+    bins = sorted(r.bin for r in out.select("bin").distinct().collect())
+    assert bins == list(range(len(bins)))
+    again = curation.pack_sequences(df.repartition(7), "doc_id", "n_tokens", 512)
+    assert out.exceptAll(again).count() == 0
