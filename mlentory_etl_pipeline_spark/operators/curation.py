@@ -232,8 +232,8 @@ def chunk_documents(
         F.lit(1), F.greatest(F.size("_w") - overlap, F.lit(1)), F.lit(stride)
     )
     chunks = words.select(
-        F.col(id_col), F.size("_w").alias("_n"), F.posexplode(starts).alias("chunk_id", "_s")
-    ).join(words, id_col)
+        F.col(id_col), F.col("_w"), F.posexplode(starts).alias("chunk_id", "_s")
+    )
     piece = F.slice(F.col("_w"), F.col("_s"), F.lit(size))
     return chunks.select(
         F.col(id_col),

@@ -152,3 +152,42 @@ def test_asof_join_aggregates_not_sorts(spark):
     plan = _plan(spark, "asof_join_prior_view")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_map_only(spark):
+    plan = _plan(spark, "hash_split_assign")
+    # Pure projection over the scan: no shuffle, no join, no sort.
+    for op in ("Exchange", "Sort", "Join", "Window"):
+        assert op not in plan, op
+
+
+def test_chunking_is_map_only(spark):
+    plan = _plan(spark, "chunk_documents_windows")
+    # sequence+posexplode fan-out happens map-side; the conditional
+    # _ensure_parallelism round-robin repartition is the only permitted
+    # Exchange — never a key shuffle, join, or sort.
+    assert "Generate" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "Join" not in plan and "Sort" not in plan
+
+
+def test_decontaminate_broadcasts_eval_and_single_agg_shuffle(spark):
+    plan = _plan(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    plan = _plan(spark, "pack_sequences_bins")
+    # The packing window must carry a partition key (split) — a global
+    # window (partitionBy()) would funnel the corpus into one task.
+    assert "Window" in plan
+    assert "windowspecdefinition(split" in plan.lower().replace(" ", "") or "partitionBy" not in plan
+
+
+def test_curation_pipeline_dedup_aggregates_not_sorts(spark):
+    plan = _plan(spark, "curation_pipeline_stats")
+    # Exact dedup is min_by aggregation (map-side combinable), never a
+    # per-fingerprint window sort.
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
