@@ -1,0 +1,77 @@
+"""Raw-file corpus ingest + layout maintenance.
+
+The reference lands API payloads as JSON files and re-reads them
+(`code/extractors/mlentory_extract/hf_extract/HFDatasetManager.py`
+saves raw JSON; run logs re-read them) — at corpus scale the same job
+is: read JSONL with an EXPLICIT schema, quarantine malformed records
+instead of failing the batch, and keep the file layout healthy
+(compaction) so scans stay parallel without small-file overhead.
+
+Scale posture:
+
+- `read_jsonl` forces a user-supplied schema: schema inference reads
+  the whole corpus twice and silently widens types between runs —
+  never acceptable at 100 TB. Corrupt records are kept in a side
+  column (PERMISSIVE mode) so one bad line in 10¹⁰ quarantines, not
+  kills; `quarantine()` splits good/bad declaratively.
+- `compact` rewrites a directory of many small files into
+  size-targeted files. Small files are the classic lake killer: a
+  10⁶-file input costs 10⁶ scheduler tasks and metadata round-trips.
+  Sorting within files by a caller-chosen key keeps min/max zone maps
+  selective for later scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Line-delimited JSON with explicit schema + corrupt-record
+    quarantine column. PERMISSIVE: a malformed line yields nulls + the
+    raw line in ``_corrupt_record``; well-formed lines carry null
+    there."""
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, bad_raw_lines). Spark requires a
+    cache/materialization barrier before filtering on the corrupt
+    column (documented JSON-reader behavior: the filter would
+    otherwise push into the parser and drop the raw line)."""
+    df = df.cache()
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
+def compact(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    sort_col: str,
+    target_rows_per_file: int,
+) -> int:
+    """Rewrite ``src_dir`` parquet into ``dest_dir`` with ≈target-sized,
+    range-sorted files. Returns the file count written.
+
+    `repartitionByRange(sort_col)` gives globally ordered, evenly
+    sized files (sampling-based ranges absorb skew), so later scans
+    with predicates on ``sort_col`` prune by footer min/max. Row-count
+    proxy for bytes keeps the helper engine-portable; swap in
+    `maxRecordsPerFile`/Delta OPTIMIZE on a lake."""
+    df = spark.read.parquet(src_dir)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    df.repartitionByRange(files, F.col(sort_col)).write.mode("overwrite").parquet(dest_dir)
+    return files
