@@ -34,3 +34,24 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity between two ``array<numeric>`` columns."""
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def abs_max(a: Column) -> Column:
+    """max(|v_i|) accumulated in double."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric per-vector int8 quantization against a PRE-PROJECTED
+    scale column (``abs_max(v)/127``): ``q_i = round(v_i / scale)``.
+
+    The scale must be projected as its own column first — referencing
+    ``abs_max`` inside this lambda would re-reduce the vector once per
+    element (the HOF-CSE trap measured in dedup.py). Rounding is
+    half-away-from-zero in both Spark (HALF_UP) and DuckDB, so the int
+    codes are engine-exact. 4× memory vs float32 — the standard ANN
+    corpus-compression step; dot products on int8 codes rescale by
+    ``scale_a * scale_b``."""
+    return F.transform(a, lambda v: F.round(v.cast("double") / scale).cast("int"))

@@ -3025,3 +3025,34 @@ def pack_sequences_bins(spark, sf_dir):
     )
     assigned = curation.hash_split(d, "doc_id").select("doc_id", "n_tokens", "split")
     return curation.pack_sequences(assigned, "doc_id", "n_tokens", 512, part_col="split")
+
+
+@register(
+    "embedding_quantize_int8",
+    "symmetric per-vector int8 quantization (scale = max|v|/127) — the "
+    "4x ANN corpus-compression step, engine-exact integer codes",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(sc, 6) AS qscale,
+           LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS INT)) AS q
+    FROM s
+    """,
+    survey_ops=("ann-quantization",),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.functions import vectors
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (vectors.abs_max(F.col("embedding")) / 127.0).alias("sc"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.col("sc"), 6).alias("qscale"),
+        vectors.quantize_int8(F.col("embedding"), F.col("sc")).alias("q"),
+    )

@@ -160,3 +160,62 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert bins == list(range(len(bins)))
     again = curation.pack_sequences(df.repartition(7), "doc_id", "n_tokens", 512)
     assert out.exceptAll(again).count() == 0
+
+
+# ---- hypothesis properties ----------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_tokens=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=5))
+def test_chunking_covers_every_token(spark, n_tokens):
+    docs = [(i, " ".join(f"d{i}w{j}" for j in range(n))) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    size, stride = 30, 25
+    rows = curation.chunk_documents(df, "doc_id", "text", size=size, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        toks = docs[i][1].split()
+        covered = set()
+        for r in chunks:
+            start = r.chunk_id * stride  # 0-based
+            piece = toks[start : start + size]
+            assert r.chunk_text.split() == piece  # windows are faithful slices
+            covered.update(range(start, start + len(piece)))
+        assert covered == set(range(n))  # every token in some window
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tokens=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+       context=st.sampled_from([256, 512]))
+def test_packing_overflow_bounded_by_one_doc(spark, tokens, context):
+    df = spark.createDataFrame(list(enumerate(tokens)), "doc_id long, n_tokens long")
+    out = curation.pack_sequences(df, "doc_id", "n_tokens", context).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin, []).append(r.n_tokens)
+    # bin ids start at 0 (may skip when one doc overshoots a whole bin)
+    assert min(bins) == 0
+    for b, sizes in bins.items():
+        # a bin exceeds the budget only by the straddling doc
+        assert sum(sizes) < context + max(tokens)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=1, max_size=50, unique=True))
+def test_hash_split_total_and_stable(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = curation.hash_split(df, "doc_id").collect()
+    assert len(rows) == len(ids)  # partition is total: one split per row
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    again = {r.doc_id: r.split for r in curation.hash_split(df.repartition(3), "doc_id").collect()}
+    assert {r.doc_id: r.split for r in rows} == again
