@@ -281,3 +281,79 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def int8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Two-stage ANN: coarse top-``shortlist`` on symmetric int8 codes
+    (exact integer dot products rescaled by the two per-vector scales),
+    then exact float cosine re-rank of the survivors to top-``k``.
+
+    The 100 TB shape: the scan touches only the 4×-smaller code table;
+    float vectors are fetched for |queries|·shortlist candidates via a
+    broadcast join — never scanned in full. Locally both live in one
+    DataFrame; the plan still proves the candidate-only re-rank (the
+    exact cosine evaluates after the shortlist window, not in the cross
+    join). Integer dots are engine-exact, so the shortlist is
+    deterministic; ties break on neighbor id."""
+    from mlentory_etl_pipeline_spark.functions.vectors import abs_max, quantize_int8
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), (abs_max(F.col(vec_col)) / 127.0).alias("_csc")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_csc"),
+        quantize_int8(F.col(vec_col), F.col("_csc")).alias("_cq"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        (abs_max(F.col(query_vec_col)) / 127.0).alias("_qsc"),
+    ).select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("_qsc"),
+        quantize_int8(F.col(query_vec_col), F.col("_qsc")).alias("_qq"),
+    )
+    # Integer dot (exact, engine-portable) — accumulate in long.
+    int_dot = F.aggregate(
+        F.zip_with("_qq", "_cq", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(c.drop(vec_col))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.col(id_col).alias("neighbor_id"),
+            (int_dot.cast("double") * F.col("_qsc") * F.col("_csc")).alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    short = coarse.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= shortlist)
+    # Candidate-only exact re-rank: shortlist (|q|·shortlist rows) is
+    # broadcast; the float corpus is probed by neighbor id.
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    exact = F.broadcast(short.select(query_id_col, query_vec_col, "neighbor_id")).join(
+        floats, "neighbor_id"
+    )
+    score = F.round(
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4
+    ).alias("score")
+    rescored = exact.select(F.col(query_id_col), F.col("neighbor_id"), score)
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

@@ -3056,3 +3056,65 @@ def embedding_quantize_int8(spark, sf_dir):
         F.round(F.col("sc"), 6).alias("qscale"),
         vectors.quantize_int8(F.col("embedding"), F.col("sc")).alias("q"),
     )
+
+
+@register(
+    "ann_int8_rerank_topk",
+    "two-stage ANN: coarse top-20 on int8 codes (exact integer dots x "
+    "scales), exact float cosine re-rank of candidates only -> top-5; "
+    "the scan reads the 4x-smaller code table, floats probed by id",
+    oracle="""
+    WITH vec AS (
+      SELECT vec_id, embedding,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, embedding, sc,
+             LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS BIGINT)) AS q
+      FROM vec
+    ),
+    coarse AS (
+      SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qc.q) + 1),
+                  i -> qc.q[i] * cc.q[i])) AS DOUBLE) * qc.sc * cc.sc AS approx_score
+      FROM codes qc JOIN codes cc ON qc.vec_id <> cc.vec_id
+      WHERE qc.vec_id < 10
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_score DESC, neighbor_id ASC) AS r
+        FROM coarse
+      ) WHERE r <= 20
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv.embedding) + 1),
+                        i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(nv.embedding[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(qv.embedding, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(nv.embedding, v -> CAST(v AS DOUBLE) * v)))),
+               4) AS score
+      FROM short s
+      JOIN embeddings qv ON qv.vec_id = s.query_id
+      JOIN embeddings nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+    survey_ops=("ann-quantization", "ann-brute-force"),
+)
+def ann_int8_rerank_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.int8_rerank_topk(e, q, k=5, shortlist=20).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )

@@ -296,3 +296,18 @@ def test_connected_components_chain_and_clique(spark):
     # canonical survivor per cluster = node whose component == itself
     survivors = sorted(n for n, c in labels.items() if n == c)
     assert survivors == [1, 10, 20]
+
+
+def test_int8_rerank_recall_vs_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, q, k=5)
+    two_stage = similarity.int8_rerank_topk(e, q, k=5, shortlist=20)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in two_stage.collect()}
+    # int8 coarse scoring misorders only near-equal cosines; with a 4x
+    # shortlist the exact top-5 should survive almost entirely.
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"recall {recall}"
