@@ -3118,3 +3118,57 @@ def ann_int8_rerank_topk(spark, sf_dir):
     return similarity.int8_rerank_topk(e, q, k=5, shortlist=20).select(
         "query_id", "neighbor_id", "score", "rank"
     )
+
+
+# =====================================================================
+# Profiling (skew diagnostics + ANALYZE-TABLE surface)
+# =====================================================================
+
+from mlentory_etl_pipeline_spark.operators import profiling  # noqa: E402
+
+
+@register(
+    "profile_heavy_hitters",
+    "skew diagnostics: top-10 hottest l_suppkey values with absolute + "
+    "relative frequency (map-side-combined counts, bounded top-k)",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n,
+           ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 6) AS frac
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY n DESC, l_suppkey ASC LIMIT 10
+    """,
+    survey_ops=("profiling-skew",),
+)
+def profile_heavy_hitters(spark, sf_dir):
+    return profiling.heavy_hitters(t(spark, sf_dir, "lineitem"), ["l_suppkey"], k=10)
+
+
+@register(
+    "profile_orders_columns",
+    "ANALYZE-TABLE surface: per-column null count / exact distinct / "
+    "min / max for four orders columns in ONE aggregation pass",
+    oracle="""
+    SELECT 'o_orderkey' AS column, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value, CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    survey_ops=("profiling-columns",),
+)
+def profile_orders_columns(spark, sf_dir):
+    return profiling.profile_columns(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -1,0 +1,44 @@
+"""Tests for the profiling operators (operators/profiling.py): heavy-
+hitter skew diagnostics and the single-pass column profiler, including
+null handling the all-non-null registry tables can't reach."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators import profiling
+
+
+def test_heavy_hitters_finds_skew(spark):
+    rows = [(1, "hot")] * 90 + [(i, "cold%d" % i) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    top = profiling.heavy_hitters(df, ["k"], k=3).collect()
+    assert top[0].k == 1 and top[0].n == 90
+    assert abs(top[0].frac - 0.9) < 1e-9
+    assert len(top) == 3 and top[1].n == 1
+
+
+def test_heavy_hitters_bounded_topk_plan(spark):
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    plan = profiling.heavy_hitters(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
+    # global top-k must be TakeOrdered, never a full sort of all keys
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_columns_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "a"), (None, None)],
+        "x int, s string",
+    )
+    stats = {r.column: r for r in profiling.profile_columns(df, ["x", "s"]).collect()}
+    assert stats["x"].n_nulls == 2 and stats["x"].n_distinct == 3
+    assert stats["x"].min_value == "1" and stats["x"].max_value == "3"
+    assert stats["s"].n_nulls == 2 and stats["s"].n_distinct == 2
+    assert stats["s"].min_value == "a" and stats["s"].max_value == "b"
+
+
+def test_profile_columns_approx_mode(spark):
+    df = spark.range(0, 5000).withColumn("s", F.col("id").cast("string"))
+    stats = {r.column: r for r in profiling.profile_columns(df, ["id", "s"], approx=True).collect()}
+    # HLL++ default rsd 5% — sanity band, not exactness
+    assert abs(stats["id"].n_distinct - 5000) / 5000 < 0.10
