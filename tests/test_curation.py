@@ -219,3 +219,49 @@ def test_hash_split_total_and_stable(spark, ids):
     assert all(r.split in ("train", "val", "test") for r in rows)
     again = {r.doc_id: r.split for r in curation.hash_split(df.repartition(3), "doc_id").collect()}
     assert {r.doc_id: r.split for r in rows} == again
+
+
+def test_curation_chain_streams_identically(spark, tmp_path):
+    # The curation passes are stateless Column expressions, so the SAME
+    # plan runs under readStream: stream the docs through quality score
+    # + PII redaction + hash split and compare to the batch result.
+    docs = [
+        (i, f"text body number {i} reach user{i}@mail.example.com today")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "docs_src")
+    df.coalesce(2).write.parquet(src)
+
+    from mlentory_etl_pipeline_spark.operators import textstats
+
+    def chain(d):
+        scored = d.select(
+            "doc_id",
+            curation.pii_redact(F.col("text")).alias("redacted"),
+            textstats.quality_score(F.col("text")).alias("quality"),
+        )
+        return curation.hash_split(scored, "doc_id").select(
+            "doc_id", "redacted", "quality", "split"
+        )
+
+    batch = {r.doc_id: r for r in chain(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        chain(stream)
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.table("curation_stream").collect()}
+
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k].redacted == batch[k].redacted
+        assert got[k].quality == batch[k].quality
+        assert got[k].split == batch[k].split
+    assert all("[EMAIL]" in r.redacted for r in got.values())
