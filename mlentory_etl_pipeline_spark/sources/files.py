@@ -75,3 +75,67 @@ def compact(
     files = max(1, -(-n // target_rows_per_file))
     df.repartitionByRange(files, F.col(sort_col)).write.mode("overwrite").parquet(dest_dir)
     return files
+
+
+def _interleave_bits(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two rank-normalized ints in
+    [0, 2^bits): bit i of ``a`` lands at position 2i+1, of ``b`` at 2i.
+    Built as a sum of literal-multiplier terms in a Python loop —
+    `shiftleft` needs a Python int for the distance (a Column bit index
+    inside a HOF lambda cannot be used), and the flat expression stays
+    inside whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        terms.append(bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_write(
+    spark: SparkSession,
+    df: DataFrame,
+    dest_dir: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of (col_a, col_b):
+    both columns are min-max rank-normalized to ``bits`` bits (the
+    min/max ride as a 1-row broadcast — no driver collect), interleaved
+    into a Morton key, and range-partitioned into ``n_files`` files.
+
+    Effect at scale: file-footer min/max stay selective on BOTH
+    columns, so predicates on either dimension prune files — the
+    standard multi-dimensional layout trade (each dimension prunes
+    ~sqrt of what a single-column sort would give it, but no dimension
+    is hopeless). Min-max normalization assumes roughly uniform keys;
+    for skewed keys substitute quantile ranks at the same call site."""
+    span = F.lit((1 << bits) - 1)
+    bounds = df.groupBy().agg(
+        F.min(col_a).alias("_amin"), F.max(col_a).alias("_amax"),
+        F.min(col_b).alias("_bmin"), F.max(col_b).alias("_bmax"),
+    )
+    norm_a = (
+        (F.col(col_a) - F.col("_amin"))
+        * span
+        / F.greatest(F.col("_amax") - F.col("_amin"), F.lit(1))
+    ).cast("long")
+    norm_b = (
+        (F.col(col_b) - F.col("_bmin"))
+        * span
+        / F.greatest(F.col("_bmax") - F.col("_bmin"), F.lit(1))
+    ).cast("long")
+    keyed = df.join(F.broadcast(bounds)).withColumn(
+        "_zkey", _interleave_bits(norm_a, norm_b, bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, F.col("_zkey"))
+        .drop("_amin", "_amax", "_bmin", "_bmax", "_zkey")
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )

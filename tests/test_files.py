@@ -48,3 +48,35 @@ def test_compact_small_files(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in stats)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    dest = str(tmp_path / "zorder")
+    # Two independent uniform dimensions.
+    df = (
+        spark.range(0, 4096)
+        .withColumn("a", (F.col("id") * 48271) % 4096)
+        .withColumn("b", (F.col("id") * 16807) % 4096)
+    )
+    files_src.zorder_write(spark, df, dest, "a", "b", n_files=16)
+    out = spark.read.parquet(dest)
+    assert out.count() == 4096
+
+    stats = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("a").alias("a_lo"), F.max("a").alias("a_hi"),
+            F.min("b").alias("b_lo"), F.max("b").alias("b_hi"),
+        )
+        .collect()
+    )
+    assert len(stats) == 16
+
+    def files_overlapping(lo_col, hi_col, lo, hi):
+        return sum(1 for r in stats if not (r[hi_col] < lo or r[lo_col] > hi))
+
+    # A 1/8-range predicate on EITHER dimension must skip at least half
+    # the files via footer min/max — the property a single-column sort
+    # gives only to its own column.
+    assert files_overlapping("a_lo", "a_hi", 0, 511) <= 8
+    assert files_overlapping("b_lo", "b_hi", 0, 511) <= 8
