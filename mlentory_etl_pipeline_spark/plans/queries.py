@@ -2947,6 +2947,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     FROM split GROUP BY split
     """,
     survey_ops=("decontamination", "sampling-hash-split", "text-quality", "dedup-exact"),
+    headline=True,
 )
 def curation_pipeline_stats(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
@@ -3109,6 +3110,7 @@ def embedding_quantize_int8(spark, sf_dir):
     ) WHERE rank <= 5
     """,
     survey_ops=("ann-quantization", "ann-brute-force"),
+    headline=True,
 )
 def ann_int8_rerank_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
