@@ -3328,3 +3328,40 @@ def q19_brand_discounts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "corpus_top_bigrams",
+    "corpus-wide top-20 word bigrams with frequencies — the BPE "
+    "merge-candidate scan (map-local gram fan-out, map-side-combined "
+    "counts, bounded top-k)",
+    oracle=r"""
+    WITH w AS (
+      SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM w
+    )
+    SELECT bigram, COUNT(*) AS n FROM g
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    survey_ops=("text-repetition", "§2.9 aggregations"),
+)
+def corpus_top_bigrams(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+        _shingles_of_words,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    words = _ensure_parallelism(d).select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
+    )
+    grams = words.select(F.explode(_shingles_of_words(F.col("_w"), 2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
