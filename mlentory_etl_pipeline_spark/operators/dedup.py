@@ -129,12 +129,12 @@ def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int = 12) -
     return h.groupBy(id_col).agg(*_minhash_aggs(num_hashes, F.col("_h")))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+def _banded_long(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Band the signature (rows_per_band = num_hashes // bands), bucket
-    by md5 of each band, and self-join buckets → distinct candidate
-    pairs with ``id_a < id_b``."""
+    """(id, band_idx, band_hash) long form: band the signature
+    (rows_per_band = num_hashes // bands) and md5 each band so the LSH
+    join key is one column pair."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -145,14 +145,49 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = signatures.select(F.col(id_col), *band_cols)
-    # long-form (id, band_idx, band_hash) so the join key is one column pair
     stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
-    long = banded.selectExpr(id_col, f"stack({bands}, {stack_expr}) as (band_idx, band_hash)")
+    return banded.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) as (band_idx, band_hash)"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Bucket-self-join of the banded signatures → distinct candidate
+    pairs with ``id_a < id_b``."""
+    long = _banded_long(signatures, id_col, num_hashes, bands)
     a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def incremental_lsh_candidates(
+    stored_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidates between a NEW batch and the STORED signature table —
+    the production-incremental shape: the store's banded table persists
+    (pay its shuffle once at write, bucket by (band_idx, band_hash) on
+    a lake); each arriving batch bands map-locally and BROADCASTS into
+    the join, so the 10⁹-doc store never re-shuffles per batch. Returns
+    (id_a=stored, id_b=new) distinct pairs."""
+    stored_long = _banded_long(stored_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    new_long = _banded_long(new_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        stored_long.join(F.broadcast(new_long), ["band_idx", "band_hash"])
         .select("id_a", "id_b")
         .distinct()
     )
@@ -260,6 +295,52 @@ def minhash_lsh_dedup_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_incremental_pairs(
+    stored: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup check: the arriving batch against the
+    stored corpus only (never store×store). Same signature family and
+    verification as :func:`minhash_lsh_dedup_pairs`, but the band join
+    is stored⋈broadcast(new) and verification touches only cross
+    pairs — per-batch cost scales with |new| and |candidates|, not with
+    the corpus. Returns (id_a=stored, id_b=new, jaccard ≥ threshold)."""
+
+    def per_doc(df):
+        sh = doc_shingles(df, id_col, text_col, n, distinct=False).select(
+            F.col(id_col), shingle_base_hash(F.col("shingle")).alias("_h")
+        )
+        return sh.groupBy(id_col).agg(
+            F.collect_set("_h").alias("sh"),
+            *_minhash_aggs(num_hashes, F.col("_h")),
+        )
+
+    stored_doc = per_doc(stored)
+    new_doc = per_doc(new).cache()
+    cand = incremental_lsh_candidates(stored_doc, new_doc, id_col, num_hashes, bands)
+    sa = stored_doc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = new_doc.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -1195,12 +1195,17 @@ _SHINGLE_SQL = """
 """
 
 
-def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
+def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5, cross_only=False) -> str:
     """Generate the DuckDB SQL replicating the exact MinHash+LSH plan
     (same affine-permutation hash family over one md5 per shingle,
-    banding, and Jaccard verification)."""
+    banding, and Jaccard verification). ``cross_only`` restricts
+    candidates to stored×new pairs (stored = originals < 1000000,
+    new = minted siblings) — the incremental-batch oracle."""
     rows_per_band = num_hashes // bands
     p = dedup.MINHASH_P
+    cross_pred = (
+        " AND a.doc_id < 1000000 AND b.doc_id >= 1000000" if cross_only else ""
+    )
     mh_cols = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {p}) AS mh{i}"
         for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
@@ -1235,7 +1240,7 @@ def _minhash_lsh_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b USING (band_idx, band_hash)
-      WHERE a.doc_id < b.doc_id
+      WHERE a.doc_id < b.doc_id{cross_pred}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
     inter AS (
@@ -3365,3 +3370,24 @@ def corpus_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    "incremental near-dup: a NEW batch (the minted siblings) checked "
+    "against the STORED corpus only — banded store joins a broadcast of "
+    "the batch's bands; per-batch cost scales with the batch, never "
+    "store x store",
+    oracle=_minhash_lsh_oracle(cross_only=True),
+    survey_ops=("dedup-minhash-lsh", "dedup-incremental"),
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    stored = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = stored.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    pairs = dedup.minhash_incremental_pairs(
+        stored, new, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -265,3 +265,28 @@ def test_curation_chain_streams_identically(spark, tmp_path):
         assert got[k].quality == batch[k].quality
         assert got[k].split == batch[k].split
     assert all("[EMAIL]" in r.redacted for r in got.values())
+
+
+def test_incremental_minhash_equals_full_cross_pairs(spark):
+    # Incremental (stored ⋈ new) must find exactly the cross pairs the
+    # full self-join finds — no more, no fewer.
+    from mlentory_etl_pipeline_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = base.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    inc = dedup.minhash_incremental_pairs(
+        base, new, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    full = dedup.minhash_lsh_dedup_pairs(
+        base.unionByName(new), "doc_id", "text", n=3, num_hashes=12, bands=4,
+        threshold=0.5,
+    ).where((F.col("id_a") < 1000) & (F.col("id_b") >= 1000))
+    inc_pairs = {(r.id_a, r.id_b) for r in inc.collect()}
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    assert inc_pairs == full_pairs and len(inc_pairs) >= 15

@@ -191,3 +191,10 @@ def test_curation_pipeline_dedup_aggregates_not_sorts(spark):
     # per-fingerprint window sort.
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark):
+    plan = _plan(spark, "dedup_minhash_incremental")
+    # The arriving batch must broadcast into the stored band table —
+    # the store never re-shuffles per batch.
+    assert "BroadcastHashJoin" in plan
