@@ -23,7 +23,7 @@ aggregation shape. Skewed hot keys fall back to operators/skew.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,6 +70,48 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_payload],
     )
     return picked.unionByName(unmatched)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int = 3600,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: split each key's event stream on idle gaps.
+
+    The batch analogue of the streaming session window (streaming/
+    stateful.py): a new session starts where the gap to the previous
+    event of the same key exceeds ``gap_seconds``. Two windows over ONE
+    partitioning — ``lag`` to flag boundaries, running ``sum`` to number
+    them — so the physical plan is a single hash-partition by key with
+    one sort; Spark reuses the exchange for both window functions.
+
+    Gap comparison runs in integer microseconds (perf-trap #4: µs int64
+    is the lossless timestamp currency), strictly-greater, so the
+    result is exactly reproducible in any engine with SQL window
+    semantics.
+
+    Returns one row per (key, session_id) with session_start /
+    session_end / n_events. ``session_id`` is 1-based and ordered by
+    time within the key.
+    """
+    order_cols = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
+    numbered = events.withColumn(
+        "session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy(key, "session_id").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 def range_join(

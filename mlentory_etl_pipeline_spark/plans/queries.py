@@ -3391,3 +3391,583 @@ def dedup_minhash_incremental(spark, sf_dir):
         stored, new, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# =====================================================================
+# TPC-H-shape coverage, second batch: multi-join volume/share queries,
+# outer-join distributions, correlated-threshold rewrites, anti-join
+# opportunity scans — every remaining TPC-H query expressible on this
+# schema (q4/q12/q21 need l_shipmode/l_commitdate; q2/q11/q16/q20 need
+# partsupp — see FIXTURES.md).
+# =====================================================================
+
+@register(
+    "q7_nation_volume",
+    "TPC-H Q7 shape: bidirectional nation-pair shipping volume by year "
+    "— two broadcast nation dims aliased onto supplier and customer "
+    "sides, one big fact shuffle",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey_ops=("§2.9 joins",),
+)
+def q7_nation_volume(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    "TPC-H Q8 shape: one nation's share of a region's STANDARD-part "
+    "import volume per year — conditional-sum ratio over a 6-table "
+    "join; share computed in exact decimal, double only at the end",
+    oracle="""
+    SELECT YEAR(o.o_orderdate) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_year ORDER BY o_year
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def q8_market_share(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    nc = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nation5 = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation5).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    "TPC-H Q13 shape: customer order-count distribution — LEFT OUTER "
+    "join preserving zero-order customers, then a second group-by over "
+    "the first's output (two shuffles, the second tiny)",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> 'URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def q13_order_count_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    "TPC-H Q15 shape: top supplier by quarterly revenue — the "
+    "revenue-equals-max join runs on the EXACT decimal sum (no float "
+    "equality hazard), max broadcast back against the aggregate",
+    oracle="""
+    WITH srev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(sr.total_rev AS DOUBLE) AS total_revenue
+    FROM srev sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+    WHERE sr.total_rev = (SELECT MAX(total_rev) FROM srev)
+    ORDER BY s.s_suppkey
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def q15_top_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    srev = l.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = srev.agg(F.max("total_rev").alias("_mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev == mx._mx)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    "TPC-H Q17 shape: revenue lost to small-quantity orders — the "
+    "correlated avg-per-part subquery becomes one window over the "
+    "part-filtered fact; the 20%%-of-avg threshold is cross-multiplied "
+    "into exact integer-decimal form (5*qty*cnt < sum_qty), so no "
+    "float-division drift can flip a row",
+    oracle="""
+    WITH lp AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+             SUM(CAST(l.l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l.l_partkey) AS sum_qty,
+             COUNT(*) OVER (PARTITION BY l.l_partkey) AS cnt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#3'
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lp
+    WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+    """,
+    survey_ops=("§2.9 aggregations", "§2.9 windows"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    lp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("sum_qty", F.sum(qty).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+    )
+    return lp.where(qty * 5 * F.col("cnt") < F.col("sum_qty")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            / 7.0,
+            6,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    "TPC-H Q18 shape: large-volume orders — HAVING sum(qty) > 300 on "
+    "the fact group-by, then joins back to orders/customer; the "
+    "having-filter runs before the joins so only qualifying orderkeys "
+    "shuffle",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(lq.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    ) lq
+    JOIN orders o ON lq.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations", "F3"),
+)
+def q18_large_volume_customers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    lq = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sum_qty"))
+        .where(F.col("_sum_qty") > 300)
+    )
+    return (
+        lq.join(o, lq.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    "TPC-H Q22 shape: rich customers with no RECENT orders — the "
+    "avg-balance scalar subquery is cross-multiplied to exact decimal "
+    "(bal*cnt > sum), then an anti-join against 1999+ orders, grouped "
+    "by nation; no float threshold, no correlated scan",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+    survey_ops=("§2.9 joins", "§2.9 set ops"),
+)
+def q22_sales_opportunity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .where(bal * F.col("_n") > F.col("_s"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# =====================================================================
+# Window-analytics coverage: sessionization, moving frames, exact
+# percentiles, CUBE, ntile, bivariate stats. These are the general
+# analytics surface a training-data pipeline reports on (corpus growth
+# curves, per-source distribution drift) — all single-exchange window
+# plans or partial-aggregable stats.
+# =====================================================================
+
+@register(
+    "sessionize_events_gaps",
+    "batch sessionization: split each user's event stream on >1h idle "
+    "gaps (lag + running-sum windows sharing ONE exchange+sort), then "
+    "per-session rollup — the batch analogue of the streaming session "
+    "window, gap math in exact integer microseconds",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 3600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    survey_ops=("§2.9 windows", "streaming-session"),
+    headline=True,
+)
+def sessionize_events_gaps(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import temporal
+
+    e = t(spark, sf_dir, "events")
+    return temporal.sessionize(
+        e, key="user_id", ts="ts", gap_seconds=3600, order_tiebreak="event_id"
+    )
+
+
+@register(
+    "moving_avg_daily_revenue",
+    "7-day moving average of daily order revenue — day rollup then a "
+    "ROWS-frame window; the moving SUM stays exact decimal (frame "
+    "summation order can't drift), divided by the frame count at the end",
+    oracle="""
+    WITH daily AS (
+      SELECT DATE_TRUNC('day', o_orderdate) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS day_rev
+      FROM orders GROUP BY day
+    )
+    SELECT day, CAST(day_rev AS DOUBLE) AS day_rev,
+           ROUND(CAST(SUM(day_rev) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS mov_avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    survey_ops=("§2.9 windows", "§2.9 aggregations"),
+)
+def moving_avg_daily_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("_day_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("_day_rev").cast("double").alias("day_rev"),
+        F.round(
+            F.sum("_day_rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("mov_avg_7d"),
+    ).orderBy("day")
+
+
+@register(
+    "exact_percentiles_quantity",
+    "exact interpolated percentiles (p25/p50/p75) of quantity and "
+    "extendedprice per return flag — Spark `percentile` == DuckDB "
+    "`quantile_cont` (both linear-interpolation on the sorted set), "
+    "rounded to 6dp to absorb last-ulp interpolation differences",
+    oracle="""
+    SELECT l_returnflag,
+           LIST_TRANSFORM(QUANTILE_CONT(l_quantity, [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 6)) AS qty_pcts,
+           LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 6)) AS price_pcts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_ops=("§2.9 aggregations", "profiling-columns"),
+)
+def exact_percentiles_quantity(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    pcts = F.lit([0.25, 0.5, 0.75])
+
+    def rounded(col):
+        return F.transform(
+            F.percentile(F.col(col), pcts), lambda x: F.round(x, 6)
+        )
+
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            rounded("l_quantity").alias("qty_pcts"),
+            rounded("l_extendedprice").alias("price_pcts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "cube_revenue_flags",
+    "CUBE over (returnflag, linestatus): all four grouping combinations "
+    "in one pass (Spark Expand + single shuffle, partial-aggregable); "
+    "NULL grouping slots are named 'ALL' so the oracle comparison is "
+    "unambiguous",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    survey_ops=("grouping-sets", "§2.9 aggregations"),
+)
+def cube_revenue_flags(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "ntile_order_quartiles",
+    "ntile(4) quartile profile of order totals PER priority class — "
+    "partitioned window (parallel at scale, never a global sort); a "
+    "total order (totalprice, orderkey) makes bucket assignment "
+    "deterministic; per-quartile money stats in exact decimal",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM q GROUP BY o_orderpriority, quartile ORDER BY o_orderpriority, quartile
+    """,
+    survey_ops=("§2.9 windows", "profiling-columns"),
+)
+def ntile_order_quartiles(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(price).cast("double").alias("min_price"),
+            F.max(price).cast("double").alias("max_price"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_price"
+            ),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@register(
+    "stats_bivariate_profile",
+    "bivariate stats per return flag: Pearson corr, sample covariance "
+    "and stddevs of (quantity, extendedprice) — all partial-aggregable "
+    "moment sketches (one shuffle of 5 doubles per group), rounded to "
+    "absorb accumulation-order noise",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_sd,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_sd,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_ops=("profiling-columns", "§2.9 aggregations"),
+)
+def stats_bivariate_profile(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_sd"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

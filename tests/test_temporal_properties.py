@@ -79,3 +79,45 @@ def test_range_join_matches_reference(spark, points, intervals):
         if ik == k and start <= ts < end
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(row_st, min_size=1, max_size=12))
+def test_sessionize_matches_reference(spark, events):
+    from mlentory_etl_pipeline_spark.operators.temporal import sessionize
+
+    gap = 3  # seconds; tiny domain forces exact-gap boundary cases
+    rows = [(k, i, _ts(s)) for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(
+            df, "user_id", "ts", gap_seconds=gap, order_tiebreak="event_id"
+        ).collect()
+    }
+
+    # brute-force reference: sort per key, split on strict > gap
+    expect = {}
+    by_key: dict = {}
+    for k, i, ts in rows:
+        by_key.setdefault(k, []).append((ts, i))
+    for k, evs in by_key.items():
+        evs.sort()
+        sid = 0
+        start = end = None
+        n = 0
+        for ts, _ in evs:
+            if start is None or (ts - end).total_seconds() > gap:
+                if start is not None:
+                    expect[(k, sid)] = (start, end, n)
+                sid += 1
+                start, end, n = ts, ts, 1
+            else:
+                end, n = ts, n + 1
+        expect[(k, sid)] = (start, end, n)
+
+    assert got == expect
