@@ -776,6 +776,41 @@ def scd2_point_in_time(spark, sf_dir):
 
 
 @register(
+    "scd2_stream_load_ranges",
+    "the V2–V7 merge driven by Structured Streaming: two periodic "
+    "availableNow foreachBatch refreshes over a landing directory "
+    "(checkpoint = exactly-once watermark) must land the store in "
+    "PRECISELY the state the SQL oracle derives — the streaming path "
+    "is value-hash-checked, not just rows-only",
+    oracle=_SCD2_ORACLE_CTE
+    + "SELECT subject, predicate, object, use_start, use_end, deprecated FROM ranges",
+    survey_ops=("S2", "V2", "V4", "V5", "V7", "§2.9 streaming"),
+)
+def scd2_stream_load_ranges(spark, sf_dir):
+    import tempfile
+
+    land = tempfile.mkdtemp(prefix="scd2-land-")
+    ckpt = tempfile.mkdtemp(prefix="scd2-ckpt-")
+    store = vs.VersionedTripleStore(
+        spark, tempfile.mkdtemp(prefix="scd2-store-") + "/store"
+    )
+    b1 = _events_as_triples(spark, sf_dir, hi=T_SPLIT)
+    b2 = _events_as_triples(spark, sf_dir, lo=T_SPLIT)
+    for b in (b1, b2):
+        # land new files, then drain exactly the unseen ones — the
+        # reference's periodic incremental refresh (SURVEY §3.2)
+        b.coalesce(1).write.mode("append").parquet(land)
+        q = incremental.scd2_stream_load(
+            spark.readStream.schema(b1.schema).parquet(land), store, ckpt
+        )
+        q.awaitTermination(300)
+    state = store.state()
+    return state.version_range.join(
+        state.triplet.drop("subject"), "triplet_hash"
+    ).select("subject", "predicate", "object", "use_start", "use_end", "deprecated")
+
+
+@register(
     "anti_join_is_new",
     "V2 is_new detection: batch triples absent from the existing store",
     oracle=f"""

@@ -176,3 +176,70 @@ def test_watermark_incremental(spark):
     assert wm == dt.datetime(2024, 1, 2)
     newer = incremental.incremental_rows(df, "ts", wm).collect()
     assert [r.id for r in newer] == [3]
+
+
+def test_scd2_stream_load_incremental_parity(spark, tmp_path):
+    """foreachBatch SCD2 loading: two periodic availableNow runs over a
+    growing landing directory must (a) process each file exactly once
+    (checkpoint = watermark), and (b) leave the store in exactly the
+    state two sequential batch merges produce — including the V5
+    deprecation of the changed fact."""
+    import datetime as dt
+
+    from mlentory_etl_pipeline_spark.operators import versioned_store as vs
+    from mlentory_etl_pipeline_spark.streaming import incremental
+
+    schema = (
+        "subject string, predicate string, object string, "
+        "extraction_method string, confidence double, extraction_time timestamp"
+    )
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    batch1 = [
+        ("m1", "p0", "v0", "hf", 1.0, t0),
+        ("m1", "p1", "v1", "hf", 1.0, t0),
+        ("m2", "p0", "w0", "hf", 1.0, t0),
+    ]
+    # m1/p0 changes value (old one must deprecate); m3 is new.
+    batch2 = [
+        ("m1", "p0", "v0-CHANGED", "hf", 1.0, t1),
+        ("m1", "p1", "v1", "hf", 1.0, t1),
+        ("m3", "p0", "x0", "hf", 1.0, t1),
+    ]
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    store = vs.VersionedTripleStore(spark, str(tmp_path / "stream_store"))
+
+    def run_refresh():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = incremental.scd2_stream_load(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(land)
+    run_refresh()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(land)
+    run_refresh()
+    # A third refresh with no new files must be a no-op (exactly-once).
+    run_refresh()
+
+    ref = vs.VersionedTripleStore(spark, str(tmp_path / "batch_store"))
+    ref.load_batch(spark.createDataFrame(batch1, schema))
+    ref.load_batch(spark.createDataFrame(batch2, schema))
+
+    def snapshot(st):
+        cur = {
+            (r.subject, r.predicate, r.object)
+            for r in vs.current_graph(st.state()).collect()
+        }
+        ranges = {
+            (r.triplet_hash, r.use_start, r.use_end, r.deprecated)
+            for r in st.state().version_range.collect()
+        }
+        return cur, ranges
+
+    got_cur, got_ranges = snapshot(store)
+    want_cur, want_ranges = snapshot(ref)
+    assert got_cur == want_cur
+    assert got_ranges == want_ranges
+    assert ("m1", "p0", "v0-CHANGED") in got_cur
+    assert ("m1", "p0", "v0") not in got_cur
