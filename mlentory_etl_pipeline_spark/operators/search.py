@@ -64,6 +64,75 @@ def prefix_search(
     )
 
 
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking over a document corpus, fully declarative —
+    the real scoring function behind ES `match` relevance (the
+    reference's Q6 surface returns ES `_score`, which IS BM25 since
+    Lucene 6; `IndexHandler.py:374-390`).
+
+    Two passes, both JVM-side:
+
+    1. corpus statistics — one aggregate producing N, Σdl and one
+       document-frequency count per term (exact integers, so `avgdl`
+       and the idf inputs are bit-identical in any engine);
+    2. scoring — the stats row is **broadcast** back onto the docs and
+       the per-term contributions are summed in fixed literal order
+       (never a float agg), so the only shuffle in the whole plan is
+       the final top-k.
+
+    idf uses the Lucene formulation ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (always positive). Scores are rounded to 6 dp before ranking with an
+    id tie-break, making the top-k reproducible. At corpus scale the
+    stats aggregate is a map-side-combinable scan and the score pass is
+    embarrassingly parallel — nothing grows with N except the scan.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl"))
+    stat_aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sdl"),
+    ] + [
+        F.sum(F.array_contains("_toks", t.lower()).cast("int")).alias(f"_df{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = d.agg(*stat_aggs)
+    scored = d.join(F.broadcast(stats))
+    avgdl = F.col("_sdl").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        # single-arg lambda only: a second param (even defaulted) is
+        # read by PySpark as the element-index Column
+        term_lit = F.lit(t.lower())
+        tf = F.size(F.filter("_toks", lambda x: x == term_lit)).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    from pyspark.sql import Window
+
+    # TakeOrdered (orderBy+limit) does the distributed top-k; the rank
+    # window then runs over ≤k rows — never a global sort of the corpus.
+    top = (
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def exact_lookup(docs: DataFrame, identifier: str) -> DataFrame:
     """Q5/Q6 match_phrase on db_identifier → plain equality."""
     return docs.where(F.col("db_identifier") == identifier).drop("name_prefixes")

@@ -4006,3 +4006,132 @@ def stats_bivariate_profile(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# =====================================================================
+# Search scoring (BM25), true pivot, and INTERSECT/EXCEPT set ops
+# =====================================================================
+
+@register(
+    "bm25_document_rank",
+    "Okapi BM25 top-20 over the documents corpus for a 3-term query — "
+    "the actual ES/Lucene relevance function behind the reference's Q6 "
+    "search, as two JVM-side passes: one stats aggregate (exact-int "
+    "N/Σdl/df, broadcast back) + an embarrassingly-parallel score scan "
+    "with a TakeOrdered top-k; per-term contributions sum in fixed "
+    "literal order so the float math is engine-reproducible",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+             SUM(CASE WHEN LIST_CONTAINS(toks, 'join') THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN LIST_CONTAINS(toks, 'filter') THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN LIST_CONTAINS(toks, 'merge') THEN 1 ELSE 0 END) AS df2
+      FROM d
+    ),
+    scored AS (
+      SELECT doc_id,
+        ROUND(
+          LN(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+            * CAST(LEN(LIST_FILTER(toks, x -> x = 'join')) AS DOUBLE) * 2.2
+            / (CAST(LEN(LIST_FILTER(toks, x -> x = 'join')) AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        + LN(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+            * CAST(LEN(LIST_FILTER(toks, x -> x = 'filter')) AS DOUBLE) * 2.2
+            / (CAST(LEN(LIST_FILTER(toks, x -> x = 'filter')) AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        + LN(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+            * CAST(LEN(LIST_FILTER(toks, x -> x = 'merge')) AS DOUBLE) * 2.2
+            / (CAST(LEN(LIST_FILTER(toks, x -> x = 'merge')) AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        , 6) AS score
+      FROM d, stats
+    )
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    survey_ops=("Q6", "§1.5", "text-quality"),
+)
+def bm25_document_rank(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return search.bm25_rank(
+        d, ["join", "filter", "merge"], "doc_id", "text", k1=1.2, b=0.75, k=20
+    )
+
+
+@register(
+    "pivot_user_event_matrix",
+    "true relational PIVOT (Q1/V1 — GraphHandlerForKG.py:138-144 "
+    "subject→predicate map): event types become columns with an "
+    "explicit value list (no distinct-scan job to discover the "
+    "domain; both pivot phases map-side combinable); counts + "
+    "exact-decimal value sums per cell",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click_n,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view_n,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS purchase_value
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY user_id
+    """,
+    survey_ops=("Q1", "V1", "§2.9 aggregations"),
+)
+def pivot_user_event_matrix(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    # .pivot with an explicit values list: one shuffle, no
+    # distinct-scan to discover the pivot domain (the scale trap of
+    # unconstrained pivot)
+    pv = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
+        )
+    )
+    return pv.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).alias("click_n"),
+        F.coalesce("view_n", F.lit(0)).alias("view_n"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
+        F.coalesce(F.col("purchase_v").cast("double"), F.lit(0.0)).alias(
+            "purchase_value"
+        ),
+    )
+
+
+@register(
+    "set_ops_user_cohorts",
+    "INTERSECT / EXCEPT cohort analysis (§2.9 set ops — the "
+    "reference's Python-set intersections, HFExtractor.py:214-218, as "
+    "real relational operators): users active in both January halves "
+    "vs first-half-only, tagged and unioned",
+    oracle="""
+    WITH w1 AS (SELECT DISTINCT user_id FROM events
+                WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+         w2 AS (SELECT DISTINCT user_id FROM events
+                WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+    SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+    UNION ALL
+    SELECT user_id, 'w1_only' AS cohort FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+    """,
+    survey_ops=("§2.9 set ops", "T4"),
+)
+def set_ops_user_cohorts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    split = F.lit(T_SPLIT).cast("timestamp")
+    w1 = e.where(F.col("ts") < split).select("user_id").distinct()
+    w2 = e.where(F.col("ts") >= split).select("user_id").distinct()
+    both = w1.intersect(w2).withColumn("cohort", F.lit("both"))
+    only1 = w1.exceptAll(w2).withColumn("cohort", F.lit("w1_only"))
+    return both.unionByName(only1)

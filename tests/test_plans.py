@@ -198,3 +198,59 @@ def test_incremental_dedup_broadcasts_new_batch(spark):
     # The arriving batch must broadcast into the stored band table —
     # the store never re-shuffles per batch.
     assert "BroadcastHashJoin" in plan
+
+
+def test_q7_q8_broadcast_all_dims(spark):
+    # Supplier + both nation aliases (q7) / all five dims (q8) broadcast;
+    # only the fact-side orders/customer joins may shuffle.
+    plan7 = _plan(spark, "q7_nation_volume")
+    assert plan7.count("BroadcastHashJoin") >= 3
+    plan8 = _plan(spark, "q8_market_share")
+    assert plan8.count("BroadcastHashJoin") >= 5
+
+
+def test_q17_two_windows_share_one_exchange(spark):
+    # sum+count over the same partitioning+frame must fuse into ONE
+    # Window node after one exchange — not two sorts.
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert plan.count("Window (") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    # lag + running-sum + final group-by all hash-partition by user_id:
+    # exactly ONE exchange total — the two Window frames and the final
+    # (user_id, session_id) aggregation all reuse it (grouping on a
+    # superset of the partition key needs no reshuffle).
+    plan = _plan(spark, "sessionize_events_gaps")
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Window (") == 2
+
+
+def test_q18_having_filters_before_join(spark):
+    # The sum(qty)>300 filter applies to the aggregate BEFORE the joins
+    # (only qualifying orderkeys shuffle into the join).
+    plan = _plan(spark, "q18_large_volume_customers")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert agg_pos != -1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_stats_broadcast_and_takeordered(spark):
+    plan = _plan(spark, "bm25_document_rank")
+    # stats row broadcast back onto the corpus; top-k is TakeOrdered,
+    # never a global sort of all scored docs.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pivot_two_phase_no_discovery_job(spark):
+    # Explicit pivot values: no distinct-scan job to discover the pivot
+    # domain; Spark's two-phase pivot shape (partial agg before each of
+    # the two exchanges), and the IN-filter reaches the scan.
+    plan = _plan(spark, "pivot_user_event_matrix")
+    assert plan.count("Exchange (") == 2
+    assert "In(event_type, [click,purchase,view])" in plan
