@@ -321,6 +321,37 @@ def history(state: StoreState, subject: str) -> DataFrame:
     )
 
 
+def vacuum_closed_ranges(state: StoreState, cutoff) -> StoreState:
+    """Retention vacuum: drop deprecated ranges that closed before
+    ``cutoff``, then drop triplets/infos no surviving range references.
+
+    The reference never garbage-collects its Version_Range table — it
+    grows monotonically (init.sql has no retention DDL and
+    ``GraphHandler.py`` only ever inserts/updates). At lake scale that
+    is untenable: the audit trail dominates storage. This keeps the
+    SCD2 semantics intact for everything inside the retention horizon
+    (``graph_at(t)`` is unchanged for ``t >= cutoff``; ``current_graph``
+    is unchanged for any cutoff since open ranges are never dropped).
+
+    Plan shape: one filter over version_range + two left-semi joins to
+    prune the dimension tables — all hash-keyed on content hashes, no
+    window, no driver state. On Delta/Iceberg this is a partition drop
+    when version_range is partitioned by ``deprecated`` +
+    ``date(use_end)``.
+    """
+    t = F.lit(cutoff).cast("timestamp")
+    kept_ranges = state.version_range.where(
+        ~F.col("deprecated") | (F.col("use_end") >= t)
+    )
+    live_triplets = kept_ranges.select("triplet_hash").distinct()
+    live_infos = kept_ranges.select("info_hash").distinct()
+    return StoreState(
+        triplet=state.triplet.join(live_triplets, "triplet_hash", "left_semi"),
+        extraction_info=state.extraction_info.join(live_infos, "info_hash", "left_semi"),
+        version_range=kept_ranges,
+    )
+
+
 def counts(state: StoreState) -> DataFrame:
     """Q8-style store statistics."""
     return (

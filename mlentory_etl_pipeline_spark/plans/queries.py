@@ -4135,3 +4135,38 @@ def set_ops_user_cohorts(spark, sf_dir):
     both = w1.intersect(w2).withColumn("cohort", F.lit("both"))
     only1 = w1.exceptAll(w2).withColumn("cohort", F.lit("w1_only"))
     return both.unionByName(only1)
+
+
+@register(
+    "scd2_retention_vacuum",
+    "retention vacuum over the SCD2 store (the reference's "
+    "Version_Range grows forever — init.sql has no retention DDL): "
+    "drop deprecated ranges closed before a cutoff, semi-join-prune "
+    "orphaned triplets/infos; current graph provably unchanged, "
+    "removed count matches the oracle",
+    oracle=_SCD2_ORACLE_CTE
+    + f"""
+    SELECT
+      (SELECT COUNT(*) FROM ranges) AS ranges_before,
+      (SELECT COUNT(*) FROM ranges
+       WHERE NOT deprecated OR use_end >= TIMESTAMP '{T_SPLIT}') AS ranges_after,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT subject, predicate, object FROM ranges
+                             WHERE NOT deprecated)) AS current_before,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT subject, predicate, object FROM ranges
+                             WHERE NOT deprecated)) AS current_after
+    """,
+    survey_ops=("V5", "Q10", "S14"),
+)
+def scd2_retention_vacuum(spark, sf_dir):
+    state = _scd2_state(spark, sf_dir)
+    vac = vs.vacuum_closed_ranges(state, T_SPLIT)
+    return (
+        state.version_range.agg(F.count(F.lit(1)).alias("ranges_before"))
+        .crossJoin(vac.version_range.agg(F.count(F.lit(1)).alias("ranges_after")))
+        .crossJoin(
+            vs.current_graph(state).agg(F.count(F.lit(1)).alias("current_before"))
+        )
+        .crossJoin(
+            vs.current_graph(vac).agg(F.count(F.lit(1)).alias("current_after"))
+        )
+    )

@@ -160,3 +160,76 @@ def test_persistence_roundtrip(spark, tmp_path):
     assert state.triplet.count() == 17
     assert vs.current_graph(state).count() == 9
     check_invariants(state)
+
+
+def test_vacuum_closed_ranges(spark, tmp_path):
+    """Vacuum drops only deprecated-and-closed ranges; current graph,
+    open history, and graph_at inside the horizon are untouched;
+    orphaned triplet/info rows are pruned."""
+    store = vs.VersionedTripleStore(spark, str(tmp_path / "store"))
+    store.load_batch(two_model_fixture(spark, T0))
+    # m1/p0 changes → old value deprecates with use_end = T1 ... actually
+    # use_end of the deprecated range stays T0 (untouched at merge time).
+    store.load_batch(make_batch(spark, [("m1", "p0", "NEW", "m2", 1.0, T1)]))
+    state = store.state()
+    assert state.version_range.where("deprecated").count() > 0
+
+    cur_before = {tuple(r) for r in vs.current_graph(state).collect()}
+    cutoff = dt.datetime(2024, 1, 15)  # after T0 closes, before T1
+    vac = vs.vacuum_closed_ranges(state, cutoff)
+
+    # Deprecated ranges closed before the cutoff are gone; others stay.
+    assert vac.version_range.where(
+        "deprecated AND use_end < timestamp'2024-01-15'"
+    ).count() == 0
+    # Current graph identical.
+    assert {tuple(r) for r in vs.current_graph(vac).collect()} == cur_before
+    # graph_at AFTER the cutoff identical.
+    at_t1 = {tuple(r) for r in vs.graph_at(state, T1).collect()}
+    assert {tuple(r) for r in vs.graph_at(vac, T1).collect()} == at_t1
+    # No orphan triplets: every triplet has a surviving range.
+    orphans = vac.triplet.join(
+        vac.version_range.select("triplet_hash").distinct(),
+        "triplet_hash",
+        "left_anti",
+    )
+    assert orphans.count() == 0
+    check_invariants(vac)
+
+
+def test_query_interface_facade(spark, tmp_path):
+    """The §3.3 QueryInterface: every read surface answers, and the
+    search→history composition returns joined rows in one plan."""
+    from mlentory_etl_pipeline_spark.api import QueryInterface
+    from mlentory_etl_pipeline_spark.operators.search import build_search_docs
+
+    store = vs.VersionedTripleStore(spark, str(tmp_path / "store"))
+    store.load_batch(two_model_fixture(spark, T0))
+
+    docs = build_search_docs(
+        spark.createDataFrame(
+            [("m1", "alpha model", "hash join tricks"),
+             ("m2", "beta model", "merge filter text")],
+            "id string, name string, body string",
+        ),
+        "id",
+        "name",
+        text_cols=["body"],
+    )
+    qi = QueryInterface(store, docs)
+
+    assert qi.counts().collect()[0].n_subjects == 2
+    assert qi.current_graph().count() == 16
+    assert qi.history("m1").count() == 8
+    assert qi.lookup("m1").count() == 1
+    assert qi.search_prefix("alp").collect()[0].db_identifier == "m1"
+    hits = qi.search_bm25(["merge", "filter"], "body").collect()
+    assert hits and hits[0].db_identifier == "m2"
+    joined = qi.search_with_history(["hash"], "body", k=5)
+    rows = joined.collect()
+    assert rows and all(r.db_identifier == "m1" for r in rows)
+    assert {r.predicate for r in rows} == {f"p{i}" for i in range(8)}
+
+    # vacuum via the facade persists
+    qi.vacuum(dt.datetime(2024, 1, 15))
+    assert qi.current_graph().count() == 16
