@@ -1,0 +1,49 @@
+"""Observation-based metrics: computed inside the existing action (no
+extra job), correct values, and the phase timer's report shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.metrics import PhaseTimer, observed
+
+
+def test_observed_metrics_no_extra_job(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    inst, obs = observed(
+        df,
+        "m",
+        F.sum("id").alias("id_sum"),
+        null_count_cols=("v",),
+    )
+    # one action drives both the result and the metrics
+    n = inst.where(F.col("id") >= 0).count()
+    assert n == 1000
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["id_sum"] == 499500
+    assert got["null_v"] == 100
+
+
+def test_observed_through_write(spark, tmp_path):
+    # metrics also fire when the action is a sink write — the
+    # load-pipeline use case (count what was merged without re-scanning)
+    df, obs = observed(spark.range(256).toDF("id"), "w")
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert obs.get["n_rows"] == 256
+
+
+def test_phase_timer_report(spark):
+    t = PhaseTimer()
+    with t.phase("extract"):
+        pass
+    with t.phase("load"):
+        pass
+    with t.phase("load"):  # accumulates
+        pass
+    rep = t.report()
+    assert "extract took" in rep and "load took" in rep
+    assert set(t.timings) == {"extract", "load"}
