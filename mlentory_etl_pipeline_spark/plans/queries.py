@@ -3323,7 +3323,9 @@ def q14_promo_revenue(spark, sf_dir):
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(12,2)")
     )
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    # no broadcast hint on part: it scales with SF (only guaranteed-small
+    # dims get hints; statistics/AQE pick broadcast when it actually fits)
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.round(
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
         ).alias("promo_share_pct"),
@@ -3361,7 +3363,7 @@ def q19_brand_discounts(spark, sf_dir):
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -3469,12 +3471,26 @@ def q7_nation_volume(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
-    ns = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    # Hand-push the disjunction's per-side implication: each side's
+    # nation must be one of the pair, so both nation dims filter to 2
+    # rows BEFORE touching supplier/customer — Catalyst can't infer
+    # this from the cross-side OR, and at 100 TB it shrinks the
+    # supplier/customer join inputs to 2/|nations| of the table. Only
+    # the (2-row) nation dims carry broadcast hints; supplier/customer
+    # sizes are data-dependent, so AQE decides those.
+    pair_nations = ("NATION_1", "NATION_2")
+    ns = (
+        t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair_nations))
+        .select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
     )
-    nc = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    nc = (
+        t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair_nations))
+        .select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
     )
+    s2 = s.join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    c2 = c.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
@@ -3484,10 +3500,8 @@ def q7_nation_volume(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(c2, o.o_custkey == c2.c_custkey)
+        .join(s2, l.l_suppkey == s2.s_suppkey)
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(rev).cast("double").alias("volume"))
@@ -3550,9 +3564,10 @@ def q8_market_share(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier/part scale with SF — no hints; nation dims stay hinted
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -3635,7 +3650,9 @@ def q15_top_supplier(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     return (
         srev.join(F.broadcast(mx), srev.total_rev == mx._mx)
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # the max-filtered srev side is ~1 row; AQE broadcasts it into
+        # supplier without a hint (supplier scales with SF)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
@@ -3671,7 +3688,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     w = Window.partitionBy("l_partkey")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     lp = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .withColumn("sum_qty", F.sum(qty).over(w))
         .withColumn("cnt", F.count(F.lit(1)).over(w))
