@@ -160,6 +160,58 @@ def quota_sample(
     )
 
 
+def negative_samples(
+    pairs: DataFrame,
+    docs: DataFrame,
+    query_col: str,
+    positive_col: str,
+    doc_id_col: str,
+    k: int = 4,
+    pool_size: int = 64,
+) -> DataFrame:
+    """Deterministic pool-based negative sampling for retrieval/
+    contrastive training: for every (query, positive-doc) pair, emit
+    ``k`` negative doc ids drawn pseudo-randomly but reproducibly.
+
+    No RNG anywhere: the candidate pool is the ``pool_size`` docs with
+    the smallest ``md5(doc_id)`` (a fixed uniform subsample of the
+    corpus), and per query the negatives are the ``k`` pool docs with
+    the smallest ``md5(query || doc_id)`` — a per-query-keyed uniform
+    draw — excluding the query's own positive. Identical output on any
+    engine, any partitioning, any run.
+
+    Scale shape: the pool is a corpus-wide bounded top-k (TakeOrdered,
+    never a full sort) and is BROADCAST into the pairs table — the
+    per-pair work is a map over ``pool_size`` candidates + one bounded
+    rank, so cost is O(|pairs| · pool), never |pairs| × |corpus|.
+    At 100 TB the pool is recomputed per corpus snapshot and reused by
+    every training-set build.
+    """
+    from pyspark.sql import Window
+
+    pool = (
+        docs.select(F.col(doc_id_col).alias("_neg_id"))
+        .orderBy(F.md5(F.col("_neg_id").cast("string")), F.col("_neg_id"))
+        .limit(pool_size)
+    )
+    w = Window.partitionBy(query_col, positive_col).orderBy(
+        F.md5(F.concat(F.col(query_col).cast("string"), F.lit("|"), F.col("_neg_id").cast("string"))),
+        F.col("_neg_id"),
+    )
+    return (
+        pairs.join(F.broadcast(pool))
+        .where(F.col("_neg_id") != F.col(positive_col))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            F.col(query_col),
+            F.col(positive_col),
+            F.col("_neg_id").alias("negative_id"),
+            "neg_rank",
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Benchmark decontamination
 # --------------------------------------------------------------------

@@ -4187,3 +4187,43 @@ def scd2_retention_vacuum(spark, sf_dir):
             vs.current_graph(vac).agg(F.count(F.lit(1)).alias("current_after"))
         )
     )
+
+
+@register(
+    "negative_sampling_pool",
+    "deterministic pool-based negative sampling for retrieval training: "
+    "a corpus-wide md5-ordered candidate pool (bounded top-k, broadcast) "
+    "+ per-query md5-keyed draw of k negatives excluding the positive — "
+    "no RNG, identical on any engine/partitioning/run; cost is "
+    "|pairs|·pool, never |pairs|×|corpus|",
+    oracle="""
+    WITH pool AS (
+      SELECT doc_id AS neg_id FROM documents
+      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
+    ),
+    pairs AS (
+      SELECT doc_id AS query_id, doc_id + 1 AS positive_id
+      FROM documents WHERE doc_id < 30
+    ),
+    ranked AS (
+      SELECT query_id, positive_id, neg_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id, positive_id
+               ORDER BY MD5(CAST(query_id AS VARCHAR) || '|' || CAST(neg_id AS VARCHAR)),
+                        neg_id) AS neg_rank
+      FROM pairs, pool WHERE neg_id <> positive_id
+    )
+    SELECT query_id, positive_id, neg_id AS negative_id, neg_rank
+    FROM ranked WHERE neg_rank <= 4
+    """,
+    survey_ops=("sampling-negative", "§2.9 windows"),
+)
+def negative_sampling_pool(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = d.where(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("query_id"),
+        (F.col("doc_id") + 1).alias("positive_id"),
+    )
+    return curation.negative_samples(
+        pairs, d, "query_id", "positive_id", "doc_id", k=4, pool_size=64
+    )

@@ -290,3 +290,27 @@ def test_incremental_minhash_equals_full_cross_pairs(spark):
     inc_pairs = {(r.id_a, r.id_b) for r in inc.collect()}
     full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
     assert inc_pairs == full_pairs and len(inc_pairs) >= 15
+
+
+def test_negative_samples_invariants(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import negative_samples
+
+    docs = spark.range(200).toDF("doc_id")
+    pairs = spark.range(10).select(
+        F.col("id").alias("q"), (F.col("id") + 50).alias("pos")
+    )
+    out = negative_samples(pairs, docs, "q", "pos", "doc_id", k=4, pool_size=32)
+    rows = out.collect()
+    # exactly k negatives per pair, never the positive, all from the pool
+    per_q = {}
+    for r in rows:
+        per_q.setdefault((r.q, r.pos), []).append(r.negative_id)
+        assert r.negative_id != r.pos
+    assert all(len(v) == 4 == len(set(v)) for v in per_q.values())
+    assert len(per_q) == 10
+    # deterministic: a second run (different partitioning) is identical
+    again = negative_samples(
+        pairs.repartition(7), docs.repartition(5), "q", "pos", "doc_id",
+        k=4, pool_size=32,
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
