@@ -376,19 +376,51 @@ class VersionedTripleStore:
 
     TABLE_NAMES = ("triplet", "extraction_info", "version_range")
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_snapshots: int = 0):
+        """``keep_snapshots > 0`` archives that many previous table
+        versions under ``snapshots/v{N}/`` on every commit — the plain-
+        parquet stand-in for Delta/Iceberg snapshot time travel
+        (``VERSION AS OF``). Store-level travel complements the SCD2
+        row-level history: ``graph_at(ts)`` answers "what was true at
+        t", ``state_at_version(n)`` answers "what did the STORE say
+        before commit n+1" (e.g. to diff or roll back a bad load)."""
         self.spark = spark
         self.path = path
+        self.keep_snapshots = keep_snapshots
         os.makedirs(path, exist_ok=True)
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.path, name)
+
+    def _snap_root(self) -> str:
+        return os.path.join(self.path, "snapshots")
 
     def state(self) -> StoreState:
         if not os.path.exists(self._table_path("triplet")):
             return empty_state(self.spark)
         return StoreState(
             *(self.spark.read.parquet(self._table_path(n)) for n in self.TABLE_NAMES)
+        )
+
+    def versions(self) -> list[int]:
+        """Archived snapshot versions, oldest first (empty when
+        ``keep_snapshots == 0`` or nothing committed yet)."""
+        root = self._snap_root()
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(root) if d.startswith("v")
+        )
+
+    def state_at_version(self, version: int) -> StoreState:
+        """Read an archived snapshot (``VERSION AS OF`` analogue)."""
+        base = os.path.join(self._snap_root(), f"v{version}")
+        if not os.path.isdir(base):
+            raise ValueError(
+                f"no snapshot v{version}; available: {self.versions()}"
+            )
+        return StoreState(
+            *(self.spark.read.parquet(os.path.join(base, n)) for n in self.TABLE_NAMES)
         )
 
     def _write(self, state: StoreState) -> None:
@@ -407,13 +439,26 @@ class VersionedTripleStore:
                 "overwrite"
             ).parquet(tmp)
             tmps.append((name, tmp))
+        snap_dir = None
+        if self.keep_snapshots > 0 and os.path.exists(self._table_path("triplet")):
+            version = (self.versions() or [-1])[-1] + 1
+            snap_dir = os.path.join(self._snap_root(), f"v{version}")
+            os.makedirs(snap_dir, exist_ok=True)
         for name, tmp in tmps:
             target = self._table_path(name)
             old = target + ".old"
             if os.path.exists(target):
                 os.rename(target, old)
             shutil.move(tmp, target)
-            shutil.rmtree(old, ignore_errors=True)
+            if snap_dir is not None and os.path.exists(old):
+                os.rename(old, os.path.join(snap_dir, name))
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        # retention: keep only the newest keep_snapshots versions
+        for v in self.versions()[: -self.keep_snapshots or None]:
+            shutil.rmtree(
+                os.path.join(self._snap_root(), f"v{v}"), ignore_errors=True
+            )
 
     def load_batch(self, batch: DataFrame, touch_unchanged: bool = False) -> StoreState:
         new_state = merge_batch(self.state(), batch, touch_unchanged=touch_unchanged)

@@ -233,3 +233,37 @@ def test_query_interface_facade(spark, tmp_path):
     # vacuum via the facade persists
     qi.vacuum(dt.datetime(2024, 1, 15))
     assert qi.current_graph().count() == 16
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Store-level VERSION AS OF: each commit archives the previous
+    tables; state_at_version reads them back; retention bounds disk."""
+    store = vs.VersionedTripleStore(spark, str(tmp_path / "s"), keep_snapshots=2)
+    store.load_batch(two_model_fixture(spark, T0))          # commit 1 (no prior → no snap)
+    store.load_batch(make_batch(spark, [("m1", "p0", "NEW", "m2", 1.0, T1)]))  # snap v0
+    store.load_batch(
+        make_batch(spark, [("m3", "p0", "x", "m2", 1.0, T1)])
+    )                                                        # snap v1
+    assert store.versions() == [0, 1]
+
+    # v0 = state after the first load: 16 triples, no deprecations
+    v0 = store.state_at_version(0)
+    assert v0.triplet.count() == 16
+    assert v0.version_range.where("deprecated").count() == 0
+    # v1 = after the second load: 17 triplets; the batch IS m1's full
+    # new description, so its 7 unobserved facts deprecate too (V5):
+    # 7 + the replaced p0 value = 8
+    v1 = store.state_at_version(1)
+    assert v1.triplet.count() == 17
+    assert v1.version_range.where("deprecated").count() == 8
+    # current: 18 triplets
+    assert store.state().triplet.count() == 18
+
+    # retention: a fourth commit evicts v0
+    store.load_batch(make_batch(spark, [("m4", "p0", "y", "m2", 1.0, T1)]))
+    assert store.versions() == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.state_at_version(0)
