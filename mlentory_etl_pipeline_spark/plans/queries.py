@@ -4227,3 +4227,70 @@ def negative_sampling_pool(spark, sf_dir):
     return curation.negative_samples(
         pairs, d, "query_id", "positive_id", "doc_id", k=4, pool_size=64
     )
+
+
+@register(
+    "range_frame_customer_revenue",
+    "RANGE-frame window (interval semantics, distinct from ROWS): per "
+    "customer order, revenue of their PRIOR orders within 90 days — "
+    "frame bounds in integer epoch-days, partitioned by customer "
+    "(parallel), exact-decimal frame sums",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING
+           ), 0) AS DOUBLE) AS prior_90d_revenue
+    FROM orders
+    """,
+    survey_ops=("§2.9 windows",),
+)
+def range_frame_customer_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").withColumn(
+        "_day", (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("_day")
+        .rangeBetween(-90, -1)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w),
+            F.lit(0).cast("decimal(12,2)"),
+        )
+        .cast("double")
+        .alias("prior_90d_revenue"),
+    )
+
+
+@register(
+    "rank_functions_profile",
+    "the full SQL ranking family in one partitioned window — rank / "
+    "dense_rank / percent_rank / cume_dist over customers by account "
+    "balance within market segment; ties share ranks identically in "
+    "any engine (pure order statistics), floats rounded",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           RANK()         OVER w AS bal_rank,
+           DENSE_RANK()   OVER w AS bal_dense_rank,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+    survey_ops=("§2.9 windows", "profiling-columns"),
+)
+def rank_functions_profile(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
