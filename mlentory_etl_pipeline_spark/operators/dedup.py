@@ -89,6 +89,54 @@ def doc_shingles(
     return sh.distinct() if distinct else sh
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Span-level exact-duplicate detection (the substring-dedup
+    complement of doc-level MinHash): word n-grams occurring in
+    ``min_docs``+ distinct documents, with occurrence stats.
+
+    Training corpora are poisoned by boilerplate spans (license
+    headers, navigation chrome, templated sentences) that doc-level
+    near-dup never catches because the *documents* differ. Long-n-gram
+    collision is the standard detector (cf. exact-substring dedup in
+    dedup literature); n≈8–13 words trades recall vs boilerplate
+    precision.
+
+    Plan: map-local shingle fan-out (tokens projected BEFORE the HOF
+    lambda — CSE trap), md5 the span so 16-byte keys shuffle instead of
+    strings, one count-distinct-docs aggregate with map-side combine,
+    `HAVING >= min_docs`. With ``top_k`` the result is a bounded
+    TakeOrdered. Returns (span_hash, span, n_docs, n_occurrences).
+    """
+    words = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    spans = words.select(
+        "_id", F.explode(_shingles_of_words(F.col("_w"), n)).alias("span")
+    )
+    agged = (
+        spans.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.first("span").alias("span"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    if top_k is not None:
+        agged = agged.orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_hash")
+        ).limit(top_k)
+    return agged
+
+
 #: MinHash permutation family: ONE md5 per shingle → a 60-bit integer →
 #: ``mh_i = (A_i · h + B_i) mod P``. 12× cheaper than hashing each
 #: shingle 12 times, and the integer arithmetic is byte-replicable in

@@ -4294,3 +4294,34 @@ def rank_functions_profile(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "duplicated_spans_boilerplate",
+    "span-level exact-duplicate scan: 8-word n-grams shared by 3+ "
+    "distinct docs (boilerplate/license-header detector — the "
+    "substring complement of doc-level MinHash near-dup); md5'd spans "
+    "shuffle as 16-byte keys, one map-side-combined distinct-doc "
+    "count, bounded top-50",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(w) <= 8 THEN [ARRAY_TO_STRING(w, ' ')]
+                    ELSE LIST_TRANSFORM(RANGE(1, LEN(w) - 6),
+                                        i -> ARRAY_TO_STRING(w[i:i+7], ' ')) END) AS span
+      FROM w
+    )
+    SELECT MD5(span) AS span_hash, ANY_VALUE(span) AS span,
+           COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+    FROM s
+    GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 3
+    ORDER BY n_docs DESC, n_occurrences DESC, span_hash ASC LIMIT 50
+    """,
+    survey_ops=("dedup-exact", "text-repetition"),
+)
+def duplicated_spans_boilerplate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, "doc_id", "text", n=8, min_docs=3, top_k=50)
