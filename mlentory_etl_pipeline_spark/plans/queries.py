@@ -4325,3 +4325,93 @@ def rank_functions_profile(spark, sf_dir):
 def duplicated_spans_boilerplate(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return dedup.duplicated_spans(d, "doc_id", "text", n=8, min_docs=3, top_k=50)
+
+
+@register(
+    "funnel_conversion_stages",
+    "ordered-funnel analysis over the event stream: users reaching "
+    "view → click → purchase IN ORDER — each stage is one map-side "
+    "min-timestamp aggregate keyed by user, chained by a strictly-"
+    "later predicate (no window over raw events, no explode); one "
+    "summary row",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_view_click_purchase
+    """,
+    survey_ops=("§2.9 aggregations", "§2.9 joins"),
+)
+def funnel_conversion_stages(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+
+    def stage(prev, etype, tcol_prev, tcol):
+        step = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").where(F.col("ts") > F.col(tcol_prev))
+        return step.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage(None, "view", None, "t1")
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "retention_cohort_matrix",
+    "weekly retention cohorts: users bucketed by first-seen week, "
+    "counted per (cohort_week, active_week) — two aggregations and a "
+    "broadcast-able first-seen join; the standard growth-analytics "
+    "matrix, all exact integer week arithmetic",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week, a.active_week - f.cohort_week AS weeks_since,
+           COUNT(*) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+    survey_ops=("§2.9 aggregations", "§2.9 joins"),
+)
+def retention_cohort_matrix(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("long")
+    first_seen = e.groupBy("user_id").agg(F.min(week.alias("_w")).alias("cohort_week"))
+    active = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
