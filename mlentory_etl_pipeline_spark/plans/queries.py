@@ -4415,3 +4415,115 @@ def retention_cohort_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "inverted_index_postings",
+    "inverted-index build (what ES actually materializes for Q6 "
+    "search): token explode → per-term SORTED posting list + document "
+    "frequency, for the 30 highest-df terms — posting arrays are "
+    "sort_array'd so the layout is byte-deterministic; at lake scale "
+    "each term row is a posting shard, partitionable by term hash",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS doc_freq,
+           LIST_SORT(LIST(doc_id)) AS postings
+    FROM tok GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT 30
+    """,
+    survey_ops=("Q6", "§1.5", "§2.9 aggregations"),
+)
+def inverted_index_postings(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(30)
+    )
+
+
+@register(
+    "bigram_pmi_collocations",
+    "pointwise mutual information over corpus bigrams (collocation "
+    "mining / phrase detection for tokenizer vocab building): unigram "
+    "and bigram counts are exact integers, PMI computed in one fixed "
+    "double expression and rounded — top-20 by PMI among bigrams "
+    "seen 20+ times",
+    oracle=r"""
+    WITH w AS (
+      SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w FROM documents
+    ),
+    uni AS (
+      SELECT UNNEST(w) AS tok FROM w
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+    utot AS (SELECT SUM(n) AS tot FROM ucnt),
+    big AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM w
+    ),
+    bcnt AS (SELECT bigram, COUNT(*) AS nb FROM big GROUP BY bigram),
+    btot AS (SELECT SUM(nb) AS tot FROM bcnt)
+    SELECT b.bigram, b.nb AS n_bigram,
+           ROUND(LN((CAST(b.nb AS DOUBLE) / btot.tot)
+                 / ((CAST(u1.n AS DOUBLE) / utot.tot) * (CAST(u2.n AS DOUBLE) / utot.tot))), 6) AS pmi
+    FROM bcnt b, btot, utot
+    JOIN ucnt u1 ON u1.tok = STRING_SPLIT(b.bigram, ' ')[1]
+    JOIN ucnt u2 ON u2.tok = STRING_SPLIT(b.bigram, ' ')[2]
+    WHERE b.nb >= 20
+    ORDER BY pmi DESC, b.bigram ASC LIMIT 20
+    """,
+    survey_ops=("text-repetition", "§2.9 aggregations", "§2.9 joins"),
+)
+def bigram_pmi_collocations(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+        _shingles_of_words,
+    )
+
+    d = _ensure_parallelism(t(spark, sf_dir, "documents"))
+    words = d.select(F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w"))
+    uni = words.select(F.explode("_w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    utot = ucnt.agg(F.sum("n").alias("utot"))
+    big = words.select(F.explode(_shingles_of_words(F.col("_w"), 2)).alias("bigram"))
+    bcnt_all = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    # total over ALL bigrams (the probability denominator), BEFORE the
+    # support filter prunes the candidate set
+    btot = bcnt_all.agg(F.sum("nb").alias("btot"))
+    bcnt = bcnt_all.where(F.col("nb") >= 20)
+    parts = F.split("bigram", " ")
+    bx = bcnt.withColumn("_t1", parts.getItem(0)).withColumn("_t2", parts.getItem(1))
+    u1 = ucnt.select(F.col("tok").alias("_t1"), F.col("n").alias("n1"))
+    u2 = ucnt.select(F.col("tok").alias("_t2"), F.col("n").alias("n2"))
+    pmi = F.log(
+        (F.col("nb").cast("double") / F.col("btot"))
+        / (
+            (F.col("n1").cast("double") / F.col("utot"))
+            * (F.col("n2").cast("double") / F.col("utot"))
+        )
+    )
+    return (
+        bx.join(u1, "_t1")
+        .join(u2, "_t2")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+        .select("bigram", F.col("nb").alias("n_bigram"), F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
