@@ -4527,3 +4527,47 @@ def bigram_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "sql_surface_region_revenue",
+    "the raw spark.sql surface: tables registered as temp views, the "
+    "query written as ANSI SQL text and planned by the SAME Catalyst "
+    "pipeline as the DataFrame API — proof that users can drive this "
+    "engine with plain SQL (the oracle string and the Spark query are "
+    "the identical text modulo dialect casts)",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY nation ORDER BY revenue DESC, nation ASC
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def sql_surface_region_revenue(spark, sf_dir):
+    for name in ("lineitem", "orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY nation ORDER BY revenue DESC, nation ASC
+    """)
