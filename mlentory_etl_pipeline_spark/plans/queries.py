@@ -4571,3 +4571,92 @@ def sql_surface_region_revenue(spark, sf_dir):
           AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY nation ORDER BY revenue DESC, nation ASC
     """)
+
+
+@register(
+    "weighted_sample_per_source",
+    "deterministic WEIGHTED sampling (A-ES exponential-draw): key = "
+    "ln(u)/weight with u derived from md5(doc_id) bits — longer docs "
+    "proportionally likelier, yet fully reproducible across engines/"
+    "runs/partitionings (no RNG); top-5 per source by key, the "
+    "weighted analogue of quota_sample",
+    oracle="""
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             LN((CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                / 1152921504606846978.0)
+             / CAST(n_chars AS DOUBLE) AS draw_key
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, ROUND(draw_key, 9) AS draw_key, rk AS sample_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY draw_key DESC, doc_id ASC) AS rk
+      FROM k
+    ) WHERE rk <= 5
+    """,
+    survey_ops=("sampling-quota", "sampling-negative", "§2.9 windows"),
+)
+def weighted_sample_per_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # u in (0,1] from the top 60 bits of md5(doc_id): exact integer →
+    # double division, bit-identical in any engine; A-ES key
+    # ln(u)/w makes P(selected) proportional to weight w
+    u_int = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    draw = F.log((u_int.cast("double") + F.lit(1.0)) / F.lit(1152921504606846978.0)) / F.col(
+        "n_chars"
+    ).cast("double")
+    w = Window.partitionBy("source").orderBy(F.desc("draw_key"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars", draw.alias("draw_key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+        .select("source", "doc_id", "n_chars", F.round("draw_key", 9).alias("draw_key"), "sample_rank")
+    )
+
+
+@register(
+    "dq_constraint_audit",
+    "Deequ-style data-quality audit in ONE pass: each constraint "
+    "(non-null, range, set-membership, referential integrity) is a "
+    "conditional-sum over the fact table — violations counted without "
+    "a scan per rule; referential check is an anti-join count folded "
+    "into the same result row",
+    oracle="""
+    WITH fact AS (
+      SELECT SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS qty_nonpositive,
+             SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_out_of_range,
+             SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS returnflag_invalid,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS shipdate_null,
+             COUNT(*) AS n_rows
+      FROM lineitem
+    ),
+    orphans AS (
+      SELECT COUNT(*) AS orderkey_orphans FROM lineitem l
+      ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT fact.*, orphans.orderkey_orphans FROM fact, orphans
+    """,
+    survey_ops=("profiling-columns", "F7", "§2.9 aggregations"),
+)
+def dq_constraint_audit(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def viol(cond, name):
+        return F.sum(cond.cast("long")).alias(name)
+
+    fact = l.agg(
+        viol(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), "qty_nonpositive"),
+        viol((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), "discount_out_of_range"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R"), "returnflag_invalid"),
+        viol(F.col("l_shipdate").isNull(), "shipdate_null"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    orphans = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orderkey_orphans"))
+    )
+    return fact.crossJoin(orphans)
