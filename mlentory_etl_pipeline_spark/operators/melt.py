@@ -79,6 +79,179 @@ def range_dispatch(
     ).where(F.col("object").isNotNull())
 
 
+# Nested-dict value shape for the DatasetObject branch
+# (GraphBuilderFAIR4ML.py:351-415): {"name", "url", "estimationProcedure":
+# {"type", "data_splits_url", "parameters": {k: v, ...}}}.
+NESTED_DATASET_SCHEMA = (
+    "name string, url string, "
+    "estimationProcedure struct<type: string, data_splits_url: string, "
+    "parameters: map<string,string>>"
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SCHEMA_NS = "https://schema.org/"
+FAIR4ML_NS = "https://w3id.org/fair4ml/"
+
+
+def mint_nested_entities(
+    long_df: DataFrame,
+    schema_df: DataFrame,
+    platform: str = "hf",
+    subject_col: str = "subject",
+    property_col: str = "property",
+    value_col: str = "value",
+) -> DataFrame:
+    """G2 nested-dict object branches: JSON-encoded dict values minting
+    multi-property side entities.
+
+    Mirrors the reference's two dict-typed dispatch branches
+    (``GraphBuilderFAIR4ML.py:351-415`` DatasetObject, ``:462-484``
+    EvaluationObject), which the scalar :func:`range_dispatch` /
+    :func:`mint_side_entities` pair cannot express:
+
+    - Range ``DatasetObject``: value is ``{"name", "url",
+      "estimationProcedure": {"type", "data_splits_url", "parameters"}}``.
+      Mint a DatasetObject entity (rdf:type + schema:name + schema:url),
+      a sub-entity for the estimation procedure (hash-chained off the
+      dataset-object hash, exactly the reference's
+      ``"estimationProcedure" + id_hash`` recipe) with type/url triples
+      plus one triple per ``parameters`` entry, and the link triples.
+    - Range ``EvaluationObject``: value is a flat metric dict — one
+      triple per (metric, value) on the minted evaluation entity
+      (dynamic keys via ``from_json`` to ``map<string,string>`` +
+      ``explode``), plus rdf:type and the link triple.
+
+    All JVM-side: ``from_json`` / ``get_json_object`` / map ``explode``
+    — no Python in the row path. One broadcast join against the config
+    schema table routes rows to branches; entity-side triples are
+    ``distinct``-deduplicated (many subjects may reference one entity).
+    At scale this is a narrow map + one dedup shuffle over the minted
+    side triples, same shape as :func:`mint_side_entities`.
+    """
+    from mlentory_etl_pipeline_spark.functions.hashing import entity_hash, entity_uri
+
+    typed = long_df.join(F.broadcast(schema_df), property_col)
+    v = F.col(value_col)
+
+    # ---- DatasetObject branch -------------------------------------
+    ds = typed.where(F.col("range") == "DatasetObject")
+    ds_hash = entity_hash(platform, "DatasetObject", v)
+    ds_uri = entity_uri(platform, "DatasetObject", v)
+    # est-proc id = raw JSON substring of the nested object; hash is
+    # chained off the parent hash (reference: "estimationProcedure"+id_hash)
+    est_raw = F.get_json_object(v, "$.estimationProcedure")
+    est_uri = entity_uri(
+        platform, F.concat(F.lit("estimationProcedure"), ds_hash), est_raw
+    )
+    parsed = F.from_json(v, NESTED_DATASET_SCHEMA)
+    ds_rows = ds.select(
+        F.col(subject_col).alias("subject"),
+        F.col(property_col).alias("predicate"),
+        ds_uri.alias("ds_uri"),
+        est_uri.alias("est_uri"),
+        parsed.alias("p"),
+    )
+
+    ds_links = ds_rows.select(
+        "subject",
+        "predicate",
+        F.col("ds_uri").alias("object"),
+        F.lit(True).alias("object_is_uri"),
+    )
+
+    def _t(s, p, o, is_uri):
+        return F.struct(
+            s.alias("subject"),
+            p.alias("predicate"),
+            o.alias("object"),
+            F.lit(is_uri).alias("object_is_uri"),
+        )
+
+    ds_fixed = (
+        # project map-free scalars before distinct (Spark set ops
+        # reject MapType columns)
+        ds_rows.select(
+            "ds_uri",
+            "est_uri",
+            F.col("p.name").alias("_name"),
+            F.col("p.url").alias("_url"),
+            F.col("p.estimationProcedure.type").alias("_ep_type"),
+            F.col("p.estimationProcedure.data_splits_url").alias("_ep_url"),
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    _t(F.col("ds_uri"), F.lit(RDF_TYPE), F.lit(FAIR4ML_NS + "DatasetObject"), True),
+                    _t(F.col("ds_uri"), F.lit(SCHEMA_NS + "name"), F.col("_name"), False),
+                    _t(F.col("ds_uri"), F.lit(SCHEMA_NS + "url"), F.col("_url"), False),
+                    _t(F.col("ds_uri"), F.lit(FAIR4ML_NS + "estimationProcedure"), F.col("est_uri"), True),
+                    _t(F.col("est_uri"), F.lit(RDF_TYPE), F.lit(FAIR4ML_NS + "estimationProcedure"), True),
+                    _t(F.col("est_uri"), F.lit(SCHEMA_NS + "type"), F.col("_ep_type"), False),
+                    _t(F.col("est_uri"), F.lit(SCHEMA_NS + "url"), F.col("_ep_url"), False),
+                )
+            ).alias("t")
+        )
+        .select("t.*")
+        .where(F.col("object").isNotNull())
+    )
+    ds_params = (
+        ds_rows.select(
+            "est_uri", F.explode_outer(F.col("p.estimationProcedure.parameters")).alias("k", "val")
+        )
+        .where(F.col("k").isNotNull())
+        .distinct()
+        .select(
+            F.col("est_uri").alias("subject"),
+            F.concat(F.lit(FAIR4ML_NS), F.col("k")).alias("predicate"),
+            F.col("val").alias("object"),
+            F.lit(False).alias("object_is_uri"),
+        )
+    )
+
+    # ---- EvaluationObject branch ----------------------------------
+    ev = typed.where(F.col("range") == "EvaluationObject")
+    ev_uri = entity_uri(platform, "EvaluationObject", v)
+    ev_rows = ev.select(
+        F.col(subject_col).alias("subject"),
+        F.col(property_col).alias("predicate"),
+        ev_uri.alias("ev_uri"),
+        F.from_json(v, "map<string,string>").alias("metrics"),
+    )
+    ev_links = ev_rows.select(
+        "subject",
+        "predicate",
+        F.col("ev_uri").alias("object"),
+        F.lit(True).alias("object_is_uri"),
+    )
+    ev_types = (
+        ev_rows.select("ev_uri")
+        .distinct()
+        .select(
+            F.col("ev_uri").alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.lit(FAIR4ML_NS + "EvaluationObject").alias("object"),
+            F.lit(True).alias("object_is_uri"),
+        )
+    )
+    ev_metrics = (
+        ev_rows.select("ev_uri", F.explode_outer("metrics").alias("k", "val"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+        .select(
+            F.col("ev_uri").alias("subject"),
+            F.concat(F.lit(FAIR4ML_NS), F.col("k")).alias("predicate"),
+            F.col("val").alias("object"),
+            F.lit(False).alias("object_is_uri"),
+        )
+    )
+
+    out = ds_links
+    for part in (ds_fixed, ds_params, ev_links, ev_types, ev_metrics):
+        out = out.unionByName(part)
+    return out
+
+
 def mint_side_entities(
     long_df: DataFrame,
     schema_df: DataFrame,

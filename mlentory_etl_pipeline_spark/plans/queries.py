@@ -433,17 +433,20 @@ def yaml_front_matter_strip(spark, sf_dir):
       FROM toks
     )
     SELECT p_partkey,
-           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'color'), [])) AS color,
-           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'condition'), [])) AS condition,
-           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'size'), [])) AS size,
-           LIST_SORT(COALESCE(LIST(DISTINCT tok) FILTER (cls = 'item'), [])) AS item
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT tok) FILTER (cls = 'color')), '|'), '') AS color,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT tok) FILTER (cls = 'condition')), '|'), '') AS condition,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT tok) FILTER (cls = 'size')), '|'), '') AS size,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT tok) FILTER (cls = 'item')), '|'), '') AS item
     FROM cls GROUP BY p_partkey
     """,
     survey_ops=("T1",),
 )
 def tag_classification(spark, sf_dir):
+    # Registry surface flattens each sorted class array to a '|'-joined
+    # string: the external correctness driver canonicalizes via pandas,
+    # which cannot hash list cells. The operator itself keeps arrays.
     p = t(spark, sf_dir, "part")
-    return extract_ops.classify_tokens(
+    classified = extract_ops.classify_tokens(
         p,
         id_cols=["p_partkey"],
         tokens_col=F.split(F.col("p_name"), " "),
@@ -453,6 +456,10 @@ def tag_classification(spark, sf_dir):
             "size": ["large", "small"],
         },
         default_class="item",
+    )
+    return classified.select(
+        "p_partkey",
+        *[F.array_join(F.col(c), "|").alias(c) for c in ("color", "condition", "size", "item")],
     )
 
 
@@ -1115,23 +1122,34 @@ def session_window_agg(spark, sf_dir):
 # Search layer (Q4–Q6, §1.5)
 # =====================================================================
 
+def _search_docs(spark, sf_dir):
+    """Shared Q4 doc build (array-typed prefixes) for the search queries."""
+    c = t(spark, sf_dir, "customer")
+    return search.build_search_docs(
+        c, id_col="c_custkey", name_col="c_name", facet_cols=["c_mktsegment"]
+    )
+
+
 @register(
     "search_doc_build",
     "Q4 search-doc construction incl. edge-ngram(3,30) prefix array",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR) AS db_identifier,
            c_name AS name,
-           LIST_TRANSFORM(RANGE(3, LEAST(LENGTH(c_name), 30) + 1),
-                          n -> SUBSTR(LOWER(c_name), 1, n)) AS name_prefixes,
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(3, LEAST(LENGTH(c_name), 30) + 1),
+                                          n -> SUBSTR(LOWER(c_name), 1, n)), '|') AS name_prefixes,
            LOWER(c_mktsegment) AS c_mktsegment
     FROM customer
     """,
     survey_ops=("Q4", "§1.5", "S16"),
 )
 def search_doc_build(spark, sf_dir):
-    c = t(spark, sf_dir, "customer")
-    return search.build_search_docs(
-        c, id_col="c_custkey", name_col="c_name", facet_cols=["c_mktsegment"]
+    # Flatten the prefix array to a '|'-joined string at the registry
+    # surface (driver's pandas canonicalizer can't hash list cells);
+    # the in-engine doc table (_search_docs) keeps the array for
+    # array_contains prefix search.
+    return _search_docs(spark, sf_dir).withColumn(
+        "name_prefixes", F.array_join(F.col("name_prefixes"), "|")
     )
 
 
@@ -1151,7 +1169,7 @@ def search_doc_build(spark, sf_dir):
     survey_ops=("Q6",),
 )
 def prefix_search(spark, sf_dir):
-    docs = search_doc_build(spark, sf_dir)
+    docs = _search_docs(spark, sf_dir)
     return search.prefix_search(docs, "Customer#00000001", limit=20)
 
 
@@ -1166,7 +1184,7 @@ def prefix_search(spark, sf_dir):
     survey_ops=("Q5", "Q6"),
 )
 def exact_identifier_lookup(spark, sf_dir):
-    docs = search_doc_build(spark, sf_dir)
+    docs = _search_docs(spark, sf_dir)
     return search.exact_lookup(docs, "42")
 
 
@@ -1648,7 +1666,22 @@ def text_fingerprints(spark, sf_dir):
 )
 def multimodal_decode_features(spark, sf_dir):
     media = multimodal.synthetic_media(spark, n=64)
-    return multimodal.decode_media(media, fake=True)
+    decoded = multimodal.decode_media(media, fake=True)
+    # Flatten the float feature vector to scaled-int strings at the
+    # registry surface (driver canonicalizer can't hash list cells).
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_sha",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 1000000, 0).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("features"),
+    )
 
 
 @register(
@@ -1746,11 +1779,12 @@ def _embed_oracle(dim: int = 16) -> str:
     ]
     norm = "SQRT(" + " + ".join(f"POWER({c}, 2)" for c in comps) + ")"
     elems = ", ".join(
-        f"ROUND(CAST(CAST({c}/{norm} AS REAL) AS DOUBLE), 4)" for c in comps
+        f"ROUND(CAST(CAST({c}/{norm} AS REAL) AS DOUBLE), 4) AS e{i}"
+        for i, c in enumerate(comps)
     )
     return f"""
     WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 200)
-    SELECT doc_id, [{elems}] AS embedding FROM hx
+    SELECT doc_id, {elems} FROM hx
     """
 
 
@@ -1763,13 +1797,16 @@ def _embed_oracle(dim: int = 16) -> str:
     survey_ops=("N4",),
 )
 def nlp_embed_digest(spark, sf_dir):
+    # The embedding array is unnested into scalar double columns e0..e15
+    # for the driver's canonicalizer; same rounded expressions as before.
     d = t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id", "text")
     emb = nlp.embed_texts(d, "text")
     return emb.select(
         "doc_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double"), 4)).alias(
-            "embedding"
-        ),
+        *[
+            F.round(F.element_at("embedding", i + 1).cast("double"), 4).alias(f"e{i}")
+            for i in range(16)
+        ],
     )
 
 
@@ -2409,6 +2446,105 @@ def side_entity_minting(spark, sf_dir):
         [("owner", "Person"), ("nation", "Organization")], "property string, range string"
     )
     return melt_ops.mint_side_entities(long, schema_df, platform="hf")
+
+
+@register(
+    "range_dispatch_nested",
+    "G2 nested-dict dispatch: JSON-encoded DatasetObject/EvaluationObject "
+    "values mint multi-property side entities + hash-chained sub-entities "
+    "(from_json + map explode, no Python)",
+    oracle=f"""
+    WITH ds AS (
+      SELECT 'part:' || p_partkey AS subject,
+             'P' || p_partkey AS name,
+             'https://example.org/part/' || p_partkey AS url,
+             p_brand AS ep_type,
+             'https://example.org/splits/' || p_partkey AS ep_url,
+             CAST(p_size AS VARCHAR) AS p_size, p_type AS p_cont
+      FROM part WHERE p_partkey <= 200
+    ),
+    ds_u AS (
+      SELECT *,
+        '{{"type":"' || ep_type || '","data_splits_url":"' || ep_url ||
+        '","parameters":{{"size":"' || p_size || '","container":"' || p_cont || '"}}}}' AS est_raw,
+        sha256('{{"id": "' ||
+          '{{"name":"' || name || '","url":"' || url ||
+          '","estimationProcedure":{{"type":"' || ep_type || '","data_splits_url":"' || ep_url ||
+          '","parameters":{{"size":"' || p_size || '","container":"' || p_cont || '"}}}}}}' ||
+          '", "platform": "hf", "type": "DatasetObject"}}') AS ds_hash
+      FROM ds
+    ),
+    ds_e AS (
+      SELECT *, '{BASE_NAMESPACE}' || ds_hash AS ds_uri,
+        '{BASE_NAMESPACE}' || sha256('{{"id": "' || est_raw ||
+          '", "platform": "hf", "type": "estimationProcedure' || ds_hash || '"}}') AS est_uri
+      FROM ds_u
+    ),
+    ev AS (
+      SELECT 'order:' || o_orderkey AS subject, o_orderstatus, o_orderpriority,
+        '{BASE_NAMESPACE}' || sha256('{{"id": "' ||
+          '{{"status":"' || o_orderstatus || '","priority":"' || o_orderpriority || '"}}' ||
+          '", "platform": "hf", "type": "EvaluationObject"}}') AS ev_uri
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT subject, 'trainedOn' AS predicate, ds_uri AS object, TRUE AS object_is_uri FROM ds_e
+    UNION ALL SELECT DISTINCT ds_uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      'https://w3id.org/fair4ml/DatasetObject', TRUE FROM ds_e
+    UNION ALL SELECT DISTINCT ds_uri, 'https://schema.org/name', name, FALSE FROM ds_e
+    UNION ALL SELECT DISTINCT ds_uri, 'https://schema.org/url', url, FALSE FROM ds_e
+    UNION ALL SELECT DISTINCT ds_uri, 'https://w3id.org/fair4ml/estimationProcedure', est_uri, TRUE FROM ds_e
+    UNION ALL SELECT DISTINCT est_uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      'https://w3id.org/fair4ml/estimationProcedure', TRUE FROM ds_e
+    UNION ALL SELECT DISTINCT est_uri, 'https://schema.org/type', ep_type, FALSE FROM ds_e
+    UNION ALL SELECT DISTINCT est_uri, 'https://schema.org/url', ep_url, FALSE FROM ds_e
+    UNION ALL SELECT DISTINCT est_uri, 'https://w3id.org/fair4ml/size', p_size, FALSE FROM ds_e
+    UNION ALL SELECT DISTINCT est_uri, 'https://w3id.org/fair4ml/container', p_cont, FALSE FROM ds_e
+    UNION ALL SELECT subject, 'evaluationResults', ev_uri, TRUE FROM ev
+    UNION ALL SELECT DISTINCT ev_uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      'https://w3id.org/fair4ml/EvaluationObject', TRUE FROM ev
+    UNION ALL SELECT DISTINCT ev_uri, 'https://w3id.org/fair4ml/status', o_orderstatus, FALSE FROM ev
+    UNION ALL SELECT DISTINCT ev_uri, 'https://w3id.org/fair4ml/priority', o_orderpriority, FALSE FROM ev
+    """,
+    survey_ops=("G2",),
+)
+def range_dispatch_nested(spark, sf_dir):
+    # JSON values are built by explicit concat (not to_json) so the
+    # oracle can rebuild byte-identical strings; the operator under test
+    # parses them back with from_json/get_json_object like real input.
+    p = t(spark, sf_dir, "part").where("p_partkey <= 200")
+    pk = F.col("p_partkey").cast("string")
+    ds_json = F.concat(
+        F.lit('{"name":"P'), pk,
+        F.lit('","url":"https://example.org/part/'), pk,
+        F.lit('","estimationProcedure":{"type":"'), F.col("p_brand"),
+        F.lit('","data_splits_url":"https://example.org/splits/'), pk,
+        F.lit('","parameters":{"size":"'), F.col("p_size").cast("string"),
+        F.lit('","container":"'), F.col("p_type"),
+        F.lit('"}}}'),
+    )
+    ds_long = p.select(
+        F.concat(F.lit("part:"), pk).alias("subject"),
+        F.lit("trainedOn").alias("property"),
+        ds_json.alias("value"),
+    )
+    o = t(spark, sf_dir, "orders").where("o_orderkey <= 300")
+    ev_json = F.concat(
+        F.lit('{"status":"'), F.col("o_orderstatus"),
+        F.lit('","priority":"'), F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    ev_long = o.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("evaluationResults").alias("property"),
+        ev_json.alias("value"),
+    )
+    schema_df = spark.createDataFrame(
+        [("trainedOn", "DatasetObject"), ("evaluationResults", "EvaluationObject")],
+        "property string, range string",
+    )
+    return melt_ops.mint_nested_entities(
+        ds_long.unionByName(ev_long), schema_df, platform="hf"
+    )
 
 
 @register(
@@ -3079,7 +3215,8 @@ def pack_sequences_bins(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id, ROUND(sc, 6) AS qscale,
-           LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS INT)) AS q
+           ARRAY_TO_STRING(LIST_TRANSFORM(embedding,
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / sc) AS INT) AS VARCHAR)), '|') AS q
     FROM s
     """,
     survey_ops=("ann-quantization",),
@@ -3092,10 +3229,18 @@ def embedding_quantize_int8(spark, sf_dir):
         "embedding",
         (vectors.abs_max(F.col("embedding")) / 127.0).alias("sc"),
     )
+    # int codes joined to a '|' string — exact integer text on both
+    # engines, and canonicalization-safe for the driver's pandas step.
     return e.select(
         "vec_id",
         F.round(F.col("sc"), 6).alias("qscale"),
-        vectors.quantize_int8(F.col("embedding"), F.col("sc")).alias("q"),
+        F.array_join(
+            F.transform(
+                vectors.quantize_int8(F.col("embedding"), F.col("sc")),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("q"),
     )
 
 
@@ -3881,33 +4026,38 @@ def moving_avg_daily_revenue(spark, sf_dir):
     "rounded to 6dp to absorb last-ulp interpolation differences",
     oracle="""
     SELECT l_returnflag,
-           LIST_TRANSFORM(QUANTILE_CONT(l_quantity, [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 6)) AS qty_pcts,
-           LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 6)) AS price_pcts,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS qty_p25,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS qty_p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS qty_p75,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS price_p25,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS price_p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS price_p75,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     survey_ops=("§2.9 aggregations", "profiling-columns"),
 )
 def exact_percentiles_quantity(spark, sf_dir):
+    # One percentile-array aggregate per column (single pass), then the
+    # array is unnested into scalar double columns: the driver
+    # canonicalizes floats numerically but cannot hash list cells.
     l = t(spark, sf_dir, "lineitem")
     pcts = F.lit([0.25, 0.5, 0.75])
 
-    def rounded(col):
-        return F.transform(
-            F.percentile(F.col(col), pcts), lambda x: F.round(x, 6)
-        )
-
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            rounded("l_quantity").alias("qty_pcts"),
-            rounded("l_extendedprice").alias("price_pcts"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("l_returnflag")
+    agged = l.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), pcts).alias("_qty"),
+        F.percentile(F.col("l_extendedprice"), pcts).alias("_price"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    return agged.select(
+        "l_returnflag",
+        *[
+            F.round(F.element_at(arr, i + 1), 6).alias(f"{pre}_p{int(p * 100)}")
+            for arr, pre in ((F.col("_qty"), "qty"), (F.col("_price"), "price"))
+            for i, p in enumerate([0.25, 0.5, 0.75])
+        ],
+        "n_rows",
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -4431,7 +4581,7 @@ def retention_cohort_matrix(spark, sf_dir):
       FROM documents
     )
     SELECT term, COUNT(*) AS doc_freq,
-           LIST_SORT(LIST(doc_id)) AS postings
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), '|') AS postings
     FROM tok GROUP BY term
     ORDER BY doc_freq DESC, term ASC LIMIT 30
     """,
@@ -4446,11 +4596,18 @@ def inverted_index_postings(spark, sf_dir):
         )
         .distinct()
     )
+    # posting list emitted as '|'-joined id string (exact integer text;
+    # canonicalization-safe for the driver's pandas step)
     return (
         tok.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                "|",
+            ).alias("postings"),
         )
         .orderBy(F.desc("doc_freq"), F.asc("term"))
         .limit(30)

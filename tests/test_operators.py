@@ -311,3 +311,51 @@ def test_int8_rerank_recall_vs_brute_force(spark):
     # shortlist the exact top-5 should survive almost entirely.
     recall = len(exact_pairs & got_pairs) / len(exact_pairs)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_mint_nested_entities_dynamic_keys(spark):
+    """G2 nested-dict dispatch (GraphBuilderFAIR4ML.py:351-415, 462-484):
+    dict-valued properties mint multi-property side entities; metric and
+    parameter keys are discovered dynamically via from_json + explode."""
+    from mlentory_etl_pipeline_spark.operators import melt as melt_ops
+
+    long_df = spark.createDataFrame(
+        [
+            (
+                "m1",
+                "trainedOn",
+                '{"name":"ds1","url":"http://x/ds1",'
+                '"estimationProcedure":{"type":"cv","data_splits_url":"http://x/sp1",'
+                '"parameters":{"folds":"10","stratified":"true"}}}',
+            ),
+            ("m1", "evaluationResults", '{"accuracy":"0.91","f1":"0.88"}'),
+            ("m2", "evaluationResults", '{"accuracy":"0.91","f1":"0.88"}'),
+        ],
+        "subject string, property string, value string",
+    )
+    schema_df = spark.createDataFrame(
+        [("trainedOn", "DatasetObject"), ("evaluationResults", "EvaluationObject")],
+        "property string, range string",
+    )
+    out = melt_ops.mint_nested_entities(long_df, schema_df).collect()
+    by_pred = {}
+    for r in out:
+        by_pred.setdefault(r.predicate, []).append(r)
+
+    # link triples: one per input row
+    assert len(by_pred["trainedOn"]) == 1
+    assert len(by_pred["evaluationResults"]) == 2
+    # same dict value on m1/m2 -> same minted evaluation entity
+    ev_uris = {r.object for r in by_pred["evaluationResults"]}
+    assert len(ev_uris) == 1
+    # dynamic parameter keys become fair4ml predicates on the sub-entity
+    assert {r.object for r in by_pred[melt_ops.FAIR4ML_NS + "folds"]} == {"10"}
+    assert {r.object for r in by_pred[melt_ops.FAIR4ML_NS + "stratified"]} == {"true"}
+    # metric triples deduplicated across the two referencing subjects
+    assert len(by_pred[melt_ops.FAIR4ML_NS + "accuracy"]) == 1
+    assert by_pred[melt_ops.FAIR4ML_NS + "accuracy"][0].object == "0.91"
+    # the estimationProcedure sub-entity is typed and linked from the parent
+    est_links = by_pred[melt_ops.FAIR4ML_NS + "estimationProcedure"]
+    assert len(est_links) == 1 and est_links[0].object_is_uri
+    types = {(r.subject, r.object) for r in by_pred[melt_ops.RDF_TYPE]}
+    assert len(types) == 3  # DatasetObject, estimationProcedure, EvaluationObject
