@@ -561,59 +561,90 @@ def embedding_near_dup_lsh(
     return scored.where(F.col("score") >= threshold)
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for each node u, attach every strictly
+    larger neighbor to ``min(N(u) ∪ {u})``. Input/output: directed edge
+    list ``(u, v)`` interpreted symmetrically."""
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges (max→min); for each node u,
+    attach its ≤-neighbors and itself to the minimum of the set."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("n"), F.col("m"))
+        .unionByName(mins.select(F.col("u").alias("n"), F.col("m")))
+    )
+    return (
+        out.where(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
-    max_iter: int = 20,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the pair graph by
-    iterative min-label propagation — each doc's cluster id converges to
-    the minimum doc id reachable from it. The canonical survivor of a
-    cluster is then simply ``component == id``.
+    alternating **large-star / small-star** rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    node's label converges to the minimum id reachable from it, and the
+    canonical survivor of a cluster is simply ``component == id``.
 
-    Scale shape: each iteration is one groupBy(min) over the undirected
-    edge list joined with current labels — shuffles keyed by node id.
-    Iterations needed = graph diameter (near-dup graphs are shallow:
-    dup clusters are cliques or short chains from LSH banding, so this
-    converges in a handful of rounds; ``max_iter`` is a backstop).
-    Lineage is truncated per round (localCheckpoint) — an iterative
-    driver loop exactly like the reference's BFS crawl (T4).
+    Why not min-label propagation: that needs O(graph diameter) rounds —
+    a 1000-node chain takes 999 shuffles. Star contraction halves path
+    lengths every alternation, converging in O(log n) rounds on ANY
+    topology, and the per-round ``groupBy(min)`` is skew-tolerant: a
+    hub node's neighbor list is reduced by a partial-aggregable min,
+    never materialized as a row list.
+
+    Each round is two hash shuffles (symmetrize+min, re-key); lineage is
+    truncated per round (``localCheckpoint``), and the loop exits early
+    when the edge set reaches the star fixpoint. ``max_iter`` = 30
+    covers any graph to ~2³⁰ nodes with margin.
 
     Returns (node, component) for every node appearing in ``edges``.
     """
-    und = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    e = e.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias(
-                    "component"
-                ),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
+            + e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
         )
-        labels = new_labels
+        e = new_e
         if changed == 0:
             break
-    return labels
+    # fixpoint edges are (child, root) star edges; roots label themselves.
+    # groupBy(min) is a safety net if max_iter cut convergence short.
+    stars = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    return (
+        all_nodes.join(stars, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )

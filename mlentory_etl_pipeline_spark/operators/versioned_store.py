@@ -291,10 +291,22 @@ def deprecated_graph(state: StoreState) -> DataFrame:
 def graph_at(state: StoreState, ts) -> DataFrame:
     """Q10 point-in-time query: triples valid at ``ts``
     (``use_start <= ts <= use_end`` — deprecated ranges were still valid
-    inside their interval)."""
-    t = F.lit(ts).cast("timestamp")
+    inside their interval).
+
+    ``ts`` may be a scalar timestamp or a 1-row/1-col DataFrame (e.g.
+    ``events.agg(F.max("ts"))``): the DataFrame form joins in-plan as a
+    broadcast 1-row aggregate — same pattern as ``merge_batch``'s
+    batch-time — so deriving the point from data costs no driver
+    ``collect()``."""
+    if isinstance(ts, DataFrame):
+        pit = F.broadcast(ts.toDF("_pit"))
+        ranges = state.version_range.crossJoin(pit)
+        t = F.col("_pit").cast("timestamp")
+    else:
+        ranges = state.version_range
+        t = F.lit(ts).cast("timestamp")
     valid = (
-        state.version_range.where((F.col("use_start") <= t) & (F.col("use_end") >= t))
+        ranges.where((F.col("use_start") <= t) & (F.col("use_end") >= t))
         .select("triplet_hash")
         .distinct()
     )
@@ -471,6 +483,7 @@ def entity_chunking(
     chunk_size: int = 1000,
     meta_multiplier: int = 7,
     subject_col: str = "subject",
+    range_partitions: int | None = None,
 ) -> DataFrame:
     """V8 — entity-colocated chunk assignment
     (``LoadProcessor.py:162-288``): all triples of one subject land in
@@ -484,22 +497,61 @@ def entity_chunking(
     chunk still holds whole subjects. Returns one row per subject:
     ``(subject, n_triples, chunk_id)``.
 
-    Scale note: the global prefix sum is a single-partition window over
-    the *per-subject counts* (|subjects| rows, not |triples|) — fine to
-    ~10⁸ subjects; beyond that, range-partition by subject and offset
-    per-range prefix sums by the range totals.
+    The prefix sum is DISTRIBUTED — never a global single-partition
+    window:
+
+    1. per-subject counts are ``repartitionByRange`` over the subject
+       (range pid order == subject order, so global order is preserved
+       across partitions);
+    2. each range computes its local running sum in parallel (window
+       partitioned by range id);
+    3. per-range totals (one row per range) turn into cumulative
+       offsets via a tiny triangular self-join — no single-partition
+       WindowExec anywhere in the plan — and broadcast back.
+
+    The result is boundary-independent: wherever the range sampler cuts,
+    offset + local prefix equals the global prefix. Scales to any
+    |subjects|: the only per-row work is one range shuffle + one local
+    window; the offset side is |ranges| rows.
     """
     from pyspark.sql import Window
 
     counts_df = triples.groupBy(F.col(subject_col).alias("subject")).agg(
         F.count(F.lit(1)).alias("n_triples")
     )
-    w = Window.orderBy("subject").rowsBetween(Window.unboundedPreceding, -1)
-    preceding = F.coalesce(F.sum("n_triples").over(w), F.lit(0))
-    return counts_df.select(
-        "subject",
-        "n_triples",
-        F.floor(preceding * meta_multiplier / chunk_size).cast("int").alias("chunk_id"),
+    if range_partitions is None:
+        range_partitions = int(
+            triples.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    # localCheckpoint: ranged counts feed both the main pass and the
+    # totals pass — pin them so the groupBy+range shuffle runs once.
+    ranged = (
+        counts_df.repartitionByRange(range_partitions, "subject")
+        .withColumn("_rng", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("_rng")
+        .orderBy("subject")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prec = F.coalesce(F.sum("n_triples").over(w_local), F.lit(0))
+
+    totals = ranged.groupBy("_rng").agg(F.sum("n_triples").alias("_tot"))
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._rng") < F.col("a._rng"), "left")
+        .groupBy(F.col("a._rng").alias("_rng"))
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
+    )
+    preceding = F.col("_off") + local_prec
+    return (
+        ranged.join(F.broadcast(offsets), "_rng")
+        .select(
+            "subject",
+            "n_triples",
+            F.floor(preceding * meta_multiplier / chunk_size).cast("int").alias("chunk_id"),
+        )
     )
 
 

@@ -777,9 +777,10 @@ def scd2_deprecated_graph(spark, sf_dir):
     survey_ops=("Q10",),
 )
 def scd2_point_in_time(spark, sf_dir):
+    # point-in-time derived IN-PLAN: 1-row max aggregate broadcast into
+    # the range filter — no driver collect()
     e = t(spark, sf_dir, "events").where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp"))
-    pit = e.agg(F.max("ts")).collect()[0][0]
-    return vs.graph_at(_scd2_state(spark, sf_dir), pit)
+    return vs.graph_at(_scd2_state(spark, sf_dir), e.agg(F.max("ts")))
 
 
 @register(
@@ -859,9 +860,11 @@ def anti_join_is_new(spark, sf_dir):
     survey_ops=("S2",),
 )
 def watermark_incremental(spark, sf_dir):
+    # watermark stays in-plan (broadcast 1-row aggregate) — the scalar
+    # watermark_of() form is reserved for external-fetch composition
     e = t(spark, sf_dir, "events")
     landed = e.where("event_id < 5000")
-    wm = incremental.watermark_of(landed, "ts")
+    wm = incremental.watermark_agg(landed, "ts")
     return incremental.incremental_rows(e, "ts", wm).select("event_id", "ts")
 
 

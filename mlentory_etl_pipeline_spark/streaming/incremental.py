@@ -19,14 +19,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def watermark_agg(df: DataFrame, ts_col: str) -> DataFrame:
+    """S2 watermark as an IN-PLAN 1-row aggregate (broadcastable).
+
+    Prefer this over :func:`watermark_of` whenever the watermark feeds a
+    same-session plan: the whole refresh stays one lazy plan with no
+    blocking driver round-trip."""
+    return df.agg(F.max(ts_col).alias("_wm"))
+
+
 def watermark_of(df: DataFrame, ts_col: str):
-    """S2 watermark: latest timestamp already landed."""
+    """S2 watermark: latest timestamp already landed, as a driver-side
+    scalar. ONLY for composition with external systems (building a
+    remote API fetch filter, the reference's
+    ``HFDatasetManager.py:216-218``); in-plan consumers must use
+    :func:`watermark_agg` instead — no collect()."""
     return df.agg(F.max(ts_col)).collect()[0][0]
 
 
 def incremental_rows(df: DataFrame, ts_col: str, watermark) -> DataFrame:
     """Rows strictly newer than the watermark — the fetch filter of the
-    incremental refresh path (S2)."""
+    incremental refresh path (S2).
+
+    ``watermark`` may be a scalar (external composition) or the 1-row
+    DataFrame from :func:`watermark_agg`; the DataFrame form is joined
+    in-plan as a broadcast 1-row aggregate (the ``merge_batch``
+    batch-time pattern) so the filter never blocks on the driver."""
+    if isinstance(watermark, DataFrame):
+        return (
+            df.crossJoin(F.broadcast(watermark))
+            .where(F.col(ts_col) > F.col("_wm"))
+            .drop("_wm")
+        )
     return df.where(F.col(ts_col) > F.lit(watermark))
 
 

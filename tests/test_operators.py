@@ -359,3 +359,27 @@ def test_mint_nested_entities_dynamic_keys(spark):
     assert len(est_links) == 1 and est_links[0].object_is_uri
     types = {(r.subject, r.object) for r in by_pred[melt_ops.RDF_TYPE]}
     assert len(types) == 3  # DatasetObject, estimationProcedure, EvaluationObject
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """Star contraction must converge on a 1000-node chain (diameter
+    999) within the 30-round cap — min-label propagation would need 999
+    rounds. All nodes collapse to component 0."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "a_id bigint, b_id bigint"
+    )
+    labels = dedup.connected_components(edges, max_iter=30).collect()
+    assert len(labels) == 1000
+    assert {r.component for r in labels} == {0}
+
+
+def test_connected_components_skewed_hub(spark):
+    """A hub node connected to everything (worst-case skew for
+    list-materializing approaches) reduces via partial-aggregable min."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 500)] + [(1000 + i, 2000 + i) for i in range(5)],
+        "a_id bigint, b_id bigint",
+    )
+    labels = {r.node: r.component for r in dedup.connected_components(edges).collect()}
+    assert all(labels[i] == 0 for i in range(500))
+    assert all(labels[1000 + i] == 1000 + i and labels[2000 + i] == 1000 + i for i in range(5))

@@ -254,3 +254,19 @@ def test_pivot_two_phase_no_discovery_job(spark):
     plan = _plan(spark, "pivot_user_event_matrix")
     assert plan.count("Exchange (") == 2
     assert "In(event_type, [click,purchase,view])" in plan
+
+
+def test_entity_chunking_distributed_prefix_sum(spark):
+    """The V8 prefix sum must never serialize on one task: every Window
+    is partitioned (by the range id) and no exchange collapses to a
+    single partition — the range-offset side is a tiny triangular join,
+    not a global-order window."""
+    plan = _plan(spark, "entity_chunking")
+    assert "SinglePartition" not in plan
+    # every window spec carries the range-partition key
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a windowed prefix sum in the plan"
+    for spec in specs:
+        assert "_rng" in spec, f"unpartitioned window spec: {spec}"
