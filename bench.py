@@ -35,6 +35,38 @@ from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
 from mlentory_etl_pipeline_spark.session import get_spark
 
 
+def scd2_scenarios(spark, sf_dir: str) -> dict[str, float]:
+    """The versioned-MERGE scenario timings promised in BASELINE.md:
+    fresh load, idempotent re-load, ~10%-changed re-load (events→triples
+    batch at the bench scale factor). Each number covers the full V2–V7
+    merge + store materialization (localCheckpoint + table counts)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.operators import versioned_store as vs
+    from mlentory_etl_pipeline_spark.plans.queries import _events_as_triples
+
+    def _fold(state, batch):
+        t0 = _time.perf_counter()
+        out = vs.materialized(vs.merge_batch(state, batch), eager=True)
+        out.triplet.count() + out.extraction_info.count() + out.version_range.count()
+        return out, round(_time.perf_counter() - t0, 3)
+
+    batch = _events_as_triples(spark, sf_dir)
+    timings: dict[str, float] = {}
+    s, timings["scd2_fresh_load"] = _fold(vs.empty_state(spark), batch)
+    s, timings["scd2_idempotent_reload"] = _fold(s, batch)
+    changed = batch.withColumn(
+        "object",
+        F.when(
+            F.crc32(F.col("subject")) % 10 == 0, F.concat(F.col("object"), F.lit("_v2"))
+        ).otherwise(F.col("object")),
+    ).withColumn("extraction_time", F.col("extraction_time") + F.expr("INTERVAL 1 DAY"))
+    _, timings["scd2_changed_reload"] = _fold(s, changed)
+    return timings
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -55,6 +87,8 @@ def main():
         REGISTRY[name].spark_fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    scenarios = scd2_scenarios(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -65,6 +99,7 @@ def main():
                 "sf": sf,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "scenarios": scenarios,
             }
         )
     )
