@@ -268,3 +268,24 @@ def cluster_questions(questions: list[str], engine: FakeEmbeddingEngine | None =
             if members:
                 centroids[c] = [sum(xs) / len(members) for xs in zip(*members)]
     return {q: assign[i] for i, q in enumerate(questions)}
+
+
+def cluster_questions_distributed(
+    questions: DataFrame,
+    text_col: str = "question",
+    id_col: str = "question_id",
+    k: int = 3,
+    iters: int = 5,
+) -> DataFrame:
+    """N6 at scale: embed the question table (``embed_texts`` — Arrow
+    ``mapInPandas``, deterministic fake engine) and cluster the vectors
+    with the distributed Lloyd's k-means of
+    :func:`...operators.similarity.kmeans_cluster` — the ``pyspark``
+    path the driver-side :func:`cluster_questions` stand-in cannot take
+    beyond a few hundred questions. Returns (id, question, cluster).
+    """
+    from mlentory_etl_pipeline_spark.operators.similarity import kmeans_cluster
+
+    emb = embed_texts(questions, text_col)
+    assigned = kmeans_cluster(emb, id_col=id_col, vec_col="embedding", k=k, iters=iters)
+    return assigned.join(questions.select(id_col, text_col), id_col)

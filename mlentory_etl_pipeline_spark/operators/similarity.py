@@ -357,3 +357,96 @@ def int8_rerank_topk(
     rescored = exact.select(F.col(query_id_col), F.col("neighbor_id"), score)
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------- k-means
+
+def kmeans_cluster(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the scale
+    path for N6 question clustering (``QAMatchingEngine.py:315-360``
+    runs sklearn AgglomerativeClustering on the driver; fine for ~30
+    questions, impossible for a corpus).
+
+    Deterministic by construction: seeds are the first ``k`` vectors in
+    id order, iteration count is fixed, distances are rounded before the
+    argmin and ties break on the lower centroid id — two runs (and any
+    partitioning) give identical assignments.
+
+    Scale shape per iteration:
+
+    - assignment is a pure MAP against a broadcast 1-row centroid array
+      (transform → array_sort → [1]) — no N×k join, no shuffle;
+    - the centroid update is ``posexplode`` + grouBy(cluster, dim) avg —
+      partial-aggregable, so the shuffle volume is partitions × k × d,
+      never N × d; the k×d result lands on the driver exactly like
+      ``pyspark.ml`` KMeans' per-iteration aggregate.
+
+    Returns (id, cluster) with cluster ∈ [0, k).
+    """
+    dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_df:
+        return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    centroids = seeds
+    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
+
+    def _assign(cents: list[list[float]]) -> DataFrame:
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                )
+                for i, cv in enumerate(cents)
+            ]
+        )
+        scored = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            c["cv"],
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    round_digits,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return vecs.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
+        )
+
+    for _ in range(max(iters - 1, 0)):
+        assigned = _assign(centroids)
+        upd = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("c"))
+            .collect()
+        )
+        new_cents = [list(cv) for cv in centroids]  # empty clusters keep seeds
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.c
+        for cid, dims in by_cluster.items():
+            new_cents[cid] = [dims[i] for i in range(len(dims))]
+        centroids = new_cents
+    return _assign(centroids).select(F.col(id_col), F.col("cluster"))

@@ -1848,6 +1848,24 @@ def nlp_match_topk(spark, sf_dir):
     )
 
 
+@register(
+    "question_clustering_distributed",
+    "N6 scale path: deterministic distributed Lloyd's k-means over "
+    "embedded questions (map-only broadcast-centroid assignment, "
+    "partial-aggregable centroid update) — iterative, rows-only by "
+    "declared design",
+    oracle=None,
+    survey_ops=("N6",),
+)
+def question_clustering_distributed(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .where("doc_id < 100")
+        .select(F.col("doc_id").alias("question_id"), F.col("text").alias("question"))
+    )
+    return nlp.cluster_questions_distributed(d, k=5, iters=3)
+
+
 _QA_QUESTIONS = ["what is the task", "which language", "who shared it"]
 
 

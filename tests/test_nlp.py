@@ -154,3 +154,37 @@ def test_embedding_near_dup_lsh_recall(spark):
     banded_recall = len(banded & exact) / len(exact)
     assert banded_recall > recall
     assert banded_recall >= 0.5, f"banded recall {banded_recall}"
+
+
+def test_kmeans_cluster_recovers_separated_clusters(spark):
+    """Distributed Lloyd's k-means exactly recovers well-separated
+    synthetic clusters, deterministically across runs."""
+    from mlentory_etl_pipeline_spark.operators.similarity import kmeans_cluster
+
+    rows = []
+    centers = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    for i in range(60):
+        cx, cy, cz = centers[i % 3]
+        # deterministic jitter well inside the cluster radius
+        j = ((i * 37) % 10) / 20.0
+        rows.append((i, [cx + j, cy - j, cz + j / 2]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out1 = {r.vec_id: r.cluster for r in kmeans_cluster(df, k=3, iters=5).collect()}
+    out2 = {r.vec_id: r.cluster for r in kmeans_cluster(df, k=3, iters=5).collect()}
+    assert out1 == out2
+    # every ground-truth cluster maps to exactly one k-means label
+    for m in range(3):
+        labels = {out1[i] for i in range(60) if i % 3 == m}
+        assert len(labels) == 1
+    assert len({out1[i] for i in range(3)}) == 3
+
+
+def test_cluster_questions_distributed_plumbing(spark):
+    df = spark.createDataFrame(
+        [(i, f"question number {i} about topic {i % 2}") for i in range(12)],
+        "question_id bigint, question string",
+    )
+    out = nlp.cluster_questions_distributed(df, k=3, iters=2).collect()
+    assert len(out) == 12
+    assert {r.cluster for r in out} <= {0, 1, 2}
+    assert all(r.question.startswith("question number") for r in out)
