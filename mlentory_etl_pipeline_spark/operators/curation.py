@@ -315,3 +315,29 @@ def pack_sequences(
     ).rowsBetween(Window.unboundedPreceding, -1)
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return df.withColumn("bin", F.floor(before / context))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the
+    training-order randomization step of a data loader: every epoch
+    reads shards in order but documents arrive in hash-random order,
+    reproducible across runs and engines.
+
+    ``shard = md5(seed:id) mod n_shards`` (uniform by construction — no
+    hot shard), ``shard_pos = rank of the hash within the shard``. The
+    per-shard window is PARTITIONED (parallel across shards); at lake
+    scale write ``partitionBy("shard")`` and each training worker
+    range-reads one shard already in shuffle order.
+    """
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = F.pmod(F.conv(F.substring(h, 1, 6), 16, 10).cast("long"), F.lit(n_shards))
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_h", h).withColumn("shard", shard.cast("int"))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return keyed.withColumn("shard_pos", F.row_number().over(w)).drop("_h")

@@ -3075,6 +3075,29 @@ def quota_sample_per_group(spark, sf_dir):
 
 
 @register(
+    "corpus_shuffle_shards",
+    "deterministic training-order shuffle + shard assignment: "
+    "shard = md5(seed:id) mod 8, position = hash rank within shard "
+    "(uniform shards, parallel per-shard windows, epoch-reproducible)",
+    oracle="""
+    SELECT doc_id, shard, shard_pos FROM (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS INTEGER) AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8
+               ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS shard_pos
+      FROM documents
+    )
+    """,
+    survey_ops=("sampling-shuffle",),
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    return curation.shuffle_shards(
+        t(spark, sf_dir, "documents"), "doc_id", n_shards=8, seed="42"
+    ).select("doc_id", "shard", "shard_pos")
+
+
+@register(
     "decontaminate_ngram_overlap",
     "benchmark decontamination: corpus docs sharing a word 4-gram with "
     "the eval subset (doc_id % 97 = 0); eval shingles broadcast so the "

@@ -270,3 +270,13 @@ def test_entity_chunking_distributed_prefix_sum(spark):
     assert specs, "expected a windowed prefix sum in the plan"
     for spec in specs:
         assert "_rng" in spec, f"unpartitioned window spec: {spec}"
+
+
+def test_range_dispatch_nested_broadcasts_schema(spark):
+    """The nested-dict G2 branch must route rows via a broadcast config
+    join and JVM-side JSON parsing — no cartesian product, no
+    sort-merge join against the 2-row schema table, no Python UDF."""
+    plan = _plan(spark, "range_dispatch_nested")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
