@@ -341,3 +341,58 @@ def shuffle_shards(
     keyed = df.withColumn("_h", h).withColumn("shard", shard.cast("int"))
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return keyed.withColumn("shard_pos", F.row_number().over(w)).drop("_h")
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the T5/mT5 data-mixture rule):
+    re-balance sources so source s is sampled with probability
+    ``q_s ∝ n_s^alpha`` — ``alpha < 1`` up-weights small sources
+    relative to their natural frequency. Deterministic: the per-source
+    keep probability ``min(1, q_s·N/n_s)`` (rounded to 9 dp) gates an
+    md5-derived uniform per row — no RNG, reproducible across engines
+    and epochs.
+
+    Normalization pins the SMALLEST source at keep_prob 1 and
+    downsamples larger sources toward parity —
+    ``keep_prob_s = (n_min/n_s)^(1-alpha)`` — which needs only two
+    exact integer aggregates (per-source count, global min), no
+    cross-source float summation whose ordering could drift between
+    engines or partitionings. ``alpha=1`` keeps everything; ``alpha=0``
+    equalizes expected counts across sources at n_min.
+
+    Plan shape: one count aggregate over sources (tiny result), the
+    per-source probabilities computed on that aggregate and broadcast
+    back; the row pass is a pure map filter. No shuffle of the corpus.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        source_col,
+        F.round(
+            F.pow(
+                F.col("_mn").cast("double") / F.col("_n").cast("double"),
+                F.lit(1.0 - alpha),
+            ),
+            6,
+        ).alias("keep_prob"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(u < F.col("keep_prob"))
+        .select(*df.columns, "keep_prob")
+    )

@@ -3098,6 +3098,92 @@ def corpus_shuffle_shards(spark, sf_dir):
 
 
 @register(
+    "json_corrupt_records_audit",
+    "robust JSON ingest: malformed payloads parse to NULL (never kill "
+    "the batch) and are counted per group alongside the parsed-field "
+    "aggregate — the engine-level analogue of the reference's "
+    "try/except YAML resilience (ModelCardToSchemaParser.py:400-506)",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN SUBSTR(props, 1, 4) ELSE props END AS j
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS n_parsed,
+           SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS n_corrupt,
+           SUM(CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END) AS sum_k
+    FROM s GROUP BY event_type
+    """,
+    survey_ops=("robust-ingest", "T2"),
+)
+def json_corrupt_records_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    j = F.when(
+        F.col("event_id") % 13 == 0, F.substring("props", 1, 4)
+    ).otherwise(F.col("props"))
+    # PERMISSIVE + columnNameOfCorruptRecord: malformed payloads land in
+    # the corrupt-record field instead of killing the batch
+    parsed = e.select(
+        "event_type",
+        F.from_json(
+            j,
+            "k bigint, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("p._corrupt_record").isNull().cast("bigint")).alias("n_parsed"),
+        F.sum(F.col("p._corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
+        F.sum("p.k").alias("sum_k"),
+    )
+
+
+@register(
+    "temperature_mix_sample",
+    "temperature-based corpus mixing (T5/mT5 data-mixture rule): "
+    "keep_prob_s = (n_min/n_s)^(1-alpha) downsamples big sources toward "
+    "parity; md5-uniform gate per row — deterministic, no corpus shuffle",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'web'
+                  WHEN doc_id % 10 < 9 THEN 'books'
+                  ELSE 'code' END AS source
+      FROM documents
+    ),
+    c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (
+      SELECT source,
+             ROUND(POW(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE), 0.5), 6) AS keep_prob
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source, r.keep_prob
+    FROM d JOIN r USING (source)
+    WHERE CAST(('0x' || SUBSTR(MD5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+          / 1152921504606846976.0 < r.keep_prob
+    """,
+    survey_ops=("sampling-temperature",),
+)
+def temperature_mix_sample(spark, sf_dir):
+    # the synthetic source column is uniform; derive a skewed 70/20/10
+    # mixture so the downsampling arm of the rule is actually exercised
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("source"),
+    )
+    return curation.temperature_mix(d, "source", "doc_id", alpha=0.5).select(
+        "doc_id", "source", "keep_prob"
+    )
+
+
+@register(
     "decontaminate_ngram_overlap",
     "benchmark decontamination: corpus docs sharing a word 4-gram with "
     "the eval subset (doc_id % 97 = 0); eval shingles broadcast so the "
