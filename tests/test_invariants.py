@@ -91,3 +91,56 @@ def test_scd2_fold_invariants(spark, b1, b2):
     assert _rows(s3.triplet) == _rows(s2.triplet)
     assert _rows(s3.extraction_info) == _rows(s2.extraction_info)
     assert _rows(s3.version_range) == _rows(s2.version_range)
+
+
+# ---------------------------------------------------------------- CC
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=25
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_st)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star contraction must agree with a driver-side union-find on any
+    random small graph (self-loops allowed; they are ignored)."""
+    from mlentory_etl_pipeline_spark.operators import dedup
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes.update((a, b))
+    if not nodes:
+        return
+    expected = {n: find(n) for n in nodes}
+    # canonicalize: representative = min of each component
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "a_id bigint, b_id bigint"
+    )
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert got == expected
