@@ -280,3 +280,22 @@ def test_range_dispatch_nested_broadcasts_schema(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """The mixing rates must come back to the corpus as a broadcast
+    join; the row pass is a map filter — no sort-merge join, no
+    cartesian, nothing Python."""
+    plan = _plan(spark, "temperature_mix_sample")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange (") >= 1
+    assert "EvalPython" not in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """Shard assignment is map-side (md5); the only shuffle is the
+    per-shard window partitioning — never a global sort."""
+    plan = _plan(spark, "corpus_shuffle_shards")
+    assert plan.count("Exchange (") == 1
+    assert "SinglePartition" not in plan
