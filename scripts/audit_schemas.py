@@ -40,6 +40,9 @@ def main() -> int:
         ]
         if complex_cols:
             bad.append((name, ", ".join(complex_cols)))
+        dupes = [c for c in set(df.columns) if df.columns.count(c) > 1]
+        if dupes:
+            bad.append((name, "DUPLICATE column names: " + ", ".join(dupes)))
     for name, cols in bad:
         print(f"COMPLEX  {name}: {cols}")
     for name, err in errs:
