@@ -96,12 +96,19 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_ws(text))
 
 
-def rolling_fingerprint(text: Column, gram: int = 8) -> Column:
+def rolling_fingerprint(text: Column, gram: int = 8, pre_normalized: bool = False) -> Column:
     """Winnowing-style fingerprint: minimum md5 over all character
     ``gram``-grams of the normalized text. Robust to local edits
     anywhere except at the minimizing gram — the classic rolling-hash
-    document sketch, as one HOF expression."""
-    t = normalize_ws(text)
+    document sketch, as one HOF expression.
+
+    CSE trap (SCALE.md / measured 10× here): expressions referenced
+    inside HOF lambdas are NOT common-subexpression-eliminated, so the
+    ``normalize_ws`` regex would re-run once PER GRAM position. Callers
+    on a hot path must project the normalized text as a column first and
+    pass ``pre_normalized=True`` so the lambda touches only a bound
+    column reference."""
+    t = text if pre_normalized else normalize_ws(text)
     return F.array_min(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(gram - 1), F.lit(1))),

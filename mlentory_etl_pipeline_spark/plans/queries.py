@@ -1638,21 +1638,32 @@ def text_quality_score(spark, sf_dir):
     "text_fingerprints",
     "document fingerprinting: normalized md5 + rolling min-hash sketch",
     oracle=r"""
+    WITH n AS (
+      SELECT doc_id, REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    )
     SELECT doc_id,
-           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+           MD5(t) AS fp,
            LIST_MIN(LIST_TRANSFORM(
-             RANGE(1, GREATEST(LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) - 7, 1) + 1),
-             i -> MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'), i, 8)))) AS rolling_fp
-    FROM documents
+             RANGE(1, GREATEST(LENGTH(t) - 7, 1) + 1),
+             i -> MD5(SUBSTR(t, i, 8)))) AS rolling_fp
+    FROM n
     """,
     survey_ops=("text-fingerprint",),
 )
 def text_fingerprints(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # normalize ONCE as a projected column: HOF lambdas are not CSE'd,
+    # so inlining normalize_ws would re-run the regex per gram position
+    # (measured 10× at sf0.1)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.normalize_ws(F.col("text")).alias("_norm")
+    )
     return d.select(
         "doc_id",
-        textstats.fingerprint(F.col("text")).alias("fp"),
-        textstats.rolling_fingerprint(F.col("text"), gram=8).alias("rolling_fp"),
+        F.md5(F.col("_norm")).alias("fp"),
+        textstats.rolling_fingerprint(F.col("_norm"), gram=8, pre_normalized=True).alias(
+            "rolling_fp"
+        ),
     )
 
 
@@ -1911,12 +1922,14 @@ def nlp_grouped_qa(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     "embedding-cosine near-dup pairs, exact all-pairs baseline "
-    "(a<b theta join, precomputed norms, threshold 0.3)",
+    "(a<b theta join, precomputed norms, threshold 0.3; corpus capped "
+    "at 1000 vectors — the all-pairs product is the declared "
+    "small-corpus baseline, the LSH variant is the scale path)",
     oracle="""
     WITH e AS (
       SELECT vec_id, embedding,
              SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
-      FROM embeddings
+      FROM embeddings WHERE vec_id < 1000
     )
     SELECT a_id, b_id, score FROM (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1930,7 +1943,7 @@ def nlp_grouped_qa(spark, sf_dir):
     survey_ops=("dedup-embedding-cosine",),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where("vec_id < 1000")
     return dedup.embedding_near_dup_pairs(e, threshold=0.3)
 
 
