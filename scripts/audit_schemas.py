@@ -6,7 +6,12 @@ cannot hash list/dict cells — any ArrayType/MapType/StructType output
 column turns a value-correct query into a red row. This script builds
 each registry plan (lazy — no execution) and reports offenders.
 
-Usage: python scripts/audit_schemas.py [sf_dir]
+Usage: python scripts/audit_schemas.py [sf_dir] [--execute]
+
+``--execute`` additionally runs every query at the given sf and pushes
+its collected output through a pandas ``sort_values`` over all columns
+— the driver canonicalizer's crash surface — catching hazards the
+schema scan can't see (mixed-type object columns etc.).
 """
 
 from __future__ import annotations
@@ -43,6 +48,17 @@ def main() -> int:
         dupes = [c for c in set(df.columns) if df.columns.count(c) > 1]
         if dupes:
             bad.append((name, "DUPLICATE column names: " + ", ".join(dupes)))
+        if "--execute" in sys.argv and not complex_cols and not dupes:
+            import pandas as pd
+
+            try:
+                pdf = pd.DataFrame(
+                    [tuple(r) for r in df.collect()], columns=df.columns
+                )
+                if len(pdf):
+                    pdf.sort_values(by=list(pdf.columns))
+            except Exception as e:  # noqa: BLE001
+                bad.append((name, f"CANONICALIZER CRASH: {type(e).__name__}: {e}"))
     for name, cols in bad:
         print(f"COMPLEX  {name}: {cols}")
     for name, err in errs:
