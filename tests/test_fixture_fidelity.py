@@ -195,6 +195,54 @@ def test_reference_golden_counts(spark):
     assert open_extended.count() == 17  # 13 carried + 4 inserted
 
 
+def test_reference_golden_counts_add_new_model(spark):
+    """The reference's add-new-models scenario
+    (``test_GraphHandler.py:318-344``, fixture ``…_small_3.json``):
+    a third model (distilbert: type+name+1 task+sharedBy+date+2
+    trainedOn = 7 triples) joins, sentence-transformers re-observes
+    unchanged, audio_set is absent from the batch — nothing deprecates:
+    23 triplets / 3 models / 23 ranges / 2 infos / 0 deprecated."""
+    t3 = "2026-07-16_09-14-40"
+    batch_3 = [
+        {
+            "name": _cell(["distilbert"], ts=t3),
+            "mlTask": _cell(["fill mask"], ts=t3),
+            "sharedBy": _cell(["distilbert"], ts=t3),
+            "datePublished": _cell(["2022-03-02 23:29:05+00:00"], ts=t3),
+            "trainedOn": _cell(["bookcorpus", "wikipedia"], ts=t3),
+        },
+        {
+            "name": _cell(["sentence-transformers"], ts=t3),
+            "mlTask": _cell(["feature extraction", "sentence similarity"], ts=t3),
+            "sharedBy": _cell(["MIT"], ts=t3),
+            "datePublished": _cell(["2022-03-02 23:29:05+00:00"], ts=t3),
+            "trainedOn": _cell(
+                ["s2orc", "flax-sentence-embeddings/stackexchange_xml", "ms_marco", "gooaq"],
+                conf=0.9,
+                ts=t3,
+            ),
+        },
+    ]
+    state = vs.empty_state(spark)
+    state = vs.materialized(vs.merge_batch(state, _observations(spark, BATCH_1)))
+    state = vs.materialized(vs.merge_batch(state, _observations(spark, batch_3)))
+    assert _counts(state) == {
+        "triplets": 23,
+        "models": 3,
+        "ranges": 23,
+        "infos": 2,
+        "deprecated": 0,
+    }
+    # audio_set was absent from batch 3: its ranges stay open at t1
+    t1 = "2024-07-16 09:14:40"
+    stale_open = state.version_range.where(
+        (F.col("subject") == "mlentory:/hf/audio_set")
+        & (F.col("use_end") == F.lit(t1).cast("timestamp"))
+        & (~F.col("deprecated"))
+    )
+    assert stale_open.count() == 6
+
+
 def test_reference_golden_counts_idempotent_reload(spark):
     """Re-loading the same fixture must change nothing but use_end
     (the reference's test_small_graph_update_same_models precondition)."""
