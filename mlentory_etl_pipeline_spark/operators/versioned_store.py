@@ -218,6 +218,13 @@ def merge_batch(
     #   untouched, subject in batch  → deprecated (V5)
     #   untouched, subject absent    → use_end advances only under V6
     batch_subjects = b.select("subject").distinct()
+    # Out-of-order guard (the reference's ``vr.use_end <
+    # curr_update_date`` predicate, GraphHandler.py:319-345): a
+    # late-arriving batch older than a range's use_end neither regresses
+    # the range (use_end is monotone via greatest) nor deprecates it —
+    # only ranges the batch's time has actually passed can deprecate.
+    # For in-order folds this is behavior-identical to the unguarded
+    # form (prior open ranges always end before the next batch time).
     merged_open = (
         open_ranges.join(touched.drop("subject"), ["triplet_hash", "info_hash"], "left")
         .join(batch_subjects.withColumn("_subj_in_batch", F.lit(True)), "subject", "left")
@@ -227,15 +234,20 @@ def merge_batch(
             "info_hash",
             "subject",
             "use_start",
-            F.when(F.col("_touched"), batch_time)
+            F.when(F.col("_touched"), F.greatest(F.col("use_end"), batch_time))
             .when(F.coalesce("_subj_in_batch", F.lit(False)), F.col("use_end"))
-            .otherwise(batch_time if touch_unchanged else F.col("use_end"))
+            .otherwise(
+                F.greatest(F.col("use_end"), batch_time)
+                if touch_unchanged
+                else F.col("use_end")
+            )
             .alias("use_end"),
             (
                 F.col("deprecated")
                 | (
                     F.coalesce("_subj_in_batch", F.lit(False))
                     & ~F.coalesce("_touched", F.lit(False))
+                    & (F.col("use_end") < batch_time)
                 )
             ).alias("deprecated"),
         )

@@ -243,6 +243,66 @@ def test_reference_golden_counts_add_new_model(spark):
     assert stale_open.count() == 6
 
 
+def test_out_of_order_batch_is_time_guarded(spark):
+    """The reference's 4th scenario (``test_GraphHandler.py:345-393``)
+    loads batches out of chronological order: small_1 (2024) → small_3
+    (2026) → small_2 (2025). Its deprecation predicate is time-guarded
+    (``vr.use_end < curr_update_date``, GraphHandler.py:319-345), so the
+    2025 batch cannot deprecate ranges already extended to 2026 by the
+    2026 batch; our merge implements the same guard plus monotone
+    use_end.
+
+    Counts follow the reference's CODE: 26 triplets / 3 models / 27
+    ranges / 3 infos and exactly ONE deprecation — audio_set's
+    sharedBy/MIT under the old extraction info (use_end 2024 < 2025,
+    re-extracted by a new method in the 2025 batch). The reference
+    test file's literal expectation of 0 deprecations contradicts its
+    own guard for that row (the fixture suite needs live
+    postgres/virtuoso/elastic and the constant appears stale); we
+    assert the code-derived semantics.
+    """
+    t3 = "2026-07-16_09-14-40"
+    batch_3 = [
+        {
+            "name": _cell(["distilbert"], ts=t3),
+            "mlTask": _cell(["fill mask"], ts=t3),
+            "sharedBy": _cell(["distilbert"], ts=t3),
+            "datePublished": _cell(["2022-03-02 23:29:05+00:00"], ts=t3),
+            "trainedOn": _cell(["bookcorpus", "wikipedia"], ts=t3),
+        },
+        {
+            "name": _cell(["sentence-transformers"], ts=t3),
+            "mlTask": _cell(["feature extraction", "sentence similarity"], ts=t3),
+            "sharedBy": _cell(["MIT"], ts=t3),
+            "datePublished": _cell(["2022-03-02 23:29:05+00:00"], ts=t3),
+            "trainedOn": _cell(
+                ["s2orc", "flax-sentence-embeddings/stackexchange_xml", "ms_marco", "gooaq"],
+                conf=0.9,
+                ts=t3,
+            ),
+        },
+    ]
+    state = vs.empty_state(spark)
+    state = vs.materialized(vs.merge_batch(state, _observations(spark, BATCH_1)))
+    state = vs.materialized(vs.merge_batch(state, _observations(spark, batch_3)))
+    state = vs.materialized(vs.merge_batch(state, _observations(spark, BATCH_2)))
+    assert _counts(state) == {
+        "triplets": 26,
+        "models": 3,
+        "ranges": 27,
+        "infos": 3,
+        "deprecated": 1,
+    }
+    # the 2026 observations survive the older 2025 batch untouched
+    t26 = "2026-07-16 09:14:40"
+    survived = state.version_range.where(
+        (F.col("subject") == "mlentory:/hf/sentence-transformers")
+        & (F.col("use_end") == F.lit(t26).cast("timestamp"))
+        & (~F.col("deprecated"))
+    )
+    assert survived.count() == 10
+
+
 def test_reference_golden_counts_idempotent_reload(spark):
     """Re-loading the same fixture must change nothing but use_end
     (the reference's test_small_graph_update_same_models precondition)."""
