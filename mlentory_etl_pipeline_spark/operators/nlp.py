@@ -56,7 +56,7 @@ def _sectionize_markdown(text: str) -> list[dict]:
     sections: list[dict] = []
     breadcrumbs: list[tuple[int, str]] = []
     cur_title, cur_level, cur_start, cur_lines = "", 0, 0, []
-    in_code = False
+    fence: str | None = None  # open fence marker: "```" or "~~~"
 
     def flush(end_line):
         content = "\n".join(cur_lines).strip()
@@ -71,11 +71,16 @@ def _sectionize_markdown(text: str) -> list[dict]:
             )
 
     for i, line in enumerate(text.splitlines()):
-        if line.lstrip().startswith("```"):
-            in_code = not in_code
+        stripped = line.lstrip()
+        # both fence styles guard '#' lines (reference handles ``` AND
+        # ~~~, test_MarkdownParser.py::test_code_blocks); a fence only
+        # closes on its own marker
+        marker = next((m for m in ("```", "~~~") if stripped.startswith(m)), None)
+        if marker and (fence is None or fence == marker):
+            fence = None if fence == marker else marker
             cur_lines.append(line)
             continue
-        m = None if in_code else re.match(r"^(#{1,6})\s+(.*)$", line)
+        m = None if fence else re.match(r"^(#{1,6})\s+(.*)$", line)
         if m:
             flush(i)
             level = len(m.group(1))

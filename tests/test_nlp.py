@@ -188,3 +188,55 @@ def test_cluster_questions_distributed_plumbing(spark):
     assert len(out) == 12
     assert {r.cluster for r in out} <= {0, 1, 2}
     assert all(r.question.startswith("question number") for r in out)
+
+
+def test_sectionize_reference_code_block_golden(spark):
+    """Re-encoded golden case from the reference
+    (test_MarkdownParser.py::test_code_blocks): '#' lines inside ```
+    AND ~~~ fences are content, not headers — 2 sections."""
+    md = (
+        "# Header 1\n"
+        "Here's some Python code:\n\n"
+        "```python\n# This is a comment, not a header\ndef hello():\n"
+        '    print("Hello, world!")\n```\n\n'
+        "And here's a comment in some other code:\n\n"
+        "~~~\n# Also not a header\nlet x = 42;\n~~~\n\n"
+        "## Header 1.1\nContent after code blocks."
+    )
+    df = spark.createDataFrame([(md,)], "md string")
+    secs = (
+        nlp.sectionize(df, "md")
+        .select(F.explode("sections").alias("s"))
+        .select("s.title", "s.content")
+        .collect()
+    )
+    assert len(secs) == 2
+    assert secs[0].title == "Header 1"
+    assert "# This is a comment" in secs[0].content
+    assert "~~~" in secs[0].content
+    assert secs[1].title == "Header 1 > Header 1.1"
+
+
+def test_sectionize_reference_nested_headers_golden(spark):
+    """Re-encoded golden case from the reference
+    (test_MarkdownParser.py::test_nested_headers): breadcrumbs build
+    through 4 levels and reset correctly — 5 sections."""
+    md = (
+        "# Level 1\nContent level 1.\n\n"
+        "## Level 2\nContent level 2.\n\n"
+        "### Level 3\nContent level 3.\n\n"
+        "#### Level 4\nContent level 4.\n\n"
+        "## Another Level 2\nBack to level 2."
+    )
+    df = spark.createDataFrame([(md,)], "md string")
+    secs = (
+        nlp.sectionize(df, "md")
+        .select(F.explode("sections").alias("s"))
+        .select("s.title")
+        .collect()
+    )
+    titles = [r.title for r in secs]
+    assert len(titles) == 5
+    assert titles[2] == "Level 1 > Level 2 > Level 3"
+    assert titles[3] == "Level 1 > Level 2 > Level 3 > Level 4"
+    assert titles[4] == "Level 1 > Another Level 2"
