@@ -286,6 +286,52 @@ def count_distinct_subjects(spark, sf_dir):
 
 
 @register(
+    "property_path_2hop",
+    "Q8 SPARQL property-path analogue (?c :placed/:status ?s): 2-hop "
+    "traversal as a self-join of the triple table on object=subject, "
+    "distinct endpoints — hash-keyed joins, no driver-side graph walk",
+    oracle="""
+    WITH t1 AS (
+      SELECT 'customer:' || o_custkey AS subject, 'placed' AS predicate,
+             'order:' || o_orderkey AS object
+      FROM orders
+    ),
+    t2 AS (
+      SELECT 'order:' || o_orderkey AS subject, 'status' AS predicate,
+             o_orderstatus AS object
+      FROM orders
+    )
+    SELECT DISTINCT t1.subject AS start_node, t2.object AS end_node
+    FROM t1 JOIN t2 ON t1.object = t2.subject
+    """,
+    survey_ops=("Q8", "§2.9 joins"),
+)
+def property_path_2hop(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    t1 = o.select(
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.lit("placed").alias("predicate"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("object"),
+    )
+    t2 = o.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("status").alias("predicate"),
+        F.col("o_orderstatus").alias("object"),
+    )
+    triples = t1.unionByName(t2)
+    hop1 = triples.where(F.col("predicate") == "placed").alias("h1")
+    hop2 = triples.where(F.col("predicate") == "status").alias("h2")
+    return (
+        hop1.join(hop2, F.col("h1.object") == F.col("h2.subject"))
+        .select(
+            F.col("h1.subject").alias("start_node"),
+            F.col("h2.object").alias("end_node"),
+        )
+        .distinct()
+    )
+
+
+@register(
     "subject_pivot_counts",
     "Q1/V1 subject pivot: per-subject predicate→count columns (conditional agg)",
     oracle="""
