@@ -107,3 +107,45 @@ def anti_join_delete(current: DataFrame, deprecated: DataFrame) -> DataFrame:
     return current.join(
         deprecated, ["subject", "predicate", "object"], "left_anti"
     )
+
+
+def bounded_path(
+    edges: DataFrame,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    src_col: str = "subject",
+    dst_col: str = "object",
+) -> DataFrame:
+    """SPARQL bounded path quantifier (``:p{min,max}``) over an edge
+    relation: all (start, end, hops) pairs reachable in ``min..max``
+    hops. Each extension round is one hash equi-join of the frontier
+    against the (re-used) edge relation — the distributed analogue of
+    a recursive CTE with a depth bound, never a driver-side walk.
+
+    At scale the edge table is the join's build side every round — at
+    lake scale bucket it by ``src_col`` so the per-round shuffle
+    co-locates; frontiers shrink or stay bounded for DAG-ish data.
+    Cycles are fine: a (start, end) pair is recorded at its minimum
+    depth and deduplicated.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    frontier = e.select(
+        F.col("_s").alias("start_node"), F.col("_d").alias("end_node")
+    ).distinct()
+    out = frontier.withColumn("hops", F.lit(1)) if min_hops <= 1 else None
+    for depth in range(2, max_hops + 1):
+        frontier = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.end_node") == F.col("e._s"))
+            .select(F.col("f.start_node"), F.col("e._d").alias("end_node"))
+            .distinct()
+        )
+        if depth >= min_hops:
+            step = frontier.withColumn("hops", F.lit(depth))
+            out = step if out is None else out.unionByName(step)
+    # keep each (start, end) at its minimum depth
+    return (
+        out.groupBy("start_node", "end_node").agg(F.min("hops").alias("hops"))
+        if out is not None
+        else frontier.withColumn("hops", F.lit(max_hops)).limit(0)
+    )

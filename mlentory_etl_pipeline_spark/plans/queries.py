@@ -332,6 +332,42 @@ def property_path_2hop(spark, sf_dir):
 
 
 @register(
+    "property_path_bounded",
+    "SPARQL bounded path quantifier :parent{1,3} over a binary-tree "
+    "edge set (doc i -> i/2): per-round frontier equi-joins, (start, "
+    "end) kept at minimum depth — a depth-bounded recursive CTE, "
+    "distributed",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id AS s, doc_id // 2 AS d FROM documents WHERE doc_id >= 1
+    ),
+    h1 AS (SELECT s AS start_node, d AS end_node, 1 AS hops FROM e),
+    h2 AS (
+      SELECT h1.start_node, e.d AS end_node, 2 AS hops
+      FROM h1 JOIN e ON h1.end_node = e.s
+    ),
+    h3 AS (
+      SELECT h2.start_node, e.d AS end_node, 3 AS hops
+      FROM h2 JOIN e ON h2.end_node = e.s
+    ),
+    allh AS (
+      SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+    )
+    SELECT start_node, end_node, MIN(hops) AS hops
+    FROM allh GROUP BY start_node, end_node
+    """,
+    survey_ops=("Q8", "T4"),
+)
+def property_path_bounded(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id >= 1")
+    edges = d.select(
+        F.col("doc_id").alias("subject"),
+        F.floor(F.col("doc_id") / 2).cast("bigint").alias("object"),
+    )
+    return graph.bounded_path(edges, min_hops=1, max_hops=3)
+
+
+@register(
     "subject_pivot_counts",
     "Q1/V1 subject pivot: per-subject predicate→count columns (conditional agg)",
     oracle="""
