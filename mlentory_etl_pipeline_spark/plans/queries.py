@@ -368,6 +368,68 @@ def property_path_bounded(spark, sf_dir):
 
 
 @register(
+    "grouping_sets_explicit",
+    "explicit GROUPING SETS ((type), (source), ()) with GROUPING() "
+    "labels — the third grouping-family member beside ROLLUP/CUBE; one "
+    "Expand + single shuffle, partial-aggregable",
+    oracle="""
+    SELECT COALESCE(event_type, CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' END) AS etype,
+           COALESCE(CAST(user_id % 10 AS VARCHAR),
+                    CASE WHEN GROUPING(user_id % 10) = 1 THEN 'ALL' END) AS ubucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+    survey_ops=("grouping-sets", "§2.9 aggregations"),
+)
+def grouping_sets_explicit(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' END) AS etype,
+               COALESCE(CAST(user_id % 10 AS STRING),
+                        CASE WHEN GROUPING(user_id % 10) = 1 THEN 'ALL' END) AS ubucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+@register(
+    "exact_percentiles_disc",
+    "discrete percentiles (percentile_disc WITHIN GROUP == DuckDB "
+    "quantile_disc): the selected value is an actual data point, no "
+    "interpolation — pairs with exact_percentiles_quantity (cont)",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(QUANTILE_DISC(l_quantity, 0.25) AS DOUBLE) AS qty_p25,
+           CAST(QUANTILE_DISC(l_quantity, 0.5) AS DOUBLE) AS qty_p50,
+           CAST(QUANTILE_DISC(l_quantity, 0.75) AS DOUBLE) AS qty_p75,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_ops=("§2.9 aggregations", "profiling-columns"),
+)
+def exact_percentiles_disc(spark, sf_dir):
+    e = t(spark, sf_dir, "lineitem")
+    e.createOrReplaceTempView("_pd_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS qty_p25,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS qty_p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS qty_p75,
+               COUNT(*) AS n_rows
+        FROM _pd_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
     "subject_pivot_counts",
     "Q1/V1 subject pivot: per-subject predicate→count columns (conditional agg)",
     oracle="""
