@@ -1321,6 +1321,41 @@ def prefix_search(spark, sf_dir):
 
 
 @register(
+    "fuzzy_name_lookup",
+    "Q6 typo-tolerant lookup (the ES fuzziness face of the search "
+    "surface): levenshtein <= 2 against the probe, ranked by distance "
+    "then id; candidate pre-filter on length difference keeps the "
+    "edit-distance evaluation off most rows",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS db_identifier, c_name AS name,
+           LEVENSHTEIN(LOWER(c_name), 'customer#00000x42') AS dist
+    FROM customer
+    WHERE ABS(LENGTH(c_name) - LENGTH('customer#00000x42')) <= 2
+      AND LEVENSHTEIN(LOWER(c_name), 'customer#00000x42') <= 2
+    ORDER BY dist ASC, db_identifier ASC
+    LIMIT 20
+    """,
+    survey_ops=("Q6", "§1.5"),
+)
+def fuzzy_name_lookup(spark, sf_dir):
+    probe = "customer#00000x42"
+    c = t(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.lower(F.col("c_name")), F.lit(probe))
+    return (
+        c.where(
+            (F.abs(F.length("c_name") - F.lit(len(probe))) <= 2) & (dist <= 2)
+        )
+        .select(
+            F.col("c_custkey").cast("string").alias("db_identifier"),
+            F.col("c_name").alias("name"),
+            dist.alias("dist"),
+        )
+        .orderBy(F.asc("dist"), F.asc("db_identifier"))
+        .limit(20)
+    )
+
+
+@register(
     "exact_identifier_lookup",
     "Q5 match_phrase on db_identifier → equality lookup",
     oracle="""
