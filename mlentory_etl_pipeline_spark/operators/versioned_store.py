@@ -345,6 +345,57 @@ def history(state: StoreState, subject: str) -> DataFrame:
     )
 
 
+def changes_between(state: StoreState, t1, t2) -> DataFrame:
+    """Change-data-feed over the store: every triple whose lifecycle
+    changed in ``(t1, t2]``, labelled ``added`` (a range opened) or
+    ``removed`` (a range was deprecated with its final ``use_end`` in
+    the window). This is the incremental face of the S14 delta publish
+    (``RDFHandler.py:112-144``): a downstream graph/index consumer
+    replays exactly these rows instead of re-reading the current graph.
+
+    Window semantics: ``added`` = a range opened in ``(t1, t2]``;
+    ``removed`` = a deprecated range whose final ``use_end`` (its last
+    sighting — deprecation itself stamps no time in this store) lies in
+    ``[t1, t2)``: the triple was still current at t1 but is gone by t2.
+
+    One pass over version_range (range-pruned at lake scale when the
+    table is partitioned on use_start/deprecated), one join to attach
+    the triple terms, hash-keyed. ``t1``/``t2`` may be scalars or
+    1-row/1-col DataFrames (broadcast in-plan — the ``graph_at`` /
+    ``merge_batch`` batch-time pattern, no driver collect).
+    """
+    ranges = state.version_range
+    if isinstance(t1, DataFrame):
+        ranges = ranges.crossJoin(F.broadcast(t1.toDF("_lo")))
+        lo = F.col("_lo").cast("timestamp")
+    else:
+        lo = F.lit(t1).cast("timestamp")
+    if isinstance(t2, DataFrame):
+        ranges = ranges.crossJoin(F.broadcast(t2.toDF("_hi")))
+        hi = F.col("_hi").cast("timestamp")
+    else:
+        hi = F.lit(t2).cast("timestamp")
+    added = (
+        ranges.where((F.col("use_start") > lo) & (F.col("use_start") <= hi))
+        .select("triplet_hash")
+        .distinct()
+        .withColumn("change", F.lit("added"))
+    )
+    removed = (
+        ranges.where(
+            F.col("deprecated") & (F.col("use_end") >= lo) & (F.col("use_end") < hi)
+        )
+        .select("triplet_hash")
+        .distinct()
+        .withColumn("change", F.lit("removed"))
+    )
+    return (
+        added.unionByName(removed)
+        .join(state.triplet, "triplet_hash")
+        .select("subject", "predicate", "object", "change")
+    )
+
+
 def vacuum_closed_ranges(state: StoreState, cutoff) -> StoreState:
     """Retention vacuum: drop deprecated ranges that closed before
     ``cutoff``, then drop triplets/infos no surviving range references.

@@ -884,6 +884,31 @@ def scd2_version_ranges(spark, sf_dir):
 
 
 @register(
+    "scd2_changes_between",
+    "change-data-feed over the SCD2 store (the incremental face of the "
+    "S14 delta publish): triples added in (t1, t2] plus triples last "
+    "seen in [t1, t2) and deprecated — what a downstream graph/index "
+    "consumer replays instead of re-reading the current graph",
+    oracle=_SCD2_ORACLE_CTE
+    + """
+    , t1v AS (SELECT MAX(ts) AS v FROM events WHERE ts < TIMESTAMP '{split}')
+    SELECT DISTINCT subject, predicate, object, 'added' AS change
+    FROM ranges, t1v WHERE use_start > t1v.v
+    UNION
+    SELECT DISTINCT subject, predicate, object, 'removed'
+    FROM ranges, t1v WHERE deprecated AND use_end >= t1v.v
+    """.format(split=T_SPLIT),
+    survey_ops=("S14", "Q10", "S2"),
+)
+def scd2_changes_between(spark, sf_dir):
+    # window bounds stay in-plan: broadcast 1-row max aggregates
+    e = t(spark, sf_dir, "events")
+    t1 = e.where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp")).agg(F.max("ts"))
+    t2 = e.agg(F.max("ts"))
+    return vs.changes_between(_scd2_state(spark, sf_dir), t1, t2)
+
+
+@register(
     "scd2_current_graph",
     "Q7/V7 current graph: triples with an open, non-deprecated range",
     oracle=_SCD2_ORACLE_CTE
