@@ -909,6 +909,36 @@ def scd2_changes_between(spark, sf_dir):
 
 
 @register(
+    "scd2_incremental_refresh_slice",
+    "incremental downstream maintenance (S16 delta-indexing shape): "
+    "subjects touched by the change feed -> left-semi join against the "
+    "current graph = exactly the rows a search/graph consumer re-derives "
+    "after a load, instead of a full re-read",
+    oracle=_SCD2_ORACLE_CTE
+    + """
+    , t1v AS (SELECT MAX(ts) AS v FROM events WHERE ts < TIMESTAMP '{split}'),
+    changed AS (
+      SELECT DISTINCT subject FROM ranges, t1v
+      WHERE use_start > t1v.v OR (deprecated AND use_end >= t1v.v)
+    )
+    SELECT r.subject, r.predicate, r.object
+    FROM ranges r SEMI JOIN changed c ON r.subject = c.subject
+    WHERE NOT r.deprecated
+    """.format(split=T_SPLIT),
+    survey_ops=("S16", "S14", "Q7"),
+)
+def scd2_incremental_refresh_slice(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    t1 = e.where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp")).agg(F.max("ts"))
+    t2 = e.agg(F.max("ts"))
+    state = _scd2_state(spark, sf_dir)
+    changed_subjects = (
+        vs.changes_between(state, t1, t2).select("subject").distinct()
+    )
+    return vs.current_graph(state).join(changed_subjects, "subject", "left_semi")
+
+
+@register(
     "scd2_current_graph",
     "Q7/V7 current graph: triples with an open, non-deprecated range",
     oracle=_SCD2_ORACLE_CTE
@@ -3355,6 +3385,43 @@ def json_corrupt_records_audit(spark, sf_dir):
         F.sum(F.col("p._corrupt_record").isNull().cast("bigint")).alias("n_parsed"),
         F.sum(F.col("p._corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
         F.sum("p.k").alias("sum_k"),
+    )
+
+
+@register(
+    "length_outlier_filter",
+    "quantile-based length-outlier curation: drop docs outside the "
+    "[p05, p95] token-count band — the cutoffs come from one exact "
+    "percentile aggregate broadcast back onto the corpus (map filter, "
+    "no second shuffle)",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT ROUND(QUANTILE_CONT(n_tokens, 0.05), 6) AS lo,
+             ROUND(QUANTILE_CONT(n_tokens, 0.95), 6) AS hi
+      FROM s
+    )
+    SELECT s.doc_id, s.n_tokens FROM s, b
+    WHERE s.n_tokens >= b.lo AND s.n_tokens <= b.hi
+    """,
+    survey_ops=("quality-scoring", "F1", "profiling-columns"),
+)
+def length_outlier_filter(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    bounds = d.agg(
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.05)), 6).alias("_lo"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.95)), 6).alias("_hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .where((F.col("n_tokens") >= F.col("_lo")) & (F.col("n_tokens") <= F.col("_hi")))
+        .select("doc_id", "n_tokens")
     )
 
 
