@@ -294,3 +294,58 @@ def cluster_questions_distributed(
     emb = embed_texts(questions, text_col)
     assigned = kmeans_cluster(emb, id_col=id_col, vec_col="embedding", k=k, iters=iters)
     return assigned.join(questions.select(id_col, text_col), id_col)
+
+
+def grouped_match_topk(
+    sections: DataFrame,
+    questions: DataFrame,
+    k: int = 3,
+    n_clusters: int = 3,
+    iters: int = 3,
+    section_id_col: str = "section_id",
+    section_text_col: str = "content",
+    question_id_col: str = "question_id",
+    question_text_col: str = "question",
+) -> DataFrame:
+    """The reference's full QA matching pipeline (N5+N6 composition,
+    ``QAMatchingEngine.match_questions_to_sections:268-313``): cluster
+    the questions, match sections ONCE per cluster using the cluster's
+    lowest-id question as representative, then distribute that section
+    list to every member — top-k scoring cost scales with #clusters,
+    not #questions.
+
+    Spark-first: distributed k-means on the question embeddings, a
+    ``min`` aggregate picks representatives, one broadcast top-k match
+    for the representative set, and a join fans results back out to
+    members. Returns (question_id, question, cluster, section_id,
+    score, rank).
+    """
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_cluster,
+    )
+
+    q_emb = embed_texts(questions, question_text_col)
+    assigned = kmeans_cluster(
+        q_emb, id_col=question_id_col, vec_col="embedding", k=n_clusters, iters=iters
+    )
+    reps = assigned.groupBy("cluster").agg(F.min(question_id_col).alias("_rep_id"))
+    rep_vecs = (
+        q_emb.select(F.col(question_id_col).alias("_rep_id"), "embedding")
+        .join(reps, "_rep_id")
+        .select(F.col("cluster").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    s_emb = embed_texts(sections, section_text_col).select(
+        F.col(section_id_col).alias("vec_id"), "embedding"
+    )
+    matches = brute_force_topk(s_emb, rep_vecs, k=k).select(
+        F.col("query_id").alias("cluster"),
+        F.col("neighbor_id").alias(section_id_col),
+        "score",
+        "rank",
+    )
+    return (
+        assigned.join(matches, "cluster")
+        .join(questions.select(question_id_col, question_text_col), question_id_col)
+        .select(question_id_col, question_text_col, "cluster", section_id_col, "score", "rank")
+    )

@@ -2111,6 +2111,29 @@ def question_clustering_distributed(spark, sf_dir):
     return nlp.cluster_questions_distributed(d, k=5, iters=3)
 
 
+@register(
+    "nlp_grouped_match_topk",
+    "N5+N6 composition (QAMatchingEngine.match_questions_to_sections): "
+    "cluster questions, match top-k sections once per cluster via its "
+    "lowest-id representative, fan results to members — match cost "
+    "scales with #clusters, not #questions; rows-only (iterative "
+    "k-means inside)",
+    oracle=None,
+    survey_ops=("N5", "N6", "N8"),
+)
+def nlp_grouped_match_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    questions = d.where("doc_id < 24").select(
+        F.col("doc_id").alias("question_id"),
+        F.substring("text", 1, 30).alias("question"),
+    )
+    sections = d.where("doc_id >= 100 AND doc_id < 200").select(
+        F.col("doc_id").alias("section_id"),
+        F.substring("text", 1, 60).alias("content"),
+    )
+    return nlp.grouped_match_topk(sections, questions, k=3, n_clusters=4)
+
+
 _QA_QUESTIONS = ["what is the task", "which language", "who shared it"]
 
 

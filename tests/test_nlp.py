@@ -240,3 +240,26 @@ def test_sectionize_reference_nested_headers_golden(spark):
     assert titles[2] == "Level 1 > Level 2 > Level 3"
     assert titles[3] == "Level 1 > Level 2 > Level 3 > Level 4"
     assert titles[4] == "Level 1 > Another Level 2"
+
+
+def test_grouped_match_topk_members_share_sections(spark):
+    """N5+N6 composition: all questions in one cluster receive the SAME
+    ranked section list (matched once via the min-id representative)."""
+    questions = spark.createDataFrame(
+        [(i, f"question about topic {i % 2}") for i in range(8)],
+        "question_id bigint, question string",
+    )
+    sections = spark.createDataFrame(
+        [(100 + i, f"section body {i}") for i in range(10)],
+        "section_id bigint, content string",
+    )
+    out = nlp.grouped_match_topk(sections, questions, k=3, n_clusters=2).collect()
+    # identical question text -> identical embedding -> same cluster
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.question_id, []).append((r.rank, r.section_id, r.score))
+    for qid in by_q:
+        by_q[qid].sort()
+        assert len(by_q[qid]) == 3
+    assert by_q[0] == by_q[2] == by_q[4] == by_q[6]
+    assert by_q[1] == by_q[3] == by_q[5] == by_q[7]
