@@ -939,6 +939,43 @@ def scd2_incremental_refresh_slice(spark, sf_dir):
 
 
 @register(
+    "scd2_asof_lookup",
+    "bi-temporal AS-OF lookup: each probe event resolves the store's "
+    "triple values valid AT ITS OWN timestamp — a per-row graph_at, "
+    "planned as an interval join (subject equi-key + ts within "
+    "[use_start, use_end]), never a per-row query loop",
+    oracle=_SCD2_ORACLE_CTE
+    + f"""
+    SELECT e.event_id, r.subject, r.predicate, r.object
+    FROM (
+      SELECT event_id, CAST(user_id AS VARCHAR) AS subject, ts
+      FROM events WHERE event_id % 50 = 0
+    ) e
+    JOIN ranges r
+      ON r.subject = e.subject AND e.ts >= r.use_start AND e.ts <= r.use_end
+    """,
+    survey_ops=("Q10", "asof-join"),
+)
+def scd2_asof_lookup(spark, sf_dir):
+    state = _scd2_state(spark, sf_dir)
+    probes = (
+        t(spark, sf_dir, "events")
+        .where("event_id % 50 = 0")
+        .select("event_id", F.col("user_id").cast("string").alias("subject"), "ts")
+    )
+    ranged = state.version_range.join(state.triplet.drop("subject"), "triplet_hash")
+    return (
+        probes.join(
+            ranged,
+            (probes.subject == ranged.subject)
+            & (probes.ts >= ranged.use_start)
+            & (probes.ts <= ranged.use_end),
+        )
+        .select("event_id", probes.subject.alias("subject"), "predicate", "object")
+    )
+
+
+@register(
     "scd2_current_graph",
     "Q7/V7 current graph: triples with an open, non-deprecated range",
     oracle=_SCD2_ORACLE_CTE
