@@ -383,3 +383,62 @@ def test_connected_components_skewed_hub(spark):
     labels = {r.node: r.component for r in dedup.connected_components(edges).collect()}
     assert all(labels[i] == 0 for i in range(500))
     assert all(labels[1000 + i] == 1000 + i and labels[2000 + i] == 1000 + i for i in range(5))
+
+
+def test_kmeans_more_clusters_than_points(spark):
+    """k > |data|: seeds truncate to the data size; every point gets a
+    valid label and the result stays deterministic."""
+    from mlentory_etl_pipeline_spark.operators.similarity import kmeans_cluster
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {r.vec_id: r.cluster for r in kmeans_cluster(df, k=5, iters=3).collect()}
+    assert set(out) == {0, 1}
+    assert all(0 <= c < 2 for c in out.values())
+
+
+def test_bounded_path_min_hops_window(spark):
+    """min_hops=2 excludes direct edges; hops records the minimum depth."""
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "subject bigint, object bigint"
+    )
+    out = {
+        (r.start_node, r.end_node): r.hops
+        for r in graph.bounded_path(edges, min_hops=2, max_hops=3).collect()
+    }
+    assert (1, 2) not in out          # 1-hop excluded
+    assert out[(1, 3)] == 2           # reachable at 2 via 1->2->3 (direct 1-hop excluded)
+    assert out[(1, 4)] == 2           # min depth via 1->3->4, not 3 via 1->2->3->4
+    assert out[(2, 4)] == 2
+
+
+def test_changes_between_scalar_and_inplan_agree(spark):
+    """changes_between must give identical results for scalar bounds and
+    1-row-aggregate bounds (the in-plan broadcast form)."""
+    import datetime as dt
+
+    from mlentory_etl_pipeline_spark.operators import versioned_store as vs
+
+    def batch(rows, ts):
+        return spark.createDataFrame(
+            [(s, p, o, "m", 1.0, ts) for s, p, o in rows],
+            "subject string, predicate string, object string, "
+            "extraction_method string, confidence double, extraction_time timestamp",
+        )
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+    state = vs.merge_batch(vs.empty_state(spark), batch([("s1", "p", "a"), ("s2", "p", "b")], t1))
+    state = vs.materialized(vs.merge_batch(state, batch([("s1", "p", "a"), ("s2", "p", "c")], t2)))
+
+    scalar = {tuple(r) for r in vs.changes_between(state, t1, t2).collect()}
+    lo = spark.createDataFrame([(t1,)], "v timestamp").agg(F.max("v"))
+    hi = spark.createDataFrame([(t2,)], "v timestamp").agg(F.max("v"))
+    inplan = {tuple(r) for r in vs.changes_between(state, lo, hi).collect()}
+    assert scalar == inplan
+    assert ("s2", "p", "c", "added") in scalar
+    assert ("s2", "p", "b", "removed") in scalar
+    assert ("s1", "p", "a", "added") not in scalar
