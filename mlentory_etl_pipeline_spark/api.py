@@ -52,6 +52,11 @@ class QueryInterface:
     def graph_at(self, ts) -> DataFrame:
         return vs.graph_at(self._store.state(), ts)
 
+    def changes_between(self, t1, t2) -> DataFrame:
+        """Change-data-feed: triples added/removed in the window — what
+        a downstream consumer replays instead of re-reading the graph."""
+        return vs.changes_between(self._store.state(), t1, t2)
+
     def counts(self) -> DataFrame:
         return vs.counts(self._store.state())
 

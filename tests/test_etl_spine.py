@@ -144,6 +144,13 @@ def test_etl_spine_end_to_end(spark, tmp_path):
     at_t0 = {(r.subject, r.predicate, r.object) for r in qi.graph_at(T0).collect()}
     assert (m2_uri, "license", mit_uri) in at_t0
 
+    # -- change-data-feed between the two loads: the re-linked license
+    #    shows as added, the dropped link as removed
+    feed = {(r.subject, r.predicate, r.object, r.change)
+            for r in qi.changes_between(T0, T1).collect()}
+    assert any(s == m2_uri and p == "license" and c == "added" for s, p, o, c in feed)
+    assert (m2_uri, "license", mit_uri, "removed") in feed
+
     # -- serialize the current graph to N-Triples (S12)
     nt = graph_ops.to_ntriples(
         qi.current_graph().select(
