@@ -34,6 +34,55 @@ def normalize_license(raw: Column) -> Column:
     return F.lower(F.trim(raw))
 
 
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for exact dedup (the CommonCrawl
+    -style URL-level dedup key; reference F8 normalizations generalized).
+
+    Rules (all pure JVM expressions — map-only, engine-reproducible,
+    restricted to the Java∩RE2 regex subset so the DuckDB oracle runs
+    the identical automaton):
+
+    - drop the fragment (``#…``);
+    - lowercase scheme and host (path stays case-sensitive per RFC 3986);
+    - strip default ports (``:80`` for http, ``:443`` for https);
+    - collapse trailing slashes; empty path → ``/``;
+    - drop tracking params (``utm_*``, ``fbclid``, ``gclid``) and sort
+      the remainder bytewise, so param order never splits a dup group.
+
+    At 100 TB the canonical URL is the groupBy key for exact URL dedup —
+    uniformly hashable, no skew beyond genuine hot URLs (AQE splits
+    those), and computable at scan time so the dedup shuffle carries
+    one short string per row.
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?]*([^?]*)", 1), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.rlike("^(fbclid|gclid)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+
+
 def edge_ngram_prefixes(name: Column, min_len: int = 3, max_len: int = 30) -> Column:
     """Edge-ngram prefix array mirroring the reference's Elasticsearch
     analyzer ``edge_ngram(3, 30)`` + lowercase (``Entities.py:25-31``).

@@ -396,3 +396,81 @@ def temperature_mix(
         .where(u < F.col("keep_prob"))
         .select(*df.columns, "keep_prob")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1) as
+    pure JVM column expressions — the standard pre-training repetition/
+    quality gate, one map pass, no shuffle, no Python.
+
+    Rules computed per document (each surfaced as a column so downstream
+    audits can attribute drops to rules):
+
+    - ``word_count`` within [min_words, max_words];
+    - ``mean_word_len`` within [3, 10];
+    - ``symbol_ratio`` (``#`` and ``…``/``...`` per word) below 0.1;
+    - ``alpha_ratio`` (words containing ≥1 alphabetic char) above 0.8;
+    - ``stopword_hits`` ≥ 2 of the 8 canonical English stopwords.
+
+    The tokenized word array is projected ONCE before any higher-order
+    function touches it (HOF lambdas are not CSE'd — the measured trap
+    from dedup.py), so the five rules share a single tokenize. Ratios
+    are rounded to 6 dp before comparison: the keep decision is then
+    bit-identical across engines regardless of float evaluation order.
+
+    At 100 TB this runs at scan speed and composes with
+    ``repetition_stats`` (the Gopher repetition rules) and
+    ``temperature_mix`` into the standard curation pipeline.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(
+        id_col,
+        words.alias("_w"),
+        F.col(text_col).alias("_t"),
+    )
+    wc = F.size(F.col("_w"))
+    char_sum = F.aggregate(
+        F.transform(F.col("_w"), lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(F.col("_w"), lambda w: w.rlike("[a-zA-Z]")))
+    symbols = F.regexp_count(F.col("_t"), F.lit("#")) + F.regexp_count(
+        F.col("_t"), F.lit(r"\.\.\.")
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.col("_w"), s),
+        )
+    )
+    scored = d.select(
+        id_col,
+        wc.alias("word_count"),
+        F.round(char_sum.cast("double") / wc.cast("double"), 6).alias("mean_word_len"),
+        F.round(symbols.cast("double") / wc.cast("double"), 6).alias("symbol_ratio"),
+        F.round(alpha_words.cast("double") / wc.cast("double"), 6).alias("alpha_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("word_count").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("alpha_ratio") > min_alpha_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return scored.withColumn("keep", keep)

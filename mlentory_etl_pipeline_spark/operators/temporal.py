@@ -72,6 +72,123 @@ def asof_join(
     return picked.unionByName(unmatched)
 
 
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join with direction and tolerance (pandas ``merge_asof``
+    semantics, distributed).
+
+    ``direction``:
+      - ``backward``: latest right row with ``right_ts <= left_ts``
+      - ``forward``: earliest right row with ``right_ts >= left_ts``
+      - ``nearest``: right row minimizing ``|right_ts - left_ts|``;
+        distance ties prefer the backward (prior) match, then break on
+        the remaining right columns ascending — a total order, so the
+        result is engine-reproducible.
+
+    ``tolerance_seconds`` bounds the match window (unbounded if None).
+    Unmatched left rows survive with null right columns.
+
+    Same plan shape as :func:`asof_join` — one equi-join + one
+    map-side-combinable ``min_by`` aggregation, never a window over the
+    joined fan-out. The tolerance predicate tightens the join condition
+    itself, so out-of-window pairs are dropped at the join, not after:
+    at 100 TB a bounded tolerance is also the state bound (only
+    ``tolerance``-wide slices of the right side can ever pair).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    l = left.alias("l")
+    r = right.alias("r")
+    lus, rus = F.unix_micros(F.col(f"l.{left_ts}")), F.unix_micros(F.col(f"r.{right_ts}"))
+    delta = rus - lus
+    if direction == "backward":
+        cond = delta <= 0
+        dist = -delta
+    elif direction == "forward":
+        cond = delta >= 0
+        dist = delta
+    else:
+        cond = F.lit(True)
+        dist = F.abs(delta)
+    if tolerance_seconds is not None:
+        cond = cond & (F.abs(delta) <= F.lit(int(tolerance_seconds) * 1_000_000))
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond
+    right_payload = [c for c in right.columns if c != on]
+    # prefer-backward flag only discriminates for `nearest`; harmless otherwise
+    prefer = F.when(delta <= 0, F.lit(0)).otherwise(F.lit(1))
+    ord_cols: list[Column] = [dist, prefer] + [
+        F.col(f"r.{c}") for c in right_payload
+    ]
+    picked = (
+        l.join(r, cond, "inner")
+        .groupBy(*[F.col(f"l.{c}") for c in left.columns])
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(f"r.{c}").alias(c) for c in right_payload]),
+                F.struct(*ord_cols),
+            ).alias("_m")
+        )
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_payload],
+        )
+    )
+    unmatched = l.join(r, cond, "left_anti").select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_payload],
+    )
+    return picked.unionByName(unmatched)
+
+
+def interval_coalesce(
+    intervals: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent intervals per key (gaps-and-islands).
+
+    The classic validity-interval compaction: an interval starts a new
+    island iff its ``start`` exceeds the running maximum ``end`` of all
+    earlier intervals of the same key (touching intervals merge —
+    half-open semantics). Two window functions over ONE ``partitionBy
+    (key).orderBy(start, end)`` — the running max-end (exclusive of the
+    current row) flags island boundaries, the running sum numbers them —
+    so the physical plan is a single hash exchange + one sort per key,
+    the same single-exchange shape as :func:`sessionize` (plan-asserted
+    in tests). The final per-island rollup groups on a superset of the
+    partition key: no second shuffle.
+
+    Comparison runs in int64 microseconds (lossless). Returns one row
+    per (key, island): ``valid_from`` / ``valid_to`` / ``n_merged``.
+
+    At 100 TB: per-key interval counts bound the window sort; keys are
+    independent so AQE handles count skew at the rollup. This is the
+    compaction pass for SCD2 validity ranges after retention vacuuming
+    (versioned_store) and for any coverage/uptime computation.
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    sus = F.unix_micros(F.col(start))
+    eus = F.unix_micros(F.col(end))
+    prev_max_end = F.max(eus).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prev_max_end.isNull() | (sus > prev_max_end), 1).otherwise(0)
+    numbered = intervals.withColumn(
+        "_island", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy(key, "_island").agg(
+        F.min(start).alias("valid_from"),
+        F.max(end).alias("valid_to"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("_island")
+
+
 def sessionize(
     events: DataFrame,
     key: str,

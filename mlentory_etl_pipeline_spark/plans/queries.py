@@ -5291,3 +5291,294 @@ def dq_constraint_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("orderkey_orphans"))
     )
     return fact.crossJoin(orphans)
+
+
+# =====================================================================
+# Round-2 additions: interval algebra, curation rules, URL dedup,
+# tolerance as-of, SPARQL OPTIONAL, windowed distinct
+# =====================================================================
+
+@register(
+    "interval_coalesce_validity",
+    "Gaps-and-islands interval compaction: per-user 45-min activity "
+    "intervals merged into maximal covered spans — the validity-range "
+    "compaction pass for SCD2 stores and uptime/coverage analytics; "
+    "single hash exchange (lag-free running-max island numbering)",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 45 MINUTE AS e
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    numbered AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, MIN(s) AS valid_from, MAX(e) AS valid_to,
+           COUNT(*) AS n_merged
+    FROM numbered GROUP BY user_id, island
+    """,
+    survey_ops=("§2.9 windows", "V4", "Q10"),
+)
+def interval_coalesce_validity(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import interval_coalesce
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTE")).alias("e"),
+        )
+    )
+    return interval_coalesce(iv, key="user_id", start="s", end="e")
+
+
+@register(
+    "gopher_quality_filter",
+    "The Gopher pre-training quality rule set (word count, mean word "
+    "length, symbol ratio, alphabetic ratio, stopword hits) as one "
+    "map-only pass of JVM expressions; every rule surfaced as a column "
+    "so drops are attributable",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(w) AS word_count,
+             ROUND(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w), 6) AS mean_word_len,
+             ROUND(CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE) / len(w), 6) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w), 6) AS alpha_ratio,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             sw -> list_contains(w, sw))) AS stopword_hits
+      FROM d
+    )
+    SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_ratio,
+           stopword_hits,
+           (word_count BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+            AND stopword_hits >= 2) AS keep
+    FROM s
+    """,
+    survey_ops=("quality-scoring", "text-quality", "F1"),
+)
+def gopher_quality_filter(spark, sf_dir):
+    return curation.gopher_quality(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "url_canonicalize_dedup",
+    "URL canonicalization + exact dedup: scheme/host lowercasing, "
+    "default-port and fragment stripping, trailing-slash collapse, "
+    "tracking-param removal, bytewise query-param sort — then one "
+    "hash-partitioned groupBy on the canonical key (CommonCrawl-style "
+    "URL-level dedup; reference F8 normalizations generalized)",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+        ['HTTPS','https','HttpS','https','HTTPS'][CAST(doc_id % 5 AS INT) + 1]
+        || '://WWW.' || source || '.Example.COM'
+        || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+        || CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END
+        || ['?b=2&a=1','?a=1&utm_source=feed&b=2','?a=1&b=2&utm_campaign=x',
+            '?b=2&a=1&gclid=123','?a=1&b=2'][CAST(doc_id % 5 AS INT) + 1]
+        || CASE WHEN doc_id % 5 = 4 THEN '#section-2' ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nf, '^[^:/?#]+://([^/?]*)', 1)) AS hostport,
+             regexp_replace(regexp_extract(nf, '^[^:/?#]+://[^/?]*([^?]*)', 1), '/+$', '') AS path0,
+             regexp_extract(nf, '\?(.*)$', 1) AS q
+      FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM raw)
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://'
+        || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END
+        || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+        || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT regexp_matches(x, '^(fbclid|gclid)='))), '&') AS cq
+        FROM parts
+      )
+    )
+    SELECT url, COUNT(*) AS n_variants, MIN(doc_id) AS first_doc_id
+    FROM canon GROUP BY url
+    """,
+    survey_ops=("F8", "dedup-exact"),
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.functions.text import canonicalize_url
+
+    d = t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 5).cast("int")
+    pick = lambda *vals: F.element_at(F.array(*[F.lit(v) for v in vals]), m + 1)  # noqa: E731
+    url = F.concat(
+        pick("HTTPS", "https", "HttpS", "https", "HTTPS"),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(m == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(m == 1, F.lit("/")).otherwise(F.lit("")),
+        pick(
+            "?b=2&a=1",
+            "?a=1&utm_source=feed&b=2",
+            "?a=1&b=2&utm_campaign=x",
+            "?b=2&a=1&gclid=123",
+            "?a=1&b=2",
+        ),
+        F.when(m == 4, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return (
+        d.select(canonicalize_url(url).alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@register(
+    "asof_tolerance_nearest",
+    "Tolerance-bounded NEAREST as-of join (pandas merge_asof semantics, "
+    "distributed): each purchase matches its nearest click of the same "
+    "user within ±2h, distance ties preferring the prior click; "
+    "equi-join + map-side-combinable min_by, never a window over the "
+    "joined fan-out",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id AS click_id, ts AS r_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT l.event_id, l.user_id, l.ts, r.click_id, r.r_ts,
+             ABS(epoch_us(r.r_ts) - epoch_us(l.ts)) AS d,
+             CASE WHEN epoch_us(r.r_ts) <= epoch_us(l.ts) THEN 0 ELSE 1 END AS pref
+      FROM l JOIN r ON l.user_id = r.user_id
+        AND ABS(epoch_us(r.r_ts) - epoch_us(l.ts)) <= 7200000000
+    ),
+    picked AS (
+      SELECT event_id, user_id, ts, click_id, r_ts,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY d, pref, click_id, r_ts) AS rn
+      FROM cand
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           p.click_id AS asof_click_id, p.r_ts AS asof_ts
+    FROM l LEFT JOIN (SELECT * FROM picked WHERE rn = 1) p
+      ON l.event_id = p.event_id
+    """,
+    survey_ops=("asof-join", "§2.9 joins"),
+)
+def asof_tolerance_nearest(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import asof_join_tolerance
+
+    e = t(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return asof_join_tolerance(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        direction="nearest", tolerance_seconds=7200,
+    )
+
+
+@register(
+    "sparql_optional_filter",
+    "SPARQL OPTIONAL + FILTER + VALUES over the triple model: required "
+    "pattern inner-joins, OPTIONAL left-joins, VALUES is an inline "
+    "broadcast relation, FILTER a post-join predicate — the standard "
+    "BGP compilation onto relational operators (reference Q8 SPARQL "
+    "surface)",
+    oracle="""
+    WITH tr AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS s, event_type AS p,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS o
+      FROM events
+    ),
+    vals AS (SELECT CAST(range AS VARCHAR) AS s FROM range(0, 100)),
+    req AS (
+      SELECT tr.s, tr.o AS purchase_bucket
+      FROM tr JOIN vals ON tr.s = vals.s WHERE tr.p = 'purchase'
+    ),
+    opt AS (SELECT s, o AS error_bucket FROM tr WHERE p = 'error')
+    SELECT req.s AS subject, req.purchase_bucket, opt.error_bucket
+    FROM req LEFT JOIN opt ON req.s = opt.s
+    WHERE regexp_matches(req.purchase_bucket, '^[0-9]$')
+    """,
+    survey_ops=("Q8", "§2.9 joins"),
+)
+def sparql_optional_filter(spark, sf_dir):
+    tr = _events_as_triples(spark, sf_dir).select("subject", "predicate", "object").distinct()
+    vals = spark.range(0, 100).select(F.col("id").cast("string").alias("subject"))
+    req = (
+        tr.where(F.col("predicate") == "purchase")
+        .join(F.broadcast(vals), "subject")
+        .select("subject", F.col("object").alias("purchase_bucket"))
+    )
+    opt = tr.where(F.col("predicate") == "error").select(
+        "subject", F.col("object").alias("error_bucket")
+    )
+    return (
+        req.join(opt, "subject", "left")
+        .where(F.col("purchase_bucket").rlike("^[0-9]$"))
+        .select("subject", "purchase_bucket", "error_bucket")
+    )
+
+
+@register(
+    "windowed_distinct_users",
+    "Tumbling-window exact distinct-user counts per event type: the "
+    "batch form of the streaming windowed-distinct aggregation; "
+    "COUNT(DISTINCT) expands to a two-level aggregate (partial distinct "
+    "per partition, then merge) — one logical shuffle, no window sort",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events
+    GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
+    """,
+    survey_ops=("§2.9 streaming", "§2.9 aggregations"),
+)
+def windowed_distinct_users(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )

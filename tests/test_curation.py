@@ -314,3 +314,26 @@ def test_negative_samples_invariants(spark):
         k=4, pool_size=32,
     ).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+def test_gopher_quality_rule_boundaries(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import gopher_quality
+
+    good = "the quick brown fox jumps over lazy dogs and cats daily " * 6  # 66 words
+    short = "the and of tiny"  # < 50 words
+    symbols = ("# " * 30 + "the and of that be to have with word ") * 2
+    longwords = "extraordinarily incomprehensible " * 30 + "the and"
+    nostop = "alpha beta gamma delta epsilon zeta " * 10
+    rows = [(1, good), (2, short), (3, symbols), (4, longwords), (5, nostop)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+
+    assert out[1].keep
+    assert not out[2].keep and out[2].word_count < 50
+    assert not out[3].keep and out[3].symbol_ratio >= 0.1
+    assert not out[4].keep and out[4].mean_word_len > 10
+    assert not out[5].keep and out[5].stopword_hits < 2
+    # every rule column present and populated for attribution
+    for r in out.values():
+        for c in ("word_count", "mean_word_len", "symbol_ratio", "alpha_ratio", "stopword_hits"):
+            assert getattr(r, c) is not None

@@ -442,3 +442,23 @@ def test_changes_between_scalar_and_inplan_agree(spark):
     assert ("s2", "p", "c", "added") in scalar
     assert ("s2", "p", "b", "removed") in scalar
     assert ("s1", "p", "a", "added") not in scalar
+
+
+def test_canonicalize_url_cases(spark):
+    from mlentory_etl_pipeline_spark.functions.text import canonicalize_url
+
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://www.ex.com/a/b?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default port kept
+        ("https://ex.com", "https://ex.com/"),  # empty path -> /
+        ("https://ex.com/p?gclid=1&fbclid=2", "https://ex.com/p"),
+        ("https://ex.com/Case/Sensitive", "https://ex.com/Case/Sensitive"),
+        ("https://ex.com:443/p?z=1&a=2", "https://ex.com/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, url string")
+    got = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
