@@ -1,0 +1,127 @@
+"""Mergeable-sketch operators: two-level HyperLogLog distinct counts
+and a DataFrame-native count-min sketch.
+
+The defining property at 100 TB is MERGEABILITY: a sketch computed per
+partition/shard/day merges associatively into the global answer, so
+distinct counts and frequency estimates never re-scan history — the
+lake stores small sketch rows, and rollups union them. This is the
+architecture behind every production approx-aggregation layer
+(Druid/Pinot-style), expressed here with Spark's built-in DataSketches
+HLL functions plus a pure-DataFrame CMS (no UDF, no driver state).
+
+Reference parity: the reference computes exact distinct/frequency
+counts in SQL at its scale (`SQLHandler.py` aggregate queries, Q8
+SPARQL aggregates); these are the fixed-memory substitutes its own
+stack would need at lake scale, same posture as `approx_aggregates`
+(SURVEY §2.9 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_partitioned_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_shards: int = 16,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct count per group via two-level HLL sketch merge.
+
+    Level 1 sketches each (group, shard) slice — in production the
+    shard is the natural storage partition (ingest day / file), here a
+    hash shard standing in for it. Level 2 unions the shard sketches
+    per group with ``hll_union_agg`` and estimates. Both levels are
+    map-side combinable aggregates; shuffle volume is |groups×shards|
+    sketch blobs (~2^lg_k bytes each), never row data.
+
+    Error ~1.04/√2^lg_k (≈1.6% at lg_k=12), test-bounded against the
+    exact count. The two-level shape is the point: persisted level-1
+    sketches make tomorrow's rollup an incremental union, not a
+    re-scan — the same incremental posture as the SCD2 store.
+    """
+    shard = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_shards))
+    level1 = df.groupBy(F.col(group_col), shard.alias("_shard")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
+    )
+    return level1.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+
+
+def _cms_cells(key: F.Column, depth: int, width: int) -> F.Column:
+    """The d (row, bucket) cells a key hashes to — one xxhash64 per row
+    seeded by the row index, pmod'd onto the width."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h"),
+                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width)).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Build a count-min sketch as a (h, b, cnt) counter table.
+
+    Each row fans out to its ``depth`` cells map-locally (explode of a
+    literal-sized array), then one hash aggregation sums cell counts —
+    map-side combine collapses the fan-out before the shuffle, so at
+    most depth×width counter rows ever move. The result is a tiny
+    relation (≤ depth×width rows) that BROADCASTS for estimation and
+    MERGES with another sketch by cell-wise addition (`cms_merge`) —
+    per-day sketches sum into per-month ones without re-scanning.
+
+    No UDF, no binary blobs: the sketch is an honest DataFrame, so it
+    stores as parquet and survives engine changes.
+    """
+    cells = df.select(
+        F.explode(_cms_cells(F.col(key_col).cast("string"), depth, width)).alias("c")
+    )
+    return cells.groupBy(F.col("c.h").alias("h"), F.col("c.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with identical (depth, width).
+    CMS is a linear sketch: counts add, so sketch(A ∪ B) =
+    sketch(A) + sketch(B) exactly (test-asserted)."""
+    return (
+        a.unionByName(b)
+        .groupBy("h", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch for each probe key: min over the key's
+    depth cells (absent cell = 0). The sketch side broadcasts (≤
+    depth×width rows); probes fan out depth-fold map-locally and
+    collapse back with one min aggregation keyed by probe. Guarantees:
+    estimate ≥ true count always; overshoot ≤ εN with probability
+    1−(1/e)^depth, ε = e/width (test-bounded).
+    """
+    cand = probes.select(
+        F.col(key_col),
+        F.explode(_cms_cells(F.col(key_col).cast("string"), depth, width)).alias("c"),
+    ).select(key_col, F.col("c.h").alias("h"), F.col("c.b").alias("b"))
+    return (
+        cand.join(F.broadcast(sketch), ["h", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

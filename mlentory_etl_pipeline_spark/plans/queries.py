@@ -5582,3 +5582,42 @@ def windowed_distinct_users(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "approx_distinct_hll_partitioned",
+    "Two-level HyperLogLog distinct count: per-(group, shard) sketches "
+    "union into per-group estimates — the mergeable-sketch rollup shape "
+    "that makes tomorrow's distinct count an incremental union instead "
+    "of a re-scan; shuffle carries sketch blobs, never rows "
+    "(non-SQL-expressible: DataSketches HLL binary; error bound "
+    "test-asserted vs exact in tests/test_sketches.py)",
+    survey_ops=("approx-aggregates",),
+)
+def approx_distinct_hll_partitioned(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    e = t(spark, sf_dir, "events")
+    return sketches.hll_partitioned_distinct(e, "event_type", "user_id").orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "cms_token_heavy_hitters",
+    "Count-min-sketch token frequencies: corpus tokens fan out to d "
+    "hash cells map-locally, one aggregation builds the (h,b,cnt) "
+    "counter table, point queries broadcast it back — fixed-memory "
+    "frequency estimation whose sketches merge by cell-wise addition "
+    "(non-SQL-expressible hashing; over-estimate bound and merge "
+    "linearity test-asserted in tests/test_sketches.py)",
+    survey_ops=("approx-aggregates", "profiling-skew"),
+)
+def cms_token_heavy_hitters(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    sk = sketches.cms_build(toks, "token")
+    est = sketches.cms_estimate(sk, toks.distinct(), "token")
+    return est.orderBy(F.desc("est_count"), "token").limit(20)
