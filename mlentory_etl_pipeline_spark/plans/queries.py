@@ -5621,3 +5621,68 @@ def cms_token_heavy_hitters(spark, sf_dir):
     sk = sketches.cms_build(toks, "token")
     est = sketches.cms_estimate(sk, toks.distinct(), "token")
     return est.orderBy(F.desc("est_count"), "token").limit(20)
+
+
+def _write_time_ordered_slices(df, src: str, ts_col: str = "ts"):
+    """Write ``df`` to ``src`` as one parquet file per calendar quarter,
+    oldest quarter first — sequential jobs give strictly increasing
+    file modification times, which is the order FileStreamSource
+    replays them in."""
+    qkey = (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))).alias("_q")
+    keys = sorted(r._q for r in df.select(qkey).distinct().collect())
+    for k in keys:
+        df.where(
+            (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))) == k
+        ).coalesce(1).write.mode("append").parquet(src)
+
+
+@register(
+    "streaming_dedup_watermark",
+    "streaming exact dedup via dropDuplicatesWithinWatermark over a "
+    "time-ordered multi-micro-batch file stream: every event injected "
+    "twice, one state entry per key bounded by the watermark horizon; "
+    "output = per-type counts equal to the pre-duplication stream "
+    "(batch parity asserted in tests) — rows-only driver check",
+    oracle=None,
+    survey_ops=("streaming-stateful", "dedup-exact", "§2.9 streaming"),
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    import tempfile
+
+    from mlentory_etl_pipeline_spark.streaming.incremental import (
+        dedup_within_watermark,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    src = tempfile.mkdtemp(prefix="dedupstream-src-")
+    ckpt = tempfile.mkdtemp(prefix="dedupstream-ckpt-")
+    # every event twice, written as sequential per-quarter slices: the
+    # file source replays files in MODIFICATION-TIME order, so the
+    # slices must be written oldest-first for arrival order to track
+    # event time — then no duplicate can arrive after the watermark
+    # evicted its key's state, and nothing is late-dropped. (The
+    # distinct-quarters collect is source-setup metadata, not part of
+    # the streaming plan.)
+    _write_time_ordered_slices(e.unionByName(e), src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"dedupstream_out_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        dedup_within_watermark(stream, ["event_id"], "ts", "1 day")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

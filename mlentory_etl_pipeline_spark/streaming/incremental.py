@@ -151,3 +151,28 @@ def session_window_agg(
         F.col("win.end").alias("session_end"),
         *[c for c in out.columns if c != "win"],
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    evicts it once the event-time watermark passes the key's timestamp —
+    so state is bounded by (watermark horizon × arrival rate), not by
+    the stream's lifetime key cardinality. The guarantee is the useful
+    production one: duplicates arriving within ``delay`` of each other
+    are suppressed; a re-observation after the horizon re-emits (and
+    the downstream SCD2 merge absorbs it idempotently — content-hash
+    keyed, so the pipeline stays exactly-once end-to-end).
+
+    Batch parity: on a non-streaming frame this degrades to plain
+    ``dropDuplicates`` (asserted in tests/test_streaming.py along with
+    stream-vs-batch result parity on time-ordered files).
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(key_cols)
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)

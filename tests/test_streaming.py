@@ -243,3 +243,43 @@ def test_scd2_stream_load_incremental_parity(spark, tmp_path):
     assert got_ranges == want_ranges
     assert ("m1", "p0", "v0-CHANGED") in got_cur
     assert ("m1", "p0", "v0") not in got_cur
+
+
+def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mlentory_etl_pipeline_spark.streaming.incremental import (
+        dedup_within_watermark,
+    )
+
+    from mlentory_etl_pipeline_spark.sources.tpch import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    from mlentory_etl_pipeline_spark.plans.queries import _write_time_ordered_slices
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_time_ordered_slices(e.unionByName(e), src)
+
+    # batch path degrades to plain dropDuplicates
+    batch = dedup_within_watermark(spark.read.parquet(src), ["event_id"], "ts")
+    assert batch.count() == e.count()
+
+    stream = (
+        spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        dedup_within_watermark(stream, ["event_id"], "ts", "1 day")
+        .writeStream.format("memory")
+        .queryName("dedup_parity")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_parity")
+    assert got.count() == e.count()
+    assert got.select(F.count_distinct("event_id")).first()[0] == e.count()
