@@ -359,6 +359,153 @@ def int8_rerank_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
 
 
+# ------------------------------------------------------ product quant.
+
+def _subspace_chunks(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub: int
+) -> DataFrame:
+    """One row per (vector, subspace j) with the j-th length-``sub``
+    chunk — map-only explode of a literal-sized sequence."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        id_col, "j", F.slice(F.col("_v"), F.col("j") * sub + 1, sub).alias("chunk")
+    )
+
+
+def _l2sq(a, b, digits: int = 6):
+    """Rounded squared L2 distance between two float arrays (rounding
+    makes every argmin / shortlist engine-reproducible)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        digits,
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring,
+    fully relational — every step is a broadcast join + partial-agg, so
+    the plan is oracle-replicable SQL and scales like IVF.
+
+    Encode: the vector splits into ``m`` subspaces; each chunk maps to
+    its nearest of ``ksub`` codewords (codebook = chunks of the first
+    ``ksub`` corpus vectors in id order — the same deterministic
+    seed-quantizer posture as :func:`seed_centroids`; swap per-subspace
+    KMeans in production, plan unchanged). A vector stores ``m`` small
+    codes — with m=4, ksub=16 that is 2 bytes instead of 256 (128×).
+
+    Query: a per-query distance table (m×ksub rounded sub-distances,
+    exact DECIMAL when summed — no float-order drift) broadcasts onto
+    the corpus codes; approximate distance is the sum of m table
+    lookups, never a touch of the float corpus. The ADC shortlist then
+    re-ranks with exact cosine on candidates only (the int8_rerank
+    two-stage shape).
+
+    At 100 TB: the scanned table is the 128×-smaller code table; the
+    distance-table join fans each code row out once per query — for
+    query batches this is the standard ADC batch scan; float vectors
+    are probed by id for |queries|·shortlist candidates only.
+    """
+    # corpus must expose the vector dim statically via the first row's size
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_row:
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).alias(query_id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    dim = dim_row[0].d
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+
+    # codebook: m×ksub rows, code index = rank of the seed id within j
+    seeds = _subspace_chunks(
+        corpus.where(F.col(id_col) < ksub), id_col, vec_col, m, sub
+    )
+    wseed = Window.partitionBy("j").orderBy(id_col)
+    codebook = seeds.select(
+        "j",
+        (F.row_number().over(wseed) - 1).alias("code"),
+        F.col("chunk").alias("cw"),
+    )
+
+    # encode corpus: nearest codeword per (vector, subspace)
+    cchunks = _subspace_chunks(corpus, id_col, vec_col, m, sub)
+    codes = (
+        cchunks.join(F.broadcast(codebook), "j")
+        .groupBy(id_col, "j")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(_l2sq(F.col("chunk"), F.col("cw")), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+    # per-query ADC distance table: (query, j, code, d)
+    qchunks = _subspace_chunks(queries, query_id_col, query_vec_col, m, sub)
+    dtable = qchunks.join(F.broadcast(codebook), "j").select(
+        query_id_col,
+        "j",
+        "code",
+        _l2sq(F.col("chunk"), F.col("cw")).cast("decimal(18,6)").alias("d"),
+    )
+
+    # ADC scan: m exact-decimal lookups per (query, corpus vector)
+    approx = (
+        codes.join(F.broadcast(dtable), ["j", "code"])
+        .where(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    wshort = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_dist"), F.asc(id_col)
+    )
+    short = (
+        approx.withColumn("_r", F.row_number().over(wshort))
+        .where(F.col("_r") <= shortlist)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+    )
+
+    # candidate-only exact cosine re-rank
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    qfloats = queries.select(F.col(query_id_col), F.col(query_vec_col))
+    rescored = (
+        F.broadcast(short)
+        .join(qfloats, query_id_col)
+        .join(floats, "neighbor_id")
+        .select(
+            F.col(query_id_col),
+            F.col("neighbor_id"),
+            F.round(cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 # ------------------------------------------------------------- k-means
 
 def kmeans_cluster(

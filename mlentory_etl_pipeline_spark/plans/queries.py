@@ -5686,3 +5686,86 @@ def streaming_dedup_watermark(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    "product-quantization ANN with asymmetric-distance scoring: vectors "
+    "compress to m=4 codes (128x smaller than float32); a per-query "
+    "distance table broadcasts onto the code table and the ADC "
+    "shortlist re-ranks with exact cosine on candidates only — the "
+    "scanned table at 100 TB is the code table, never the floats",
+    oracle="""
+    WITH chunks AS (
+      SELECT vec_id, r.j,
+             list_slice(embedding, r.j * 16 + 1, r.j * 16 + 16) AS chunk
+      FROM embeddings CROSS JOIN range(0, 4) r(j)
+    ),
+    codebook AS (
+      SELECT j, ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code,
+             chunk AS cw
+      FROM chunks WHERE vec_id < 16
+    ),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT c.vec_id, c.j, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.j ORDER BY
+                 ROUND(list_sum(list_transform(range(1, 17),
+                   i -> (CAST(c.chunk[i] AS DOUBLE) - CAST(cb.cw[i] AS DOUBLE))
+                      * (CAST(c.chunk[i] AS DOUBLE) - CAST(cb.cw[i] AS DOUBLE)))), 6),
+                 cb.code) AS rn
+        FROM chunks c JOIN codebook cb ON c.j = cb.j
+      ) WHERE rn = 1
+    ),
+    dtable AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.code,
+             CAST(ROUND(list_sum(list_transform(range(1, 17),
+               i -> (CAST(q.chunk[i] AS DOUBLE) - CAST(cb.cw[i] AS DOUBLE))
+                  * (CAST(q.chunk[i] AS DOUBLE) - CAST(cb.cw[i] AS DOUBLE)))), 6)
+               AS DECIMAL(18,6)) AS d
+      FROM chunks q JOIN codebook cb ON q.j = cb.j
+      WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.d) AS approx_dist
+      FROM codes c JOIN dtable d ON c.j = d.j AND c.code = d.code
+      WHERE d.query_id <> c.vec_id
+      GROUP BY d.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_dist ASC, neighbor_id ASC) AS r
+        FROM adc
+      ) WHERE r <= 20
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv.embedding) + 1),
+                        i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(nv.embedding[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(qv.embedding, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(nv.embedding, v -> CAST(v AS DOUBLE) * v)))),
+               4) AS score
+      FROM short s
+      JOIN embeddings qv ON qv.vec_id = s.query_id
+      JOIN embeddings nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+    survey_ops=("ann-quantization", "ann-lsh"),
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.pq_adc_topk(e, q, m=4, ksub=16, shortlist=20, k=5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )

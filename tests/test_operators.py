@@ -462,3 +462,44 @@ def test_canonicalize_url_cases(spark):
     got = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_pq_adc_recall_and_compression_shape(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, q, k=5)
+    approx = similarity.pq_adc_topk(e, q, m=4, ksub=16, shortlist=40, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # uniform random vectors are PQ's hardest case too; must beat
+    # chance (5/500 = 1%) by a wide margin
+    assert recall > 0.10, f"recall {recall}"
+
+    # survivors' scores are EXACT cosines (rerank touches floats):
+    # every reported (pair, score) must equal the brute-force score
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    full = similarity.brute_force_topk(e, q, k=500)
+    all_scores = {(r.query_id, r.neighbor_id): r.score for r in full.collect()}
+    for r in approx.collect():
+        assert all_scores[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_pq_larger_shortlist_not_worse(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact_pairs = {
+        (r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(e, q, k=5).collect()
+    }
+
+    def recall(shortlist):
+        approx = similarity.pq_adc_topk(e, q, m=4, ksub=16, shortlist=shortlist, k=5)
+        pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
+    # monotone knob: widening the ADC shortlist can only help
+    assert recall(80) >= recall(20)
