@@ -474,3 +474,46 @@ def gopher_quality(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return scored.withColumn("keep", keep)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation — the curation pass that survives the exact skew a mean/
+    stddev z-score drowns in (one 10^9-char document drags the mean; it
+    cannot drag the median). Returns the rows whose
+    ``robust_z = (x - median) / (1.4826 · MAD)`` exceeds ``z`` in
+    absolute value, with the score attached.
+
+    Plan shape: two exact-percentile aggregations over the group key
+    (median, then MAD of the absolute deviations) and two joins back.
+    The group cardinality is the number of corpus sources/domains —
+    small by construction — so both stat tables broadcast and the data
+    passes map-only twice; the only shuffles are the two map-side-
+    combined percentile aggs. Groups with ``MAD = 0`` (constant-valued)
+    are skipped: robust z is undefined there, and the right tool for a
+    constant column is a DQ constraint, not an outlier score.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
+    )
+    scored = dev.join(F.broadcast(mad), group_cols).where(F.col("_mad") > 0)
+    robust_z = F.round(
+        (F.col(value_col) - F.col("_med")) / (F.lit(consistency) * F.col("_mad")), 6
+    )
+    return (
+        scored.withColumn("robust_z", robust_z)
+        .where(F.abs(F.col("robust_z")) > z)
+        .drop("_med", "_adev", "_mad")
+    )

@@ -176,3 +176,46 @@ def dedup_within_watermark(
     if not stream.isStreaming:
         return stream.dropDuplicates(key_cols)
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner equi-join bounded by an event-time interval:
+    a right-side event matches a left-side event with the same ``key``
+    when ``left_ts <= right_ts <= left_ts + within`` — the attribution
+    join (click → purchase, request → response, alert → ack) as a true
+    two-stream join with bounded state.
+
+    Both sides carry watermarks, so the state store holds only rows
+    whose join window can still match: left rows are evicted once the
+    right watermark passes ``left_ts + within``, right rows once the
+    left watermark passes ``right_ts``. State is bounded by
+    (watermark horizon × arrival rate) per side — the property that
+    lets this run forever on an unbounded stream. ``watermark_delay``
+    must exceed ``within`` plus cross-stream arrival skew for no
+    matches to be lost (asserted against the batch plan in tests).
+
+    ``left_ts`` and ``right_ts`` must be distinct column names; all
+    other column names must not collide across the two sides. On batch
+    frames the identical join condition plans as a regular range join —
+    one code path, batch parity by construction.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark_delay)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (left[key] == right[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner").drop(right[key])
