@@ -27,6 +27,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(c: Column) -> Column:
+    """int64 microseconds since epoch, accepting TIMESTAMP and TIMESTAMP_NTZ.
+
+    Parquet timestamps without timezone annotation arrive as TIMESTAMP_NTZ,
+    which ``unix_micros`` rejects; casting through TIMESTAMP first is
+    session-timezone-consistent, and every consumer here only compares or
+    differences the values, so the absolute offset cancels out.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -106,7 +117,7 @@ def asof_join_tolerance(
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     l = left.alias("l")
     r = right.alias("r")
-    lus, rus = F.unix_micros(F.col(f"l.{left_ts}")), F.unix_micros(F.col(f"r.{right_ts}"))
+    lus, rus = _micros(F.col(f"l.{left_ts}")), _micros(F.col(f"r.{right_ts}"))
     delta = rus - lus
     if direction == "backward":
         cond = delta <= 0
@@ -175,8 +186,8 @@ def interval_coalesce(
     (versioned_store) and for any coverage/uptime computation.
     """
     w = Window.partitionBy(key).orderBy(start, end)
-    sus = F.unix_micros(F.col(start))
-    eus = F.unix_micros(F.col(end))
+    sus = _micros(F.col(start))
+    eus = _micros(F.col(end))
     prev_max_end = F.max(eus).over(w.rowsBetween(Window.unboundedPreceding, -1))
     is_new = F.when(prev_max_end.isNull() | (sus > prev_max_end), 1).otherwise(0)
     numbered = intervals.withColumn(
@@ -216,7 +227,7 @@ def sessionize(
     """
     order_cols = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order_cols)
-    us = F.unix_micros(F.col(ts))
+    us = _micros(F.col(ts))
     prev_us = F.lag(us).over(w)
     is_new = F.when(
         prev_us.isNull() | ((us - prev_us) > F.lit(int(gap_seconds) * 1_000_000)), 1
