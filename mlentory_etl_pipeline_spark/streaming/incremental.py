@@ -19,6 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Ensure ``ts_col`` is watermark-eligible (TIMESTAMP, not
+    TIMESTAMP_NTZ). Untimezoned parquet micros read as TIMESTAMP_NTZ and
+    ``withWatermark`` rejects NTZ event time
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``); the cast interprets the
+    wall-clock value in the session timezone, which cancels out for the
+    relative comparisons (watermark horizon, window membership, interval
+    bounds) these operators do — same recipe as
+    ``operators/temporal.py:_micros``, and the same fixed-offset
+    session-timezone assumption documented there applies."""
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def watermark_agg(df: DataFrame, ts_col: str) -> DataFrame:
     """S2 watermark as an IN-PLAN 1-row aggregate (broadcastable).
 
@@ -67,7 +82,7 @@ def tumbling_window_agg(
     for the stateful variant with late-data eviction). Aggregate columns
     must carry their own aliases."""
     if watermark_delay is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark_delay)
+        df = _event_time(df, ts_col).withWatermark(ts_col, watermark_delay)
     w = F.window(F.col(ts_col), window_duration).alias("win")
     out = df.groupBy(w, *keys).agg(*aggs)
     return out.select(
@@ -143,7 +158,7 @@ def session_window_agg(
     store keeps one entry per open session, bounded by
     (watermark horizon × active keys)."""
     if watermark_delay is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark_delay)
+        df = _event_time(df, ts_col).withWatermark(ts_col, watermark_delay)
     w = F.session_window(F.col(ts_col), gap).alias("win")
     out = df.groupBy(w, *keys).agg(*aggs)
     return out.select(
@@ -175,7 +190,11 @@ def dedup_within_watermark(
     """
     if not stream.isStreaming:
         return stream.dropDuplicates(key_cols)
-    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+    return (
+        _event_time(stream, ts_col)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
 
 
 def stream_stream_interval_join(
@@ -210,9 +229,9 @@ def stream_stream_interval_join(
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
     if left.isStreaming:
-        left = left.withWatermark(left_ts, watermark_delay)
+        left = _event_time(left, left_ts).withWatermark(left_ts, watermark_delay)
     if right.isStreaming:
-        right = right.withWatermark(right_ts, watermark_delay)
+        right = _event_time(right, right_ts).withWatermark(right_ts, watermark_delay)
     cond = (
         (left[key] == right[key])
         & (F.col(right_ts) >= F.col(left_ts))
