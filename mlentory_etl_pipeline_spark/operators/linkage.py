@@ -66,12 +66,17 @@ def blocked_link(
 
     def keyed(df: DataFrame, id_col: str, name_col: str, out_id: str):
         norm = F.lower(F.regexp_replace(F.col(name_col), r"[^A-Za-z0-9]", ""))
+        # substring truncates safely, so names SHORTER than prefix_len
+        # block under their full normalized form (e.g. "t5" → "t5") and
+        # remain linkable; only empty-after-normalization names drop out
+        # (no usable key, and the empty block would be the degenerate
+        # hot key the skew guard exists for).
         base = df.select(
             F.col(id_col).alias(out_id),
             norm.alias(f"{out_id}_norm"),
             F.substring(norm, 1, prefix_len).alias("_pfx"),
             (F.length(norm) / wbucket).cast("long").alias("_b0"),
-        ).where(F.length(f"{out_id}_norm") >= prefix_len)
+        ).where(F.length(f"{out_id}_norm") >= 1)
         return base.withColumn(
             "_lb", F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1)))
         ).drop("_b0")
@@ -131,15 +136,18 @@ def sorted_neighborhood_pairs(
 
     Returns ``(a_id, b_id, a_rank, b_rank)`` with ``a_rank < b_rank``.
     """
-    ranked = df.select(F.col(id_col), sort_expr.alias("_sk")).repartitionByRange(
-        F.col("_sk"), F.col(id_col)
+    # localCheckpoint pins the range shuffle so spark_partition_id() is
+    # consistent across the two consumers (counts branch + rank branch)
+    # instead of relying on exchange reuse — same recipe as
+    # versioned_store.entity_chunking.
+    ranked = (
+        df.select(F.col(id_col), sort_expr.alias("_sk"))
+        .repartitionByRange(F.col("_sk"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    part_rank = F.row_number().over(
-        Window.partitionBy(F.spark_partition_id()).orderBy("_sk", id_col)
-    )
-    with_part = ranked.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_pr", part_rank
-    )
+    part_rank = F.row_number().over(Window.partitionBy("_pid").orderBy("_sk", id_col))
+    with_part = ranked.withColumn("_pr", part_rank)
     counts = with_part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.withColumn(
         "_off",
@@ -218,9 +226,15 @@ def setsim_prefix_join(
         "_pos",
         F.row_number().over(Window.partitionBy("_id").orderBy("_f", "_tk")),
     )
-    prefix_len = (
-        F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1)
-    ).cast("int")
+    # ceil(t * sz) with an epsilon guard: in float, 0.07 * 100 =
+    # 7.000000000000001 and a bare ceil overshoots to 8, which would
+    # shorten the prefix / over-tighten the length filter and drop true
+    # pairs. The epsilon only matters when t * sz sits within 1e-9 of an
+    # integer, i.e. exactly the representation-noise cases.
+    def _ceil_t(sz):
+        return F.ceil(F.lit(threshold) * sz - F.lit(1e-9))
+
+    prefix_len = (F.col("_sz") - _ceil_t(F.col("_sz")) + F.lit(1)).cast("int")
     prefixes = ordered.where(F.col("_pos") <= prefix_len).select("_id", "_tk", "_sz")
     cands = (
         prefixes.alias("a")
@@ -228,8 +242,8 @@ def setsim_prefix_join(
         .where(F.col("a._id") < F.col("b._id"))
         # length filter: J >= t forces t*|a| <= |b| <= |a|/t
         .where(
-            (F.col("b._sz") >= F.ceil(F.lit(threshold) * F.col("a._sz")))
-            & (F.col("a._sz") >= F.ceil(F.lit(threshold) * F.col("b._sz")))
+            (F.col("b._sz") >= _ceil_t(F.col("a._sz")))
+            & (F.col("a._sz") >= _ceil_t(F.col("b._sz")))
         )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()
@@ -238,10 +252,12 @@ def setsim_prefix_join(
     bv = tok.select(F.col("_id").alias("b_id"), F.col("_set").alias("_bset"))
     inter = F.size(F.array_intersect("_aset", "_bset"))
     uni = F.size("_aset") + F.size("_bset") - inter
+    # threshold on the UNROUNDED ratio; round only for output — rounding
+    # first would admit pairs up to 5e-7 below threshold.
     return (
         cands.join(av, "a_id")
         .join(bv, "b_id")
-        .withColumn("jaccard", F.round(inter.cast("double") / uni, 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        .withColumn("_j", inter.cast("double") / uni)
+        .where(F.col("_j") >= threshold)
+        .select("a_id", "b_id", F.round(F.col("_j"), 6).alias("jaccard"))
     )

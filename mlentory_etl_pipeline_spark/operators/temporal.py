@@ -34,6 +34,14 @@ def _micros(c: Column) -> Column:
     which ``unix_micros`` rejects; casting through TIMESTAMP first is
     session-timezone-consistent, and every consumer here only compares or
     differences the values, so the absolute offset cancels out.
+
+    Caveat: the cancellation assumes a FIXED-OFFSET session timezone
+    (UTC — the engine default, set in ``session.get_spark``). Under a
+    DST-observing session timezone the NTZ→TIMESTAMP offset changes
+    across transitions, so gaps/overlaps/tolerances spanning a DST
+    boundary would be off by the shift (and fall-back wall times are
+    ambiguous). Keep ``spark.sql.session.timeZone=UTC`` when feeding
+    NTZ data through the temporal operators.
     """
     return F.unix_micros(c.cast("timestamp"))
 
@@ -267,14 +275,16 @@ def range_join(
     Returns points columns + matching interval columns (inner join:
     points in no interval drop out, points in several match each).
     """
-    w = F.lit(int(bucket_seconds))
-    p = points.withColumn("_bkt", (F.unix_timestamp(F.col(ts)) / w).cast("long"))
+    # bucket via _micros so TIMESTAMP_NTZ inputs take the same
+    # cast-first path as every other temporal operator
+    w = F.lit(int(bucket_seconds) * 1_000_000)
+    p = points.withColumn("_bkt", F.floor(_micros(F.col(ts)) / w))
     i = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(F.col(start)) / w).cast("long"),
-                (F.unix_timestamp(F.col(end)) / w).cast("long"),
+                F.floor(_micros(F.col(start)) / w),
+                F.floor(_micros(F.col(end)) / w),
             )
         ),
     )

@@ -5769,3 +5769,117 @@ def ann_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(e, q, m=4, ksub=16, shortlist=20, k=5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
+
+
+# =====================================================================
+# Record linkage (operators/linkage.py)
+# =====================================================================
+
+@register(
+    "record_linkage_blocked",
+    "blocked record linkage: distinct part names vs a truncated-typo "
+    "variant, linked by (3-char-prefix, length-bucket) blocking + "
+    "levenshtein<=1 verify — candidates only, never all-pairs; the "
+    "oracle replicates the blocking predicate exactly "
+    "(share prefix AND |bucket diff|<=1)",
+    oracle="""
+    WITH l AS (
+      SELECT min(p_partkey) AS lid,
+             lower(regexp_replace(p_name, '[^A-Za-z0-9]', '', 'g')) AS lnorm
+      FROM part GROUP BY p_name
+    ),
+    r AS (
+      SELECT min(p_partkey) AS rid,
+             lower(regexp_replace(substr(p_name, 1, length(p_name) - 1),
+                                  '[^A-Za-z0-9]', '', 'g')) AS rnorm
+      FROM part GROUP BY p_name
+    ),
+    lk AS (
+      SELECT lid, lnorm, substr(lnorm, 1, 3) AS pfx,
+             CAST(floor(length(lnorm) / 2.0) AS BIGINT) AS b0
+      FROM l WHERE length(lnorm) >= 1
+    ),
+    rk AS (
+      SELECT rid, rnorm, substr(rnorm, 1, 3) AS pfx,
+             CAST(floor(length(rnorm) / 2.0) AS BIGINT) AS b0
+      FROM r WHERE length(rnorm) >= 1
+    )
+    SELECT lk.lid AS left_id, rk.rid AS right_id,
+           levenshtein(lk.lnorm, rk.rnorm) AS edit_distance
+    FROM lk JOIN rk ON lk.pfx = rk.pfx AND abs(lk.b0 - rk.b0) <= 1
+    WHERE levenshtein(lk.lnorm, rk.rnorm) <= 1
+    """,
+    survey_ops=("record-linkage", "G9 argmax disambiguation"),
+)
+def record_linkage_blocked(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.linkage import blocked_link
+
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    left = names.select(F.col("pid").alias("left_id"), F.col("p_name").alias("lname"))
+    right = names.select(
+        F.col("pid").alias("right_id"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("rname"),
+    )
+    return blocked_link(
+        left, right, "left_id", "right_id", "lname", "rname",
+        max_edit_distance=1, prefix_len=3,
+    )
+
+
+@register(
+    "setsim_prefix_jaccard",
+    "PPJoin-style exact Jaccard self-join (threshold 0.8) over document "
+    "token sets via rarest-first prefix filtering: only prefix tokens "
+    "explode into the candidate join, then candidates verify exactly — "
+    "lossless vs the all-pairs oracle by the prefix-filter theorem",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+      WHERE doc_id < 100 AND len(list_distinct(string_split(text, ' '))) > 0
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    survey_ops=("record-linkage", "dedup-ngram-jaccard"),
+)
+def setsim_prefix_jaccard(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.linkage import setsim_prefix_join
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    return setsim_prefix_join(d, "doc_id", "toks", threshold=0.8)
+
+
+@register(
+    "sorted_neighborhood_link",
+    "sorted-neighborhood blocking over supplier names: global rank by "
+    "name via a distributed two-level prefix-sum (no single-partition "
+    "window), candidate pairs within a window of 5 ranks — candidate "
+    "count linear in N and immune to block-key skew",
+    oracle="""
+    WITH rk AS (
+      SELECT s_suppkey, row_number() OVER (ORDER BY s_name, s_suppkey) AS rnk
+      FROM supplier
+    )
+    SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+           a.rnk AS a_rank, b.rnk AS b_rank
+    FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk - a.rnk < 5
+    """,
+    survey_ops=("record-linkage", "V8 entity chunking"),
+)
+def sorted_neighborhood_link(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    s = t(spark, sf_dir, "supplier")
+    return sorted_neighborhood_pairs(s, "s_suppkey", F.col("s_name"), window=5)

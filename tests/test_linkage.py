@@ -1,0 +1,176 @@
+"""Oracle-style tests for operators/linkage.py: every blocked shape is
+compared against a naive all-pairs computation on the same data, so the
+blocking/prefix filters are verified lossless (or exactly as lossy as
+their documented predicate)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators.linkage import (
+    blocked_link,
+    setsim_prefix_join,
+    sorted_neighborhood_pairs,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _norm(s: str) -> str:
+    return "".join(c for c in s.lower() if c.isalnum())
+
+
+NAMES = [
+    ("l1", "BERT-base"),
+    ("l2", "bert base!"),
+    ("l3", "RoBERTa-large"),
+    ("l4", "T5"),
+    ("l5", "GPT-2"),
+    ("l6", "whisper tiny"),
+]
+RNAMES = [
+    ("r1", "bertbase"),
+    ("r2", "roberta-larg"),
+    ("r3", "t5"),
+    ("r4", "gpt2"),
+    ("r5", "whispre tiny"),
+    ("r6", "llama"),
+]
+
+
+def _blocked_expected(k: int, prefix_len: int) -> set[tuple[str, str, int]]:
+    """Naive replica of blocked_link's documented semantics: edit
+    distance <= k AND the pair shares a (prefix, length-bucket±1)
+    block."""
+    w = k + 1
+    out = set()
+    for lid, ln in NAMES:
+        for rid, rn in RNAMES:
+            a, b = _norm(ln), _norm(rn)
+            if not a or not b:
+                continue
+            if a[:prefix_len] != b[:prefix_len]:
+                continue
+            if abs(len(a) // w - len(b) // w) > 1:
+                continue
+            d = _lev(a, b)
+            if d <= k:
+                out.add((lid, rid, d))
+    return out
+
+
+def test_blocked_link_matches_naive(spark):
+    left = spark.createDataFrame(NAMES, ["lid", "lname"])
+    right = spark.createDataFrame(RNAMES, ["rid", "rname"])
+    got = {
+        (r.lid, r.rid, r.edit_distance)
+        for r in blocked_link(
+            left, right, "lid", "rid", "lname", "rname",
+            max_edit_distance=2, prefix_len=3,
+        ).collect()
+    }
+    assert got == _blocked_expected(2, 3)
+    # the short names DID link (regression: < prefix_len names used to
+    # be dropped entirely)
+    assert ("l4", "r3", 0) in got  # T5 <-> t5
+    assert ("l5", "r4", 0) in got  # GPT-2 <-> gpt2
+
+
+def test_blocked_link_skew_guard(spark):
+    # a degenerate hot block ("aaa...") is dropped by max_block_size on
+    # both sides; the well-behaved pair elsewhere survives
+    left = spark.createDataFrame(
+        [(f"l{i}", "aaaa") for i in range(20)] + [("lx", "unique-name")],
+        ["lid", "lname"],
+    )
+    right = spark.createDataFrame(
+        [(f"r{i}", "aaab") for i in range(20)] + [("rx", "unique-nam")],
+        ["rid", "rname"],
+    )
+    got = blocked_link(
+        left, right, "lid", "rid", "lname", "rname",
+        max_edit_distance=2, prefix_len=3, max_block_size=5,
+    ).collect()
+    assert {(r.lid, r.rid) for r in got} == {("lx", "rx")}
+
+
+def test_sorted_neighborhood_matches_naive(spark):
+    rng = random.Random(7)
+    rows = [(i, f"name-{rng.randrange(50):03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "name"]).repartition(7)
+    got = {
+        (r.a_id, r.b_id, r.a_rank, r.b_rank)
+        for r in sorted_neighborhood_pairs(df, "id", F.col("name"), window=5).collect()
+    }
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = set()
+    for i, (aid, _) in enumerate(ranked):
+        for j in range(i + 1, min(i + 5, len(ranked))):
+            want.add((aid, ranked[j][0], i + 1, j + 1))
+    assert got == want
+
+
+def _brute_jaccard(docs, threshold):
+    want = set()
+    for (aid, aset), (bid, bset) in itertools.combinations(docs, 2):
+        if aid > bid:
+            aid, bid, aset, bset = bid, aid, bset, aset
+        inter = len(aset & bset)
+        uni = len(aset | bset)
+        if uni and inter / uni >= threshold:
+            want.add((aid, bid, round(inter / uni, 6)))
+    return want
+
+
+@pytest.mark.parametrize("threshold", [0.07, 0.5, 0.8])
+def test_setsim_prefix_join_matches_brute_force(spark, threshold):
+    # t=0.07 over ~100-token sets is the regression case for the float
+    # ceil overshoot (0.07*100 -> 7.000000000000001 -> ceil 8 used to
+    # shorten the prefix and drop true pairs)
+    rng = random.Random(13)
+    docs = []
+    for i in range(40):
+        size = rng.choice([20, 60, 100])
+        docs.append((i, set(rng.sample(range(160), size))))
+    rows = [(i, [f"t{x}" for x in sorted(s)]) for i, s in docs]
+    sdf = spark.createDataFrame(rows, ["doc_id", "toks"])
+    got = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in setsim_prefix_join(sdf, "doc_id", "toks", threshold).collect()
+    }
+    want = _brute_jaccard([(i, {f"t{x}" for x in s}) for i, s in docs], threshold)
+    assert got == want
+
+
+def test_setsim_threshold_on_unrounded_ratio(spark):
+    # J just below threshold must NOT pass even when it ROUNDS to the
+    # threshold: 4/9 = 0.444444 vs t=0.4444445 — rounding to 6 dp first
+    # would admit it
+    a = [f"t{i}" for i in range(6)]
+    b = a[:4] + ["x1", "x2", "x3"]  # inter=4, union=9
+    sdf = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "toks"])
+    t = 4 / 9 + 1e-9
+    assert setsim_prefix_join(sdf, "doc_id", "toks", t).count() == 0
+    assert setsim_prefix_join(sdf, "doc_id", "toks", 4 / 9).count() == 1
+
+
+def test_setsim_exact_integer_threshold_boundary(spark):
+    # pairs EXACTLY at threshold survive the epsilon guard
+    a = [f"t{i}" for i in range(4)]
+    b = a[:2] + ["x1", "x2"]  # inter=2, union=6 -> J=1/3
+    sdf = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "toks"])
+    got = setsim_prefix_join(sdf, "doc_id", "toks", 1 / 3).collect()
+    assert len(got) == 1 and math.isclose(got[0].jaccard, round(1 / 3, 6))
