@@ -181,9 +181,9 @@ def seed_centroids(
 
     Centroids are the corpus vectors with ``id < n_centroids`` — a
     deterministic stand-in for a trained coarse quantizer, which keeps
-    the whole IVF pipeline replicable by a SQL oracle. At lake scale,
-    swap this for ``pyspark.ml.clustering.KMeans`` centers (sampled
-    training, then the same broadcast-array shape); every downstream
+    the whole IVF pipeline replicable by a SQL oracle. The TRAINED
+    production path is :func:`trained_centroids` (in-repo distributed
+    Lloyd's) producing the same broadcast-array shape; every downstream
     step is unchanged.
     """
     cent = corpus.where(F.col(id_col) < n_centroids).select(
@@ -248,6 +248,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors are inverted-listed
     under their nearest centroid; each query scores only the vectors in
@@ -260,8 +261,16 @@ def ivf_topk(
     touches nprobe/​n_centroids of the data. Recall vs
     :func:`brute_force_topk` is asserted in tests; with
     ``nprobe = n_centroids`` results are exact.
+
+    ``centroids`` overrides the seed quantizer with a pre-trained
+    1-row centroid frame (:func:`trained_centroids`); the plan is
+    identical either way.
     """
-    cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     c = ivf_probe_cells(corpus, cents, id_col, vec_col, nprobe=1, norm_alias="_cn")
     q = ivf_probe_cells(
         queries, cents, query_id_col, query_vec_col, nprobe=nprobe, norm_alias="_qn"
@@ -400,16 +409,18 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring,
     fully relational — every step is a broadcast join + partial-agg, so
     the plan is oracle-replicable SQL and scales like IVF.
 
     Encode: the vector splits into ``m`` subspaces; each chunk maps to
-    its nearest of ``ksub`` codewords (codebook = chunks of the first
-    ``ksub`` corpus vectors in id order — the same deterministic
-    seed-quantizer posture as :func:`seed_centroids`; swap per-subspace
-    KMeans in production, plan unchanged). A vector stores ``m`` small
+    its nearest of ``ksub`` codewords (default codebook = chunks of the
+    first ``ksub`` corpus vectors in id order — the same deterministic
+    seed-quantizer posture as :func:`seed_centroids`; pass
+    ``codebook=train_pq_codebook(...)`` for the per-subspace-KMeans
+    production quantizer, plan unchanged). A vector stores ``m`` small
     codes — with m=4, ksub=16 that is 2 bytes instead of 256 (128×).
 
     Query: a per-query distance table (m×ksub rounded sub-distances,
@@ -437,16 +448,17 @@ def pq_adc_topk(
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
 
-    # codebook: m×ksub rows, code index = rank of the seed id within j
-    seeds = _subspace_chunks(
-        corpus.where(F.col(id_col) < ksub), id_col, vec_col, m, sub
-    )
-    wseed = Window.partitionBy("j").orderBy(id_col)
-    codebook = seeds.select(
-        "j",
-        (F.row_number().over(wseed) - 1).alias("code"),
-        F.col("chunk").alias("cw"),
-    )
+    if codebook is None:
+        # codebook: m×ksub rows, code index = rank of the seed id within j
+        seeds = _subspace_chunks(
+            corpus.where(F.col(id_col) < ksub), id_col, vec_col, m, sub
+        )
+        wseed = Window.partitionBy("j").orderBy(id_col)
+        codebook = seeds.select(
+            "j",
+            (F.row_number().over(wseed) - 1).alias("code"),
+            F.col("chunk").alias("cw"),
+        )
 
     # encode corpus: nearest codeword per (vector, subspace)
     cchunks = _subspace_chunks(corpus, id_col, vec_col, m, sub)
@@ -540,49 +552,74 @@ def kmeans_cluster(
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not dim_df:
         return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
+    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    centroids = _lloyd_centroids(vecs, id_col, vec_col, k, iters, round_digits)
+    return _kmeans_assign(vecs, id_col, vec_col, centroids, round_digits).select(
+        F.col(id_col), F.col("cluster")
+    )
+
+
+def _kmeans_assign(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Map-only nearest-centroid assignment against a literal centroid
+    array (rounded L2, ties -> lower centroid id)."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for i, cv in enumerate(cents)
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        c["cv"],
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_digits,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
+    )
+
+
+def _lloyd_centroids(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """Run ``iters - 1`` Lloyd updates and return the final k×d centroid
+    list (driver-side, like ``pyspark.ml`` KMeans' model centers).
+    Deterministic: id-ordered seeds, fixed iterations, rounded argmin."""
     seeds = [
         [float(x) for x in r[0]]
-        for r in df.select(vec_col).orderBy(id_col).limit(k).collect()
+        for r in vecs.select(vec_col).orderBy(id_col).limit(k).collect()
     ]
     centroids = seeds
-    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
-
-    def _assign(cents: list[list[float]]) -> DataFrame:
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("cid"),
-                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                )
-                for i, cv in enumerate(cents)
-            ]
-        )
-        scored = F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            c["cv"],
-                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    round_digits,
-                ).alias("dist"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return vecs.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
-        )
-
     for _ in range(max(iters - 1, 0)):
-        assigned = _assign(centroids)
+        assigned = _kmeans_assign(vecs, id_col, vec_col, centroids, round_digits)
         upd = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -596,4 +633,71 @@ def kmeans_cluster(
         for cid, dims in by_cluster.items():
             new_cents[cid] = [dims[i] for i in range(len(dims))]
         centroids = new_cents
-    return _assign(centroids).select(F.col(id_col), F.col("cluster"))
+    return centroids
+
+
+# -------------------------------------------------- trained quantizers
+
+def trained_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer TRAINED with the in-repo distributed Lloyd's
+    k-means (:func:`kmeans_cluster`'s loop), packaged in the exact 1-row
+    broadcast shape :func:`seed_centroids` produces — so
+    :func:`ivf_topk` runs the identical map-only assignment plan on
+    either. Deterministic (id-ordered seeds, fixed iters, rounded
+    argmin), so results are stable run-to-run; the training itself is
+    iterative and therefore not SQL-oracle-expressible — trained-ANN
+    registry queries are rows-only by declared design, with recall@k vs
+    :func:`brute_force_topk` asserted in tests."""
+    spark = corpus.sparkSession
+    vecs = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    cents = _lloyd_centroids(vecs, id_col, vec_col, n_centroids, iters)
+    rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)]
+    cent_df = spark.createDataFrame(rows, ["cid", "cv"]).select(
+        F.col("cid").cast("int"),
+        F.col("cv").cast("array<float>"),
+        l2_norm(F.col("cv")).alias("cn"),
+    )
+    return cent_df.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("_cents")
+    )
+
+
+def train_pq_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks trained with Lloyd's k-means on each
+    subspace's chunk population — the production quantizer
+    :func:`pq_adc_topk`'s docstring promises, in the same
+    ``(j, code, cw)`` shape as the seed codebook so the encode/ADC plan
+    is unchanged. m small trainings (m=4) of k=ksub centroids each;
+    every one is the partial-agg Lloyd loop, so training scans the
+    corpus, never collects it."""
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_row:
+        return spark.createDataFrame([], "j int, code int, cw array<float>")
+    sub = dim_row[0].d // m
+    chunks = _subspace_chunks(corpus, id_col, vec_col, m, sub).localCheckpoint(
+        eager=False
+    )
+    rows = []
+    for j in range(m):
+        jchunks = chunks.where(F.col("j") == j).select(id_col, "chunk")
+        cents = _lloyd_centroids(jchunks, id_col, "chunk", ksub, iters)
+        rows += [(j, code, [float(x) for x in cv]) for code, cv in enumerate(cents)]
+    return spark.createDataFrame(rows, ["j", "code", "cw"]).select(
+        F.col("j").cast("int"),
+        F.col("code").cast("int"),
+        F.col("cw").cast("array<float>"),
+    )

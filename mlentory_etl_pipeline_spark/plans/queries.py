@@ -5883,3 +5883,67 @@ def sorted_neighborhood_link(spark, sf_dir):
 
     s = t(spark, sf_dir, "supplier")
     return sorted_neighborhood_pairs(s, "s_suppkey", F.col("s_name"), window=5)
+
+
+# =====================================================================
+# Trained ANN quantizers (rows-only: Lloyd's training is iterative and
+# not SQL-oracle-expressible; recall floors are pytest-asserted in
+# tests/test_operators.py::test_trained_quantizers_recall)
+# =====================================================================
+
+@register(
+    "ann_ivf_trained_topk",
+    "IVF-Flat ANN with a TRAINED coarse quantizer: in-repo distributed "
+    "Lloyd's k-means (id-ordered seeds, 3 fixed iterations, rounded "
+    "argmin — fully deterministic) learns 16 centroids, then the "
+    "identical map-only broadcast-assignment plan as ann_ivf_topk "
+    "probes 4 cells per query — rows-only by declared design "
+    "(iterative training has no SQL oracle)",
+    oracle=None,
+    survey_ops=("ann-quantization", "N6 question clustering"),
+)
+def ann_ivf_trained_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    return similarity.ivf_topk(
+        e, q, n_centroids=16, nprobe=4, k=5, centroids=cents
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@register(
+    "ann_trained_recall_audit",
+    "self-auditing recall report for the trained quantizers: recall@5 "
+    "of trained-IVF (16 cells, nprobe 4) and trained-PQ (m=4, ksub=16, "
+    "ADC shortlist 40) against the exact brute-force top-5, one row "
+    "per method — the quality gate a production ANN deployment "
+    "monitors, expressed as a query",
+    oracle=None,
+    survey_ops=("ann-quantization", "ann-lsh"),
+)
+def ann_trained_recall_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    ivf = similarity.ivf_topk(
+        e, q, n_centroids=16, nprobe=4, k=5, centroids=cents
+    ).select("query_id", "neighbor_id")
+    cb = similarity.train_pq_codebook(e, m=4, ksub=16, iters=3)
+    pq = similarity.pq_adc_topk(
+        e, q, m=4, ksub=16, shortlist=40, k=5, codebook=cb
+    ).select("query_id", "neighbor_id")
+    n_exact = brute.count()
+
+    def _recall(approx, method):
+        hits = brute.join(approx, ["query_id", "neighbor_id"]).count()
+        return (method, round(hits / n_exact, 4))
+
+    rows = [_recall(ivf, "ivf_trained"), _recall(pq, "pq_trained")]
+    return spark.createDataFrame(rows, ["method", "recall_at_5"]).orderBy("method")

@@ -106,6 +106,36 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert full_pairs == exact_pairs
 
 
+def test_trained_quantizers_recall(spark):
+    """Trained (Lloyd's) IVF centroids and PQ codebooks must hold a
+    recall@5 floor vs brute force, and training must be deterministic
+    (fixed seeds/iters/rounding → identical outputs run-to-run)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(e, q, k=5).collect()
+    }
+
+    cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    tr_ivf = similarity.ivf_topk(e, q, n_centroids=16, nprobe=4, k=5, centroids=cents)
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in tr_ivf.collect()}
+    ivf_recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert ivf_recall >= 0.3, f"trained-IVF recall {ivf_recall}"
+
+    cb = similarity.train_pq_codebook(e, m=4, ksub=16, iters=3)
+    tr_pq = similarity.pq_adc_topk(e, q, m=4, ksub=16, shortlist=40, k=5, codebook=cb)
+    pq_pairs = {(r.query_id, r.neighbor_id) for r in tr_pq.collect()}
+    pq_recall = len(exact_pairs & pq_pairs) / len(exact_pairs)
+    assert pq_recall >= 0.3, f"trained-PQ recall {pq_recall}"
+
+    # determinism: retraining reproduces the exact centroid frame
+    cents2 = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    assert cents.collect() == cents2.collect()
+
+
 def test_salted_join_matches_plain_join(spark):
     import pytest
 
