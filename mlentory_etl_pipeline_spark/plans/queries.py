@@ -5947,3 +5947,31 @@ def ann_trained_recall_audit(spark, sf_dir):
 
     rows = [_recall(ivf, "ivf_trained"), _recall(pq, "pq_trained")]
     return spark.createDataFrame(rows, ["method", "recall_at_5"]).orderBy("method")
+
+
+@register(
+    "multimodal_real_wav_decode",
+    "REAL (non-stub) media decode: genuine PCM16 WAV bytes parsed by "
+    "the stdlib wave codec inside the same Arrow mapInPandas plumbing "
+    "as the fake path — per-segment RMS audio fingerprints, "
+    "deterministic sine-tone inputs; rows-only (binary decode has no "
+    "SQL oracle)",
+    oracle=None,
+    survey_ops=("multimodal-decode",),
+)
+def multimodal_real_wav_decode(spark, sf_dir):
+    media = multimodal.synthetic_wav_media(spark, n=16)
+    decoded = multimodal.decode_media(media, fake=False, feature_dim=8)
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_sha",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 1000000, 0).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("features"),
+    )
