@@ -245,6 +245,96 @@ def test_scd2_stream_load_incremental_parity(spark, tmp_path):
     assert ("m1", "p0", "v0") not in got_cur
 
 
+def test_scd2_stream_load_crash_recovery(spark, tmp_path):
+    """Kill the foreachBatch SCD2 load MID-FOLD and restart from its
+    checkpoint: the injected crash lands AFTER the store commit of
+    micro-batch 1 but BEFORE its checkpoint commit, so the restart
+    REPLAYS that batch (sink idempotency under replay — the
+    content-hash-keyed merge absorbs it) and then drains the rest
+    (checkpoint resume). Final store state must equal folding the same
+    files sequentially through batch load_batch — the exactly-once
+    claim of scd2_stream_load, crash included."""
+    import datetime as dt
+
+    from mlentory_etl_pipeline_spark.operators import versioned_store as vs
+    from mlentory_etl_pipeline_spark.streaming import incremental
+
+    schema = (
+        "subject string, predicate string, object string, "
+        "extraction_method string, confidence double, extraction_time timestamp"
+    )
+    t0, t1, t2 = (
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 2, 1),
+        dt.datetime(2024, 3, 1),
+    )
+    files = [
+        [("m1", "p0", "v0", "hf", 1.0, t0), ("m2", "p0", "w0", "hf", 1.0, t0)],
+        # m1/p0 changes (deprecation), m3 appears
+        [("m1", "p0", "v0-CHANGED", "hf", 1.0, t1), ("m3", "p0", "x0", "hf", 1.0, t1)],
+        # m3/p0 changes again, m2 re-observed unchanged (touch)
+        [("m3", "p0", "x0-CHANGED", "hf", 1.0, t2), ("m2", "p0", "w0", "hf", 1.0, t2)],
+    ]
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in files:  # sequential writes -> mtime order == fold order
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(land)
+
+    store = vs.VersionedTripleStore(spark, str(tmp_path / "crash_store"))
+    seen: list[int] = []
+
+    def crashing_merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        store.load_batch(batch_df)
+        seen.append(batch_id)
+        if len(seen) == 2:
+            # store committed, checkpoint NOT: the worst-timed crash
+            raise RuntimeError("injected crash after sink commit")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    q = (
+        stream.writeStream.foreachBatch(crashing_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        raised = False
+    except Exception as e:
+        raised = "injected crash" in str(e)
+    assert raised, "the injected crash must abort the first run"
+    assert len(seen) == 2  # batches 0 and 1 hit the store before dying
+
+    # restart through the REAL operator on the same checkpoint
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    q2 = incremental.scd2_stream_load(stream2, store, ckpt)
+    q2.awaitTermination(120)
+
+    ref = vs.VersionedTripleStore(spark, str(tmp_path / "ref_store"))
+    for rows in files:
+        ref.load_batch(spark.createDataFrame(rows, schema))
+
+    def snapshot(st):
+        cur = {
+            (r.subject, r.predicate, r.object)
+            for r in vs.current_graph(st.state()).collect()
+        }
+        ranges = {
+            (r.triplet_hash, r.use_start, r.use_end, r.deprecated)
+            for r in st.state().version_range.collect()
+        }
+        return cur, ranges
+
+    got_cur, got_ranges = snapshot(store)
+    want_cur, want_ranges = snapshot(ref)
+    assert got_cur == want_cur
+    assert got_ranges == want_ranges
+    assert ("m3", "p0", "x0-CHANGED") in got_cur
+    assert ("m3", "p0", "x0") not in got_cur
+
+
 def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
     import pyspark.sql.functions as F
 
