@@ -517,3 +517,74 @@ def mad_outliers(
         .where(F.abs(F.col("robust_z")) > z)
         .drop("_med", "_adev", "_mad")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    public): score every document by how target-like its hashed
+    bag-of-words distribution is — the standard recipe for tilting a
+    100 TB web crawl toward a small high-quality target domain.
+
+    ``is_target`` marks the target subset (e.g. a curated domain); the
+    WHOLE corpus is the raw distribution. Words hash into ``n_buckets``
+    via md5 (engine-portable: 60 hex bits -> integer -> mod); per-bucket
+    log-likelihood-ratio lambda[b] = ln((ct[b]+a)/(Nt+aB)) -
+    ln((cr[b]+a)/(Nr+aB)) with add-a smoothing; a document's score is
+    the MEAN lambda over its word instances (mean, not sum, so the
+    score is length-invariant). Resampling = keep top-k by score or
+    sample proportional to exp(score).
+
+    Scale shape: one explode+groupBy builds both count vectors
+    (n_buckets rows — broadcast back), one more groupBy averages per
+    document; no UDFs, everything partial-aggregable. Determinism:
+    lambda rounds to 7 dp before the exact-decimal per-doc sum, so no
+    float-summation-order drift (the ln inputs are exact integer
+    ratios, identical in any engine).
+
+    Returns (id, n_words, dsir_score) for every document.
+    """
+    words = docs.select(
+        F.col(id_col),
+        is_target.cast("boolean").alias("_tgt"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w"),
+    ).where(F.col("_w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).alias("_b")
+    feats = words.select(F.col(id_col), "_tgt", bucket)
+    counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+    )
+    tot = counts.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    a = F.lit(float(smoothing))
+    ab = F.lit(float(smoothing) * n_buckets)
+    lam = F.round(
+        F.log((F.col("_ct") + a) / (F.col("_nt") + ab))
+        - F.log((F.col("_cr") + a) / (F.col("_nr") + ab)),
+        7,
+    ).cast("decimal(28,7)")
+    lam_table = counts.crossJoin(F.broadcast(tot)).select("_b", lam.alias("_lam"))
+    return (
+        feats.join(F.broadcast(lam_table), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            # exact-decimal sum -> double -> divide: decimal division
+            # scale rules differ across engines, double division of an
+            # exact sum does not
+            F.round(
+                F.sum("_lam").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dsir_score"),
+        )
+    )

@@ -149,3 +149,101 @@ def bounded_path(
         if out is not None
         else frontier.withColumn("hops", F.lit(max_hops)).limit(0)
     )
+
+
+def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Per-node triangle counts over an ORIENTED edge list (each
+    undirected edge appears once as u < v): two hash equi-joins find
+    each triangle exactly once as (a < b < c), then the three corners
+    fan back out to their nodes.
+
+    The oriented join is the classic distributed shape (no triangle is
+    counted 6x, no node joins against its full neighborhood twice). At
+    100 TB orient by DEGREE (low-degree endpoint first, ties by id)
+    instead of raw id so hub nodes never become the fan-out side —
+    identical plan, different orientation key. Returns
+    ``(node, n_triangles)`` for nodes in >= 1 triangle.
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Deterministic PageRank over a DIRECTED edge list (symmetrize
+    upstream for undirected graphs): fixed iteration count, rounded
+    per-iteration ranks (9 dp) so results are partitioning- and
+    engine-stable.
+
+    Scale shape per iteration: contributions = edges ⋈ ranks ⋈ degree
+    (degree broadcast), grouped by destination — ONE shuffle keyed by
+    node, exactly pregel's message pattern; ``localCheckpoint`` pins
+    each iteration so the plan stays O(1) per round instead of
+    unrolling. Dangling mass is redistributed uniformly (the standard
+    correction), so total rank mass stays 1. Returns ``(node, rank)``.
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    ranks = nodes.crossJoin(n_nodes).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), 9).alias("rank")
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(
+            F.broadcast(deg), "node", "left"
+        )  # deg null => dangling node
+        contribs = (
+            e.join(
+                with_deg.where(F.col("deg").isNotNull()).withColumnRenamed("node", "u"),
+                "u",
+            )
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("_in"))
+        )
+        dangling = F.broadcast(
+            with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(n_nodes)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dang") / F.col("_n")),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -5975,3 +5975,128 @@ def multimodal_real_wav_decode(spark, sf_dir):
             "|",
         ).alias("features"),
     )
+
+
+@register(
+    "dsir_importance_weights",
+    "DSIR importance resampling (hashed bag-of-words): every document "
+    "scored by mean per-word log-likelihood-ratio of a smoothed "
+    "256-bucket target model (lang='en' docs) vs the raw corpus — the "
+    "standard tilt-a-crawl-toward-a-domain selector; one explode + two "
+    "partial aggs + a broadcast of the 256-row ratio table, "
+    "exact-decimal sums so scores are engine-identical",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, (lang = 'en') AS tgt, w
+      FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(w)
+      WHERE w <> ''
+    ),
+    feats AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || SUBSTR(MD5(w), 1, 15)) AS BIGINT) % 256 AS b
+      FROM words
+    ),
+    counts AS (
+      SELECT b, COUNT(*) AS cr, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      FROM feats GROUP BY b
+    ),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+    lam AS (
+      SELECT b,
+             CAST(ROUND(LN((ct + 1.0) / (nt + 256.0))
+                        - LN((cr + 1.0) / (nr + 256.0)), 7)
+                  AS DECIMAL(28,7)) AS lam
+      FROM counts, tot
+    )
+    SELECT f.doc_id, COUNT(*) AS n_words,
+           ROUND(CAST(SUM(l.lam) AS DOUBLE) / COUNT(*), 6) AS dsir_score
+    FROM feats f JOIN lam l USING (b)
+    GROUP BY f.doc_id
+    """,
+    survey_ops=("curation-sampling", "quality-scoring"),
+)
+def dsir_importance_weights(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        dsir_importance_weights as dsir,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return dsir(d, "doc_id", "text", F.col("lang") == "en", n_buckets=256)
+
+
+@register(
+    "graph_triangle_counts",
+    "per-node triangle counting over the supplier co-supply graph "
+    "(edge = two suppliers ship the same part, oriented low-id -> "
+    "high-id so each triangle joins exactly once): two hash equi-joins "
+    "over the oriented edge list — the classic distributed triangle "
+    "shape; at 100 TB orient by DEGREE instead of id so hubs never "
+    "fan out (docstring of the query, same plan)",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT node AS supp_key, COUNT(*) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+    survey_ops=("§2.9 joins", "T4 frontier"),
+)
+def graph_triangle_counts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    return graph.triangle_counts(edges).select(
+        F.col("node").alias("supp_key"), "n_triangles"
+    )
+
+
+@register(
+    "graph_pagerank_suppliers",
+    "deterministic PageRank (8 fixed iterations, damping 0.85, rounded "
+    "contributions) over the undirected supplier co-supply graph: each "
+    "iteration is one shuffle (contributions grouped by destination) "
+    "against a static degree table — the scale shape of every "
+    "pregel-style ranking; rows-only (iterative fixpoint has no SQL "
+    "oracle), invariants pytest-asserted (mass conservation, "
+    "determinism)",
+    oracle=None,
+    survey_ops=("§2.9 joins", "T4 frontier"),
+)
+def graph_pagerank_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    half = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    # undirected: both directions
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return graph.pagerank(edges, iters=8).select(
+        F.col("node").alias("supp_key"), F.round("rank", 6).alias("pagerank")
+    )

@@ -596,3 +596,67 @@ def test_pq_larger_shortlist_not_worse(spark):
 
     # monotone knob: widening the ADC shortlist can only help
     assert recall(80) >= recall(20)
+
+
+def test_triangle_counts_known_graph(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # K4 on {1,2,3,4} (every node in 3 triangles) plus a dangling edge
+    # 4-5 (adds no triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_star_graph(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # undirected star: hub 0 <-> leaves 1..4 (symmetrized edge list)
+    half = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        half + [(v, u) for (u, v) in half], "u long, v long"
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, iters=10).collect()}
+    # mass conservation and hub dominance
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    assert len({round(ranks[i], 9) for i in range(1, 5)}) == 1  # leaves tie
+    # determinism
+    again = {r.node: r.rank for r in graph.pagerank(edges, iters=10).collect()}
+    assert again == ranks
+
+
+def test_pagerank_dangling_mass(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # 1 -> 2 -> 3, node 3 dangling: without redistribution mass decays
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, iters=12).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks[3] > ranks[2] > ranks[1]
+
+
+def test_dsir_scores_favor_target_vocabulary(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta", "wiki") for i in range(10)]
+        + [(100 + i, "zork quux blorb grue", "web") for i in range(10)]
+        # held-out docs: one target-like, one source-like, one mixed
+        + [(200, "alpha beta beta gamma", "held"),
+           (201, "zork zork grue blorb", "held"),
+           (202, "alpha zork delta grue", "held")]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {
+        r.doc_id: r.dsir_score
+        for r in dsir_importance_weights(
+            d, "doc_id", "text", F.col("src") == "wiki", n_buckets=256
+        ).collect()
+    }
+    assert got[200] > got[202] > got[201]
+    assert got[200] > 0 > got[201]
