@@ -299,3 +299,30 @@ def test_shuffle_shards_single_exchange(spark):
     plan = _plan(spark, "corpus_shuffle_shards")
     assert plan.count("Exchange (") == 1
     assert "SinglePartition" not in plan
+
+
+def test_linkage_queries_have_no_cartesian(spark):
+    """Every linkage shape must stay candidate-bounded: block-key /
+    prefix-token / rank-bucket equi-joins only, never an all-pairs
+    cross join."""
+    for name in (
+        "record_linkage_blocked",
+        "setsim_prefix_jaccard",
+        "sorted_neighborhood_link",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dsir_broadcasts_ratio_table(spark):
+    """DSIR's per-bucket log-ratio table (256 rows) must broadcast back
+    onto the exploded features — no shuffle keyed by word bucket on the
+    corpus side beyond the two count aggregations."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_triangle_counts_equi_joins_only(spark):
+    plan = _plan(spark, "graph_triangle_counts")
+    assert "CartesianProduct" not in plan
