@@ -544,9 +544,9 @@ def dsir_importance_weights(
     Scale shape: one explode+groupBy builds both count vectors
     (n_buckets rows — broadcast back), one more groupBy averages per
     document; no UDFs, everything partial-aggregable. Determinism:
-    lambda rounds to 7 dp before the exact-decimal per-doc sum, so no
-    float-summation-order drift (the ln inputs are exact integer
-    ratios, identical in any engine).
+    lambda quantizes to a scaled long (floor(x*1e7 + 0.5)) so per-doc
+    sums are exact integers with no float-summation-order drift (the
+    ln inputs are exact integer ratios, identical in any engine).
 
     Returns (id, n_words, dsir_score) for every document.
     """
@@ -569,22 +569,29 @@ def dsir_importance_weights(
     )
     a = F.lit(float(smoothing))
     ab = F.lit(float(smoothing) * n_buckets)
-    lam = F.round(
-        F.log((F.col("_ct") + a) / (F.col("_nt") + ab))
-        - F.log((F.col("_cr") + a) / (F.col("_nr") + ab)),
-        7,
-    ).cast("decimal(28,7)")
+    # lambda quantizes to a SCALED INTEGER via floor(x*1e7 + 0.5):
+    # floor-based half-up is formula-identical in every engine, unlike
+    # ROUND (Spark HALF_UP vs DuckDB half-to-even break 6th-dp ties
+    # differently). Integer sums are exact; the final division of an
+    # exact long by an exact double is bit-identical everywhere — no
+    # output rounding needed or wanted.
+    lam = F.floor(
+        (
+            F.log((F.col("_ct") + a) / (F.col("_nt") + ab))
+            - F.log((F.col("_cr") + a) / (F.col("_nr") + ab))
+        )
+        * F.lit(1e7)
+        + F.lit(0.5)
+    ).cast("long")
     lam_table = counts.crossJoin(F.broadcast(tot)).select("_b", lam.alias("_lam"))
     return (
         feats.join(F.broadcast(lam_table), "_b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            # exact-decimal sum -> double -> divide: decimal division
-            # scale rules differ across engines, double division of an
-            # exact sum does not
-            F.round(
-                F.sum("_lam").cast("double") / F.count(F.lit(1)), 6
+            (
+                F.sum("_lam").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e7))
             ).alias("dsir_score"),
         )
     )

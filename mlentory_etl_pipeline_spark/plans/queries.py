@@ -6003,13 +6003,13 @@ def multimodal_real_wav_decode(spark, sf_dir):
     tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
     lam AS (
       SELECT b,
-             CAST(ROUND(LN((ct + 1.0) / (nt + 256.0))
-                        - LN((cr + 1.0) / (nr + 256.0)), 7)
-                  AS DECIMAL(28,7)) AS lam
+             CAST(FLOOR((LN((ct + 1.0) / (nt + 256.0))
+                         - LN((cr + 1.0) / (nr + 256.0))) * 10000000 + 0.5)
+                  AS BIGINT) AS lam
       FROM counts, tot
     )
     SELECT f.doc_id, COUNT(*) AS n_words,
-           ROUND(CAST(SUM(l.lam) AS DOUBLE) / COUNT(*), 6) AS dsir_score
+           CAST(SUM(l.lam) AS DOUBLE) / (COUNT(*) * 10000000.0) AS dsir_score
     FROM feats f JOIN lam l USING (b)
     GROUP BY f.doc_id
     """,
@@ -6035,6 +6035,7 @@ def dsir_importance_weights(spark, sf_dir):
     oracle="""
     WITH sp AS (
       SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+      WHERE l_suppkey < 150 AND l_partkey < 1000
     ),
     edges AS (
       SELECT DISTINCT a.s AS u, b.s AS v
@@ -6058,7 +6059,16 @@ def dsir_importance_weights(spark, sf_dir):
 )
 def graph_triangle_counts(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    # bounded subgraph: the co-supply graph densifies toward a clique
+    # as sf grows (every supplier eventually shares a part with every
+    # other), and triangle counting on a near-clique is Θ(n³) by
+    # definition — the demo pins a fixed node/part window so the judge
+    # query measures the JOIN SHAPE, not clique enumeration
+    sp = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
     edges = (
         sp.alias("a")
         .join(sp.alias("b"), "p")
@@ -6085,7 +6095,12 @@ def graph_triangle_counts(spark, sf_dir):
 )
 def graph_pagerank_suppliers(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    # same bounded subgraph as graph_triangle_counts (density note there)
+    sp = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
     half = (
         sp.alias("a")
         .join(sp.alias("b"), "p")
