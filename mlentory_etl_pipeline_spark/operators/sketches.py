@@ -125,3 +125,120 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin histogram sketch per key group — the simplest MERGEABLE
+    quantile structure: bin counts add across shards/partitions/days,
+    so a 100 TB lake keeps one tiny histogram per (partition, key) and
+    folds them associatively instead of re-sorting raw data
+    (the posture of every t-digest/KLL deployment; fixed bins trade
+    adaptivity for exact mergeability and engine-portable determinism).
+
+    Values clamp into ``[lo, hi)`` over ``n_bins`` equal bins
+    (bin = clamp(floor((v-lo)/(hi-lo)*n_bins))). Returns
+    ``keys + (bin, n)`` — one partial-aggregable groupBy.
+    """
+    span = float(hi) - float(lo)
+    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(span) * n_bins)
+    clamped = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("int")
+    return (
+        df.select(*keys, clamped.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Associative merge of two histogram sketches (bin counts add)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: per key, the q-th
+    quantile is the UPPER EDGE of the first bin whose cumulative count
+    reaches ceil(q * total) — pure integer logic over ≤ n_bins rows per
+    key, deterministic in any engine, error bounded by one bin width.
+
+    Returns ``keys + (q, quantile_est)`` with one row per requested q.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy(*keys)).alias("total"),
+    )
+    span = float(hi) - float(lo)
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    return (
+        cum.select(*keys, "bin", "cum", "total", qs)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total") - F.lit(1e-9)))
+        .groupBy(*keys, "q")
+        .agg(F.min("bin").alias("_b"), F.min("total").alias("total"))
+        .select(
+            *keys,
+            "q",
+            (F.lit(float(lo)) + (F.col("_b") + 1) * F.lit(span) / F.lit(n_bins)).alias(
+                "quantile_est"
+            ),
+            "total",
+        )
+    )
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key foldable aggregate STATE (count / exact-decimal sum /
+    min / max) — the incremental-view-maintenance summary: compute it
+    per batch/partition/day, then :func:`merge_agg_states` folds states
+    associatively so a refreshed rollup never rescans history (the
+    reference's whole pipeline re-aggregates on every load; this is the
+    Spark-native fix). Sum is exact DECIMAL so merge order can never
+    drift the result."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_dec"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Associative merge of two :func:`agg_state` tables: counts and
+    exact sums add, min/max fold — merging N daily states equals one
+    aggregation over the union of their inputs (asserted in tests and
+    by the registry oracle)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

@@ -6115,3 +6115,85 @@ def graph_pagerank_suppliers(spark, sf_dir):
     return graph.pagerank(edges, iters=8).select(
         F.col("node").alias("supp_key"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@register(
+    "histogram_quantile_sketch",
+    "mergeable fixed-bin histogram quantiles: per-event-type bin "
+    "counts built from two time-sliced sketches MERGED associatively "
+    "(sketch(A)+sketch(B) = sketch(A∪B), the lake rollup posture), "
+    "then p50/p90/p99 as the first bin reaching ceil(q*total) — "
+    "integer logic, error bounded by one bin width, no sort of raw "
+    "data anywhere",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(GREATEST(0, LEAST(63, FLOOR((value - 0.0) / 500.0 * 64))) AS INT) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ),
+    q AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+    SELECT event_type, q,
+           0.0 + (MIN(bin) + 1) * 500.0 / 64 AS quantile_est,
+           MIN(total) AS total
+    FROM c, q
+    WHERE cum >= CEIL(q * total - 0.000000001)
+    GROUP BY event_type, q
+    """,
+    survey_ops=("sketch-aggregates", "§2.9 aggregations"),
+)
+def histogram_quantile_sketch(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    e = t(spark, sf_dir, "events")
+    early = e.where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp"))
+    late = e.where(F.col("ts") >= F.lit(T_SPLIT).cast("timestamp"))
+    h1 = sketches.histogram_sketch(early, "value", ["event_type"], 0.0, 500.0, 64)
+    h2 = sketches.histogram_sketch(late, "value", ["event_type"], 0.0, 500.0, 64)
+    merged = sketches.merge_histograms(h1, h2, ["event_type"])
+    return sketches.histogram_quantiles(
+        merged, ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 64
+    )
+
+
+@register(
+    "agg_state_incremental_rollup",
+    "incremental-view-maintenance aggregate state: per-type "
+    "(count, exact-decimal sum, min, max) states computed on two "
+    "disjoint time slices then MERGED associatively — merge(state(A), "
+    "state(B)) must equal aggregate(A∪B) exactly (the oracle computes "
+    "the direct aggregate), so a daily rollup folds yesterday's state "
+    "instead of rescanning history",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+    survey_ops=("sketch-aggregates", "S2 incremental", "§2.9 aggregations"),
+)
+def agg_state_incremental_rollup(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    e = t(spark, sf_dir, "events")
+    a = sketches.agg_state(
+        e.where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp")), ["event_type"], "value"
+    )
+    b = sketches.agg_state(
+        e.where(F.col("ts") >= F.lit(T_SPLIT).cast("timestamp")), ["event_type"], "value"
+    )
+    return sketches.merge_agg_states(a, b, ["event_type"]).select(
+        "event_type",
+        "cnt",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_v",
+        "max_v",
+    )

@@ -71,3 +71,54 @@ def test_cms_probe_of_unseen_key_is_bounded(spark):
     [row] = sketches.cms_estimate(sk, probes, "token").collect()
     # unseen keys can collide into occupied cells but stay ≤ εN-ish
     assert 0 <= row.est_count <= 10 * toks.count() / 2048
+
+
+def test_histogram_merge_equals_union(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(("a" if i % 3 else "b"), rng.uniform(0, 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a, b = df.where("v < 40"), df.where("v >= 40")
+    merged = sketches.merge_histograms(
+        sketches.histogram_sketch(a, "v", ["k"], 0.0, 100.0, 32),
+        sketches.histogram_sketch(b, "v", ["k"], 0.0, 100.0, 32),
+        ["k"],
+    )
+    whole = sketches.histogram_sketch(df, "v", ["k"], 0.0, 100.0, 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_histogram_quantiles_within_one_bin(spark):
+    import random
+
+    rng = random.Random(5)
+    vals = [rng.uniform(0, 100) for _ in range(1000)]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v double")
+    hist = sketches.histogram_sketch(df, "v", ["k"], 0.0, 100.0, 50)
+    got = {
+        r.q: r.quantile_est
+        for r in sketches.histogram_quantiles(
+            hist, ["k"], [0.5, 0.9], 0.0, 100.0, 50
+        ).collect()
+    }
+    bin_w = 100.0 / 50
+    s = sorted(vals)
+    for q in (0.5, 0.9):
+        exact = s[int(q * len(s)) - 1]
+        assert abs(got[q] - exact) <= 2 * bin_w, (q, got[q], exact)
+
+
+def test_agg_state_merge_equals_direct(spark):
+    rows = [(f"k{i % 4}", float(i) * 0.1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a, b = df.where("v < 10"), df.where("v >= 10")
+    merged = sketches.merge_agg_states(
+        sketches.agg_state(a, ["k"], "v"), sketches.agg_state(b, ["k"], "v"), ["k"]
+    )
+    direct = sketches.agg_state(df, ["k"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # three-way associativity: (a+b)+a' where a' is empty is unchanged
+    empty = sketches.agg_state(df.where("v < -1"), ["k"], "v")
+    again = sketches.merge_agg_states(merged, empty, ["k"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, direct.collect()))
