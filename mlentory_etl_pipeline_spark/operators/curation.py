@@ -595,3 +595,40 @@ def dsir_importance_weights(
             ).alias("dsir_score"),
         )
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """EXACT-proportion train/val/test split per stratum — unlike
+    :func:`hash_split` (proportions hold only in expectation), every
+    stratum contributes exactly ceil(train_frac*n) train rows, then
+    ceil((train+val)*n)-train val rows, remainder test: the guarantee
+    evaluation protocols need when strata are small (rare languages,
+    low-resource domains).
+
+    Deterministic and engine-portable: rows order by md5(id) within
+    the stratum (a stable pseudo-random shuffle, no RNG), so re-runs
+    and engines agree row-for-row. One window per stratum — at 100 TB
+    the stratum is the partition key and each window sorts only its
+    stratum, the same bounded-window shape as topk_per_group.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(*strata_cols))
+    rn = F.row_number().over(w)
+    train_cut = F.ceil(F.lit(float(train_frac)) * n - F.lit(1e-9))
+    val_cut = F.ceil(F.lit(float(train_frac) + float(val_frac)) * n - F.lit(1e-9))
+    split = (
+        F.when(rn <= train_cut, F.lit("train"))
+        .when(rn <= val_cut, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

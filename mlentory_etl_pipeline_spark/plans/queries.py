@@ -6197,3 +6197,41 @@ def agg_state_incremental_rollup(spark, sf_dir):
         "min_v",
         "max_v",
     )
+
+
+@register(
+    "stratified_split_counts",
+    "exact-proportion stratified train/val/test split: per (lang, "
+    "source) stratum rows shuffle deterministically by md5(doc_id) and "
+    "cut at ceil(0.8n)/ceil(0.9n) — EXACT per-stratum proportions "
+    "(hash_split only holds in expectation), the protocol guarantee "
+    "for small strata; output = per-stratum split counts",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    ),
+    tagged AS (
+      SELECT lang, source,
+             CASE WHEN rn <= CEIL(0.8 * n - 0.000000001) THEN 'train'
+                  WHEN rn <= CEIL(0.9 * n - 0.000000001) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT lang, source, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, source, split
+    """,
+    survey_ops=("curation-splits", "§2.9 windows"),
+)
+def stratified_split_counts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import stratified_split
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        stratified_split(d, "doc_id", ["lang", "source"], 0.8, 0.1)
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
