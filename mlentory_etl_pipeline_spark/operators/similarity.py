@@ -12,6 +12,12 @@ Covers the reference's cosine top-k section matching (SURVEY §2.8 N5 —
   same scoring inside buckets. Recall is tunable via number of planes /
   probes. At 100 TB the bucketed table is written partitioned by bucket
   so a query touches a handful of partitions (partition pruning).
+- :func:`ivf_topk` / :func:`pq_adc_topk` — IVF-Flat and
+  product-quantization ADC, each runnable with a deterministic seed
+  quantizer (SQL-oracle-replicable) or a TRAINED one
+  (:func:`trained_centroids` / :func:`train_pq_codebook`, backed by the
+  in-repo distributed Lloyd's loop) behind the identical plan shape.
+- :func:`kmeans_cluster` — distributed Lloyd's k-means (N6 scale path).
 """
 
 from __future__ import annotations
