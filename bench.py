@@ -89,6 +89,30 @@ def main():
 
     scenarios = scd2_scenarios(spark, sf_dir)
 
+    # Extended (non-headline) coverage: one steady-state timing per
+    # newer operator family. Kept OUT of headline_total so the
+    # round-over-round comparison stays apples-to-apples; additive
+    # evidence that the newer families hold the same perf discipline.
+    extended_names = [
+        n
+        for n in (
+            "record_linkage_blocked",
+            "setsim_prefix_jaccard",
+            "dsir_importance_weights",
+            "graph_triangle_counts",
+            "histogram_quantile_sketch",
+            "agg_state_incremental_rollup",
+            "stratified_split_counts",
+        )
+        if n in REGISTRY
+    ]
+    extended: dict[str, float] = {}
+    for name in extended_names:
+        REGISTRY[name].spark_fn(spark, sf_dir).count()  # warm-up
+        t0 = time.perf_counter()
+        REGISTRY[name].spark_fn(spark, sf_dir).count()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -100,6 +124,7 @@ def main():
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "scenarios": scenarios,
+                "extended": extended,
             }
         )
     )
