@@ -81,10 +81,19 @@ def _decode_wav(content: bytes, dim: int) -> list[float]:
     with wave.open(io.BytesIO(content)) as w:
         sampwidth, nchannels = w.getsampwidth(), w.getnchannels()
         raw = w.readframes(w.getnframes())
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sampwidth)
-    if dtype is None:
-        raise ValueError(f"unsupported WAV sample width {sampwidth}")
-    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        # 8-bit WAV is UNSIGNED per the spec (128 = silence)
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sampwidth in (2, 4):
+        dtype = {2: np.int16, 4: np.int32}[sampwidth]
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    else:
+        # capability gap (e.g. 24-bit packed PCM), not corrupt bytes —
+        # routed to the missing-codec taxonomy so fallback_to_fake
+        # applies (see _features_of)
+        raise NotImplementedError(
+            f"real media decode: WAV sample width {sampwidth} unsupported"
+        )
     if nchannels > 1:
         samples = samples.reshape(-1, nchannels).mean(axis=1)
     peak = float(np.abs(samples).max()) if samples.size else 0.0
@@ -156,6 +165,11 @@ def decode_media(
     them.
     """
 
+    # decoder availability cannot change mid-job: resolve ONCE, not per
+    # row inside the Arrow batch loop
+    image_decoder = None if fake else _image_decoder()
+    soundfile_decoder = None if fake else _soundfile_decoder()
+
     def _features_of(media_type, fmt, content: bytes) -> list[float]:
         if fake:
             return _fake_features(content, feature_dim)
@@ -163,9 +177,9 @@ def decode_media(
         if media_type == "audio" and (fmt or "").lower() == "wav":
             decoder = _decode_wav
         elif media_type == "audio":
-            decoder = _soundfile_decoder()
+            decoder = soundfile_decoder
         elif media_type == "image":
-            decoder = _image_decoder()
+            decoder = image_decoder
         if decoder is None:
             if fallback_to_fake:
                 return _fake_features(content, feature_dim)
@@ -177,6 +191,10 @@ def decode_media(
         try:
             return decoder(content or b"", feature_dim)
         except NotImplementedError:
+            # capability gap surfaced from inside a codec (e.g. 24-bit
+            # WAV): same taxonomy as decoder-absent
+            if fallback_to_fake:
+                return _fake_features(content, feature_dim)
             raise
         except Exception as e:
             raise ValueError(

@@ -664,7 +664,9 @@ def trained_centroids(
     vecs = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
     cents = _lloyd_centroids(vecs, id_col, vec_col, n_centroids, iters)
     rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)]
-    cent_df = spark.createDataFrame(rows, ["cid", "cv"]).select(
+    # explicit schema: empty corpora yield zero seed rows, and schema
+    # inference cannot work from an empty list
+    cent_df = spark.createDataFrame(rows, "cid int, cv array<double>").select(
         F.col("cid").cast("int"),
         F.col("cv").cast("array<float>"),
         l2_norm(F.col("cv")).alias("cn"),

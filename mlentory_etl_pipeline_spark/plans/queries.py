@@ -5928,8 +5928,15 @@ def ann_trained_recall_audit(spark, sf_dir):
     q = e.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    brute = similarity.brute_force_topk(e, q, k=5).select(
-        "query_id", "neighbor_id"
+    # NOTE: this query (like the trained-quantizer queries and
+    # question_clustering_distributed) runs driver-coordinated training
+    # at plan-construction time — the k×d Lloyd pattern cannot be lazy.
+    # The brute-force reference is pinned once (localCheckpoint) so the
+    # three consumers below don't recompute the cross join.
+    brute = (
+        similarity.brute_force_topk(e, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
     ivf = similarity.ivf_topk(
@@ -5942,6 +5949,8 @@ def ann_trained_recall_audit(spark, sf_dir):
     n_exact = brute.count()
 
     def _recall(approx, method):
+        if n_exact == 0:  # degenerate corpus: report 0, don't divide
+            return (method, 0.0)
         hits = brute.join(approx, ["query_id", "neighbor_id"]).count()
         return (method, round(hits / n_exact, 4))
 

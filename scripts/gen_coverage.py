@@ -97,7 +97,16 @@ def render_readme(current: str) -> str:
             f" — from `{fname}` (`bench.py` prints both; steady-state = "
             "second run; see BENCH methodology in bench.py)."
         )
-        out = re.sub(r"Bench headline.*?bench\.py\)\.", sent, out, flags=re.S)
+        out, n_subs = re.subn(r"Bench headline.*?bench\.py\)\.", sent, out, flags=re.S)
+        if n_subs != 1:
+            # a silent no-op here would re-ship stale bench claims with
+            # a green --check — the exact failure this generator exists
+            # to prevent. Fail loudly instead.
+            raise SystemExit(
+                "gen_coverage: README bench sentence not found (expected "
+                "exactly one 'Bench headline ... bench.py).' block, found "
+                f"{n_subs}) — restore the anchor sentence in README.md"
+            )
     return out
 
 

@@ -660,3 +660,39 @@ def test_dsir_scores_favor_target_vocabulary(spark):
     }
     assert got[200] > got[202] > got[201]
     assert got[200] > 0 > got[201]
+
+
+def test_multimodal_8bit_wav_and_unsupported_width(spark):
+    import io as _io
+    import wave as _wave
+
+    import pytest
+
+    def wav_bytes(sampwidth, frames):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # 8-bit WAV is UNSIGNED: 0x80 bytes are digital silence -> ~0 RMS
+    silence8 = wav_bytes(1, bytes([0x80] * 800))
+    rows = [(0, "audio", silence8, "wav", None, None, 100)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    [got] = multimodal.decode_media(media, fake=False).collect()
+    assert all(x == 0.0 for x in got.features), got.features
+
+    # 24-bit WAV is a capability gap: NotImplementedError without
+    # fallback, deterministic stub with it
+    wav24 = wav_bytes(3, bytes(800 * 3))
+    media24 = spark.createDataFrame(
+        [(1, "audio", wav24, "wav", None, None, 100)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(media24, fake=False).collect()
+    assert "sample width 3 unsupported" in str(exc.value)
+    fb = multimodal.decode_media(media24, fake=False, fallback_to_fake=True)
+    want = multimodal.decode_media(media24, fake=True)
+    assert fb.collect() == want.collect()
