@@ -632,3 +632,38 @@ def stratified_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def decontaminate_semantic(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    corpus_id: str = "corpus_id",
+    eval_id: str = "eval_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus documents whose
+    EMBEDDING is near an eval-set embedding — catches paraphrased or
+    reformatted contamination the n-gram pass (:func:`decontaminate`)
+    cannot see; the two run side by side in a modern pretraining
+    pipeline.
+
+    Same scale posture as the n-gram pass: the eval side is tiny by
+    construction and BROADCASTS; the corpus streams map-only through
+    one JVM-side cosine per (corpus, eval) candidate — at 100 TB swap
+    the exhaustive eval scan for the IVF/LSH bucketed variants in
+    operators/similarity (identical output columns). Scores round to
+    4 dp before the threshold so flagging is engine-reproducible.
+
+    Returns ``(corpus_id, eval_id, score)`` for pairs ≥ threshold.
+    """
+    from mlentory_etl_pipeline_spark.functions.vectors import cosine_similarity
+
+    c = corpus_vecs.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    e = eval_vecs.select(F.col(eval_id), F.col(vec_col).alias("_ev"))
+    score = F.round(cosine_similarity(F.col("_cv"), F.col("_ev")), 4)
+    return (
+        c.crossJoin(F.broadcast(e))
+        .select(corpus_id, eval_id, score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )

@@ -6244,3 +6244,39 @@ def stratified_split_counts(spark, sf_dir):
         .groupBy("lang", "source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "decontaminate_semantic",
+    "semantic benchmark decontamination: corpus embeddings scored "
+    "against a broadcast eval set with JVM-side cosine, pairs >= 0.35 "
+    "flagged — catches paraphrased contamination the n-gram "
+    "decontaminate pass cannot see; eval side broadcasts, corpus "
+    "streams map-only (swap in the IVF/LSH bucketed scan at lake "
+    "scale, same output columns)",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 20),
+         scored AS (
+           SELECT c.corpus_id, ev.eval_id,
+                  ROUND(
+                    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(ev.embedding) + 1),
+                             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ev.embedding[i] AS DOUBLE)))
+                    / (SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, v -> CAST(v AS DOUBLE) * v)))
+                       * SQRT(LIST_SUM(LIST_TRANSFORM(ev.embedding, v -> CAST(v AS DOUBLE) * v)))),
+                    4) AS score
+           FROM c, ev
+         )
+    SELECT corpus_id, eval_id, score FROM scored WHERE score >= 0.35
+    """,
+    survey_ops=("curation-decontaminate", "N5 cosine top-k"),
+)
+def decontaminate_semantic(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        decontaminate_semantic as dsem,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    ev = e.where("vec_id < 20").select(F.col("vec_id").alias("eval_id"), "embedding")
+    c = e.where("vec_id >= 20").select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return dsem(c, ev, "corpus_id", "eval_id", "embedding", 0.35)
