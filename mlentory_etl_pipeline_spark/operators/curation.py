@@ -667,3 +667,73 @@ def decontaminate_semantic(
         .select(corpus_id, eval_id, score.alias("score"))
         .where(F.col("score") >= threshold)
     )
+
+
+def dedup_intradoc_lines(
+    docs: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Remove REPEATED LINES within each document (keep the first
+    occurrence, preserve original order) — the intra-document face of
+    dedup: boilerplate headers/footers/navigation repeated inside one
+    crawled page, which corpus-level dedup never sees because it
+    compares across documents.
+
+    posexplode → first-occurrence filter per (doc, line) via min(pos)
+    → re-assemble with an order-preserving array_sort over (pos, line)
+    structs. All shuffles are keyed by doc id (and doc+line), so the
+    operator scales with corpus size like any per-doc aggregation;
+    nothing compares across documents.
+
+    Returns (id, text, n_lines, n_kept).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    firsts = lines.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ordered"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform("_ordered", lambda s: s["line"]), sep).alias(
+                "text"
+            ),
+            F.size("_ordered").alias("n_kept"),
+        )
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group TOKEN-budget sampling: take documents in deterministic
+    md5(id) order until the group's cumulative token count reaches the
+    budget (the first doc that crosses the line is still included, so
+    every group with any data contributes at least one doc). This is
+    how training mixtures are actually specified — "20B tokens of web,
+    2B of code" — where :func:`quota_sample`'s per-doc quota
+    over-weights short-doc domains.
+
+    One bounded window per group (cumulative sum over the md5 order);
+    deterministic, no RNG, engine-portable. Returns the kept rows plus
+    ``cum_tokens``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    return (
+        docs.withColumn("cum_tokens", cum)
+        .where((F.col("cum_tokens") - F.col(n_tokens_col)) < budget)
+    )

@@ -6280,3 +6280,85 @@ def decontaminate_semantic(spark, sf_dir):
     ev = e.where("vec_id < 20").select(F.col("vec_id").alias("eval_id"), "embedding")
     c = e.where("vec_id >= 20").select(F.col("vec_id").alias("corpus_id"), "embedding")
     return dsem(c, ev, "corpus_id", "eval_id", "embedding", 0.35)
+
+
+@register(
+    "dedup_intradoc_lines",
+    "intra-document line dedup: repeated lines inside one document "
+    "(crawl boilerplate) drop, first occurrence kept in original "
+    "order via min(pos) + order-preserving reassembly — all shuffles "
+    "keyed by doc id, nothing compares across documents; documents "
+    "sliced into pseudo-lines of 5 words for the demo corpus",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(words_chunk, ' ') AS line,
+             chunk_idx AS pos
+      FROM (
+        SELECT doc_id, g AS chunk_idx,
+               LIST_TRANSFORM(RANGE(g * 5 + 1, LEAST(g * 5 + 5, LEN(w)) + 1),
+                              i -> w[i]) AS words_chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+             UNNEST(RANGE(0, CAST(CEIL(LEN(w) / 5.0) AS BIGINT))) AS t(g)
+      )
+    ),
+    firsts AS (
+      SELECT doc_id, line, MIN(pos) AS pos FROM lined GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           STRING_AGG(line, CHR(10) ORDER BY pos, line) AS text,
+           COUNT(*) AS n_kept
+    FROM firsts GROUP BY doc_id
+    """,
+    survey_ops=("dedup-exact", "curation-chunking"),
+)
+def dedup_intradoc_lines(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import dedup_intradoc_lines
+
+    d = t(spark, sf_dir, "documents").where("doc_id < 200")
+    # the demo corpus is single-line text: slice into 5-word
+    # pseudo-lines (deterministic) so intra-doc repetition exists
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    lined = words.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / F.lit(5.0)).cast("long") - 1,
+                ),
+                lambda g: F.array_join(
+                    F.slice(F.col("w"), (g * 5 + 1).cast("int"), 5), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup_intradoc_lines(lined, "doc_id", "text")
+
+
+@register(
+    "token_budget_sample",
+    "per-source TOKEN-budget mixture sampling: docs taken in "
+    "deterministic md5(id) order until each source's cumulative "
+    "token count reaches 5000 (first crossing doc included) — how "
+    "training mixtures are specified ('N tokens of web, M of code'); "
+    "one bounded window per group, no RNG",
+    oracle="""
+    WITH cum AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, cum_tokens
+    FROM cum WHERE (cum_tokens - n_chars) < 5000
+    """,
+    survey_ops=("sampling-quota", "curation-sampling"),
+)
+def token_budget_sample(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import token_budget_sample
+
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return token_budget_sample(d, "doc_id", ["source"], "n_chars", 5000)
