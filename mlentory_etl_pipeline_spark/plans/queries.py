@@ -6362,3 +6362,49 @@ def token_budget_sample(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     return token_budget_sample(d, "doc_id", ["source"], "n_chars", 5000)
+
+
+@register(
+    "agg_state_stream_rollup",
+    "STREAMING incremental rollup maintenance: per-quarter event files "
+    "replay as micro-batches whose agg_state folds into a persisted "
+    "state table (batch-id marker makes replays no-ops — the "
+    "idempotent-foreachBatch recipe); the folded rollup must equal the "
+    "direct one-shot aggregate, which is exactly what the oracle "
+    "computes",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+    survey_ops=("sketch-aggregates", "S2 incremental", "§2.9 streaming"),
+)
+def agg_state_stream_rollup(spark, sf_dir):
+    import tempfile
+
+    from mlentory_etl_pipeline_spark.streaming.incremental import (
+        agg_state_stream_maintenance,
+    )
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="aggstream-src-")
+    ckpt = tempfile.mkdtemp(prefix="aggstream-ckpt-")
+    state = tempfile.mkdtemp(prefix="aggstream-state-") + "/state"
+    _write_time_ordered_slices(e, src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = agg_state_stream_maintenance(stream, ["event_type"], "value", state, ckpt)
+    q.awaitTermination(120)
+    return spark.read.parquet(state).select(
+        "event_type",
+        "cnt",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_v",
+        "max_v",
+    )

@@ -238,3 +238,67 @@ def stream_stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return left.join(right, cond, "inner").drop(right[key])
+
+
+def agg_state_stream_maintenance(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming INCREMENTAL ROLLUP maintenance: every micro-batch's
+    per-key (count, exact-sum, min, max) state folds into a persisted
+    parquet state table via ``sketches.merge_agg_states`` — the
+    materialized-view pattern where the rollup is always current and
+    history is never rescanned (each fold costs |batch keys| + |state|,
+    and at lake scale the state table is a Delta MERGE target keyed by
+    the group columns).
+
+    Exactly-once needs more than :func:`scd2_stream_load`'s argument:
+    the SCD2 merge is content-hash idempotent, but COUNTS DOUBLE on
+    replay. So each state version records the batch id that produced
+    it (a ``_batch_id`` marker swapped atomically WITH the parquet
+    state): when a crash lands between the state swap and the
+    checkpoint commit, the replayed batch sees ``batch_id <= marker``
+    and skips — the classic idempotent-foreachBatch recipe (at lake
+    scale the marker is the Delta transaction's ``txnAppId/txnVersion``
+    and the swap is the MERGE commit itself). Crash-tested in
+    tests/test_streaming.py. Returns the started query (availableNow).
+    Read the current rollup with ``spark.read.parquet(state_dir)``.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker = os.path.join(state_dir, "_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # replayed batch: already folded
+        batch_state = sketches.agg_state(batch_df, keys, value_col)
+        if os.path.exists(state_dir):
+            current = spark.read.parquet(state_dir)
+            merged = sketches.merge_agg_states(current, batch_state, keys)
+        else:
+            merged = batch_state
+        tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_batch_id"), "w") as f:
+            f.write(str(batch_id))
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

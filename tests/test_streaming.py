@@ -373,3 +373,73 @@ def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
     got = spark.table("dedup_parity")
     assert got.count() == e.count()
     assert got.select(F.count_distinct("event_id")).first()[0] == e.count()
+
+
+def test_agg_state_stream_maintenance(spark, tmp_path):
+    """Streaming rollup maintenance: per-batch agg_state folds into a
+    persisted state table; the final rollup equals the direct aggregate
+    over all data, and replayed batches (same or lost checkpoint) are
+    skipped via the _batch_id marker instead of double-counting."""
+    import datetime as dt
+
+    from mlentory_etl_pipeline_spark.operators import sketches
+    from mlentory_etl_pipeline_spark.streaming.incremental import (
+        agg_state_stream_maintenance,
+    )
+
+    schema = "k string, v double, ts timestamp"
+    files = [
+        [("a", 1.0), ("b", 2.0)],
+        [("a", 3.0)],
+        [("b", 4.0), ("a", 5.0)],
+    ]
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    t0 = dt.datetime(2024, 1, 1)
+    all_rows = []
+    for i, rows in enumerate(files):
+        stamped = [(k, v, t0 + dt.timedelta(days=i)) for (k, v) in rows]
+        all_rows += stamped
+        spark.createDataFrame(stamped, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    q = agg_state_stream_maintenance(stream, ["k"], "v", state, ckpt)
+    q.awaitTermination(120)
+
+    direct = sketches.agg_state(
+        spark.createDataFrame(all_rows, schema), ["k"], "v"
+    )
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+
+    # full replay with a LOST checkpoint: batch ids restart at 0, all
+    # <= the persisted marker -> every batch skips, state unchanged
+    # (the same protection that guards the crash window between state
+    # swap and checkpoint commit)
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q2 = agg_state_stream_maintenance(
+        stream2, ["k"], "v", state, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == want
+
+    # incremental continuation on the ORIGINAL checkpoint: a new file
+    # folds in, matching the direct aggregate over everything
+    extra = [("c", 10.0, t0 + dt.timedelta(days=3))]
+    all_rows += extra
+    spark.createDataFrame(extra, schema).coalesce(1).write.mode("append").parquet(land)
+    stream3 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q3 = agg_state_stream_maintenance(stream3, ["k"], "v", state, ckpt)
+    q3.awaitTermination(120)
+    direct2 = sketches.agg_state(spark.createDataFrame(all_rows, schema), ["k"], "v")
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
+        map(tuple, direct2.collect())
+    )
