@@ -737,3 +737,73 @@ def token_budget_sample(
         docs.withColumn("cum_tokens", cum)
         .where((F.col("cum_tokens") - F.col(n_tokens_col)) < budget)
     )
+
+
+def build_training_mixture(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    tokens_col: str = "n_chars",
+    token_budget: int = 5000,
+    near_dup_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """The END-TO-END curation pipeline: quality filter → exact dedup →
+    MinHash near-dedup → n-gram decontamination vs the eval set →
+    per-source token-budget sampling — each stage an operator that is
+    individually oracle-verified in the registry; this function is the
+    composition a user actually runs, plus the funnel report every
+    data-ops review asks for.
+
+    Returns ``(funnel, final)``: ``funnel`` has one row per stage
+    (stage_idx, stage, n_docs, n_tokens) and ``final`` is the surviving
+    corpus. All stages are anti-joins/filters keyed by the doc id —
+    the funnel costs one count-aggregate per stage, the pipeline
+    itself stays one lazy plan.
+    """
+    from mlentory_etl_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup_pairs,
+    )
+
+    stages: list[tuple[str, DataFrame]] = [("raw", docs)]
+    keep_ids = (
+        gopher_quality(docs, id_col, text_col, min_words=5, min_stopword_hits=0)
+        .where(F.col("keep"))
+        .select(id_col)
+    )
+    quality = docs.join(keep_ids, id_col)
+    stages.append(("quality", quality))
+    exact = exact_dedup(quality, [text_col], id_col).select(*docs.columns)
+    stages.append(("exact_dedup", exact))
+    pairs = minhash_lsh_dedup_pairs(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    )
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near = exact.join(dup_ids, id_col, "left_anti")
+    stages.append(("near_dedup", near))
+    contaminated = (
+        decontaminate(near, eval_docs, id_col, text_col)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    clean = near.join(contaminated, id_col, "left_anti")
+    stages.append(("decontaminated", clean))
+    final = token_budget_sample(
+        clean, id_col, [source_col], tokens_col, token_budget
+    ).select(*docs.columns)
+    stages.append(("token_budget", final))
+
+    spark = docs.sparkSession
+    funnel_rows = []
+    for i, (name, df) in enumerate(stages):
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(tokens_col), F.lit(0)).alias("tok"),
+        ).first()
+        funnel_rows.append((i, name, agg.n, int(agg.tok)))
+    funnel = spark.createDataFrame(
+        funnel_rows, "stage_idx int, stage string, n_docs long, n_tokens long"
+    )
+    return funnel, final

@@ -6408,3 +6408,27 @@ def agg_state_stream_rollup(spark, sf_dir):
         "min_v",
         "max_v",
     )
+
+
+@register(
+    "mixture_build_funnel",
+    "the END-TO-END curation pipeline as one run: quality filter -> "
+    "exact dedup -> MinHash near-dedup -> n-gram decontamination vs an "
+    "eval slice -> per-source token-budget sampling, reported as the "
+    "stage funnel (docs + tokens surviving each stage); every stage is "
+    "individually oracle-verified elsewhere in the registry — this is "
+    "the composition a user actually ships (rows-only: the funnel "
+    "counts are driver-assembled)",
+    oracle=None,
+    survey_ops=("curation-pipeline", "F1 quality filter", "dedup-minhash"),
+)
+def mixture_build_funnel(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        build_training_mixture,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    eval_docs = d.where("doc_id < 25")
+    corpus = d.where("doc_id >= 25")
+    funnel, _final = build_training_mixture(corpus, eval_docs, token_budget=5000)
+    return funnel.orderBy("stage_idx")

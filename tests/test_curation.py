@@ -337,3 +337,35 @@ def test_gopher_quality_rule_boundaries(spark):
     for r in out.values():
         for c in ("word_count", "mean_word_len", "symbol_ratio", "alpha_ratio", "stopword_hits"):
             assert getattr(r, c) is not None
+
+
+def test_mixture_build_funnel_invariants(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        build_training_mixture,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = d.where("doc_id < 25")
+    corpus = d.where("doc_id >= 25")
+    funnel, final = build_training_mixture(corpus, eval_docs, token_budget=3000)
+    rows = funnel.orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dedup", "decontaminated",
+        "token_budget",
+    ]
+    # monotone non-increasing doc and token counts through the funnel
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
+    assert rows[0].n_docs == corpus.count()
+    # the survivors are a subset of the raw corpus, unchanged rows
+    assert final.count() == rows[-1].n_docs
+    assert final.join(corpus, "doc_id", "left_anti").count() == 0
+    # per-source budget honored: (cum - own) < budget for every kept doc
+    from pyspark.sql import functions as F
+    over = (
+        final.groupBy("source")
+        .agg(F.sum("n_chars").alias("tok"), F.count(F.lit(1)).alias("n"))
+        .where((F.col("tok") > 3000 + 2000) & (F.col("n") > 1))
+    )
+    # budget may overshoot by at most one doc's tokens (max n_chars ~ 2000)
+    assert over.count() == 0
