@@ -524,6 +524,174 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 40,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    train_iters: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the standard production ANN composition — a coarse IVF
+    quantizer routes vectors to cells, and PQ encodes the RESIDUAL
+    (vector minus its cell centroid) instead of the raw vector.
+    Residuals concentrate around the origin, so the same ``m × ksub``
+    codebook budget spends its codewords on a much smaller volume than
+    raw-vector PQ — recall rises sharply at identical code size (the
+    gap :func:`pq_adc_topk` at m=4/ksub=16 leaves open).
+
+    Plan shape (all stages relational, no driver loops at query time):
+
+    - corpus → cell is the map-only broadcast-centroid assignment of
+      :func:`ivf_probe_cells` (nprobe=1); the residual subtraction is a
+      ``zip_with`` against the broadcast centroid row — still map-only;
+    - PQ codes are trained on residuals (one shared codebook across
+      cells, the FAISS ``IVF…,PQ…`` arrangement) and stored as
+      ``(cell, j, code)`` — at 100 TB this is the 128×-smaller code
+      table written ``partitionBy("cell")``, so a query's ADC scan is
+      partition-pruned to its ``nprobe`` cells;
+    - each query computes per-PROBED-CELL residuals and a per-(query,
+      cell) ADC distance table (m × ksub rounded sub-distances, exact
+      DECIMAL when summed); the equi-join on (cell, j, code) touches
+      only probed cells' codes;
+    - the ADC shortlist re-ranks with exact float cosine on candidates
+      only (the :func:`int8_rerank_topk` two-stage shape).
+
+    ``centroids`` / ``codebook`` accept pre-trained quantizers (the
+    codebook must be residual-trained for scores to make sense);
+    otherwise both train in-repo via the distributed Lloyd's loop.
+    Deterministic end-to-end: id-ordered seeds, fixed iterations,
+    rounded distances, id tiebreaks.
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_row:
+        return corpus.select(
+            F.lit(0).alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    dim = dim_row[0].d
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+
+    cents = (
+        centroids
+        if centroids is not None
+        else trained_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+    )
+    cent_rows = cents.select(F.explode("_cents").alias("_c")).select(
+        F.col("_c.cid").alias("cell"), F.col("_c.cv").alias("_cellv")
+    )
+
+    # corpus → (id, cell, residual); broadcast joins only, then pinned:
+    # the codebook training scans it several times.
+    c_cells = ivf_probe_cells(corpus, cents, id_col, vec_col, nprobe=1, norm_alias="_cn")
+    c_res = (
+        c_cells.join(F.broadcast(cent_rows), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_cellv"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("_resid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    if codebook is None:
+        codebook = train_pq_codebook(
+            c_res, m=m, ksub=ksub, iters=train_iters, id_col=id_col, vec_col="_resid"
+        )
+
+    # encode residuals → (id, cell, j, code): nearest codeword per chunk
+    cchunks = _subspace_chunks(c_res, id_col, "_resid", m, sub)
+    codes = (
+        cchunks.join(F.broadcast(codebook), "j")
+        .groupBy(id_col, "j")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(_l2sq(F.col("chunk"), F.col("cw")), F.col("code"))
+            ).alias("code")
+        )
+        .join(c_res.select(id_col, "cell"), id_col)
+    )
+
+    # queries → per-probed-cell residuals → per-(query, cell) ADC table
+    q_cells = ivf_probe_cells(
+        queries, cents, query_id_col, query_vec_col, nprobe=nprobe, norm_alias="_qn"
+    )
+    q_res = q_cells.join(F.broadcast(cent_rows), "cell").select(
+        F.col(query_id_col),
+        F.col("cell"),
+        F.zip_with(
+            F.col(query_vec_col),
+            F.col("_cellv"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("_qresid"),
+    )
+    qchunks = q_res.select(
+        F.col(query_id_col),
+        F.col("cell"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+        F.col("_qresid").alias("_v"),
+    ).select(
+        query_id_col, "cell", "j",
+        F.slice(F.col("_v"), F.col("j") * sub + 1, sub).alias("chunk"),
+    )
+    dtable = qchunks.join(F.broadcast(codebook), "j").select(
+        query_id_col,
+        "cell",
+        "j",
+        "code",
+        _l2sq(F.col("chunk"), F.col("cw")).cast("decimal(18,6)").alias("d"),
+    )
+
+    # ADC scan over probed cells only; m exact-decimal lookups per pair
+    approx = (
+        codes.join(F.broadcast(dtable), ["cell", "j", "code"])
+        .where(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    wshort = Window.partitionBy(query_id_col).orderBy(F.asc("approx_dist"), F.asc(id_col))
+    short = (
+        approx.withColumn("_r", F.row_number().over(wshort))
+        .where(F.col("_r") <= shortlist)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+    )
+
+    # candidate-only exact cosine re-rank
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    qfloats = queries.select(F.col(query_id_col), F.col(query_vec_col))
+    rescored = (
+        F.broadcast(short)
+        .join(qfloats, query_id_col)
+        .join(floats, "neighbor_id")
+        .select(
+            F.col(query_id_col),
+            F.col("neighbor_id"),
+            F.round(cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 # ------------------------------------------------------------- k-means
 
 def kmeans_cluster(
