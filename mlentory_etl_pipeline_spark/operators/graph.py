@@ -151,20 +151,72 @@ def bounded_path(
     )
 
 
-def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
-    """Per-node triangle counts over an ORIENTED edge list (each
-    undirected edge appears once as u < v): two hash equi-joins find
-    each triangle exactly once as (a < b < c), then the three corners
-    fan back out to their nodes.
+def oriented_edges(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v", orient_by: str = "id"
+) -> DataFrame:
+    """Orient an undirected edge list (each edge once, either endpoint
+    order) by a total order over nodes, returning ``(u, v)`` with u
+    strictly before v in that order.
 
-    The oriented join is the classic distributed shape (no triangle is
-    counted 6x, no node joins against its full neighborhood twice). At
-    100 TB orient by DEGREE (low-degree endpoint first, ties by id)
-    instead of raw id so hub nodes never become the fan-out side —
-    identical plan, different orientation key. Returns
-    ``(node, n_triangles)`` for nodes in >= 1 triangle.
+    - ``orient_by="id"``: plain ``least/greatest`` — map-only, but a
+      hub whose id sits mid-range keeps ~half its edges outgoing, so
+      the wedge join below it blows up Θ(deg²) on skewed graphs.
+    - ``orient_by="degree"``: order by ``(degree, id)`` — every edge
+      points from its lower-degree endpoint toward the higher-degree
+      one, so a hub's oriented OUT-degree is ~0 and the wedge
+      intermediate is bounded by Σ min(deg(u), deg(v)) per edge
+      (the O(m^1.5) triangle-listing bound). Costs one degree
+      aggregation plus two equi-joins to attach degrees — the standard
+      price for skew immunity at 100 TB.
     """
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    if orient_by == "id":
+        return e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+    assert orient_by == "degree", f"unknown orient_by={orient_by!r}"
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv")), "v")
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    return j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    orient_by: str = "id",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (each edge
+    appears once): orient every edge by a total node order
+    (:func:`oriented_edges`), then two hash equi-joins find each
+    triangle exactly once as an ordered (a, b, c), and the three
+    corners fan back out to their nodes.
+
+    The oriented join is the classic distributed shape (no triangle is
+    counted 6x, no node joins against its full neighborhood twice).
+    ``orient_by="id"`` is map-only but skew-fragile;
+    ``orient_by="degree"`` points every edge at the higher-degree
+    endpoint so hubs never become the fan-out side — the wedge
+    intermediate stays near-linear on hub graphs where id orientation
+    is Θ(hub_degree²) (asserted in tests on a star graph). Counts are
+    identical either way (any total order finds each triangle once).
+    Returns ``(node, n_triangles)`` for nodes in >= 1 triangle.
+    """
+    e = oriented_edges(edges, u_col, v_col, orient_by)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tris = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

@@ -624,6 +624,49 @@ def test_triangle_counts_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_degree_orientation_bounds_hub_fanout(spark):
+    """On a hub-skewed graph, degree orientation must (a) count the
+    same triangles as id orientation and (b) keep the wedge
+    intermediate (the e1.v == e2.u join) near-linear where a mid-id hub
+    makes id orientation quadratic."""
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # hub id 50 sits mid-range and touches every other node 0..99;
+    # leaves form a ring so triangles exist (hub-i-(i+1) for ring edges)
+    n = 100
+    hub = 50
+    leaves = [i for i in range(n) if i != hub]
+    hub_edges = [(min(hub, i), max(hub, i)) for i in leaves]
+    ring = []
+    for a, b in zip(leaves, leaves[1:] + leaves[:1]):
+        if (min(a, b), max(a, b)) not in ring:
+            ring.append((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(set(hub_edges + ring)), "u long, v long")
+
+    by_id = {r.node: r.n_triangles for r in graph.triangle_counts(edges).collect()}
+    by_deg = {
+        r.node: r.n_triangles
+        for r in graph.triangle_counts(edges, orient_by="degree").collect()
+    }
+    assert by_id == by_deg  # identical triangles under any total order
+
+    def wedge_count(orient_by):
+        e = graph.oriented_edges(edges, orient_by=orient_by)
+        return (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+            .count()
+        )
+
+    w_id, w_deg = wedge_count("id"), wedge_count("degree")
+    # id orientation: hub keeps ~49 outgoing edges AND ~50 incoming, so
+    # wedges through the hub alone are ~49*50/2 ≈ 1.2k; degree
+    # orientation points every hub edge INTO the hub (out-degree 0) and
+    # leaf out-degrees are <= 3, so the wedge set stays near-linear.
+    assert w_id > 1000, f"expected quadratic id-orientation wedges, got {w_id}"
+    assert w_deg < 6 * n, f"degree orientation fan-out not bounded: {w_deg}"
+
+
 def test_pagerank_star_graph(spark):
     from mlentory_etl_pipeline_spark.operators import graph
 
