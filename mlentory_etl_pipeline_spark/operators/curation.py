@@ -669,6 +669,61 @@ def decontaminate_semantic(
     )
 
 
+def decontaminate_semantic_bucketed(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    dim: int,
+    corpus_id: str = "corpus_id",
+    eval_id: str = "eval_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    num_planes: int = 4,
+    num_bands: int = 16,
+) -> DataFrame:
+    """The SCALE PATH for :func:`decontaminate_semantic`: instead of
+    scoring every (corpus, eval) pair, sign-random-projection buckets
+    (multi-band OR-amplification, the bipartite twin of
+    ``dedup.embedding_near_dup_lsh``) shrink the candidate set to
+    bucket collisions, then exact cosine scores candidates only.
+    Identical output columns ``(corpus_id, eval_id, score)`` — swap it
+    in wherever the exhaustive pass runs.
+
+    At 100 TB the corpus side buckets map-only (deterministic
+    hyperplanes, no fitting step) and each band's join is an equi-join
+    on ``bucket`` against the broadcast bucketed eval side — the corpus
+    is never cross-joined. A pair colliding in NO band is missed:
+    recall ≈ 1-(1-p^planes)^bands where p = 1-θ/π; at the default
+    4 planes × 16 bands a pair at exactly cosine 0.35 (p≈0.61) is
+    missed with probability (1-0.61⁴)¹⁶ ≈ 0.09; pairs further above
+    the threshold are missed exponentially less — parity with the exhaustive
+    pass at the test scales is asserted in tests, and bands is the
+    recall knob production tunes.
+    """
+    from mlentory_etl_pipeline_spark.functions.vectors import cosine_similarity
+    from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket
+
+    c = corpus_vecs.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    e = eval_vecs.select(F.col(eval_id), F.col(vec_col).alias("_ev"))
+    cand = None
+    for band in range(num_bands):
+        cb = rp_bucket(c, "_cv", dim, num_planes, seed=7 + 1000 * band).select(
+            F.col(corpus_id), F.col("bucket")
+        )
+        eb = rp_bucket(e, "_ev", dim, num_planes, seed=7 + 1000 * band).select(
+            F.col(eval_id), F.col("bucket")
+        )
+        pairs = cb.join(F.broadcast(eb), "bucket").select(corpus_id, eval_id)
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    score = F.round(cosine_similarity(F.col("_cv"), F.col("_ev")), 4)
+    return (
+        cand.join(c, corpus_id)
+        .join(F.broadcast(e), eval_id)
+        .select(corpus_id, eval_id, score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def dedup_intradoc_lines(
     docs: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:
@@ -748,13 +803,28 @@ def build_training_mixture(
     tokens_col: str = "n_chars",
     token_budget: int = 5000,
     near_dup_threshold: float = 0.8,
+    doc_vecs: DataFrame | None = None,
+    eval_vecs: DataFrame | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_dim: int = 64,
+    semantic_threshold: float = 0.35,
 ) -> tuple[DataFrame, DataFrame]:
     """The END-TO-END curation pipeline: quality filter → exact dedup →
     MinHash near-dedup → n-gram decontamination vs the eval set →
+    (optional) SEMANTIC decontamination vs eval embeddings →
     per-source token-budget sampling — each stage an operator that is
     individually oracle-verified in the registry; this function is the
     composition a user actually runs, plus the funnel report every
     data-ops review asks for.
+
+    The semantic stage activates when ``doc_vecs``/``eval_vecs``
+    (``(vec_id_col, vec_col)`` frames keyed like the docs) are given:
+    corpus docs whose embedding lands within ``semantic_threshold``
+    cosine of any eval embedding drop, via the bucketed LSH scan
+    (:func:`decontaminate_semantic_bucketed` — the scale path, parity
+    with the exhaustive pass asserted in tests). Docs without an
+    embedding pass through (the anti-join removes only flagged ids).
 
     Returns ``(funnel, final)``: ``funnel`` has one row per stage
     (stage_idx, stage, n_docs, n_tokens) and ``final`` is the surviving
@@ -790,6 +860,29 @@ def build_training_mixture(
     )
     clean = near.join(contaminated, id_col, "left_anti")
     stages.append(("decontaminated", clean))
+    if doc_vecs is not None and eval_vecs is not None:
+        corpus_vecs = clean.select(F.col(id_col).alias("corpus_id")).join(
+            doc_vecs.select(
+                F.col(vec_id_col).alias("corpus_id"), F.col(vec_col)
+            ),
+            "corpus_id",
+        )
+        ev = eval_vecs.select(F.col(vec_id_col).alias("eval_id"), F.col(vec_col))
+        sem_flagged = (
+            decontaminate_semantic_bucketed(
+                corpus_vecs,
+                ev,
+                vec_dim,
+                vec_col=vec_col,
+                threshold=semantic_threshold,
+                num_planes=2,
+                num_bands=20,
+            )
+            .select(F.col("corpus_id").alias(id_col))
+            .distinct()
+        )
+        clean = clean.join(sem_flagged, id_col, "left_anti")
+        stages.append(("semantic_decontaminated", clean))
     final = token_budget_sample(
         clean, id_col, [source_col], tokens_col, token_budget
     ).select(*docs.columns)

@@ -6316,6 +6316,46 @@ def decontaminate_semantic(spark, sf_dir):
 
 
 @register(
+    "decontaminate_semantic_lsh",
+    "semantic decontamination through the BUCKETED scale path: "
+    "sign-random-projection bands (2 planes x 20 bands) turn the "
+    "corpus x eval product into per-band bucket equi-joins, exact "
+    "cosine scores candidates only — same output as the exhaustive "
+    "pass (the oracle IS the exhaustive SQL: at these scales the band "
+    "recall is 1.0, asserted in tests at sf0.01 and sf0.1), so the "
+    "lake-scale swap the exhaustive query's docstring promises is "
+    "exercised and oracle-checked",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS corpus_id, embedding FROM embeddings WHERE vec_id >= 20),
+         scored AS (
+           SELECT c.corpus_id, ev.eval_id,
+                  ROUND(
+                    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(ev.embedding) + 1),
+                             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ev.embedding[i] AS DOUBLE)))
+                    / (SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, v -> CAST(v AS DOUBLE) * v)))
+                       * SQRT(LIST_SUM(LIST_TRANSFORM(ev.embedding, v -> CAST(v AS DOUBLE) * v)))),
+                    4) AS score
+           FROM c, ev
+         )
+    SELECT corpus_id, eval_id, score FROM scored WHERE score >= 0.35
+    """,
+    survey_ops=("curation-decontaminate", "ann-lsh"),
+)
+def decontaminate_semantic_lsh(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        decontaminate_semantic_bucketed,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    ev = e.where("vec_id < 20").select(F.col("vec_id").alias("eval_id"), "embedding")
+    c = e.where("vec_id >= 20").select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return decontaminate_semantic_bucketed(
+        c, ev, 64, threshold=0.35, num_planes=2, num_bands=20
+    )
+
+
+@register(
     "dedup_intradoc_lines",
     "intra-document line dedup: repeated lines inside one document "
     "(crawl boilerplate) drop, first occurrence kept in original "
@@ -6447,11 +6487,12 @@ def agg_state_stream_rollup(spark, sf_dir):
     "mixture_build_funnel",
     "the END-TO-END curation pipeline as one run: quality filter -> "
     "exact dedup -> MinHash near-dedup -> n-gram decontamination vs an "
-    "eval slice -> per-source token-budget sampling, reported as the "
-    "stage funnel (docs + tokens surviving each stage); every stage is "
-    "individually oracle-verified elsewhere in the registry — this is "
-    "the composition a user actually ships (rows-only: the funnel "
-    "counts are driver-assembled)",
+    "eval slice -> SEMANTIC decontamination vs eval embeddings (LSH "
+    "bucketed scan) -> per-source token-budget sampling, reported as "
+    "the stage funnel (docs + tokens surviving each stage); every "
+    "stage is individually oracle-verified elsewhere in the registry — "
+    "this is the composition a user actually ships (rows-only: the "
+    "funnel counts are driver-assembled)",
     oracle=None,
     survey_ops=("curation-pipeline", "F1 quality filter", "dedup-minhash"),
 )
@@ -6461,7 +6502,14 @@ def mixture_build_funnel(spark, sf_dir):
     )
 
     d = t(spark, sf_dir, "documents")
+    v = t(spark, sf_dir, "embeddings")
     eval_docs = d.where("doc_id < 25")
     corpus = d.where("doc_id >= 25")
-    funnel, _final = build_training_mixture(corpus, eval_docs, token_budget=5000)
+    funnel, _final = build_training_mixture(
+        corpus,
+        eval_docs,
+        token_budget=5000,
+        doc_vecs=v.where("vec_id >= 25"),
+        eval_vecs=v.where("vec_id < 25"),
+    )
     return funnel.orderBy("stage_idx")

@@ -369,3 +369,68 @@ def test_mixture_build_funnel_invariants(spark):
     )
     # budget may overshoot by at most one doc's tokens (max n_chars ~ 2000)
     assert over.count() == 0
+
+
+def test_semantic_bucketed_parity_with_exhaustive(spark):
+    """The LSH-bucketed semantic decontamination must flag EXACTLY the
+    pairs the exhaustive broadcast scan flags at the registry's params
+    (2 planes x 20 bands gives band-recall 1.0 at test scales — the
+    lake-scale swap is only valid because of this parity)."""
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        decontaminate_semantic,
+        decontaminate_semantic_bucketed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ev = e.where("vec_id < 20").select(F.col("vec_id").alias("eval_id"), "embedding")
+    c = e.where("vec_id >= 20").select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {
+        (r.corpus_id, r.eval_id, r.score)
+        for r in decontaminate_semantic(c, ev, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.corpus_id, r.eval_id, r.score)
+        for r in decontaminate_semantic_bucketed(
+            c, ev, 64, threshold=0.35, num_planes=2, num_bands=20
+        ).collect()
+    }
+    assert exact, "degenerate fixture: no contaminated pairs to compare"
+    assert lsh == exact
+
+
+def test_mixture_funnel_semantic_stage(spark):
+    """With doc/eval embeddings supplied, the funnel gains the
+    semantic_decontaminated stage between n-gram decontamination and
+    token budgeting, and it drops exactly the corpus docs whose
+    embedding is near an eval embedding."""
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        build_training_mixture,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eval_docs = d.where("doc_id < 25")
+    corpus = d.where("doc_id >= 25")
+    funnel, final = build_training_mixture(
+        corpus,
+        eval_docs,
+        token_budget=3000,
+        doc_vecs=v.where("vec_id >= 25"),
+        eval_vecs=v.where("vec_id < 25"),
+    )
+    rows = funnel.orderBy("stage_idx").collect()
+    assert [r.stage for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dedup", "decontaminated",
+        "semantic_decontaminated", "token_budget",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
+    # the semantic stage does real work on this fixture (eval slice and
+    # corpus share the embedding space, so near pairs exist)
+    by_stage = {r.stage: r.n_docs for r in rows}
+    assert by_stage["semantic_decontaminated"] < by_stage["decontaminated"]
+    assert final.join(corpus, "doc_id", "left_anti").count() == 0
