@@ -1729,12 +1729,141 @@ def ann_brute_force_topk(spark, sf_dir):
     )
 
 
+def _plane_dot_sql(col: str, plane: list[float]) -> str:
+    """Explicit left-associated sum of ``col[i] * plane_i`` with the
+    plane embedded as double literals — bit-identical to the Spark
+    side's ``dot_product`` fold (same literals, same add order), so an
+    UNROUNDED sign comparison on the result is engine-safe. The
+    hyperplanes are deterministic (similarity._hyperplanes: fixed
+    multiplicative-hash sequence), which is what makes sign-RP LSH
+    SQL-oracle-expressible at all: the 'random' projection is a
+    compile-time constant."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * {x!r}" for i, x in enumerate(plane)
+        )
+        + ")"
+    )
+
+
+def _rp_bucket_sql(col: str, planes: list[list[float]]) -> str:
+    """SQL twin of similarity.rp_bucket: bit i set iff dot(v, plane_i)
+    strictly positive."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {_plane_dot_sql(col, p)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        + ")"
+    )
+
+
+def _lsh_multiprobe_oracle(dim: int = 64, num_planes: int = 6, extra_probes: int = 3,
+                           k: int = 5) -> str:
+    planes = similarity._hyperplanes(dim, num_planes)
+    dots = ",\n             ".join(
+        f"{_plane_dot_sql('embedding', p)} AS d{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(num_planes)
+    )
+    flip_union = "\n        UNION ALL ".join(
+        f"SELECT query_id, ABS(d{i}) AS ad, {1 << i} AS mask FROM q"
+        for i in range(num_planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))) AS n,
+             {dots}
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id, {bucket} AS bucket FROM v),
+    q AS (
+      SELECT v.vec_id AS query_id, cb.bucket AS b0,
+             {", ".join(f"v.d{i}" for i in range(num_planes))}
+      FROM v JOIN cb ON cb.vec_id = v.vec_id WHERE v.vec_id < 10
+    ),
+    fl AS (
+      SELECT query_id, mask,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad, mask) AS rn
+      FROM ({flip_union})
+    ),
+    probes AS (
+      SELECT query_id, b0 AS bucket FROM q
+      UNION ALL
+      SELECT f.query_id, xor(q.b0, f.mask) AS bucket
+      FROM fl f JOIN q USING (query_id) WHERE f.rn <= {extra_probes}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(vq.embedding) + 1),
+                        i -> CAST(vq.embedding[i] AS DOUBLE) * CAST(vn.embedding[i] AS DOUBLE)))
+               / (vq.n * vn.n), 4) AS score
+      FROM probes p
+      JOIN cb c ON p.bucket = c.bucket AND p.query_id <> c.vec_id
+      JOIN v vq ON vq.vec_id = p.query_id
+      JOIN v vn ON vn.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _lsh_banded_pairs_oracle(dim: int = 64, num_planes: int = 4, num_bands: int = 3,
+                             threshold: float = 0.3) -> str:
+    buckets = ",\n             ".join(
+        f"{_rp_bucket_sql('embedding', similarity._hyperplanes(dim, num_planes, seed=7 + 1000 * band))} AS k{band}"
+        for band in range(num_bands)
+    )
+    cand_union = "\n      UNION\n      ".join(
+        f"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM bk a "
+        f"JOIN bk b ON a.k{band} = b.k{band} AND a.vec_id < b.vec_id"
+        for band in range(num_bands)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
+      FROM embeddings
+    ),
+    bk AS (
+      SELECT vec_id,
+             {buckets}
+      FROM v
+    ),
+    cand AS (
+      {cand_union}
+    )
+    SELECT a_id, b_id, score FROM (
+      SELECT c.a_id, c.b_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(va.embedding) + 1),
+                        i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))
+               / (va.n * vb.n), 4) AS score
+      FROM cand c
+      JOIN v va ON va.vec_id = c.a_id
+      JOIN v vb ON vb.vec_id = c.b_id
+    ) WHERE score >= {threshold}
+    """
+
+
 @register(
     "ann_lsh_bucketed_topk",
     "approximate top-5 via sign-random-projection buckets, multi-probe "
-    "(base bucket + 3 nearest-hyperplane flips); recall vs brute force "
-    "asserted in tests — rows-only driver check",
-    oracle=None,
+    "(base bucket + 3 nearest-hyperplane flips); the hyperplanes are "
+    "deterministic compile-time constants, so the whole probe plan is "
+    "SQL-expressible — the oracle embeds the plane literals and "
+    "replicates bucket signs, probe ordering (|dot| asc, mask asc) and "
+    "the bucket equi-join exactly",
+    oracle=_lsh_multiprobe_oracle(),
     survey_ops=("ann-lsh",),
 )
 def ann_lsh_bucketed_topk(spark, sf_dir):
@@ -2245,9 +2374,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     "dedup_embedding_cosine_lsh",
     "embedding near-dup scale path: random-projection buckets replace "
     "the all-pairs product with per-band equi-joins (3-band "
-    "OR-amplification); recall vs exact asserted in tests — rows-only "
-    "driver check",
-    oracle=None,
+    "OR-amplification); the deterministic hyperplanes are compile-time "
+    "constants, so the oracle embeds the plane literals and replicates "
+    "each band's bucket signs, the distinct candidate union, and the "
+    "candidate-only scoring exactly; recall vs exact additionally "
+    "asserted in tests",
+    oracle=_lsh_banded_pairs_oracle(),
     survey_ops=("dedup-embedding-cosine-lsh",),
 )
 def dedup_embedding_cosine_lsh(spark, sf_dir):
@@ -2567,9 +2699,16 @@ def entity_chunking(spark, sf_dir):
 @register(
     "streaming_stateful_running_agg",
     "per-key running aggregates via applyInPandasWithState over a "
-    "file-source stream (availableNow, multi-micro-batch); batch parity "
-    "asserted in tests — rows-only driver check",
-    oracle=None,
+    "file-source stream (availableNow, multi-micro-batch); the DRAINED "
+    "final state must equal the batch aggregate over the same input — "
+    "that equivalence IS the oracle (count + 2dp-rounded sum per key); "
+    "per-batch update semantics are pytest-asserted",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
     survey_ops=("streaming-stateful",),
 )
 def streaming_stateful_running_agg(spark, sf_dir):
@@ -5641,9 +5780,15 @@ def _write_time_ordered_slices(df, src: str, ts_col: str = "ts"):
     "streaming exact dedup via dropDuplicatesWithinWatermark over a "
     "time-ordered multi-micro-batch file stream: every event injected "
     "twice, one state entry per key bounded by the watermark horizon; "
-    "output = per-type counts equal to the pre-duplication stream "
-    "(batch parity asserted in tests) — rows-only driver check",
-    oracle=None,
+    "output = per-type counts equal to the pre-duplication stream; the "
+    "DRAINED output must equal the batch distinct-count — that "
+    "equivalence IS the oracle (time-ordered arrival means the "
+    "watermark drops nothing, so dedup keeps exactly one copy per "
+    "event_id); state-bounding behavior is pytest-asserted",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
     survey_ops=("streaming-stateful", "dedup-exact", "§2.9 streaming"),
 )
 def streaming_dedup_watermark(spark, sf_dir):
@@ -6483,17 +6628,171 @@ def agg_state_stream_rollup(spark, sf_dir):
     )
 
 
+def _mixture_funnel_oracle() -> str:
+    """DuckDB CTE chain replicating build_training_mixture's funnel at
+    the registry demo's params (corpus doc_id >= 25, eval < 25, gopher
+    min_words=5 / min_stopword_hits=0, minhash n=3/12 hashes/4 bands/
+    jaccard >= 0.8 dropping id_b, 8-gram decontamination, semantic
+    threshold 0.35, per-source token budget 5000). Every stage reuses
+    the SQL idiom its standalone oracle already proved; the semantic
+    stage uses the exhaustive scan, which equals the Spark side's
+    2x20-band LSH scan by the parity asserted in tests."""
+    p = dedup.MINHASH_P
+    mh_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(12))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, MD5({cols}) AS band_hash FROM signatures".format(
+            b=b, cols=" || '|' || ".join(f"mh{b * 3 + r}" for r in range(3))
+        )
+        for b in range(4)
+    )
+    funnel_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage, COUNT(*) AS n_docs, "
+        f"CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_tokens FROM {cte}"
+        for i, (name, cte) in enumerate(
+            [
+                ("raw", "corpus"),
+                ("quality", "quality"),
+                ("exact_dedup", "exact"),
+                ("near_dedup", "near"),
+                ("decontaminated", "decon"),
+                ("semantic_decontaminated", "sem"),
+                ("token_budget", "final"),
+            ]
+        )
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id >= 25
+    ),
+    evald AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+    qwords AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w, text AS t
+      FROM corpus
+    ),
+    qkeep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, len(w) AS wc,
+               ROUND(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w), 6) AS mwl,
+               ROUND(CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE) / len(w), 6) AS sr,
+               ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w), 6) AS ar
+        FROM qwords
+      ) WHERE wc BETWEEN 5 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+              AND sr < 0.1 AND ar > 0.8
+    ),
+    quality AS (SELECT c.* FROM corpus c SEMI JOIN qkeep USING (doc_id)),
+    exact AS (
+      SELECT q.* FROM quality q
+      SEMI JOIN (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY MD5(text)) k
+      USING (doc_id)
+    ),
+    mwords AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS w FROM exact
+    ),
+    mshingled AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 3, 0) + 1),
+                      i -> ARRAY_TO_STRING(w[i + 1 : i + 3], ' '))) AS shingle
+        FROM mwords
+      )
+    ),
+    hashed AS (
+      SELECT DISTINCT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5(shingle), 1, 15)) AS UBIGINT) % {p} AS h
+      FROM mshingled
+    ),
+    signatures AS (
+      SELECT doc_id, {mh_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    mcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id
+    ),
+    msizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY doc_id),
+    minter AS (
+      SELECT id_a, id_b, COUNT(*) AS i
+      FROM mcand
+      JOIN hashed a ON a.doc_id = id_a
+      JOIN hashed b ON b.doc_id = id_b AND a.h = b.h
+      GROUP BY id_a, id_b
+    ),
+    dups AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM minter
+      JOIN msizes sa ON sa.doc_id = id_a
+      JOIN msizes sb ON sb.doc_id = id_b
+      WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+    ),
+    near AS (SELECT e.* FROM exact e ANTI JOIN dups USING (doc_id)),
+    cgrams AS (
+      SELECT DISTINCT doc_id, MD5(g) AS gh FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 8, 0) + 1),
+                      i -> ARRAY_TO_STRING(w[i + 1 : i + 8], ' '))) AS g
+        FROM (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS w FROM near)
+      )
+    ),
+    egrams AS (
+      SELECT DISTINCT doc_id AS eval_id, MD5(g) AS gh FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 8, 0) + 1),
+                      i -> ARRAY_TO_STRING(w[i + 1 : i + 8], ' '))) AS g
+        FROM (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS w FROM evald)
+      )
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM cgrams c JOIN egrams e
+      ON c.gh = e.gh AND c.doc_id <> e.eval_id
+    ),
+    decon AS (SELECT n.* FROM near n ANTI JOIN contaminated USING (doc_id)),
+    semflag AS (
+      SELECT DISTINCT d.doc_id
+      FROM decon d
+      JOIN embeddings cv ON cv.vec_id = d.doc_id AND cv.vec_id >= 25
+      JOIN embeddings ev ON ev.vec_id < 25
+      WHERE ROUND(
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(cv.embedding) + 1),
+                       i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(ev.embedding[i] AS DOUBLE)))
+              / (SQRT(LIST_SUM(LIST_TRANSFORM(cv.embedding, v -> CAST(v AS DOUBLE) * v)))
+                 * SQRT(LIST_SUM(LIST_TRANSFORM(ev.embedding, v -> CAST(v AS DOUBLE) * v)))),
+              4) >= 0.35
+    ),
+    sem AS (SELECT d.* FROM decon d ANTI JOIN semflag USING (doc_id)),
+    budgeted AS (
+      SELECT *, SUM(n_chars) OVER (
+        PARTITION BY source
+        ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS cum
+      FROM sem
+    ),
+    final AS (SELECT * FROM budgeted WHERE cum - n_chars < 5000)
+    SELECT stage_idx, stage, n_docs, n_tokens FROM (
+      {funnel_rows}
+    )
+    """
+
+
 @register(
     "mixture_build_funnel",
     "the END-TO-END curation pipeline as one run: quality filter -> "
     "exact dedup -> MinHash near-dedup -> n-gram decontamination vs an "
     "eval slice -> SEMANTIC decontamination vs eval embeddings (LSH "
     "bucketed scan) -> per-source token-budget sampling, reported as "
-    "the stage funnel (docs + tokens surviving each stage); every "
-    "stage is individually oracle-verified elsewhere in the registry — "
-    "this is the composition a user actually ships (rows-only: the "
-    "funnel counts are driver-assembled)",
-    oracle=None,
+    "the stage funnel (docs + tokens surviving each stage); the oracle "
+    "composes the per-stage SQL (each stage is also individually "
+    "oracle-verified elsewhere) into one CTE chain — the semantic "
+    "stage's exhaustive SQL equals the Spark side's LSH scan by the "
+    "band-recall-1.0 parity asserted in tests",
+    oracle=_mixture_funnel_oracle(),
     survey_ops=("curation-pipeline", "F1 quality filter", "dedup-minhash"),
 )
 def mixture_build_funnel(spark, sf_dir):
