@@ -6585,8 +6585,9 @@ def token_budget_sample(spark, sf_dir):
 @register(
     "agg_state_stream_rollup",
     "STREAMING incremental rollup maintenance: per-quarter event files "
-    "replay as micro-batches whose agg_state folds into a persisted "
-    "state table (batch-id marker makes replays no-ops — the "
+    "replay as micro-batches whose agg_state folds into a versioned "
+    "state table committed by an atomic pointer flip (source-file "
+    "identity makes replays no-ops even across lost checkpoints — the "
     "idempotent-foreachBatch recipe); the folded rollup must equal the "
     "direct one-shot aggregate, which is exactly what the oracle "
     "computes",
@@ -6605,6 +6606,7 @@ def agg_state_stream_rollup(spark, sf_dir):
 
     from mlentory_etl_pipeline_spark.streaming.incremental import (
         agg_state_stream_maintenance,
+        read_agg_state,
     )
 
     e = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
@@ -6619,7 +6621,7 @@ def agg_state_stream_rollup(spark, sf_dir):
     )
     q = agg_state_stream_maintenance(stream, ["event_type"], "value", state, ckpt)
     q.awaitTermination(120)
-    return spark.read.parquet(state).select(
+    return read_agg_state(spark, state).select(
         "event_type",
         "cnt",
         F.col("sum_dec").cast("double").alias("sum_value"),

@@ -240,6 +240,135 @@ def stream_stream_interval_join(
     return left.join(right, cond, "inner").drop(right[key])
 
 
+class SimulatedCrash(Exception):
+    """Raised by the fold protocol's test-only crash hooks."""
+
+
+def _resolve_state(state_dir: str):
+    """Resolve the CURRENT pointer to the newest COMPLETE state version.
+
+    Returns ``(version, vdir, batch_marker, folded_files)`` or ``None``
+    when no version has been committed. The pointer is only ever
+    flipped (``os.replace``, atomic on POSIX) AFTER a version dir and
+    its ``_meta.json`` are fully written, so whatever it names is
+    complete by construction — a crash mid-write leaves the pointer on
+    the previous version and the half-written dir is simply overwritten
+    by the retry."""
+    import json
+    import os
+
+    ptr = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    vdir = os.path.join(state_dir, name)
+    with open(os.path.join(vdir, "_meta.json")) as f:
+        meta = json.load(f)
+    version = int(name.rsplit("-v", 1)[1])
+    return version, vdir, int(meta["batch_id"]), set(meta["files"])
+
+
+def _fold_protocol(
+    state_dir: str,
+    batch_id: int,
+    batch_files: set[str],
+    has_anon_rows: bool,
+    write_merged,
+    crash_after: str | None = None,
+) -> bool:
+    """Crash-safe versioned fold: the write-ahead protocol under
+    :func:`agg_state_stream_maintenance`, factored out so property
+    tests can drive arbitrary crash/replay interleavings with a
+    lightweight engine (no Spark jobs) while the streaming path runs
+    the identical code.
+
+    Replay protection is SOURCE-IDENTITY based for file-backed rows:
+    a batch's files that are already in the folded set are replays and
+    are excluded, so even a LOST checkpoint (batch ids restarting at 0)
+    cannot double-count old files NOR silently skip genuinely new ones.
+    Rows without a file identity (non-file sources report no
+    ``input_file_name``) fall back to the batch-id marker, which only
+    guards replays under a continuous checkpoint — at lake scale both
+    collapse into the Delta transaction's ``txnAppId/txnVersion``.
+
+    Protocol (never touches the live version):
+
+    1. resolve CURRENT → decide what is genuinely new;
+    2. write the merged payload into a NEW ``state-v{n+1}`` dir via the
+       ``write_merged(next_vdir, cur_vdir, new_files, include_anon)``
+       callback;
+    3. write ``_meta.json`` (batch marker + cumulative folded files)
+       into that dir;
+    4. flip CURRENT with ``os.replace`` — the atomic commit point;
+    5. GC every other version dir.
+
+    A crash at any point before (4) leaves CURRENT on the old complete
+    version (the retry overwrites the orphan dir); a crash after (4)
+    but before the streaming checkpoint commits makes the replayed
+    batch a no-op in (1). ``crash_after`` ∈ {"payload", "meta",
+    "pointer"} raises :class:`SimulatedCrash` after that step — test
+    hook only. Returns True if anything folded."""
+    import json
+    import os
+
+    import shutil
+
+    def _gc(keep_name: str) -> None:
+        for entry in os.listdir(state_dir):
+            if entry.startswith("state-v") and entry != keep_name:
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+
+    assert crash_after in (None, "payload", "meta", "pointer")
+    os.makedirs(state_dir, exist_ok=True)
+    cur = _resolve_state(state_dir)
+    if cur is None:
+        version, cur_vdir, batch_marker, folded = -1, None, -1, set()
+    else:
+        version, cur_vdir, batch_marker, folded = cur
+    new_files = set(batch_files) - folded
+    include_anon = has_anon_rows and batch_id > batch_marker
+    if not new_files and not include_anon:
+        # pure replay: nothing folds, but a crash between the previous
+        # commit and its GC may have stranded an old version dir —
+        # clean it up here so garbage cannot accumulate
+        _gc(os.path.basename(cur_vdir))
+        return False
+
+    next_name = f"state-v{version + 1:09d}"
+    next_vdir = os.path.join(state_dir, next_name)
+    write_merged(next_vdir, cur_vdir, new_files, include_anon)
+    if crash_after == "payload":
+        raise SimulatedCrash("after payload write")
+    meta = {
+        "batch_id": max(batch_id, batch_marker),
+        "files": sorted(folded | new_files),
+    }
+    with open(os.path.join(next_vdir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    if crash_after == "meta":
+        raise SimulatedCrash("after meta write")
+    ptr = os.path.join(state_dir, "CURRENT")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(next_name)
+    os.replace(tmp, ptr)  # atomic commit
+    if crash_after == "pointer":
+        raise SimulatedCrash("after pointer flip")
+    _gc(next_name)
+    return True
+
+
+def read_agg_state(spark, state_dir: str) -> DataFrame:
+    """Read the current committed rollup of
+    :func:`agg_state_stream_maintenance` (resolves the CURRENT pointer
+    to the newest complete version dir)."""
+    cur = _resolve_state(state_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    return spark.read.parquet(cur[1])
+
+
 def agg_state_stream_maintenance(
     stream: DataFrame,
     keys: list[str],
@@ -257,44 +386,45 @@ def agg_state_stream_maintenance(
 
     Exactly-once needs more than :func:`scd2_stream_load`'s argument:
     the SCD2 merge is content-hash idempotent, but COUNTS DOUBLE on
-    replay. So each state version records the batch id that produced
-    it (a ``_batch_id`` marker swapped atomically WITH the parquet
-    state): when a crash lands between the state swap and the
-    checkpoint commit, the replayed batch sees ``batch_id <= marker``
-    and skips — the classic idempotent-foreachBatch recipe (at lake
-    scale the marker is the Delta transaction's ``txnAppId/txnVersion``
-    and the swap is the MERGE commit itself). Crash-tested in
-    tests/test_streaming.py. Returns the started query (availableNow).
-    Read the current rollup with ``spark.read.parquet(state_dir)``.
+    replay. Every fold runs the versioned write-ahead protocol of
+    :func:`_fold_protocol`: the merged state lands in a NEW
+    ``state-v{n}`` dir and a small CURRENT pointer flips atomically
+    (``os.replace``) only after the dir is complete — the live version
+    is never deleted first, so no crash window can lose the
+    accumulated rollup. Replays are detected by SOURCE FILE IDENTITY
+    (``input_file_name`` per row, recorded in the version's meta), so
+    a lost checkpoint neither double-counts replayed files nor skips
+    new ones; rows without file identity fall back to the batch-id
+    marker. Crash-replay is e2e-tested in tests/test_streaming.py and
+    the protocol is property-tested across interleavings in
+    tests/test_outoforder_properties.py. Returns the started query
+    (availableNow). Read the rollup with :func:`read_agg_state`.
     """
-    import os
-    import shutil
-    import uuid
-
     from mlentory_etl_pipeline_spark.operators import sketches
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        marker = os.path.join(state_dir, "_batch_id")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return  # replayed batch: already folded
-        batch_state = sketches.agg_state(batch_df, keys, value_col)
-        if os.path.exists(state_dir):
-            current = spark.read.parquet(state_dir)
-            merged = sketches.merge_agg_states(current, batch_state, keys)
-        else:
-            merged = batch_state
-        tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_batch_id"), "w") as f:
-            f.write(str(batch_id))
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        src = batch_df.withColumn("_src", F.input_file_name())
+        files = {r[0] for r in src.select("_src").distinct().collect()}
+        has_anon = "" in files
+        files.discard("")
+
+        def write_merged(next_vdir, cur_vdir, new_files, include_anon):
+            cond = F.col("_src").isin(*new_files) if new_files else F.lit(False)
+            if include_anon:
+                cond = cond | (F.col("_src") == "")
+            fresh = src.where(cond).drop("_src")
+            batch_state = sketches.agg_state(fresh, keys, value_col)
+            if cur_vdir is not None:
+                current = spark.read.parquet(cur_vdir)
+                merged = sketches.merge_agg_states(current, batch_state, keys)
+            else:
+                merged = batch_state
+            merged.write.mode("overwrite").parquet(next_vdir)
+
+        _fold_protocol(state_dir, batch_id, files, has_anon, write_merged)
 
     return (
         stream.writeStream.foreachBatch(_fold)

@@ -377,14 +377,17 @@ def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
 
 def test_agg_state_stream_maintenance(spark, tmp_path):
     """Streaming rollup maintenance: per-batch agg_state folds into a
-    persisted state table; the final rollup equals the direct aggregate
-    over all data, and replayed batches (same or lost checkpoint) are
-    skipped via the _batch_id marker instead of double-counting."""
+    persisted versioned state table; the final rollup equals the direct
+    aggregate over all data, replayed batches (same or lost checkpoint)
+    are skipped via source-file identity instead of double-counting,
+    and — unlike a bare batch-id marker — NEW files landed before a
+    checkpoint loss still fold exactly once."""
     import datetime as dt
 
     from mlentory_etl_pipeline_spark.operators import sketches
     from mlentory_etl_pipeline_spark.streaming.incremental import (
         agg_state_stream_maintenance,
+        read_agg_state,
     )
 
     schema = "k string, v double, ts timestamp"
@@ -412,14 +415,14 @@ def test_agg_state_stream_maintenance(spark, tmp_path):
     direct = sketches.agg_state(
         spark.createDataFrame(all_rows, schema), ["k"], "v"
     )
-    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    got = sorted(map(tuple, read_agg_state(spark, state).collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want
 
-    # full replay with a LOST checkpoint: batch ids restart at 0, all
-    # <= the persisted marker -> every batch skips, state unchanged
-    # (the same protection that guards the crash window between state
-    # swap and checkpoint commit)
+    # full replay with a LOST checkpoint: batch ids restart at 0 but
+    # every source file is already in the folded set -> every batch
+    # skips, state unchanged (the same protection that guards the
+    # crash window between state commit and checkpoint commit)
     stream2 = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
     )
@@ -427,7 +430,7 @@ def test_agg_state_stream_maintenance(spark, tmp_path):
         stream2, ["k"], "v", state, str(tmp_path / "ckpt2")
     )
     q2.awaitTermination(120)
-    assert sorted(map(tuple, spark.read.parquet(state).collect())) == want
+    assert sorted(map(tuple, read_agg_state(spark, state).collect())) == want
 
     # incremental continuation on the ORIGINAL checkpoint: a new file
     # folds in, matching the direct aggregate over everything
@@ -440,6 +443,24 @@ def test_agg_state_stream_maintenance(spark, tmp_path):
     q3 = agg_state_stream_maintenance(stream3, ["k"], "v", state, ckpt)
     q3.awaitTermination(120)
     direct2 = sketches.agg_state(spark.createDataFrame(all_rows, schema), ["k"], "v")
-    assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
+    assert sorted(map(tuple, read_agg_state(spark, state).collect())) == sorted(
         map(tuple, direct2.collect())
+    )
+
+    # the case a bare batch-id marker gets WRONG: checkpoint lost AND a
+    # genuinely new file landed — replayed ids restart at 0 (all below
+    # the old marker) but file identity folds exactly the new file
+    extra2 = [("d", 7.0, t0 + dt.timedelta(days=4))]
+    all_rows += extra2
+    spark.createDataFrame(extra2, schema).coalesce(1).write.mode("append").parquet(land)
+    stream4 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q4 = agg_state_stream_maintenance(
+        stream4, ["k"], "v", state, str(tmp_path / "ckpt3")
+    )
+    q4.awaitTermination(120)
+    direct3 = sketches.agg_state(spark.createDataFrame(all_rows, schema), ["k"], "v")
+    assert sorted(map(tuple, read_agg_state(spark, state).collect())) == sorted(
+        map(tuple, direct3.collect())
     )
