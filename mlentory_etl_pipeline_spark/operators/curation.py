@@ -739,23 +739,32 @@ def dedup_intradoc_lines(
     operator scales with corpus size like any per-doc aggregation;
     nothing compares across documents.
 
-    Returns (id, text, n_lines, n_kept).
+    Returns (id, text, n_lines, n_kept) — ``n_lines`` is the original
+    line count (carried through the aggregations, not recomputed), so
+    ``n_lines - n_kept`` is the per-doc boilerplate drop an audit reads
+    straight off the output.
     """
-    lines = docs.select(
+    arr = docs.select(F.col(id_col), F.split(F.col(text_col), sep).alias("_lines"))
+    lines = arr.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.size("_lines").alias("n_lines"),
+        F.posexplode("_lines").alias("pos", "line"),
     )
-    firsts = lines.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
+    firsts = lines.groupBy(id_col, "line").agg(
+        F.min("pos").alias("pos"), F.first("n_lines").alias("n_lines")
+    )
     return (
         firsts.groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ordered"),
+            F.first("n_lines").alias("n_lines"),
         )
         .select(
             F.col(id_col),
             F.array_join(F.transform("_ordered", lambda s: s["line"]), sep).alias(
                 "text"
             ),
+            F.col("n_lines"),
             F.size("_ordered").alias("n_kept"),
         )
     )

@@ -6522,11 +6522,16 @@ def decontaminate_semantic_lsh(spark, sf_dir):
     ),
     firsts AS (
       SELECT doc_id, line, MIN(pos) AS pos FROM lined GROUP BY doc_id, line
+    ),
+    counts AS (
+      SELECT doc_id, MAX(pos) + 1 AS n_lines FROM lined GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT f.doc_id,
            STRING_AGG(line, CHR(10) ORDER BY pos, line) AS text,
+           ANY_VALUE(c.n_lines) AS n_lines,
            COUNT(*) AS n_kept
-    FROM firsts GROUP BY doc_id
+    FROM firsts f JOIN counts c ON c.doc_id = f.doc_id
+    GROUP BY f.doc_id
     """,
     survey_ops=("dedup-exact", "curation-chunking"),
 )

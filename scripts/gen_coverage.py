@@ -58,25 +58,46 @@ def render() -> str:
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _load_bench(path: str):
+    with open(path) as f:
+        d = json.load(f)
+    return os.path.basename(path), d.get("parsed", d)
+
+
 def _latest_bench():
     """Newest BENCH_r*.json (driver wraps the bench line under
     'parsed'); falls back to none when no bench has run yet."""
     files = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     if not files:
         return None, None
-    with open(files[-1]) as f:
-        d = json.load(f)
-    return os.path.basename(files[-1]), d.get("parsed", d)
+    return _load_bench(files[-1])
 
 
-def render_readme(current: str) -> str:
+def _cited_bench(current: str):
+    """The bench file the README sentence CITES (``— from
+    `BENCH_rNN.json` ``). --check validates against this file, not the
+    newest one: the driver drops a fresh BENCH after the round
+    snapshot, and a README that correctly cites the pre-snapshot file
+    must not flip the gate red (VERDICT r3 'what's wrong' #4)."""
+    m = re.search(r"from `(BENCH_r\d+\.json)`", current)
+    if not m:
+        return None, None
+    path = os.path.join(ROOT, m.group(1))
+    if not os.path.exists(path):
+        return None, None
+    return _load_bench(path)
+
+
+def render_readme(current: str, pin_cited: bool = False) -> str:
     n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
     out = re.sub(
         r"\d+ registry queries \(\d+ with DuckDB oracles\)",
         f"{len(REGISTRY)} registry queries ({n_oracle} with DuckDB oracles)",
         current,
     )
-    fname, b = _latest_bench()
+    fname, b = (_cited_bench(current) if pin_cited else (None, None))
+    if b is None:
+        fname, b = _latest_bench()
     if b:
         qs = b["queries"]
         slowest = max(qs, key=qs.get)
@@ -118,7 +139,10 @@ def main():
     with open(readme_path) as f:
         readme_current = f.read()
     cov_new = cov_current.split(HEADER_END)[0] + HEADER_END + render()
-    readme_new = render_readme(readme_current)
+    # --check validates against the bench file the README cites (a
+    # post-snapshot bench drop must not flip the gate); a plain rewrite
+    # always advances to the newest bench.
+    readme_new = render_readme(readme_current, pin_cited="--check" in sys.argv)
     if "--check" in sys.argv:
         stale = []
         if cov_new != cov_current:
