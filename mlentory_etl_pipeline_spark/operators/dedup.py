@@ -648,3 +648,107 @@ def connected_components(
         all_nodes.join(stars, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+# ------------------------------------------- duplicate-span REMOVAL
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact substring-level dedup: REMOVE every repeated occurrence of
+    any word ``n``-gram from the corpus, keeping only its globally
+    first occurrence — the token-level analogue of suffix-array
+    substring dedup for training corpora (the reference's section
+    dedup, ``code/extractors/mlentory_extract/core/text_processing.py``,
+    drops whole repeated sections; this is the finer-grained variant
+    the dedup literature applies corpus-wide). Doc-level near-dup never
+    catches boilerplate spans embedded in otherwise-distinct documents;
+    span removal does, and unlike :func:`duplicated_spans` (the
+    detector) this rewrites the text.
+
+    Semantics (deterministic):
+
+    - tokens are ``split(text, ' ')`` verbatim (no lowering — the
+      output must reconstruct the surviving text exactly);
+    - every n-token window is a span; spans equal as token sequences
+      are duplicates; the canonical occurrence is the global
+      ``min (id, start)``;
+    - every token covered by a NON-canonical occurrence of a
+      duplicated span is removed; survivors re-join in order.
+      Overlapping duplicate spans union their coverage (greedy, the
+      standard policy). Docs shorter than n tokens pass through.
+
+    Plan shape (all linear in token count):
+
+    - span fan-out is map-local (tokens projected before the HOF
+      lambda); the only global shuffle groups occurrences by the
+      16-byte md5 of the span — map-side combine keeps it partial-agg
+      friendly;
+    - duplicate occurrences explode to at most n×(dup occurrences)
+      (id, pos) coverage rows — proportional to removed text, not
+      corpus size;
+    - the rebuild is one per-doc aggregation (sort happens inside
+      ``array_sort`` on per-doc arrays, never a global sort).
+
+    Returns ``(id, text, n_tokens, n_removed)``.
+    """
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(F.array_join(F.slice(F.col("_w"), i + 1, n), " ")).alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("_o"),
+    ).select(F.col(id_col), F.col("_o.start").alias("start"), F.col("_o.gram").alias("gram"))
+    # canonical = global min (id, start) per gram: a partial-agg-friendly
+    # groupBy(min) beats a per-gram window here — a boilerplate span
+    # repeated millions of times combines map-side instead of sorting
+    # in one task, and AQE skew-split covers the join back
+    canon = occ.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))).alias("_c"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dups = (
+        occ.join(canon.where(F.col("_n") >= 2), "gram")
+        .where(~((F.col(id_col) == F.col("_c.i")) & (F.col("start") == F.col("_c.s"))))
+        .select(id_col, "start")
+    )
+    covered = dups.select(
+        F.col(id_col), F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos")
+    ).distinct()
+    tok_rows = toks.select(
+        F.col(id_col), F.size("_w").alias("n_tokens"), F.posexplode("_w").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("text"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("_nt"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("_nt").alias("n_tokens"),
+            (F.col("_nt") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )

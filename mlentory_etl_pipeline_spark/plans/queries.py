@@ -6561,6 +6561,70 @@ def dedup_intradoc_lines(spark, sf_dir):
 
 
 @register(
+    "dedup_span_removal",
+    "exact substring-level dedup (token 8-grams): every repeated "
+    "occurrence of any 8-token span across the corpus is REMOVED, "
+    "keeping only the global first occurrence (min (doc, start)) — "
+    "the token-level analogue of suffix-array substring dedup; "
+    "overlapping duplicate spans union their coverage; one "
+    "partial-agg-friendly shuffle on the 16-byte span hash, coverage "
+    "explode proportional to removed text only",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra' FROM documents WHERE doc_id < 200
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    occ AS (
+      SELECT doc_id, s AS start,
+             MD5(ARRAY_TO_STRING(w[s + 1 : s + 8], ' ')) AS gram
+      FROM toks, UNNEST(RANGE(0, GREATEST(LEN(w) - 8 + 1, 0))) AS t(s)
+    ),
+    ranked AS (
+      SELECT doc_id, start,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+      FROM occ
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, start + x AS pos
+      FROM (SELECT doc_id, start FROM ranked WHERE rn > 1),
+           UNNEST(RANGE(0, 8)) AS t(x)
+    ),
+    tokrows AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             GENERATE_SUBSCRIPTS(w, 1) - 1 AS pos
+      FROM toks
+    ),
+    agg AS (
+      SELECT tr.doc_id, STRING_AGG(tr.tok, ' ' ORDER BY tr.pos) AS text,
+             COUNT(*) AS n_kept
+      FROM tokrows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos
+      )
+      GROUP BY tr.doc_id
+    )
+    SELECT c.doc_id, COALESCE(a.text, '') AS text,
+           LEN(string_split(c.text, ' ')) AS n_tokens,
+           LEN(string_split(c.text, ' ')) - COALESCE(a.n_kept, 0) AS n_removed
+    FROM corpus c LEFT JOIN agg a USING (doc_id)
+    """,
+    survey_ops=("dedup-exact", "N3"),
+)
+def dedup_span_removal(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where("doc_id < 200").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return dedup.remove_duplicate_spans(corpus, "doc_id", "text", n=8)
+
+
+@register(
     "token_budget_sample",
     "per-source TOKEN-budget mixture sampling: docs taken in "
     "deterministic md5(id) order until each source's cumulative "

@@ -332,7 +332,8 @@ def _fold_protocol(
         # pure replay: nothing folds, but a crash between the previous
         # commit and its GC may have stranded an old version dir —
         # clean it up here so garbage cannot accumulate
-        _gc(os.path.basename(cur_vdir))
+        if cur_vdir is not None:
+            _gc(os.path.basename(cur_vdir))
         return False
 
     next_name = f"state-v{version + 1:09d}"

@@ -753,3 +753,44 @@ def test_multimodal_8bit_wav_and_unsupported_width(spark):
     fb = multimodal.decode_media(media24, fake=False, fallback_to_fake=True)
     want = multimodal.decode_media(media24, fake=True)
     assert fb.collect() == want.collect()
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from mlentory_etl_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        # canonical: first occurrence of the repeated 9-token span
+        (1, "the quick brown fox jumps over the lazy dog today ok"),
+        # same span embedded in a distinct doc: 8-gram windows cover
+        # all 10 tokens of the repeated region; framing text survives
+        (2, "intro text the quick brown fox jumps over the lazy dog today more words here"),
+        (3, "short doc"),  # < n tokens: untouched
+        # intra-doc repeat: second copy of the 8-token block removed
+        (4, "aa bb cc dd ee ff gg hh aa bb cc dd ee ff gg hh tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert out[1]["text"] == rows[0][1] and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "intro text more words here"
+    assert out[2]["n_removed"] == 10 and out[2]["n_tokens"] == 15
+    assert out[3]["text"] == "short doc" and out[3]["n_removed"] == 0
+    assert out[4]["text"] == "aa bb cc dd ee ff gg hh tail"
+    assert out[4]["n_removed"] == 8
+
+
+def test_remove_duplicate_spans_full_removal_keeps_doc(spark):
+    from mlentory_etl_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    base = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame([(1, base), (2, base)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=8).collect()
+    }
+    # doc 2 is entirely one duplicate span: emitted with empty text,
+    # not silently dropped
+    assert out[1]["text"] == base and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 8
