@@ -877,3 +877,85 @@ def train_pq_codebook(
         F.col("code").cast("int"),
         F.col("cw").cast("array<float>"),
     )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def semantic_dedup(
+    vecs: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    policy: str = "dominance",
+) -> DataFrame:
+    """Embedding-level (semantic) dedup, the cluster-then-compare shape
+    of SemDeDup (Abbas et al. 2023, public recipe): vectors are
+    k-means-assigned to cells, pairwise cosine runs ONLY within a cell,
+    and near-duplicate pairs (``round(cos, 4) >= threshold``) mark
+    losers for removal. The reference's embedding matcher
+    (``code/extractors/mlentory_extract/core/QAMatchingEngine.py:154-237``)
+    scores all pairs; clustering first is what makes the same semantics
+    run at corpus scale — the quadratic term is bounded per cell
+    (E[cell] = n/k, so Σ cell² ≈ n²/k with k chosen so cells fit a
+    task; hot cells split by AQE).
+
+    Survivor policies:
+
+    - ``"dominance"`` (default): drop a vector iff SOME smaller-id
+      vector in its cell is within threshold. One semi-join after the
+      pair scan, and — unlike transitive closure — expressible in SQL,
+      so the registry query carries a full DuckDB oracle.
+    - ``"components"``: connected components over the near-dup graph
+      (alternating large/small-star), keep each component's min id —
+      the transitive policy for chains A~B~C where A!~C.
+
+    ``centroids`` accepts a pre-trained quantizer
+    (:func:`trained_centroids`); default seeds are the ``id <
+    n_centroids`` vectors so the oracle can replicate assignment.
+    Returns ``(id, cell, keep)`` for every input vector.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(vecs, n_centroids, id_col, vec_col)
+    )
+    assigned = ivf_probe_cells(vecs, cents, id_col, vec_col, nprobe=1, norm_alias="_n")
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("_ia") < F.col("_ib"))
+        .where(
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("_ia").alias("u"), F.col("_ib").alias("v"))
+    )
+    if policy == "dominance":
+        losers = pairs.select(F.col("v").alias(id_col)).distinct()
+    else:
+        assert policy == "components", f"unknown policy={policy!r}"
+        from mlentory_etl_pipeline_spark.operators.dedup import connected_components
+
+        comp = connected_components(pairs, "u", "v")
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    return (
+        assigned.select(id_col, "cell")
+        .join(losers.withColumn("_lose", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "cell", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep")
+        )
+    )

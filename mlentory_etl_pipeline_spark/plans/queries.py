@@ -1939,6 +1939,65 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "semdedup_embeddings",
+    "SemDeDup-style semantic dedup: cluster-then-compare — vectors "
+    "map-assign to 16 seed cells, pairwise cosine runs only WITHIN a "
+    "cell (the quadratic term bounded per cell), and a vector loses "
+    "iff a smaller-id cellmate sits within cosine 0.98 (dominance "
+    "policy — SQL-expressible, so fully oracled; the transitive "
+    "components policy is pytest-covered); planted exact copies "
+    "(vec_id+100000) must all lose to their originals",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 60
+    ),
+    cent AS (
+      SELECT CAST(vec_id AS INT) AS cid, embedding AS cv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS cn
+      FROM corpus WHERE vec_id < 16
+    ),
+    vec AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM corpus
+    ),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_IVF_DOT.format(a="v.embedding", b="c.cv")} / (v.n * c.cn), 6) DESC,
+                        c.cid ASC
+             ) AS rn
+      FROM vec v CROSS JOIN cent c
+    ),
+    cell_of AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM cell_of ca JOIN cell_of cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN vec a ON a.vec_id = ca.vec_id
+      JOIN vec b ON b.vec_id = cb.vec_id
+      WHERE ROUND({_IVF_DOT.format(a="a.embedding", b="b.embedding")} / (a.n * b.n), 4) >= 0.98
+    )
+    SELECT c.vec_id, c.cell, l.vec_id IS NULL AS keep
+    FROM cell_of c LEFT JOIN losers l ON l.vec_id = c.vec_id
+    """,
+    survey_ops=("dedup-embedding", "N5"),
+)
+def semdedup_embeddings(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.where("vec_id < 300").unionByName(
+        e.where("vec_id < 60").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.semantic_dedup(
+        corpus, n_centroids=16, threshold=0.98, policy="dominance"
+    )
+
+
+@register(
     "embedding_norms",
     "vector math sanity: L2 norms + label centroids distance base",
     oracle="""

@@ -794,3 +794,47 @@ def test_remove_duplicate_spans_full_removal_keeps_doc(spark):
     # not silently dropped
     assert out[1]["text"] == base and out[1]["n_removed"] == 0
     assert out[2]["text"] == "" and out[2]["n_removed"] == 8
+
+
+def test_semantic_dedup_policies(spark):
+    from mlentory_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    # A at 0 deg, B at 90 deg, C at 45 deg; threshold 0.70 gives edges
+    # A~C and B~C (cos 45 = 0.7071) but NOT A~B (cos 90 = 0) — the case
+    # where dominance and transitive components disagree
+    s = 0.7071067811865476
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [s, s])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = df.where("vec_id = 0")  # one cell: everything compares
+
+    dom = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, n_centroids=1, threshold=0.70, policy="dominance",
+            centroids=None,
+        ).collect()
+    }
+    # dominance: C loses (A and B are smaller cellmates within 0.70);
+    # B survives because its only near neighbor C is LARGER
+    assert dom == {0: True, 1: True, 2: False}
+
+    comp = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, n_centroids=1, threshold=0.70, policy="components"
+        ).collect()
+    }
+    # components: A-C-B is one component, only min id survives
+    assert comp == {0: True, 1: False, 2: False}
+
+    # exact duplicates always lose to their original under both
+    dup = df.unionByName(
+        df.selectExpr("vec_id + 10 AS vec_id", "embedding")
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            dup, n_centroids=1, threshold=0.98, policy="dominance"
+        ).collect()
+    }
+    assert out[10] is False and out[11] is False and out[12] is False
