@@ -1,0 +1,245 @@
+#!/usr/bin/env python3
+"""Scale-stress harness: catch density/skew traps mechanically, before
+they show up at 100 TB.
+
+For each heavy operator family, build the SAME logical plan at 1x and
+at Kx (default 10x) input scale — the inflation happens in-plan via
+``explode(sequence(0, K-1))`` with per-replica salting, no extra
+parquet is written — and assert the steady-state wall-time ratio stays
+SUB-QUADRATIC (ratio <= K**1.5, i.e. 31.6x for K=10; a quadratic
+operator would show ~K**2 = 100x).  An operator that is linear in its
+input shows ~K plus fixed overheads; one hiding an accidental
+cross-product or an unbounded per-key fan-out blows past the bound.
+
+Salting strategy per case (what "10x" means is chosen so the HONEST
+answer is linear — the harness stresses the plan shape, not an
+inherently quadratic output):
+
+- minhash     documents 10x; each replica word-salts a ~1/3 subset of
+              words keyed on (word, replica), so cross-replica shingle
+              Jaccard (~0.09) sits far under the 0.5 threshold and the
+              true near-dup structure is 10 disjoint copies of the 1x
+              structure.  Catches: shingle-join fan-out, band-bucket
+              skew.
+- triangles   bounded co-supply graph replicated as 10 DISJOINT copies
+              (node ids offset per replica), degree-oriented.  Catches:
+              wedge-intermediate blow-up (the r3 density trap).
+- linkage     part names 10x with the replica id fused into the
+              blocking prefix, so blocks multiply instead of deepening.
+              Catches: block-key skew, prefix-join fan-out.
+- sessions    events 10x onto the SAME user keys (ts jittered per
+              replica): every per-user window/sort gets 10x deeper —
+              deliberately the harshest shape for the sessionizer.
+- scd2_fold   events→triples batch 10x with replica-salted subjects,
+              merged into an empty store (full V2–V7 pipeline).
+
+Usage:
+    python scripts/stress.py            # K=10, prints one JSON line
+    python scripts/stress.py --k 5
+Exit nonzero if any ratio exceeds the sub-quadratic bound.
+Results are recorded per-round in SCALE.md ("Stress harness").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from mlentory_etl_pipeline_spark.operators import dedup, graph, linkage
+from mlentory_etl_pipeline_spark.operators import versioned_store as vs
+from mlentory_etl_pipeline_spark.session import get_spark
+from mlentory_etl_pipeline_spark.sources.tpch import load_table as t
+from mlentory_etl_pipeline_spark.streaming import incremental
+
+# t1 floor (s): below this, the 1x run is dominated by fixed per-query
+# overhead (job scheduling, codegen cache hits) and the ratio is noise.
+T1_FLOOR = 0.25
+
+
+def _replicated(df: DataFrame, k: int) -> DataFrame:
+    """k rows per input row, replica id in `_rep` (in-plan, no write)."""
+    return df.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+
+
+def _salt_words(text, rep):
+    """Append the replica id to a hash-chosen ~1/3 of words, so replicas
+    of the same document share ~(2/3)^3 of their 3-gram shingles within
+    a replica pair — Jaccard ~0.09, far under every dedup threshold."""
+    return F.array_join(
+        F.transform(
+            F.split(text, " "),
+            lambda w: F.when(
+                F.pmod(F.xxhash64(w) + rep, F.lit(3)) == 0,
+                F.concat(w, F.lit("~"), rep.cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+
+
+def case_minhash(spark, sf_dir: str, k: int) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        _salt_words(F.col("text"), F.col("_rep")).alias("text"),
+    )
+    # plant one near-dup sibling per replica doc (same shape as the
+    # registry's _neardup_corpus, so 10x input => ~10x true pairs)
+    corpus = r.unionByName(
+        r.select(
+            (F.col("doc_id") + 100000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return dedup.minhash_lsh_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
+def case_triangles(spark, sf_dir: str, k: int) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sp = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sp = _replicated(sp, k).select(
+        (F.col("s") + F.col("_rep") * 1000000).alias("s"),
+        (F.col("p") + F.col("_rep") * 1000000).alias("p"),
+    )
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    return graph.triangle_counts(edges, orient_by="degree")
+
+
+def case_linkage(spark, sf_dir: str, k: int) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    names = _replicated(names, k).select(
+        (F.col("pid") * k + F.col("_rep")).alias("pid"),
+        # fuse the replica into the block prefix: blocks multiply
+        # (k x more blocks) instead of deepening (k x bigger blocks)
+        F.concat(F.col("_rep").cast("string"), F.lit("#"), F.col("p_name")).alias(
+            "p_name"
+        ),
+    )
+    left = names.select(F.col("pid").alias("left_id"), F.col("p_name").alias("lname"))
+    right = names.select(
+        F.col("pid").alias("right_id"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("rname"),
+    )
+    return linkage.blocked_link(
+        left, right, "left_id", "right_id", "lname", "rname",
+        max_edit_distance=1, prefix_len=3,
+    )
+
+
+def case_sessions(spark, sf_dir: str, k: int) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    e = _replicated(e, k).select(
+        "user_id",  # SAME keys: per-user depth grows k x (worst case)
+        (F.col("ts") + F.make_interval(secs=F.col("_rep"))).alias("ts"),
+        "value",
+    )
+    return incremental.session_window_agg(
+        e,
+        "ts",
+        "4 hours",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "sum_value"
+            ),
+        ],
+    )
+
+
+def case_scd2_fold(spark, sf_dir: str, k: int):
+    e = t(spark, sf_dir, "events")
+    e = _replicated(e, k)
+    batch = e.select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("#"), F.col("_rep").cast("string")
+        ).alias("subject"),
+        F.col("event_type").alias("predicate"),
+        F.floor(F.col("value") / 100).cast("int").cast("string").alias("object"),
+        F.lit("events").alias("extraction_method"),
+        F.lit(1.0).alias("confidence"),
+        F.col("ts").alias("extraction_time"),
+    )
+    # materialized(eager=True) does the heavy V2-V7 work inside the
+    # timed fn call; version_range.count() then covers the merge output
+    out = vs.materialized(vs.merge_batch(vs.empty_state(spark), batch), eager=True)
+    return out.version_range
+
+
+CASES = {
+    "minhash": case_minhash,
+    "triangles": case_triangles,
+    "linkage": case_linkage,
+    "sessions": case_sessions,
+    "scd2_fold": case_scd2_fold,
+}
+
+
+def _timed_count(fn, spark, sf_dir, k):
+    # steady-state: second run of the identical plan (bench.py method)
+    fn(spark, sf_dir, k).count()
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir, k).count()
+    return round(time.perf_counter() - t0, 3), n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--only", help="comma-separated case names")
+    args = ap.parse_args()
+    k = args.k
+    bound = round(k ** 1.5, 1)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("mlentory-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.only.split(",") if args.only else list(CASES)
+    cases: dict[str, dict] = {}
+    worst = 0.0
+    for name in names:
+        fn = CASES[name]
+        t1, n1 = _timed_count(fn, spark, sf_dir, 1)
+        tk, nk = _timed_count(fn, spark, sf_dir, k)
+        ratio = round(tk / max(t1, T1_FLOOR), 1)
+        worst = max(worst, ratio)
+        cases[name] = {
+            "t1": t1, "tk": tk, "ratio": ratio,
+            "rows_1x": n1, "rows_kx": nk, "ok": ratio <= bound,
+        }
+        print(
+            f"  stress {name}: {t1:.2f}s -> {tk:.2f}s at {k}x "
+            f"(ratio {ratio}, bound {bound}, rows {n1}->{nk})",
+            file=sys.stderr, flush=True,
+        )
+
+    ok = all(c["ok"] for c in cases.values())
+    print(json.dumps({
+        "metric": "stress_ratio_max", "value": worst, "unit": "x",
+        "k": k, "bound": bound, "cases": cases, "pass": ok,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
