@@ -1997,6 +1997,60 @@ def semdedup_embeddings(spark, sf_dir):
     )
 
 
+def _zorder_bucket_sql(col: str, lo: float, hi: float, bits: int) -> str:
+    n = 1 << bits
+    return (
+        f"LEAST({n - 1}, GREATEST(0, CAST(FLOOR((CAST({col} AS DOUBLE) - {lo}) "
+        f"/ ({hi} - {lo}) * {n}) AS BIGINT)))"
+    )
+
+
+def _zorder_interleave_sql(cols: list[str], bits: int) -> str:
+    ncols = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * ncols + i})"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return " + ".join(terms)  # disjoint bit positions: + == OR
+
+
+@register(
+    "zorder_orders_layout",
+    "Z-order (Morton) layout key over orders (o_custkey x o_totalprice, "
+    "8 bits each, FIXED quantization ranges so the curve is stable "
+    "across ingestion batches): pure shift/mask expression tree inside "
+    "codegen, then one range repartition lays files out along the "
+    "curve so parquet min/max stats prune on BOTH columns — the lake "
+    "replacement for the reference's Postgres b-tree indexes; "
+    "file-skipping effect asserted in tests",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             {_zorder_bucket_sql("o_custkey", 0.0, 20000.0, 8)} AS zx,
+             {_zorder_bucket_sql("o_totalprice", 0.0, 600000.0, 8)} AS zy
+      FROM orders
+    )
+    SELECT o_orderkey, zx, zy,
+           {_zorder_interleave_sql(["zx", "zy"], 8)} AS zval
+    FROM b
+    """,
+    survey_ops=("layout-zorder", "S11"),
+)
+def zorder_orders_layout(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import layout
+
+    o = t(spark, sf_dir, "orders")
+    zx = layout.bucketize(F.col("o_custkey"), 0.0, 20000.0, 8)
+    zy = layout.bucketize(F.col("o_totalprice"), 0.0, 600000.0, 8)
+    return o.select(
+        "o_orderkey",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        layout.z_value([zx, zy], 8).alias("zval"),
+    )
+
+
 @register(
     "embedding_norms",
     "vector math sanity: L2 norms + label centroids distance base",

@@ -838,3 +838,64 @@ def test_semantic_dedup_policies(spark):
         ).collect()
     }
     assert out[10] is False and out[11] is False and out[12] is False
+
+
+def test_z_value_matches_reference_interleave(spark):
+    from mlentory_etl_pipeline_spark.operators.layout import z_value
+
+    def ref(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = [(i, (i * 37) % 256, (i * 91) % 256) for i in range(200)]
+    df = spark.createDataFrame(rows, ["i", "x", "y"])
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", z_value([F.col("x"), F.col("y")], 8).alias("z")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == ref(x, y), (i, x, y)
+
+
+def test_zorder_layout_prunes_files_on_both_dims(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from mlentory_etl_pipeline_spark.operators.layout import z_order_layout
+
+    # 128x128 grid; 16 files along the z-curve. A 32x32 box is 1/16 of
+    # the key space -> on a Morton layout it lives in a handful of
+    # files; a linear-on-x layout would touch EVERY file for a y-box.
+    n = 128
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F2.col("id") % n).alias("x"),
+            (F2.col("id") / n).cast("long").alias("y"),
+        )
+    )
+    laid = z_order_layout(
+        grid, [("x", 0.0, float(n)), ("y", 0.0, float(n))], bits=7, num_files=16
+    )
+    path = str(tmp_path / "zorder")
+    laid.write.parquet(path)
+    rd = spark.read.parquet(path)
+    total = rd.select(F2.input_file_name()).distinct().count()
+    assert total >= 12  # layout actually produced many files
+
+    def files_touched(cond):
+        return (
+            rd.where(cond).select(F2.input_file_name()).distinct().count()
+        )
+
+    box = files_touched((F2.col("x") < 32) & (F2.col("y") < 32))
+    x_slice = files_touched(F2.col("x") < 8)
+    y_slice = files_touched(F2.col("y") < 8)
+    # the corner box clusters into few files; EITHER single-dim slice
+    # also prunes (that's the point of interleaving vs linear sort)
+    assert box <= total // 4, (box, total)
+    assert x_slice < total and y_slice < total, (x_slice, y_slice, total)
