@@ -700,21 +700,24 @@ def decontaminate_semantic_bucketed(
     recall knob production tunes.
     """
     from mlentory_etl_pipeline_spark.functions.vectors import cosine_similarity
-    from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket
+    from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket_bands
 
     c = corpus_vecs.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
     e = eval_vecs.select(F.col(eval_id), F.col(vec_col).alias("_ev"))
-    cand = None
-    for band in range(num_bands):
-        cb = rp_bucket(c, "_cv", dim, num_planes, seed=7 + 1000 * band).select(
-            F.col(corpus_id), F.col("bucket")
-        )
-        eb = rp_bucket(e, "_ev", dim, num_planes, seed=7 + 1000 * band).select(
-            F.col(eval_id), F.col("bucket")
-        )
-        pairs = cb.join(F.broadcast(eb), "bucket").select(corpus_id, eval_id)
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    # all bands in one corpus pass (bit-identical buckets to a
+    # per-band loop): one scan + one broadcast (band, bucket) join
+    # instead of num_bands scans and joins unioned
+    cb = rp_bucket_bands(c, "_cv", dim, num_planes, num_bands).select(
+        F.col(corpus_id), F.col("band"), F.col("bucket")
+    )
+    eb = rp_bucket_bands(e, "_ev", dim, num_planes, num_bands).select(
+        F.col(eval_id), F.col("band"), F.col("bucket")
+    )
+    cand = (
+        cb.join(F.broadcast(eb), ["band", "bucket"])
+        .select(corpus_id, eval_id)
+        .distinct()
+    )
     score = F.round(cosine_similarity(F.col("_cv"), F.col("_ev")), 4)
     return (
         cand.join(c, corpus_id)
@@ -837,9 +840,11 @@ def build_training_mixture(
 
     Returns ``(funnel, final)``: ``funnel`` has one row per stage
     (stage_idx, stage, n_docs, n_tokens) and ``final`` is the surviving
-    corpus. All stages are anti-joins/filters keyed by the doc id —
-    the funnel costs one count-aggregate per stage, the pipeline
-    itself stays one lazy plan.
+    corpus. All stages are anti-joins/filters keyed by the doc id, and
+    the funnel is itself ONE lazy plan that evaluates every stage
+    exactly once (docs tagged with the number of stages survived —
+    monotone subsets make that the last stage reached), instead of one
+    count-action per stage re-reading the corpus S times.
     """
     from mlentory_etl_pipeline_spark.operators.dedup import (
         exact_dedup,
@@ -897,15 +902,46 @@ def build_training_mixture(
     ).select(*docs.columns)
     stages.append(("token_budget", final))
 
+    # Funnel as ONE lazy plan instead of one eager count-action per
+    # stage: the per-stage loop evaluates stage k's lineage k times
+    # (O(S^2) stage evaluations; at 100 TB that is S re-reads of the
+    # corpus), while tagging each doc with the number of stages it
+    # survived evaluates every stage exactly once. Survival is
+    # monotone (each stage is a subset of the previous), so the count
+    # of non-null survivor flags IS the last stage reached, and stage
+    # i's totals are the docs with reached >= i — recovered by a tiny
+    # S x S broadcast join against the stage list, no window.
     spark = docs.sparkSession
-    funnel_rows = []
-    for i, (name, df) in enumerate(stages):
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(tokens_col), F.lit(0)).alias("tok"),
-        ).first()
-        funnel_rows.append((i, name, agg.n, int(agg.tok)))
-    funnel = spark.createDataFrame(
-        funnel_rows, "stage_idx int, stage string, n_docs long, n_tokens long"
+    tagged = docs.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_tok"))
+    flags = []
+    for i, (_name, df) in enumerate(stages):
+        if i == 0:
+            continue  # raw: every doc
+        ids = df.select(F.col(id_col).alias("_id")).withColumn(f"_s{i}", F.lit(1))
+        tagged = tagged.join(ids, "_id", "left")
+        flags.append(f"_s{i}")
+    reached = F.lit(0)
+    for c in flags:
+        reached = reached + F.coalesce(F.col(c), F.lit(0))
+    per_reached = (
+        tagged.select(reached.alias("_reached"), "_tok")
+        .groupBy("_reached")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_tok").alias("_t"))
+    )
+    stage_lit = spark.createDataFrame(
+        [(i, name) for i, (name, _df) in enumerate(stages)],
+        "stage_idx int, stage string",
+    )
+    funnel = (
+        stage_lit.join(
+            F.broadcast(per_reached),
+            F.col("_reached") >= F.col("stage_idx"),
+            "left",
+        )
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
     )
     return funnel, final

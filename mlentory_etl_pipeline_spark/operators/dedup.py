@@ -520,23 +520,25 @@ def embedding_near_dup_lsh(
     Recall ≈ 1-(1-p^planes)^bands rises steeply with bands while cost
     stays bands × per-band-join; asserted against the exact baseline in
     tests. Approximate: pairs colliding in no band are missed."""
-    from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket
+    from mlentory_etl_pipeline_spark.operators.similarity import rp_bucket_bands
     from mlentory_etl_pipeline_spark.functions.vectors import dot_product, l2_norm
 
     with_norm = vecs.select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
     )
-    cand = None
-    for band in range(num_bands):
-        bucketed = rp_bucket(
-            with_norm, vec_col, dim, num_planes, seed=7 + 1000 * band
-        ).select(F.col(id_col), F.col("bucket"))
-        a = bucketed.select(F.col("bucket"), F.col(id_col).alias("a_id"))
-        b = bucketed.select(F.col("bucket"), F.col(id_col).alias("b_id"))
-        pairs = (
-            a.join(b, "bucket").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    # all bands in one pass (bit-identical buckets to the per-band
+    # loop): one scan + one (band, bucket) join instead of num_bands
+    # scans and joins unioned — see rp_bucket_bands
+    bucketed = rp_bucket_bands(with_norm, vec_col, dim, num_planes, num_bands).select(
+        F.col(id_col), F.col("band"), F.col("bucket")
+    )
+    a = bucketed.select("band", "bucket", F.col(id_col).alias("a_id"))
+    b = bucketed.select("band", "bucket", F.col(id_col).alias("b_id"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
     if num_bands > 1:
         cand = cand.distinct()
 

@@ -21,7 +21,7 @@ ingestion batches so incremental writes land in the same key space.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,63 @@ def z_order_layout(
     out = df.withColumn(z_col, zv)
     parts = [num_files] if num_files is not None else []
     return out.repartitionByRange(*parts, F.col(z_col)).sortWithinPartitions(z_col)
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    name_col: str = "file_name",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Plan small-file compaction: group undersized files into bins of
+    ~``target_bytes`` (the lake's OPTIMIZE/rewrite step — small files
+    are the dominant operational failure of any streaming/incremental
+    writer at scale: metadata pressure, per-file open cost, and broken
+    min/max locality).
+
+    Deterministic sorted-fill bin packing: files already >=
+    ``target_bytes`` are kept as-is; the rest order by (size DESC,
+    name) and fill bins by cumulative size — ``bin = floor((cumsum -
+    size) / target)``, the classic one-window approximation of
+    first-fit-decreasing (within 2x of optimal, and fully expressible
+    as a single window aggregation, so a SQL oracle verifies it
+    bit-for-bit). Compaction is per table-partition in practice: pass
+    ``partition_cols`` and the fill windows partition by them (bins
+    never span partitions, and the plan has no single-partition sort);
+    the global default is for flat listings — a LISTING is metadata
+    (~10^6 rows per million files), not data, so even global it is
+    nowhere near data-scale. Planning only — execution is a
+    groupBy(bin) rewrite the caller runs.
+
+    Returns ``(partition_cols..., file_name, size_bytes, action,
+    bin_id)`` with action ``keep`` (full-size, bin_id = -1) or
+    ``compact``; bin ids are unique within a partition.
+    """
+    pcols = list(partition_cols or [])
+    f = files.select(
+        *pcols,
+        F.col(name_col).alias("file_name"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+    )
+    big = f.where(F.col("size_bytes") >= target_bytes).select(
+        *pcols, "file_name", "size_bytes",
+        F.lit("keep").alias("action"), F.lit(-1).cast("long").alias("bin_id"),
+    )
+    w = (
+        Window.partitionBy(*pcols)
+        .orderBy(F.desc("size_bytes"), F.asc("file_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small = (
+        f.where(F.col("size_bytes") < target_bytes)
+        .withColumn("_cum", F.sum("size_bytes").over(w))
+        .select(
+            *pcols, "file_name", "size_bytes",
+            F.lit("compact").alias("action"),
+            F.floor((F.col("_cum") - F.col("size_bytes")) / target_bytes).alias(
+                "bin_id"
+            ),
+        )
+    )
+    return big.unionByName(small)

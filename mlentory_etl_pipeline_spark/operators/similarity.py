@@ -104,6 +104,43 @@ def rp_bucket(df: DataFrame, vec_col: str, dim: int, num_planes: int = 8, seed: 
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def rp_bucket_bands(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    num_bands: int,
+    seed_base: int = 7,
+    seed_stride: int = 1000,
+) -> DataFrame:
+    """All OR-amplification bands in ONE pass: per input row, compute
+    every band's sign-random-projection bucket (band b uses the
+    hyperplane set seeded ``seed_base + seed_stride*b`` — bit-identical
+    to calling :func:`rp_bucket` per band) as an array, then posexplode
+    to ``(…, band, bucket)`` rows.
+
+    Bucket values and therefore every downstream candidate set are
+    unchanged vs the per-band loop; what changes is the PLAN: one scan
+    and one (band, bucket)-keyed join instead of ``num_bands`` scans
+    and joins unioned. Total shuffle volume is the same (the explode
+    is num_bands rows per input either way); scans drop num_bands-fold.
+    """
+    band_buckets = []
+    for band in range(num_bands):
+        planes = _hyperplanes(dim, num_planes, seed_base + seed_stride * band)
+        bucket = None
+        for i, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(
+                dot_product(F.col(vec_col), lit_plane) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_buckets.append(bucket.cast("int"))
+    return df.select(
+        "*", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2052,6 +2052,47 @@ def zorder_orders_layout(spark, sf_dir):
 
 
 @register(
+    "compaction_plan_files",
+    "small-file compaction planning (the lake OPTIMIZE step): a "
+    "synthetic per-doc file listing partitioned by source; files >= "
+    "400 bytes keep, the rest sorted-fill into ~400-byte bins via one "
+    "per-partition cumulative-sum window (first-fit-decreasing "
+    "approximation, bins never span partitions) — planning is "
+    "metadata-scale work even on a 100 TB table",
+    oracle="""
+    WITH f AS (
+      SELECT source, 'f' || CAST(doc_id AS VARCHAR) AS file_name,
+             CAST(n_chars AS BIGINT) AS size_bytes
+      FROM documents
+    )
+    SELECT source, file_name, size_bytes, 'keep' AS action,
+           CAST(-1 AS BIGINT) AS bin_id
+    FROM f WHERE size_bytes >= 400
+    UNION ALL
+    SELECT source, file_name, size_bytes, 'compact' AS action,
+           CAST(FLOOR((SUM(size_bytes) OVER (
+                 PARTITION BY source
+                 ORDER BY size_bytes DESC, file_name ASC
+                 ROWS UNBOUNDED PRECEDING) - size_bytes) / 400) AS BIGINT)
+    FROM f WHERE size_bytes < 400
+    """,
+    survey_ops=("layout-compaction", "S11"),
+)
+def compaction_plan_files(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import layout
+
+    d = t(spark, sf_dir, "documents")
+    files = d.select(
+        "source",
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("file_name"),
+        "n_chars",
+    )
+    return layout.compaction_plan(
+        files, "n_chars", 400, partition_cols=["source"]
+    )
+
+
+@register(
     "embedding_norms",
     "vector math sanity: L2 norms + label centroids distance base",
     oracle="""

@@ -899,3 +899,37 @@ def test_zorder_layout_prunes_files_on_both_dims(spark, tmp_path):
     # also prunes (that's the point of interleaving vs linear sort)
     assert box <= total // 4, (box, total)
     assert x_slice < total and y_slice < total, (x_slice, y_slice, total)
+
+
+def test_compaction_plan_greedy_fill(spark):
+    from mlentory_etl_pipeline_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("p1", "a", 120),  # >= target: keep
+        ("p1", "b", 70),
+        ("p1", "c", 60),
+        ("p1", "d", 40),
+        ("p1", "e", 10),
+        ("p2", "f", 90),
+    ]
+    df = spark.createDataFrame(rows, ["part", "file_name", "size_bytes"])
+    out = compaction_plan(
+        df, "size_bytes", 100, partition_cols=["part"]
+    ).collect()
+    by_file = {r["file_name"]: r for r in out}
+    assert by_file["a"]["action"] == "keep" and by_file["a"]["bin_id"] == -1
+    # fill order b(70) c(60) d(40) e(10): cum-size boundaries at 100
+    # give bins floor(0/100)=0, floor(70/100)=0, floor(130/100)=1,
+    # floor(170/100)=1
+    assert by_file["b"]["bin_id"] == 0 and by_file["c"]["bin_id"] == 0
+    assert by_file["d"]["bin_id"] == 1 and by_file["e"]["bin_id"] == 1
+    # bins never span partitions: p2's lone small file starts at bin 0
+    assert by_file["f"]["part"] == "p2" and by_file["f"]["bin_id"] == 0
+    # every compact bin stays under 2x target (sorted-fill guarantee)
+    from collections import defaultdict
+
+    bins = defaultdict(int)
+    for r in out:
+        if r["action"] == "compact":
+            bins[(r["part"], r["bin_id"])] += r["size_bytes"]
+    assert all(v < 200 for v in bins.values()), bins
