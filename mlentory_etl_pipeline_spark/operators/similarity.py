@@ -958,7 +958,11 @@ def semantic_dedup(
         if centroids is not None
         else seed_centroids(vecs, n_centroids, id_col, vec_col)
     )
-    assigned = ivf_probe_cells(vecs, cents, id_col, vec_col, nprobe=1, norm_alias="_n")
+    # assignment feeds both pair sides AND the final keep join — pin it
+    # so the map-side centroid pass runs once, not once per branch
+    assigned = ivf_probe_cells(
+        vecs, cents, id_col, vec_col, nprobe=1, norm_alias="_n"
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cell"), F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),

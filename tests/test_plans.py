@@ -326,3 +326,50 @@ def test_dsir_broadcasts_ratio_table(spark):
 def test_triangle_counts_equi_joins_only(spark):
     plan = _plan(spark, "graph_triangle_counts")
     assert "CartesianProduct" not in plan
+
+
+def test_span_removal_no_cartesian_and_partial_agg(spark):
+    plan = _plan(spark, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    # the canonical-occurrence groupBy combines map-side (partial agg
+    # before the gram shuffle — the skew defense for hot spans)
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_semdedup_no_cartesian_beyond_centroids(spark):
+    plan = _plan(spark, "semdedup_embeddings")
+    # cell assignment is pinned (localCheckpoint) and reused by the
+    # pair sides and the keep join, so the post-pin plan must contain
+    # NO nested-loop join at all — the pair scan is an equi-join on
+    # cell over the pinned assignment
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_is_pure_projection_plus_range_exchange(spark):
+    plan = _plan(spark, "zorder_orders_layout")
+    # the key computation is a projection (no join, no UDF, no extra
+    # shuffle) straight over the scan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # registry query: key computation only
+
+
+def test_compaction_plan_windows_partition_by_source(spark):
+    plan = _plan(spark, "compaction_plan_files")
+    # the fill window partitions by source: no single-partition global
+    # sort in the plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_banded_lsh_single_corpus_scan(spark):
+    # one-pass banding: the bucketed semantic-decontamination plan
+    # scans the documents-derived corpus side ONCE (posexplode of all
+    # band buckets), not once per band
+    plan = _plan(spark, "decontaminate_semantic_lsh")
+    # one-pass banding keeps scans bounded by the JOIN SIDES (corpus,
+    # eval, rescore re-reads), NOT by num_bands: the 20-band per-band
+    # loop this replaced scanned each side once per band (40+ scans)
+    assert plan.count("Scan parquet") <= 10
+    assert "CartesianProduct" not in plan
