@@ -103,6 +103,10 @@ def main():
             "histogram_quantile_sketch",
             "agg_state_incremental_rollup",
             "stratified_split_counts",
+            "dedup_span_removal",
+            "semdedup_embeddings",
+            "zorder_orders_layout",
+            "compaction_plan_files",
         )
         if n in REGISTRY
     ]

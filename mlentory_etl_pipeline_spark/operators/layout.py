@@ -17,6 +17,15 @@ whole-stage codegen, SQL-replicable for the oracle), plus ONE range
 repartition to lay files out along the curve. Fixed quantization
 ranges (not data-dependent min/max) keep the curve stable across
 ingestion batches so incremental writes land in the same key space.
+
+Relation to ``sources/files.py``: ``files.zorder_write`` is the
+one-shot WRITE path (2 columns, per-batch min/max normalization —
+right when you rewrite a whole table once); this module is the
+engine-level key computation — N columns, batch-stable fixed ranges,
+usable inside any plan and verifiable by a SQL oracle. Likewise
+``files.compact`` EXECUTES a directory rewrite, while
+:func:`compaction_plan` PLANS bins over an arbitrary listing as data
+(what a table-maintenance service schedules from).
 """
 
 from __future__ import annotations
