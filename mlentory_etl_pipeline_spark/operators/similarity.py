@@ -1000,3 +1000,74 @@ def semantic_dedup(
             id_col, "cell", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep")
         )
     )
+
+
+# ------------------------------------------- hard-negative mining
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "positive_id",
+    shortlist: int | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Mine HARD negatives for retrieval/contrastive training: for each
+    (query, positive) pair, the k corpus vectors most cosine-similar to
+    the query that are neither the query nor its positive — the
+    standard upgrade over random negatives (the near-misses are what
+    teach the margin), complementing the md5-uniform
+    ``curation.negative_sampling`` pool.
+
+    Exact path (default): broadcast the (small) pair side with its
+    query vectors, score against the corpus, exclude {query, positive},
+    rank. With ``shortlist`` set, candidates come from the IVF index
+    instead (:func:`ivf_topk` over ``shortlist`` neighbors, then
+    exclusion+re-rank) — the corpus is never cross-joined, which is
+    the 100 TB shape; exactness then degrades to IVF recall, and the
+    shortlist must exceed k by enough to survive exclusions.
+
+    Returns ``(query_id, positive_id, negative_id, score, rank)``.
+    """
+    qvec = pairs.join(
+        corpus.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+        ),
+        query_id_col,
+    )
+    if shortlist is None:
+        cand = brute_force_topk(
+            corpus,
+            qvec.select(query_id_col, F.col("_qv").alias("query_vec")),
+            k=k + 2,  # survive excluding the positive (self already excluded)
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        cand = ivf_topk(
+            corpus,
+            qvec.select(query_id_col, F.col("_qv").alias("query_vec")),
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+            k=shortlist,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    out = (
+        cand.join(pairs, query_id_col)
+        .where(F.col("neighbor_id") != F.col(pos_id_col))
+        .select(
+            query_id_col,
+            pos_id_col,
+            F.col("neighbor_id").alias("negative_id"),
+            "score",
+        )
+    )
+    w = Window.partitionBy(query_id_col, pos_id_col).orderBy(
+        F.desc("score"), F.asc("negative_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -144,3 +144,55 @@ def token_entropy(df, id_col: str, text_col: str):
             6,
         ).alias("entropy"),
     )
+
+
+def lm_perplexity(
+    docs,
+    ref,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+):
+    """Unigram language-model perplexity scoring against a reference
+    corpus — the CCNet-style quality signal (docs whose token
+    distribution diverges from the reference score high perplexity:
+    gibberish, boilerplate, wrong-language), the model-based
+    complement of the rule-based `quality_score`.
+
+    Model: add-``alpha`` smoothed unigram LM fit on ``ref`` in ONE
+    aggregation pass (token counts + (T, V) totals as a 1-row
+    broadcast). Scoring joins doc tokens to the count table — Catalyst
+    broadcasts a small vocab, shuffles on token otherwise (the same
+    inverted-index partitioning every token-keyed pass shares).
+
+    Determinism across engines: per-token log-probs quantize to
+    scaled longs (``floor(logprob * scale)``) BEFORE summing, so the
+    per-doc fold is integer arithmetic — float summation-order drift
+    cannot move the result (the DSIR scheme). Returns
+    ``(id, n_tokens, avg_logprob, ppl)``, rounded to 4 dp.
+    """
+    ref_toks = ref.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"))
+    cnt = ref_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = cnt.agg(
+        F.sum("_c").cast("double").alias("_t"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    dt = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok")
+    )
+    logprob = F.ln(
+        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(alpha))
+        / (F.col("_t") + F.lit(alpha) * F.col("_v"))
+    )
+    q = (
+        dt.join(cnt, "_tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.floor(logprob * scale).cast("long").alias("_q"))
+    )
+    avg = F.sum("_q") / F.lit(float(scale)) / F.count(F.lit(1))
+    return q.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(avg, 4).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )

@@ -1939,6 +1939,48 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "hard_negative_mining",
+    "hard-negative mining for retrieval training: per (query, positive) "
+    "pair the 4 corpus vectors most cosine-similar to the query that "
+    "are neither the query nor its positive (the near-misses that teach "
+    "the contrastive margin, vs the md5-uniform negative pool); exact "
+    "broadcast path here, IVF-shortlisted path for corpus scale",
+    oracle=f"""
+    WITH vec AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT vec_id AS query_id, vec_id + 1 AS positive_id
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT p.query_id, p.positive_id, c.vec_id AS negative_id,
+             ROUND({_IVF_DOT.format(a="q.embedding", b="c.embedding")} / (q.n * c.n), 4) AS score
+      FROM pairs p
+      JOIN vec q ON q.vec_id = p.query_id
+      JOIN vec c ON c.vec_id <> p.query_id AND c.vec_id <> p.positive_id
+    )
+    SELECT query_id, positive_id, negative_id, score, rank FROM (
+      SELECT query_id, positive_id, negative_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id, positive_id
+                                ORDER BY score DESC, negative_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 4
+    """,
+    survey_ops=("sampling-negative", "N5"),
+)
+def hard_negative_mining(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("positive_id"),
+    )
+    return similarity.hard_negative_mining(e, pairs, k=4)
+
+
+@register(
     "semdedup_embeddings",
     "SemDeDup-style semantic dedup: cluster-then-compare — vectors "
     "map-assign to 16 seed cells, pairwise cosine runs only WITHIN a "
@@ -4281,6 +4323,49 @@ def q19_brand_discounts(spark, sf_dir):
             F.sum(rev).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+@register(
+    "lm_perplexity_quality",
+    "unigram LM perplexity quality scoring (the CCNet-style signal): "
+    "add-0.5-smoothed unigram model fit on the doc_id >= 100 reference "
+    "corpus in one aggregation, scoring docs < 100 via a token-keyed "
+    "join; per-token log-probs quantize to scaled longs BEFORE the "
+    "per-doc fold so float summation order cannot move the result "
+    "(the DSIR determinism scheme)",
+    oracle=r"""
+    WITH rt AS (
+      SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+      FROM documents WHERE doc_id >= 100
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM rt GROUP BY tok),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM cnt
+    ),
+    dt AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+      FROM documents WHERE doc_id < 100
+    ),
+    q AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(LN((COALESCE(c.c, 0) + 0.5) / (tot.t + 0.5 * tot.v))
+                        * 1000000) AS BIGINT) AS ql
+      FROM dt d LEFT JOIN cnt c ON c.tok = d.tok, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(ql) / 1000000.0 / COUNT(*), 4) AS avg_logprob,
+           ROUND(EXP(-(SUM(ql) / 1000000.0 / COUNT(*))), 4) AS ppl
+    FROM q GROUP BY doc_id
+    """,
+    survey_ops=("text-quality", "F1"),
+)
+def lm_perplexity_quality(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.textstats import lm_perplexity
+
+    d = t(spark, sf_dir, "documents")
+    return lm_perplexity(
+        d.where("doc_id < 100"), d.where("doc_id >= 100"), "doc_id", "text"
     )
 
 

@@ -933,3 +933,65 @@ def test_compaction_plan_greedy_fill(spark):
         if r["action"] == "compact":
             bins[(r["part"], r["bin_id"])] += r["size_bytes"]
     assert all(v < 200 for v in bins.values()), bins
+
+
+def test_lm_perplexity_ranks_in_vocab_text_lower(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # pure in-vocab
+            (2, "qzx wvu jkl pqr zzz yyy"),          # pure OOV gibberish
+            (3, "the cat qzx on the mat"),           # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in lm_perplexity(docs, ref, "doc_id", "text").collect()
+    }
+    assert out[1]["ppl"] < out[3]["ppl"] < out[2]["ppl"]
+    assert out[1]["n_tokens"] == 6
+    # log-probs are negative, so avg_logprob must be too
+    assert all(out[i]["avg_logprob"] < 0 for i in (1, 2, 3))
+
+
+def test_hard_negative_mining_excludes_self_and_positive(spark):
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    # 1-D embeddings make similarity order transparent (all cosine 1.0
+    # or -1.0): use 2-D with distinct angles instead
+    import math as m
+
+    corpus = spark.createDataFrame(
+        [(i, [m.cos(i * 0.2), m.sin(i * 0.2)]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (5, 4)], ["query_id", "positive_id"]
+    )
+    out = hard_negative_mining(corpus, pairs, k=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["negative_id"] != r["query_id"]
+        assert r["negative_id"] != r["positive_id"]
+    # nearest angular neighbor excluding the positive: for query 0
+    # (positive 1) it is vec 2; for query 5 (positive 4) it is vec 6
+    top = {
+        (r["query_id"], r["rank"]): r["negative_id"] for r in out
+    }
+    assert top[(0, 1)] == 2 and top[(5, 1)] == 6
+
+    # IVF-shortlisted path returns the same negatives here (small
+    # corpus, shortlist covers the exclusions)
+    short = hard_negative_mining(
+        corpus, pairs, k=3, shortlist=8, n_centroids=4, nprobe=4
+    ).collect()
+    assert {(r["query_id"], r["rank"], r["negative_id"]) for r in short} == {
+        (r["query_id"], r["rank"], r["negative_id"]) for r in out
+    }
