@@ -5371,8 +5371,11 @@ def funnel_conversion_stages(spark, sf_dir):
             step = step.join(prev, "user_id").where(F.col("ts") > F.col(tcol_prev))
         return step.groupBy("user_id").agg(F.min("ts").alias(tcol))
 
-    s1 = stage(None, "view", None, "t1")
-    s2 = stage(s1, "click", "t1", "t2")
+    # each stage feeds both the next stage AND its own count branch —
+    # pin the per-user frames so s1 isn't evaluated 3x / s2 2x (the
+    # pinned frame is |users| rows, not |events|)
+    s1 = stage(None, "view", None, "t1").localCheckpoint(eager=False)
+    s2 = stage(s1, "click", "t1", "t2").localCheckpoint(eager=False)
     s3 = stage(s2, "purchase", "t2", "t3")
     return (
         s1.agg(F.count(F.lit(1)).alias("n_view"))

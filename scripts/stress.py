@@ -103,6 +103,25 @@ def case_minhash(spark, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+def case_span_removal(spark, sf_dir: str, k: int) -> DataFrame:
+    # replicas word-salt like the minhash case, so repeated spans live
+    # WITHIN a replica (each doc + its planted near-copy), never across
+    # replicas: duplicate-span coverage grows linearly with k.
+    # Catches: gram-shuffle skew, coverage-explode blow-up.
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        _salt_words(F.col("text"), F.col("_rep")).alias("text"),
+    )
+    corpus = r.unionByName(
+        r.select(
+            (F.col("doc_id") + 100000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return dedup.remove_duplicate_spans(corpus, "doc_id", "text", n=8)
+
+
 def case_triangles(spark, sf_dir: str, k: int) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     sp = (
@@ -188,6 +207,7 @@ def case_scd2_fold(spark, sf_dir: str, k: int):
 
 CASES = {
     "minhash": case_minhash,
+    "span_removal": case_span_removal,
     "triangles": case_triangles,
     "linkage": case_linkage,
     "sessions": case_sessions,
