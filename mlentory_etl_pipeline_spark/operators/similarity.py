@@ -1071,3 +1071,82 @@ def hard_negative_mining(
         F.desc("score"), F.asc("negative_id")
     )
     return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup_incremental(
+    stored: DataFrame,
+    batch: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: screen an ARRIVING batch against a
+    persisted, already-deduplicated corpus without rescoring the store
+    — the semantic member of the incremental-dedup family
+    (:func:`mlentory_etl_pipeline_spark.operators.dedup.minhash_incremental_pairs`
+    is the MinHash twin, ``anti_join_is_new`` the exact one).
+
+    Precedence is ARRIVAL ORDER (the incremental invariant): a batch
+    vector loses iff (a) any STORED cellmate sits within ``threshold``
+    cosine, or (b) a smaller-id BATCH cellmate does (the dominance rule
+    within the batch). Stored vectors never lose — they were already
+    accepted. Equivalent to replaying :func:`semantic_dedup` with store
+    ids ordered before batch ids.
+
+    Scale shape: both sides cell-assign map-only against the broadcast
+    centroids (the store's assignment is precomputed at write time and
+    its table written ``partitionBy("cell")``, so the batch-vs-store
+    join prunes to the batch's cells); per-batch cost is
+    |batch| x cellmates, never |store|². Returns the batch as
+    ``(id, cell, keep)`` — the keep=true rows append to the store.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(stored, n_centroids, id_col, vec_col)
+    )
+    s = ivf_probe_cells(stored, cents, id_col, vec_col, nprobe=1, norm_alias="_n")
+    b = ivf_probe_cells(
+        batch, cents, id_col, vec_col, nprobe=1, norm_alias="_n"
+    ).localCheckpoint(eager=False)
+
+    def _cos(va, na, vb, nb):
+        return F.round(dot_product(va, vb) / (na * nb), 4)
+
+    sb = s.select(
+        "cell", F.col(vec_col).alias("_vs"), F.col("_n").alias("_ns")
+    )
+    bb = b.select(
+        "cell", F.col(id_col), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
+    )
+    lost_to_store = (
+        bb.join(sb, "cell")
+        .where(_cos(F.col("_vs"), F.col("_ns"), F.col("_vb"), F.col("_nb")) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    b1 = b.select(
+        "cell", F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b2 = b.select(
+        "cell", F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    lost_in_batch = (
+        b1.join(b2, "cell")
+        .where(F.col("_ia") < F.col("_ib"))
+        .where(_cos(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")) >= threshold)
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+    )
+    losers = lost_to_store.unionByName(lost_in_batch).distinct()
+    return (
+        b.select(id_col, "cell")
+        .join(losers.withColumn("_lose", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "cell", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep")
+        )
+    )

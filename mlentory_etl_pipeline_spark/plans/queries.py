@@ -2135,6 +2135,88 @@ def compaction_plan_files(spark, sf_dir):
 
 
 @register(
+    "semdedup_incremental_batch",
+    "incremental SemDeDup: an arriving embedding batch screens against "
+    "the persisted deduped store WITHOUT rescoring the store — a batch "
+    "vector loses to any stored cellmate within cosine 0.98 (arrival-"
+    "order precedence) or to a smaller-id batch cellmate; planted "
+    "copies of stored vectors must all lose, novel vectors keep; the "
+    "semantic member of the incremental-dedup family (exact: "
+    "anti_join_is_new, MinHash: dedup_minhash_incremental)",
+    oracle=f"""
+    WITH stored AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    batch AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 200 AND vec_id < 260
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 30
+    ),
+    cent AS (
+      SELECT CAST(vec_id AS INT) AS cid, embedding AS cv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS cn
+      FROM stored WHERE vec_id < 16
+    ),
+    sv AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM stored
+    ),
+    bv AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM batch
+    ),
+    sassign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND({_IVF_DOT.format(a="v.embedding", b="c.cv")} / (v.n * c.cn), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM sv v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    bassign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND({_IVF_DOT.format(a="v.embedding", b="c.cv")} / (v.n * c.cn), 6) DESC,
+                          c.cid ASC) AS rn
+        FROM bv v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT DISTINCT ba.vec_id
+      FROM bassign ba JOIN sassign sa ON sa.cell = ba.cell
+      JOIN bv b ON b.vec_id = ba.vec_id
+      JOIN sv s ON s.vec_id = sa.vec_id
+      WHERE ROUND({_IVF_DOT.format(a="b.embedding", b="s.embedding")} / (b.n * s.n), 4) >= 0.98
+      UNION
+      SELECT DISTINCT cc.vec_id
+      FROM bassign aa JOIN bassign cc ON aa.cell = cc.cell AND aa.vec_id < cc.vec_id
+      JOIN bv a ON a.vec_id = aa.vec_id
+      JOIN bv c ON c.vec_id = cc.vec_id
+      WHERE ROUND({_IVF_DOT.format(a="a.embedding", b="c.embedding")} / (a.n * c.n), 4) >= 0.98
+    )
+    SELECT ba.vec_id, ba.cell, l.vec_id IS NULL AS keep
+    FROM bassign ba LEFT JOIN losers l ON l.vec_id = ba.vec_id
+    """,
+    survey_ops=("dedup-embedding", "S2"),
+)
+def semdedup_incremental_batch(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stored = e.where("vec_id < 200")
+    batch = e.where("vec_id >= 200 AND vec_id < 260").unionByName(
+        e.where("vec_id < 30").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.semantic_dedup_incremental(
+        stored, batch, n_centroids=16, threshold=0.98
+    )
+
+
+@register(
     "embedding_norms",
     "vector math sanity: L2 norms + label centroids distance base",
     oracle="""

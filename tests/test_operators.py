@@ -995,3 +995,32 @@ def test_hard_negative_mining_excludes_self_and_positive(spark):
     assert {(r["query_id"], r["rank"], r["negative_id"]) for r in short} == {
         (r["query_id"], r["rank"], r["negative_id"]) for r in out
     }
+
+
+def test_semantic_dedup_incremental_precedence(spark):
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    stored = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    s = 0.7071067811865476
+    batch = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),   # exact copy of stored 0 -> loses
+            (11, [s, s]),       # novel direction -> keeps
+            (12, [s, s]),       # duplicate of batch 11 (smaller id) -> loses
+            (13, [-1.0, 0.0]),  # anti-parallel: cosine -1 -> keeps
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_incremental(
+            stored, batch, n_centroids=1, threshold=0.98
+        ).collect()
+    }
+    assert out == {10: False, 11: True, 12: False, 13: True}
+    # stored side is never rescored or returned: output is batch-only
+    assert set(out) == {10, 11, 12, 13}
