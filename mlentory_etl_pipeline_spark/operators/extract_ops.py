@@ -247,3 +247,49 @@ def parse_yaml_front_matter(
         )
 
     return df.withColumn(out_col, run(F.col(card_col)))
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Classify every key across two snapshots of the same table:
+    ``added`` (after only), ``removed`` (before only), ``changed``
+    (both, compared columns differ), ``unchanged`` — the generic
+    frame-vs-frame diff behind every ingestion audit and reconciliation
+    report (the SCD2 store answers "what changed WHEN"; this answers
+    "what differs between these two snapshots", no history required).
+    Keys must be unique within each snapshot.
+
+    One full-outer hash join on the keys; the column comparison is a
+    null-safe md5 over the compared columns computed map-side BEFORE
+    the join (16-byte hashes shuffle instead of wide rows, and the
+    sentinel separators keep NULL distinct from '' and from column
+    boundaries — engine-replicable, so a SQL oracle verifies the
+    classification bit-for-bit). Returns ``(*keys, change_type)``.
+    """
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        content = F.md5(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*keys, content.alias(alias))
+
+    b = hashed(before, "_hb")
+    a = hashed(after, "_ha")
+    joined = b.join(a, keys, "full_outer")
+    change = (
+        F.when(F.col("_hb").isNull(), F.lit("added"))
+        .when(F.col("_ha").isNull(), F.lit("removed"))
+        .when(F.col("_hb") != F.col("_ha"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*keys, change.alias("change_type"))

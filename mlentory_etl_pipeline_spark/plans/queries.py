@@ -2094,6 +2094,63 @@ def zorder_orders_layout(spark, sf_dir):
 
 
 @register(
+    "snapshot_diff_orders",
+    "generic snapshot-vs-snapshot diff (reconciliation audit): every "
+    "order key classified added / removed / changed / unchanged across "
+    "two simulated snapshots — one full-outer hash join on the key "
+    "with null-safe md5 content hashes computed map-side BEFORE the "
+    "join (16-byte hashes shuffle, not wide rows); the SCD2 store "
+    "answers what-changed-WHEN, this answers what-differs-NOW with no "
+    "history required",
+    oracle="""
+    WITH before AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    after AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_custkey + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS o_custkey
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    hb AS (
+      SELECT o_orderkey,
+             MD5(CONCAT_WS(CHR(1),
+                 COALESCE(CAST(o_orderstatus AS VARCHAR), CHR(0)),
+                 COALESCE(CAST(o_custkey AS VARCHAR), CHR(0)))) AS h
+      FROM before
+    ),
+    ha AS (
+      SELECT o_orderkey,
+             MD5(CONCAT_WS(CHR(1),
+                 COALESCE(CAST(o_orderstatus AS VARCHAR), CHR(0)),
+                 COALESCE(CAST(o_custkey AS VARCHAR), CHR(0)))) AS h
+      FROM after
+    )
+    SELECT COALESCE(hb.o_orderkey, ha.o_orderkey) AS o_orderkey,
+           CASE WHEN hb.h IS NULL THEN 'added'
+                WHEN ha.h IS NULL THEN 'removed'
+                WHEN hb.h <> ha.h THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM hb FULL OUTER JOIN ha ON ha.o_orderkey = hb.o_orderkey
+    """,
+    survey_ops=("S2", "V5", "§2.9 joins"),
+)
+def snapshot_diff_orders(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.extract_ops import snapshot_diff
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_custkey")
+    before = o.where("o_orderkey % 89 != 0")
+    after = o.where("o_orderkey % 97 != 0").withColumn(
+        "o_custkey",
+        F.col("o_custkey")
+        + F.when(F.col("o_orderkey") % 13 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return snapshot_diff(
+        before, after, ["o_orderkey"], ["o_orderstatus", "o_custkey"]
+    )
+
+
+@register(
     "compaction_plan_files",
     "small-file compaction planning (the lake OPTIMIZE step): a "
     "synthetic per-doc file listing partitioned by source; files >= "

@@ -1024,3 +1024,36 @@ def test_semantic_dedup_incremental_precedence(spark):
     assert out == {10: False, 11: True, 12: False, 13: True}
     # stored side is never rescored or returned: output is batch-only
     assert set(out) == {10, 11, 12, 13}
+
+
+def test_snapshot_diff_classification(spark):
+    from mlentory_etl_pipeline_spark.operators.extract_ops import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "C", None), (4, "D", 40)],
+        "k int, status string, v int",
+    )
+    after = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 21), (3, "C", None), (5, "E", 50)],
+        "k int, status string, v int",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(before, after, ["k"], ["status", "v"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",       # v 20 -> 21
+        3: "unchanged",     # NULL == NULL under the null-safe hash
+        4: "removed",
+        5: "added",
+    }
+
+    # NULL must be distinct from '' and from shifted column boundaries
+    b2 = spark.createDataFrame([(1, None, "x"), (2, "a", "bc")], "k int, a string, b string")
+    a2 = spark.createDataFrame([(1, "", "x"), (2, "ab", "c")], "k int, a string, b string")
+    out2 = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(b2, a2, ["k"], ["a", "b"]).collect()
+    }
+    assert out2 == {1: "changed", 2: "changed"}
