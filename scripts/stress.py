@@ -122,6 +122,32 @@ def case_span_removal(spark, sf_dir: str, k: int) -> DataFrame:
     return dedup.remove_duplicate_spans(corpus, "doc_id", "text", n=8)
 
 
+def case_semdedup(spark, sf_dir: str, k: int) -> DataFrame:
+    # per-replica deterministic sign flips preserve norms and every
+    # WITHIN-replica cosine (planted copies still score 1.0) while
+    # cross-replica cosines land near 0 — the true dup structure is k
+    # disjoint copies.  Catches: cell-pair-scan blow-up on hot cells.
+    from mlentory_etl_pipeline_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.where("vec_id < 300").unionByName(
+        e.where("vec_id < 60").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    r = _replicated(base, k).select(
+        (F.col("vec_id") * k + F.col("_rep")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (1 - 2 * F.pmod(F.xxhash64(i + F.col("_rep") * 1000), F.lit(2))).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    return similarity.semantic_dedup(r, n_centroids=16, threshold=0.98)
+
+
 def case_triangles(spark, sf_dir: str, k: int) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     sp = (
@@ -208,6 +234,7 @@ def case_scd2_fold(spark, sf_dir: str, k: int):
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
+    "semdedup": case_semdedup,
     "triangles": case_triangles,
     "linkage": case_linkage,
     "sessions": case_sessions,
