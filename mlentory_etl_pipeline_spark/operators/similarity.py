@@ -1150,3 +1150,55 @@ def semantic_dedup_incremental(
             id_col, "cell", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep")
         )
     )
+
+
+def seed_pq_codebook_residual(
+    corpus: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_offset: int = 16,
+) -> DataFrame:
+    """Deterministic RESIDUAL-space seed codebook for
+    :func:`ivf_pq_topk`: the residuals (vector minus its IVF cell
+    centroid) of the ``ksub`` corpus vectors with ids in
+    ``[id_offset, id_offset + ksub)``, chunked into ``m`` subspaces,
+    with ``code = id - id_offset`` — the residual twin of the raw seed
+    codebook inside :func:`pq_adc_topk`'s demo, and like it fully
+    SQL-replicable, so the WHOLE IVF-PQ pipeline (assignment →
+    residual → encode → ADC → re-rank) can run under a hard DuckDB
+    oracle. ``id_offset`` must avoid the seed-centroid ids: a seed
+    centroid's residual is the zero vector, which would collapse the
+    codebook. The TRAINED path is :func:`train_pq_codebook` on
+    residuals — identical plan, better codewords.
+    """
+    sub = dim // m
+    cent_rows = cents.select(F.explode("_cents").alias("_c")).select(
+        F.col("_c.cid").alias("cell"), F.col("_c.cv").alias("_cellv")
+    )
+    seeds = ivf_probe_cells(
+        corpus.where(
+            (F.col(id_col) >= id_offset) & (F.col(id_col) < id_offset + ksub)
+        ),
+        cents,
+        id_col,
+        vec_col,
+        nprobe=1,
+        norm_alias="_n",
+    )
+    res = seeds.join(F.broadcast(cent_rows), "cell").select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_cellv"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("_r"),
+    )
+    return _subspace_chunks(res, id_col, "_r", m, sub).select(
+        "j",
+        (F.col(id_col) - id_offset).cast("int").alias("code"),
+        F.col("chunk").alias("cw"),
+    )

@@ -6466,6 +6466,139 @@ def ann_ivf_pq_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_pq_seed_topk",
+    "IVF-PQ under a HARD oracle: same assignment → residual → encode → "
+    "ADC → re-rank pipeline as ann_ivf_pq_topk but with deterministic "
+    "seed quantizers (cells = vectors 0-15, residual codebook = "
+    "residuals of vectors 16-31, code = id - 16), so DuckDB replicates "
+    "every stage bit-for-bit — the correctness anchor for the trained "
+    "variant, which shares this exact plan",
+    oracle=f"""
+    WITH cent AS (
+      SELECT CAST(vec_id AS INT) AS cell, embedding AS cv,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS cn
+      FROM embeddings WHERE vec_id < 16
+    ),
+    vec AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY ROUND({_IVF_DOT.format(a="v.embedding", b="c.cv")} / (v.n * c.cn), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM vec v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             LIST_TRANSFORM(RANGE(1, 65),
+               i -> CAST(v.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS r
+      FROM assign a
+      JOIN vec v ON v.vec_id = a.vec_id
+      JOIN cent c ON c.cell = a.cell
+    ),
+    codebook AS (
+      SELECT rj.j, CAST(res.vec_id - 16 AS INT) AS code,
+             list_slice(res.r, rj.j * 16 + 1, rj.j * 16 + 16) AS cw
+      FROM resid res CROSS JOIN range(0, 4) rj(j)
+      WHERE res.vec_id >= 16 AND res.vec_id < 32
+    ),
+    cchunks AS (
+      SELECT res.vec_id, res.cell, rj.j,
+             list_slice(res.r, rj.j * 16 + 1, rj.j * 16 + 16) AS chunk
+      FROM resid res CROSS JOIN range(0, 4) rj(j)
+    ),
+    codes AS (
+      SELECT vec_id, cell, j, code FROM (
+        SELECT cc.vec_id, cc.cell, cc.j, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY cc.vec_id, cc.j ORDER BY
+                 ROUND(list_sum(list_transform(range(1, 17),
+                   i -> (cc.chunk[i] - cb.cw[i]) * (cc.chunk[i] - cb.cw[i]))), 6) ASC,
+                 cb.code ASC) AS rn
+        FROM cchunks cc JOIN codebook cb ON cb.j = cc.j
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY ROUND({_IVF_DOT.format(a="v.embedding", b="c.cv")} / (v.n * c.cn), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM vec v CROSS JOIN cent c WHERE v.vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    qresid AS (
+      SELECT qa.vec_id AS query_id, qa.cell,
+             LIST_TRANSFORM(RANGE(1, 65),
+               i -> CAST(v.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS r
+      FROM qassign qa
+      JOIN vec v ON v.vec_id = qa.vec_id
+      JOIN cent c ON c.cell = qa.cell
+    ),
+    qchunks AS (
+      SELECT qr.query_id, qr.cell, rj.j,
+             list_slice(qr.r, rj.j * 16 + 1, rj.j * 16 + 16) AS chunk
+      FROM qresid qr CROSS JOIN range(0, 4) rj(j)
+    ),
+    dtable AS (
+      SELECT qc.query_id, qc.cell, qc.j, cb.code,
+             CAST(ROUND(list_sum(list_transform(range(1, 17),
+               i -> (qc.chunk[i] - cb.cw[i]) * (qc.chunk[i] - cb.cw[i]))), 6)
+               AS DECIMAL(18,6)) AS d
+      FROM qchunks qc JOIN codebook cb ON cb.j = qc.j
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.d) AS approx_dist
+      FROM codes c
+      JOIN dtable d ON d.cell = c.cell AND d.j = c.j AND d.code = c.code
+      WHERE d.query_id <> c.vec_id
+      GROUP BY d.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_dist ASC, neighbor_id ASC) AS r
+        FROM adc
+      ) WHERE r <= 40
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND({_IVF_DOT.format(a="qv.embedding", b="nv.embedding")}
+               / (qv.n * nv.n), 4) AS score
+      FROM short s
+      JOIN vec qv ON qv.vec_id = s.query_id
+      JOIN vec nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+    survey_ops=("ann-quantization",),
+)
+def ann_ivf_pq_seed_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.seed_centroids(e, 16)
+    codebook = similarity.seed_pq_codebook_residual(
+        e, cents, dim=64, m=4, ksub=16, id_offset=16
+    )
+    return similarity.ivf_pq_topk(
+        e, q, n_centroids=16, nprobe=4, m=4, ksub=16, shortlist=40, k=5,
+        centroids=cents, codebook=codebook,
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@register(
     "ann_trained_recall_audit",
     "self-auditing recall report for the trained quantizers: recall@5 "
     "of trained-IVF (16 cells, nprobe 4), trained flat PQ (m=16, "
