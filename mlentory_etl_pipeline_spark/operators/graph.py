@@ -238,19 +238,26 @@ def pagerank(
     u_col: str = "u",
     v_col: str = "v",
     iters: int = 8,
-    damping: float = 0.85,
+    damping_pct: int = 85,
+    scale: int = 10**9,
 ) -> DataFrame:
     """Deterministic PageRank over a DIRECTED edge list (symmetrize
-    upstream for undirected graphs): fixed iteration count, rounded
-    per-iteration ranks (9 dp) so results are partitioning- and
-    engine-stable.
+    upstream for undirected graphs): fixed iteration count with the
+    ENTIRE fold in scaled-integer arithmetic (ranks are longs in
+    ``1/scale`` units, damping the rational ``damping_pct/100``), so
+    contribution sums are order-independent — no float summation
+    anywhere means results are bit-identical across partitionings,
+    engines, AND replayable in SQL (the registry query's DuckDB oracle
+    unrolls the same ``iters`` integer iterations). Each floor loses
+    < 1/scale per node per step, so total mass is 1 − O(iters·n/scale)
+    (asserted in tests).
 
     Scale shape per iteration: contributions = edges ⋈ ranks ⋈ degree
     (degree broadcast), grouped by destination — ONE shuffle keyed by
     node, exactly pregel's message pattern; ``localCheckpoint`` pins
     each iteration so the plan stays O(1) per round instead of
-    unrolling. Dangling mass is redistributed uniformly (the standard
-    correction), so total rank mass stays 1. Returns ``(node, rank)``.
+    unrolling. Dangling mass redistributes uniformly. Returns
+    ``(node, rank)`` with ``rank = rank_units / scale`` rounded 9 dp.
     """
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).localCheckpoint(
         eager=False
@@ -262,8 +269,10 @@ def pagerank(
     )
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    # exact floors: all operands stay < 2^53, so the double divisions
+    # below are correctly rounded and their floors are exact integers
     ranks = nodes.crossJoin(n_nodes).select(
-        "node", F.round(F.lit(1.0) / F.col("_n"), 9).alias("rank")
+        "node", F.floor(F.lit(scale) / F.col("_n")).alias("rs")
     )
     for _ in range(iters):
         with_deg = ranks.join(
@@ -274,13 +283,16 @@ def pagerank(
                 with_deg.where(F.col("deg").isNotNull()).withColumnRenamed("node", "u"),
                 "u",
             )
-            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("v").alias("node"),
+                F.floor(F.col("rs") / F.col("deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("_in"))
         )
         dangling = F.broadcast(
             with_deg.where(F.col("deg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+                F.coalesce(F.sum("rs"), F.lit(0)).cast("long").alias("_dang")
             )
         )
         ranks = (
@@ -289,13 +301,20 @@ def pagerank(
             .crossJoin(dangling)
             .select(
                 "node",
-                F.round(
-                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dang") / F.col("_n")),
-                    9,
-                ).alias("rank"),
+                (
+                    F.floor(F.lit(scale * (100 - damping_pct)) / (F.lit(100) * F.col("_n")))
+                    + F.floor(
+                        F.lit(damping_pct)
+                        * (
+                            F.coalesce(F.col("_in"), F.lit(0))
+                            + F.floor(F.col("_dang") / F.col("_n"))
+                        )
+                        / F.lit(100)
+                    )
+                ).alias("rs"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select(
+        "node", F.round(F.col("rs") / F.lit(float(scale)), 9).alias("rank")
+    )

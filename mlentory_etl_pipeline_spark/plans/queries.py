@@ -6785,16 +6785,74 @@ def graph_triangle_counts(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 8, scale: int = 10**9, dpct: int = 85) -> str:
+    """Unrolled integer-PageRank oracle: the operator's whole fold is
+    scaled-long arithmetic (order-independent — no float sums), so a
+    fixed iteration count IS SQL-expressible: one CTE per iteration,
+    each replicating contribs → dangling → update with exact integer
+    floors."""
+    head = """
+    WITH sp AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+      WHERE l_suppkey < 150 AND l_partkey < 1000
+    ),
+    half AS MATERIALIZED (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sp a JOIN sp b USING (p) WHERE a.s < b.s
+    ),
+    e AS MATERIALIZED (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e
+    ),
+    deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY u),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST(FLOOR({scale} / CAST(n AS DOUBLE)) AS BIGINT) AS rs
+      FROM nodes, nn
+    )"""
+    step = """,
+    c{i} AS MATERIALIZED (
+      SELECT e.v AS node,
+             SUM(CAST(FLOOR(r.rs / CAST(d.deg AS DOUBLE)) AS BIGINT)) AS cin
+      FROM e JOIN r{p} r ON r.node = e.u JOIN deg d ON d.node = e.u
+      GROUP BY e.v
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rs), 0) AS dang
+      FROM r{p} r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(FLOOR({scale}.0 * {q} / (100.0 * nn.n)) AS BIGINT)
+             + CAST(FLOOR({dpct}.0 * (COALESCE(c{i}.cin, 0)
+                 + CAST(FLOOR(d{i}.dang / CAST(nn.n AS DOUBLE)) AS BIGINT)) / 100.0)
+               AS BIGINT) AS rs
+      FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node, nn, d{i}
+    )"""
+    body = head.format(scale=scale)
+    for i in range(1, iters + 1):
+        body += step.format(i=i, p=i - 1, scale=scale, dpct=dpct, q=100 - dpct)
+    body += f"""
+    SELECT node AS supp_key,
+           ROUND(ROUND(rs / {float(scale)}, 9), 6) AS pagerank
+    FROM r{iters}
+    """
+    return body
+
+
 @register(
     "graph_pagerank_suppliers",
-    "deterministic PageRank (8 fixed iterations, damping 0.85, rounded "
-    "contributions) over the undirected supplier co-supply graph: each "
-    "iteration is one shuffle (contributions grouped by destination) "
-    "against a static degree table — the scale shape of every "
-    "pregel-style ranking; rows-only (iterative fixpoint has no SQL "
-    "oracle), invariants pytest-asserted (mass conservation, "
-    "determinism)",
-    oracle=None,
+    "deterministic PageRank (8 fixed iterations, damping 85/100) over "
+    "the undirected supplier co-supply graph with the WHOLE fold in "
+    "scaled-integer arithmetic — contribution sums are "
+    "order-independent longs, so the fixed-iteration fixpoint IS "
+    "SQL-expressible and the oracle unrolls the same 8 integer "
+    "iterations; each iteration is one shuffle (contributions grouped "
+    "by destination) against a static degree table — the scale shape "
+    "of every pregel-style ranking; mass conservation pytest-asserted",
+    oracle=_pagerank_oracle(iters=8),
     survey_ops=("§2.9 joins", "T4 frontier"),
 )
 def graph_pagerank_suppliers(spark, sf_dir):
