@@ -829,18 +829,30 @@ def _lloyd_centroids(
         for r in vecs.select(vec_col).orderBy(id_col).limit(k).collect()
     ]
     centroids = seeds
+    quant = 10**6
     for _ in range(max(iters - 1, 0)):
         assigned = _kmeans_assign(vecs, id_col, vec_col, centroids, round_digits)
+        # centroid update in scaled-long arithmetic: components quantize
+        # to floor(val * 1e6) BEFORE the sum, so the per-(cluster, dim)
+        # fold is order-independent integers and the new centroid
+        # floor(sum/cnt)/1e6 is bit-identical on any partitioning or
+        # engine — what lets the registry query unroll the whole Lloyd
+        # loop as a SQL oracle (graph.pagerank uses the same scheme)
         upd = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("c"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * quant).cast("long")
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .collect()
         )
         new_cents = [list(cv) for cv in centroids]  # empty clusters keep seeds
         by_cluster: dict[int, dict[int, float]] = {}
         for r in upd:
-            by_cluster.setdefault(r.cluster, {})[r.pos] = r.c
+            by_cluster.setdefault(r.cluster, {})[r.pos] = (r.sq // r.cnt) / quant
         for cid, dims in by_cluster.items():
             new_cents[cid] = [dims[i] for i in range(len(dims))]
         centroids = new_cents

@@ -2594,13 +2594,79 @@ def nlp_match_topk(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int = 5, iters: int = 3, dim: int = 16, quant: int = 10**6) -> str:
+    """Unrolled Lloyd's-k-means oracle: the operator's centroid update
+    is scaled-long arithmetic (order-independent) and its assignment
+    distances are rounded left folds, so a fixed iteration count IS
+    SQL-expressible — one assignment + one update CTE pair per
+    iteration, all MATERIALIZED (DuckDB would otherwise inline the
+    recursive reference and double the tree per iteration). The
+    embedding replicates the fake engine bit-exactly via the
+    CAST(… AS REAL) trick of ``_embed_oracle``."""
+    comps = [
+        f"(CAST(CONCAT('0x', SUBSTR(h, {2 * (i % 32) + 1}, 2)) AS INT)/255.0 - 0.5)"
+        for i in range(dim)
+    ]
+    norm = "SQRT(" + " + ".join(f"POWER({c}, 2)" for c in comps) + ")"
+    vec = "[" + ", ".join(f"CAST(CAST({c}/{norm} AS REAL) AS DOUBLE)" for c in comps) + "]"
+    body = f"""
+    WITH emb AS MATERIALIZED (
+      SELECT doc_id, {vec} AS v
+      FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 100)
+    ),
+    cl0 AS MATERIALIZED (
+      SELECT rn - 1 AS cluster, v AS cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn, v FROM emb
+      ) WHERE rn <= {k}
+    )"""
+    dist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}), "
+        f"i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+    )
+    for it in range(iters):
+        body += f""",
+    a{it} AS MATERIALIZED (
+      SELECT doc_id, cluster FROM (
+        SELECT e.doc_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                 ORDER BY {dist} ASC, c.cluster ASC) AS rn
+        FROM emb e CROSS JOIN cl{it} c
+      ) WHERE rn = 1
+    )"""
+        if it < iters - 1:
+            body += f""",
+    u{it} AS MATERIALIZED (
+      SELECT a.cluster, p.pos,
+             SUM(CAST(FLOOR(e.v[p.pos + 1] * {quant}) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM a{it} a JOIN emb e USING (doc_id) CROSS JOIN range(0, {dim}) p(pos)
+      GROUP BY a.cluster, p.pos
+    ),
+    cl{it + 1} AS MATERIALIZED (
+      SELECT c.cluster,
+             LIST(COALESCE(
+               CAST(FLOOR(u.sq / CAST(u.cnt AS DOUBLE)) AS BIGINT) / {float(quant)},
+               c.cv[g.pos + 1]) ORDER BY g.pos) AS cv
+      FROM cl{it} c CROSS JOIN range(0, {dim}) g(pos)
+      LEFT JOIN u{it} u ON u.cluster = c.cluster AND u.pos = g.pos
+      GROUP BY c.cluster
+    )"""
+    body += f"""
+    SELECT a.doc_id AS question_id, d.text AS question, a.cluster
+    FROM a{iters - 1} a JOIN documents d USING (doc_id)
+    """
+    return body
+
+
 @register(
     "question_clustering_distributed",
     "N6 scale path: deterministic distributed Lloyd's k-means over "
-    "embedded questions (map-only broadcast-centroid assignment, "
-    "partial-aggregable centroid update) — iterative, rows-only by "
-    "declared design",
-    oracle=None,
+    "embedded questions (map-only broadcast-centroid assignment; the "
+    "centroid update folds scaled longs, so it is order-independent "
+    "and the fixed-iteration loop unrolls into a hard SQL oracle — "
+    "assignment + quantized update per iteration, embeddings "
+    "replicated bit-exactly via the REAL-cast digest idiom)",
+    oracle=_kmeans_oracle(k=5, iters=3),
     survey_ops=("N6",),
 )
 def question_clustering_distributed(spark, sf_dir):
@@ -2612,14 +2678,123 @@ def question_clustering_distributed(spark, sf_dir):
     return nlp.cluster_questions_distributed(d, k=5, iters=3)
 
 
+def _digest_vec_sql(dim: int = 16) -> str:
+    """The fake-engine embedding as a DuckDB list expression over an
+    in-scope ``h`` (sha256 hex) column — bit-exact via the REAL cast
+    (see ``_embed_oracle``)."""
+    comps = [
+        f"(CAST(CONCAT('0x', SUBSTR(h, {2 * (i % 32) + 1}, 2)) AS INT)/255.0 - 0.5)"
+        for i in range(dim)
+    ]
+    norm = "SQRT(" + " + ".join(f"POWER({c}, 2)" for c in comps) + ")"
+    return "[" + ", ".join(
+        f"CAST(CAST({c}/{norm} AS REAL) AS DOUBLE)" for c in comps
+    ) + "]"
+
+
+def _grouped_match_oracle(
+    n_clusters: int = 4, iters: int = 3, dim: int = 16, topk: int = 3,
+    quant: int = 10**6,
+) -> str:
+    """Unrolled N5+N6 composition oracle: digest-embed questions,
+    unroll the quantized Lloyd loop (like ``_kmeans_oracle``), pick
+    each cluster's min-id representative, brute-force cosine top-k of
+    the representative against digest-embedded sections, fan out to
+    members."""
+    vec = _digest_vec_sql(dim)
+    body = f"""
+    WITH q AS MATERIALIZED (
+      SELECT doc_id AS qid, SUBSTR(text, 1, 30) AS qt
+      FROM documents WHERE doc_id < 24
+    ),
+    qe AS MATERIALIZED (
+      SELECT qid, {vec} AS v
+      FROM (SELECT qid, sha256(qt) AS h FROM q)
+    ),
+    cl0 AS MATERIALIZED (
+      SELECT rn - 1 AS cluster, v AS cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY qid) AS rn, v FROM qe
+      ) WHERE rn <= {n_clusters}
+    )"""
+    dist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}), "
+        f"i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+    )
+    for it in range(iters):
+        body += f""",
+    a{it} AS MATERIALIZED (
+      SELECT qid, cluster FROM (
+        SELECT e.qid, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.qid
+                 ORDER BY {dist} ASC, c.cluster ASC) AS rn
+        FROM qe e CROSS JOIN cl{it} c
+      ) WHERE rn = 1
+    )"""
+        if it < iters - 1:
+            body += f""",
+    u{it} AS MATERIALIZED (
+      SELECT a.cluster, p.pos,
+             SUM(CAST(FLOOR(e.v[p.pos + 1] * {quant}) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM a{it} a JOIN qe e USING (qid) CROSS JOIN range(0, {dim}) p(pos)
+      GROUP BY a.cluster, p.pos
+    ),
+    cl{it + 1} AS MATERIALIZED (
+      SELECT c.cluster,
+             LIST(COALESCE(
+               CAST(FLOOR(u.sq / CAST(u.cnt AS DOUBLE)) AS BIGINT) / {float(quant)},
+               c.cv[g.pos + 1]) ORDER BY g.pos) AS cv
+      FROM cl{it} c CROSS JOIN range(0, {dim}) g(pos)
+      LEFT JOIN u{it} u ON u.cluster = c.cluster AND u.pos = g.pos
+      GROUP BY c.cluster
+    )"""
+    final = iters - 1
+    body += f""",
+    reps AS MATERIALIZED (
+      SELECT cluster, MIN(qid) AS rep FROM a{final} GROUP BY cluster
+    ),
+    rv AS MATERIALIZED (
+      SELECT r.cluster, e.v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e.v, x -> x * x))) AS n
+      FROM reps r JOIN qe e ON e.qid = r.rep
+    ),
+    se AS MATERIALIZED (
+      SELECT sid, {vec} AS v FROM (
+        SELECT doc_id AS sid, sha256(SUBSTR(text, 1, 60)) AS h
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
+      )
+    ),
+    sen AS MATERIALIZED (
+      SELECT sid, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM se
+    ),
+    matches AS (
+      SELECT cluster, sid AS section_id, score, rank FROM (
+        SELECT rv.cluster, s.sid,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),
+                 i -> rv.v[i] * s.v[i])) / (rv.n * s.n), 4) AS score,
+               ROW_NUMBER() OVER (PARTITION BY rv.cluster
+                 ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),
+                   i -> rv.v[i] * s.v[i])) / (rv.n * s.n), 4) DESC, s.sid ASC) AS rank
+        FROM rv CROSS JOIN sen s
+      ) WHERE rank <= {topk}
+    )
+    SELECT a.qid AS question_id, q.qt AS question, a.cluster,
+           m.section_id, m.score, m.rank
+    FROM a{final} a
+    JOIN matches m USING (cluster)
+    JOIN q ON q.qid = a.qid
+    """
+    return body
+
+
 @register(
     "nlp_grouped_match_topk",
     "N5+N6 composition (QAMatchingEngine.match_questions_to_sections): "
     "cluster questions, match top-k sections once per cluster via its "
     "lowest-id representative, fan results to members — match cost "
-    "scales with #clusters, not #questions; rows-only (iterative "
-    "k-means inside)",
-    oracle=None,
+    "scales with #clusters, not #questions; the quantized Lloyd fold "
+    "makes the whole composition unroll into a hard SQL oracle",
+    oracle=_grouped_match_oracle(),
     survey_ops=("N5", "N6", "N8"),
 )
 def nlp_grouped_match_topk(spark, sf_dir):
@@ -6420,15 +6595,124 @@ def sorted_neighborhood_link(spark, sf_dir):
 # tests/test_operators.py::test_trained_quantizers_recall)
 # =====================================================================
 
+def _trained_ivf_head(
+    k: int = 16, iters: int = 3, dim: int = 64, nprobe: int = 4,
+    quant: int = 10**6,
+) -> str:
+    """Unrolled trained-IVF oracle: Lloyd's training (quantized
+    scaled-long centroid updates — order-independent) unrolls like
+    ``_kmeans_oracle``, then the standard IVF cosine assignment runs
+    against the trained centroids. Two engine details replicated
+    exactly: the operator stores centroid components as FLOAT32 (the
+    assignment dot uses the REAL-cast values) but computes centroid
+    norms from the double values; training distances are rounded L2
+    left folds over doubles."""
+    body = f"""
+    WITH vec AS MATERIALIZED (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
+      FROM embeddings
+    ),
+    cl0 AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM vec WHERE vec_id < {k}
+    )"""
+    tdist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}), "
+        f"i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+    )
+    for it in range(iters - 1):
+        body += f""",
+    a{it} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {tdist} ASC, c.cluster ASC) AS rn
+        FROM vec e CROSS JOIN cl{it} c
+      ) WHERE rn = 1
+    ),
+    u{it} AS MATERIALIZED (
+      SELECT a.cluster, p.pos,
+             SUM(CAST(FLOOR(e.v[p.pos + 1] * {quant}) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM a{it} a JOIN vec e USING (vec_id) CROSS JOIN range(0, {dim}) p(pos)
+      GROUP BY a.cluster, p.pos
+    ),
+    cl{it + 1} AS MATERIALIZED (
+      SELECT c.cluster,
+             LIST(COALESCE(
+               CAST(FLOOR(u.sq / CAST(u.cnt AS DOUBLE)) AS BIGINT) / {float(quant)},
+               c.cv[g.pos + 1]) ORDER BY g.pos) AS cv
+      FROM cl{it} c CROSS JOIN range(0, {dim}) g(pos)
+      LEFT JOIN u{it} u ON u.cluster = c.cluster AND u.pos = g.pos
+      GROUP BY c.cluster
+    )"""
+    final = iters - 1
+    cos = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}), "
+        f"i -> e.v[i] * c.cvf[i])) / (e.n * c.cn), 6)"
+    )
+    body += f""",
+    cents AS MATERIALIZED (
+      SELECT cluster AS cell,
+             LIST_TRANSFORM(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cvf,
+             SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> x * x))) AS cn
+      FROM cl{final}
+    ),
+    corpus_cell AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cell ASC) AS rn
+        FROM vec e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q_cells AS MATERIALIZED (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos} DESC, c.cell ASC) AS rn
+        FROM vec e CROSS JOIN cents c WHERE e.vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    q_cells_end AS (SELECT 1 AS _one)"""
+    return body
+
+
+def _trained_ivf_oracle(
+    k: int = 16, iters: int = 3, dim: int = 64, nprobe: int = 4,
+    topk: int = 5, quant: int = 10**6,
+) -> str:
+    body = _trained_ivf_head(k, iters, dim, nprobe, quant)
+    body += f""",
+    scored AS (
+      SELECT q.query_id, cc.vec_id AS neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),
+               i -> qv.v[i] * nv.v[i])) / (qv.n * nv.n), 4) AS score
+      FROM q_cells q
+      JOIN corpus_cell cc ON cc.cell = q.cell
+      JOIN vec qv ON qv.vec_id = q.query_id
+      JOIN vec nv ON nv.vec_id = cc.vec_id
+      WHERE q.query_id <> cc.vec_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+    return body
+
+
 @register(
     "ann_ivf_trained_topk",
     "IVF-Flat ANN with a TRAINED coarse quantizer: in-repo distributed "
-    "Lloyd's k-means (id-ordered seeds, 3 fixed iterations, rounded "
-    "argmin — fully deterministic) learns 16 centroids, then the "
-    "identical map-only broadcast-assignment plan as ann_ivf_topk "
-    "probes 4 cells per query — rows-only by declared design "
-    "(iterative training has no SQL oracle)",
-    oracle=None,
+    "Lloyd's k-means (id-ordered seeds, 3 fixed iterations, quantized "
+    "scaled-long centroid updates — order-independent, so the training "
+    "loop unrolls into a hard SQL oracle) learns 16 centroids, then "
+    "the identical map-only broadcast-assignment plan as ann_ivf_topk "
+    "probes 4 cells per query",
+    oracle=_trained_ivf_oracle(),
     survey_ops=("ann-quantization", "N6 question clustering"),
 )
 def ann_ivf_trained_topk(spark, sf_dir):
@@ -6442,6 +6726,137 @@ def ann_ivf_trained_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", "score", "rank")
 
 
+def _trained_ivf_pq_oracle(
+    k: int = 16, iters: int = 3, dim: int = 64, nprobe: int = 4,
+    m: int = 4, ksub: int = 16, shortlist: int = 40, topk: int = 5,
+    quant: int = 10**6,
+) -> str:
+    """Unrolled trained IVF-PQ oracle: the trained-IVF head (coarse
+    quantizer k-means + cell assignment) plus the per-subspace PQ
+    codebook trainings on RESIDUALS — the m sub-trainings run as ONE
+    set of CTEs keyed by subspace j. Residuals subtract the FLOAT32-
+    stored centroid (REAL cast), matching the operator; codewords also
+    store as FLOAT32 before encode/ADC."""
+    sub = dim // m
+    body = _trained_ivf_head(k, iters, dim, nprobe, quant)
+    body += f""",
+    resid AS MATERIALIZED (
+      SELECT cc.vec_id, cc.cell,
+             LIST_TRANSFORM(RANGE(1, {dim + 1}), i -> v.v[i] - c.cvf[i]) AS r
+      FROM corpus_cell cc
+      JOIN vec v ON v.vec_id = cc.vec_id
+      JOIN cents c ON c.cell = cc.cell
+    ),
+    rchunks AS MATERIALIZED (
+      SELECT res.vec_id, res.cell, rj.j,
+             list_slice(res.r, rj.j * {sub} + 1, rj.j * {sub} + {sub}) AS chunk
+      FROM resid res CROSS JOIN range(0, {m}) rj(j)
+    ),
+    pq0 AS MATERIALIZED (
+      SELECT j, CAST(vec_id AS INT) AS cluster, chunk AS cv
+      FROM rchunks WHERE vec_id < {ksub}
+    )"""
+    pdist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
+        f"i -> (e.chunk[i] - c.cv[i]) * (e.chunk[i] - c.cv[i]))), 6)"
+    )
+    for it in range(iters - 1):
+        body += f""",
+    pa{it} AS MATERIALIZED (
+      SELECT vec_id, j, cluster FROM (
+        SELECT e.vec_id, e.j, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.j
+                 ORDER BY {pdist} ASC, c.cluster ASC) AS rn
+        FROM rchunks e JOIN pq{it} c ON c.j = e.j
+      ) WHERE rn = 1
+    ),
+    pu{it} AS MATERIALIZED (
+      SELECT a.cluster, a.j, p.pos,
+             SUM(CAST(FLOOR(e.chunk[p.pos + 1] * {quant}) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM pa{it} a
+      JOIN rchunks e ON e.vec_id = a.vec_id AND e.j = a.j
+      CROSS JOIN range(0, {sub}) p(pos)
+      GROUP BY a.cluster, a.j, p.pos
+    ),
+    pq{it + 1} AS MATERIALIZED (
+      SELECT c.j, c.cluster,
+             LIST(COALESCE(
+               CAST(FLOOR(u.sq / CAST(u.cnt AS DOUBLE)) AS BIGINT) / {float(quant)},
+               c.cv[g.pos + 1]) ORDER BY g.pos) AS cv
+      FROM pq{it} c CROSS JOIN range(0, {sub}) g(pos)
+      LEFT JOIN pu{it} u ON u.cluster = c.cluster AND u.j = c.j AND u.pos = g.pos
+      GROUP BY c.j, c.cluster
+    )"""
+    pfinal = iters - 1
+    cwdist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
+        f"i -> (e.chunk[i] - cb.cw[i]) * (e.chunk[i] - cb.cw[i]))), 6)"
+    )
+    body += f""",
+    cb AS MATERIALIZED (
+      SELECT j, cluster AS code,
+             LIST_TRANSFORM(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cw
+      FROM pq{pfinal}
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, cell, j, code FROM (
+        SELECT e.vec_id, e.cell, e.j, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.j
+                 ORDER BY {cwdist} ASC, cb.code ASC) AS rn
+        FROM rchunks e JOIN cb ON cb.j = e.j
+      ) WHERE rn = 1
+    ),
+    qresid AS MATERIALIZED (
+      SELECT q.query_id, q.cell,
+             LIST_TRANSFORM(RANGE(1, {dim + 1}), i -> v.v[i] - c.cvf[i]) AS r
+      FROM q_cells q
+      JOIN vec v ON v.vec_id = q.query_id
+      JOIN cents c ON c.cell = q.cell
+    ),
+    qchunks AS MATERIALIZED (
+      SELECT qr.query_id, qr.cell, rj.j,
+             list_slice(qr.r, rj.j * {sub} + 1, rj.j * {sub} + {sub}) AS chunk
+      FROM qresid qr CROSS JOIN range(0, {m}) rj(j)
+    ),
+    dtable AS MATERIALIZED (
+      SELECT e.query_id, e.cell, e.j, cb.code,
+             CAST({cwdist.replace("e.chunk", "e.chunk")} AS DECIMAL(18,6)) AS d
+      FROM qchunks e JOIN cb ON cb.j = e.j
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.d) AS approx_dist
+      FROM codes c
+      JOIN dtable d ON d.cell = c.cell AND d.j = c.j AND d.code = c.code
+      WHERE d.query_id <> c.vec_id
+      GROUP BY d.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_dist ASC, neighbor_id ASC) AS r
+        FROM adc
+      ) WHERE r <= {shortlist}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),
+               i -> qv.v[i] * nv.v[i])) / (qv.n * nv.n), 4) AS score
+      FROM short s
+      JOIN vec qv ON qv.vec_id = s.query_id
+      JOIN vec nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM exact
+    ) WHERE rank <= {topk}
+    """
+    return body
+
+
 @register(
     "ann_ivf_pq_topk",
     "IVF-PQ ANN (the standard production composition): a trained IVF "
@@ -6450,9 +6865,10 @@ def ann_ivf_trained_topk(spark, sf_dir):
     "codewords spend on the residual's small volume, lifting recall@5 "
     "from 0.62 (raw trained PQ) to 0.90 at identical 128x compression; "
     "queries ADC-scan only their nprobe probed cells' codes, then exact "
-    "cosine re-ranks the shortlist — rows-only by declared design "
-    "(iterative Lloyd's training has no SQL oracle)",
-    oracle=None,
+    "cosine re-ranks the shortlist; both trainings now fold scaled "
+    "longs, so the full pipeline unrolls into a hard SQL oracle "
+    "(coarse k-means + m per-subspace residual k-means as j-keyed CTEs)",
+    oracle=_trained_ivf_pq_oracle(),
     survey_ops=("ann-quantization", "N6 question clustering"),
 )
 def ann_ivf_pq_topk(spark, sf_dir):
@@ -6598,6 +7014,180 @@ def ann_ivf_pq_seed_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", "score", "rank")
 
 
+def _trained_flat_pq_sql(
+    m: int = 16, ksub: int = 16, iters: int = 3, dim: int = 64,
+    shortlist: int = 60, topk: int = 5, quant: int = 10**6,
+) -> str:
+    """Unrolled flat trained-PQ pipeline (raw-vector chunks, no IVF
+    cells): per-subspace quantized Lloyd trainings as j-keyed CTEs,
+    then the encode → ADC → shortlist → exact-re-rank shape of
+    ``pq_adc_topk``. A complete SELECT (own WITH) so it can embed as a
+    derived table."""
+    sub = dim // m
+    body = f"""
+    WITH vec AS MATERIALIZED (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
+      FROM embeddings
+    ),
+    rchunks AS MATERIALIZED (
+      SELECT vec_id, rj.j,
+             list_slice(v, rj.j * {sub} + 1, rj.j * {sub} + {sub}) AS chunk
+      FROM vec CROSS JOIN range(0, {m}) rj(j)
+    ),
+    pq0 AS MATERIALIZED (
+      SELECT j, CAST(vec_id AS INT) AS cluster, chunk AS cv
+      FROM rchunks WHERE vec_id < {ksub}
+    )"""
+    pdist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
+        f"i -> (e.chunk[i] - c.cv[i]) * (e.chunk[i] - c.cv[i]))), 6)"
+    )
+    for it in range(iters - 1):
+        body += f""",
+    pa{it} AS MATERIALIZED (
+      SELECT vec_id, j, cluster FROM (
+        SELECT e.vec_id, e.j, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.j
+                 ORDER BY {pdist} ASC, c.cluster ASC) AS rn
+        FROM rchunks e JOIN pq{it} c ON c.j = e.j
+      ) WHERE rn = 1
+    ),
+    pu{it} AS MATERIALIZED (
+      SELECT a.cluster, a.j, p.pos,
+             SUM(CAST(FLOOR(e.chunk[p.pos + 1] * {quant}) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM pa{it} a
+      JOIN rchunks e ON e.vec_id = a.vec_id AND e.j = a.j
+      CROSS JOIN range(0, {sub}) p(pos)
+      GROUP BY a.cluster, a.j, p.pos
+    ),
+    pq{it + 1} AS MATERIALIZED (
+      SELECT c.j, c.cluster,
+             LIST(COALESCE(
+               CAST(FLOOR(u.sq / CAST(u.cnt AS DOUBLE)) AS BIGINT) / {float(quant)},
+               c.cv[g.pos + 1]) ORDER BY g.pos) AS cv
+      FROM pq{it} c CROSS JOIN range(0, {sub}) g(pos)
+      LEFT JOIN pu{it} u ON u.cluster = c.cluster AND u.j = c.j AND u.pos = g.pos
+      GROUP BY c.j, c.cluster
+    )"""
+    pfinal = iters - 1
+    cwdist = (
+        f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
+        f"i -> (e.chunk[i] - cb.cw[i]) * (e.chunk[i] - cb.cw[i]))), 6)"
+    )
+    body += f""",
+    cb AS MATERIALIZED (
+      SELECT j, cluster AS code,
+             LIST_TRANSFORM(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cw
+      FROM pq{pfinal}
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, e.j, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.j
+                 ORDER BY {cwdist} ASC, cb.code ASC) AS rn
+        FROM rchunks e JOIN cb ON cb.j = e.j
+      ) WHERE rn = 1
+    ),
+    dtable AS MATERIALIZED (
+      SELECT e.vec_id AS query_id, e.j, cb.code,
+             CAST({cwdist} AS DECIMAL(18,6)) AS d
+      FROM rchunks e JOIN cb ON cb.j = e.j
+      WHERE e.vec_id < 10
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.d) AS approx_dist
+      FROM codes c JOIN dtable d ON d.j = c.j AND d.code = c.code
+      WHERE d.query_id <> c.vec_id
+      GROUP BY d.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_dist ASC, neighbor_id ASC) AS r
+        FROM adc
+      ) WHERE r <= {shortlist}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}),
+               i -> qv.v[i] * nv.v[i])) / (qv.n * nv.n), 4) AS score
+      FROM short s
+      JOIN vec qv ON qv.vec_id = s.query_id
+      JOIN vec nv ON nv.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM exact
+    ) WHERE rank <= {topk}
+    """
+    return body
+
+
+def _recall_audit_oracle() -> str:
+    """Compose the three unrolled trained pipelines (each a derived
+    table with its own WITH) against the brute-force top-5 and report
+    recall@5 per method — the audit itself under a hard oracle."""
+    brute = f"""
+    WITH vec AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, v -> CAST(v AS DOUBLE) * v))) AS n
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_IVF_DOT.format(a="q.embedding", b="e.embedding")} / (q.n * e.n), 4) AS score
+      FROM vec q CROSS JOIN vec e
+      WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    ivf = (
+        "SELECT query_id, neighbor_id FROM ("
+        + _trained_ivf_oracle()
+        + ") t"
+    )
+    pqf = "SELECT query_id, neighbor_id FROM (" + _trained_flat_pq_sql() + ") t"
+    ivfpq = (
+        "SELECT query_id, neighbor_id FROM ("
+        + _trained_ivf_pq_oracle()
+        + ") t"
+    )
+    return f"""
+    WITH brute AS MATERIALIZED ({brute}),
+    m_ivf AS MATERIALIZED ({ivf}),
+    m_pq AS MATERIALIZED ({pqf}),
+    m_ivfpq AS MATERIALIZED ({ivfpq}),
+    ne AS (SELECT COUNT(*) AS n FROM brute)
+    SELECT method, recall_at_5 FROM (
+      SELECT 'ivf_trained' AS method,
+             ROUND((SELECT COUNT(*) FROM brute b
+                    JOIN m_ivf a USING (query_id, neighbor_id)) * 1.0
+                   / (SELECT n FROM ne), 4) AS recall_at_5
+      UNION ALL
+      SELECT 'pq_trained',
+             ROUND((SELECT COUNT(*) FROM brute b
+                    JOIN m_pq a USING (query_id, neighbor_id)) * 1.0
+                   / (SELECT n FROM ne), 4)
+      UNION ALL
+      SELECT 'ivf_pq_trained',
+             ROUND((SELECT COUNT(*) FROM brute b
+                    JOIN m_ivfpq a USING (query_id, neighbor_id)) * 1.0
+                   / (SELECT n FROM ne), 4)
+    ) ORDER BY method
+    """
+
+
+
 @register(
     "ann_trained_recall_audit",
     "self-auditing recall report for the trained quantizers: recall@5 "
@@ -6606,8 +7196,9 @@ def ann_ivf_pq_seed_topk(spark, sf_dir):
     "nprobe 4, m=4, ksub=16) against the exact brute-force top-5, one "
     "row per method — the quality gate a production ANN deployment "
     "monitors, expressed as a query; every method holds >= 0.85 "
-    "(pytest-asserted floor)",
-    oracle=None,
+    "(pytest-asserted floor); the quantized Lloyd folds make even the "
+    "AUDIT hard-oracled (three unrolled pipelines composed in SQL)",
+    oracle=_recall_audit_oracle(),
     survey_ops=("ann-quantization", "ann-lsh"),
 )
 def ann_trained_recall_audit(spark, sf_dir):
