@@ -54,13 +54,25 @@ def hll_partitioned_distinct(
 
 
 def _cms_cells(key: F.Column, depth: int, width: int) -> F.Column:
-    """The d (row, bucket) cells a key hashes to — one xxhash64 per row
-    seeded by the row index, pmod'd onto the width."""
+    """The d (row, bucket) cells a key hashes to — row i uses the first
+    60 bits of ``md5(key || '#' || i)`` pmod'd onto the width: the same
+    engine-portable hash family as the MinHash pipeline (one seeded md5
+    per row, replicable byte-for-byte in any engine — what lets the CMS
+    registry query carry a hard SQL oracle)."""
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("h"),
-                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width)).alias("b"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(key, F.lit(f"#{i}"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                ).alias("b"),
             )
             for i in range(depth)
         ]

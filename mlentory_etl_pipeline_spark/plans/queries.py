@@ -6306,9 +6306,33 @@ def approx_distinct_hll_partitioned(spark, sf_dir):
     "Count-min-sketch token frequencies: corpus tokens fan out to d "
     "hash cells map-locally, one aggregation builds the (h,b,cnt) "
     "counter table, point queries broadcast it back — fixed-memory "
-    "frequency estimation whose sketches merge by cell-wise addition "
-    "(non-SQL-expressible hashing; over-estimate bound and merge "
-    "linearity test-asserted in tests/test_sketches.py)",
+    "frequency estimation whose sketches merge by cell-wise addition; "
+    "the seeded-md5 hash family is engine-portable, so the WHOLE "
+    "sketch (build, probe, min-estimate, top-20) runs under a hard "
+    "SQL oracle; over-estimate bound and merge linearity also "
+    "test-asserted in tests/test_sketches.py",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    cells AS (
+      SELECT i AS h, CAST(CONCAT('0x', SUBSTR(MD5(token || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS b
+      FROM toks, UNNEST(RANGE(0, 4)) AS t(i)
+    ),
+    sk AS MATERIALIZED (SELECT h, b, COUNT(*) AS cnt FROM cells GROUP BY h, b),
+    probes AS MATERIALIZED (SELECT DISTINCT token FROM toks),
+    pc AS (
+      SELECT token, i AS h, CAST(CONCAT('0x', SUBSTR(MD5(token || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS b
+      FROM probes, UNNEST(RANGE(0, 4)) AS t(i)
+    ),
+    est AS (
+      SELECT token, MIN(COALESCE(sk.cnt, 0)) AS est_count
+      FROM pc LEFT JOIN sk USING (h, b) GROUP BY token
+    )
+    SELECT token, est_count FROM est
+    ORDER BY est_count DESC, token ASC LIMIT 20
+    """,
     survey_ops=("approx-aggregates", "profiling-skew"),
 )
 def cms_token_heavy_hitters(spark, sf_dir):
