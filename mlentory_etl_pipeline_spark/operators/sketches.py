@@ -254,3 +254,79 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
             F.max("max_v").alias("max_v"),
         )
     )
+
+
+# --------------------------------------------- md5-register HLL
+
+#: standard HLL bias constant for m >= 128 registers
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_md5_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, b: int = 8
+) -> DataFrame:
+    """Engine-portable HyperLogLog registers: one seeded-md5 60-bit
+    hash per value, low ``b`` bits pick the register, and rho = leading
+    zeros in the remaining 52-bit payload + 1 — computed EXACTLY via
+    binary-string length (no float log), so registers are byte-
+    replicable in any engine (the DataSketches twin
+    ``hll_partitioned_distinct`` stays the production fast path; this
+    one trades CPU for a hard SQL oracle and cross-engine parity).
+
+    Returns ``(group_cols…, register, max_rho)`` — the mergeable state:
+    ``merge = max per register`` (test-asserted exactly), so per-shard
+    register tables union + groupBy-max into the global sketch without
+    rescanning history.
+    """
+    m = 1 << b
+    payload_bits = 60 - b
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    reg = F.pmod(h, F.lit(m))
+    w = F.floor(h / F.lit(m)).cast("long")
+    # floor(log2(w)) + 1 == length(bin(w)) for w > 0, exact integers
+    rho = F.when(w > 0, F.lit(payload_bits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(payload_bits + 1)
+    )
+    return (
+        df.select(*group_cols, reg.alias("register"), rho.alias("_rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_md5_estimate(
+    registers: DataFrame, group_cols: list[str], b: int = 8
+) -> DataFrame:
+    """Distinct-count estimate from :func:`hll_md5_registers` state,
+    with the standard small-range linear-counting correction.
+
+    Determinism: the harmonic sum Σ 2^-rho runs as INTEGER arithmetic —
+    ``N = Σ 2^(K - rho)`` with K the group's max rho (N < m·2^52 fits a
+    long), then ``E = alpha·m²·2^K / N`` is one correctly-rounded
+    double division — so the estimate is bit-identical on any
+    partitioning or engine, and the registry query carries a hard SQL
+    oracle.
+    """
+    m = 1 << b
+    alpha = _hll_alpha(m)
+    kmax = registers.groupBy(*group_cols).agg(F.max("max_rho").alias("_k"))
+    joined = registers.join(F.broadcast(kmax), group_cols)
+    agg = joined.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), _k - max_rho)")
+        ).alias("_n"),
+        F.first("_k").alias("_k2"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    e_raw = (
+        F.lit(alpha * m * m)
+        * F.pow(F.lit(2.0), F.col("_k2").cast("double"))
+        / F.col("_n")
+    )
+    v = F.lit(m) - F.col("_present")  # zero registers
+    e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((e_raw <= 2.5 * m) & (v > 0), e_lc).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))

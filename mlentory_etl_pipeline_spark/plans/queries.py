@@ -6345,6 +6345,65 @@ def cms_token_heavy_hitters(spark, sf_dir):
     return est.orderBy(F.desc("est_count"), "token").limit(20)
 
 
+def _hll_md5_oracle(b: int = 8) -> str:
+    m = 1 << b
+    payload = 60 - b
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    w = f"CAST(FLOOR(hv / {m}) AS BIGINT)"
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    regs AS MATERIALIZED (
+      SELECT event_type, hv % {m} AS register,
+             MAX(CASE WHEN {w} > 0 THEN {payload + 1} - LENGTH(BIN({w}))
+                      ELSE {payload + 1} END) AS max_rho
+      FROM h GROUP BY event_type, hv % {m}
+    ),
+    kx AS (SELECT event_type, MAX(max_rho) AS k FROM regs GROUP BY event_type),
+    agg AS (
+      SELECT r.event_type,
+             SUM(CAST(1 AS BIGINT) << (kx.k - r.max_rho)) AS n,
+             ANY_VALUE(kx.k) AS k,
+             COUNT(*) AS present
+      FROM regs r JOIN kx ON kx.event_type = r.event_type
+      GROUP BY r.event_type
+    )
+    SELECT event_type,
+           ROUND(CASE WHEN ({alpha_m2!r} * POWER(2.0, CAST(k AS DOUBLE)) / n)
+                        <= {2.5 * m}
+                       AND ({m} - present) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - present))
+                  ELSE {alpha_m2!r} * POWER(2.0, CAST(k AS DOUBLE)) / n
+             END, 4) AS est_distinct
+    FROM agg
+    """
+
+
+@register(
+    "hll_md5_distinct_users",
+    "engine-portable HyperLogLog distinct-user estimates per event "
+    "type: seeded-md5 60-bit hashes, register = low 8 bits, rho via "
+    "exact binary-string length (no float log), harmonic sum as "
+    "INTEGER arithmetic (sum of 2^(K-rho) longs) — every step "
+    "bit-replicable, so the APPROXIMATE estimate itself runs under a "
+    "hard SQL oracle; the DataSketches twin "
+    "(approx_distinct_hll_partitioned) stays the production fast "
+    "path, error bound and exact-merge law pytest-asserted",
+    oracle=_hll_md5_oracle(),
+    survey_ops=("approx-aggregates", "Q8"),
+)
+def hll_md5_distinct_users(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    e = t(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = sketches.hll_md5_registers(e, ["event_type"], "user_id", b=8)
+    return sketches.hll_md5_estimate(regs, ["event_type"], b=8)
+
+
 def _write_time_ordered_slices(df, src: str, ts_col: str = "ts"):
     """Write ``df`` to ``src`` as one parquet file per calendar quarter,
     oldest quarter first — sequential jobs give strictly increasing

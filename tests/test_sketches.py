@@ -122,3 +122,41 @@ def test_agg_state_merge_equals_direct(spark):
     empty = sketches.agg_state(df.where("v < -1"), ["k"], "v")
     again = sketches.merge_agg_states(merged, empty, ["k"])
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_md5_registers_accuracy_and_exact_merge(spark):
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # ~2000 distinct values per group with duplicates
+        F.concat(F.lit("u"), (F.col("id") * 7 % 2000).cast("string")).alias("v"),
+    )
+    regs = sketches.hll_md5_registers(df, ["g"], "v", b=8)
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in sketches.hll_md5_estimate(regs, ["g"], b=8).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        # standard HLL error ~1.04/sqrt(256) ~ 6.5%; allow 3 sigma
+        assert abs(est[g] - n) / n < 0.20, (g, est[g], n)
+
+    # merge law is EXACT: registers(A union B) == max-merge of the parts
+    a = df.where("id % 2 = 0")
+    b = df.where("id % 2 = 1")
+    merged = (
+        sketches.hll_md5_registers(a, ["g"], "v", b=8)
+        .unionByName(sketches.hll_md5_registers(b, ["g"], "v", b=8))
+        .groupBy("g", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = sketches.hll_md5_registers(df, ["g"], "v", b=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
