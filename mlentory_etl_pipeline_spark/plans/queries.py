@@ -2435,8 +2435,15 @@ def multimodal_decode_features(spark, sf_dir):
 
 @register(
     "multimodal_frame_sample",
-    "video frame-sampling plan: sequence+explode fan-out JVM-side",
-    oracle=None,
+    "video frame-sampling plan: sequence+explode fan-out JVM-side — "
+    "pure metadata (no blob hashing), so unlike the decode queries it "
+    "carries a hard SQL oracle replicating the synthetic media table's "
+    "video rows and the sampling grid",
+    oracle="""
+    SELECT v.media_id, s.frame_ts_ms
+    FROM (SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 2) v,
+         UNNEST(RANGE(0, 3000, 500)) AS s(frame_ts_ms)
+    """,
     survey_ops=("multimodal-frames",),
 )
 def multimodal_frame_sample(spark, sf_dir):
