@@ -945,3 +945,45 @@ def build_training_mixture(
         )
     )
     return funnel, final
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, at most
+    ``k`` rows per group with inclusion probability proportional to
+    ``weight_col`` — the A-RES reservoir scheme (Efraimidis-Spirakis,
+    public recipe: priority u^(1/w), keep the top k) with the md5
+    uniform standing in for the RNG, so the sample is identical on any
+    engine/partitioning/run (the repo's no-RNG sampling posture, cf.
+    ``quota_sample`` for the uniform case).
+
+    Ordering uses the monotone-equivalent ``ln(u)/w`` (avoids pow),
+    rounded 9 dp with an id tiebreak so the rank is engine-stable.
+    Rows with weight <= 0 are excluded (zero-weight items cannot be
+    sampled under the scheme). One bounded per-group window — same
+    scale shape as every quota sampler here.
+
+    Returns the sampled rows plus ``sample_rank`` (1..k per group).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        / F.lit(float(1 << 60))
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("_wkey"), F.asc(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("_wkey")
+    )

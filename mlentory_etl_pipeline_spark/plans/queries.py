@@ -7881,6 +7881,39 @@ def dedup_span_removal(spark, sf_dir):
 
 
 @register(
+    "weighted_sample_docs",
+    "deterministic weighted sampling WITHOUT replacement (A-RES "
+    "reservoir, Efraimidis-Spirakis): 5 docs per source with inclusion "
+    "probability proportional to n_chars, priority ln(u)/w over the "
+    "md5-uniform u — no RNG, identical on any engine/partitioning/run; "
+    "the weighted complement of the uniform quota_sample",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             ROUND(LN(CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, rn AS sample_rank FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY k DESC, doc_id ASC) AS rn
+      FROM w
+    ) WHERE rn <= 5
+    """,
+    survey_ops=("sampling-quota", "curation-sampling"),
+)
+def weighted_sample_docs(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_sample_per_group(d, ["source"], "doc_id", "n_chars", 5)
+
+
+@register(
     "token_budget_sample",
     "per-source TOKEN-budget mixture sampling: docs taken in "
     "deterministic md5(id) order until each source's cumulative "

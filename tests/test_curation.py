@@ -434,3 +434,43 @@ def test_mixture_funnel_semantic_stage(spark):
     by_stage = {r.stage: r.n_docs for r in rows}
     assert by_stage["semantic_decontaminated"] < by_stage["decontaminated"]
     assert final.join(corpus, "doc_id", "left_anti").count() == 0
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    # one group, 1 heavy item (weight 1e6) among 49 light ones (1e-3):
+    # under A-RES the heavy item is effectively always sampled
+    rows = [("g", i, 1e6 if i == 7 else 1e-3) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    got = {r["id"] for r in weighted_sample_per_group(df, ["g"], "id", "w", 3).collect()}
+    assert 7 in got and len(got) == 3
+
+    # zero/negative weights are excluded outright
+    df2 = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, -1.0), ("g", 3, 2.0)], ["g", "id", "w"]
+    )
+    got2 = {r["id"] for r in weighted_sample_per_group(df2, ["g"], "id", "w", 5).collect()}
+    assert got2 == {3}
+
+    # deterministic: identical output across runs and partitionings
+    a = weighted_sample_per_group(df, ["g"], "id", "w", 10).collect()
+    b = weighted_sample_per_group(df.repartition(13), ["g"], "id", "w", 10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # aggregate proportionality: across many groups of {heavy, light}
+    # pairs with k=1, the weight-10 item wins far more often than the
+    # weight-1 item (exact rate depends on the md5 draw; bound loosely)
+    rows3 = [(g, g * 2 + o, 10.0 if o == 0 else 1.0) for g in range(200) for o in (0, 1)]
+    df3 = spark.createDataFrame(rows3, ["g", "id", "w"])
+    wins = (
+        weighted_sample_per_group(df3, ["g"], "id", "w", 1)
+        .where(F.col("id") % 2 == 0)
+        .count()
+    )
+    # E[win] = 10/11 ~ 0.909; 200 trials, loose 3-sigma floor
+    assert wins > 160, wins
