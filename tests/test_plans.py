@@ -373,3 +373,49 @@ def test_banded_lsh_single_corpus_scan(spark):
     # loop this replaced scanned each side once per band (40+ scans)
     assert plan.count("Scan parquet") <= 10
     assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_single_token_join_no_cartesian(spark):
+    plan = _plan(spark, "lm_perplexity_quality")
+    # totals ride as a 1-row broadcast; the vocab join is hash/broadcast,
+    # never a nested loop over the corpus
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # count-table partial agg
+
+
+def test_hard_negative_mining_broadcasts_pair_side(spark):
+    plan = _plan(spark, "hard_negative_mining")
+    assert "CartesianProduct" not in plan
+    # the (query, positive) side is the broadcast side of every join
+    assert "BroadcastExchange" in plan
+
+
+def test_weighted_sample_window_partitions_by_group(spark):
+    plan = _plan(spark, "weighted_sample_docs")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_hashes_before_join(spark):
+    plan = _plan(spark, "snapshot_diff_orders")
+    # md5 content hashes project below the join: the full-outer join's
+    # input schemas carry the 16-byte hash, not the compared columns
+    assert "SortMergeJoin FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_incremental_no_store_rescan_joins(spark):
+    plan = _plan(spark, "semdedup_incremental_batch")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the two 1-row broadcast centroid
+    # attaches (store side + batch side); the pair scans are cell
+    # equi-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_hll_md5_registers_partial_agg(spark):
+    plan = _plan(spark, "hll_md5_distinct_users")
+    # register build is a partial-aggregable groupBy; kmax rides back
+    # as a broadcast, never a window over all registers
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

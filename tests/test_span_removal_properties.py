@@ -133,3 +133,59 @@ def test_compaction_plan_matches_model(spark, files, target):
         if act == "compact":
             totals[(p, b)] = totals.get((p, b), 0) + sz
     assert all(v < 2 * target for v in totals.values())
+
+
+import math
+
+
+def _lm_model(docs: dict[int, str], ref: list[str], alpha=0.5, scale=10**6):
+    """Sequential Python model of lm_perplexity's quantized fold."""
+    cnt: dict[str, int] = {}
+    for text in ref:
+        for tok in text.lower().split():
+            cnt[tok] = cnt.get(tok, 0) + 1
+    t = float(sum(cnt.values()))
+    v = float(len(cnt))
+    out = {}
+    for d, text in docs.items():
+        toks = text.lower().split()
+        qs = [
+            math.floor(math.log((cnt.get(tok, 0) + alpha) / (t + alpha * v)) * scale)
+            for tok in toks
+        ]
+        n = len(qs)
+        avg = sum(qs) / scale / n
+        out[d] = (n, round(avg, 4), round(math.exp(-avg), 4))
+    return out
+
+
+lm_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=10).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lm_texts, lm_texts)
+def test_lm_perplexity_matches_model(spark, ref_texts, doc_texts):
+    from mlentory_etl_pipeline_spark.operators.textstats import lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["ppl"])
+        for r in lm_perplexity(docs, ref, "doc_id", "text").collect()
+    }
+    want = _lm_model(dict(enumerate(doc_texts)), ref_texts)
+    assert got == want
