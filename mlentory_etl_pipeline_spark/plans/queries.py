@@ -8172,3 +8172,113 @@ def mixture_build_funnel(spark, sf_dir):
         eval_vecs=v.where("vec_id < 25"),
     )
     return funnel.orderBy("stage_idx")
+
+
+# =====================================================================
+# Bloom-filter join pruning (operators/pruning.py)
+# =====================================================================
+
+@register(
+    "bloom_prune_semi_join",
+    "semi-join with an explicit bloom pre-filter on the fact side: the "
+    "urgent-order key set folds into a ONE-ROW md5-seeded bitset "
+    "(bit_or word aggregation), broadcasts, and kills non-matching "
+    "lineitem rows in the scan stage BEFORE the join shuffle; an exact "
+    "semi-join confirm makes the result bit-identical to the plain "
+    "semi-join (the oracle) — false positives cost shuffle bytes, "
+    "never correctness. The explicit operator version of AQE's "
+    "runtime bloom injection, composable and engine-portable",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ops=("§2.9 joins", "V2 hash semi-join"),
+)
+def bloom_prune_semi_join(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import pruning
+
+    li = t(spark, sf_dir, "lineitem")
+    urgent = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    matched = pruning.bloom_semi_join(
+        li, "l_orderkey", urgent, "o_orderkey", n_hashes=5, m_bits=65536
+    )
+    return (
+        matched.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "bloom_fp_audit",
+    "bloom-filter quality audit under a HARD oracle: the deliberately "
+    "undersized filter (k=3, m=8192 for ~3k keys) is probed with every "
+    "distinct lineitem orderkey and the audit reports pass/member/"
+    "false-positive counts and the measured FP rate — possible only "
+    "because the seeded-md5 hash family is engine-portable, so DuckDB "
+    "reproduces the exact bit pattern (set-bit membership == the "
+    "word-level bit test, checked per hash seed)",
+    oracle="""
+    WITH members AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    probes AS MATERIALIZED (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    mpos AS MATERIALIZED (
+      SELECT DISTINCT
+        CAST(CONCAT('0x', SUBSTR(MD5(CAST(k AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS pos
+      FROM members, UNNEST(RANGE(0, 3)) AS t(i)
+    ),
+    ppos AS (
+      SELECT k, i,
+        CAST(CONCAT('0x', SUBSTR(MD5(CAST(k AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 8192 AS pos
+      FROM probes, UNNEST(RANGE(0, 3)) AS t(i)
+    ),
+    hits AS (
+      SELECT p.k, COUNT(m.pos) AS n_hit
+      FROM ppos p LEFT JOIN mpos m USING (pos)
+      GROUP BY p.k
+    ),
+    pass AS MATERIALIZED (SELECT k FROM hits WHERE n_hit = 3),
+    agg AS (
+      SELECT
+        (SELECT COUNT(*) FROM probes) AS n_probed,
+        (SELECT COUNT(*) FROM probes WHERE k IN (SELECT k FROM members)) AS n_members,
+        (SELECT COUNT(*) FROM pass) AS n_pass,
+        (SELECT COUNT(*) FROM pass WHERE k NOT IN (SELECT k FROM members)) AS n_false_pos
+    )
+    SELECT n_probed, n_members, n_pass, n_false_pos,
+           ROUND(n_false_pos / GREATEST(CAST(n_probed - n_members AS DOUBLE), 1.0), 6) AS fp_rate
+    FROM agg
+    """,
+    survey_ops=("§2.9 joins", "profiling-skew"),
+)
+def bloom_fp_audit(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import pruning
+
+    li = t(spark, sf_dir, "lineitem")
+    urgent = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return pruning.bloom_audit(
+        li.select("l_orderkey"),
+        "l_orderkey",
+        urgent,
+        "o_orderkey",
+        n_hashes=3,
+        m_bits=8192,
+    )

@@ -419,3 +419,16 @@ def test_hll_md5_registers_partial_agg(spark):
     # as a broadcast, never a window over all registers
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_filters_probe_before_join(spark):
+    plan = _plan(spark, "bloom_prune_semi_join")
+    # the membership test is an in-plan column filter (shiftright bit
+    # test), not a join against the key set
+    assert "shiftright" in plan
+    # one-row bitset arrives via broadcast; the confirming semi-join
+    # broadcasts the key set — the fact side never sort-merge-joins
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # column pruning still reaches the fact scan
+    assert "l_comment" not in plan
