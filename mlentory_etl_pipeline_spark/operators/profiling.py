@@ -142,3 +142,95 @@ def profile_columns(
             F.lit(len(cols)), *stack_args
         ).alias("column", "n_nulls", "n_distinct", "min_value", "max_value")
     )
+
+
+def mg_candidates(df: DataFrame, key_col: str, budget: int) -> DataFrame:
+    """Misra-Gries candidate pass: per-partition BOUNDED-MEMORY
+    frequency summaries (≤ ``budget`` counters each), merged downstream.
+
+    This is the first pass of the production two-pass heavy-hitters
+    recipe: where ``heavy_hitters`` shuffles one combined row per
+    DISTINCT key (fine until key cardinality itself is lake-scale —
+    URLs, n-grams, user agents), the MG pass shuffles at most
+    ``partitions × budget`` candidate rows regardless of cardinality.
+
+    Each Arrow batch folds into the summary by counter addition, then
+    shrinks back to ``budget`` by subtracting the (budget+1)-th largest
+    count from every counter and dropping the non-positive ones — the
+    mergeable-summaries formulation of MG (Agarwal et al., PODS 2012),
+    vectorized per batch instead of row-at-a-time. Guarantee: every key
+    with partition frequency > n_p/(budget+1) survives with a positive
+    lower bound, so a key with GLOBAL frequency ≥ N/(budget+1) survives
+    in at least one partition (weighted-average argument).
+
+    Returns (key, lb) candidate rows; ``lb`` is the MG residual (a
+    lower bound on partition frequency), only useful for pruning —
+    :func:`frequent_items` recounts candidates exactly.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas runtime dep)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    field = df.schema[key_col]
+    out_schema = StructType([field, StructField("lb", LongType())])
+
+    def run(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for k, v in pdf[key_col].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(v)
+            if len(counts) > budget:
+                cut = sorted(counts.values(), reverse=True)[budget]
+                counts = {k: c - cut for k, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame(
+                {key_col: list(counts.keys()), "lb": list(counts.values())}
+            )
+
+    return df.select(key_col).mapInPandas(run, out_schema)
+
+
+def frequent_items(
+    df: DataFrame,
+    key_col: str,
+    support: float,
+    budget_mult: int = 4,
+) -> DataFrame:
+    """All keys with frequency ≥ ``support`` · N, EXACTLY, without ever
+    shuffling the full key cardinality.
+
+    Two passes: (1) :func:`mg_candidates` with budget
+    ``budget_mult/support`` — since budget+1 > 1/support, the MG
+    guarantee makes the candidate set a SUPERSET of the true frequent
+    keys under any partitioning; (2) an exact recount restricted to
+    candidates (broadcast semi-join prunes the scan before its
+    groupBy), thresholded at ``ceil(support · N)``.
+
+    The output is therefore partition-invariant and bit-equal to the
+    plain ``GROUP BY … HAVING count >= ceil(support·N)`` — which is
+    exactly its SQL oracle — while the shuffled volume is
+    ``partitions × budget`` candidates + the recount of matching rows
+    only. Returns (key, n, frac) ordered by n desc then key.
+    """
+    import math
+
+    budget = int(math.ceil(budget_mult / support))
+    cand = mg_candidates(df, key_col, budget).select(key_col).distinct()
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    exact = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.ceil(F.lit(support) * F.col("_total")))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("_total").cast("double"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("n"), F.asc(key_col))
+    )

@@ -8282,3 +8282,39 @@ def bloom_fp_audit(spark, sf_dir):
         n_hashes=3,
         m_bits=8192,
     )
+
+
+@register(
+    "mg_frequent_tokens",
+    "EXACT frequent-token mining without a full-cardinality shuffle: "
+    "pass 1 is a per-partition Misra-Gries bounded summary (budget "
+    "counters, mergeable-summaries batch fold) whose guarantee makes "
+    "its candidates a SUPERSET of every token with freq >= 1% of the "
+    "corpus under ANY partitioning; pass 2 recounts only candidates "
+    "(broadcast semi-join prunes the scan) and thresholds at "
+    "ceil(support*N) — so the result is partition-invariant and "
+    "bit-equal to the plain GROUP BY ... HAVING (the oracle), while "
+    "shuffle volume is partitions*budget rows, not |vocab|",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+    SELECT c.token, c.n,
+           ROUND(c.n / CAST(tot.n AS DOUBLE), 6) AS frac
+    FROM c, tot
+    WHERE c.n >= CEIL(0.01 * tot.n)
+    ORDER BY c.n DESC, c.token ASC
+    """,
+    survey_ops=("profiling-skew", "approx-aggregates"),
+)
+def mg_frequent_tokens(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import profiling
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return profiling.frequent_items(toks, "token", support=0.01)

@@ -42,3 +42,53 @@ def test_profile_columns_approx_mode(spark):
     stats = {r.column: r for r in profiling.profile_columns(df, ["id", "s"], approx=True).collect()}
     # HLL++ default rsd 5% — sanity band, not exactness
     assert abs(stats["id"].n_distinct - 5000) / 5000 < 0.10
+
+
+# ---------------------------------------------------------------------
+# Misra-Gries two-pass frequent items
+# ---------------------------------------------------------------------
+
+def test_frequent_items_partition_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators.profiling import frequent_items
+
+    data = [(f"k{i % 23}",) for i in range(2000)] + [("hot",)] * 900
+    df = spark.createDataFrame(data, "k string")
+    outs = [
+        frequent_items(df.repartition(p), "k", support=0.05).collect()
+        for p in (1, 4, 17)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][0].k == "hot" and outs[0][0].n == 900
+
+
+def test_mg_candidates_superset_guarantee_under_tiny_budget(spark):
+    from mlentory_etl_pipeline_spark.operators.profiling import (
+        frequent_items,
+        mg_candidates,
+    )
+
+    # skewed: 3 hot keys + long tail; budget far below cardinality
+    data = (
+        [("a",)] * 400 + [("b",)] * 300 + [("c",)] * 200
+        + [(f"t{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(data, "k string").repartition(9)
+    support = 0.1  # true frequent set: a, b (c = 200/1400 = 0.143 ≥ 0.1 too)
+    budget = 40  # = ceil(4 / 0.1)
+    cand = {r.k for r in mg_candidates(df, "k", budget).collect()}
+    exact = (
+        df.groupBy("k").count().where(f"count >= ceil(0.1 * 1400)").collect()
+    )
+    assert {r.k for r in exact} <= cand
+    got = frequent_items(df, "k", support=support).collect()
+    assert {r.k for r in got} == {r.k for r in exact}
+
+
+def test_mg_candidates_bounded_output(spark):
+    from mlentory_etl_pipeline_spark.operators.profiling import mg_candidates
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(5000)], "k string"
+    ).repartition(8)
+    n = mg_candidates(df, "k", budget=25).count()
+    assert n <= 8 * 25
