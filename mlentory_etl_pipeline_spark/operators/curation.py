@@ -987,3 +987,139 @@ def weighted_sample_per_group(
         .where(F.col("sample_rank") <= k)
         .drop("_wkey")
     )
+
+
+# ---------------------------------------------------------------------
+# Bootstrap quality classifier (fasttext/CCNet-style, hashed features)
+# ---------------------------------------------------------------------
+
+def nb_bootstrap_quality(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_pred: Column,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Model-based quality scoring the way production corpora do it
+    (CCNet / fasttext-style): bootstrap a linear classifier from cheap
+    rule-based pseudo-labels, then score every document with it.
+
+    ``label_pred`` is a boolean Column — the deterministic heuristic
+    that seeds the classifier (e.g. a Gopher-rule pass). Training is a
+    closed-form multinomial Naive Bayes over HASHED text features
+    (unigrams + adjacent bigrams, seeded-md5 → ``n_buckets`` buckets:
+    the fasttext hashing trick — model size is fixed at ``n_buckets``
+    weights no matter the vocabulary), fit in ONE aggregation pass:
+
+        w_b = ln( (pos_b + a)·(N_neg + a·B) / ((neg_b + a)·(N_pos + a·B)) )
+
+    Scoring joins features to the broadcast weight table and sums.
+    Every weight quantizes to a scaled long via a SINGLE ln per bucket
+    (floor(ln(ratio)·scale) — the lm_perplexity determinism recipe), so
+    the per-doc fold is integer arithmetic: float summation order
+    cannot move the result, which is what lets the whole train+score
+    pipeline run under a hard SQL oracle.
+
+    Scale posture: feature extraction is one posexplode + one lead
+    window keyed by (doc, pos); training shuffles ≤ B bucket rows
+    (map-side combined); the weight table (B rows) broadcasts back for
+    scoring, so the scoring pass adds one doc-keyed aggregation —
+    nothing is ever keyed by raw vocabulary. The hashed-feature frame
+    is pinned (localCheckpoint) because train and score both consume
+    it. Returns (id, n_feats, score_micro, pred_quality) — pred is
+    score ≥ 0, i.e. "more likely drawn from the positive class".
+    """
+    from pyspark.sql import Window
+
+    from mlentory_etl_pipeline_spark.operators.textstats import tokens
+
+    lab = docs.select(
+        F.col(id_col), label_pred.cast("int").alias("_y"), F.col(text_col)
+    )
+    tok = lab.select(
+        id_col,
+        "_y",
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    with_next = tok.withColumn("_next", F.lead("_tok").over(w))
+    unigrams = with_next.select(id_col, "_y", F.col("_tok").alias("_feat"))
+    bigrams = with_next.where(F.col("_next").isNotNull()).select(
+        id_col,
+        "_y",
+        F.concat_ws(" ", "_tok", "_next").alias("_feat"),
+    )
+    feats = (
+        unigrams.unionByName(bigrams)
+        .withColumn(
+            "_bucket",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("_feat"), F.lit("#nb"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
+        .drop("_feat")
+        .localCheckpoint(eager=False)
+    )
+
+    bucket_counts = feats.groupBy("_bucket").agg(
+        F.sum("_y").alias("_pos_c"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_neg_c"),
+    )
+    feat_totals = feats.agg(
+        F.sum("_y").cast("double").alias("_np"),
+        F.sum(F.lit(1) - F.col("_y")).cast("double").alias("_nn"),
+    )
+    ab = alpha * n_buckets
+    weights = (
+        bucket_counts.crossJoin(F.broadcast(feat_totals))
+        .select(
+            "_bucket",
+            F.floor(
+                F.ln(
+                    (F.col("_pos_c") + F.lit(alpha))
+                    * (F.col("_nn") + F.lit(ab))
+                    / (
+                        (F.col("_neg_c") + F.lit(alpha))
+                        * (F.col("_np") + F.lit(ab))
+                    )
+                )
+                * scale
+            )
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    doc_priors = lab.agg(
+        F.floor(
+            F.ln(
+                (F.sum("_y") + F.lit(alpha))
+                / (F.sum(F.lit(1) - F.col("_y")) + F.lit(alpha))
+            )
+            * scale
+        )
+        .cast("long")
+        .alias("_prior")
+    )
+    return (
+        feats.join(F.broadcast(weights), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_w").alias("_wsum"),
+        )
+        .crossJoin(F.broadcast(doc_priors))
+        .select(
+            id_col,
+            "n_feats",
+            (F.col("_prior") + F.col("_wsum")).alias("score_micro"),
+            (F.col("_prior") + F.col("_wsum") >= 0).alias("pred_quality"),
+        )
+        .orderBy(id_col)
+    )

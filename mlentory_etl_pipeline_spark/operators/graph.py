@@ -318,3 +318,63 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("rs") / F.lit(float(scale)), 9).alias("rank")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over an UNDIRECTED
+    edge list (pass each edge once, either orientation): repeatedly
+    drop every node with degree < ``k`` until fixpoint — the standard
+    subgraph-density primitive (community seeds, spam-ring cores,
+    influence backbones).
+
+    Runs exactly ``rounds`` peels (early-exiting once converged, which
+    cannot change the result: past the fixpoint a peel is the
+    identity) so the fold is replayable in SQL — the registry query's
+    DuckDB oracle unrolls the SAME ``rounds`` iterations, making even
+    a non-converged prefix bit-identical across engines. Each round is
+    ONE degree aggregation (explode both endpoints, map-side combined)
+    + two semi-joins of the edge list against the surviving node set —
+    the survivor set only shrinks, so Catalyst broadcasts it once it
+    fits; ``localCheckpoint`` pins each round so the plan stays O(1)
+    per peel instead of unrolling a 12-deep join tree. Shuffle volume
+    per round is bounded by the CURRENT edge count, monotonically
+    non-increasing — the peeling cascade gets cheaper every round,
+    never dearer.
+
+    Returns ``(node, core_degree)`` — the degree WITHIN the k-core —
+    for every surviving node, ordered by node.
+    """
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    ).localCheckpoint(eager=True)
+    prev_n = e.count()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        keep = deg.where(F.col("n") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

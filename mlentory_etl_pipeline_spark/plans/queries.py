@@ -8318,3 +8318,139 @@ def mg_frequent_tokens(spark, sf_dir):
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
     return profiling.frequent_items(toks, "token", support=0.01)
+
+
+@register(
+    "nb_quality_bootstrap_scores",
+    "model-based quality scoring the CCNet/fasttext way, END-TO-END "
+    "under a hard oracle: pseudo-label docs with a cheap rule "
+    "(n_chars >= 300), fit a closed-form multinomial Naive Bayes over "
+    "HASHED unigram+bigram features (seeded-md5 -> 4096 buckets, the "
+    "fasttext hashing trick: model size fixed regardless of vocab) in "
+    "ONE aggregation pass, broadcast the weight table back and score "
+    "every doc; each bucket weight quantizes via a single "
+    "floor(ln(ratio)*1e6) (the lm_perplexity recipe) so the per-doc "
+    "fold is integer math — train AND score replicate bit-for-bit in "
+    "DuckDB",
+    oracle=r"""
+    WITH lab AS MATERIALIZED (
+      SELECT doc_id, CAST(n_chars >= 300 AS INT) AS y,
+             TRIM(LOWER(text)) AS text
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, y,
+             generate_subscripts(STRING_SPLIT_REGEX(text, '\s+'), 1) AS pos,
+             UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS tok
+      FROM lab
+    ),
+    tok2 AS MATERIALIZED (
+      SELECT doc_id, y, tok,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM tok
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, y,
+        CAST(CONCAT('0x', SUBSTR(MD5(feat || '#nb'), 1, 15)) AS BIGINT) % 4096 AS bucket
+      FROM (
+        SELECT doc_id, y, tok AS feat FROM tok2
+        UNION ALL
+        SELECT doc_id, y, tok || ' ' || nxt AS feat FROM tok2 WHERE nxt IS NOT NULL
+      )
+    ),
+    bc AS (SELECT bucket, SUM(y) AS pos_c, SUM(1 - y) AS neg_c FROM feats GROUP BY bucket),
+    ft AS (SELECT CAST(SUM(y) AS DOUBLE) AS np, CAST(SUM(1 - y) AS DOUBLE) AS nn FROM feats),
+    wts AS MATERIALIZED (
+      SELECT bucket,
+        CAST(FLOOR(LN((pos_c + 0.5) * (nn + 2048.0)
+                      / ((neg_c + 0.5) * (np + 2048.0))) * 1000000) AS BIGINT) AS w
+      FROM bc, ft
+    ),
+    prior AS (
+      SELECT CAST(FLOOR(LN((SUM(y) + 0.5) / (SUM(1 - y) + 0.5)) * 1000000) AS BIGINT) AS p
+      FROM lab
+    )
+    SELECT f.doc_id, COUNT(*) AS n_feats,
+           ANY_VALUE(prior.p) + SUM(w.w) AS score_micro,
+           (ANY_VALUE(prior.p) + SUM(w.w)) >= 0 AS pred_quality
+    FROM feats f JOIN wts w USING (bucket), prior
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    survey_ops=("F1 quality filter", "curation-pipeline", "N4 embeddings"),
+)
+def nb_quality_bootstrap_scores(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        nb_bootstrap_quality,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return nb_bootstrap_quality(
+        d, "doc_id", "text", F.col("n_chars") >= 300, n_buckets=4096
+    )
+
+
+def _kcore_oracle(k: int = 20, rounds: int = 12) -> str:
+    """Unrolled k-core peeling oracle — the same fixed ``rounds`` the
+    Spark fold runs (early exit past the fixpoint is the identity, so
+    both sides agree even if the cascade converges sooner)."""
+    sql = """
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey < 120 AND l.l_partkey < 400
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+    )"""
+    for i in range(rounds):
+        sql += f""",
+    d{i} AS (
+      SELECT node, COUNT(*) AS n
+      FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}) t{i}
+      GROUP BY node
+    ),
+    k{i} AS (SELECT node FROM d{i} WHERE n >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT u, v FROM e{i}
+      WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+    )"""
+    sql += f"""
+    SELECT node AS cust_key, COUNT(*) AS core_degree
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds}) tf
+    GROUP BY node ORDER BY node"""
+    return sql
+
+
+@register(
+    "graph_kcore_customers",
+    "k-core decomposition (k=10) of the customer co-purchase graph by "
+    "iterative peeling: each round is one degree aggregation + two "
+    "semi-joins against the shrinking survivor set, localCheckpoint-"
+    "pinned so the plan stays O(1) per round; the fold runs a FIXED "
+    "12 rounds (early exit past the fixpoint is the identity), which "
+    "is what lets the DuckDB oracle replay the identical unrolled "
+    "cascade — the same fixed-iteration determinism scheme as the "
+    "PageRank query",
+    oracle=_kcore_oracle(k=10, rounds=12),
+    survey_ops=("T4 frontier", "§2.9 joins"),
+)
+def graph_kcore_customers(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 120)
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 400)
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        cp.alias("a")
+        .join(cp.alias("b"), "p")
+        .where(F.col("a.c") < F.col("b.c"))
+        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .distinct()
+    )
+    return graph.k_core(edges, k=10, rounds=12).select(
+        F.col("node").alias("cust_key"), "core_degree"
+    )

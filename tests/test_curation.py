@@ -474,3 +474,47 @@ def test_weighted_sample_favors_heavy_weights(spark):
     )
     # E[win] = 10/11 ~ 0.909; 200 trials, loose 3-sigma floor
     assert wins > 160, wins
+
+
+# ---------------------------------------------------------------------
+# Bootstrap NB quality classifier
+# ---------------------------------------------------------------------
+
+def test_nb_bootstrap_separates_crafted_classes(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        nb_bootstrap_quality,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "clean prose with varied words number %d" % i, 1))
+    for i in range(40, 80):
+        rows.append((i, "spam spam spam buy now buy now %d" % i, 0))
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    out = nb_bootstrap_quality(
+        df, "id", "text", F.col("y") == 1, n_buckets=512
+    ).collect()
+    by_id = {r.id: r for r in out}
+    # the classifier must recover its own training labels on a
+    # linearly separable corpus
+    acc = sum(
+        1 for i, r in by_id.items() if r.pred_quality == (i < 40)
+    ) / len(by_id)
+    assert acc >= 0.95
+    # scores are integer micro-units (determinism contract)
+    assert all(isinstance(r.score_micro, int) for r in out)
+
+
+def test_nb_bootstrap_partition_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        nb_bootstrap_quality,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = nb_bootstrap_quality(
+        d.repartition(1), "doc_id", "text", F.col("n_chars") >= 300
+    ).collect()
+    b = nb_bootstrap_quality(
+        d.repartition(11), "doc_id", "text", F.col("n_chars") >= 300
+    ).collect()
+    assert a == b

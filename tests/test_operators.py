@@ -1057,3 +1057,44 @@ def test_snapshot_diff_classification(spark):
         for r in snapshot_diff(b2, a2, ["k"], ["a", "b"]).collect()
     }
     assert out2 == {1: "changed", 2: "changed"}
+
+
+def test_kcore_known_graph(spark):
+    from mlentory_etl_pipeline_spark.operators.graph import k_core
+
+    # K4 clique (nodes 1-4) + a pendant chain 4-5-6: the 3-core is
+    # exactly the clique; the chain peels away in two rounds
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {r.node: r.core_degree for r in k_core(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 2-core keeps only the clique too (chain nodes have degree 1
+    # after the leaf peels), 1-core keeps everything
+    assert set(r.node for r in k_core(df, k=1).collect()) == {1, 2, 3, 4, 5, 6}
+
+
+def test_kcore_cascade_and_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators.graph import k_core
+
+    # long chain + a K5: peeling a chain with k=2 cascades from both
+    # ends — one leaf at a time per end — exercising multi-round decay
+    chain = [(i, i + 1) for i in range(10, 20)]
+    k5 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    df = spark.createDataFrame(chain + k5, "u long, v long")
+    rows = k_core(df, k=2, rounds=15).collect()
+    assert set(r.node for r in rows) == {1, 2, 3, 4, 5}
+    # every node in the k-core has core-degree >= k (the invariant)
+    assert all(r.core_degree >= 2 for r in rows)
+
+
+def test_kcore_fixed_rounds_matches_converged(spark):
+    from mlentory_etl_pipeline_spark.operators.graph import k_core
+
+    # the registry query's contract: running MORE rounds than the
+    # cascade needs is the identity (the oracle's fixed unroll and the
+    # early-exiting Spark fold agree)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    a = sorted(map(tuple, k_core(df, k=2, rounds=3).collect()))
+    b = sorted(map(tuple, k_core(df, k=2, rounds=12).collect()))
+    assert a == b
