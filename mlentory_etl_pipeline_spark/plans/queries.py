@@ -8454,3 +8454,122 @@ def graph_kcore_customers(spark, sf_dir):
     return graph.k_core(edges, k=10, rounds=12).select(
         F.col("node").alias("cust_key"), "core_degree"
     )
+
+
+def _bpe_words_cte() -> str:
+    return r"""
+    WITH toks AS MATERIALIZED (
+      SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS token
+      FROM documents
+    ),
+    wf AS MATERIALIZED (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    w0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(
+               list_transform(range(1, length(token) + 1),
+                              i -> substr(token, CAST(i AS INT), 1)), '  ')
+             || ' ' AS seq, n
+      FROM wf
+    )"""
+
+
+def _bpe_rounds_cte(rounds: int) -> str:
+    sql = ""
+    for r in range(rounds):
+        sym = "string_split(trim(seq), '  ')"
+        sql += f""",
+    p{r} AS (
+      SELECT pr, SUM(n) AS cnt FROM (
+        SELECT UNNEST(list_transform(range(1, len({sym})),
+                 i -> {sym}[CAST(i AS INT)] || ' ' || {sym}[CAST(i AS INT) + 1])) AS pr,
+               n
+        FROM w{r}
+      ) x{r} GROUP BY pr
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT {r} AS rank, pr AS pair, replace(pr, ' ', '') AS merged, cnt
+      FROM p{r} ORDER BY cnt DESC, pr ASC LIMIT 1
+    ),
+    w{r + 1} AS MATERIALIZED (
+      SELECT replace(seq,
+                     ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                     ' ' || (SELECT merged FROM b{r}) || ' ') AS seq, n
+      FROM w{r}
+    )"""
+    return sql
+
+
+def _bpe_train_oracle(rounds: int = 8) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT rank, pair, merged, cnt FROM b{r}" for r in range(rounds)
+    )
+    return (
+        _bpe_words_cte()
+        + _bpe_rounds_cte(rounds)
+        + f"""
+    {union}
+    ORDER BY rank"""
+    )
+
+
+def _bpe_vocab_oracle(rounds: int = 8, k: int = 20) -> str:
+    return (
+        _bpe_words_cte()
+        + _bpe_rounds_cte(rounds)
+        + f"""
+    SELECT symbol, SUM(n) AS cnt FROM (
+      SELECT UNNEST(string_split(trim(seq), '  ')) AS symbol, n FROM w{rounds}
+    ) fin GROUP BY symbol ORDER BY cnt DESC, symbol ASC LIMIT {k}"""
+    )
+
+
+@register(
+    "bpe_train_merges",
+    "distributed BPE tokenizer TRAINING (Sennrich et al. 2016) as a "
+    "pure DataFrame fold: state is the |vocab|-row word-frequency "
+    "table (the corpus is scanned once to build it — the classic BPE "
+    "trick), each of 8 rounds is one weighted adjacent-pair count + a "
+    "1-row argmax broadcast back into a literal sentinel-delimited "
+    "replace; ties break lexicographically so the learned merge table "
+    "is deterministic and the oracle replays the identical unrolled "
+    "rounds in DuckDB",
+    oracle=_bpe_train_oracle(8),
+    survey_ops=("N4 embeddings", "curation-pipeline"),
+)
+def bpe_train_merges(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import tokenizer
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return tokenizer.bpe_train(words, "token", "n", rounds=8)
+
+
+@register(
+    "bpe_vocab_after_merges",
+    "BPE APPLICATION: replay the 8 learned merges in rank order as a "
+    "single literal-replace projection chain (greedy left-to-right "
+    "replace IS greedy BPE, with identical semantics in every engine) "
+    "and report the resulting top-20 subword vocabulary with weighted "
+    "counts — train + apply both run under one hard DuckDB oracle",
+    oracle=_bpe_vocab_oracle(8, 20),
+    survey_ops=("N4 embeddings", "curation-pipeline"),
+)
+def bpe_vocab_after_merges(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import tokenizer
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    merges = tokenizer.bpe_train(words, "token", "n", rounds=8)
+    applied = tokenizer.bpe_apply(words, "token", merges, rounds=8)
+    return (
+        applied.select(F.explode("bpe_symbols").alias("symbol"), "n")
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("symbol"))
+        .limit(20)
+    )
