@@ -231,6 +231,95 @@ def case_scd2_fold(spark, sf_dir: str, k: int):
     return out.version_range
 
 
+
+
+def case_bloom_semi(spark, sf_dir: str, k: int) -> DataFrame:
+    # probe AND build sides both k x (orderkeys offset per replica so
+    # the member fraction is scale-invariant): bloom build stays one
+    # bitset aggregation, the probe pass stays map-only.  Catches: a
+    # bitset that stops broadcasting, probe-side shuffle creep.
+    from mlentory_etl_pipeline_spark.operators import pruning
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li = _replicated(li, k).select(
+        (F.col("l_orderkey") + F.col("_rep") * 100000000).alias("l_orderkey"),
+        "l_quantity",
+    )
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    o = _replicated(o, k).select(
+        (F.col("o_orderkey") + F.col("_rep") * 100000000).alias("o_orderkey")
+    )
+    return pruning.bloom_semi_join(li, "l_orderkey", o, "o_orderkey")
+
+
+def case_nb_classifier(spark, sf_dir: str, k: int) -> DataFrame:
+    # docs k x with word-salted replicas: feature volume grows k x, the
+    # model stays a FIXED 4096 buckets.  Catches: weight-table joins
+    # that stop broadcasting, bucket skew in the training aggregation.
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        nb_bootstrap_quality,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        _salt_words(F.col("text"), F.col("_rep")).alias("text"),
+        "n_chars",
+    )
+    return nb_bootstrap_quality(r, "doc_id", "text", F.col("n_chars") >= 300)
+
+
+def case_kcore(spark, sf_dir: str, k: int) -> DataFrame:
+    # in-plan synthetic graph (the registry query's co-purchase graph
+    # thins out at higher sf, which would make the stress trivial):
+    # a 2000-node chain fused to a K5 clique, replicated as k DISJOINT
+    # copies.  With core k=2 the chain peels one leaf per end per
+    # round — the 12 fixed rounds each do real work on every replica.
+    # Catches: survivor-set joins degrading, per-round shuffle growth
+    # beyond the shrinking edge frontier.
+    n_chain = 2000
+    base = (
+        spark.range(n_chain - 1)
+        .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+        .unionAll(
+            spark.createDataFrame(
+                [(a, b) for a in range(5) for b in range(5) if a < b],
+                "a long, b long",
+            ).select(
+                (F.col("a") + n_chain).alias("u"),
+                (F.col("b") + n_chain).alias("v"),
+            )
+        )
+    )
+    edges = _replicated(base, k).select(
+        (F.col("u") + F.col("_rep") * 1000000).alias("u"),
+        (F.col("v") + F.col("_rep") * 1000000).alias("v"),
+    )
+    return graph.k_core(edges, k=2, rounds=12)
+
+
+def case_bpe_train(spark, sf_dir: str, k: int) -> DataFrame:
+    # vocabulary k x (replica-fused words): the per-round pair count
+    # scales with |vocab|, the argmax stays 1 row, rounds stay fixed.
+    # Catches: pair-count skew, per-round state growth.
+    from mlentory_etl_pipeline_spark.operators import tokenizer
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    words = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    words = _replicated(words, k).select(
+        F.concat(F.col("token"), F.lit("~"), F.col("_rep").cast("string")).alias(
+            "token"
+        ),
+        "n",
+    )
+    return tokenizer.bpe_train(words, "token", "n", rounds=6)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -239,6 +328,10 @@ CASES = {
     "linkage": case_linkage,
     "sessions": case_sessions,
     "scd2_fold": case_scd2_fold,
+    "bloom_semi": case_bloom_semi,
+    "nb_classifier": case_nb_classifier,
+    "kcore": case_kcore,
+    "bpe_train": case_bpe_train,
 }
 
 

@@ -432,3 +432,23 @@ def test_bloom_prune_filters_probe_before_join(spark):
     assert "SortMergeJoin" not in plan
     # column pruning still reaches the fact scan
     assert "l_comment" not in plan
+
+
+def test_mg_frequent_tokens_bounded_candidate_shuffle(spark):
+    plan = _plan(spark, "mg_frequent_tokens")
+    # pass 1 is the Arrow-batched MG summary (bounded memory per
+    # partition), pass 2's recount prunes the scan with a BROADCAST
+    # semi-join on the candidate set — never a full-vocab shuffle join
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nb_classifier_broadcasts_weights(spark):
+    plan = _plan(spark, "nb_quality_bootstrap_scores")
+    # the 4096-row weight table and the 1-row totals/prior broadcast;
+    # the feature frame never sort-merge-joins (the doc-keyed bigram
+    # window lives behind the localCheckpoint pin, so it is asserted
+    # functionally in test_curation rather than visible here)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
