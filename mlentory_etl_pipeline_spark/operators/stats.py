@@ -1,0 +1,138 @@
+"""Resampling statistics at lake scale: deterministic Poisson
+bootstrap.
+
+The reference reports point aggregates only (count/avg audit queries,
+``LoadProcessor.py:531-545``); a pipeline making data-driven curation
+decisions (did the filter change mean quality? is the dedup rate
+stable?) needs ERROR BARS on those aggregates. The classic bootstrap
+resamples the dataset B times — impossible by materialization at
+100 TB, standard via the POISSON approximation (Chamandy et al.,
+Google 2012): each row enters replica b with multiplicity
+``Poisson(1)``, approximating multinomial resampling with independent
+per-(row, replica) draws, ONE pass, no data movement.
+
+Determinism contract (what lets a *randomized* method run under a hard
+SQL oracle): the per-(row, replica) uniform is the first 60 bits of
+``md5(key || '#' || b)`` over 2^60 (exact power-of-two division), the
+Poisson(1) inverse CDF is a CASE chain over HARD-CODED decimal
+breakpoint literals (no libm call → no cross-engine rounding), and
+replica statistics fold in exact DECIMAL arithmetic, dividing to
+double only at the end. Same family of tricks as the DSIR /
+lm_perplexity quantization scheme.
+
+Scale posture: the explode is map-side (B× rows inside the scan
+stage, never shuffled raw — partial aggregation combines per
+(replica, group) before the exchange), so the shuffle carries
+``B × |groups|`` rows. The CI step sorts B replica means — B rows,
+one task, free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# P(Poisson(1) <= k) for k = 0..7, rounded to 15 significant digits.
+# Literal breakpoints (not computed) so every engine parses the exact
+# same doubles: determinism beats the ~1e-15 CDF truncation error.
+POISSON1_CDF = [
+    0.367879441171442,
+    0.735758882342885,
+    0.919698602928606,
+    0.981011843123846,
+    0.996340153172656,
+    0.999405815182418,
+    0.999916758850712,
+    0.999989750803325,
+]
+
+
+def _poisson_weight(u: Column) -> Column:
+    """Inverse-CDF lookup: uniform in [0,1) → Poisson(1) draw, capped
+    at 8 (P(X > 8) ≈ 1.1e-6 — the cap is part of the contract and of
+    the oracle)."""
+    expr = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_replicas(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    n_replicas: int = 64,
+    scale: int = 2,
+) -> DataFrame:
+    """B Poisson-bootstrap replica means of ``value``.
+
+    ``key`` must be a deterministic row identity (content key, not
+    position). Returns ``(replica, n_eff, mean_value)`` — one row per
+    replica, mean rounded to 6 dp after an exact decimal weighted sum.
+    """
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("replica")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_k"), F.lit("#"), F.col("replica"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    weighted = df.select(
+        rep, key.cast("string").alias("_k"), value.cast(f"decimal(18,{scale})").alias("_v")
+    ).select("replica", _poisson_weight(u).alias("_w"), "_v")
+    return (
+        weighted.groupBy("replica")
+        .agg(
+            F.sum("_w").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_v")).alias("_wsum"),
+        )
+        .select(
+            "replica",
+            "n_eff",
+            F.round(
+                F.col("_wsum").cast("double") / F.col("n_eff").cast("double"), 6
+            ).alias("mean_value"),
+        )
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    n_replicas: int = 64,
+    lo_rank: int = 2,
+    hi_rank: int = 62,
+    scale: int = 2,
+) -> DataFrame:
+    """One-row bootstrap interval: the point mean (exact decimal over
+    the REAL dataset) plus the ``lo_rank``-th / ``hi_rank``-th order
+    statistics of the B replica means (ranks, not interpolated
+    percentiles, so both engines select the identical elements —
+    defaults ≈ the 2.5%/97.5% band at B=64)."""
+    reps = bootstrap_replicas(df, key, value, n_replicas, scale)
+    w = Window.orderBy(F.asc("mean_value"), F.asc("replica"))
+    ranked = reps.select(
+        "mean_value", F.row_number().over(w).alias("_r")
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("_r") == lo_rank, F.col("mean_value"))).alias("ci_lo"),
+        F.max(F.when(F.col("_r") == hi_rank, F.col("mean_value"))).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicas"),
+    )
+    point = df.agg(
+        F.round(
+            F.sum(value.cast(f"decimal(18,{scale})")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("point_mean")
+    )
+    return point.crossJoin(F.broadcast(bounds)).select(
+        "point_mean", "ci_lo", "ci_hi", "n_replicas"
+    )

@@ -8573,3 +8573,80 @@ def bpe_vocab_after_merges(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("symbol"))
         .limit(20)
     )
+
+
+def _poisson_case_sql(u: str) -> str:
+    from mlentory_etl_pipeline_spark.operators.stats import POISSON1_CDF
+
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def _bootstrap_ci_oracle(b: int = 64, lo: int = 2, hi: int = 62) -> str:
+    seed = (
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+        " || '#' || CAST(r.b AS VARCHAR)"
+    )
+    u = (
+        f"(CAST(CONCAT('0x', SUBSTR(MD5({seed}), 1, 15)) AS BIGINT)"
+        f" / 1152921504606846976.0)"
+    )
+    return f"""
+    WITH reps AS MATERIALIZED (
+      SELECT r.b AS replica,
+             {_poisson_case_sql(u)} AS w,
+             CAST(l_quantity AS DECIMAL(18,2)) AS v
+      FROM lineitem, UNNEST(RANGE(0, {b})) AS r(b)
+    ),
+    means AS MATERIALIZED (
+      SELECT replica, SUM(w) AS n_eff,
+             ROUND(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS mean_value
+      FROM reps GROUP BY replica
+    ),
+    ranked AS (
+      SELECT mean_value,
+             ROW_NUMBER() OVER (ORDER BY mean_value ASC, replica ASC) AS r
+      FROM means
+    ),
+    bounds AS (
+      SELECT MAX(CASE WHEN r = {lo} THEN mean_value END) AS ci_lo,
+             MAX(CASE WHEN r = {hi} THEN mean_value END) AS ci_hi,
+             COUNT(*) AS n_replicas
+      FROM ranked
+    ),
+    pt AS (
+      SELECT ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS point_mean
+      FROM lineitem
+    )
+    SELECT point_mean, ci_lo, ci_hi, n_replicas FROM pt, bounds
+    """
+
+
+@register(
+    "bootstrap_ci_avg_quantity",
+    "error bars on a lake-scale aggregate WITHOUT materializing "
+    "resamples: Poisson(1) bootstrap (Chamandy et al. 2012) — each row "
+    "enters each of 64 replicas with multiplicity drawn by inverting a "
+    "HARD-CODED Poisson CDF over a seeded-md5 uniform, replica means "
+    "fold in exact decimal, the CI picks fixed order statistics of "
+    "the replica means; every draw is deterministic, so the whole "
+    "randomized procedure runs under a hard SQL oracle. Map-side "
+    "explode; the shuffle carries 64 partially-aggregated rows",
+    oracle=_bootstrap_ci_oracle(64, 2, 62),
+    survey_ops=("approx-aggregates", "curation-pipeline"),
+)
+def bootstrap_ci_avg_quantity(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return stats.bootstrap_ci(
+        li, key, F.col("l_quantity"), n_replicas=64, lo_rank=2, hi_rank=62
+    )

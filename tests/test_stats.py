@@ -1,0 +1,68 @@
+"""Deterministic Poisson bootstrap (operators/stats.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators import stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_weight(key: str, b: int) -> int:
+    u = int(
+        hashlib.md5(f"{key}#{b}".encode()).hexdigest()[:15], 16
+    ) / float(1 << 60)
+    for k, c in enumerate(stats.POISSON1_CDF):
+        if u < c:
+            return k
+    return 8
+
+
+def test_poisson_weights_match_python_model(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    reps = stats.bootstrap_replicas(
+        df, F.col("k"), F.col("v"), n_replicas=4
+    ).collect()
+    model = {}
+    for b in range(4):
+        ws = [_py_weight(str(i), b) for i in range(50)]
+        vs = [w * float(i) for i, w in enumerate(ws)]
+        model[b] = (sum(ws), round(sum(vs) / sum(ws), 6))
+    got = {r.replica: (r.n_eff, r.mean_value) for r in reps}
+    assert got == model
+
+
+def test_bootstrap_replicas_concentrate(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    n = li.count()
+    reps = stats.bootstrap_replicas(
+        li, key, F.col("l_quantity"), n_replicas=16
+    ).collect()
+    assert len(reps) == 16
+    # Poisson(1) row multiplicities: replica size ~ N ± 5*sqrt(N)
+    for r in reps:
+        assert abs(r.n_eff - n) <= 5 * math.sqrt(n), r
+
+
+def test_bootstrap_ci_brackets_point_and_is_partition_invariant(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    a = stats.bootstrap_ci(li.repartition(1), key, F.col("l_quantity")).first()
+    b = stats.bootstrap_ci(li.repartition(13), key, F.col("l_quantity")).first()
+    assert a == b
+    assert a.n_replicas == 64
+    assert a.ci_lo <= a.point_mean <= a.ci_hi
+    assert a.ci_lo < a.ci_hi
