@@ -196,3 +196,76 @@ def lm_perplexity(
         F.round(avg, 4).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )
+
+
+def kl_domain_drift(
+    docs,
+    group_col: str,
+    text_col: str,
+    scale: int = 1_000_000,
+):
+    """Per-group KL divergence of the token distribution vs the whole
+    corpus — the domain-drift / mixing diagnostic a training-data
+    pipeline watches per source (a source whose unigram distribution
+    diverges is over- or under-represented, or has gone off-topic).
+
+    ``KL(P_g ‖ P)`` with add-½ smoothing over the union vocabulary.
+    Everything reduces to INTEGER ratios: with α=½, both distributions
+    are rationals over ``2·C+1`` numerators, so each token's log-ratio
+    is ONE ``ln`` of an integer-product ratio, quantized to micro-units
+    (``floor(ln·1e6)``) and then weighted by the integer numerator
+    ``2·C_g+1`` — the whole per-group fold is long arithmetic (the
+    DSIR/lm_perplexity determinism scheme), which is what puts a
+    divergence STATISTIC under a hard SQL oracle.
+
+    Scale posture: two token-keyed aggregations (map-side combined)
+    build the group and global count tables; the smoothed sum runs
+    over the |groups| × |vocab| grid — at lake scale bound the vocab
+    to the top-m global tokens first (one TakeOrdered) and fold the
+    tail into an OOV bucket; the grid shape itself is inherent to
+    smoothed KL. Returns ``(group, n_tokens, kl)``, kl rounded 6 dp.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    gcnt = toks.groupBy("_g", "_tok").agg(F.count(F.lit(1)).alias("_cg"))
+    cnt = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = cnt.agg(
+        F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    gtot = toks.groupBy("_g").agg(F.count(F.lit(1)).alias("_tg"))
+    grid = gtot.crossJoin(cnt).join(
+        gcnt, ["_g", "_tok"], "left"
+    ).crossJoin(F.broadcast(totals))
+    num = (2 * F.coalesce(F.col("_cg"), F.lit(0)) + 1).cast("double")
+    ratio = (
+        num
+        * (2 * F.col("_t") + F.col("_v")).cast("double")
+        / (
+            (2 * F.col("_c") + 1).cast("double")
+            * (2 * F.col("_tg") + F.col("_v")).cast("double")
+        )
+    )
+    term = F.floor(F.ln(ratio) * scale).cast("long") * (
+        2 * F.coalesce(F.col("_cg"), F.lit(0)) + 1
+    )
+    return (
+        grid.groupBy("_g")
+        .agg(
+            F.max("_tg").alias("n_tokens"),
+            F.sum(term).alias("_s"),
+            F.max(F.col("_v")).alias("_vv"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double")
+                / (2 * F.col("n_tokens") + F.col("_vv")).cast("double")
+                / F.lit(float(scale)),
+                6,
+            ).alias("kl"),
+        )
+        .orderBy(group_col)
+    )

@@ -8650,3 +8650,49 @@ def bootstrap_ci_avg_quantity(spark, sf_dir):
     return stats.bootstrap_ci(
         li, key, F.col("l_quantity"), n_replicas=64, lo_rank=2, hi_rank=62
     )
+
+
+@register(
+    "kl_domain_drift_by_source",
+    "per-source KL divergence of token distributions vs the whole "
+    "corpus — the domain-drift / mixing diagnostic behind data-mixture "
+    "dashboards: add-half smoothing makes both distributions integer "
+    "rationals, so each token's log-ratio is ONE ln of an integer "
+    "ratio quantized to micro-units and weighted by an integer "
+    "numerator — the per-source fold is pure long arithmetic, putting "
+    "a divergence statistic under a hard SQL oracle; two token-keyed "
+    "aggregations + the |sources|x|vocab| smoothing grid",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT source AS g,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    gcnt AS MATERIALIZED (SELECT g, tok, COUNT(*) AS cg FROM toks GROUP BY g, tok),
+    cnt AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM cnt),
+    gtot AS (SELECT g, COUNT(*) AS tg FROM toks GROUP BY g),
+    grid AS (
+      SELECT gtot.g, gtot.tg, cnt.tok, cnt.c, COALESCE(gcnt.cg, 0) AS cg, tot.t, tot.v
+      FROM gtot CROSS JOIN cnt
+      LEFT JOIN gcnt ON gcnt.g = gtot.g AND gcnt.tok = cnt.tok
+      CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT g, tg, v,
+             CAST(FLOOR(LN(
+               CAST(2 * cg + 1 AS DOUBLE) * CAST(2 * t + v AS DOUBLE)
+               / (CAST(2 * c + 1 AS DOUBLE) * CAST(2 * tg + v AS DOUBLE))
+             ) * 1000000) AS BIGINT) * (2 * cg + 1) AS term
+      FROM grid
+    )
+    SELECT g AS source, MAX(tg) AS n_tokens,
+           ROUND(CAST(SUM(term) AS DOUBLE)
+                 / CAST(2 * MAX(tg) + MAX(v) AS DOUBLE) / 1000000.0, 6) AS kl
+    FROM terms GROUP BY g ORDER BY source
+    """,
+    survey_ops=("curation-pipeline", "F1 quality filter"),
+)
+def kl_domain_drift_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return textstats.kl_domain_drift(d, "source", "text")

@@ -66,3 +66,33 @@ def test_bootstrap_ci_brackets_point_and_is_partition_invariant(spark):
     assert a.n_replicas == 64
     assert a.ci_lo <= a.point_mean <= a.ci_hi
     assert a.ci_lo < a.ci_hi
+
+
+# ---------------------------------------------------------------------
+# KL domain drift (textstats.kl_domain_drift)
+# ---------------------------------------------------------------------
+
+def test_kl_drift_orders_drifted_source_last(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import kl_domain_drift
+
+    rows = (
+        [("a", "x y z w x y z w")] * 10
+        + [("b", "x y z w x y z w")] * 10
+        + [("c", "qqq qqq qqq zebra zebra")] * 10  # off-distribution
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r.kl for r in kl_domain_drift(df, "source", "text").collect()}
+    # the drifted source dominates (the twins carry some divergence
+    # too — the GLOBAL mixture includes c's off-topic mass)
+    assert out["c"] > 5 * max(out["a"], out["b"])
+    assert abs(out["a"] - out["b"]) < 1e-9
+    assert all(v > -1e-4 for v in out.values())  # >= 0 up to micro-floor
+
+
+def test_kl_drift_partition_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import kl_domain_drift
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = kl_domain_drift(d.repartition(1), "source", "text").collect()
+    b = kl_domain_drift(d.repartition(9), "source", "text").collect()
+    assert a == b
