@@ -8696,3 +8696,67 @@ def bootstrap_ci_avg_quantity(spark, sf_dir):
 def kl_domain_drift_by_source(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return textstats.kl_domain_drift(d, "source", "text")
+
+
+@register(
+    "schema_evolution_union",
+    "schema-evolution union across drifted snapshot versions (the "
+    "lake mergeSchema behavior, explicit and STRICT): an old-extractor "
+    "snapshot (int keys, DATE dates, no priority column) unions with "
+    "the current one (bigint keys, TIMESTAMP dates, priority) — "
+    "missing columns null-fill, types widen along the numeric/"
+    "temporal lattice, non-widenable conflicts RAISE instead of "
+    "silently stringifying; the target schema comes from driver "
+    "metadata only, so the union is a zero-shuffle chain of map-side "
+    "casts (asserted in tests)",
+    oracle="""
+    WITH v1 AS (
+      SELECT CAST(o_orderkey AS INT) AS o_orderkey,
+             CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM v1
+      UNION ALL
+      SELECT o_orderkey, o_orderdate, o_orderpriority FROM v2
+    )
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n,
+           MAX(o_orderkey) AS max_key,
+           MIN(o_orderdate) AS min_date
+    FROM unioned GROUP BY priority ORDER BY priority
+    """,
+    survey_ops=("S11 file sinks", "G8 graph union"),
+)
+def schema_evolution_union(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.sources.files import evolve_union
+
+    o = t(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    evolved = evolve_union([v1, v2])
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_orderdate").alias("min_date"),
+        )
+        .orderBy("priority")
+    )

@@ -139,3 +139,82 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(dest_dir)
     )
+
+
+# Widening lattice for evolve_union: a type may flow rightward only.
+_WIDENING_ORDER = [
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+]
+
+
+def _wider(a: str, b: str) -> str | None:
+    """The wider of two primitive type names under the numeric
+    widening lattice, or None if the pair is not widenable."""
+    if a == b:
+        return a
+    if a in _WIDENING_ORDER and b in _WIDENING_ORDER:
+        return _WIDENING_ORDER[max(_WIDENING_ORDER.index(a), _WIDENING_ORDER.index(b))]
+    ab = {a, b}
+    if "string" in ab:
+        # anything renders to string, but ONLY when the caller opted in
+        return "string"
+    if ab == {"date", "timestamp"}:
+        return "timestamp"
+    if ab == {"date", "timestamp_ntz"}:
+        return "timestamp_ntz"
+    # timestamp vs timestamp_ntz is deliberately NOT widenable: mixing
+    # zoned and zoneless instants shifts data silently
+    return None
+
+
+def evolve_union(
+    dfs: list[DataFrame],
+    allow_to_string: bool = False,
+) -> DataFrame:
+    """Schema-evolution union: combine snapshots whose schemas drifted
+    across pipeline versions — missing columns null-fill, numeric
+    types widen along the standard lattice (int → bigint → double),
+    date widens to timestamp. The lake `mergeSchema` behavior, made
+    explicit and STRICT: a non-widenable conflict (e.g. bigint vs
+    boolean) raises instead of silently stringifying, unless
+    ``allow_to_string=True`` opts into the string fallback.
+
+    The reference re-reads historical extraction JSON whose shape
+    changed between extractor versions (`HFDatasetManager.py` snapshot
+    schema vs API schema) and pandas silently object-widens; at lake
+    scale silent widening corrupts downstream typing, so the widened
+    target schema is computed ONCE from the inputs' schemas (driver
+    metadata — no data pass) and every input projects to it map-side:
+    the union is a zero-shuffle concatenation of casts.
+
+    Column order follows first appearance across ``dfs``.
+    """
+    if not dfs:
+        raise ValueError("evolve_union needs at least one input")
+    target: dict[str, str] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in target:
+                target[f.name] = t
+                continue
+            w = _wider(target[f.name], t)
+            if w is None and allow_to_string:
+                w = "string"
+            if w is None:
+                raise TypeError(
+                    f"column {f.name!r}: {target[f.name]} vs {t} is not "
+                    f"widenable (pass allow_to_string=True to force)"
+                )
+            target[f.name] = w
+    out = None
+    for df in dfs:
+        have = {f.name for f in df.schema.fields}
+        proj = df.select(
+            *[
+                (F.col(c) if c in have else F.lit(None)).cast(t).alias(c)
+                for c, t in target.items()
+            ]
+        )
+        out = proj if out is None else out.unionByName(proj)
+    return out

@@ -80,3 +80,55 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # gives only to its own column.
     assert files_overlapping("a_lo", "a_hi", 0, 511) <= 8
     assert files_overlapping("b_lo", "b_hi", 0, 511) <= 8
+
+
+# ---------------------------------------------------------------------
+# Schema-evolution union
+# ---------------------------------------------------------------------
+
+def test_evolve_union_widens_and_nullfills(spark):
+    import pytest
+
+    from mlentory_etl_pipeline_spark.sources.files import evolve_union
+
+    a = spark.createDataFrame([(1, 2.5)], "k int, v double")
+    b = spark.createDataFrame([(10**12, "x")], "k long, name string")
+    out = evolve_union([a, b])
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {"k": "bigint", "v": "double", "name": "string"}
+    rows = {r.k: (r.v, r.name) for r in out.collect()}
+    assert rows == {1: (2.5, None), 10**12: (None, "x")}
+    # column order follows first appearance
+    assert [f.name for f in out.schema.fields] == ["k", "v", "name"]
+
+
+def test_evolve_union_rejects_non_widenable(spark):
+    import pytest
+
+    from mlentory_etl_pipeline_spark.sources.files import evolve_union
+
+    a = spark.createDataFrame([(1,)], "k int")
+    b = spark.createDataFrame([(True,)], "k boolean")
+    with pytest.raises(TypeError, match="not widenable"):
+        evolve_union([a, b])
+    # the explicit opt-in stringifies instead
+    out = evolve_union([a, b], allow_to_string=True)
+    assert out.schema["k"].dataType.simpleString() == "string"
+    assert {r.k for r in out.collect()} == {"1", "true"}
+
+
+def test_evolve_union_is_zero_shuffle(spark):
+    import contextlib
+    import io
+
+    from mlentory_etl_pipeline_spark.sources.files import evolve_union
+
+    a = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    b = a.select("o_orderkey", "o_custkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        evolve_union([a, b]).explain("formatted")
+    plan = buf.getvalue()
+    assert "Union" in plan
+    for op in ("Exchange", "Sort", "Join"):
+        assert op not in plan, op
