@@ -107,6 +107,13 @@ def main():
             "semdedup_embeddings",
             "zorder_orders_layout",
             "compaction_plan_files",
+            "bloom_prune_semi_join",
+            "mg_frequent_tokens",
+            "nb_quality_bootstrap_scores",
+            "graph_kcore_customers",
+            "bpe_train_merges",
+            "bootstrap_ci_avg_quantity",
+            "kl_domain_drift_by_source",
         )
         if n in REGISTRY
     ]

@@ -136,3 +136,68 @@ def bootstrap_ci(
     return point.crossJoin(F.broadcast(bounds)).select(
         "point_mean", "ci_lo", "ci_hi", "n_replicas"
     )
+
+
+def groupwise_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group closed-form OLS trend (value drift per day) — the
+    time-series health signal behind "is this source's quality/volume
+    drifting" dashboards, computed for every group in ONE aggregation.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = seconds since
+    the group's first event, y = value in integer ``cents``.
+
+    Determinism: x and y are exact integers (µs diff floor-divided to
+    seconds; value scaled+floored), so the four sufficient statistics
+    are EXACT integer sums — partitioning cannot move them — and the
+    closing products run in DECIMAL(38,0) (n·Σx² overflows int64 at
+    ~10⁵ rows × month-long spans; decimal keeps them exact in both
+    engines). Division to double happens once, on identical exact
+    operands. Groups with < 2 points or zero x-variance return NULL.
+
+    Scale posture: one min-aggregation (map-side combined) broadcast
+    back to center x, one sufficient-stats aggregation (map-side
+    combined) — two shuffles of |groups| rows each, nothing sorted.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        *group_cols,
+        us.alias("_us"),
+        F.floor(F.col(value_col) * cents).cast("long").alias("_y"),
+    )
+    t0 = base.groupBy(*group_cols).agg(F.min("_us").alias("_t0"))
+    xy = base.join(t0, group_cols).select(
+        *group_cols,
+        F.expr("(_us - _t0) DIV 1000000").alias("_x"),
+        "_y",
+    )
+    d = "decimal(38,0)"
+    stats_df = xy.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n = F.col("n_points").cast(d)
+    num = n * F.col("_sxy").cast(d) - F.col("_sx").cast(d) * F.col("_sy").cast(d)
+    den = n * F.col("_sxx").cast(d) - F.col("_sx").cast(d) * F.col("_sx").cast(d)
+    return stats_df.select(
+        *group_cols,
+        "n_points",
+        F.round(
+            F.when(
+                den != 0,
+                num.cast("double")
+                / den.cast("double")
+                * F.lit(86400.0)
+                / F.lit(float(cents)),
+            ),
+            6,
+        ).alias("slope_per_day"),
+    ).orderBy(*group_cols)

@@ -8760,3 +8760,131 @@ def schema_evolution_union(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "streaming_attribution_join",
+    "TRUE stream-stream join under a hard oracle: click and purchase "
+    "streams replay from separate time-ordered landing dirs, the "
+    "interval join (purchase within 2h of a same-user click) runs "
+    "with watermarks on BOTH sides so join state stays bounded by the "
+    "horizon x arrival rate, and the DRAINED match set must aggregate "
+    "to exactly the batch interval-join's answer — streaming/batch "
+    "parity by construction (one join condition, two execution modes)",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT click_id) AS n_clicks_matched
+    FROM m
+    """,
+    survey_ops=("§2.9 streaming", "S2"),
+)
+def streaming_attribution_join(spark, sf_dir):
+    import tempfile
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c_src = tempfile.mkdtemp(prefix="attr-clicks-")
+    p_src = tempfile.mkdtemp(prefix="attr-purch-")
+    ckpt = tempfile.mkdtemp(prefix="attr-ckpt-")
+    _write_time_ordered_slices(clicks, c_src, "click_ts")
+    _write_time_ordered_slices(purchases, p_src, "purchase_ts")
+    c_stream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src)
+    )
+    p_stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_src)
+    )
+    joined = incremental.stream_stream_interval_join(
+        c_stream,
+        p_stream,
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        within="2 hours",
+        watermark_delay="30 days",
+    )
+    sink = f"attrjoin_out_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count_distinct(F.col("click_id")).alias("n_clicks_matched"),
+    )
+
+
+@register(
+    "trend_value_drift_by_type",
+    "per-event-type OLS value trend (drift per day) in one pass: x = "
+    "seconds since the group's first event (exact integer from a us "
+    "diff), y = value in integer cents, so the four sufficient "
+    "statistics are exact integer sums immune to partitioning; the "
+    "closing n*Sxy - Sx*Sy products run in DECIMAL(38,0) (int64 "
+    "overflows at month-span x month-volume), divided to double once "
+    "on identical exact operands — a regression statistic under a "
+    "hard SQL oracle; two |groups|-row shuffles, map-side combined",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    t0 AS (SELECT event_type, MIN(us) AS t0 FROM base GROUP BY event_type),
+    xy AS (
+      SELECT base.event_type, (us - t0.t0) // 1000000 AS x, y
+      FROM base JOIN t0 ON base.event_type = t0.event_type
+    ),
+    st AS (
+      SELECT event_type, COUNT(*) AS n_points,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n_points,
+           ROUND(
+             CASE WHEN (CAST(n_points AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                        - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) <> 0
+             THEN CAST(CAST(n_points AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                       - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+                  / CAST(CAST(n_points AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                  * 86400.0 / 100.0
+             END, 6) AS slope_per_day
+    FROM st ORDER BY event_type
+    """,
+    survey_ops=("§2.9 aggregations", "profiling-skew"),
+)
+def trend_value_drift_by_type(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    return stats.groupwise_trend(e, ["event_type"], "ts", "value")

@@ -96,3 +96,34 @@ def test_kl_drift_partition_invariant(spark):
     a = kl_domain_drift(d.repartition(1), "source", "text").collect()
     b = kl_domain_drift(d.repartition(9), "source", "text").collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# Groupwise OLS trend (stats.groupwise_trend)
+# ---------------------------------------------------------------------
+
+def test_trend_recovers_known_slope(spark):
+    from datetime import datetime, timedelta
+
+    # y rises exactly 2.00 per hour -> 48.0/day; a flat twin -> 0.0;
+    # a single-point group -> NULL slope
+    rows = []
+    start = datetime(2024, 1, 1)
+    for i in range(50):
+        ts = start + timedelta(hours=i)
+        rows.append(("up", ts, 10.0 + 2.0 * i))
+        rows.append(("flat", ts, 7.5))
+    rows.append(("lone", start, 3.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {r.g: r for r in stats.groupwise_trend(df, ["g"], "ts", "value").collect()}
+    assert abs(out["up"].slope_per_day - 48.0) < 1e-6
+    assert out["flat"].slope_per_day == 0.0
+    assert out["lone"].slope_per_day is None
+    assert out["up"].n_points == 50
+
+
+def test_trend_partition_invariant(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = stats.groupwise_trend(e.repartition(1), ["event_type"], "ts", "value").collect()
+    b = stats.groupwise_trend(e.repartition(17), ["event_type"], "ts", "value").collect()
+    assert a == b
