@@ -8888,3 +8888,68 @@ def trend_value_drift_by_type(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return stats.groupwise_trend(e, ["event_type"], "ts", "value")
+
+
+@register(
+    "markov_event_transitions",
+    "first-order Markov transition matrix over per-user event "
+    "sequences: ONE lead window keyed by user (deterministic order: "
+    "ts then event_id), transitions gapped at <= 1 hour, counts + "
+    "conditional probabilities (integer ratio divided once — "
+    "deterministic) — the user-journey / page-path analysis shape; "
+    "one window shuffle keyed by user, one count aggregation",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LEAD(event_type) OVER w AS next_type,
+             LEAD(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT event_type AS cur, next_type AS nxt
+      FROM seq
+      WHERE next_type IS NOT NULL
+        AND next_ts <= ts + INTERVAL 1 HOUR
+    ),
+    counts AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM trans GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, SUM(n) AS tn FROM counts GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS p
+    FROM counts c JOIN tot t ON c.cur = t.cur
+    ORDER BY c.cur, c.nxt
+    """,
+    survey_ops=("§2.9 window functions", "T1 classification"),
+)
+def markov_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    trans = seq.where(
+        F.col("next_type").isNotNull()
+        & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    ).select(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+    counts = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("cur").agg(F.sum("n").alias("_tn"))
+    return (
+        counts.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tn").cast("double"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy("cur", "nxt")
+    )
