@@ -1294,3 +1294,78 @@ def seed_pq_codebook_residual(
         (F.col(id_col) - id_offset).cast("int").alias("code"),
         F.col("chunk").alias("cw"),
     )
+
+
+def nearest_centroid_confusion(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Rocchio nearest-centroid classification of labeled embeddings,
+    reported as a confusion matrix — the label-quality audit a
+    training-data pipeline runs over annotated corpora (labels whose
+    members scatter across other centroids are noisy or duplicated;
+    the same probe the reference's QA matcher would need to validate
+    its section labels, ``QAMatchingEngine.py:154-237``).
+
+    Centroids are EXACT: per-(label, dim) sums of ``floor(v·1e6)``
+    longs (one posexplode + one map-side-combined aggregation — the
+    quantized-update scheme the distributed Lloyd's loop uses), so the
+    mean is a ratio of exact integers and the whole train+classify
+    pipeline replays under a hard SQL oracle. Classification
+    broadcasts the |labels| centroid rows, scores JVM-side
+    (zip_with/aggregate cosine), ranks on the 4-dp-rounded score with
+    a label tiebreak (fully deterministic), and folds into the
+    |labels|² confusion matrix.
+    """
+    from mlentory_etl_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    vm = vecs.select(
+        F.col(label_col).alias("_lab"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    ).select(
+        "_lab",
+        "_dim",
+        F.floor(F.col("_v").cast("double") * scale).cast("long").alias("_m"),
+    )
+    cent = vm.groupBy("_lab", "_dim").agg(
+        F.sum("_m").alias("_sm"), F.count(F.lit(1)).alias("_n")
+    )
+    carr = cent.groupBy("_lab").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_dim"),
+                        (
+                            F.col("_sm").cast("double")
+                            / F.col("_n")
+                            / F.lit(float(scale))
+                        ).alias("_c"),
+                    )
+                )
+            ),
+            lambda s: s.getField("_c"),
+        ).alias("_centroid")
+    ).select(F.col("_lab").alias("pred_label"), "_centroid")
+    scored = vecs.select(id_col, F.col(label_col).alias("label"), vec_col).crossJoin(
+        F.broadcast(carr)
+    ).select(
+        id_col,
+        "label",
+        "pred_label",
+        F.round(cosine_similarity(F.col(vec_col), F.col("_centroid")), 4).alias(
+            "_score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("pred_label"))
+    pred = scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+    return (
+        pred.groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred_label")
+    )

@@ -8953,3 +8953,58 @@ def markov_event_transitions(spark, sf_dir):
         )
         .orderBy("cur", "nxt")
     )
+
+
+@register(
+    "rocchio_label_confusion",
+    "nearest-centroid (Rocchio) classification of the labeled "
+    "embedding corpus reported as a confusion matrix — the "
+    "label-quality audit over annotated data: centroids are EXACT "
+    "per-(label,dim) integer-micro sums (one posexplode aggregation, "
+    "the quantized Lloyd-update scheme), classification broadcasts "
+    "the 10 centroid rows and scores JVM-side, ranking on 4-dp "
+    "scores with label tiebreak — train AND classify replay under a "
+    "hard SQL oracle",
+    oracle="""
+    WITH vm AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, SUM(m) AS sm, COUNT(*) AS n
+      FROM vm GROUP BY label, dim
+    ),
+    carr AS (
+      SELECT label AS pred_label,
+             LIST(CAST(sm AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, carr.pred_label,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * c[i]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(c, v -> v * v)))),
+               4) AS score
+      FROM embeddings e CROSS JOIN carr
+    ),
+    pred AS (
+      SELECT vec_id, label, pred_label FROM (
+        SELECT vec_id, label, pred_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, pred_label ASC) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT label, pred_label, COUNT(*) AS n
+    FROM pred GROUP BY label, pred_label ORDER BY label, pred_label
+    """,
+    survey_ops=("N5", "N6 clustering", "curation-pipeline"),
+)
+def rocchio_label_confusion(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.nearest_centroid_confusion(
+        e, "vec_id", "embedding", "label"
+    )

@@ -127,3 +127,36 @@ def test_trend_partition_invariant(spark):
     a = stats.groupwise_trend(e.repartition(1), ["event_type"], "ts", "value").collect()
     b = stats.groupwise_trend(e.repartition(17), ["event_type"], "ts", "value").collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# Nearest-centroid confusion (similarity.nearest_centroid_confusion)
+# ---------------------------------------------------------------------
+
+def test_rocchio_separable_classes_perfect_diagonal(spark):
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + (i % 3), 0.1 * (i % 5), 0.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3), 0.1 * (i % 5)], 1))
+        rows.append((200 + i, [0.1 * (i % 5), 0.0, 10.0 + (i % 3)], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label, r.pred_label): r.n for r in
+           nearest_centroid_confusion(df, "vec_id", "embedding", "label").collect()}
+    assert out == {(0, 0): 30, (1, 1): 30, (2, 2): 30}
+
+
+def test_rocchio_confusion_is_partition_invariant_and_complete(spark):
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = nearest_centroid_confusion(e.repartition(1), "vec_id", "embedding", "label").collect()
+    b = nearest_centroid_confusion(e.repartition(7), "vec_id", "embedding", "label").collect()
+    assert a == b
+    # every vector classified exactly once
+    assert sum(r.n for r in a) == e.count()
