@@ -9008,3 +9008,67 @@ def rocchio_label_confusion(spark, sf_dir):
     return similarity.nearest_centroid_confusion(
         e, "vec_id", "embedding", "label"
     )
+
+
+@register(
+    "ivm_join_delta",
+    "incremental view maintenance for a materialized join: the delta "
+    "rule dA><B u A><dB u dA><dB computes the view's change from "
+    "arriving order/lineitem batches WITHOUT re-joining history — "
+    "cost tracks the CHANGE, deltas broadcast. The oracle derives the "
+    "delta from the SEMANTIC definition instead (full join EXCEPT ALL "
+    "old join, bag semantics), so the two derivations must collide "
+    "bit-for-bit — a real check of the rule, not an echo of it",
+    oracle=f"""
+    WITH ao AS (SELECT o_orderkey AS okey, o_orderpriority FROM orders
+                WHERE o_orderdate < TIMESTAMP '{ORDER_CUT}'),
+    ad AS (SELECT o_orderkey AS okey, o_orderpriority FROM orders
+           WHERE o_orderdate >= TIMESTAMP '{ORDER_CUT}'),
+    bo AS (SELECT l_orderkey AS okey, l_returnflag, l_quantity FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '{ORDER_CUT}'),
+    bd AS (SELECT l_orderkey AS okey, l_returnflag, l_quantity FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '{ORDER_CUT}'),
+    full_join AS (
+      SELECT a.okey, a.o_orderpriority, b.l_returnflag, b.l_quantity
+      FROM (SELECT * FROM ao UNION ALL SELECT * FROM ad) a
+      JOIN (SELECT * FROM bo UNION ALL SELECT * FROM bd) b USING (okey)
+    ),
+    old_join AS (
+      SELECT a.okey, a.o_orderpriority, b.l_returnflag, b.l_quantity
+      FROM ao a JOIN bo b USING (okey)
+    ),
+    delta AS (
+      SELECT * FROM full_join EXCEPT ALL SELECT * FROM old_join
+    )
+    SELECT l_returnflag, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM delta GROUP BY l_returnflag, o_orderpriority
+    ORDER BY l_returnflag, o_orderpriority
+    """,
+    survey_ops=("§2.9 streaming", "V4 version-range upsert"),
+)
+def ivm_join_delta(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.ivm import incremental_join_delta
+
+    split = F.lit(ORDER_CUT).cast("timestamp")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    a_old = o.where(F.col("o_orderdate") < split).drop("o_orderdate")
+    a_new = o.where(F.col("o_orderdate") >= split).drop("o_orderdate")
+    b_old = li.where(F.col("l_shipdate") < split).drop("l_shipdate")
+    b_new = li.where(F.col("l_shipdate") >= split).drop("l_shipdate")
+    delta = incremental_join_delta(a_old, b_old, a_new, b_new, "okey")
+    return (
+        delta.groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "o_orderpriority")
+    )

@@ -132,3 +132,28 @@ def test_evolve_union_is_zero_shuffle(spark):
     assert "Union" in plan
     for op in ("Exchange", "Sort", "Join"):
         assert op not in plan, op
+
+
+def test_widening_lattice_properties():
+    """Driver-only property test: the widening lattice is commutative
+    and associative (fold order over input schemas cannot change the
+    evolved target schema), and widening is idempotent."""
+    from itertools import product
+
+    from mlentory_etl_pipeline_spark.sources.files import _wider
+
+    types = [
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz", "boolean",
+    ]
+    for a, b in product(types, types):
+        assert _wider(a, b) == _wider(b, a), (a, b)
+        assert _wider(a, a) == a
+    for a, b, c in product(types, types, types):
+        ab = _wider(a, b)
+        bc = _wider(b, c)
+        left = _wider(ab, c) if ab else None
+        right = _wider(a, bc) if bc else None
+        # when both association orders are defined they must agree
+        if left is not None and right is not None:
+            assert left == right, (a, b, c)

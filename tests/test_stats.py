@@ -160,3 +160,39 @@ def test_rocchio_confusion_is_partition_invariant_and_complete(spark):
     assert a == b
     # every vector classified exactly once
     assert sum(r.n for r in a) == e.count()
+
+
+# ---------------------------------------------------------------------
+# IVM join delta (operators/ivm.py)
+# ---------------------------------------------------------------------
+
+def test_ivm_join_delta_equals_full_minus_old_bag_semantics(spark):
+    from collections import Counter
+
+    from mlentory_etl_pipeline_spark.operators.ivm import incremental_join_delta
+
+    # duplicates on purpose: bag semantics must hold (a key appearing
+    # twice in A and twice in B contributes 4 join rows)
+    a_old = [(1, "a1"), (1, "a1"), (2, "a2"), (9, "a9")]
+    a_new = [(1, "A1"), (3, "a3")]
+    b_old = [(1, "b1"), (3, "b3"), (3, "b3")]
+    b_new = [(2, "b2"), (3, "B3"), (7, "b7")]
+    mk = lambda rows, c: spark.createDataFrame(rows, f"k long, {c} string")
+    delta = incremental_join_delta(
+        mk(a_old, "av"), mk(b_old, "bv"), mk(a_new, "av"), mk(b_new, "bv"), "k"
+    )
+    got = Counter((r.k, r.av, r.bv) for r in delta.collect())
+    full = Counter(
+        (ka, va, vb)
+        for ka, va in a_old + a_new
+        for kb, vb in b_old + b_new
+        if ka == kb
+    )
+    old = Counter(
+        (ka, va, vb) for ka, va in a_old for kb, vb in b_old if ka == kb
+    )
+    assert got == full - old
+    # sanity: the crafted case exercises every branch of the rule
+    assert any(k == 3 for k, _, _ in got)  # dA >< B_old
+    assert any(k == 2 for k, _, _ in got)  # A_old >< dB
+    assert got[(3, "a3", "B3")] == 1  # dA >< dB
