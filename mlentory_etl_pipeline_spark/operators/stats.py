@@ -201,3 +201,69 @@ def groupwise_trend(
             6,
         ).alias("slope_per_day"),
     ).orderBy(*group_cols)
+
+
+def ewma_last(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    max_lag: int = 31,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average (α = ½ per
+    step) evaluated at each group's LATEST event — the recency-biased
+    health signal (recent activity level, decayed spend rate).
+
+    α = ½ is chosen deliberately: every weight is a POWER OF TWO, so
+    the weighted sum is exact integer arithmetic (``v_cents <<
+    (max_lag − lag)`` longs), normalized by the exact weight sum and
+    divided once — bit-deterministic across partitionings and engines
+    (the reason a smoothing statistic can carry a hard SQL oracle).
+    The look-back truncates at ``max_lag`` steps (weight 2⁻³¹ ≈ 5e-10
+    — far under the cents resolution, so the truncation is the
+    contract, not an approximation error).
+
+    Plan: one row_number window keyed by group (deterministic order:
+    ts then ``order_tiebreak``), one bounded self-join (each latest
+    row pairs with ≤ max_lag+1 predecessors — fan-out is a constant,
+    not a data size), one aggregation. At lake scale the join stays
+    keyed by group and the latest-row side is |groups| rows.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(ts_col, order_tiebreak)
+    r = df.select(
+        *group_cols,
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.floor(F.col(value_col) * cents).cast("long").alias("_v"),
+    ).withColumn("_rn", F.row_number().over(w))
+    last = r.groupBy(*group_cols).agg(F.max("_rn").alias("_last"))
+    cur = r.join(last, group_cols).where(F.col("_rn") == F.col("_last")).select(
+        *group_cols, F.col("_rn").alias("_cur")
+    )
+    j = cur.join(r, group_cols).where(
+        (F.col("_rn") <= F.col("_cur")) & (F.col("_rn") > F.col("_cur") - (max_lag + 1))
+    )
+    shift = F.expr(f"shiftleft(1L, CAST({max_lag} - (_cur - _rn) AS INT))")
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_window"),
+            F.sum(F.col("_v") * shift).alias("_num"),
+            F.sum(shift).alias("_den"),
+        )
+        .select(
+            *group_cols,
+            "n_window",
+            F.round(
+                F.col("_num").cast("double")
+                / F.col("_den").cast("double")
+                / F.lit(float(cents)),
+                6,
+            ).alias("ewma_value"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -9072,3 +9072,39 @@ def ivm_join_delta(spark, sf_dir):
         )
         .orderBy("l_returnflag", "o_orderpriority")
     )
+
+
+@register(
+    "ewma_user_value",
+    "per-user EWMA (alpha=1/2 per step, 32-step lookback) of event "
+    "value at the latest event: alpha=1/2 makes every weight a power "
+    "of two, so the decayed sum is EXACT integer arithmetic (v_cents "
+    "<< (31-lag)) normalized once — a smoothing statistic that is "
+    "bit-deterministic across engines and carries a hard SQL oracle; "
+    "one group-keyed window + one constant-fan-out self-join",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    lastr AS (SELECT user_id, MAX(rn) AS cur FROM r GROUP BY user_id),
+    j AS (
+      SELECT r.user_id, r.v, lastr.cur, r.rn
+      FROM r JOIN lastr ON r.user_id = lastr.user_id
+      WHERE r.rn <= lastr.cur AND r.rn > lastr.cur - 32
+    )
+    SELECT user_id, COUNT(*) AS n_window,
+           ROUND(CAST(SUM(v * (CAST(1 AS BIGINT) << CAST(31 - (cur - rn) AS INT))) AS DOUBLE)
+                 / CAST(SUM(CAST(1 AS BIGINT) << CAST(31 - (cur - rn) AS INT)) AS DOUBLE)
+                 / 100.0, 6) AS ewma_value
+    FROM j GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ops=("§2.9 window functions", "F3 top-N recency"),
+)
+def ewma_user_value(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    return stats.ewma_last(e, ["user_id"], "ts", "value", "event_id")

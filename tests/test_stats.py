@@ -196,3 +196,39 @@ def test_ivm_join_delta_equals_full_minus_old_bag_semantics(spark):
     assert any(k == 3 for k, _, _ in got)  # dA >< B_old
     assert any(k == 2 for k, _, _ in got)  # A_old >< dB
     assert got[(3, "a3", "B3")] == 1  # dA >< dB
+
+
+# ---------------------------------------------------------------------
+# EWMA at latest event (stats.ewma_last)
+# ---------------------------------------------------------------------
+
+def test_ewma_matches_sequential_recurrence(spark):
+    from datetime import datetime, timedelta
+
+    # hand-fold the textbook recurrence s = v for the first point,
+    # then s = (v + s_prev) / 2 — with alpha=1/2 and full history the
+    # truncated-weight form equals the recurrence up to 2^-31
+    vals = [10.0, 20.0, 10.0, 40.0, 0.0, 80.0]
+    start = datetime(2024, 1, 1)
+    rows = [("u", start + timedelta(minutes=i), float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, event_id double, value double")
+    out = stats.ewma_last(df, ["g"], "ts", "value", "event_id").first()
+    # the operator's definition: truncated 2^-lag weights, normalized
+    num = sum(v * 2.0 ** -(len(vals) - 1 - i) for i, v in enumerate(vals))
+    den = sum(2.0 ** -lag for lag in range(len(vals)))
+    assert abs(out.ewma_value - num / den) < 1e-4
+    # and it approximates the recurrence-seeded EWMA (same decay, the
+    # seeding differs only in the oldest point's weight)
+    s = vals[0]
+    for v in vals[1:]:
+        s = (v + s) / 2.0
+    assert abs(out.ewma_value - s) < 1.0
+    assert out.n_window == 6
+
+
+def test_ewma_lookback_truncates_and_is_partition_invariant(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = stats.ewma_last(e.repartition(1), ["user_id"], "ts", "value", "event_id").collect()
+    b = stats.ewma_last(e.repartition(13), ["user_id"], "ts", "value", "event_id").collect()
+    assert a == b
+    assert all(r.n_window <= 32 for r in a)
