@@ -114,6 +114,12 @@ def main():
             "bpe_train_merges",
             "bootstrap_ci_avg_quantity",
             "kl_domain_drift_by_source",
+            "markov_event_transitions",
+            "rocchio_label_confusion",
+            "ivm_join_delta",
+            "ewma_user_value",
+            "trend_value_drift_by_type",
+            "schema_evolution_union",
         )
         if n in REGISTRY
     ]
