@@ -9108,3 +9108,78 @@ def ewma_user_value(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return stats.ewma_last(e, ["user_id"], "ts", "value", "event_id")
+
+
+@register(
+    "corpus_data_card",
+    "the one-row dataset card a corpus release ships with: doc/token/"
+    "vocab counts, source count, exact-duplicate rate (md5 content "
+    "fingerprints), mean doc length, and short-doc fraction — "
+    "composed as TWO aggregation passes (doc-level stats + one "
+    "token-keyed vocab count) joined broadcast; every figure exact, "
+    "integer or single-divide, under a hard oracle",
+    oracle=r"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, source, n_chars, TRIM(LOWER(text)) AS text,
+             MD5(text) AS fp
+      FROM documents
+    ),
+    toks AS (
+      SELECT UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS tok FROM d
+    ),
+    tok_stats AS (
+      SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab FROM toks
+    ),
+    doc_stats AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+             ROUND(CAST(COUNT(*) FILTER (n_chars < 150) AS DOUBLE) / COUNT(*), 6)
+               AS short_doc_frac
+      FROM d
+    )
+    SELECT n_docs, n_sources, n_tokens, vocab, n_exact_dups,
+           ROUND(CAST(n_exact_dups AS DOUBLE) / n_docs, 6) AS dup_rate,
+           mean_chars, short_doc_frac
+    FROM doc_stats, tok_stats
+    """,
+    survey_ops=("curation-pipeline", "profiling-skew", "F1 quality filter"),
+)
+def corpus_data_card(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.trim(F.lower(F.col("text"))).alias("text"),
+    ).withColumn("fp", F.md5(F.col("text")))
+    toks = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("vocab"),
+    )
+    doc_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_exact_dups"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+        F.round(
+            F.sum((F.col("n_chars") < 150).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("short_doc_frac"),
+    )
+    return doc_stats.crossJoin(F.broadcast(tok_stats)).select(
+        "n_docs",
+        "n_sources",
+        "n_tokens",
+        "vocab",
+        "n_exact_dups",
+        F.round(F.col("n_exact_dups").cast("double") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        "mean_chars",
+        "short_doc_frac",
+    )

@@ -232,3 +232,20 @@ def test_ewma_lookback_truncates_and_is_partition_invariant(spark):
     b = stats.ewma_last(e.repartition(13), ["user_id"], "ts", "value", "event_id").collect()
     assert a == b
     assert all(r.n_window <= 32 for r in a)
+
+
+# ---------------------------------------------------------------------
+# Corpus data card
+# ---------------------------------------------------------------------
+
+def test_corpus_data_card_counts_planted_duplicate(spark):
+    from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+
+    base = REGISTRY["corpus_data_card"].spark_fn(spark, "/root/testdata/sf0.001").first()
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert base.n_docs == d.count()
+    assert 0.0 <= base.dup_rate <= 1.0
+    assert base.vocab <= base.n_tokens
+    # the exact-dup figure equals the direct fingerprint computation
+    fp = d.select(F.md5(F.trim(F.lower(F.col("text")))).alias("fp"))
+    assert base.n_exact_dups == fp.count() - fp.distinct().count()
