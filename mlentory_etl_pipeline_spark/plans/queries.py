@@ -9183,3 +9183,54 @@ def corpus_data_card(spark, sf_dir):
         "mean_chars",
         "short_doc_frac",
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    "which sources duplicate each other: the MinHash+LSH near-dup "
+    "pairs rolled up into an unordered source-pair matrix — the "
+    "provenance dashboard behind 'mirror detection' in corpus "
+    "curation; reuses the exact banded-LSH plan (and its oracle SQL) "
+    "with two broadcast source lookups and one count aggregation on "
+    "top",
+    oracle="""
+    WITH srcmap AS MATERIALIZED (
+      SELECT doc_id, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      %s
+    )
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN srcmap sa ON sa.doc_id = p.id_a
+    JOIN srcmap sb ON sb.doc_id = p.id_b
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """ % _minhash_lsh_oracle(),
+    survey_ops=("dedup-minhash-lsh", "curation-pipeline"),
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    srcmap = d.select("doc_id", "source").unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "source")
+    )
+    c = _neardup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        c, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    sa = srcmap.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = srcmap.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
