@@ -55,3 +55,51 @@ def incremental_join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def zset_agg_delta(
+    agg_old: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    n_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    z_col: str = "z",
+) -> DataFrame:
+    """Maintain a grouped count/sum view under INSERTS AND DELETES:
+    ``delta`` rows carry a multiplicity ``z`` (+1 insert, −1 retract —
+    the Z-set encoding DBSP/differential dataflow uses), so the view's
+    change per key is one aggregation of the delta (Δn = Σz,
+    Δsum = Σ z·v) folded into the old state with an outer join;
+    groups whose count reaches zero vanish.
+
+    ``sum_cols`` maps view sum-column → delta value-column. Linear
+    aggregates (count/sum, and anything derived from them — avg,
+    rates) maintain exactly under retraction; MIN/MAX do not (a
+    retracted extremum needs history) — that asymmetry is the
+    textbook IVM boundary and is the module contract, not a TODO.
+
+    Cost: one map-side-combined aggregation of |delta| rows + an
+    outer join keyed by the view key against the |groups|-row state —
+    never a rescan of the base table.
+    """
+    sum_cols = sum_cols or {}
+    aggs = [F.sum(F.col(z_col)).alias("_dn")] + [
+        F.sum(F.col(z_col) * F.col(src)).alias(f"_d_{dst}")
+        for dst, src in sum_cols.items()
+    ]
+    d = delta.groupBy(*keys).agg(*aggs)
+    joined = agg_old.join(d, keys, "full_outer")
+    out_cols = list(keys) + [
+        (
+            F.coalesce(F.col(n_col), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias(n_col)
+    ]
+    for dst in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(dst), F.lit(0))
+                + F.coalesce(F.col(f"_d_{dst}"), F.lit(0))
+            ).alias(dst)
+        )
+    return joined.select(*out_cols).where(F.col(n_col) != 0)

@@ -9234,3 +9234,65 @@ def cross_source_dup_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "ivm_zset_agg_maintenance",
+    "grouped view maintenance under inserts AND deletes: the delta "
+    "batch carries Z-set multiplicities (+1 insert / -1 retraction, "
+    "the DBSP encoding), the view's change is ONE aggregation of the "
+    "delta folded into the old state by an outer join — no base "
+    "rescan; the oracle computes the maintained state's SEMANTIC "
+    "definition ((old minus retracted) plus inserted, re-aggregated "
+    "from scratch) so the fold is checked against its spec",
+    oracle=f"""
+    WITH old_rows AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{ORDER_CUT}'
+    ),
+    inserts AS (
+      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{ORDER_CUT}'
+    ),
+    retractions AS (
+      SELECT * FROM old_rows WHERE o_orderkey % 7 = 0
+    ),
+    new_state AS (
+      SELECT * FROM old_rows WHERE o_orderkey % 7 <> 0
+      UNION ALL SELECT * FROM inserts
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM new_state GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ops=("§2.9 streaming", "V6 touch unchanged"),
+)
+def ivm_zset_agg_maintenance(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.ivm import zset_agg_delta
+
+    cut = F.lit(ORDER_CUT).cast("timestamp")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_price"),
+        "o_orderdate",
+    )
+    old_rows = o.where(F.col("o_orderdate") < cut)
+    agg_old = old_rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_price").alias("sum_price")
+    )
+    inserts = o.where(F.col("o_orderdate") >= cut).withColumn("z", F.lit(1))
+    retractions = old_rows.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "z", F.lit(-1)
+    )
+    delta = inserts.unionByName(retractions)
+    maintained = zset_agg_delta(
+        agg_old,
+        delta,
+        ["o_orderpriority"],
+        n_col="n",
+        sum_cols={"sum_price": "_price"},
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    ).orderBy("o_orderpriority")

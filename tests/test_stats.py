@@ -249,3 +249,22 @@ def test_corpus_data_card_counts_planted_duplicate(spark):
     # the exact-dup figure equals the direct fingerprint computation
     fp = d.select(F.md5(F.trim(F.lower(F.col("text")))).alias("fp"))
     assert base.n_exact_dups == fp.count() - fp.distinct().count()
+
+
+def test_zset_agg_delta_folds_inserts_and_retractions(spark):
+    from mlentory_etl_pipeline_spark.operators.ivm import zset_agg_delta
+
+    base = [("a", 10), ("a", 20), ("b", 5)]
+    agg_old = (
+        spark.createDataFrame(base, "k string, v long")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    # retract one 'a' row, insert a 'c' row, fully retract 'b'
+    delta = spark.createDataFrame(
+        [("a", 10, -1), ("c", 7, 1), ("b", 5, -1)], "k string, v long, z int"
+    )
+    out = {r.k: (r.n, r.s) for r in
+           zset_agg_delta(agg_old, delta, ["k"], "n", {"s": "v"}).collect()}
+    # 'b' reached zero and vanished; 'a' lost its 10; 'c' appeared
+    assert out == {"a": (1, 20), "c": (1, 7)}
