@@ -9296,3 +9296,97 @@ def ivm_zset_agg_maintenance(spark, sf_dir):
         "n",
         F.col("sum_price").cast("double").alias("sum_price"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "streaming_stateful_sessions",
+    "CUSTOM stateful streaming operator under a hard oracle: "
+    "applyInPandasWithState sessionization with an EVENT-TIME TIMEOUT "
+    "— sessions close in-stream when a later same-key event exceeds "
+    "the 4h gap, or via the state-store timer once the watermark "
+    "passes last_event+gap (state removed, so the store holds ACTIVE "
+    "sessions only); two far-future sentinel rows advance the "
+    "watermark so every real session's timer fires before the "
+    "availableNow drain ends; per-session totals fold in integer "
+    "cents — the drained output equals the batch lag/gap/cumsum "
+    "sessionization bit-for-bit (the operator shape the built-in "
+    "session_window cannot express: exactly-once per-session custom "
+    "output on close)",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, cents,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, cents,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, SUM(cents) AS total_cents
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    survey_ops=("§2.9 streaming", "S2"),
+)
+def streaming_stateful_sessions(spark, sf_dir):
+    import datetime
+    import tempfile
+
+    from mlentory_etl_pipeline_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx = e.agg(F.max("ts")).first()[0]
+    land = tempfile.mkdtemp(prefix="statesess-land-")
+    ckpt = tempfile.mkdtemp(prefix="statesess-ckpt-")
+    _write_time_ordered_slices(e, land)
+    # two sentinels: the first advances the watermark past every real
+    # session's timer, the second runs the batch in which those timers
+    # FIRE (event-time timeouts fire one batch after the watermark
+    # passes them); both filtered below
+    tstype = e.schema["ts"].dataType.simpleString()
+    for days in (30, 60):
+        spark.createDataFrame(
+            [(-1, mx + datetime.timedelta(days=days), 0.0)],
+            "user_id long, ts timestamp, value double",
+        ).select(
+            "user_id", F.col("ts").cast(tstype).alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    sink = f"statesess_out_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        sessionize_with_timeout(stream, "4 hours")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .where("user_id >= 0")
+        .select(
+            "user_id",
+            F.col("session_start").cast(tstype).alias("session_start"),
+            F.col("session_end").cast(tstype).alias("session_end"),
+            "n_events",
+            "total_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -28,6 +28,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_STATS_SCHEMA = (
@@ -104,4 +105,108 @@ def stream_into_store(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_cents bigint"
+)
+_SESSION_STATE = "start_us bigint, last_us bigint, n bigint, total_cents bigint"
+
+
+def _ts_us(v) -> int:
+    """µs since epoch from whatever applyInPandasWithState hands us
+    (pandas Timestamp or raw int64 µs — see module note)."""
+    return int(v.value) // 1000 if hasattr(v, "value") else int(v)
+
+
+def make_session_update(gap_us: int):
+    """Build the per-key update function for
+    :func:`sessionize_with_timeout` (gap captured by closure)."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        def closed_row(start_us, last_us, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [int(n)],
+                    "total_cents": [int(total)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield closed_row(start_us, last_us, n, total)
+            return
+
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us = last_us = None
+            n = total = 0
+        events = []
+        for pdf in pdfs:
+            for ts, cents in zip(pdf["ts"], pdf["_cents"]):
+                events.append((_ts_us(ts), int(cents)))
+        events.sort()
+        for ts_us, cents in events:
+            if last_us is not None and ts_us - last_us > gap_us:
+                yield closed_row(start_us, last_us, n, total)
+                start_us, n, total = ts_us, 0, 0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+            total += cents
+        state.update((int(start_us), int(last_us), int(n), int(total)))
+        # event-time timeout: fire once the watermark passes the gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+
+    return update
+
+
+def sessionize_with_timeout(
+    events: DataFrame,
+    gap: str = "4 hours",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """CUSTOM stateful sessionization via ``applyInPandasWithState``
+    with an EVENT-TIME TIMEOUT — the operator shape the built-in
+    ``session_window`` cannot express when a session must emit custom
+    per-session output exactly once, on close (here: start/end/count/
+    exact integer value total; in production: arbitrary per-session
+    features).
+
+    A session CLOSES either when a later event of the same key arrives
+    more than ``gap`` after the previous one (detected in-stream) or
+    when the watermark passes ``last_event + gap`` (the state-store
+    timeout — idle keys emit without waiting for another event, and
+    state is removed, which is what bounds the state store to ACTIVE
+    sessions only). Value totals fold in integer cents, so the drained
+    output is bit-comparable to a batch sessionization (the registry
+    query's hard oracle).
+
+    Event-time timeouts fire in the micro-batch AFTER the watermark
+    advances past them — a drained ``availableNow`` replay therefore
+    appends one far-future sentinel row (filtered from results) so
+    every real session's timer fires before the drain completes.
+    """
+    from mlentory_etl_pipeline_spark.streaming.incremental import _event_time
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    prepared = (
+        _event_time(events, "ts")
+        .withColumn("_cents", F.floor(F.col("value") * 100).cast("long"))
+        .withWatermark("ts", watermark_delay)
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_session_update(gap_us),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

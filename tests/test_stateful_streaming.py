@@ -129,3 +129,56 @@ def test_rule_compile_errors(spark):
         df, [Rule("y", "build_link", {"prefix": "p/", "source": "x"})]
     ).collect()
     assert rows[0].y == "p/0"
+
+
+def test_sessionize_with_timeout_both_close_paths(spark, tmp_path):
+    """A key whose first session closes IN-STREAM (gap detected by a
+    later event) and whose last session closes only via the EVENT-TIME
+    TIMEOUT (no further events — the sentinel advances the watermark)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mlentory_etl_pipeline_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    batch1 = [(1, ts(0), 1.0), (1, ts(10), 2.0)]
+    # 6h later: closes session 1 in-stream, opens session 2
+    batch2 = [(1, ts(370), 4.0)]
+    sentinel1 = [(-1, ts(60 * 24 * 30), 0.0)]
+    sentinel2 = [(-1, ts(60 * 24 * 60), 0.0)]
+    land = str(tmp_path / "land")
+    for rows in (batch1, batch2, sentinel1, sentinel2):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(land)
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q = (
+        sessionize_with_timeout(stream, "4 hours")
+        .writeStream.format("memory")
+        .queryName("sess_paths")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.total_cents)
+            for r in spark.table("sess_paths").where("user_id >= 0").collect()
+        )
+    )
+    assert rows == [
+        (1, ts(0), ts(10), 2, 300),     # closed in-stream by batch2's event
+        (1, ts(370), ts(370), 1, 400),  # closed by the event-time timeout
+    ]
