@@ -1123,3 +1123,52 @@ def nb_bootstrap_quality(
         )
         .orderBy(id_col)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group score calibration by quantile normalization: each
+    row's score is replaced by the GLOBAL score at the same within-
+    group percentile — the standard fix when heterogeneous sources
+    produce incomparable raw quality scores (one source's 0.8 is
+    another's 0.3), so a single global threshold becomes meaningful.
+
+    Determinism: the within-group percent_rank orders by (score, id) —
+    the id tiebreak removes ordering ambiguity entirely, so pr is a
+    ratio of exact integers; the global reference index is
+    ``floor(pr · (N−1)) + 1`` (identical IEEE product both engines)
+    into the globally ranked score table. Returns
+    ``(id, group, raw_score, calibrated)``.
+
+    Scale posture: one window per group (group-keyed shuffle), one
+    global ranked reference (a full sort of N scores — at lake scale
+    swap in an approx-quantile GRID of ~10⁴ cut points with identical
+    join shape; exact here keeps the oracle hard), one integer-keyed
+    join back.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = df.select(id_col, group_col, F.col(score_col).alias("raw_score"))
+    wg = W.partitionBy(group_col).orderBy("raw_score", id_col)
+    pr = ranked.withColumn("_pr", F.percent_rank().over(wg))
+    wglob = W.orderBy(F.col("raw_score"), F.col(group_col), F.col(id_col))
+    glob = (
+        ranked.select("raw_score", group_col, id_col)
+        .withColumn("_gidx", F.row_number().over(wglob))
+        .select(F.col("_gidx"), F.col("raw_score").alias("calibrated"))
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pr.crossJoin(F.broadcast(n))
+        .withColumn(
+            "_gidx",
+            (F.floor(F.col("_pr") * (F.col("_n") - 1)) + 1).cast("int"),
+        )
+        .join(glob, "_gidx")
+        .select(id_col, group_col, "raw_score", "calibrated")
+        .orderBy(id_col)
+    )

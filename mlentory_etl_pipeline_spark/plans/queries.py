@@ -9390,3 +9390,43 @@ def streaming_stateful_sessions(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "quantile_normalize_scores",
+    "cross-source score calibration by quantile normalization: each "
+    "doc's raw score (n_chars here) maps to the GLOBAL score at its "
+    "within-source percentile, making one global threshold meaningful "
+    "across heterogeneous sources; percent_rank orders by (score, id) "
+    "so every rank is an exact integer ratio, the global index is "
+    "floor(pr*(N-1))+1 — deterministic end to end under a hard "
+    "oracle; at lake scale the exact global rank table swaps for an "
+    "approx-quantile grid with the same join shape (docstring)",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars AS raw_score,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    ),
+    gref AS (
+      SELECT n_chars AS calibrated,
+             ROW_NUMBER() OVER (ORDER BY n_chars, source, doc_id) AS gidx
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT r.doc_id, r.source, r.raw_score, g.calibrated
+    FROM ranked r
+    CROSS JOIN n
+    JOIN gref g ON g.gidx = CAST(FLOOR(r.pr * (n.n - 1)) + 1 AS INT)
+    ORDER BY r.doc_id
+    """,
+    survey_ops=("curation-pipeline", "F1 quality filter"),
+)
+def quantile_normalize_scores(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_chars")
+    )
+    return quantile_normalize(d, "source", "n_chars", "doc_id")

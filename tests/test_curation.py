@@ -518,3 +518,33 @@ def test_nb_bootstrap_partition_invariant(spark):
         d.repartition(11), "doc_id", "text", F.col("n_chars") >= 300
     ).collect()
     assert a == b
+
+
+def test_quantile_normalize_calibrates_shifted_sources(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    # source B's scores are source A's shifted +1000: after quantile
+    # normalization, rows at the same within-source rank get the same
+    # POOLED reference values, so the inter-source gap collapses from
+    # 1000 to the pooled neighbour spacing
+    rows = [(i, "A", float(10 * i)) for i in range(20)]
+    rows += [(100 + i, "B", float(10 * i + 1000)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    out = {r.id: r.calibrated for r in
+           quantile_normalize(df, "src", "score", "id").collect()}
+    for i in range(20):
+        a, b = out[i], out[100 + i]
+        # same rank -> adjacent rows of the pooled 40-row reference
+        assert abs(a - b) <= 200.0, (i, a, b)
+    # calibration preserves within-source order
+    assert all(out[i] <= out[i + 1] for i in range(19))
+
+
+def test_quantile_normalize_identity_on_single_source(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    rows = [(i, "only", float(i * i)) for i in range(15)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    out = quantile_normalize(df, "src", "score", "id").collect()
+    # one source: percentiles map onto the same distribution -> identity
+    assert all(r.calibrated == r.raw_score for r in out)
