@@ -123,11 +123,15 @@ def main():
         )
         if n in REGISTRY
     ]
+    # extended timings COLLECT the result instead of count(): several
+    # of these queries produce aggregate-only outputs whose expensive
+    # value expressions count() would column-prune away (headline keeps
+    # the count() methodology for round-over-round comparability).
     extended: dict[str, float] = {}
     for name in extended_names:
-        REGISTRY[name].spark_fn(spark, sf_dir).count()  # warm-up
+        REGISTRY[name].spark_fn(spark, sf_dir).collect()  # warm-up
         t0 = time.perf_counter()
-        REGISTRY[name].spark_fn(spark, sf_dir).count()
+        REGISTRY[name].spark_fn(spark, sf_dir).collect()
         extended[name] = round(time.perf_counter() - t0, 3)
 
     print(

@@ -320,6 +320,32 @@ def case_bpe_train(spark, sf_dir: str, k: int) -> DataFrame:
     return tokenizer.bpe_train(words, "token", "n", rounds=6)
 
 
+def case_bootstrap(spark, sf_dir: str, k: int) -> DataFrame:
+    # rows k x (keys salted per replica), replica count FIXED at 64:
+    # the explode volume grows linearly with data, the shuffle stays
+    # 64 partially-aggregated rows.  Catches: the explode leaking into
+    # a shuffle, partial aggregation breaking.
+    from pyspark.sql import functions as F2
+
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).where("l_orderkey % 10 = 0")  # 10% slice: 10x of it stays tractable
+    li = _replicated(li, k)
+    key = F2.concat(
+        F2.col("l_orderkey").cast("string"), F2.lit("-"),
+        F2.col("l_linenumber").cast("string"), F2.lit("-"),
+        F2.col("_rep").cast("string"),
+    )
+    # a value-dependent filter stops count() from column-pruning the
+    # md5/weight expressions (an aggregate-only output would otherwise
+    # time as a near-no-op)
+    return stats.bootstrap_replicas(
+        li, key, F2.col("l_quantity"), n_replicas=8
+    ).where(F2.col("mean_value") > -999)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -332,6 +358,7 @@ CASES = {
     "nb_classifier": case_nb_classifier,
     "kcore": case_kcore,
     "bpe_train": case_bpe_train,
+    "bootstrap": case_bootstrap,
 }
 
 

@@ -268,3 +268,33 @@ def test_zset_agg_delta_folds_inserts_and_retractions(spark):
            zset_agg_delta(agg_old, delta, ["k"], "n", {"s": "v"}).collect()}
     # 'b' reached zero and vanished; 'a' lost its 10; 'c' appeared
     assert out == {"a": (1, 20), "c": (1, 7)}
+
+
+def test_zset_agg_delta_multi_step_fold_matches_recompute(spark):
+    from collections import Counter
+
+    from mlentory_etl_pipeline_spark.operators.ivm import zset_agg_delta
+
+    # three delta batches: a group empties in step 2 and REVIVES in
+    # step 3; the folded state must equal a from-scratch aggregation of
+    # the surviving multiset after every step
+    steps = [
+        [("a", 10, 1), ("a", 20, 1), ("b", 5, 1)],
+        [("b", 5, -1), ("a", 20, -1)],
+        [("b", 9, 1), ("c", 1, 1)],
+    ]
+    live: Counter = Counter()
+    agg = spark.createDataFrame([], "k string, n long, s long")
+    for step in steps:
+        delta = spark.createDataFrame(step, "k string, v long, z int")
+        agg = zset_agg_delta(agg, delta, ["k"], "n", {"s": "v"})
+        agg = spark.createDataFrame(agg.collect(), "k string, n long, s long")
+        for k, v, z in step:
+            live[(k, v)] += z
+        expect = {}
+        for (k, v), m in live.items():
+            if m:
+                n0, s0 = expect.get(k, (0, 0))
+                expect[k] = (n0 + m, s0 + m * v)
+        got = {r.k: (r.n, r.s) for r in agg.collect()}
+        assert got == expect, (step, got, expect)
