@@ -309,6 +309,13 @@ def hll_md5_estimate(
     double division — so the estimate is bit-identical on any
     partitioning or engine, and the registry query carries a hard SQL
     oracle.
+
+    The harmonic sum covers ALL m registers — EMPTY registers
+    contribute rho = 0, i.e. ``2^K`` each, added as the single term
+    ``(m − present)·2^K``. Omitting them (a one-sided sum over present
+    registers only) inflates estimates by up to ~50% in the
+    2.5m–5m cardinality band just above the linear-counting cutoff —
+    caught by the set-algebra accuracy test at n ≈ 2.3·m.
     """
     m = 1 << b
     alpha = _hll_alpha(m)
@@ -317,9 +324,15 @@ def hll_md5_estimate(
     agg = joined.groupBy(*group_cols).agg(
         F.sum(
             F.expr("shiftleft(CAST(1 AS BIGINT), _k - max_rho)")
-        ).alias("_n"),
+        ).alias("_np"),
         F.first("_k").alias("_k2"),
         F.count(F.lit(1)).alias("_present"),
+    )
+    agg = agg.withColumn(
+        "_n",
+        F.col("_np")
+        + (F.lit(m) - F.col("_present"))
+        * F.expr("shiftleft(CAST(1 AS BIGINT), _k2)"),
     )
     e_raw = (
         F.lit(alpha * m * m)

@@ -6373,7 +6373,8 @@ def _hll_md5_oracle(b: int = 8) -> str:
     kx AS (SELECT event_type, MAX(max_rho) AS k FROM regs GROUP BY event_type),
     agg AS (
       SELECT r.event_type,
-             SUM(CAST(1 AS BIGINT) << (kx.k - r.max_rho)) AS n,
+             SUM(CAST(1 AS BIGINT) << (kx.k - r.max_rho))
+               + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << ANY_VALUE(kx.k)) AS n,
              ANY_VALUE(kx.k) AS k,
              COUNT(*) AS present
       FROM regs r JOIN kx ON kx.event_type = r.event_type
@@ -9430,3 +9431,113 @@ def quantile_normalize_scores(spark, sf_dir):
         "doc_id", "source", F.col("n_chars").alias("n_chars")
     )
     return quantile_normalize(d, "source", "n_chars", "doc_id")
+
+
+def _hll_algebra_oracle(b: int = 8) -> str:
+    m = 1 << b
+    payload = 60 - b
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    w = f"CAST(FLOOR(hv / {m}) AS BIGINT)"
+    est = f"""
+      SELECT lab,
+             ROUND(CASE WHEN ({alpha_m2!r} * POWER(2.0, CAST(k AS DOUBLE)) / n)
+                          <= {2.5 * m}
+                         AND ({m} - present) > 0
+                    THEN {float(m)!r} * LN({float(m)!r} / ({m} - present))
+                    ELSE {alpha_m2!r} * POWER(2.0, CAST(k AS DOUBLE)) / n
+               END, 4) AS est
+      FROM agg"""
+    return f"""
+    WITH h AS (
+      SELECT event_type AS lab,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    regs0 AS (
+      SELECT lab, hv % {m} AS register,
+             MAX(CASE WHEN {w} > 0 THEN {payload + 1} - LENGTH(BIN({w}))
+                      ELSE {payload + 1} END) AS max_rho
+      FROM h GROUP BY lab, hv % {m}
+    ),
+    regs AS MATERIALIZED (
+      SELECT lab, register, max_rho FROM regs0
+      UNION ALL
+      SELECT 'union' AS lab, register, MAX(max_rho) AS max_rho
+      FROM regs0 GROUP BY register
+    ),
+    kx AS (SELECT lab, MAX(max_rho) AS k FROM regs GROUP BY lab),
+    agg AS (
+      SELECT r.lab,
+             SUM(CAST(1 AS BIGINT) << (kx.k - r.max_rho))
+               + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << ANY_VALUE(kx.k)) AS n,
+             ANY_VALUE(kx.k) AS k,
+             COUNT(*) AS present
+      FROM regs r JOIN kx ON kx.lab = r.lab
+      GROUP BY r.lab
+    ),
+    ests AS ({est}),
+    wide AS (
+      SELECT MAX(CASE WHEN lab = 'click' THEN est END) AS est_click,
+             MAX(CASE WHEN lab = 'purchase' THEN est END) AS est_purchase,
+             MAX(CASE WHEN lab = 'union' THEN est END) AS est_union
+      FROM ests
+    )
+    SELECT est_click, est_purchase, est_union,
+           ROUND(GREATEST(est_click + est_purchase - est_union, 0.0), 4)
+             AS est_intersection,
+           ROUND(GREATEST(est_click + est_purchase - est_union, 0.0)
+                 / est_union, 6) AS jaccard_est
+    FROM wide
+    """
+
+
+@register(
+    "hll_set_algebra_overlap",
+    "sketch ALGEBRA on the engine-portable md5-HLL: click-user and "
+    "purchase-user sketches estimate their UNION by per-register max "
+    "merge (the mergeable-state law) and their INTERSECTION by "
+    "inclusion-exclusion — audience-overlap / jaccard estimation from "
+    "two fixed-memory sketches that never rescan raw history; the "
+    "exact binary-string rho and integer harmonic sums keep even the "
+    "approximate estimates bit-identical, so the whole algebra runs "
+    "under a hard SQL oracle",
+    oracle=_hll_algebra_oracle(),
+    survey_ops=("approx-aggregates", "Q8"),
+)
+def hll_set_algebra_overlap(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("event_type").alias("_lab"), "user_id")
+    )
+    regs = sketches.hll_md5_registers(e, ["_lab"], "user_id", b=8)
+    union_regs = regs.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    ).withColumn("_lab", F.lit("union"))
+    all_regs = regs.unionByName(union_regs.select("_lab", "register", "max_rho"))
+    ests = sketches.hll_md5_estimate(all_regs, ["_lab"], b=8)
+    wide = ests.agg(
+        F.max(F.when(F.col("_lab") == "click", F.col("est_distinct"))).alias(
+            "est_click"
+        ),
+        F.max(F.when(F.col("_lab") == "purchase", F.col("est_distinct"))).alias(
+            "est_purchase"
+        ),
+        F.max(F.when(F.col("_lab") == "union", F.col("est_distinct"))).alias(
+            "est_union"
+        ),
+    )
+    inter = F.greatest(
+        F.col("est_click") + F.col("est_purchase") - F.col("est_union"),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+    )
