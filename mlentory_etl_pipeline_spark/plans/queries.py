@@ -8586,20 +8586,30 @@ def _poisson_case_sql(u: str) -> str:
 
 
 def _bootstrap_ci_oracle(b: int = 64, lo: int = 2, hi: int = 62) -> str:
-    seed = (
-        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
-        " || '#' || CAST(r.b AS VARCHAR)"
-    )
-    u = (
+    from mlentory_etl_pipeline_spark.operators.stats import BOOTSTRAP_P
+
+    seed = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+    h = (
         f"(CAST(CONCAT('0x', SUBSTR(MD5({seed}), 1, 15)) AS BIGINT)"
-        f" / 1152921504606846976.0)"
+        f" % {BOOTSTRAP_P})"
+    )
+    # replica uniforms via the affine family — same constants as
+    # stats.bootstrap_coeffs, computed inline from the replica id
+    u = (
+        f"(((48271 * (r.b + 1)) % {BOOTSTRAP_P}) * h"
+        f" + ((16807 * (r.b + 1)) % {BOOTSTRAP_P})) % {BOOTSTRAP_P}"
+        f" / {float(BOOTSTRAP_P)!r}"
     )
     return f"""
-    WITH reps AS MATERIALIZED (
+    WITH base AS MATERIALIZED (
+      SELECT {h} AS h, CAST(l_quantity AS DECIMAL(18,2)) AS v
+      FROM lineitem
+    ),
+    reps AS MATERIALIZED (
       SELECT r.b AS replica,
-             {_poisson_case_sql(u)} AS w,
-             CAST(l_quantity AS DECIMAL(18,2)) AS v
-      FROM lineitem, UNNEST(RANGE(0, {b})) AS r(b)
+             {_poisson_case_sql(f"({u})")} AS w,
+             v
+      FROM base, UNNEST(RANGE(0, {b})) AS r(b)
     ),
     means AS MATERIALIZED (
       SELECT replica, SUM(w) AS n_eff,

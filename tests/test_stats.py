@@ -13,9 +13,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _py_weight(key: str, b: int) -> int:
-    u = int(
-        hashlib.md5(f"{key}#{b}".encode()).hexdigest()[:15], 16
-    ) / float(1 << 60)
+    P = stats.BOOTSTRAP_P
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % P
+    a, c0 = stats.bootstrap_coeffs(b + 1)[b]
+    u = ((a * h + c0) % P) / float(P)
     for k, c in enumerate(stats.POISSON1_CDF):
         if u < c:
             return k
