@@ -1125,6 +1125,64 @@ def nb_bootstrap_quality(
     )
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon_num: int = 1,
+    epsilon_den: int = 1,
+    seed: str = "dp-v1",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ε-differentially-private release of per-group counts via the
+    Laplace mechanism — the privacy-preserving data-card statistic
+    (publish corpus composition without exposing exact memberships;
+    Dwork et al. 2006). Sensitivity of a count is 1, so noise is
+    Laplace(1/ε) with ε = ``epsilon_num/epsilon_den``.
+
+    Determinism contract (a RANDOMIZED mechanism under a hard SQL
+    oracle): the per-group uniform is the group key's seeded md5
+    (first 60 bits / 2⁶⁰ — engine-identical), inverted through the
+    Laplace CDF ``noise = −(1/ε)·sign(u−½)·ln(1−2·|u−½|)``, with the
+    single libm ``ln`` QUANTIZED to micro-units
+    (``floor(ln·scale + ½)`` — the DSIR / lm_perplexity scheme) so
+    both engines carry the identical integer before the one closing
+    division. Seeded noise is a DETERMINISM device for testing and
+    replay — for a production release the seed must be secret and
+    fresh per release, which the docstring is the contract for.
+
+    Scale posture: one count aggregation (map-side combined), then
+    per-group column expressions — no second shuffle, no data-sized
+    state. Returns ``(group_cols…, noisy_count)`` with the noisy
+    value rounded to 6 dp (true counts never leave the plan).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.lit("|"), key)), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    centered = u - F.lit(0.5)
+    sign = F.when(centered < 0, F.lit(-1)).otherwise(F.lit(1))
+    q_ln = F.floor(
+        F.ln(F.lit(1.0) - 2 * F.abs(centered)) * scale + F.lit(0.5)
+    ).cast("long")
+    noise = (
+        (-sign * q_ln).cast("double")
+        * F.lit(float(epsilon_den))
+        / F.lit(float(epsilon_num) * scale)
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            F.round(F.col("_n") + noise, 6).alias("noisy_count"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     group_col: str,

@@ -320,6 +320,67 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    iters: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation over an UNDIRECTED
+    edge list (pass each edge once; symmetrized internally) — the
+    community-detection primitive behind dedup-cluster topology
+    analysis and mirror-site grouping (Raghavan et al. 2007, made
+    deterministic so it can carry a hard SQL oracle).
+
+    Every node starts labeled with its own id; each round every node
+    adopts the label carried by the PLURALITY of its neighbors, ties
+    broken by MINIMUM label — a total order, so the synchronous fold
+    is a pure function of the edge list. Counts are integers and the
+    tie-break is an argmin, so a FIXED ``iters`` replays bit-identical
+    in SQL: the registry oracle unrolls the same rounds (count CTE →
+    per-node max → min-label pick), the same scheme as the unrolled
+    integer PageRank.
+
+    Scale shape per round: one message join (edges ⋈ labels, keyed by
+    source), one (node, label) count aggregation (map-side combined),
+    one per-node argmax window (keyed by node, never global), one
+    label update join — all shuffles keyed by node;
+    ``localCheckpoint`` pins each round so the plan stays O(1) per
+    round. Synchronous updates can two-cycle on bipartite structures
+    — ``iters`` is the contract (a snapshot of the fold), not a
+    convergence promise.
+
+    Returns ``(node, community)`` ordered by node.
+    """
+    from pyspark.sql import Window as W
+
+    half = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    e = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = W.partitionBy("node").orderBy(F.desc("n"), F.asc("lab"))
+    for _ in range(iters):
+        msgs = e.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "lab")
+        counts = msgs.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("n"))
+        picked = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("node", F.col("lab").alias("_new"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select("node", F.coalesce(F.col("_new"), F.col("lab")).alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lab").alias("community")).orderBy("node")
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -141,3 +141,61 @@ def compaction_plan(
         )
     )
     return big.unionByName(small)
+
+
+def range_partition_bounds(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+    sample_mod: int | None = None,
+    seed: str = "rpb-v1",
+) -> DataFrame:
+    """Plan balanced range-partition boundaries for a sort key — the
+    planner step behind every ``repartitionByRange`` / global-sort
+    write (Spark's RangePartitioner does exactly this internally, from
+    an opaque reservoir sample; this operator makes the boundary
+    computation an inspectable, DETERMINISTIC plan artifact a table-
+    maintenance service can persist and reuse across writes).
+
+    The total order is ``(key, tiebreak)`` — the tiebreak makes NTILE's
+    row assignment unambiguous, so bucket membership is a pure function
+    of the data. With ``sample_mod`` set, boundaries compute over the
+    deterministic md5 row sample ``hash(seed|tiebreak) % mod == 0``
+    (the tiebreak is the row identity; hashing it alone keeps the
+    sample independent of the key AND avoids cross-engine float-to-
+    string formatting in the hash input) —
+    the honest posture at data scale, where the planner NEVER sorts the
+    full table: the ntile window runs over |df|/mod rows, and the
+    resulting bounds are approximate in exactly the way a sampled range
+    planner is. Without it the bounds are exact (fine for metadata-
+    sized inputs like file listings or group aggregates).
+
+    Returns ``(bucket, lo_key, hi_key, n_rows)`` — one row per bucket,
+    boundaries inclusive, ``n_rows`` counted over the (sampled) input.
+    """
+    base = df.select(F.col(key_col).alias("_k"), F.col(tiebreak_col).alias("_t"))
+    if sample_mod is not None:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("_t").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        base = base.where(F.pmod(h, F.lit(sample_mod)) == 0)
+    w = Window.orderBy("_k", "_t")
+    tiled = base.select(
+        "_k", F.ntile(n_buckets).over(w).cast("long").alias("bucket")
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.min("_k").alias("lo_key"),
+            F.max("_k").alias("hi_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )

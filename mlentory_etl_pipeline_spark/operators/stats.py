@@ -171,6 +171,121 @@ def bootstrap_ci(
     )
 
 
+def exact_auc(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC (Mann-Whitney U) of ``score``
+    against the boolean ``label`` — the evaluation primitive behind
+    every quality-classifier audit (does the NB/fasttext score actually
+    separate keep from drop?). The reference ships classifiers but no
+    ranking-quality audit; a curation pipeline that THRESHOLDS a score
+    needs its AUC measured on pseudo-labels before the threshold ships.
+
+    Exactness contract: scores quantize to ``floor(score·scale)``
+    longs FIRST (tie groups are then engine-identical integers), and
+    the tie-corrected rank-sum closes in pure integer arithmetic:
+    per distinct quantized score with ``c`` rows (``p`` positive) and
+    ``cb`` rows strictly below it, twice the average 1-based rank of
+    the group is ``2·cb + c + 1``, so
+
+        AUC = (Σ_g p_g·(2·cb_g + c_g + 1) − P·(P+1)) / (2·P·N)
+
+    with one division to double at the end. Equals the probability a
+    random positive outranks a random negative, ties counted half.
+
+    Scale posture: one groupBy on the quantized score (map-side
+    combined — the shuffle carries |distinct scores| ≤ score-range ×
+    scale rows, bounded by the quantization, NOT by |df|), then one
+    running-sum window over those bounded rows. The single-partition
+    window is over the quantization-bounded aggregate, the same
+    posture as the histogram sketch's quantile close.
+    """
+    q = df.select(
+        F.floor(score * scale).cast("long").alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = q.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p")
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "_c", "_p", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_cb")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("_p") * (2 * F.col("_cb") + F.col("_c") + 1)).alias("_rs2"),
+        F.sum("_p").alias("n_pos"),
+        F.sum(F.col("_c") - F.col("_p")).alias("n_neg"),
+    )
+    pos = F.col("n_pos").cast("decimal(38,0)")
+    neg = F.col("n_neg").cast("decimal(38,0)")
+    num = F.col("_rs2").cast("decimal(38,0)") - pos * (pos + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            num.cast("double") / (2 * pos * neg).cast("double"), 6
+        ).alias("auc"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelers over the same
+    rows — the inter-annotator-agreement audit (rule classifier vs
+    model classifier, two model versions, human vs heuristic) that
+    decides whether a cheaper labeler can replace an expensive one.
+
+    Closed in exact integer arithmetic:
+
+        kappa = (N·Σ_k n_kk − Σ_k a_k·b_k) / (N² − Σ_k a_k·b_k)
+
+    where ``n_kk`` is the agreement diagonal and ``a_k``/``b_k`` the
+    per-category marginals — the observed/expected-agreement form with
+    both N divisions cleared, so partitioning cannot move the result;
+    one division to double at the end. Returns one row
+    ``(n_items, n_agree, po, pe, kappa)`` (po/pe rounded 6 dp).
+
+    Scale posture: one groupBy on the (a, b) label pair — the shuffle
+    carries |categories|² rows regardless of |df| (marginals derive
+    from the same aggregate, no second scan).
+    """
+    pairs = df.select(
+        rater_a.cast("string").alias("_a"), rater_b.cast("string").alias("_b")
+    ).groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = pairs.persist()
+    am = pairs.groupBy("_a").agg(F.sum("_n").alias("_an"))
+    bm = pairs.groupBy("_b").agg(F.sum("_n").alias("_bn"))
+    exp = (
+        am.join(bm, F.col("_a") == F.col("_b"))
+        .agg(F.sum(F.col("_an") * F.col("_bn")).alias("_e"))
+    )
+    obs = pairs.agg(
+        F.sum("_n").alias("_nn"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0)).alias(
+            "_d"
+        ),
+    )
+    d = "decimal(38,0)"
+    nn = F.col("_nn").cast(d)
+    dg = F.col("_d").cast(d)
+    e = F.coalesce(F.col("_e"), F.lit(0)).cast(d)
+    return obs.crossJoin(F.broadcast(exp)).select(
+        F.col("_nn").alias("n_items"),
+        F.col("_d").alias("n_agree"),
+        F.round(dg.cast("double") / nn.cast("double"), 6).alias("po"),
+        F.round(e.cast("double") / (nn * nn).cast("double"), 6).alias("pe"),
+        F.round(
+            (nn * dg - e).cast("double") / (nn * nn - e).cast("double"), 6
+        ).alias("kappa"),
+    )
+
+
 def groupwise_trend(
     df: DataFrame,
     group_cols: list[str],

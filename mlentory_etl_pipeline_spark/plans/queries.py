@@ -9551,3 +9551,259 @@ def hll_set_algebra_overlap(spark, sf_dir):
         F.round(inter, 4).alias("est_intersection"),
         F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
     )
+
+
+# =====================================================================
+# Evaluation statistics: ranking quality + inter-annotator agreement
+# =====================================================================
+
+@register(
+    "auc_event_value_purchase",
+    "exact tie-corrected ROC AUC (Mann-Whitney) of the event value as "
+    "a predictor of event_type = purchase — the ranking-quality audit "
+    "every thresholded quality score needs before it ships: scores "
+    "quantize to micro-unit longs FIRST (engine-identical tie "
+    "groups), the tie-corrected rank sum closes in pure integer "
+    "arithmetic (2*avg-rank per tie group = 2*cum_below + c + 1), "
+    "one divide to double at the end; the shuffle carries |distinct "
+    "quantized scores| rows (quantization-bounded, never |df|), the "
+    "running-sum window runs over that bounded aggregate",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM q GROUP BY s),
+    r AS (
+      SELECT c, p,
+             COALESCE(SUM(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ),
+    a AS (
+      SELECT CAST(SUM(p * (2 * cb + c + 1)) AS BIGINT) AS rs2,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(c - p) AS BIGINT) AS n_neg
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+    FROM a
+    """,
+    survey_ops=("quality-scoring", "§2.9 window functions"),
+)
+def auc_event_value_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import exact_auc
+
+    e = t(spark, sf_dir, "events")
+    return exact_auc(e, F.col("event_type") == "purchase", F.col("value"))
+
+
+@register(
+    "classifier_kappa_agreement",
+    "Cohen's kappa between two rule classifiers (char-length terciles "
+    "vs word-count terciles) over the document corpus — the inter-"
+    "annotator-agreement audit that decides whether a cheap labeler "
+    "can stand in for an expensive one; closed in exact integer "
+    "arithmetic (kappa = (N*diag - sum(a_k*b_k)) / (N^2 - "
+    "sum(a_k*b_k)), both N divisions cleared), one (a,b)-pair "
+    "aggregation whose shuffle carries |categories|^2 rows",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS a,
+             CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 36
+                    THEN 'short'
+                  WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 72
+                    THEN 'medium' ELSE 'long' END AS b
+      FROM documents
+    ),
+    pairs AS (SELECT a, b, COUNT(*) AS n FROM lab GROUP BY a, b),
+    am AS (SELECT a, SUM(n) AS an FROM pairs GROUP BY a),
+    bm AS (SELECT b, SUM(n) AS bn FROM pairs GROUP BY b),
+    e AS (
+      SELECT CAST(COALESCE(SUM(am.an * bm.bn), 0) AS BIGINT) AS ee
+      FROM am JOIN bm ON am.a = bm.b
+    ),
+    o AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS dg
+      FROM pairs
+    )
+    SELECT nn AS n_items, dg AS n_agree,
+           ROUND(CAST(dg AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+           ROUND(CAST(ee AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6) AS pe,
+           ROUND(CAST(nn * dg - ee AS DOUBLE)
+                 / CAST(nn * nn - ee AS DOUBLE), 6) AS kappa
+    FROM o, e
+    """,
+    survey_ops=("quality-scoring", "T1 classification"),
+)
+def classifier_kappa_agreement(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import cohen_kappa
+
+    d = t(spark, sf_dir, "documents")
+    wc = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + 1
+    )
+    a = (
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+    )
+    b = F.when(wc < 36, "short").when(wc < 72, "medium").otherwise("long")
+    return cohen_kappa(d, a, b)
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled deterministic-LPA oracle: every round is integer
+    counts + a (max-count, min-label) pick — a total order, so the
+    fixed-round synchronous fold replays exactly in SQL (the unrolled-
+    integer-PageRank scheme applied to community detection)."""
+    body = """
+    WITH sp AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+      WHERE l_suppkey < 150 AND l_partkey < 1000
+    ),
+    half AS MATERIALIZED (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sp a JOIN sp b USING (p) WHERE a.s < b.s
+    ),
+    e AS MATERIALIZED (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS lab FROM e
+    )"""
+    step = """,
+    m{i} AS MATERIALIZED (
+      SELECT e.v AS node, l.lab AS lab, COUNT(*) AS n
+      FROM e JOIN l{p} l ON l.node = e.u GROUP BY e.v, l.lab
+    ),
+    x{i} AS MATERIALIZED (SELECT node, MAX(n) AS mn FROM m{i} GROUP BY node),
+    p{i} AS MATERIALIZED (
+      SELECT m.node, MIN(m.lab) AS lab
+      FROM m{i} m JOIN x{i} x ON m.node = x.node AND m.n = x.mn
+      GROUP BY m.node
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT l.node, COALESCE(p.lab, l.lab) AS lab
+      FROM l{p} l LEFT JOIN p{i} p ON p.node = l.node
+    )"""
+    for i in range(1, iters + 1):
+        body += step.format(i=i, p=i - 1)
+    body += f"""
+    SELECT node AS supp_key, lab AS community
+    FROM l{iters} ORDER BY node
+    """
+    return body
+
+
+@register(
+    "graph_label_propagation",
+    "deterministic synchronous label propagation (4 fixed rounds: "
+    "plurality neighbor label, ties to the MINIMUM — a total order) "
+    "over the undirected supplier co-supply graph — community "
+    "detection for dedup-cluster / mirror-site topology; integer "
+    "counts + argmin tie-break make the fixed-round fold replayable "
+    "in SQL, and each round is one source-keyed message join + one "
+    "map-side-combined (node,label) count + one node-keyed argmax "
+    "window, localCheckpoint-pinned (the pregel cadence)",
+    oracle=_lpa_oracle(iters=4),
+    survey_ops=("§2.9 joins", "T4 frontier"),
+)
+def graph_label_propagation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    # same bounded subgraph as graph_triangle_counts (density note there)
+    sp = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    half = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    return graph.label_propagation(half, iters=4).select(
+        F.col("node").alias("supp_key"), "community"
+    )
+
+
+@register(
+    "dp_noisy_event_counts",
+    "epsilon-differentially-private per-type event counts via the "
+    "Laplace mechanism (sensitivity-1 counts, eps = 1): the per-group "
+    "uniform is the seeded md5 of the group key inverted through the "
+    "Laplace CDF with the single libm ln QUANTIZED to micro-units "
+    "(the DSIR scheme) — a randomized privacy mechanism under a hard "
+    "SQL oracle; one map-side-combined count aggregation, then pure "
+    "column expressions (seeded noise is the determinism device for "
+    "replay/testing; production releases use a secret fresh seed)",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             CAST(('0x' || SUBSTR(MD5('dp-v1' || '|' || event_type), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS uu
+      FROM g
+    )
+    SELECT event_type,
+           ROUND(n + (CASE WHEN uu < 0.5 THEN 1 ELSE -1 END)
+                     * CAST(FLOOR(LN(1 - 2 * ABS(uu - 0.5)) * 1000000 + 0.5)
+                            AS BIGINT) / 1000000.0, 6) AS noisy_count
+    FROM u ORDER BY event_type
+    """,
+    survey_ops=("curation-sampling", "§2.9 aggregations"),
+)
+def dp_noisy_event_counts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import dp_noisy_counts
+
+    e = t(spark, sf_dir, "events")
+    return dp_noisy_counts(e, ["event_type"], epsilon_num=1, epsilon_den=1)
+
+
+@register(
+    "range_partition_plan",
+    "balanced range-partition boundaries for a global sort key "
+    "(orders by total price, orderkey tiebreak, 8 buckets) computed "
+    "over the deterministic md5 row sample (mod 5) — the inspectable "
+    "write-planner artifact behind repartitionByRange/global-sort "
+    "writes: NTILE over a total order makes bucket membership a pure "
+    "function of the data, and the planner only ever sorts the "
+    "SAMPLE (|df|/mod rows), the honest posture at data scale",
+    oracle="""
+    WITH base AS (
+      SELECT o_totalprice AS k, o_orderkey AS tb FROM orders
+    ),
+    s AS (
+      SELECT k, tb FROM base
+      WHERE CAST(('0x' || SUBSTR(MD5('rpb-v1' || '|' || CAST(tb AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 5 = 0
+    ),
+    tiled AS (
+      SELECT k, NTILE(8) OVER (ORDER BY k, tb) AS bucket FROM s
+    )
+    SELECT bucket, MIN(k) AS lo_key, MAX(k) AS hi_key,
+           COUNT(*) AS n_rows
+    FROM tiled GROUP BY bucket ORDER BY bucket
+    """,
+    survey_ops=("layout", "§2.9 window functions"),
+)
+def range_partition_plan(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.layout import (
+        range_partition_bounds,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    return range_partition_bounds(
+        o, "o_totalprice", "o_orderkey", n_buckets=8, sample_mod=5
+    )

@@ -548,3 +548,32 @@ def test_quantile_normalize_identity_on_single_source(spark):
     out = quantile_normalize(df, "src", "score", "id").collect()
     # one source: percentiles map onto the same distribution -> identity
     assert all(r.calibrated == r.raw_score for r in out)
+
+
+def test_dp_noisy_counts_bounded_noise_and_deterministic(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(chr(97 + i % 5),) for i in range(1000)], "g string"
+    )
+    out = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert set(out) == set("abcde")
+    # Laplace(1) noise: |noise| < 42 with md5's 60-bit uniform floor
+    for g, v in out.items():
+        assert abs(v - 200) < 42, (g, v)
+    # none exactly the true count (noise is continuous-valued)
+    assert all(v != 200 for v in out.values())
+    again = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert out == again
+
+
+def test_dp_noisy_counts_epsilon_scales_noise(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import dp_noisy_counts
+
+    df = spark.createDataFrame([(chr(97 + i % 5),) for i in range(100)], "g string")
+    tight = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], 10, 1).collect()}
+    loose = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], 1, 10).collect()}
+    for g in tight:
+        # same seeded uniform -> same noise shape, scaled by 100x
+        assert abs(loose[g] - 20) > abs(tight[g] - 20), g
+        assert abs((loose[g] - 20) - 100 * (tight[g] - 20)) < 1e-3, g

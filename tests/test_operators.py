@@ -1098,3 +1098,72 @@ def test_kcore_fixed_rounds_matches_converged(spark):
     a = sorted(map(tuple, k_core(df, k=2, rounds=3).collect()))
     b = sorted(map(tuple, k_core(df, k=2, rounds=12).collect()))
     assert a == b
+
+
+def test_label_propagation_finds_disjoint_clique_communities(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # two disjoint triangles + a chain pair: min-label plurality
+    # converges each component onto its minimum node id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (7, 8)],
+        "u long, v long",
+    )
+    got = {
+        r.node: r.community
+        for r in graph.label_propagation(edges, iters=4).collect()
+    }
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[4], got[5], got[6]} == {4}
+    # the 7-8 pair two-cycles under synchronous updates (documented
+    # contract): after an even round count each holds the other's id
+    # from the odd round -> both have flipped twice, back to swap state
+    assert {got[7], got[8]} == {7, 8} or {got[7], got[8]} == {8}
+
+
+def test_label_propagation_partition_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 100) for i in range(60)], "u long, v long"
+    )
+    a = {(r.node, r.community) for r in graph.label_propagation(edges, iters=3).collect()}
+    b = {
+        (r.node, r.community)
+        for r in graph.label_propagation(edges.repartition(17, "v"), iters=3).collect()
+    }
+    assert a == b
+
+
+def test_range_partition_bounds_exact_balanced(spark):
+    from mlentory_etl_pipeline_spark.operators.layout import (
+        range_partition_bounds,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k long, id long")
+    out = range_partition_bounds(df, "k", "id", n_buckets=4).collect()
+    assert [r.bucket for r in out] == [1, 2, 3, 4]
+    assert all(r.n_rows == 25 for r in out)
+    # buckets tile the key range in order, boundaries inclusive
+    assert out[0].lo_key == 0 and out[-1].hi_key == 99
+    for a, b in zip(out, out[1:]):
+        assert a.hi_key < b.lo_key
+
+
+def test_range_partition_bounds_sampled_is_deterministic(spark):
+    from mlentory_etl_pipeline_spark.operators.layout import (
+        range_partition_bounds,
+    )
+
+    df = spark.createDataFrame([(i % 37, i) for i in range(500)], "k long, id long")
+    a = [
+        tuple(r)
+        for r in range_partition_bounds(df, "k", "id", 5, sample_mod=3).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in range_partition_bounds(
+            df.repartition(11, "id"), "k", "id", 5, sample_mod=3
+        ).collect()
+    ]
+    assert a == b and 0 < sum(r[3] for r in a) < 500

@@ -299,3 +299,83 @@ def test_zset_agg_delta_multi_step_fold_matches_recompute(spark):
                 expect[k] = (n0 + m, s0 + m * v)
         got = {r.k: (r.n, r.s) for r in agg.collect()}
         assert got == expect, (step, got, expect)
+
+
+# ---------------------------------------------------------------------
+# exact AUC (tie-corrected Mann-Whitney)
+# ---------------------------------------------------------------------
+
+
+def _sklearn_free_auc(pairs):
+    """O(P*N) reference: P(random positive outranks random negative),
+    ties counted half."""
+    pos = [s for y, s in pairs if y]
+    neg = [s for y, s in pairs if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_exact_auc_matches_pairwise_model_with_ties(spark):
+    pairs = [
+        (1, 0.9), (1, 0.7), (1, 0.5), (1, 0.5), (1, 0.2),
+        (0, 0.8), (0, 0.5), (0, 0.5), (0, 0.3), (0, 0.1), (0, 0.1),
+    ]
+    df = spark.createDataFrame(pairs, "y int, s double")
+    row = stats.exact_auc(df, F.col("y") == 1, F.col("s")).collect()[0]
+    assert row.n_pos == 5 and row.n_neg == 6
+    assert abs(row.auc - _sklearn_free_auc([(y == 1, s) for y, s in pairs])) < 1e-9
+
+
+def test_exact_auc_perfect_and_inverted_separation(spark):
+    perfect = [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)]
+    df = spark.createDataFrame(perfect, "y int, s double")
+    assert stats.exact_auc(df, F.col("y") == 1, F.col("s")).collect()[0].auc == 1.0
+    inv = stats.exact_auc(df, F.col("y") == 0, F.col("s")).collect()[0]
+    assert inv.auc == 0.0
+
+
+def test_exact_auc_partition_invariant(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    lab = F.col("l_returnflag") == "R"
+    a = stats.exact_auc(li, lab, F.col("l_extendedprice")).collect()[0]
+    b = stats.exact_auc(
+        li.repartition(13, "l_partkey"), lab, F.col("l_extendedprice")
+    ).collect()[0]
+    assert (a.n_pos, a.n_neg, a.auc) == (b.n_pos, b.n_neg, b.auc)
+
+
+# ---------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------
+
+
+def test_cohen_kappa_perfect_agreement_is_one(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",)], "lab string"
+    )
+    row = stats.cohen_kappa(df, F.col("lab"), F.col("lab")).collect()[0]
+    assert row.kappa == 1.0 and row.po == 1.0 and row.n_agree == 4
+
+
+def test_cohen_kappa_matches_hand_computation(spark):
+    # confusion: aa=20 ab=5 ba=10 bb=15 -> N=50, diag=35
+    # marginals a:(25,30) b:(25,20); e = 25*30 + 25*20 = 1250
+    # kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    row = stats.cohen_kappa(df, F.col("ra"), F.col("rb")).collect()[0]
+    assert row.n_items == 50 and row.n_agree == 35
+    assert abs(row.kappa - 0.4) < 1e-9
+    assert abs(row.po - 0.7) < 1e-9 and abs(row.pe - 0.5) < 1e-9
+
+
+def test_cohen_kappa_chance_only_agreement_is_zero(spark):
+    # independent raters, identical marginals: po == pe -> kappa == 0
+    rows = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    row = stats.cohen_kappa(df, F.col("ra"), F.col("rb")).collect()[0]
+    assert abs(row.kappa) < 1e-9
