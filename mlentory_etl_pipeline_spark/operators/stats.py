@@ -415,3 +415,135 @@ def ewma_last(
         )
         .orderBy(*group_cols)
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """Reliability diagram data: fixed-range score bins vs observed
+    outcome rate — the calibration audit that pairs with
+    :func:`exact_auc` (AUC says the score RANKS well; calibration says
+    its VALUES mean what they claim — the pair is the complete
+    pre-threshold audit of any quality classifier).
+
+    Fixed [lo, hi) bin edges (not quantiles) keep bin membership a
+    pure per-row expression — batch-stable and engine-identical, the
+    same design choice as the fixed-range Z-order buckets. Mean score
+    per bin closes in exact DECIMAL, the outcome rate is an integer
+    ratio, each divided once.
+
+    Scale posture: one map-side-combined aggregation; the shuffle
+    carries ``n_bins`` rows. Returns ``(bin, n, mean_score,
+    outcome_rate)`` ordered by bin.
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((score - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            score.cast(f"decimal(18,{scale})").alias("_s"),
+            F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_s").alias("_ss"),
+            F.sum("_y").alias("_sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_ss").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("_sy").cast("double") / F.col("n").cast("double"), 6).alias(
+                "outcome_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    group_a: str,
+    group_b: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic — the A/B
+    decision primitive (did the new filter change mean quality? does
+    source A differ from source B?) computed from exact sufficient
+    statistics in ONE aggregation pass.
+
+    Values scale to integer ``cents`` first, so n/Σx/Σx² are exact
+    longs (partitioning cannot move them); means, variances, the t
+    statistic and the Welch–Satterthwaite df close in double on
+    identical exact operands — each input reads once, no per-group
+    sort, no second scan. Returns one row ``(n_a, n_b, mean_a,
+    mean_b, t_stat, df)`` (4 dp on t/df, 6 dp on means).
+
+    At lake scale this is the template for per-segment sweeps: swap
+    the final one-row close for a groupBy(segment) over the same
+    sufficient statistics.
+    """
+    g = group.cast("string")
+    v = F.floor(value * cents).cast("long")
+    agg = df.select(g.alias("_g"), v.alias("_v")).where(
+        F.col("_g").isin([group_a, group_b])
+    ).groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+    )
+    wide = agg.agg(
+        *[
+            F.max(F.when(F.col("_g") == gname, F.col(c))).alias(f"{c}{suf}")
+            for gname, suf in ((group_a, "a"), (group_b, "b"))
+            for c in ("_n", "_s", "_ss")
+        ]
+    )
+    def close(suf):
+        n = F.col(f"_n{suf}").cast("double")
+        mean = F.col(f"_s{suf}").cast("double") / n / cents
+        # unbiased variance from exact sums, in value units
+        var = (
+            (
+                F.col(f"_ss{suf}").cast("double")
+                - F.col(f"_s{suf}").cast("double")
+                * F.col(f"_s{suf}").cast("double")
+                / n
+            )
+            / (n - 1)
+            / (cents * cents)
+        )
+        return n, mean, var
+
+    na, ma, va = close("a")
+    nb, mb, vb = close("b")
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    # products, not pow(): x*x is the same IEEE op in every engine
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    return wide.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 4).alias("df"),
+    )

@@ -293,3 +293,61 @@ def range_join(
         .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
         .drop("_bkt")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix — the standard activation/churn
+    view (rows: the week a user first appeared; columns: weeks since;
+    cells: how many of that cohort were active): the analytics shape
+    behind "is week-4 retention improving release over release".
+
+    Exactness: cohort and activity weeks are ``date_trunc('week')``
+    (Monday-start in Spark AND DuckDB), the offset an integer
+    ``datediff/7``, retention an integer ratio divided once — nothing
+    float-ordered anywhere.
+
+    Scale posture: one min-aggregation per user (map-side combined),
+    one user-keyed join back, one distinct-user count per
+    (cohort, offset) cell — two user-keyed shuffles plus a cell-keyed
+    aggregation whose output is |cohorts|×|offsets| rows (metadata-
+    sized regardless of event volume).
+
+    Returns ``(cohort_week, week_offset, n_active, cohort_size,
+    retention)`` ordered by (cohort_week, week_offset); offset 0 is
+    the activation week itself (retention 1.0 by construction).
+    """
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first = df.groupBy(F.col(user_col).alias("_u")).agg(
+        wk(F.min(ts_col)).alias("cohort_week")
+    )
+    acts = (
+        df.select(F.col(user_col).alias("_u"), wk(F.col(ts_col)).alias("_w"))
+        .distinct()
+        .join(first, "_u")
+    )
+    cells = acts.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("_w"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

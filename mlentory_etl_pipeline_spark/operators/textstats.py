@@ -269,3 +269,133 @@ def kl_domain_drift(
         )
         .orderBy(group_col)
     )
+
+
+def zipf_slope(df, id_col: str, text_col: str, top_n: int = 200):
+    """Zipf-law slope of the corpus token-frequency distribution —
+    the one-number corpus-health check (natural text sits near −1;
+    boilerplate-heavy or template-generated corpora flatten, spammy
+    keyword-stuffed ones steepen): OLS of ln(freq) on ln(rank) over
+    the ``top_n`` most frequent tokens.
+
+    Determinism: rank order is total (freq DESC, token ASC); both
+    logs QUANTIZE to micro-unit longs before the sufficient-statistic
+    sums (the DSIR scheme — the quantization scale cancels exactly in
+    the slope ratio), and the closed form runs in DECIMAL(38,0).
+
+    Scale posture: one token count aggregation (map-side combined,
+    |vocab| rows shuffled), one ranking window over the
+    vocab-bounded aggregate, a ``top_n``-row close.
+
+    Returns one row ``(n_terms, zipf_slope)``.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w")
+    ).where(F.col("_w") != "")
+    freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.orderBy(F.desc("_f"), F.asc("_w"))
+    ranked = (
+        freq.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_n)
+        .select(
+            F.floor(F.ln(F.col("_r")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("_x"),
+            F.floor(F.ln(F.col("_f")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("_y"),
+        )
+    )
+    d = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n = F.col("n_terms").cast(d)
+    num = n * F.col("_sxy").cast(d) - F.col("_sx").cast(d) * F.col("_sy").cast(d)
+    den = n * F.col("_sxx").cast(d) - F.col("_sx").cast(d) * F.col("_sx").cast(d)
+    return s.select(
+        "n_terms",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
+    )
+
+
+def pmi_top_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    min_doc_freq: int = 20,
+    min_pair_count: int = 10,
+    top_k: int = 50,
+):
+    """Top document-level PMI word pairs — the collocation /
+    co-occurrence-statistics primitive (the association matrix behind
+    SGNS-style embedding prep and topic exploration): for words u, v
+    appearing together in documents, ``pmi = ln(N·c_uv/(c_u·c_v))``
+    over DOCUMENT frequencies.
+
+    Determinism: PMI is one ln of an integer-product ratio, quantized
+    to micro-units (the DSIR scheme); the top-k order is total
+    (quantized pmi DESC, pair ASC).
+
+    Scale posture: per-doc DISTINCT words filter through the
+    ``min_doc_freq`` vocabulary first — the pair self-join (doc-keyed)
+    then fans out only over frequent-vocab words per doc (quadratic in
+    THAT bounded count, not in document length), and pair counts are
+    map-side combined. The vocabulary table broadcasts (it is
+    count-filtered metadata). Returns ``(w1, w2, n_pairs, pmi)``.
+    """
+    dw = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w"),
+        )
+        .where(F.col("_w") != "")
+        .distinct()
+    )
+    vocab = dw.groupBy("_w").agg(F.count(F.lit(1)).alias("_cu")).where(
+        F.col("_cu") >= min_doc_freq
+    )
+    fdw = dw.join(F.broadcast(vocab), "_w").select("_d", "_w", "_cu")
+    pairs = (
+        fdw.alias("a")
+        .join(fdw.alias("b"), "_d")
+        .where(F.col("a._w") < F.col("b._w"))
+        .groupBy(
+            F.col("a._w").alias("w1"),
+            F.col("b._w").alias("w2"),
+            F.col("a._cu").alias("_c1"),
+            F.col("b._cu").alias("_c2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_pair_count)
+    )
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )  # 1-row in-plan broadcast, no driver round-trip
+    q = F.floor(
+        F.ln(
+            F.col("_nd").cast("double")
+            * F.col("n_pairs").cast("double")
+            / (F.col("_c1") * F.col("_c2")).cast("double")
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("w1", "w2", "n_pairs", q.alias("_q"))
+        .orderBy(F.desc("_q"), "w1", "w2")
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            "n_pairs",
+            F.round(F.col("_q") / F.lit(1_000_000.0), 6).alias("pmi"),
+        )
+    )

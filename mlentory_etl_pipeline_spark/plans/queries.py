@@ -9807,3 +9807,236 @@ def range_partition_plan(spark, sf_dir):
     return range_partition_bounds(
         o, "o_totalprice", "o_orderkey", n_buckets=8, sample_mod=5
     )
+
+
+# =====================================================================
+# Behavioral analytics + corpus-statistics audits
+# =====================================================================
+
+@register(
+    "cohort_retention_weekly",
+    "weekly cohort-retention matrix over the event stream (cohort = "
+    "Monday-truncated first-seen week, cells = distinct active users "
+    "at each week offset, retention = integer ratio divided once) — "
+    "the activation/churn analytics shape; one per-user min "
+    "aggregation + one user-keyed join + one cell aggregation whose "
+    "output is |cohorts|x|offsets| metadata-sized rows",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    acts AS (
+      SELECT DISTINCT e.user_id, DATE_TRUNC('week', e.ts) AS w, f.cohort_week
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    ),
+    cells AS (
+      SELECT cohort_week,
+             CAST(DATE_DIFF('day', cohort_week, w) / 7 AS BIGINT) AS week_offset,
+             COUNT(*) AS n_active
+      FROM acts GROUP BY cohort_week, week_offset
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY cohort_week
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+             AS retention
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    ORDER BY c.cohort_week, c.week_offset
+    """,
+    survey_ops=("§2.9 aggregations", "§2.9 window functions"),
+)
+def cohort_retention_weekly(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "score_calibration_purchase",
+    "reliability-diagram bins for the event value as a purchase "
+    "predictor (10 FIXED [0,500) bins — batch-stable membership, the "
+    "Z-order design choice): per bin n, exact-decimal mean score, "
+    "integer-ratio outcome rate — the calibration half of the "
+    "classifier audit (AUC ranks, calibration means); one map-side-"
+    "combined aggregation, 10 rows shuffled",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), 0), 9)
+               AS bin,
+             CAST(value AS DECIMAL(18,2)) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT bin, COUNT(*) AS n,
+           ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_score,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS outcome_rate
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def score_calibration_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import calibration_bins
+
+    e = t(spark, sf_dir, "events")
+    return calibration_bins(
+        e, F.col("event_type") == "purchase", F.col("value"), 0.0, 500.0, 10
+    )
+
+
+@register(
+    "ab_welch_value_test",
+    "Welch's unequal-variance t test between view and click event "
+    "values from EXACT integer sufficient statistics (values in "
+    "cents: n/sum/sumsq are longs, means/variances/t/df close in "
+    "double on identical exact operands, products not pow()) — the "
+    "A/B decision primitive in one aggregation pass over one scan",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS gp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                      * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS ss
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN gp = 'view' THEN n END) AS na,
+        MAX(CASE WHEN gp = 'view' THEN s END) AS sa,
+        MAX(CASE WHEN gp = 'view' THEN ss END) AS ssa,
+        MAX(CASE WHEN gp = 'click' THEN n END) AS nb,
+        MAX(CASE WHEN gp = 'click' THEN s END) AS sb,
+        MAX(CASE WHEN gp = 'click' THEN ss END) AS ssb
+      FROM g
+    ),
+    c AS (
+      SELECT na, nb,
+        CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100 AS ma,
+        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100 AS mb,
+        (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) / 10000 AS va,
+        (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) / 10000 AS vb
+      FROM w
+    ),
+    se AS (
+      SELECT na, nb, ma, mb,
+             va / CAST(na AS DOUBLE) AS sea,
+             vb / CAST(nb AS DOUBLE) AS seb
+      FROM c
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(sea + seb), 4) AS t_stat,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (CAST(na AS DOUBLE) - 1)
+                    + seb * seb / (CAST(nb AS DOUBLE) - 1)), 4) AS df
+    FROM se
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def ab_welch_value_test(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import welch_t_test
+
+    e = t(spark, sf_dir, "events")
+    return welch_t_test(e, F.col("event_type"), F.col("value"), "view", "click")
+
+
+@register(
+    "zipf_slope_corpus",
+    "Zipf-law slope of the corpus token-frequency distribution (OLS "
+    "of ln freq on ln rank over the top terms, both logs quantized to "
+    "micro-longs before the DECIMAL(38,0) closed form — the "
+    "quantization scale cancels in the ratio) — the one-number "
+    "template/boilerplate corpus-health check; one vocab-bounded "
+    "count aggregation + a top-N window over the aggregate",
+    oracle="""
+    WITH toks AS (
+      SELECT w FROM (
+        SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r, f FROM freq
+    ),
+    q AS (
+      SELECT CAST(FLOOR(LN(r) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(LN(f) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked WHERE r <= 200
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM q
+    )
+    SELECT n AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+    survey_ops=("quality-scoring", "§2.9 window functions"),
+)
+def zipf_slope_corpus(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.textstats import zipf_slope
+
+    return zipf_slope(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "pmi_top_collocations",
+    "top document-level PMI word pairs (collocation mining, the "
+    "association statistic behind SGNS embedding prep): per-doc "
+    "DISTINCT words filter through the min-doc-freq vocabulary "
+    "BEFORE the doc-keyed pair self-join (fan-out quadratic in the "
+    "bounded frequent-words-per-doc count, not document length), "
+    "pair counts map-side combined, PMI one micro-quantized ln of an "
+    "integer-product ratio, top-k under a total order",
+    oracle="""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w, COUNT(*) AS cu FROM dw GROUP BY w HAVING COUNT(*) >= 20
+    ),
+    fdw AS (
+      SELECT dw.doc_id, dw.w, v.cu FROM dw JOIN vocab v ON dw.w = v.w
+    ),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, a.cu AS c1, b.cu AS c2,
+             COUNT(*) AS n_pairs
+      FROM fdw a JOIN fdw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w, a.cu, b.cu
+      HAVING COUNT(*) >= 10
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    q AS (
+      SELECT w1, w2, n_pairs,
+             CAST(FLOOR(LN(CAST(nd.n AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+                           / CAST(c1 * c2 AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS qq
+      FROM pairs, nd
+    )
+    SELECT w1, w2, n_pairs, ROUND(qq / 1000000.0, 6) AS pmi
+    FROM q ORDER BY qq DESC, w1, w2 LIMIT 50
+    """,
+    survey_ops=("quality-scoring", "N4 embedding prep"),
+)
+def pmi_top_collocations(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.textstats import pmi_top_pairs
+
+    return pmi_top_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_doc_freq=20, min_pair_count=10, top_k=50,
+    )

@@ -379,3 +379,133 @@ def test_cohen_kappa_chance_only_agreement_is_zero(spark):
     df = spark.createDataFrame(rows, "ra string, rb string")
     row = stats.cohen_kappa(df, F.col("ra"), F.col("rb")).collect()[0]
     assert abs(row.kappa) < 1e-9
+
+
+# ---------------------------------------------------------------------
+# calibration bins + Welch t
+# ---------------------------------------------------------------------
+
+
+def test_calibration_bins_perfectly_calibrated_score(spark):
+    # score == empirical outcome rate within each bin by construction
+    rows = []
+    for b in range(5):
+        p = (b * 2 + 1) / 10  # bin-center score: 0.1 0.3 0.5 0.7 0.9
+        for i in range(20):
+            rows.append((p, 1 if i < round(p * 20) else 0))
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = stats.calibration_bins(
+        df, F.col("y") == 1, F.col("s"), 0.0, 1.0, n_bins=5, scale=4
+    ).collect()
+    assert [r.bin for r in out] == [0, 1, 2, 3, 4]
+    for r in out:
+        assert r.n == 20
+        assert abs(r.mean_score - r.outcome_rate) < 1e-9
+
+
+def test_calibration_bins_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0, 1), (0.5, 0), (99.0, 1)], "s double, y int"
+    )
+    out = {r.bin: r.n for r in stats.calibration_bins(
+        df, F.col("y") == 1, F.col("s"), 0.0, 1.0, n_bins=4, scale=4
+    ).collect()}
+    assert out == {0: 1, 2: 1, 3: 1}
+
+
+def test_welch_t_identical_groups_zero_t(spark):
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v)) for v in (1, 2, 3, 4, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.welch_t_test(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    assert r.t_stat == 0.0 and r.n_a == 5 and r.n_b == 5
+    assert r.mean_a == r.mean_b == 3.0
+    assert abs(r.df - 8.0) < 1e-6  # equal n, equal var -> df = n_a+n_b-2
+
+
+def test_welch_t_matches_python_model(spark):
+    import math
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [5.0, 5.5, 6.0, 6.5]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v double"
+    )
+    r = stats.welch_t_test(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    sea, seb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1))
+    assert abs(r.t_stat - round(t, 4)) < 2e-4
+    assert abs(r.df - round(dof, 4)) < 2e-4
+
+
+# ---------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------
+
+
+def test_cohort_retention_known_matrix(spark):
+    from mlentory_etl_pipeline_spark.operators.temporal import cohort_retention
+
+    # two users activate week of 2024-01-01 (Mon); one returns next week
+    rows = [
+        (1, "2024-01-02 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        (3, "2024-01-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r.cohort_week)[:10], r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3
+
+
+# ---------------------------------------------------------------------
+# zipf slope + PMI collocations
+# ---------------------------------------------------------------------
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import zipf_slope
+
+    # frequencies 6/3/2 at ranks 1/2/3: f = 6/r exactly -> slope -1
+    text = " ".join(["aa"] * 6 + ["bb"] * 3 + ["cc"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_slope(df, "doc_id", "text").collect()[0]
+    assert r.n_terms == 3
+    assert abs(r.zipf_slope + 1.0) < 1e-3
+
+
+def test_pmi_top_pairs_separates_collocated_from_independent(spark):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.textstats import pmi_top_pairs
+
+    # u,v always co-occur (10 docs); x appears in every doc (20)
+    docs = [(i, "uu vv xx") for i in range(10)] + [
+        (i, "xx yy") for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.w1, r.w2): r.pmi
+        for r in pmi_top_pairs(
+            df, "doc_id", "text", min_doc_freq=5, min_pair_count=5, top_k=10
+        ).collect()
+    }
+    # pmi(u,v) = ln(20*10/(10*10)) = ln 2 (true collocation);
+    # xx is in EVERY doc, so both its pairs are chance-level:
+    # pmi(u,x) = pmi(x,y) = ln(20*10/(10*20)) = 0
+    assert abs(out[("uu", "vv")] - math.log(2)) < 1e-5
+    assert abs(out[("uu", "xx")]) < 1e-5
+    assert abs(out[("xx", "yy")]) < 1e-5
