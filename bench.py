@@ -120,6 +120,13 @@ def main():
             "ewma_user_value",
             "trend_value_drift_by_type",
             "schema_evolution_union",
+            "auc_event_value_purchase",
+            "graph_label_propagation",
+            "dp_noisy_event_counts",
+            "range_partition_plan",
+            "cohort_retention_weekly",
+            "ab_welch_value_test",
+            "pmi_top_collocations",
         )
         if n in REGISTRY
     ]

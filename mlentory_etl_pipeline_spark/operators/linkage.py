@@ -261,3 +261,47 @@ def setsim_prefix_join(
         .where(F.col("_j") >= threshold)
         .select("a_id", "b_id", F.round(F.col("_j"), 6).alias("jaccard"))
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    order_key: Column,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship merge: collapse each linked cluster of duplicate
+    records into ONE golden record, field by field — the step AFTER
+    record linkage (blocked/sorted-neighborhood/PPJoin find the
+    clusters; this op decides which values survive). Policy:
+    latest-non-null per field ("most recent system wins"), the
+    standard MDM default.
+
+    ``order_key`` must be a single orderable column expression that
+    totally orders observations within a cluster (build it from
+    (timestamp, id) as e.g. ``unix_seconds·2³¹ + id`` — the caller
+    owns the encoding because only the caller knows the id range).
+
+    Exactness: per field the survivor is ``max_by(field,
+    CASE WHEN field IS NOT NULL THEN order_key END)`` — rows where
+    the field is null carry a null key and are ignored by the
+    aggregate in Spark AND DuckDB (arg_max), so the pick is a pure
+    argmax under a total order, partition-invariant by construction.
+
+    Scale posture: ONE cluster-keyed aggregation, map-side combined;
+    no window, no sort, no second scan. Returns
+    ``(cluster, n_obs, last_seen_key, <fields…>)``.
+    """
+    key = order_key.alias("_ok")
+    base = df.select(F.col(cluster_col).alias("cluster"), key, *fields)
+    aggs = [
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max("_ok").alias("last_seen_key"),
+    ]
+    for f in fields:
+        aggs.append(
+            F.max_by(
+                F.col(f),
+                F.when(F.col(f).isNotNull(), F.col("_ok")),
+            ).alias(f)
+        )
+    return base.groupBy("cluster").agg(*aggs).orderBy("cluster")

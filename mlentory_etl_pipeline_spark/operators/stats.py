@@ -547,3 +547,129 @@ def welch_t_test(
         F.round(t, 4).alias("t_stat"),
         F.round(dof, 4).alias("df"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    cents: int = 100,
+) -> DataFrame:
+    """Pearson correlation for every column pair in ONE aggregation
+    pass — the data-profiling primitive (feature redundancy, drift in
+    column relationships) over arbitrarily many numeric columns
+    without a second scan.
+
+    Exactness: every column scales to integer ``cents`` first, so all
+    sufficient statistics (Σx, Σx², Σxy) are exact integer sums
+    accumulated in DECIMAL(38,0) (cross-products of cent values can
+    pass 2⁶³ at data scale); the closing covariance/variance terms
+    stay in DECIMAL, and the one non-exact step is the final
+    IEEE-correctly-rounded sqrt/divide on identical operands — the
+    scale factor cancels in the ratio. Returns long-form
+    ``(col_a, col_b, n, corr)``, one row per unordered pair, 6 dp.
+
+    Scale posture: single map-side-combined aggregation; the shuffle
+    carries ONE row of |cols|·(|cols|+3)/2 statistics regardless of
+    data size.
+    """
+    d = "decimal(38,0)"
+    q = {c: F.floor(F.col(c) * cents).cast("long").alias(f"_q_{c}") for c in cols}
+    base = df.select(*q.values())
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(f"_q_{c}").cast(d)).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((F.col(f"_q_{a}") * F.col(f"_q_{b}")).cast(d)).alias(
+                    f"_p_{a}_{b}"
+                )
+            )
+    wide = base.agg(*aggs)
+    n = F.col("_n").cast(d)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = n * F.col(f"_p_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+            da = n * F.col(f"_p_{a}_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+            db = n * F.col(f"_p_{b}_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("_n").alias("n"),
+                    F.round(
+                        num.cast("double")
+                        / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+                        6,
+                    ).alias("corr"),
+                )
+            )
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("_r"))
+        .select("_r.col_a", "_r.col_b", "_r.n", "_r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame,
+    col_a: Column,
+    col_b: Column,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns — the drift/association audit (did the label distribution
+    shift across sources? are two pipeline flags independent?).
+
+    Observed counts and both marginals are exact integers from ONE
+    (a, b) aggregation (marginals derive from the same aggregate —
+    no second scan); each term ``(o − e)²/e`` with ``e = rowm·colm/N``
+    closes in double on identical exact operands. Zero-count cells
+    contribute ``e`` (o = 0), summed via the marginal-product
+    identity: Σ_cells e = N, so chi2 = Σ_{observed} ((o−e)²/e − e)
+    + N — no dense cell materialization, the sparse-contingency form.
+    Returns one row ``(n_items, n_cat_a, n_cat_b, dof, chi2)``, 4 dp.
+
+    Scale posture: the shuffle carries |A|·|B| observed cells; all
+    downstream arithmetic is over that metadata-sized aggregate.
+    """
+    cells = (
+        df.select(col_a.cast("string").alias("_a"), col_b.cast("string").alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=False)
+    )
+    am = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    bm = cells.groupBy("_b").agg(F.sum("_o").alias("_rb"))
+    tot = cells.agg(F.sum("_o").alias("_nn"))
+    joined = (
+        cells.join(F.broadcast(am), "_a")
+        .join(F.broadcast(bm), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_rb").cast("double")
+        / F.col("_nn").cast("double")
+    )
+    o = F.col("_o").cast("double")
+    # per-cell terms QUANTIZE to micro-longs before the sum (the DSIR
+    # scheme): the fold is an exact integer sum — no float-order drift
+    term_q = F.floor(((o - e) * (o - e) / e - e) * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    agg = joined.agg(
+        F.max("_nn").alias("n_items"),
+        F.count_distinct("_a").alias("n_cat_a"),
+        F.count_distinct("_b").alias("n_cat_b"),
+        F.sum(term_q).alias("_tq"),
+    )
+    return agg.select(
+        "n_items",
+        "n_cat_a",
+        "n_cat_b",
+        ((F.col("n_cat_a") - 1) * (F.col("n_cat_b") - 1)).alias("dof"),
+        F.round(
+            F.col("_tq").cast("double") / 1_000_000.0 + F.col("n_items"), 4
+        ).alias("chi2"),
+    )

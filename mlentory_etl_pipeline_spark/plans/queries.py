@@ -10040,3 +10040,153 @@ def pmi_top_collocations(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text",
         min_doc_freq=20, min_pair_count=10, top_k=50,
     )
+
+
+def _corr_matrix_oracle(cols: list[str], cents: int = 100) -> str:
+    """One-pass Pearson-matrix oracle mirroring ``stats.corr_matrix``:
+    exact integer sufficient statistics in HUGEINT, per-pair close on
+    identical double operands (sqrt is IEEE-correctly-rounded, so the
+    one non-exact step agrees across engines)."""
+    short = {c: c.replace("l_", "") for c in cols}
+    qsel = ", ".join(
+        f"CAST(FLOOR({c} * {cents}) AS BIGINT) AS {short[c]}" for c in cols
+    )
+    sums = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({short[c]}) AS HUGEINT) AS s_{short[c]}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sums.append(
+                f"CAST(SUM({short[a]} * {short[b]}) AS HUGEINT) "
+                f"AS p_{short[a]}_{short[b]}"
+            )
+    arms = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa, sb = short[a], short[b]
+            arms.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * p_{sa}_{sb} - s_{sa} * s_{sb} AS DOUBLE)
+                 / (SQRT(CAST(n * p_{sa}_{sa} - s_{sa} * s_{sa} AS DOUBLE))
+                    * SQRT(CAST(n * p_{sb}_{sb} - s_{sb} * s_{sb} AS DOUBLE))),
+                 6) AS corr
+    FROM s""")
+    return (
+        f"WITH q AS (SELECT {qsel} FROM lineitem),\n"
+        f"    s AS (SELECT {', '.join(sums)} FROM q)\n"
+        + "\n    UNION ALL".join(arms)
+        + "\n    ORDER BY col_a, col_b"
+    )
+
+
+@register(
+    "corr_matrix_lineitem",
+    "Pearson correlation matrix over four lineitem measures in ONE "
+    "aggregation pass (values scaled to integer cents, sufficient "
+    "statistics exact in DECIMAL(38,0), per-pair close on identical "
+    "double operands — sqrt is IEEE-correctly-rounded) — the column-"
+    "relationship profiling primitive; the shuffle carries one row of "
+    "|cols|*(|cols|+3)/2 statistics regardless of data size",
+    oracle=_corr_matrix_oracle(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+    survey_ops=("§2.9 aggregations", "quality-scoring"),
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import corr_matrix
+
+    li = t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "chi2_returnflag_linestatus",
+    "chi-squared independence test between lineitem return flag and "
+    "line status from the sparse contingency form (observed cells + "
+    "marginals off ONE aggregation; zero-cells handled via the "
+    "sum-of-expected identity; per-cell terms micro-quantized before "
+    "the integer fold — no float-order drift) — the categorical "
+    "drift/association audit; shuffle carries |A|x|B| cells",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+      FROM lineitem GROUP BY 1, 2
+    ),
+    am AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+    bm AS (SELECT b, SUM(o) AS rb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+    j AS (
+      SELECT CAST(o AS DOUBLE) AS o,
+             CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+      FROM cells JOIN am USING (a) JOIN bm USING (b), tot
+    ),
+    q AS (
+      SELECT CAST(SUM(CAST(FLOOR(((o - e) * (o - e) / e - e) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS tq
+      FROM j
+    )
+    SELECT tot.nn AS n_items,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM am) AS n_cat_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bm) AS n_cat_b,
+           ((SELECT CAST(COUNT(*) AS BIGINT) FROM am) - 1)
+             * ((SELECT CAST(COUNT(*) AS BIGINT) FROM bm) - 1) AS dof,
+           ROUND(CAST(tq AS DOUBLE) / 1000000.0 + CAST(tot.nn AS DOUBLE), 4)
+             AS chi2
+    FROM tot, q
+    """,
+    survey_ops=("§2.9 aggregations", "quality-scoring"),
+)
+def chi2_returnflag_linestatus(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        chi_squared_independence,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    return chi_squared_independence(
+        li, F.col("l_returnflag"), F.col("l_linestatus")
+    )
+
+
+@register(
+    "golden_record_users",
+    "survivorship merge of per-user event observations into golden "
+    "records (latest-non-null per field under a total order; error "
+    "events carry no trusted value, so their value observations are "
+    "nulled by a trust rule and the survivor comes from the latest "
+    "non-error event) — the MDM step AFTER record linkage; ONE "
+    "cluster-keyed max_by aggregation, map-side combined, no window",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 2147483648 + event_id AS k,
+             event_type,
+             CASE WHEN event_type <> 'error' THEN value END AS value,
+             props
+      FROM events
+    )
+    SELECT user_id AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           MAX(k) AS last_seen_key,
+           ARG_MAX(event_type, k) AS event_type,
+           ARG_MAX(value, CASE WHEN value IS NOT NULL THEN k END) AS value,
+           ARG_MAX(props, CASE WHEN props IS NOT NULL THEN k END) AS props
+    FROM obs GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ops=("V2 get-or-create", "F8 ID normalization"),
+)
+def golden_record_users(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.linkage import golden_record
+
+    e = t(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+        "props",
+    )
+    key = F.unix_timestamp("ts") * F.lit(2147483648) + F.col("event_id")
+    return golden_record(obs, "user_id", key, ["event_type", "value", "props"])

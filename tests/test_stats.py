@@ -509,3 +509,77 @@ def test_pmi_top_pairs_separates_collocated_from_independent(spark):
     assert abs(out[("uu", "vv")] - math.log(2)) < 1e-5
     assert abs(out[("uu", "xx")]) < 1e-5
     assert abs(out[("xx", "yy")]) < 1e-5
+
+
+# ---------------------------------------------------------------------
+# correlation matrix + chi-squared + golden record
+# ---------------------------------------------------------------------
+
+
+def test_corr_matrix_perfect_and_inverse(spark):
+    rows = [(float(i), float(2 * i), float(10 - i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r.col_a, r.col_b): r.corr for r in stats.corr_matrix(
+        df, ["x", "y", "z"]
+    ).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+
+
+def test_corr_matrix_partition_invariant(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    a = sorted(map(tuple, stats.corr_matrix(li, cols).collect()))
+    b = sorted(map(tuple, stats.corr_matrix(li.repartition(13), cols).collect()))
+    assert a == b
+
+
+def test_chi2_known_2x2(spark):
+    rows = (
+        [("a", "p")] * 30 + [("a", "q")] * 10 + [("b", "p")] * 10 + [("b", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = stats.chi_squared_independence(df, F.col("x"), F.col("y")).collect()[0]
+    # all expected cells = 20: chi2 = 4 * (10^2/20) = 20, dof = 1
+    assert r.n_items == 80 and r.dof == 1
+    assert abs(r.chi2 - 20.0) < 1e-4
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    rows = [(a, b) for a in "ab" for b in "pq" for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = stats.chi_squared_independence(df, F.col("x"), F.col("y")).collect()[0]
+    assert r.chi2 == 0.0
+
+
+def test_golden_record_latest_non_null_survives(spark):
+    from mlentory_etl_pipeline_spark.operators.linkage import golden_record
+
+    rows = [
+        (1, 1, "old@x", "AA"),
+        (1, 2, "new@x", None),
+        (1, 3, None, "BB"),
+        (2, 5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "c long, k long, email string, name string")
+    out = {r.cluster: r for r in golden_record(
+        df, "c", F.col("k"), ["email", "name"]
+    ).collect()}
+    # cluster 1: latest non-null email is k=2 ('new@x'); latest name k=3
+    assert out[1].email == "new@x" and out[1].name == "BB"
+    assert out[1].n_obs == 3 and out[1].last_seen_key == 3
+    # cluster 2: nothing non-null -> nulls survive, observation counted
+    assert out[2].email is None and out[2].name is None and out[2].n_obs == 1
+
+
+def test_golden_record_partition_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators.linkage import golden_record
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    key = F.unix_timestamp("ts") * F.lit(2147483648) + F.col("event_id")
+    a = sorted(map(tuple, golden_record(e, "user_id", key, ["event_type", "props"]).collect()))
+    b = sorted(map(tuple, golden_record(
+        e.repartition(17, "event_type"), "user_id", key, ["event_type", "props"]
+    ).collect()))
+    assert a == b
