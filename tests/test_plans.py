@@ -452,3 +452,72 @@ def test_nb_classifier_broadcasts_weights(spark):
     # functionally in test_curation rather than visible here)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_auc_aggregates_before_global_window(spark):
+    plan = _plan(spark, "auc_event_value_purchase")
+    # the running-sum window must run over the quantized-score
+    # AGGREGATE (bounded by quantization), never the raw events: a
+    # partial->final HashAggregate pair precedes the single Window
+    assert plan.count("HashAggregate") >= 2
+    # one Window node (tree + details = two mentions in formatted output)
+    assert plan.count("Window") <= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_kappa_single_pair_aggregation_broadcast_close(spark):
+    plan = _plan(spark, "classifier_kappa_agreement")
+    # marginals/expected derive from the persisted pair aggregate and
+    # close via broadcast joins — no sort-merge join, no cartesian
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_keyed_window_no_cartesian(spark):
+    plan = _plan(spark, "graph_label_propagation")
+    # the argmax window is keyed by node (never a global empty-key
+    # window) and rounds are localCheckpoint-pinned so no cartesian /
+    # unrolled join tree appears in the final plan
+    # rounds are localCheckpoint-pinned, so the FINAL plan is just a
+    # projection over the checkpointed RDD — the O(1)-per-round pin
+    # (an unrolled 4-round join tree here would be the regression)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Join") == 0
+
+
+def test_dp_noisy_counts_single_aggregation(spark):
+    plan = _plan(spark, "dp_noisy_event_counts")
+    # one partial->final aggregate, noise is a pure projection on the
+    # 5-row result: no joins at all
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_corr_matrix_one_pass_no_join(spark):
+    plan = _plan(spark, "corr_matrix_lineitem")
+    # all sufficient statistics in ONE aggregation over one scan; the
+    # pair expansion is a generator over the single result row
+    # formatted explain lists each node in tree + details: one
+    # physical scan appears exactly twice
+    assert plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+    assert "Generate" in plan  # explode of the pair structs
+
+
+def test_golden_record_single_maxby_aggregation(spark):
+    plan = _plan(spark, "golden_record_users")
+    # one cluster-keyed aggregation, no window, no join, no sort
+    # other than the output orderBy
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_pmi_vocab_broadcast_doc_keyed_pair_join(spark):
+    plan = _plan(spark, "pmi_top_collocations")
+    # vocabulary filter broadcasts; the pair self-join is doc-keyed
+    # (hash join), never cartesian; top-k is TakeOrdered, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
