@@ -351,3 +351,94 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    churn_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over per-user lifetimes with
+    right-censoring — the churn-analysis primitive :func:`cohort_retention`
+    doesn't cover: users still active near the end of the observation
+    window are CENSORED (they leave the risk set without counting as
+    churn), which naive retention curves get wrong.
+
+    Lifetime = days between a user's first and last event; a user
+    whose last event falls within ``churn_horizon_days`` of the
+    stream's end is censored (still alive as far as we know). The
+    product-limit estimator ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)``
+    folds as a cumulative sum of micro-quantized ``ln(1 − d/n)``
+    terms (each term one ln of an exact integer ratio — the DSIR
+    scheme), closed by one ``exp`` on the identical integer operand.
+
+    Scale posture: one per-user min/max aggregation (map-side
+    combined), the stream-end maximum rides as a 1-row in-plan
+    broadcast, and the risk-set/cumulative windows run over the
+    DURATION-keyed aggregate (≤ observation-window-days rows —
+    metadata), never over users. Returns
+    ``(duration_days, n_risk, n_events, n_censored, survival)``.
+    """
+    spans = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    end = df.agg(F.max(ts_col).alias("_end"))
+    per_user = spans.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("_last"), F.col("_first")).alias("duration_days"),
+        F.when(
+            F.col("_last") < F.date_sub(F.col("_end"), churn_horizon_days),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_event"),
+    )
+    by_t = per_user.groupBy("duration_days").agg(
+        F.count(F.lit(1)).alias("_n_t"),
+        F.sum("_event").alias("n_events"),
+    )
+    w_prior = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("_nn"))
+    risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_nn") - F.coalesce(F.sum("_n_t").over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "_lnq",
+            F.when(
+                # everyone at risk churns here: S drops to exactly 0 —
+                # a finite sentinel (exp(-1e6) == 0.0 in IEEE) keeps
+                # the integer fold total
+                F.col("n_events") >= F.col("n_risk"),
+                F.lit(-(10**12)),
+            )
+            .when(
+                F.col("n_events") > 0,
+                F.floor(
+                    F.ln(
+                        (F.col("n_risk") - F.col("n_events")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0)),
+        )
+    )
+    return risk.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        (F.col("_n_t") - F.col("n_events")).alias("n_censored"),
+        F.round(
+            F.exp(F.sum("_lnq").over(w_cum).cast("double") / 1_000_000.0), 6
+        ).alias("survival"),
+    ).orderBy("duration_days")

@@ -399,3 +399,74 @@ def pmi_top_pairs(
             F.round(F.col("_q") / F.lit(1_000_000.0), 6).alias("pmi"),
         )
     )
+
+
+def ctfidf_top_terms(
+    df,
+    group_col: str,
+    text_col: str,
+    top_k: int = 5,
+):
+    """Class-based TF-IDF: the most DISTINGUISHING terms per group
+    (source/cluster/topic) — the interpretability companion to
+    ``kl_domain_drift`` (KL says source C drifted; this says which
+    words). BERTopic's c-TF-IDF form: ``score(w, s) = (c_ws / T_s) ·
+    ln(1 + T̄ / c_w)`` with ``c_ws`` the in-group count, ``T_s`` the
+    group's token total, ``c_w`` the corpus count, ``T̄`` the mean
+    tokens per group — the +1 keeps corpus-wide words at a small
+    positive score instead of idf's hard zero.
+
+    Determinism: the ln is micro-quantized (one integer argument
+    family); within a group the ranking key ``c_ws · lnq(w)`` is an
+    EXACT integer (T_s is constant inside the group and positive, so
+    dividing by it cannot reorder), ties by term — a total order. The
+    displayed score divides by T_s once, at the end.
+
+    Scale posture: one (group, term) count (map-side combined), one
+    |vocab|-row corpus aggregate broadcast back, one group-keyed
+    top-k window over the aggregate — shuffles carry |groups|·|vocab|
+    and |vocab| rows. Returns ``(group, term, n, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    gw = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n"))
+    gt = gw.groupBy("grp").agg(F.sum("n").alias("_ts"))
+    cw = gw.groupBy("term").agg(F.sum("n").alias("_cw"))
+    tbar = gt.agg(
+        (F.sum("_ts").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_tbar"
+        )
+    )
+    lnq = F.floor(
+        F.ln(F.lit(1.0) + F.col("_tbar") / F.col("_cw").cast("double"))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        gw.join(F.broadcast(cw), "term")
+        .crossJoin(F.broadcast(tbar))
+        .select("grp", "term", "n", (F.col("n") * lnq).alias("_key"))
+        .join(F.broadcast(gt), "grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("_key"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "n",
+            F.round(
+                F.col("_key").cast("double")
+                / 1_000_000.0
+                / F.col("_ts").cast("double"),
+                6,
+            ).alias("score"),
+            "rank",
+        )
+        .orderBy(group_col, "rank")
+    )

@@ -10190,3 +10190,109 @@ def golden_record_users(spark, sf_dir):
     )
     key = F.unix_timestamp("ts") * F.lit(2147483648) + F.col("event_id")
     return golden_record(obs, "user_id", key, ["event_type", "value", "props"])
+
+
+@register(
+    "kaplan_meier_churn",
+    "Kaplan-Meier survival curve over per-user lifetimes with "
+    "right-censoring (users active within 7 days of stream end leave "
+    "the risk set without counting as churn — what naive retention "
+    "gets wrong): the product-limit fold is a cumulative sum of "
+    "micro-quantized ln(1 - d/n) terms over the DURATION-keyed "
+    "aggregate (<= observation-days rows, metadata), one exp on the "
+    "identical integer operand; per-user spans off one map-side "
+    "combined min/max aggregation",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY user_id
+    ),
+    e AS (SELECT MAX(ts) AS mend FROM events),
+    pu AS (
+      SELECT DATE_DIFF('day', CAST(f AS DATE), CAST(l AS DATE)) AS d,
+             CASE WHEN l < CAST(CAST(mend AS DATE) - INTERVAL 7 DAY AS TIMESTAMP)
+                  THEN 1 ELSE 0 END AS ev
+      FROM spans, e
+    ),
+    bt AS (SELECT d, COUNT(*) AS nt, SUM(ev) AS ne FROM pu GROUP BY d),
+    tot AS (SELECT COUNT(*) AS nn FROM pu),
+    r AS (
+      SELECT d, nt, ne,
+             nn - COALESCE(SUM(nt) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+      FROM bt, tot
+    ),
+    q AS (
+      SELECT d, nr, ne, nt,
+             CASE WHEN ne >= nr THEN -1000000000000
+                  WHEN ne > 0 THEN CAST(FLOOR(LN(CAST(nr - ne AS DOUBLE)
+                         / CAST(nr AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS lq
+      FROM r
+    )
+    SELECT d AS duration_days,
+           CAST(nr AS BIGINT) AS n_risk,
+           CAST(ne AS BIGINT) AS n_events,
+           CAST(nt - ne AS BIGINT) AS n_censored,
+           ROUND(EXP(CAST(SUM(lq) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000.0), 6) AS survival
+    FROM q ORDER BY duration_days
+    """,
+    survey_ops=("§2.9 window functions", "§2.9 aggregations"),
+)
+def kaplan_meier_churn(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import kaplan_meier
+
+    return kaplan_meier(t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "ctfidf_source_terms",
+    "class-based TF-IDF top-5 distinguishing terms per source "
+    "(BERTopic's c-TF-IDF: in-group rate times smoothed inverse "
+    "corpus rate) — the interpretability companion to KL drift; the "
+    "ln micro-quantizes and the within-group ranking key n*lnq is an "
+    "EXACT integer (the group token total is constant inside each "
+    "group, so the displayed division cannot reorder) — one "
+    "(group,term) count, |vocab|-row broadcast, group-keyed top-k "
+    "window over the aggregate",
+    oracle="""
+    WITH toks AS (
+      SELECT grp, term FROM (
+        SELECT source AS grp,
+               UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    gw AS (SELECT grp, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    gt AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS ts FROM gw GROUP BY grp),
+    cw AS (SELECT term, CAST(SUM(n) AS BIGINT) AS cwn FROM gw GROUP BY term),
+    tb AS (
+      SELECT CAST(SUM(ts) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tbar
+      FROM gt
+    ),
+    sc AS (
+      SELECT gw.grp, gw.term, gw.n,
+             gw.n * CAST(FLOOR(LN(1.0 + tb.tbar / CAST(cw.cwn AS DOUBLE))
+                               * 1000000 + 0.5) AS BIGINT) AS key,
+             gt.ts
+      FROM gw JOIN cw USING (term) JOIN gt USING (grp), tb
+    ),
+    rk AS (
+      SELECT grp, term, n, key, ts,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY key DESC, term ASC) AS rank
+      FROM sc
+    )
+    SELECT grp AS source, term, n,
+           ROUND(CAST(key AS DOUBLE) / 1000000.0 / CAST(ts AS DOUBLE), 6)
+             AS score,
+           rank
+    FROM rk WHERE rank <= 5 ORDER BY source, rank
+    """,
+    survey_ops=("quality-scoring", "Q6 search ranking"),
+)
+def ctfidf_source_terms(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.textstats import ctfidf_top_terms
+
+    return ctfidf_top_terms(t(spark, sf_dir, "documents"), "source", "text")

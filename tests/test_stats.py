@@ -583,3 +583,84 @@ def test_golden_record_partition_invariant(spark):
         e.repartition(17, "event_type"), "user_id", key, ["event_type", "props"]
     ).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# Kaplan-Meier + c-TF-IDF
+# ---------------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_computed_with_censoring(spark):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import kaplan_meier
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    for uid, (first, last) in enumerate(
+        [(0, 10), (0, 20), (5, 28), (0, 30)], start=1
+    ):
+        rows.append((uid, d0 + timedelta(days=first)))
+        rows.append((uid, d0 + timedelta(days=last)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.duration_days: r for r in kaplan_meier(df, "user_id", "ts").collect()}
+    # stream end = day 30, horizon 7 -> churned iff last < day 23:
+    # u1 d=10 churn, u2 d=20 churn, u3 d=23 censored, u4 d=30 censored
+    assert (out[10].n_risk, out[10].n_events) == (4, 1)
+    assert abs(out[10].survival - 0.75) < 1e-5
+    assert (out[20].n_risk, out[20].n_events) == (3, 1)
+    assert abs(out[20].survival - 0.5) < 1e-5
+    assert out[23].n_events == 0 and out[23].n_censored == 1
+    assert abs(out[23].survival - 0.5) < 1e-5
+    assert abs(out[30].survival - 0.5) < 1e-5
+
+
+def test_kaplan_meier_all_churn_reaches_zero(spark):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import kaplan_meier
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(5):
+        rows.append((uid, d0))
+        rows.append((uid, d0 + timedelta(days=2 + uid)))
+    # the stream-end user is ALWAYS censored (its last event IS the
+    # end), so give it a SHORT lifetime: it leaves the risk set at
+    # duration 1 and the longest-lived churner can drive S to 0
+    rows.append((99, d0 + timedelta(days=46)))
+    rows.append((99, d0 + timedelta(days=47)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.duration_days: r for r in kaplan_meier(df, "user_id", "ts").collect()}
+    assert out[1].n_censored == 1 and out[1].n_events == 0
+    # risk sets 5,4,3,2,1 each losing one churner: S = 0 at the end
+    assert (out[6].n_risk, out[6].n_events) == (1, 1)
+    assert out[6].survival == 0.0  # the everyone-at-risk-churns close
+    assert out[5].survival > 0.0
+
+
+def test_ctfidf_surfaces_distinguishing_terms(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import ctfidf_top_terms
+
+    rows = [
+        ("A", "special special special the the"),
+        ("B", "common common common the the"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = ctfidf_top_terms(df, "source", "text", top_k=2).collect()
+    top = {r.source: r.term for r in out if r.rank == 1}
+    assert top == {"A": "special", "B": "common"}
+    # the shared filler word never outranks the distinguishing term
+    assert all(r.score > 0 for r in out)
+
+
+def test_ctfidf_partition_invariant(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import ctfidf_top_terms
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = [tuple(r) for r in ctfidf_top_terms(d, "source", "text").collect()]
+    b = [
+        tuple(r)
+        for r in ctfidf_top_terms(d.repartition(13), "source", "text").collect()
+    ]
+    assert a == b
