@@ -346,6 +346,57 @@ def case_bootstrap(spark, sf_dir: str, k: int) -> DataFrame:
     ).where(F2.col("mean_value") > -999)
 
 
+
+def case_lpa(spark, sf_dir: str, k: int) -> DataFrame:
+    # k DISJOINT copies of the co-supply graph (node ids offset per
+    # replica): communities multiply instead of deepening, each round's
+    # message volume scales linearly.  Catches: per-node label fan-out
+    # (a hot node collecting the whole graph's labels), unrolled-plan
+    # blow-up if the localCheckpoint pin regresses.
+    li = t(spark, sf_dir, "lineitem")
+    sp = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sp = _replicated(sp, k).select(
+        (F.col("s") + F.col("_rep") * 1000000).alias("s"),
+        (F.col("p") + F.col("_rep") * 1000000).alias("p"),
+    )
+    half = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    return graph.label_propagation(half, iters=4)
+
+
+def case_pmi(spark, sf_dir: str, k: int) -> DataFrame:
+    # replicas word-salt EVERY word with the replica id: the vocabulary
+    # multiplies (k x more terms) while per-doc frequent-word counts
+    # stay constant — the honest linear axis for a pair self-join that
+    # is quadratic in words-per-doc.  Catches: vocab-filter regression
+    # (un-filtered pair fan-out), hot-term join skew.
+    from mlentory_etl_pipeline_spark.operators.textstats import pmi_top_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("~"), F.col("_rep").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return pmi_top_pairs(
+        r, "doc_id", "text", min_doc_freq=20, min_pair_count=10, top_k=50
+    )
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -359,6 +410,8 @@ CASES = {
     "kcore": case_kcore,
     "bpe_train": case_bpe_train,
     "bootstrap": case_bootstrap,
+    "lpa": case_lpa,
+    "pmi": case_pmi,
 }
 
 
