@@ -439,3 +439,66 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Market-basket co-occurrence: the top item pairs appearing in
+    the same basket, with lift — the collaborative-filtering /
+    frequently-bought-together primitive (also the co-citation and
+    co-edit signal in provenance graphs; ``pmi_top_pairs`` is its
+    log-scaled text twin, this is the count/lift form over explicit
+    baskets).
+
+    ``lift = n_ab·N / (n_a·n_b)`` closes as one division of exact
+    integer products (N = basket count rides as a 1-row in-plan
+    broadcast). Ranking (n_pairs DESC, pair ASC) is a total order on
+    integers, so the top-k is value-hash-stable.
+
+    Scale posture: per-basket DISTINCT items first; the pair
+    self-join is BASKET-keyed (fan-out quadratic in items-per-basket
+    — bounded by basket size, not catalog size; cap baskets upstream
+    for adversarial carts), pair counts map-side combined; item
+    marginals broadcast. Returns ``(item_a, item_b, n_pairs, lift)``.
+    """
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    marg = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    nb = items.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "_b")
+        .where(F.col("a._i") < F.col("b._i"))
+        .groupBy(
+            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_pair_count)
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("_i", "item_a")), "item_a"
+        )
+        .withColumnRenamed("_ni", "_na")
+        .join(F.broadcast(marg.withColumnRenamed("_i", "item_b")), "item_b")
+        .withColumnRenamed("_ni", "_nbm")
+        .crossJoin(F.broadcast(nb))
+        .orderBy(F.desc("n_pairs"), "item_a", "item_b")
+        .limit(top_k)
+        .select(
+            "item_a",
+            "item_b",
+            "n_pairs",
+            F.round(
+                (F.col("n_pairs") * F.col("_nb")).cast("double")
+                / (F.col("_na") * F.col("_nbm")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

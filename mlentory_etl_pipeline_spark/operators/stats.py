@@ -673,3 +673,147 @@ def chi_squared_independence(
             F.col("_tq").cast("double") / 1_000_000.0 + F.col("n_items"), 4
         ).alias("chi2"),
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    window_days: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-burst detection: each group's DAILY event count scored
+    against the trailing ``window_days`` baseline — the ingestion-
+    monitoring primitive (did a source spike 10x? did a feed die?)
+    that a 100 TB pipeline runs on every load.
+
+    Exactness: with trailing sums s = Σx and ss = Σx² over exactly w
+    integer daily counts, the z-score rewrites divisionless as
+
+        z = (w·x − s) / sqrt(w·ss − s²)
+
+    — integer numerator, integer radicand, ONE sqrt+divide on exact
+    operands (no mean/std intermediate floats). Days without a full
+    trailing window emit NULL z (warm-up, the contract). A zero-
+    variance baseline emits NULL z unless the value equals the
+    constant baseline everywhere (then z = 0).
+
+    Scale posture: one (group, day) count aggregation (map-side
+    combined — the shuffle carries |groups|·|days| rows, metadata),
+    then group-keyed rolling windows over that aggregate. Returns
+    ``(group_cols…, day, n, z, is_anomaly)`` ordered by group/day.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    daily = df.groupBy(*group_cols, day).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    with_stats = daily.select(
+        *group_cols,
+        "day",
+        "n",
+        F.count("n").over(w).alias("_w"),
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_ss"),
+    )
+    num = F.col("_w") * F.col("n") - F.col("_s")
+    rad = F.col("_w") * F.col("_ss") - F.col("_s") * F.col("_s")
+    z = F.when(
+        (F.col("_w") == window_days) & (rad > 0),
+        F.round(num.cast("double") / F.sqrt(rad.cast("double")), 4),
+    ).when(
+        (F.col("_w") == window_days) & (rad == 0) & (num == 0), F.lit(0.0)
+    )
+    return (
+        with_stats.select(
+            *group_cols,
+            "day",
+            "n",
+            z.alias("z"),
+            F.when(F.abs(z) >= z_threshold, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+        .orderBy(*group_cols, "day")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    cents: int = 100,
+) -> DataFrame:
+    """CUSUM level-shift detection per group: the point where the
+    cumulative deviation from the group mean peaks — the classic
+    "when did this source's quality/value regime change" locator
+    (Page 1954), complementing :func:`groupwise_trend` (gradual
+    drift) with abrupt-shift detection.
+
+    Exactness: with values as integer cents, ``n·CUSUM_t = n·P_t −
+    t·S`` (P_t the running prefix sum, S/n the group total/count) is
+    an EXACT integer for every t — the mean division is cleared, so
+    the argmax over t is a pure integer comparison with a
+    (magnitude DESC, t ASC) total order. The displayed peak value
+    divides twice at the end.
+
+    Scale posture: one group-keyed running-sum window (the same
+    per-group sort every sessionization pass pays), one broadcast of
+    |groups| totals, one argmax aggregation — shuffles keyed by
+    group throughout. Returns ``(group_cols…, n_points,
+    changepoint_pos, peak_cusum)`` where ``changepoint_pos`` is the
+    1-based position of the peak |deviation| in the group's
+    (ts, tiebreak) order.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.floor(F.col(value_col) * cents).cast("long").alias("_v"),
+    )
+    wseq = Window.partitionBy(*group_cols).orderBy(ts_col, order_tiebreak)
+    run = base.select(
+        *group_cols,
+        F.row_number().over(wseq).alias("_t"),
+        F.sum("_v").over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_p"),
+    )
+    tots = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_sum")
+    )
+    d = "decimal(38,0)"
+    dev = (
+        F.col("_n").cast(d) * F.col("_p").cast(d)
+        - F.col("_t").cast(d) * F.col("_sum").cast(d)
+    )
+    scored = run.join(F.broadcast(tots), group_cols).select(
+        *group_cols,
+        F.col("_n"),
+        F.col("_t"),
+        dev.alias("_dev"),
+    )
+    peak = scored.groupBy(*group_cols).agg(
+        F.max("_n").alias("n_points"),
+        F.max_by(
+            F.struct(F.col("_t").alias("pos"), F.col("_dev").alias("dev")),
+            F.struct(
+                F.abs(F.col("_dev")).alias("mag"), (-F.col("_t")).alias("ord")
+            ),
+        ).alias("_pk"),
+    )
+    return peak.select(
+        *group_cols,
+        "n_points",
+        F.col("_pk.pos").alias("changepoint_pos"),
+        F.round(
+            F.col("_pk.dev").cast("double")
+            / F.col("n_points").cast("double")
+            / F.lit(float(cents)),
+            4,
+        ).alias("peak_cusum"),
+    ).orderBy(*group_cols)

@@ -10296,3 +10296,148 @@ def ctfidf_source_terms(spark, sf_dir):
     from mlentory_etl_pipeline_spark.operators.textstats import ctfidf_top_terms
 
     return ctfidf_top_terms(t(spark, sf_dir, "documents"), "source", "text")
+
+
+@register(
+    "zscore_volume_bursts",
+    "daily volume-burst detection per event type: each day's count "
+    "scored against its trailing-7-day baseline with the z-score "
+    "rewritten divisionless (z = (w*x - s)/sqrt(w*ss - s^2): integer "
+    "numerator, integer radicand, ONE sqrt+divide on exact operands) "
+    "— the ingestion-monitoring primitive; one (group,day) count "
+    "aggregation, group-keyed rolling windows over the metadata-sized "
+    "aggregate; warm-up days emit NULL z by contract",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             COUNT(n) OVER win AS ww,
+             SUM(n) OVER win AS s,
+             SUM(n * n) OVER win AS ss
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_type, day, n,
+             CASE WHEN ww = 7 AND (ww * ss - s * s) > 0
+                    THEN ROUND(CAST(ww * n - s AS DOUBLE)
+                               / SQRT(CAST(ww * ss - s * s AS DOUBLE)), 4)
+                  WHEN ww = 7 AND (ww * ss - s * s) = 0 AND (ww * n - s) = 0
+                    THEN 0.0 END AS z
+      FROM w
+    )
+    SELECT event_type, day, n, z,
+           CASE WHEN ABS(z) >= 3.0 THEN 1 ELSE 0 END AS is_anomaly
+    FROM z ORDER BY event_type, day
+    """,
+    survey_ops=("§2.9 window functions", "§2.9 aggregations"),
+)
+def zscore_volume_bursts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        rolling_zscore_anomalies,
+    )
+
+    return rolling_zscore_anomalies(
+        t(spark, sf_dir, "events"), ["event_type"], "ts", window_days=7
+    )
+
+
+@register(
+    "cusum_value_changepoint",
+    "CUSUM level-shift locator per event type (Page 1954): the peak "
+    "of n*CUSUM_t = n*prefix_t - t*total — an EXACT integer for every "
+    "t (the mean division is cleared), so the argmax is a pure "
+    "integer comparison under a (magnitude DESC, position ASC) total "
+    "order; one group-keyed running-sum window + a broadcast of "
+    "|groups| totals + one max_by aggregation",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    run AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER w AS t,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS p
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    tots AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.event_type, r.t,
+             CAST(tt.n AS HUGEINT) * CAST(r.p AS HUGEINT)
+               - CAST(r.t AS HUGEINT) * CAST(tt.s AS HUGEINT) AS d,
+             tt.n
+      FROM run r JOIN tots tt USING (event_type)
+    ),
+    rk AS (
+      SELECT event_type, t, d, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(d) DESC, t ASC) AS rr
+      FROM dev
+    )
+    SELECT event_type, n AS n_points,
+           CAST(t AS BIGINT) AS changepoint_pos,
+           ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+             AS peak_cusum
+    FROM rk WHERE rr = 1 ORDER BY event_type
+    """,
+    survey_ops=("§2.9 window functions", "§2.9 aggregations"),
+)
+def cusum_value_changepoint(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import cusum_changepoint
+
+    return cusum_changepoint(
+        t(spark, sf_dir, "events"), ["event_type"], "ts", "value", "event_id"
+    )
+
+
+@register(
+    "copurchase_supplier_pairs",
+    "market-basket co-occurrence: top supplier pairs sharing orders, "
+    "with lift = n_ab*N/(n_a*n_b) closed as one division of exact "
+    "integer products — the frequently-bought-together / "
+    "collaborative-filtering primitive (count/lift twin of the PMI "
+    "collocations); basket-keyed pair self-join (fan-out bounded by "
+    "items-per-basket, not catalog size), broadcast marginals, "
+    "total-order top-k",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+    ),
+    marg AS (SELECT i, COUNT(*) AS ni FROM items GROUP BY i),
+    nb AS (SELECT COUNT(DISTINCT b) AS nbk FROM items),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pairs
+      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    top AS (
+      SELECT item_a, item_b, n_pairs FROM pairs
+      ORDER BY n_pairs DESC, item_a, item_b LIMIT 100
+    )
+    SELECT t.item_a, t.item_b, t.n_pairs,
+           ROUND(CAST(t.n_pairs * nb.nbk AS DOUBLE)
+                 / CAST(ma.ni * mb.ni AS DOUBLE), 6) AS lift
+    FROM top t
+    JOIN marg ma ON ma.i = t.item_a
+    JOIN marg mb ON mb.i = t.item_b, nb
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def copurchase_supplier_pairs(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_suppkey", min_pair_count=2, top_k=100
+    )

@@ -664,3 +664,104 @@ def test_ctfidf_partition_invariant(spark):
         for r in ctfidf_top_terms(d.repartition(13), "source", "text").collect()
     ]
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# burst detection + CUSUM + co-occurrence
+# ---------------------------------------------------------------------
+
+
+def test_zscore_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    for day in range(10):
+        per_day = 100 if day != 8 else 500  # spike on day 8
+        for i in range(per_day):
+            rows.append(("a", d0 + timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {
+        str(r.day)[:10]: r
+        for r in stats.rolling_zscore_anomalies(df, ["g"], "ts", 7).collect()
+    }
+    # days 0-6: warm-up (no full trailing window) -> NULL z, not flagged
+    assert out["2024-01-01"].z is None and out["2024-01-01"].is_anomaly == 0
+    # day 7: constant baseline, constant value -> z = 0 (the rad==0 branch)
+    assert out["2024-01-08"].z == 0.0
+    # day 8: 5x spike over a flat baseline -> rad is 0 but num != 0 -> NULL
+    # (division by zero std is undefined by contract, not +inf)
+    assert out["2024-01-09"].z is None
+    # day 9 baseline now contains the spike: variance > 0, z defined
+    assert out["2024-01-10"].z is not None
+
+
+def test_zscore_flags_spike_over_noisy_baseline(spark):
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    counts = [100, 102, 98, 101, 99, 103, 97, 100, 400]  # day 8 bursts
+    for day, per_day in enumerate(counts):
+        for i in range(per_day):
+            rows.append(("a", d0 + timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {
+        str(r.day)[:10]: r
+        for r in stats.rolling_zscore_anomalies(df, ["g"], "ts", 7).collect()
+    }
+    assert out["2024-01-09"].is_anomaly == 1 and out["2024-01-09"].z > 3
+    assert out["2024-01-08"].is_anomaly == 0
+
+
+def test_cusum_locates_level_shift(spark):
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        v = 10.0 if i < 10 else 50.0  # regime change at position 11
+        rows.append(("a", d0 + timedelta(hours=i), i, v))
+        rows.append(("flat", d0 + timedelta(hours=i), i, 7.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long, value double")
+    out = {r.g: r for r in stats.cusum_changepoint(
+        df, ["g"], "ts", "value", "id"
+    ).collect()}
+    # |CUSUM| peaks at the last pre-shift position (10): mean is 30,
+    # so the first 10 points each contribute -20
+    assert out["a"].changepoint_pos == 10
+    assert abs(out["a"].peak_cusum - (-200.0)) < 1e-6
+    assert out["flat"].peak_cusum == 0.0
+
+
+def test_cooccurrence_pairs_counts_and_lift(spark):
+    from mlentory_etl_pipeline_spark.operators.graph import cooccurrence_pairs
+
+    # baskets: {x,y} x3, {x,z}, {y,z}, {x} -> pair xy=3, xz=1, yz=1
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "x"), (4, "z"),
+        (5, "y"), (5, "z"),
+        (6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r.item_a, r.item_b): r for r in cooccurrence_pairs(
+        df, "b", "i", min_pair_count=1, top_k=10
+    ).collect()}
+    assert out[("x", "y")].n_pairs == 3
+    # lift(x,y) = 3*6/(5*4) = 0.9
+    assert abs(out[("x", "y")].lift - 0.9) < 1e-9
+    # lift(y,z) = 1*6/(4*2) = 0.75
+    assert abs(out[("y", "z")].lift - 0.75) < 1e-9
+
+
+def test_cooccurrence_dedups_within_basket(spark):
+    from mlentory_etl_pipeline_spark.operators.graph import cooccurrence_pairs
+
+    # repeated (basket, item) rows must not inflate pair counts
+    rows = [(1, "x"), (1, "x"), (1, "y"), (1, "y")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = cooccurrence_pairs(df, "b", "i", min_pair_count=1, top_k=5).collect()
+    assert len(out) == 1 and out[0].n_pairs == 1
