@@ -521,3 +521,48 @@ def test_pmi_vocab_broadcast_doc_keyed_pair_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kaplan_meier_windows_over_duration_aggregate(spark):
+    plan = _plan(spark, "kaplan_meier_churn")
+    # risk-set windows run AFTER the per-duration aggregate: aggregates
+    # appear below the window in the tree, and the stream-end/total
+    # rows ride as broadcast (BroadcastNestedLoopJoin on 1-row sides)
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ctfidf_broadcasts_vocab_group_keyed_topk(spark):
+    plan = _plan(spark, "ctfidf_source_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_windows_over_daily_aggregate(spark):
+    plan = _plan(spark, "zscore_volume_bursts")
+    # the rolling windows run over the (group, day) aggregate — a
+    # partial->final HashAggregate pair sits below the Window
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_cusum_group_keyed_windows_broadcast_totals(spark):
+    plan = _plan(spark, "cusum_value_changepoint")
+    # running sums are group-keyed windows; totals broadcast back;
+    # the peak pick is an aggregation, not another sort
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_basket_keyed_join_broadcast_marginals(spark):
+    plan = _plan(spark, "copurchase_supplier_pairs")
+    # the pair self-join is a basket-keyed hash join (SMJ acceptable at
+    # this width is NOT — both sides are the same distinct set, hash
+    # co-partitioned); marginals and the basket count broadcast; top-k
+    # is TakeOrdered
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
