@@ -127,6 +127,12 @@ def main():
             "cohort_retention_weekly",
             "ab_welch_value_test",
             "pmi_top_collocations",
+            "corr_matrix_lineitem",
+            "golden_record_users",
+            "kaplan_meier_churn",
+            "zscore_volume_bursts",
+            "cusum_value_changepoint",
+            "copurchase_supplier_pairs",
         )
         if n in REGISTRY
     ]

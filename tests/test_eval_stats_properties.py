@@ -1,0 +1,150 @@
+"""Property tests for the evaluation-statistics family vs sequential
+Python models.
+
+The oracle gate proves Spark and DuckDB AGREE; it cannot prove both
+are right (the BPE adjacency bug replicated identically in both
+engines). These models implement the textbook definitions directly —
+pairwise-comparison AUC, brute-force CUSUM argmax, and a dict-fold
+survivorship — on hypothesis-generated inputs that maximize ties,
+nulls, and degenerate groups.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators.linkage import golden_record
+from mlentory_etl_pipeline_spark.operators.stats import (
+    cusum_changepoint,
+    exact_auc,
+)
+
+# --- exact AUC vs the O(P*N) pairwise definition ----------------------
+
+# few distinct score values -> heavy ties, the hard case for rank AUC
+auc_case = st.lists(
+    st.tuples(st.booleans(), st.sampled_from([0.1, 0.25, 0.25001, 0.5, 0.9])),
+    min_size=2,
+    max_size=30,
+).filter(lambda xs: any(y for y, _ in xs) and any(not y for y, _ in xs))
+
+
+def _pairwise_auc(pairs):
+    pos = [s for y, s in pairs if y]
+    neg = [s for y, s in pairs if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(auc_case)
+def test_exact_auc_matches_pairwise_definition(spark, pairs):
+    df = spark.createDataFrame(
+        [(1 if y else 0, s) for y, s in pairs], "y int, s double"
+    )
+    row = exact_auc(df, F.col("y") == 1, F.col("s")).collect()[0]
+    assert abs(row.auc - round(_pairwise_auc(pairs), 6)) < 2e-6
+
+
+# --- CUSUM vs brute-force argmax --------------------------------------
+
+cusum_case = st.lists(
+    st.integers(-50, 50), min_size=1, max_size=25
+)
+
+
+def _cusum_model(values):
+    import math
+
+    # the operator's quantization contract is floor OF THE IEEE
+    # PRODUCT (floor(value*100) on doubles — e.g. -7 cents stored as
+    # -0.07 quantizes to -8 because -0.07*100 = -7.000…001), identical
+    # in Spark and DuckDB; the model must apply the same map
+    values = [math.floor((c / 100.0) * 100) for c in values]
+    n = len(values)
+    s = sum(values)
+    best = None  # (mag, -t) max → mag DESC, t ASC
+    prefix = 0
+    for t, v in enumerate(values, start=1):
+        prefix += v
+        dev = n * prefix - t * s
+        key = (abs(dev), -t)
+        if best is None or key > best[0]:
+            best = (key, t, dev)
+    return best[1], best[2] / n / 100.0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cusum_case)
+def test_cusum_matches_bruteforce_model(spark, cents_values):
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        ("g", d0 + timedelta(minutes=i), i, c / 100.0)
+        for i, c in enumerate(cents_values)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long, value double")
+    got = cusum_changepoint(df, ["g"], "ts", "value", "id").collect()[0]
+    pos, peak = _cusum_model(cents_values)
+    assert got.changepoint_pos == pos
+    assert abs(got.peak_cusum - round(peak, 4)) < 1e-9
+    assert got.n_points == len(cents_values)
+
+
+# --- golden record vs dict-fold survivorship --------------------------
+
+gr_case = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # cluster
+        st.integers(0, 40),                     # order key
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),  # key is a total order per cluster
+)
+
+
+def _gr_model(rows):
+    out = {}
+    for c, k, f1, f2 in sorted(rows, key=lambda t: t[1]):
+        cur = out.setdefault(c, {"n": 0, "k": None, "f1": None, "f2": None})
+        cur["n"] += 1
+        cur["k"] = k
+        if f1 is not None:
+            cur["f1"] = f1
+        if f2 is not None:
+            cur["f2"] = f2
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gr_case)
+def test_golden_record_matches_fold_model(spark, rows):
+    df = spark.createDataFrame(rows, "c long, k long, f1 string, f2 string")
+    got = {
+        r.cluster: (r.n_obs, r.last_seen_key, r.f1, r.f2)
+        for r in golden_record(df, "c", F.col("k"), ["f1", "f2"]).collect()
+    }
+    want = {
+        c: (m["n"], m["k"], m["f1"], m["f2"]) for c, m in _gr_model(rows).items()
+    }
+    assert got == want
