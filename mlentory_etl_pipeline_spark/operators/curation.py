@@ -1230,3 +1230,59 @@ def quantile_normalize(
         .select(id_col, group_col, "raw_score", "calibrated")
         .orderBy(id_col)
     )
+
+
+def privacy_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity release audit (Sweeney 2002;
+    Machanavajjhala et al. 2007): before a dataset (or a per-group
+    statistics table) ships, every equivalence class over the
+    quasi-identifier columns must contain ≥ k records (re-identification
+    resistance) and ≥ l distinct sensitive values (attribute-disclosure
+    resistance). The companion to :func:`dp_noisy_counts` — DP protects
+    released AGGREGATES, this audits released RECORDS.
+
+    One row out: ``(n_rows, n_classes, min_class_size,
+    n_rows_below_k, pct_rows_below_k, min_l_diversity,
+    n_classes_below_l)`` — all counts exact integers off one
+    (quasi…) aggregation (distinct sensitive counted in the same
+    pass), ratios divided once.
+
+    Scale posture: one aggregation keyed by the quasi tuple (map-side
+    combined; the shuffle carries |classes| rows), one metadata-sized
+    fold. The audit never materializes the classes — at 100 TB the
+    class table IS the released artifact's size, not the data's.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col(sensitive_col)).alias("_l"),
+    )
+    return classes.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_n").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+        ).alias("n_rows_below_k"),
+        F.min("_l").alias("min_l_diversity"),
+        F.coalesce(
+            F.sum(F.when(F.col("_l") < l, F.lit(1))), F.lit(0)
+        ).alias("n_classes_below_l"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "n_rows_below_k",
+        F.round(
+            F.col("n_rows_below_k").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("pct_rows_below_k"),
+        "min_l_diversity",
+        "n_classes_below_l",
+    )

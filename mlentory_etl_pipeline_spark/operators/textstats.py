@@ -470,3 +470,52 @@ def ctfidf_top_terms(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def oov_rate(df, group_col: str, text_col: str, vocab_size: int = 20):
+    """Out-of-vocabulary rate per group against the corpus top-K
+    vocabulary — the tokenizer-coverage audit (a source whose tokens
+    fall outside the vocabulary inflates sequence lengths and starves
+    the model of signal; run it per source before fixing a vocab).
+
+    The vocabulary is the top ``vocab_size`` tokens by corpus count
+    under a (count DESC, token ASC) total order — deterministic, so
+    membership (a broadcast join) is engine-identical. Per group the
+    OOV rate is an integer ratio divided once.
+
+    Scale posture: one |vocab|-bounded corpus count + top-K window
+    over the aggregate (the zipf_slope shape), vocabulary broadcast,
+    one (group) aggregation. Returns
+    ``(group, n_tokens, n_oov, oov_rate)`` ordered by group.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w"),
+    ).where(F.col("_w") != "")
+    freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.orderBy(F.desc("_f"), F.asc("_w"))
+    vocab = (
+        freq.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= vocab_size)
+        .select("_w", F.lit(1).alias("_in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "_w", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy(group_col)
+    )

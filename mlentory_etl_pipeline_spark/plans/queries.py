@@ -10441,3 +10441,82 @@ def copurchase_supplier_pairs(spark, sf_dir):
     return graph.cooccurrence_pairs(
         li, "l_orderkey", "l_suppkey", min_pair_count=2, top_k=100
     )
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    "k-anonymity / l-diversity release audit over the event table "
+    "(quasi-identifiers: event type + value band; sensitive: user "
+    "id): every equivalence class must hold >= k records and >= l "
+    "distinct sensitive values before records ship — the "
+    "record-release companion to the DP aggregate release; ONE "
+    "quasi-keyed aggregation (distinct sensitive counted in the same "
+    "pass) + a metadata-sized fold, all counts exact integers",
+    oracle="""
+    WITH classes AS (
+      SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS vb,
+             COUNT(*) AS n, COUNT(DISTINCT user_id) AS ld
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+             AS n_rows_below_k,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS pct_rows_below_k,
+           CAST(MIN(ld) AS BIGINT) AS min_l_diversity,
+           CAST(COALESCE(SUM(CASE WHEN ld < 2 THEN 1 END), 0) AS BIGINT)
+             AS n_classes_below_l
+    FROM classes
+    """,
+    survey_ops=("curation-sampling", "§2.9 aggregations"),
+)
+def privacy_k_anonymity_audit(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import privacy_audit
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "value_band", F.floor(F.col("value") / 50.0).cast("long")
+    )
+    return privacy_audit(
+        e, ["event_type", "value_band"], "user_id", k=10, l=2
+    )
+
+
+@register(
+    "oov_rate_by_source",
+    "out-of-vocabulary rate per source against the corpus top-20 "
+    "vocabulary (count DESC, token ASC total order -> deterministic "
+    "membership) — the tokenizer-coverage audit run before fixing a "
+    "vocab; |vocab|-bounded corpus count + top-K window over the "
+    "aggregate (the zipf shape), vocabulary broadcast, one group "
+    "aggregation with an integer-ratio close",
+    oracle="""
+    WITH toks AS (
+      SELECT grp, w FROM (
+        SELECT source AS grp,
+               UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    freq AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r FROM freq
+      ) WHERE r <= 20
+    )
+    SELECT t.grp AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.grp ORDER BY t.grp
+    """,
+    survey_ops=("quality-scoring", "S7 vocab scan"),
+)
+def oov_rate_by_source(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.textstats import oov_rate
+
+    return oov_rate(t(spark, sf_dir, "documents"), "source", "text", vocab_size=20)

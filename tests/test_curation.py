@@ -577,3 +577,43 @@ def test_dp_noisy_counts_epsilon_scales_noise(spark):
         # same seeded uniform -> same noise shape, scaled by 100x
         assert abs(loose[g] - 20) > abs(tight[g] - 20), g
         assert abs((loose[g] - 20) - 100 * (tight[g] - 20)) < 1e-3, g
+
+
+def test_privacy_audit_hand_computed(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import privacy_audit
+
+    # classes: (a)->6 rows/2 users, (b)->3 rows/1 user, (c)->1 row/1 user
+    rows = (
+        [("a", 1)] * 3 + [("a", 2)] * 3 + [("b", 7)] * 3 + [("c", 9)]
+    )
+    df = spark.createDataFrame(rows, "q string, s long")
+    r = privacy_audit(df, ["q"], "s", k=4, l=2).collect()[0]
+    assert r.n_rows == 10 and r.n_classes == 3
+    assert r.min_class_size == 1
+    assert r.n_rows_below_k == 4  # classes b (3) + c (1)
+    assert abs(r.pct_rows_below_k - 0.4) < 1e-9
+    assert r.min_l_diversity == 1
+    assert r.n_classes_below_l == 2  # b and c have 1 sensitive value
+
+
+def test_privacy_audit_clean_dataset_passes(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import privacy_audit
+
+    rows = [("g", i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "q string, s long")
+    r = privacy_audit(df, ["q"], "s", k=10, l=2).collect()[0]
+    assert r.n_rows_below_k == 0 and r.n_classes_below_l == 0
+    assert r.pct_rows_below_k == 0.0
+
+
+def test_oov_rate_known_vocab(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import oov_rate
+
+    rows = [
+        ("A", "x x y y"),     # all in top-2 vocab {x:3, y:2}
+        ("B", "x rare1 rare2 rare3"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in oov_rate(df, "source", "text", 2).collect()}
+    assert out["A"].oov_rate == 0.0 and out["A"].n_tokens == 4
+    assert out["B"].n_oov == 3 and abs(out["B"].oov_rate - 0.75) < 1e-9
