@@ -255,10 +255,17 @@ def cohen_kappa(
     carries |categories|² rows regardless of |df| (marginals derive
     from the same aggregate, no second scan).
     """
-    pairs = df.select(
-        rater_a.cast("string").alias("_a"), rater_b.cast("string").alias("_b")
-    ).groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n"))
-    pairs = pairs.persist()
+    pairs = (
+        df.select(
+            rater_a.cast("string").alias("_a"),
+            rater_b.cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        # |categories|² rows; pinned so the three consumers below
+        # (marginals × 2, observed) don't re-aggregate the input
+        .localCheckpoint(eager=False)
+    )
     am = pairs.groupBy("_a").agg(F.sum("_n").alias("_an"))
     bm = pairs.groupBy("_b").agg(F.sum("_n").alias("_bn"))
     exp = (
