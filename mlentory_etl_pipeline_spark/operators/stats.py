@@ -215,13 +215,18 @@ def exact_auc(
         "_c", "_p", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_cb")
     )
     agg = ranked.agg(
-        F.sum(F.col("_p") * (2 * F.col("_cb") + F.col("_c") + 1)).alias("_rs2"),
+        # the rank-sum reaches ~2N^2 at data scale: accumulate DECIMAL
+        F.sum(
+            (F.col("_p") * (2 * F.col("_cb") + F.col("_c") + 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_rs2"),
         F.sum("_p").alias("n_pos"),
         F.sum(F.col("_c") - F.col("_p")).alias("n_neg"),
     )
     pos = F.col("n_pos").cast("decimal(38,0)")
     neg = F.col("n_neg").cast("decimal(38,0)")
-    num = F.col("_rs2").cast("decimal(38,0)") - pos * (pos + 1)
+    num = F.col("_rs2") - pos * (pos + 1)
     return agg.select(
         "n_pos",
         "n_neg",
@@ -332,12 +337,15 @@ def groupwise_trend(
         "_y",
     )
     d = "decimal(38,0)"
+    d0 = "decimal(38,0)"
     stats_df = xy.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("_x").alias("_sx"),
         F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        # x·y and x² sums pass 2^63 at ~10^7 month-span rows per
+        # group: accumulate DECIMAL (the close already is)
+        F.sum((F.col("_x") * F.col("_y")).cast(d0)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d0)).alias("_sxx"),
     )
     n = F.col("n_points").cast(d)
     num = n * F.col("_sxy").cast(d) - F.col("_sx").cast(d) * F.col("_sy").cast(d)
@@ -513,7 +521,8 @@ def welch_t_test(
     ).groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_v").alias("_s"),
-        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+        # cents^2 sums pass 2^63 near 10^9 rows: accumulate DECIMAL
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,0)")).alias("_ss"),
     )
     wide = agg.agg(
         *[
