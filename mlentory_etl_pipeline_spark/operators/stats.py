@@ -275,7 +275,12 @@ def cohen_kappa(
     bm = pairs.groupBy("_b").agg(F.sum("_n").alias("_bn"))
     exp = (
         am.join(bm, F.col("_a") == F.col("_b"))
-        .agg(F.sum(F.col("_an") * F.col("_bn")).alias("_e"))
+        .agg(
+            # marginal products reach N² per category: DECIMAL sum
+            F.sum(
+                (F.col("_an").cast("decimal(38,0)") * F.col("_bn"))
+            ).alias("_e")
+        )
     )
     obs = pairs.agg(
         F.sum("_n").alias("_nn"),
@@ -286,7 +291,7 @@ def cohen_kappa(
     d = "decimal(38,0)"
     nn = F.col("_nn").cast(d)
     dg = F.col("_d").cast(d)
-    e = F.coalesce(F.col("_e"), F.lit(0)).cast(d)
+    e = F.coalesce(F.col("_e"), F.lit(0).cast(d)).cast(d)
     return obs.crossJoin(F.broadcast(exp)).select(
         F.col("_nn").alias("n_items"),
         F.col("_d").alias("n_agree"),
@@ -732,10 +737,16 @@ def rolling_zscore_anomalies(
         "n",
         F.count("n").over(w).alias("_w"),
         F.sum("n").over(w).alias("_s"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("_ss"),
+        # n² sums (and s² below) pass 2^63 near 10^9-row days: DECIMAL
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).over(w).alias(
+            "_ss"
+        ),
     )
-    num = F.col("_w") * F.col("n") - F.col("_s")
-    rad = F.col("_w") * F.col("_ss") - F.col("_s") * F.col("_s")
+    dz = "decimal(38,0)"
+    num = (F.col("_w") * F.col("n") - F.col("_s")).cast(dz)
+    rad = F.col("_w").cast(dz) * F.col("_ss") - F.col("_s").cast(
+        dz
+    ) * F.col("_s").cast(dz)
     z = F.when(
         (F.col("_w") == window_days) & (rad > 0),
         F.round(num.cast("double") / F.sqrt(rad.cast("double")), 4),
