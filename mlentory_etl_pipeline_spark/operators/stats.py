@@ -198,10 +198,11 @@ def exact_auc(
 
     Scale posture: one groupBy on the quantized score (map-side
     combined — the shuffle carries |distinct scores| ≤ score-range ×
-    scale rows, bounded by the quantization, NOT by |df|), then one
-    running-sum window over those bounded rows. The single-partition
-    window is over the quantization-bounded aggregate, the same
-    posture as the histogram sketch's quantile close.
+    scale rows, bounded by the quantization, NOT by |df|), then the
+    cum-below rank via the DISTRIBUTED prefix sum (range partition +
+    local window + triangular offsets — the V8 entity-chunking shape),
+    so there is no single-partition WindowExec even when the
+    quantized-score table is itself large.
     """
     q = df.select(
         F.floor(score * scale).cast("long").alias("_s"),
@@ -210,9 +211,35 @@ def exact_auc(
     g = q.groupBy("_s").agg(
         F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p")
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = g.select(
-        "_c", "_p", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_cb")
+    # cum-below via the DISTRIBUTED prefix sum (the V8 entity-chunking
+    # shape — versioned_store.assign_chunks): range-partition the
+    # distinct scores (range order == score order), local running sum
+    # per range, per-range totals to offsets via a tiny triangular
+    # join — no single-partition WindowExec even when the quantized
+    # score table is itself large
+    n_ranges = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = (
+        g.repartitionByRange(n_ranges, "_s")
+        .withColumn("_rng", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("_rng")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prec = F.coalesce(F.sum("_c").over(w_local), F.lit(0))
+    totals = ranged.groupBy("_rng").agg(F.sum("_c").alias("_tot"))
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._rng") < F.col("a._rng"), "left")
+        .groupBy(F.col("a._rng").alias("_rng"))
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
+    )
+    ranked = ranged.join(F.broadcast(offsets), "_rng").select(
+        "_c", "_p", (F.col("_off") + local_prec).alias("_cb")
     )
     agg = ranked.agg(
         # the rank-sum reaches ~2N^2 at data scale: accumulate DECIMAL

@@ -454,14 +454,17 @@ def test_nb_classifier_broadcasts_weights(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_exact_auc_aggregates_before_global_window(spark):
+def test_exact_auc_distributed_prefix_no_single_partition(spark):
     plan = _plan(spark, "auc_event_value_purchase")
-    # the running-sum window must run over the quantized-score
-    # AGGREGATE (bounded by quantization), never the raw events: a
-    # partial->final HashAggregate pair precedes the single Window
+    # the cum-below rank runs over the quantized-score AGGREGATE via
+    # the distributed prefix sum: partial->final HashAggregate pair
+    # below, range-partitioned local window, triangular offsets — and
+    # NO single-partition exchange anywhere in the plan
     assert plan.count("HashAggregate") >= 2
-    # one Window node (tree + details = two mentions in formatted output)
-    assert plan.count("Window") <= 2
+    # the window partitions by the range id (never a global window);
+    # the only SinglePartition exchange is the final 4-value reduce
+    assert "windowspecdefinition(_rng" in plan
+    assert plan.count("SinglePartition") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
