@@ -148,3 +148,91 @@ def test_golden_record_matches_fold_model(spark, rows):
         c: (m["n"], m["k"], m["f1"], m["f2"]) for c, m in _gr_model(rows).items()
     }
     assert got == want
+
+
+# --- cohort retention vs dict-fold model ------------------------------
+
+cohort_case = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 27)),  # (user, day)
+    min_size=1,
+    max_size=40,
+)
+
+
+def _cohort_model(events):
+    def week(day):  # Monday-start week index for Jan 2024 (Jan 1 = Monday)
+        return day // 7
+
+    first = {}
+    for u, day in events:
+        first[u] = min(first.get(u, day), day)
+    cohort = {u: week(d) for u, d in first.items()}
+    cells = {}
+    for u, day in set((u, week(d)) for u, d in events):
+        key = (cohort[u], day - cohort[u])
+        cells[key] = cells.get(key, 0) + 1
+    sizes = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    return {
+        (cw, off): (n, sizes[cw], round(n / sizes[cw], 6))
+        for (cw, off), n in cells.items()
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cohort_case)
+def test_cohort_retention_matches_fold_model(spark, events):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import cohort_retention
+
+    d0 = datetime(2024, 1, 1)  # a Monday: day//7 == date_trunc week
+    rows = [(u, d0 + timedelta(days=day, hours=3)) for u, day in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        ((r.cohort_week - d0).days // 7, r.week_offset): (
+            r.n_active,
+            r.cohort_size,
+            r.retention,
+        )
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == _cohort_model(events)
+
+
+# --- privacy audit vs dict model --------------------------------------
+
+privacy_case = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 3)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(privacy_case, st.integers(1, 6), st.integers(1, 3))
+def test_privacy_audit_matches_dict_model(spark, rows, k, l):
+    from mlentory_etl_pipeline_spark.operators.curation import privacy_audit
+
+    df = spark.createDataFrame(rows, "q string, s long")
+    r = privacy_audit(df, ["q"], "s", k=k, l=l).collect()[0]
+    classes = {}
+    for q, sv in rows:
+        classes.setdefault(q, []).append(sv)
+    ns = [len(v) for v in classes.values()]
+    ls = [len(set(v)) for v in classes.values()]
+    assert r.n_rows == len(rows)
+    assert r.n_classes == len(classes)
+    assert r.min_class_size == min(ns)
+    assert r.n_rows_below_k == sum(n for n in ns if n < k)
+    assert r.min_l_diversity == min(ls)
+    assert r.n_classes_below_l == sum(1 for x in ls if x < l)
