@@ -529,6 +529,7 @@ def welch_t_test(
     group_a: str,
     group_b: str,
     cents: int = 100,
+    segment_cols: list[str] | None = None,
 ) -> DataFrame:
     """Welch's unequal-variance two-sample t statistic — the A/B
     decision primitive (did the new filter change mean quality? does
@@ -542,21 +543,24 @@ def welch_t_test(
     sort, no second scan. Returns one row ``(n_a, n_b, mean_a,
     mean_b, t_stat, df)`` (4 dp on t/df, 6 dp on means).
 
-    At lake scale this is the template for per-segment sweeps: swap
-    the final one-row close for a groupBy(segment) over the same
-    sufficient statistics.
+    Per-segment sweeps: pass ``segment_cols`` and the SAME
+    sufficient-statistics aggregation keys by (segment, group) with
+    the close running per segment — one scan tests every segment at
+    once (the output is |segments| rows, the shuffle
+    2·|segments|). Segments missing either group emit NULL t/df.
     """
+    seg = list(segment_cols or [])
     g = group.cast("string")
     v = F.floor(value * cents).cast("long")
-    agg = df.select(g.alias("_g"), v.alias("_v")).where(
+    agg = df.select(*seg, g.alias("_g"), v.alias("_v")).where(
         F.col("_g").isin([group_a, group_b])
-    ).groupBy("_g").agg(
+    ).groupBy(*seg, "_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_v").alias("_s"),
         # cents^2 sums pass 2^63 near 10^9 rows: accumulate DECIMAL
         F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,0)")).alias("_ss"),
     )
-    wide = agg.agg(
+    wide = agg.groupBy(*seg).agg(
         *[
             F.max(F.when(F.col("_g") == gname, F.col(c))).alias(f"{c}{suf}")
             for gname, suf in ((group_a, "a"), (group_b, "b"))
@@ -566,15 +570,17 @@ def welch_t_test(
     def close(suf):
         n = F.col(f"_n{suf}").cast("double")
         mean = F.col(f"_s{suf}").cast("double") / n / cents
-        # unbiased variance from exact sums, in value units
+        # unbiased variance from exact sums, in value units;
+        # try_divide: a single-observation group has no variance and
+        # must yield NULL t/df, not an ANSI divide-by-zero error
         var = (
-            (
+            F.try_divide(
                 F.col(f"_ss{suf}").cast("double")
                 - F.col(f"_s{suf}").cast("double")
                 * F.col(f"_s{suf}").cast("double")
-                / n
+                / n,
+                n - 1,
             )
-            / (n - 1)
             / (cents * cents)
         )
         return n, mean, var
@@ -582,12 +588,16 @@ def welch_t_test(
     na, ma, va = close("a")
     nb, mb, vb = close("b")
     sea, seb = va / na, vb / nb
-    t = (ma - mb) / F.sqrt(sea + seb)
+    # try_divide: zero-variance segments (or degenerate counts) emit
+    # NULL statistics rather than erroring the whole sweep
+    t = F.try_divide(ma - mb, F.sqrt(sea + seb))
     # products, not pow(): x*x is the same IEEE op in every engine
-    dof = (sea + seb) * (sea + seb) / (
-        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    dof = F.try_divide(
+        (sea + seb) * (sea + seb),
+        F.try_divide(sea * sea, na - 1) + F.try_divide(seb * seb, nb - 1),
     )
-    return wide.select(
+    out = wide.select(
+        *seg,
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
         F.round(ma, 6).alias("mean_a"),
@@ -595,6 +605,7 @@ def welch_t_test(
         F.round(t, 4).alias("t_stat"),
         F.round(dof, 4).alias("df"),
     )
+    return out.orderBy(*seg) if seg else out
 
 
 def corr_matrix(

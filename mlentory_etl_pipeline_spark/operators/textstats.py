@@ -332,6 +332,7 @@ def pmi_top_pairs(
     min_doc_freq: int = 20,
     min_pair_count: int = 10,
     top_k: int = 50,
+    max_words_per_doc: int | None = None,
 ):
     """Top document-level PMI word pairs — the collocation /
     co-occurrence-statistics primitive (the association matrix behind
@@ -348,7 +349,11 @@ def pmi_top_pairs(
     then fans out only over frequent-vocab words per doc (quadratic in
     THAT bounded count, not in document length), and pair counts are
     map-side combined. The vocabulary table broadcasts (it is
-    count-filtered metadata). Returns ``(w1, w2, n_pairs, pmi)``.
+    count-filtered metadata). For adversarially long documents set
+    ``max_words_per_doc``: a doc-keyed window keeps each document's
+    top-cap words by (corpus frequency DESC, word ASC), hard-bounding
+    the per-doc pair fan-out to cap²/2. Returns
+    ``(w1, w2, n_pairs, pmi)``.
     """
     dw = (
         df.select(
@@ -362,6 +367,15 @@ def pmi_top_pairs(
         F.col("_cu") >= min_doc_freq
     )
     fdw = dw.join(F.broadcast(vocab), "_w").select("_d", "_w", "_cu")
+    if max_words_per_doc is not None:
+        from pyspark.sql import Window
+
+        wd = Window.partitionBy("_d").orderBy(F.desc("_cu"), F.asc("_w"))
+        fdw = (
+            fdw.withColumn("_wr", F.row_number().over(wd))
+            .where(F.col("_wr") <= max_words_per_doc)
+            .drop("_wr")
+        )
     pairs = (
         fdw.alias("a")
         .join(fdw.alias("b"), "_d")

@@ -10520,3 +10520,75 @@ def oov_rate_by_source(spark, sf_dir):
     from mlentory_etl_pipeline_spark.operators.textstats import oov_rate
 
     return oov_rate(t(spark, sf_dir, "documents"), "source", "text", vocab_size=20)
+
+
+@register(
+    "welch_value_by_weekday",
+    "per-segment Welch sweep: the view-vs-click value test run for "
+    "every weekday segment in ONE scan — the same exact sufficient "
+    "statistics keyed by (segment, group), the close per segment "
+    "(|segments| output rows, 2x|segments| shuffle rows); segments "
+    "missing a group or variance emit NULL statistics (try_divide) "
+    "instead of erroring the sweep; weekday = engine-identical "
+    "datediff-mod-7, not locale DAYOFWEEK",
+    oracle="""
+    WITH g AS (
+      SELECT (DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+               AS weekday,
+             event_type AS gp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                      * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS ss
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT weekday,
+        MAX(CASE WHEN gp = 'view' THEN n END) AS na,
+        MAX(CASE WHEN gp = 'view' THEN s END) AS sa,
+        MAX(CASE WHEN gp = 'view' THEN ss END) AS ssa,
+        MAX(CASE WHEN gp = 'click' THEN n END) AS nb,
+        MAX(CASE WHEN gp = 'click' THEN s END) AS sb,
+        MAX(CASE WHEN gp = 'click' THEN ss END) AS ssb
+      FROM g GROUP BY weekday
+    ),
+    c AS (
+      SELECT weekday, na, nb,
+        CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100 AS ma,
+        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100 AS mb,
+        (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) / 10000 AS va,
+        (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) / 10000 AS vb
+      FROM w
+    ),
+    se AS (
+      SELECT weekday, na, nb, ma, mb,
+             va / CAST(na AS DOUBLE) AS sea,
+             vb / CAST(nb AS DOUBLE) AS seb
+      FROM c
+    )
+    SELECT CAST(weekday AS BIGINT) AS weekday, na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(sea + seb), 4) AS t_stat,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (CAST(na AS DOUBLE) - 1)
+                    + seb * seb / (CAST(nb AS DOUBLE) - 1)), 4) AS df
+    FROM se ORDER BY weekday
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def welch_value_by_weekday(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import welch_t_test
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "weekday",
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) % 7
+        ).cast("long"),
+    )
+    return welch_t_test(
+        e, F.col("event_type"), F.col("value"), "view", "click",
+        segment_cols=["weekday"],
+    )

@@ -765,3 +765,40 @@ def test_cooccurrence_dedups_within_basket(spark):
     df = spark.createDataFrame(rows, "b long, i string")
     out = cooccurrence_pairs(df, "b", "i", min_pair_count=1, top_k=5).collect()
     assert len(out) == 1 and out[0].n_pairs == 1
+
+
+def test_pmi_per_doc_cap_bounds_fanout(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import pmi_top_pairs
+
+    # one adversarially wide doc (8 frequent words) among narrow docs;
+    # cap=3 keeps only the 3 corpus-hottest words of each doc, so
+    # pairs only form among {w0, w1, w2} (w0 hottest via extra docs)
+    wide = " ".join(f"w{i}" for i in range(8))
+    docs = [(0, wide)] + [(i, "w0 w1 w2") for i in range(1, 8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = pmi_top_pairs(
+        df, "doc_id", "text", min_doc_freq=1, min_pair_count=1,
+        top_k=100, max_words_per_doc=3,
+    ).collect()
+    seen = {(r.w1, r.w2) for r in capped}
+    assert seen == {("w0", "w1"), ("w0", "w2"), ("w1", "w2")}
+    uncapped = pmi_top_pairs(
+        df, "doc_id", "text", min_doc_freq=1, min_pair_count=1, top_k=100
+    ).collect()
+    assert len(uncapped) == 8 * 7 // 2  # all pairs of the wide doc
+
+
+def test_welch_per_segment_sweep(spark):
+    rows = []
+    for seg, shift in (("s1", 0.0), ("s2", 5.0)):
+        for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+            rows.append((seg, "a", v + shift))
+            rows.append((seg, "b", v))
+    rows.append(("s3", "a", 9.0))  # missing group b -> NULL t
+    df = spark.createDataFrame(rows, "seg string, g string, v double")
+    out = {r.seg: r for r in stats.welch_t_test(
+        df, F.col("g"), F.col("v"), "a", "b", segment_cols=["seg"]
+    ).collect()}
+    assert out["s1"].t_stat == 0.0
+    assert out["s2"].mean_a - out["s2"].mean_b == 5.0 and out["s2"].t_stat > 3
+    assert out["s3"].t_stat is None and out["s3"].n_b is None
