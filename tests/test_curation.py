@@ -617,3 +617,54 @@ def test_oov_rate_known_vocab(spark):
     out = {r.source: r for r in oov_rate(df, "source", "text", 2).collect()}
     assert out["A"].oov_rate == 0.0 and out["A"].n_tokens == 4
     assert out["B"].n_oov == 3 and abs(out["B"].oov_rate - 0.75) < 1e-9
+
+
+def test_quantile_normalize_grid_mode_parity_and_shape(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    rows = [(i, "s%d" % (i % 3), float((i * 7) % 50)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    exact = {
+        r.id: r.calibrated
+        for r in quantile_normalize(df, "src", "score", "id").collect()
+    }
+    grid = {
+        r.id: r.calibrated
+        for r in quantile_normalize(
+            df, "src", "score", "id", grid_points=241
+        ).collect()
+    }
+    assert set(exact) == set(grid)
+    # with the grid finer than the score distribution both modes pick
+    # real data values from the same global distribution, within one
+    # distinct-score step of each other
+    import numpy as np
+
+    scores = sorted({s for _, _, s in rows})
+    step = max(b - a for a, b in zip(scores, scores[1:]))
+    diffs = [abs(exact[i] - grid[i]) for i in exact]
+    assert max(diffs) <= step + 1e-9
+    # monotone: grid calibration preserves the exact path's order
+    pairs = sorted(exact.items())
+    for (i1, e1), (i2, e2) in zip(pairs, pairs[1:]):
+        if e1 < e2:
+            assert grid[i1] <= grid[i2] + 1e-9
+
+
+def test_quantile_normalize_grid_mode_no_global_reference_sort(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(i % 17)) for i in range(60)],
+        "id long, src string, score double",
+    )
+    plan = (
+        quantile_normalize(df, "src", "score", "id", grid_points=33)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the reference side is ONE percentile_approx aggregate broadcast
+    # back: the only window left is the per-group percent_rank
+    assert plan.count("percent_rank") >= 1
+    assert "percentile_approx" in plan
