@@ -133,6 +133,9 @@ def main():
             "zscore_volume_bursts",
             "cusum_value_changepoint",
             "copurchase_supplier_pairs",
+            "welch_value_by_weekday",
+            "privacy_k_anonymity_audit",
+            "oov_rate_by_source",
         )
         if n in REGISTRY
     ]
