@@ -1142,8 +1142,10 @@ def dp_noisy_counts(
     Determinism contract (a RANDOMIZED mechanism under a hard SQL
     oracle): the per-group uniform is the group key's seeded md5
     (first 60 bits / 2⁶⁰ — engine-identical), inverted through the
-    Laplace CDF ``noise = −(1/ε)·sign(u−½)·ln(1−2·|u−½|)``, with the
-    single libm ``ln`` QUANTIZED to micro-units
+    Laplace CDF ``noise = −(1/ε)·sign(u−½)·ln(max(1−2·|u−½|, 2⁻⁶⁰))``
+    (the max() clamp keeps a pathological endpoint uniform from
+    emitting −Inf → Long.MIN garbage; noise is thereby bounded at
+    ~60·ln2/ε), with the single libm ``ln`` QUANTIZED to micro-units
     (``floor(ln·scale + ½)`` — the DSIR / lm_perplexity scheme) so
     both engines carry the identical integer before the one closing
     division. Seeded noise is a DETERMINISM device for testing and
@@ -1164,8 +1166,16 @@ def dp_noisy_counts(
     )
     centered = u - F.lit(0.5)
     sign = F.when(centered < 0, F.lit(-1)).otherwise(F.lit(1))
+    # clamp the ln argument away from 0: a raw 60-bit value of exactly
+    # 0 (probability 2⁻⁶⁰ per group, unbounded damage), or one so large
+    # the 2⁻⁶⁰ division ROUNDS u to 1.0, would otherwise send
+    # ln(1−2·|u−½|) to −Inf, flooring to Long.MIN and emitting a
+    # garbage noisy_count; the 2⁻⁶⁰ floor bounds noise at ~60·ln2/ε
+    # (mirrored in every oracle)
     q_ln = F.floor(
-        F.ln(F.lit(1.0) - 2 * F.abs(centered)) * scale + F.lit(0.5)
+        F.ln(F.greatest(F.lit(1.0) - 2 * F.abs(centered), F.lit(2.0 ** -60)))
+        * scale
+        + F.lit(0.5)
     ).cast("long")
     noise = (
         (-sign * q_ln).cast("double")

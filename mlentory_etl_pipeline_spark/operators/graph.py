@@ -526,6 +526,7 @@ def cooccurrence_pairs(
     item_col: str,
     min_pair_count: int = 2,
     top_k: int = 100,
+    max_items_per_basket: int | None = None,
 ) -> DataFrame:
     """Market-basket co-occurrence: the top item pairs appearing in
     the same basket, with lift — the collaborative-filtering /
@@ -541,13 +542,30 @@ def cooccurrence_pairs(
 
     Scale posture: per-basket DISTINCT items first; the pair
     self-join is BASKET-keyed (fan-out quadratic in items-per-basket
-    — bounded by basket size, not catalog size; cap baskets upstream
-    for adversarial carts), pair counts map-side combined; item
-    marginals broadcast. Returns ``(item_a, item_b, n_pairs, lift)``.
+    — bounded by basket size, not catalog size), pair counts map-side
+    combined; item marginals broadcast. For adversarial baskets set
+    ``max_items_per_basket``: a basket-keyed window keeps each
+    basket's top-cap items by (corpus frequency DESC, item ASC) —
+    the ``pmi_top_pairs``/``max_words_per_doc`` scheme — hard-bounding
+    the per-basket pair fan-out to cap²/2; one hot basket at lake
+    scale is otherwise a fan-out bomb. Marginals are computed AFTER
+    the cap so lift's n_a·n_b stays consistent with the pairs
+    actually counted. Returns ``(item_a, item_b, n_pairs, lift)``.
     """
     items = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
+    if max_items_per_basket is not None:
+        from pyspark.sql import Window
+
+        freq = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_fi"))
+        wb = Window.partitionBy("_b").orderBy(F.desc("_fi"), F.asc("_i"))
+        items = (
+            items.join(F.broadcast(freq), "_i")
+            .withColumn("_ir", F.row_number().over(wb))
+            .where(F.col("_ir") <= max_items_per_basket)
+            .select("_b", "_i")
+        )
     marg = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
     nb = items.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb"))
     pairs = (

@@ -203,6 +203,11 @@ def exact_auc(
     local window + triangular offsets — the V8 entity-chunking shape),
     so there is no single-partition WindowExec even when the
     quantized-score table is itself large.
+
+    Degenerate-input contract: with zero positives or zero negatives
+    AUC is undefined — the row comes back with ``auc = NULL``
+    (``try_divide``, so the same under ANSI mode) and the caller reads
+    ``n_pos``/``n_neg`` to see why.
     """
     q = df.select(
         F.floor(score * scale).cast("long").alias("_s"),
@@ -258,7 +263,7 @@ def exact_auc(
         "n_pos",
         "n_neg",
         F.round(
-            num.cast("double") / (2 * pos * neg).cast("double"), 6
+            F.try_divide(num.cast("double"), (2 * pos * neg).cast("double")), 6
         ).alias("auc"),
     )
 
@@ -282,6 +287,11 @@ def cohen_kappa(
     both N divisions cleared, so partitioning cannot move the result;
     one division to double at the end. Returns one row
     ``(n_items, n_agree, po, pe, kappa)`` (po/pe rounded 6 dp).
+
+    Degenerate-input contract: when both raters use a SINGLE category
+    (pe = 1, the kappa denominator N²−Σa·b is 0) kappa is undefined
+    and comes back NULL (``try_divide`` — same under ANSI mode);
+    likewise po/pe/kappa on an empty input.
 
     Scale posture: one groupBy on the (a, b) label pair — the shuffle
     carries |categories|² rows regardless of |df| (marginals derive
@@ -322,10 +332,15 @@ def cohen_kappa(
     return obs.crossJoin(F.broadcast(exp)).select(
         F.col("_nn").alias("n_items"),
         F.col("_d").alias("n_agree"),
-        F.round(dg.cast("double") / nn.cast("double"), 6).alias("po"),
-        F.round(e.cast("double") / (nn * nn).cast("double"), 6).alias("pe"),
+        F.round(F.try_divide(dg.cast("double"), nn.cast("double")), 6).alias("po"),
         F.round(
-            (nn * dg - e).cast("double") / (nn * nn - e).cast("double"), 6
+            F.try_divide(e.cast("double"), (nn * nn).cast("double")), 6
+        ).alias("pe"),
+        F.round(
+            F.try_divide(
+                (nn * dg - e).cast("double"), (nn * nn - e).cast("double")
+            ),
+            6,
         ).alias("kappa"),
     )
 
@@ -548,12 +563,17 @@ def welch_t_test(
     the close running per segment — one scan tests every segment at
     once (the output is |segments| rows, the shuffle
     2·|segments|). Segments missing either group emit NULL t/df.
+
+    NULL contract: rows with a NULL value are DROPPED before
+    aggregating, so n counts exactly the observations that entered
+    Σx/Σx² (counting them with ``count(1)`` while ``sum`` skips NULLs
+    would silently skew mean/variance denominators).
     """
     seg = list(segment_cols or [])
     g = group.cast("string")
     v = F.floor(value * cents).cast("long")
     agg = df.select(*seg, g.alias("_g"), v.alias("_v")).where(
-        F.col("_g").isin([group_a, group_b])
+        F.col("_g").isin([group_a, group_b]) & F.col("_v").isNotNull()
     ).groupBy(*seg, "_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_v").alias("_s"),
@@ -630,10 +650,15 @@ def corr_matrix(
     Scale posture: single map-side-combined aggregation; the shuffle
     carries ONE row of |cols|·(|cols|+3)/2 statistics regardless of
     data size.
+
+    NULL contract: LISTWISE deletion — a row with a NULL in ANY of
+    ``cols`` is dropped before aggregating, so the single n matches
+    every Σx/Σx²/Σxy denominator (the alternative, pairwise-complete
+    statistics, would need a per-pair n and is a different estimator).
     """
     d = "decimal(38,0)"
     q = {c: F.floor(F.col(c) * cents).cast("long").alias(f"_q_{c}") for c in cols}
-    base = df.select(*q.values())
+    base = df.select(*q.values()).na.drop("any")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(F.col(f"_q_{c}").cast(d)).alias(f"_s_{c}"))
@@ -740,11 +765,24 @@ def rolling_zscore_anomalies(
     ts_col: str,
     window_days: int = 7,
     z_threshold: float = 3.0,
+    densify: bool = False,
 ) -> DataFrame:
     """Volume-burst detection: each group's DAILY event count scored
     against the trailing ``window_days`` baseline — the ingestion-
-    monitoring primitive (did a source spike 10x? did a feed die?)
-    that a 100 TB pipeline runs on every load.
+    monitoring primitive (did a source spike 10x?) that a 100 TB
+    pipeline runs on every load.
+
+    Calendar semantics — the contract, explicitly: by DEFAULT the
+    trailing window is ROWS-based over the group's OBSERVED days, so
+    calendar days with zero events are skipped (the baseline is the
+    last ``window_days`` days the group emitted anything) and a feed
+    that dies emits NO rows at all — spike detection, not dead-feed
+    detection. Pass ``densify=True`` for CALENDAR-trailing semantics:
+    the (group, day) grid is filled with zero-count days from each
+    group's first day through the GLOBAL last day, so gaps score
+    against the true calendar baseline and a dead feed keeps emitting
+    n=0 rows (which go anomalous once the baseline has variance) —
+    that mode answers "did a feed die?".
 
     Exactness: with trailing sums s = Σx and ss = Σx² over exactly w
     integer daily counts, the z-score rewrites divisionless as
@@ -759,11 +797,28 @@ def rolling_zscore_anomalies(
 
     Scale posture: one (group, day) count aggregation (map-side
     combined — the shuffle carries |groups|·|days| rows, metadata),
-    then group-keyed rolling windows over that aggregate. Returns
+    then group-keyed rolling windows over that aggregate; densify
+    adds one sequence-explode over that same metadata-sized grid and
+    a broadcast of the 1-row global max day. Returns
     ``(group_cols…, day, n, z, is_anomaly)`` ordered by group/day.
     """
     day = F.date_trunc("day", F.col(ts_col)).alias("day")
     daily = df.groupBy(*group_cols, day).agg(F.count(F.lit(1)).alias("n"))
+    if densify:
+        span = daily.groupBy(*group_cols).agg(F.min("day").alias("_d0"))
+        gmax = daily.agg(F.max("day").alias("_d1"))
+        grid = (
+            span.crossJoin(F.broadcast(gmax))
+            .select(
+                *group_cols,
+                F.explode(
+                    F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+                ).alias("day"),
+            )
+        )
+        daily = grid.join(daily, [*group_cols, "day"], "left").select(
+            *group_cols, "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("day")

@@ -9832,7 +9832,8 @@ def graph_label_propagation(spark, sf_dir):
     )
     SELECT event_type,
            ROUND(n + (CASE WHEN uu < 0.5 THEN 1 ELSE -1 END)
-                     * CAST(FLOOR(LN(1 - 2 * ABS(uu - 0.5)) * 1000000 + 0.5)
+                     * CAST(FLOOR(LN(GREATEST(1 - 2 * ABS(uu - 0.5),
+                                              POWER(2, -60))) * 1000000 + 0.5)
                             AS BIGINT) / 1000000.0, 6) AS noisy_count
     FROM u ORDER BY event_type
     """,

@@ -13,6 +13,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "integration: touches real external services; skips cleanly offline",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("mlentory-tests")

@@ -346,9 +346,24 @@ def test_exact_auc_partition_invariant(spark):
     assert (a.n_pos, a.n_neg, a.auc) == (b.n_pos, b.n_neg, b.auc)
 
 
+def test_exact_auc_degenerate_single_class_is_null(spark):
+    # zero negatives (or positives): AUC undefined -> NULL, not an
+    # ANSI divide-by-zero; n_pos/n_neg still report why
+    df = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
+    row = stats.exact_auc(df, F.col("y") == 1, F.col("s")).collect()[0]
+    assert row.n_pos == 2 and row.n_neg == 0 and row.auc is None
+
+
 # ---------------------------------------------------------------------
 # Cohen's kappa
 # ---------------------------------------------------------------------
+
+
+def test_cohen_kappa_single_category_is_null(spark):
+    # both raters constant: pe = 1, kappa denominator 0 -> NULL kappa
+    df = spark.createDataFrame([("a", "a")] * 5, "ra string, rb string")
+    row = stats.cohen_kappa(df, F.col("ra"), F.col("rb")).collect()[0]
+    assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None
 
 
 def test_cohen_kappa_perfect_agreement_is_one(spark):
@@ -714,6 +729,43 @@ def test_zscore_flags_spike_over_noisy_baseline(spark):
     assert out["2024-01-08"].is_anomaly == 0
 
 
+def test_zscore_densify_scores_calendar_gaps_and_dead_feeds(spark):
+    from datetime import datetime, timedelta
+
+    d0 = datetime(2024, 1, 1)
+    rows = []
+    # group a: noisy baseline days 0-7, then DIES (no rows after day 7)
+    counts = [100, 102, 98, 101, 99, 103, 97, 100]
+    for day, per_day in enumerate(counts):
+        for i in range(per_day):
+            rows.append(("a", d0 + timedelta(days=day, minutes=i)))
+    # group b: keeps the calendar alive through day 12
+    for day in range(13):
+        rows.append(("b", d0 + timedelta(days=day)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+
+    observed = {
+        (r.g, str(r.day)[:10])
+        for r in stats.rolling_zscore_anomalies(df, ["g"], "ts", 7).collect()
+    }
+    # default observed-days semantics: the dead feed emits nothing
+    # after its last observed day
+    assert ("a", "2024-01-09") not in observed
+
+    dense = {
+        (r.g, str(r.day)[:10]): r
+        for r in stats.rolling_zscore_anomalies(
+            df, ["g"], "ts", 7, densify=True
+        ).collect()
+    }
+    # densify: zero-count days exist up to the GLOBAL last day and the
+    # dead feed goes anomalous against its live baseline
+    dead = dense[("a", "2024-01-09")]
+    assert dead.n == 0 and dead.z is not None and dead.z < -3
+    assert dead.is_anomaly == 1
+    assert ("a", "2024-01-13") in dense  # runs to the global max day
+
+
 def test_cusum_locates_level_shift(spark):
     from datetime import datetime, timedelta
 
@@ -765,6 +817,32 @@ def test_cooccurrence_dedups_within_basket(spark):
     df = spark.createDataFrame(rows, "b long, i string")
     out = cooccurrence_pairs(df, "b", "i", min_pair_count=1, top_k=5).collect()
     assert len(out) == 1 and out[0].n_pairs == 1
+
+
+def test_cooccurrence_basket_cap_bounds_fanout(spark):
+    from mlentory_etl_pipeline_spark.operators.graph import cooccurrence_pairs
+
+    # one adversarial 40-item basket among small ones; cap=5 bounds
+    # that basket's pair fan-out to C(5,2)=10 instead of C(40,2)=780.
+    rows = [(0, f"i{j:02d}") for j in range(40)]
+    rows += [(b, x) for b in (1, 2, 3) for x in ("i00", "i01")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    capped = cooccurrence_pairs(
+        df, "b", "i", min_pair_count=1, top_k=1000, max_items_per_basket=5
+    ).collect()
+    # only pairs among the hot basket's 5 kept items plus the small
+    # baskets' (i00,i01) pair — total distinct pairs == C(5,2)
+    assert len(capped) == 10
+    # the kept items are the corpus-hottest (i00, i01 appear in 4
+    # baskets) then item-ASC tie-break (i02..i04): lift marginals
+    # must reflect the CAPPED item sets, not the raw ones
+    out = {(r.item_a, r.item_b): r for r in capped}
+    assert out[("i00", "i01")].n_pairs == 4
+    # lift(i00,i01) = 4 * 4 baskets / (4 * 4)
+    assert abs(out[("i00", "i01")].lift - 1.0) < 1e-9
+    # uncapped path unchanged
+    uncapped = cooccurrence_pairs(df, "b", "i", min_pair_count=1, top_k=1000).collect()
+    assert len(uncapped) == 40 * 39 // 2
 
 
 def test_pmi_per_doc_cap_bounds_fanout(spark):
