@@ -877,6 +877,79 @@ def provenance_reified_export(spark, sf_dir):
     return graph.reified_ntriples(stmts)
 
 
+@register(
+    "http_chunk_sink_receipts",
+    "S17 remote chunked-HTTP sink: entity-aligned chunk assignment "
+    "(V8 distributed prefix sum — whole subjects per chunk), one "
+    "newline-joined sorted payload per chunk via chunk-keyed "
+    "aggregation, then a mapInPandas POST stage with injected "
+    "transport + retry/backoff and per-chunk error capture (the "
+    "fetch_urls posture); receipts carry payload md5 + parsed status "
+    "so the finalize step can verify the batch without re-reading "
+    "payloads; offline the deterministic fake POST transport acks",
+    oracle="""
+    WITH stmts AS (
+      SELECT DISTINCT 'urn:user:' || CAST(user_id AS VARCHAR) AS s,
+             'urn:p:' || event_type AS p,
+             CAST(CAST(FLOOR(value / 100) AS INTEGER) AS VARCHAR) AS o
+      FROM events
+    ),
+    lines AS (
+      SELECT s AS subject, '<' || s || '> <' || p || '> "' || o || '" .' AS line
+      FROM stmts
+    ),
+    counts AS (SELECT subject, COUNT(*) AS n FROM lines GROUP BY subject),
+    cum AS (
+      SELECT subject,
+             COALESCE(SUM(n) OVER (ORDER BY subject
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS prec
+      FROM counts
+    ),
+    chunks AS (
+      SELECT subject, CAST(FLOOR(prec * 7.0 / 1000) AS INTEGER) AS chunk_id
+      FROM cum
+    )
+    SELECT c.chunk_id,
+           COUNT(*) AS n_lines,
+           md5(string_agg(l.line, chr(10) ORDER BY l.line)) AS payload_md5,
+           'ok' AS status
+    FROM lines l JOIN chunks c USING (subject)
+    GROUP BY c.chunk_id
+    ORDER BY c.chunk_id
+    """,
+    survey_ops=("S17", "V8", "S12"),
+)
+def http_chunk_sink_receipts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.sources.connectors import http_chunk_upload
+
+    e = t(spark, sf_dir, "events")
+    lines = (
+        e.select(
+            F.concat(F.lit("urn:user:"), F.col("user_id").cast("string")).alias(
+                "subject"
+            ),
+            F.concat(F.lit("urn:p:"), F.col("event_type")).alias("predicate"),
+            F.floor(F.col("value") / 100).cast("int").cast("string").alias("object"),
+        )
+        .distinct()
+        .select(
+            "subject",
+            F.concat(
+                F.lit("<"), F.col("subject"), F.lit("> <"), F.col("predicate"),
+                F.lit('> "'), F.col("object"), F.lit('" .'),
+            ).alias("line"),
+        )
+    )
+    receipts = http_chunk_upload(lines, batch_id="bench_batch", chunk_size=1000)
+    return receipts.select(
+        "chunk_id",
+        "n_lines",
+        "payload_md5",
+        F.get_json_object("response", "$.status").alias("status"),
+    ).orderBy("chunk_id")
+
+
 # =====================================================================
 # Versioned store: SCD2 fold over the event stream (V2–V7, Q7, Q10)
 # =====================================================================
@@ -9421,7 +9494,6 @@ def ivm_zset_agg_maintenance(spark, sf_dir):
     survey_ops=("§2.9 streaming", "S2"),
 )
 def streaming_stateful_sessions(spark, sf_dir):
-    import datetime
     import tempfile
 
     from mlentory_etl_pipeline_spark.streaming.stateful import (
@@ -9436,14 +9508,15 @@ def streaming_stateful_sessions(spark, sf_dir):
     # two sentinels: the first advances the watermark past every real
     # session's timer, the second runs the batch in which those timers
     # FIRE (event-time timeouts fire one batch after the watermark
-    # passes them); both filtered below
+    # passes them); both filtered below. Built JVM-side (range(1) +
+    # literals, NOT createDataFrame): a Python local relation makes the
+    # one-row write spawn a Python worker — measured 7 s vs 0.3 s.
     tstype = e.schema["ts"].dataType.simpleString()
     for days in (30, 60):
-        spark.createDataFrame(
-            [(-1, mx + datetime.timedelta(days=days), 0.0)],
-            "user_id long, ts timestamp, value double",
-        ).select(
-            "user_id", F.col("ts").cast(tstype).alias("ts"), "value"
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.lit(mx) + F.expr(f"INTERVAL {days} DAY")).cast(tstype).alias("ts"),
+            F.lit(0.0).alias("value"),
         ).coalesce(1).write.mode("append").parquet(land)
     stream = (
         spark.readStream.schema(e.schema)
@@ -9451,16 +9524,28 @@ def streaming_stateful_sessions(spark, sf_dir):
         .parquet(land)
     )
     sink = f"statesess_out_{abs(hash(sf_dir)) % 10_000_000}"
-    q = (
-        sessionize_with_timeout(stream, "4 hours")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State-partition count is pinned into the checkpoint at first
+    # start — it is a DEPLOYMENT knob sized to the key cardinality, not
+    # a semantic one. At bench/gate scale 32 state partitions × 3
+    # micro-batches × a Python stateful worker each is pure overhead
+    # (~300 keys/partition); 8 keeps the multi-partition state
+    # machinery exercised while cutting the drain ~3×. A 100 TB
+    # deployment sets this to O(executor-cores) like any stateful job.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize_with_timeout(stream, "4 hours")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
         spark.table(sink)
         .where("user_id >= 0")
@@ -10726,7 +10811,7 @@ _DRIVER_WINDOW = [
     "quantile_normalize_scores",
     "bpe_train_merges",
     "hll_md5_distinct_users",
-    "cms_token_heavy_hitters",
+    "http_chunk_sink_receipts",
     "graph_triangle_counts",
     "graph_label_propagation",
     "kaplan_meier_churn",

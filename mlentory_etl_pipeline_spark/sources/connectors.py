@@ -139,6 +139,154 @@ def arxiv_requests(arxiv_ids: DataFrame, id_col: str = "arxiv_id", batch: int = 
     )
 
 
+def fake_post_transport(url: str, payload: str) -> str:
+    """Deterministic offline POST transport for :func:`http_chunk_upload`
+    — acknowledges with an ``ok`` status (a real deployment injects a
+    ``requests.post``-backed callable with the same signature)."""
+    return '{"status": "ok", "n_bytes": %d}' % len(payload)
+
+
+def http_chunk_upload(
+    lines: DataFrame,
+    batch_id: str,
+    base_url: str = "https://example.invalid/api",
+    chunk_size: int = 1000,
+    transport: Callable[[str, str], str] | None = None,
+    policy: RetryPolicy | None = None,
+    subject_col: str = "subject",
+    line_col: str = "line",
+) -> DataFrame:
+    """S17 — remote chunked-HTTP sink (``LoadProcessor.py:343-526``):
+    serialize the KG in ENTITY-ALIGNED chunks and POST each chunk to
+    ``{base_url}/upload/chunk`` with batch/chunk bookkeeping, so the
+    remote store ingests whole entities and a failed chunk retries
+    without tearing the batch.
+
+    Spark-first decomposition of the reference's sequential loop:
+
+    1. chunk assignment is the V8 distributed prefix sum
+       (:func:`~mlentory_etl_pipeline_spark.operators.versioned_store.entity_chunking`
+       — whole subjects per chunk, no single-partition window);
+    2. one payload row per chunk: lines sorted + newline-joined in a
+       chunk-keyed aggregation (bounded by chunk_size × the 7-triple
+       metadata fan-out — never a driver collect);
+    3. the POST is a ``mapInPandas`` stage over the chunk-payload table
+       (the :func:`fetch_urls` posture: injected transport, retry with
+       exponential backoff, per-row error capture so one bad chunk
+       never kills the batch). ``total_chunks`` rides as a 1-row
+       in-plan broadcast.
+
+    Returns one receipt per chunk: ``(chunk_id, n_lines, payload_md5,
+    url, response, upload_error)``. Call :func:`finalize_batch` on the
+    receipts to issue the batch-finalize / trigger-ETL POSTs (two
+    driver-side calls, the reference's ``/finalize`` and
+    ``/process-etl`` endpoints).
+    """
+    from mlentory_etl_pipeline_spark.operators.versioned_store import (
+        entity_chunking,
+    )
+
+    transport = transport or fake_post_transport
+    policy = policy or RetryPolicy()
+    chunks = entity_chunking(
+        lines.select(F.col(subject_col).alias("subject")),
+        chunk_size=chunk_size,
+    ).select("subject", "chunk_id")
+    payloads = (
+        lines.select(F.col(subject_col).alias("subject"), F.col(line_col).alias("_l"))
+        .join(chunks, "subject")
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws("\n", F.array_sort(F.collect_list("_l"))).alias("_payload"),
+        )
+    )
+    total = payloads.agg(F.count(F.lit(1)).alias("_total"))
+    requests_df = payloads.crossJoin(F.broadcast(total)).select(
+        "chunk_id",
+        "n_lines",
+        F.md5(F.col("_payload")).alias("payload_md5"),
+        F.concat(
+            F.lit(f"{base_url.rstrip('/')}/upload/chunk?batch_id={batch_id}"),
+            F.lit("&chunk_number="),
+            F.col("chunk_id").cast("string"),
+            F.lit("&total_chunks="),
+            F.col("_total").cast("string"),
+        ).alias("url"),
+        "_payload",
+    )
+    out_schema = StructType(
+        [
+            StructField("chunk_id", requests_df.schema["chunk_id"].dataType),
+            StructField("n_lines", requests_df.schema["n_lines"].dataType),
+            StructField("payload_md5", StringType()),
+            StructField("url", StringType()),
+            StructField("response", StringType()),
+            StructField("upload_error", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(url: str, payload: str):
+            last = None
+            for delay in [0.0, *policy.delays()]:
+                if delay:
+                    time.sleep(delay)
+                try:
+                    return transport(url, payload), None
+                except TransientFetchError as e:
+                    last = str(e)
+                except Exception as e:
+                    return None, str(e)
+            return None, f"retries exhausted: {last}"
+
+        for pdf in batches:
+            results = [one(u, p) for u, p in zip(pdf["url"], pdf["_payload"])]
+            out = pdf.drop(columns=["_payload"]).copy()
+            out["response"] = [r[0] for r in results]
+            out["upload_error"] = [r[1] for r in results]
+            yield out
+
+    return requests_df.mapInPandas(run, out_schema)
+
+
+def finalize_batch(
+    receipts: DataFrame,
+    batch_id: str,
+    base_url: str = "https://example.invalid/api",
+    transport: Callable[[str, str], str] | None = None,
+    trigger_etl: bool = True,
+) -> dict:
+    """Driver-side close of an :func:`http_chunk_upload` batch: verify
+    every chunk receipt is clean (ONE aggregation — the receipts table
+    is |chunks| rows, metadata), then POST ``/upload/batch/{id}/
+    finalize`` and optionally ``/upload/process-etl/{id}``
+    (``LoadProcessor.py:375-426``). Raises if any chunk failed —
+    finalizing a partial batch is the reference's failure mode too."""
+    transport = transport or fake_post_transport
+    row = receipts.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("upload_error").isNotNull(), 1).otherwise(0)).alias(
+            "n_failed"
+        ),
+    ).collect()[0]
+    if row.n_failed:
+        raise RuntimeError(
+            f"batch {batch_id}: {row.n_failed}/{row.n_chunks} chunk uploads failed"
+        )
+    base = base_url.rstrip("/")
+    result = {
+        "batch_id": batch_id,
+        "n_chunks": row.n_chunks,
+        "finalize_response": transport(f"{base}/upload/batch/{batch_id}/finalize", ""),
+    }
+    if trigger_etl:
+        result["etl_response"] = transport(
+            f"{base}/upload/process-etl/{batch_id}", ""
+        )
+    return result
+
+
 def landing_append(fetched: DataFrame, path: str, fetch_date: str) -> None:
     """S11-style landing-zone sink: append partitioned by fetch date so
     incremental refreshes prune to the newest partitions."""

@@ -152,3 +152,77 @@ def test_real_requests_transport_drops_into_fetch_urls(spark):
     if row.fetch_error is not None:
         pytest.skip(f"no network in sandbox: {row.fetch_error[:120]}")
     assert "glue" in row.response
+
+
+def test_http_chunk_upload_entity_aligned_and_finalize(spark):
+    rows = [(f"urn:e:{i:03d}", f"<urn:e:{i:03d}> <urn:p:x> \"{j}\" .")
+            for i in range(30) for j in range(5)]
+    lines = spark.createDataFrame(rows, "subject string, line string")
+    receipts = cx.http_chunk_upload(
+        lines, batch_id="b1", chunk_size=70
+    )  # 150 lines * 7 weight / 70 -> 15 chunks
+    got = receipts.collect()
+    # every chunk acked by the fake transport, none errored
+    assert all(r.upload_error is None and '"status": "ok"' in r.response for r in got)
+    assert sum(r.n_lines for r in got) == 150
+    # bookkeeping: every chunk URL carries the batch id and the true
+    # total (entity alignment itself is entity_chunking's pytest)
+    total = len(got)
+    assert all(f"total_chunks={total}" in r.url and "batch_id=b1" in r.url for r in got)
+
+    calls = []
+
+    def record_transport(url, payload):
+        calls.append(url)
+        return '{"status": "ok"}'
+
+    out = cx.finalize_batch(receipts, "b1", transport=record_transport)
+    assert out["n_chunks"] == total
+    assert calls == [
+        "https://example.invalid/api/upload/batch/b1/finalize",
+        "https://example.invalid/api/upload/process-etl/b1",
+    ]
+
+
+def test_http_chunk_upload_error_capture_and_finalize_refusal(spark):
+    lines = spark.createDataFrame(
+        [("urn:e:1", "l1"), ("urn:e:2", "l2")], "subject string, line string"
+    )
+
+    def flaky(url, payload):
+        if "chunk_number=0" in url:
+            raise ValueError("permanent boom")
+        return '{"status": "ok"}'
+
+    receipts = cx.http_chunk_upload(
+        lines, "b2", chunk_size=1, transport=flaky,
+        policy=cx.RetryPolicy(retries=1, base_delay=0.0),
+    )
+    got = {r.chunk_id: r for r in receipts.collect()}
+    ids = sorted(got)  # chunk ids are weight-prefix positions, not 0..n
+    assert got[ids[0]].upload_error == "permanent boom"
+    assert got[ids[0]].response is None
+    assert got[ids[1]].upload_error is None
+    import pytest
+
+    with pytest.raises(RuntimeError, match="1/2 chunk uploads failed"):
+        cx.finalize_batch(receipts, "b2", transport=flaky)
+
+
+def test_http_chunk_upload_retries_transient(spark):
+    lines = spark.createDataFrame([("urn:e:1", "l1")], "subject string, line string")
+    attempts = {"n": 0}
+
+    # transport state lives on the driver only for a 1-partition toy;
+    # real retry accounting is per-executor (stateless policy)
+    def transient_then_ok(url, payload):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise cx.TransientFetchError("429")
+        return '{"status": "ok"}'
+
+    got = cx.http_chunk_upload(
+        lines.coalesce(1), "b3", chunk_size=1, transport=transient_then_ok,
+        policy=cx.RetryPolicy(retries=3, base_delay=0.0),
+    ).collect()
+    assert got[0].upload_error is None and '"ok"' in got[0].response
