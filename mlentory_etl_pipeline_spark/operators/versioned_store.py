@@ -289,6 +289,57 @@ def current_graph(state: StoreState) -> DataFrame:
     )
 
 
+def reified_current_export(
+    state: StoreState,
+    subject_prefix: str = "",
+    predicate_prefix: str = "",
+    meta_namespace: str = "https://w3id.org/mlentory/mlentory_graph/meta/",
+) -> DataFrame:
+    """G7 end-to-end — export the CURRENT graph with its REAL stored
+    provenance as reified StatementMetadata N-Triples: the store's
+    columnar provenance (``extraction_info`` + the open range's
+    ``use_start``) is what the reference spreads across 7 meta-triples
+    per fact (``GraphBuilderBase.py:103-180``,
+    ``GraphHandler.py:78-148``); this reassembles exactly those lines
+    so an external SPARQL store ingests provenance the reference's
+    consumers can query.
+
+    Plan: open non-deprecated ranges → one provenance pick per triplet
+    (``max_by``-style struct max on (use_start, info_hash) — a
+    map-side-combinable aggregation, no window), hash-join to the
+    triplet and info tables (all keyed by content hashes — co-
+    partitionable at scale), then the pure formatting
+    select+explode of
+    :func:`~mlentory_etl_pipeline_spark.operators.graph.reified_ntriples`.
+    Prefixes turn the store's raw ids into URIs at the export boundary
+    (the store stays id-typed).
+    """
+    from mlentory_etl_pipeline_spark.operators.graph import reified_ntriples
+
+    pick = (
+        state.version_range.where(~F.col("deprecated"))
+        .groupBy("triplet_hash")
+        .agg(F.max(F.struct("use_start", "info_hash")).alias("_r"))
+    )
+    shaped = (
+        state.triplet.join(pick, "triplet_hash")
+        .join(
+            state.extraction_info,
+            F.col("_r.info_hash") == state.extraction_info.info_hash,
+        )
+        .select(
+            F.concat(F.lit(subject_prefix), F.col("subject")).alias("subject"),
+            F.concat(F.lit(predicate_prefix), F.col("predicate")).alias("predicate"),
+            "object",
+            F.lit(False).alias("object_is_uri"),
+            "extraction_method",
+            F.col("extraction_confidence").alias("confidence"),
+            F.col("_r.use_start").alias("extraction_time"),
+        )
+    )
+    return reified_ntriples(shaped, meta_namespace)
+
+
 def deprecated_graph(state: StoreState) -> DataFrame:
     """The deprecated named graph (feeds the reference's S14 delta-delete)."""
     dep = state.version_range.groupBy("triplet_hash").agg(

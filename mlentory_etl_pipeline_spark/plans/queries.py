@@ -1132,6 +1132,58 @@ def scd2_current_graph(spark, sf_dir):
 
 
 @register(
+    "scd2_reified_current_export",
+    "G7 end-to-end: the CURRENT graph exported as reified "
+    "StatementMetadata N-Triples with the store's REAL provenance — "
+    "open-range use_start as extractionTime, extraction_info's "
+    "method/confidence — 8 lines per current fact; provenance pick is "
+    "a struct-max aggregation (no window), everything else hash joins "
+    "+ the formatting explode",
+    oracle=_SCD2_ORACLE_CTE
+    + """
+    , f AS (
+      SELECT 'urn:user:' || subject AS s, 'urn:p:' || predicate AS p,
+             object AS o,
+             strftime(use_start, '%Y-%m-%dT%H:%M:%S') AS iso
+      FROM ranges WHERE NOT deprecated
+    ), m AS (
+      SELECT '_:m' || md5(s || p || o) AS sid,
+             '<' || s || '>' AS st, '<' || p || '>' AS pt,
+             '"' || o || '"' AS ot,
+             '"' || iso || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS tt
+      FROM f
+    ), mns AS (
+      SELECT 'https://w3id.org/mlentory/mlentory_graph/meta/' AS ns
+    )
+    SELECT st || ' ' || pt || ' ' || ot || ' .' AS line FROM m
+    UNION ALL
+    SELECT sid || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <'
+           || ns || 'StatementMetadata> .' FROM m, mns
+    UNION ALL
+    SELECT sid || ' <' || ns || 'subject> ' || st || ' .' FROM m, mns
+    UNION ALL
+    SELECT sid || ' <' || ns || 'predicate> ' || pt || ' .' FROM m, mns
+    UNION ALL
+    SELECT sid || ' <' || ns || 'object> ' || ot || ' .' FROM m, mns
+    UNION ALL
+    SELECT sid || ' <' || ns || 'extractionMethod> "events" .' FROM m, mns
+    UNION ALL
+    SELECT sid || ' <' || ns || 'confidence> "1.00000"'
+           || '^^<http://www.w3.org/2001/XMLSchema#float> .' FROM m, mns
+    UNION ALL
+    SELECT sid || ' <' || ns || 'extractionTime> ' || tt || ' .' FROM m, mns
+    """,
+    survey_ops=("G7", "Q7", "S12"),
+)
+def scd2_reified_current_export(spark, sf_dir):
+    return vs.reified_current_export(
+        _scd2_state(spark, sf_dir),
+        subject_prefix="urn:user:",
+        predicate_prefix="urn:p:",
+    )
+
+
+@register(
     "scd2_deprecated_graph",
     "S14/V5 deprecated graph: triples whose every range is deprecated",
     oracle=_SCD2_ORACLE_CTE
@@ -10791,7 +10843,7 @@ _DRIVER_WINDOW = [
     "platform_inference",
     "string_sanitation",
     "url_canonicalize_dedup",
-    "provenance_reified_export",
+    "scd2_reified_current_export",
     "nlp_sectionize",
     "nlp_section_dedup",
     "nlp_embed_digest",
