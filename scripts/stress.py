@@ -397,6 +397,47 @@ def case_pmi(spark, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+def case_quantile_norm(spark, sf_dir: str, k: int) -> DataFrame:
+    # exact mode's global reference is the DISTRIBUTED rank (range
+    # buckets + local row_number + broadcast offsets); 10x rows means
+    # 10x rank work and a 10x-deeper per-group percent_rank window.
+    # Catches: single-partition-window regression (would go
+    # superlinear fast), gidx-join skew on heavy tied scores.
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        F.concat(F.col("source"), F.lit("~"), F.col("_rep").cast("string")).alias(
+            "source"
+        ),
+        (F.col("n_chars") + F.col("_rep")).alias("n_chars"),
+    )
+    return quantile_normalize(r, "source", "n_chars", "doc_id")
+
+
+def case_chunk_sink(spark, sf_dir: str, k: int) -> DataFrame:
+    # S17: 10x lines over 10x subjects -> 10x chunks; the prefix-sum
+    # chunk assignment and the per-chunk payload agg must both scale
+    # linearly.  Catches: chunk-payload agg skew, prefix-sum
+    # regression, per-chunk POST fan-out errors.
+    from mlentory_etl_pipeline_spark.sources.connectors import http_chunk_upload
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    r = _replicated(e, k).select(
+        F.concat(
+            F.lit("urn:user:"),
+            (F.col("user_id") * k + F.col("_rep")).cast("string"),
+        ).alias("subject"),
+        F.concat(
+            F.lit("<l> <p> \""),
+            F.floor(F.col("value")).cast("int").cast("string"),
+            F.lit("\" ."),
+        ).alias("line"),
+    )
+    return http_chunk_upload(r, batch_id="stress", chunk_size=1000)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -412,6 +453,8 @@ CASES = {
     "bootstrap": case_bootstrap,
     "lpa": case_lpa,
     "pmi": case_pmi,
+    "quantile_norm": case_quantile_norm,
+    "chunk_sink": case_chunk_sink,
 }
 
 
