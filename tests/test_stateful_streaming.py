@@ -182,3 +182,79 @@ def test_sessionize_with_timeout_both_close_paths(spark, tmp_path):
         (1, ts(0), ts(10), 2, 300),     # closed in-stream by batch2's event
         (1, ts(370), ts(370), 1, 400),  # closed by the event-time timeout
     ]
+
+
+def test_sessionize_tws_matches_v1_on_both_close_paths(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer (state v2: named
+    ValueState + first-class event-time timers, RocksDB store) emits
+    bit-identical sessions to the applyInPandasWithState one on the
+    same two-close-paths stream.
+
+    PySpark's transformWithState driver worker speaks protobuf to the
+    JVM (StateMessage_pb2) — absent the google.protobuf package (this
+    sandbox) the worker crashes at init, so the test self-skips; the
+    v1 operator above carries the semantics coverage either way."""
+    import datetime
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf (absent in sandbox)",
+    )
+
+    from mlentory_etl_pipeline_spark.streaming.stateful import sessionize_tws
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    batch1 = [(1, ts(0), 1.0), (1, ts(10), 2.0)]
+    batch2 = [(1, ts(370), 4.0)]
+    sentinel1 = [(-1, ts(60 * 24 * 30), 0.0)]
+    sentinel2 = [(-1, ts(60 * 24 * 60), 0.0)]
+    land = str(tmp_path / "land")
+    for rows in (batch1, batch2, sentinel1, sentinel2):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(land)
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            sessionize_tws(stream, "4 hours")
+            .writeStream.format("memory")
+            .queryName("sess_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+    rows = sorted(
+        (
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.total_cents)
+            for r in spark.table("sess_tws").where("user_id >= 0").collect()
+        )
+    )
+    assert rows == [
+        (1, ts(0), ts(10), 2, 300),
+        (1, ts(370), ts(370), 1, 400),
+    ]
