@@ -586,3 +586,27 @@ def test_copurchase_basket_keyed_join_broadcast_marginals(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_reified_export_is_map_side_formatting(spark):
+    # G7 export: one aggregation shuffle (the distinct/min-ts), then
+    # pure formatting — the 8x fan-out is a Generate (explode), never
+    # a join or window, and nothing is cartesian.
+    plan = _plan(spark, "provenance_reified_export")
+    assert "Generate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_sink_no_cartesian_and_partitioned_windows(spark):
+    # S17: the only windows are the per-range local prefix sums (range
+    # id partitioned); the 1-row total rides a broadcast, not a
+    # cartesian product.
+    import re
+
+    plan = _plan(spark, "http_chunk_sink_receipts")
+    assert "CartesianProduct" not in plan
+    for first_arg in re.findall(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"partition-less window spec: windowspecdefinition({first_arg}, ..."
+        )
