@@ -236,3 +236,53 @@ def test_privacy_audit_matches_dict_model(spark, rows, k, l):
     assert r.n_rows_below_k == sum(n for n in ns if n < k)
     assert r.min_l_diversity == min(ls)
     assert r.n_classes_below_l == sum(1 for x in ls if x < l)
+
+
+# --- quantile normalize (distributed rank) vs naive model --------------
+
+qn_case = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (source, score)
+    min_size=2,
+    max_size=40,
+)
+
+
+def _qn_model(rows):
+    # rows: [(id, src, score)] — exact-mode definition: within-group
+    # percent_rank ordered by (score, id), global index
+    # floor(pr*(N-1))+1 into the (score, src, id)-sorted score list
+    import math
+
+    n = len(rows)
+    glob = [s for s, _, _ in sorted((sc, src, i) for i, src, sc in rows)]
+    out = {}
+    by_src = {}
+    for i, src, sc in rows:
+        by_src.setdefault(src, []).append((sc, i))
+    for src, members in by_src.items():
+        members.sort()
+        m = len(members)
+        for rank, (sc, i) in enumerate(members):
+            pr = 0.0 if m == 1 else rank / (m - 1)
+            gidx = math.floor(pr * (n - 1)) + 1
+            out[i] = glob[gidx - 1]
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(qn_case)
+def test_quantile_normalize_matches_rank_model(spark, pairs):
+    from mlentory_etl_pipeline_spark.operators.curation import quantile_normalize
+
+    rows = [(i, f"s{src}", float(sc)) for i, (src, sc) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    got = {
+        r.id: r.calibrated
+        for r in quantile_normalize(df, "src", "score", "id").collect()
+    }
+    model = _qn_model([(i, src, sc) for i, src, sc in rows])
+    assert got == {i: float(v) for i, v in model.items()}
