@@ -143,6 +143,10 @@ def main():
             "welch_value_by_weekday",
             "privacy_k_anonymity_audit",
             "oov_rate_by_source",
+            "quantile_normalize_scores",
+            "provenance_reified_export",
+            "scd2_reified_current_export",
+            "http_chunk_sink_receipts",
         )
         if n in REGISTRY
     ]

@@ -2546,6 +2546,54 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
+    "lang_id_confusion",
+    "language-ID evaluation against labels: confusion counts of the "
+    "stopword-voting heuristic vs the documents table's lang column "
+    "plus per-true-lang accuracy — the measure-your-heuristic step "
+    "every classifier-driven curation stage needs before its "
+    "predictions gate data; one scan, one (lang, lang_pred) "
+    "aggregation (|langs|^2 shuffle rows), accuracy closed per row "
+    "from a broadcast per-lang total",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()}),
+    j AS (
+      SELECT d.lang, p.lang_pred
+      FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cells AS (
+      SELECT lang, lang_pred, COUNT(*) AS n
+      FROM j GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, SUM(n) AS nt FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.nt, 6) AS frac_of_true_lang
+    FROM cells c JOIN tot t USING (lang)
+    ORDER BY c.lang, c.lang_pred
+    """,
+    survey_ops=("text-lang-id", "quality-scoring"),
+)
+def lang_id_confusion(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang", textstats.lang_id(F.col("text")).alias("lang_pred")
+    )
+    cells = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("_nt"))
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_nt"), 6).alias(
+                "frac_of_true_lang"
+            ),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
     "text_quality_score",
     "composite document quality score (length/stopword/punctuation factors)",
     oracle="""
