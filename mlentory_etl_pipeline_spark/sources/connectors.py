@@ -266,9 +266,10 @@ def finalize_batch(
     transport = transport or fake_post_transport
     row = receipts.agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("upload_error").isNotNull(), 1).otherwise(0)).alias(
-            "n_failed"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("upload_error").isNotNull(), 1).otherwise(0)),
+            F.lit(0),  # empty batch: zero failures, finalize the no-op
+        ).alias("n_failed"),
     ).collect()[0]
     if row.n_failed:
         raise RuntimeError(
