@@ -65,12 +65,25 @@ def _load_bench(path: str):
 
 
 def _latest_bench():
-    """Newest BENCH_r*.json (driver wraps the bench line under
-    'parsed'); falls back to none when no bench has run yet."""
-    files = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    if not files:
+    """Newest VALID bench artifact: driver BENCH_r*.json (bench line
+    wrapped under 'parsed' — skipped when the tail capture truncated
+    it to null, the r4 failure) or the builder-side BENCH_DETAIL.json,
+    whichever is most recent. Falls back to none when no bench has
+    run yet."""
+    cands = []
+    paths = glob.glob(os.path.join(ROOT, "BENCH_r*.json")) + [
+        os.path.join(ROOT, "BENCH_DETAIL.json")
+    ]
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        name, d = _load_bench(p)
+        if isinstance(d, dict) and d.get("queries"):
+            cands.append((os.path.getmtime(p), name, d))
+    if not cands:
         return None, None
-    return _load_bench(files[-1])
+    cands.sort()
+    return cands[-1][1], cands[-1][2]
 
 
 def _cited_bench(current: str):
@@ -79,7 +92,7 @@ def _cited_bench(current: str):
     newest one: the driver drops a fresh BENCH after the round
     snapshot, and a README that correctly cites the pre-snapshot file
     must not flip the gate red (VERDICT r3 'what's wrong' #4)."""
-    m = re.search(r"from `(BENCH_r\d+\.json)`", current)
+    m = re.search(r"from `(BENCH_[A-Za-z0-9_]+\.json)`", current)
     if not m:
         return None, None
     path = os.path.join(ROOT, m.group(1))
