@@ -7,12 +7,12 @@ a compact headline JSON as the FINAL stdout line:
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
      "cold_total": N, "streaming": {...}, "streaming_total": N}
 
-Full detail (cold per-query, SCD2 scenarios, the 40-query extended
-sweep) is printed as a separate ``bench_detail`` JSON line BEFORE the
-headline and also written to ``BENCH_DETAIL.json`` next to this file —
-the driver's tail capture has a bounded buffer, and r4's single giant
-line got truncated from the front, losing the official headline. The
-headline line is kept small enough to always survive the tail.
+Full detail (cold per-query, SCD2 scenarios, the 44-query extended
+sweep) is written to ``BENCH_DETAIL.json`` next to this file, NOT to
+stdout — the driver's tail capture has a bounded buffer, and r4's
+single giant line got truncated from the front, losing the official
+headline. The headline is the only JSON line on stdout and is kept
+small enough (<1 KB) to always survive the tail.
 
 Methodology: each query is executed twice and the SECOND run is the
 reported number; the first-run times are kept under ``cold_queries``
@@ -201,9 +201,9 @@ def main():
             json.dump(detail, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(detail))
-    # The compact headline is the LAST line — this is what the driver
-    # parses; keep it small (see module docstring).
+    # The compact headline is the ONLY JSON line on stdout — whatever
+    # line the driver's tail parser picks, it gets this one; the full
+    # detail lives in BENCH_DETAIL.json (cited by the round log).
     print(json.dumps(headline))
 
 
