@@ -5356,6 +5356,435 @@ def q22_sales_opportunity(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# The remaining TPC-H shapes, adapted to the reduced schema (no
+# partsupp / commitdate / receiptdate / shipmode columns in the test
+# lake — TESTDATA.md): each keeps the ORIGINAL query's plan shape
+# (correlated-min join-back, EXISTS semi-join, HAVING-vs-global-scalar,
+# conditional CASE aggregation, NOT-IN anti-join, double-correlated
+# EXISTS / NOT EXISTS) with a documented column substitution, so the
+# full 22-query TPC-H plan-shape surface is oracled.
+# ---------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    "TPC-H Q2 shape: min-cost supplier per part in a region — partsupp "
+    "is derived as the distinct (part, supplier) offer table with "
+    "MIN(extendedprice) as the exact-decimal supply cost; the "
+    "correlated-min subquery becomes a per-part MIN join-back on the "
+    "exact decimal (no float-equality hazard); nation/region broadcast",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_offer
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT o.l_partkey, o.l_suppkey, o.min_offer
+      FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ),
+    best AS (SELECT l_partkey, MIN(min_offer) AS best_offer FROM eu GROUP BY l_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           CAST(e.min_offer AS DOUBLE) AS supply_cost
+    FROM eu e JOIN best b ON e.l_partkey = b.l_partkey AND e.min_offer = b.best_offer
+    JOIN supplier s ON e.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON e.l_partkey = p.p_partkey AND p.p_size <= 25 AND p.p_type = 'LARGE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey LIMIT 100
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+    )
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("min_offer")
+    )
+    # region-filtered supplier keys are a tiny dim → broadcast into the
+    # offer table; the min-per-part "correlated subquery" is a second
+    # aggregation over the SAME shuffle key (l_partkey), so AQE reuses
+    # the exchange rather than re-shuffling
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = offers.join(
+        F.broadcast(eu_supp.select("s_suppkey")),
+        offers.l_suppkey == F.col("s_suppkey"),
+    ).select("l_partkey", "l_suppkey", "min_offer")
+    best = eu.groupBy(F.col("l_partkey").alias("bp_partkey")).agg(
+        F.min("min_offer").alias("best_offer")
+    )
+    return (
+        eu.join(
+            best,
+            (eu.l_partkey == best.bp_partkey)
+            & (eu.min_offer == best.best_offer),
+        )
+        .drop("bp_partkey")
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("min_offer").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    "TPC-H Q4 shape: order-priority checking — the commit<receipt "
+    "lateness EXISTS becomes 'any lineitem shipped >60 days after the "
+    "order date'; Spark plans it as a LEFT SEMI join (equi key + "
+    "residual non-equi predicate), one shuffle each side, then a tiny "
+    "5-group aggregate",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ops=("§2.9 joins", "§2.9 set ops"),
+)
+def q4_order_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    "TPC-H Q9 shape: product-type profit by nation and year — "
+    "supplycost*qty is re-derived as retailprice*qty*0.5 (partsupp "
+    "absent), every term exact decimal; the p_name LIKE filter prunes "
+    "the part side BEFORE the fact join, nation broadcast, one final "
+    "(nation, year) aggregate",
+    oracle="""
+    SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                  - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))
+                      * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def q9_product_type_profit(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    ) * F.lit("0.5").cast("decimal(2,1)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    "TPC-H Q11 shape: important-stock HAVING-vs-global-scalar — part "
+    "value from one nation's lineitems; the 'part share > 1/500 of "
+    "total' threshold is cross-multiplied into exact decimal "
+    "(part_value*500 > total), the one-row total broadcast back; no "
+    "float division decides membership",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS part_value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(part_value) AS total_value FROM val)
+    SELECT v.l_partkey AS p_partkey, CAST(v.part_value AS DOUBLE) AS part_value
+    FROM val v, tot WHERE v.part_value * 500 > tot.total_value
+    ORDER BY v.part_value DESC, p_partkey LIMIT 100
+    """,
+    survey_ops=("§2.9 aggregations", "§2.9 joins"),
+)
+def q11_important_stock(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = (
+        l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.join(F.broadcast(tot))
+        .where(F.col("part_value") * 500 > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q12_shipping_lag_priority",
+    "TPC-H Q12 shape: conditional CASE aggregation over the order-"
+    "lineitem join — shipmode is absent so returnflag is the class "
+    "key and 'shipped >30 days after ordering' the lateness filter; "
+    "the CASE counts fold map-side into a 3-row result",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY ship_class ORDER BY ship_class
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def q12_shipping_lag_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    "TPC-H Q16 shape: distinct-supplier counts per part attribute "
+    "group with a NOT-IN supplier exclusion — the complaint blacklist "
+    "is the negative-balance suppliers (comment column absent), "
+    "excluded via a broadcast LEFT ANTI join before the distinct "
+    "count; part attribute filters prune before the join",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1,4,7,10,13,16,19,22)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size LIMIT 100
+    """,
+    survey_ops=("§2.9 joins", "§2.9 set ops", "§2.9 aggregations"),
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    "TPC-H Q20 shape: suppliers holding a majority share of some "
+    "contested part's 1997 shipments — availqty>half-shipped becomes "
+    "supp_qty*2 > part_qty on parts with ≥2 suppliers (exact decimal "
+    "cross-multiply); the per-part total reuses the shipped "
+    "aggregation's shuffle key; qualifying suppliers semi-join back",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM shipped sh JOIN tot t ON sh.l_partkey = t.l_partkey
+      WHERE sh.l_suppkey = s.s_suppkey AND t.n_supp >= 2
+        AND sh.supp_qty * 2 > t.part_qty
+    )
+    ORDER BY s.s_suppkey
+    """,
+    survey_ops=("§2.9 joins", "§2.9 set ops", "§2.9 aggregations"),
+)
+def q20_dominant_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("supp_qty")
+    )
+    # shipped re-shuffles once by l_partkey; that exchange feeds both
+    # the per-part total and the join probe (AQE reuses it at runtime)
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dominant = (
+        shipped.join(tot.where(F.col("n_supp") >= 2), "l_partkey")
+        .where(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    "TPC-H Q21 shape: the sole-late-supplier double correlation — "
+    "EXISTS(other supplier) AND NOT EXISTS(other LATE supplier) is "
+    "re-expressed Spark-first as ONE (order, supplier) lateness "
+    "aggregate plus a per-order (n_supp, n_late) rollup over the same "
+    "shuffle key: 'late AND n_supp>=2 AND n_late=1' ⇔ the original "
+    "pair of correlated subqueries, with two scans replaced by one",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        AND o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late = 1)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+    survey_ops=("§2.9 joins", "§2.9 set ops", "§2.9 aggregations"),
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    late = F.when(
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    # one per-order window carries BOTH correlated-subquery answers
+    # (n_supp ⇔ EXISTS other, n_late ⇔ NOT EXISTS other late): the
+    # fact is scanned ONCE and never self-joined — the original's
+    # three correlated scans collapse into agg + partition-keyed window
+    w = Window.partitionBy("l_orderkey")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .where(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 # =====================================================================
 # Window-analytics coverage: sessionization, moving frames, exact
 # percentiles, CUBE, ntile, bivariate stats. These are the general

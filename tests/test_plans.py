@@ -610,3 +610,36 @@ def test_chunk_sink_no_cartesian_and_partitioned_windows(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             f"partition-less window spec: windowspecdefinition({first_arg}, ..."
         )
+
+
+def test_q4_q20_plan_as_semi_joins(spark):
+    # Q4/Q20 shapes: the EXISTS correlation must plan as a LEFT SEMI
+    # join (equi key + residual predicate), never a cartesian or a
+    # per-row subquery re-scan.
+    for name in ("q4_order_priority", "q20_dominant_supplier"):
+        plan = _plan(spark, name)
+        assert "LeftSemi" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q21_single_fact_scan_rewrite(spark):
+    # Q21's EXISTS + NOT EXISTS pair is rewritten into one (order,
+    # supplier) aggregate joined to one per-order rollup: the lineitem
+    # parquet must be scanned exactly once.
+    plan = _plan(spark, "q21_suppliers_kept_waiting")
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_q11_q16_no_cartesian(spark):
+    # Q2's min-join-back and Q16's NOT-IN anti-join are hash-keyed;
+    # Q11's only nested-loop is the sanctioned 1-row global-total
+    # broadcast (the q22 idiom).
+    for name in ("q2_min_cost_supplier", "q16_supplier_part_counts"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = _plan(spark, "q11_important_stock")
+    assert "CartesianProduct" not in plan
