@@ -5407,9 +5407,9 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("min_offer")
     )
     # region-filtered supplier keys are a tiny dim → broadcast into the
-    # offer table; the min-per-part "correlated subquery" is a second
-    # aggregation over the SAME shuffle key (l_partkey), so AQE reuses
-    # the exchange rather than re-shuffling
+    # offer table; the min-per-part "correlated subquery" is one extra
+    # aggregation + an exact-decimal equality join-back — never a
+    # per-part re-scan
     eu_supp = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
