@@ -937,3 +937,88 @@ def cusum_changepoint(
             4,
         ).alias("peak_cusum"),
     ).orderBy(*group_cols)
+
+
+def holt_linear(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-group Holt double-exponential smoothing (level + trend) and
+    an h-step-ahead forecast — the one-number-per-entity trend signal
+    (is this feed growing or dying, and where will it be next week?)
+    that :func:`ewma_last` cannot give because a plain EWMA has no
+    trend state and lags any drift.
+
+    Recurrence (standard Holt 1957 form, initialized l1 = y1, b1 = 0):
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    Determinism contract: the fold is evaluated SEQUENTIALLY over each
+    group's (ts, tiebreak)-sorted series with one fixed expression per
+    step, so every engine performs the identical IEEE-754 double
+    operations in the identical order — a *recurrence* can carry a
+    hard SQL oracle (DuckDB recursive CTE) because association, not
+    commutativity of parallel partial sums, is the only thing that
+    matters. Keep ``alpha``/``beta`` exactly-representable doubles
+    (dyadic rationals like the 0.5 / 0.25 defaults) so the SQL literal
+    parses to the same double. NULL values are dropped before the fold
+    (listwise, documented like welch_t_test).
+
+    Scale posture: one group-keyed aggregation (collect_list +
+    array_sort + a single ``F.aggregate`` fold — all JVM-side Catalyst
+    HOFs, no Python). The series materializes PER GROUP, so the
+    contract is bounded events-per-entity (the same per-key bound
+    every sessionization or SCD2 history pass already assumes); groups
+    distribute freely across executors. Reference parity: the
+    reference has no forecasting op — this extends its monitoring
+    surface (LoadProcessor.py:531-545 point aggregates) the way
+    bootstrap_ci / cusum do.
+    """
+    a = float(alpha)
+    b = float(beta)
+    series = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(order_tiebreak).alias("tb"),
+                        F.col(value_col).cast("double").alias("y"),
+                    )
+                )
+            ).alias("_s")
+        )
+    )
+
+    def _step(acc, x):
+        l_new = F.lit(a) * x["y"] + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            F.when(acc["n"] == F.lit(0), x["y"]).otherwise(l_new).alias("l"),
+            F.when(acc["n"] == F.lit(0), F.lit(0.0))
+            .otherwise(F.lit(b) * (l_new - acc["l"]) + F.lit(1.0 - b) * acc["b"])
+            .alias("b"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("n"), F.lit(0.0).alias("l"), F.lit(0.0).alias("b")
+    )
+    st = F.aggregate("_s", init, _step)
+    return series.select(
+        *group_cols,
+        st["n"].alias("n_points"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(float(horizon)) * st["b"], 6).alias(
+            f"forecast_{horizon}"
+        ),
+    ).orderBy(*group_cols)

@@ -11283,6 +11283,52 @@ def welch_value_by_weekday(spark, sf_dir):
     )
 
 
+@register(
+    "holt_trend_forecast_users",
+    "per-user Holt double-exponential smoothing (level + trend) with a "
+    "7-step-ahead forecast — the growing-or-dying trend signal a plain "
+    "EWMA lags on; the recurrence folds SEQUENTIALLY over each user's "
+    "(ts, event_id)-sorted series via a single JVM-side F.aggregate "
+    "HOF, so every engine performs identical IEEE doubles in identical "
+    "order and a *recurrence* carries a hard oracle (DuckDB recursive "
+    "CTE); dyadic alpha=0.5 / beta=0.25 parse to the same double in "
+    "any engine; groups distribute freely, series bounded per entity",
+    oracle="""
+    WITH RECURSIVE ser AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    rec AS (
+      SELECT user_id, t, n, y, y AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t, s.n, s.y,
+             0.5 * s.y + 0.5 * (r.l + r.b) AS l,
+             0.25 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b AS b
+      FROM rec r JOIN ser s ON s.user_id = r.user_id AND s.t = r.t + 1
+    )
+    SELECT user_id, CAST(n AS INT) AS n_points,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + 7.0 * b, 6) AS forecast_7
+    FROM rec WHERE t = n ORDER BY user_id
+    """,
+    survey_ops=("monitoring-stats", "§2.9 aggregations"),
+)
+def holt_trend_forecast_users(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import holt_linear
+
+    e = t(spark, sf_dir, "events")
+    return holt_linear(
+        e, ["user_id"], "ts", "value", "event_id",
+        alpha=0.5, beta=0.25, horizon=7,
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

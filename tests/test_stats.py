@@ -880,3 +880,53 @@ def test_welch_per_segment_sweep(spark):
     assert out["s1"].t_stat == 0.0
     assert out["s2"].mean_a - out["s2"].mean_b == 5.0 and out["s2"].t_stat > 3
     assert out["s3"].t_stat is None and out["s3"].n_b is None
+
+
+def test_holt_linear_matches_python_recurrence(spark):
+    from datetime import datetime, timedelta
+
+    # a noisy-ish ramp: the fold must match the sequential Python model
+    # bit-for-bit (same IEEE ops in the same order)
+    t0 = datetime(2024, 1, 1)
+    ys = [10.0, 12.5, 11.0, 14.0, 16.5, 15.25, 18.0]
+    rows = [(1, t0 + timedelta(days=i), i, y) for i, y in enumerate(ys)]
+    rows.append((2, t0, 0, 42.0))          # single point: trend 0
+    rows.append((3, t0, 0, None))          # NULL-only group: dropped
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, v double"
+    )
+    out = {r.user_id: r for r in stats.holt_linear(
+        df, ["user_id"], "ts", "v", "event_id", horizon=7
+    ).collect()}
+
+    lvl, trd = ys[0], 0.0
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (lvl + trd)
+        trd = 0.25 * (l_new - lvl) + 0.75 * trd
+        lvl = l_new
+    assert out[1].n_points == len(ys)
+    assert out[1].level == round(lvl, 6)
+    assert out[1].trend == round(trd, 6)
+    assert out[1].forecast_7 == round(lvl + 7.0 * trd, 6)
+    assert out[2].level == 42.0 and out[2].trend == 0.0
+    assert out[2].forecast_7 == 42.0
+    assert 3 not in out  # listwise NULL drop removed the group
+
+
+def test_holt_linear_partition_invariant(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + timedelta(hours=i), i, float((u * 7 + i * 3) % 13))
+        for u in range(6)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, v double"
+    )
+    a = stats.holt_linear(df, ["user_id"], "ts", "v", "event_id").collect()
+    b = stats.holt_linear(
+        df.repartition(13, "event_id"), ["user_id"], "ts", "v", "event_id"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
