@@ -1022,3 +1022,71 @@ def holt_linear(
             f"forecast_{horizon}"
         ),
     ).orderBy(*group_cols)
+
+
+def aqp_sum_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    key: Column,
+    sample_bps: int = 1000,
+    z: float = 1.96,
+) -> DataFrame:
+    """Approximate query processing: estimate a grouped SUM from a
+    deterministic Bernoulli sample, with a CLT confidence interval —
+    the scan-1%-answer-in-seconds path a 100 TB interactive dashboard
+    needs (BlinkDB-style, but with no stored sample: the sample IS a
+    pure function of the row key).
+
+    Sampling: a row enters the sample iff the top 60 bits of
+    ``md5(key)`` fall under ``floor(2^60 * bps / 10^4)`` — an exact
+    integer threshold, so membership is bit-identical in any engine
+    (no RNG, no seed state; the same family as hash_split /
+    dp_noisy_counts). Estimator: Horvitz-Thompson ``sum/p`` with the
+    Bernoulli variance estimate ``(1-p)/p^2 * sum(y^2)`` folded from
+    the SAME pass; sums run in exact DECIMAL (the q1 money idiom) and
+    divide to double only at the end, so estimate AND error bars carry
+    a hard SQL oracle.
+
+    Scale posture: the md5 gate is a map-side filter inside the scan
+    stage — the shuffle sees only sampled rows (p of the data), and
+    the aggregation is an ordinary partial-agg groupBy. At deployment
+    the same predicate defines a MATERIALIZED sample table so repeat
+    queries skip the full scan entirely; this operator is the
+    correctness spec either way. ``value`` must be decimal-typed by
+    the caller (exactness contract).
+    """
+    p_num, p_den = int(sample_bps), 10_000
+    threshold = ((1 << 60) * p_num) // p_den
+    inv_p = float(p_den) / float(p_num)
+    var_factor = float((p_den - p_num) * p_den) / float(p_num * p_num)
+    u = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    sampled = df.where(u < F.lit(threshold))
+    # square in exact INTEGER raw units (value * 10^scale as a scale-0
+    # decimal): fractional decimal squares hit engine-specific
+    # precision capping (Spark rounds a (19,4)^2 to scale 7, DuckDB
+    # overflows an 18-wide square) — integral raw units square exactly
+    # everywhere, and the 10^(2*scale) divisor comes back at the
+    # double stage
+    value_scale = 4
+    raw = (value.cast("decimal(19,4)") * F.lit(10**value_scale)).cast(
+        "decimal(19,0)"
+    )
+    agg = sampled.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(value).alias("_sum"),
+        F.sum(raw * raw).alias("_sumsq"),
+    )
+    est = F.col("_sum").cast("double") * F.lit(inv_p)
+    se = F.sqrt(
+        F.lit(var_factor)
+        * (F.col("_sumsq").cast("double") / F.lit(float(10 ** (2 * value_scale))))
+    )
+    return agg.select(
+        *group_cols,
+        "n_sampled",
+        F.round(est, 4).alias("est_sum"),
+        F.round(se, 4).alias("std_err"),
+        F.round(est - F.lit(float(z)) * se, 4).alias("ci_lo"),
+        F.round(est + F.lit(float(z)) * se, 4).alias("ci_hi"),
+    ).orderBy(*group_cols)

@@ -11329,6 +11329,60 @@ def holt_trend_forecast_users(spark, sf_dir):
     )
 
 
+@register(
+    "aqp_revenue_estimate",
+    "approximate query processing: per-returnflag revenue estimated "
+    "from a DETERMINISTIC 10% Bernoulli sample (row enters iff the top "
+    "60 md5(orderkey|linenumber) bits fall under an exact integer "
+    "threshold — bit-identical membership in any engine, no RNG), "
+    "Horvitz-Thompson sum/p with a CLT 95% interval from the same "
+    "pass; sums fold in exact DECIMAL so estimate AND error bars carry "
+    "a hard oracle; the md5 gate is a map-side scan filter — the "
+    "shuffle sees 10% of the rows (at deployment the same predicate "
+    "defines a materialized sample table)",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(l_orderkey AS VARCHAR),
+                   '|', CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)
+            < 115292150460684697
+    ),
+    a AS (
+      SELECT l_returnflag, COUNT(*) AS n_sampled,
+             SUM(rev) AS s1,
+             SUM(CAST(rev * 10000 AS DECIMAL(19,0))
+                 * CAST(rev * 10000 AS DECIMAL(19,0))) AS s2
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_sampled,
+           ROUND(CAST(s1 AS DOUBLE) * 10.0, 4) AS est_sum,
+           ROUND(SQRT(90.0 * (CAST(s2 AS DOUBLE) / 100000000.0)), 4) AS std_err,
+           ROUND(CAST(s1 AS DOUBLE) * 10.0
+                 - 1.96 * SQRT(90.0 * (CAST(s2 AS DOUBLE) / 100000000.0)), 4) AS ci_lo,
+           ROUND(CAST(s1 AS DOUBLE) * 10.0
+                 + 1.96 * SQRT(90.0 * (CAST(s2 AS DOUBLE) / 100000000.0)), 4) AS ci_hi
+    FROM a ORDER BY l_returnflag
+    """,
+    survey_ops=("monitoring-stats", "sampling-quota", "§2.9 aggregations"),
+)
+def aqp_revenue_estimate(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import aqp_sum_estimate
+
+    l = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return aqp_sum_estimate(l, ["l_returnflag"], rev, key, sample_bps=1000)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

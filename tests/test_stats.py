@@ -930,3 +930,26 @@ def test_holt_linear_partition_invariant(spark):
         df.repartition(13, "event_id"), ["user_id"], "ts", "v", "event_id"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_aqp_estimate_brackets_truth_and_is_partition_invariant(spark):
+    # 4000 rows, value ~ U{1..100} cents-scale; p=10% Bernoulli via md5
+    rows = [(i, "g", float((i * 37) % 100 + 1)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    val = F.col("v").cast("decimal(12,2)")
+    out = stats.aqp_sum_estimate(
+        df, ["g"], val, F.col("id").cast("string"), sample_bps=1000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    true_sum = sum(v for _, _, v in rows)
+    # ~400 sampled; the 95% CI is ~±10% of the total here — assert the
+    # bracket plus a sane sample size rather than a tight estimate
+    assert 250 < r.n_sampled < 550
+    assert r.ci_lo < true_sum < r.ci_hi
+    assert r.ci_lo < r.est_sum < r.ci_hi
+    b = stats.aqp_sum_estimate(
+        df.repartition(7, "v"), ["g"], val,
+        F.col("id").cast("string"), sample_bps=1000,
+    ).collect()
+    assert tuple(out[0]) == tuple(b[0])
