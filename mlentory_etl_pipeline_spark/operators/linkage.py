@@ -305,3 +305,69 @@ def golden_record(
             ).alias(f)
         )
     return base.groupBy("cluster").agg(*aggs).orderBy("cluster")
+
+
+def cogroup_reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_total: str,
+    right_total: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-key reconciliation of two sources via COGROUPED
+    ``applyInPandas`` — the Spark surface for "line up both sides of a
+    key and decide with arbitrary Python" (the reference's load-side
+    consistency check between its Postgres store and what the ETL
+    recomputed, `LoadProcessor.py:531-545`, done row-at-a-time there).
+
+    ``df.groupby(k).cogroup(other.groupby(k)).applyInPandas`` shuffles
+    BOTH sides by the key once and hands each key's two row-groups to
+    one Python function — the right shape when the merge logic is
+    genuinely imperative (schema drift, fuzzy field compare, precedence
+    chains). THIS check (exact totals compare in integer cents) is
+    deliberately SQL-expressible so the cogroup machinery itself runs
+    under a hard full-outer-join oracle; swap the body for the messy
+    real-world compare and the plan is unchanged.
+
+    Emits one row per key: ``status`` in {match, mismatch, left_only,
+    right_only} and the signed cent difference. Totals cross the
+    Arrow boundary as DECIMAL -> ``decimal.Decimal`` (exact; never a
+    float). Scale: one co-partitioned shuffle per side, Arrow-batched
+    groups, output one row per key.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, status string, left_total double, "
+        "right_total double, diff_cents long"
+    )
+
+    def reconcile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lv = lpdf[left_total].iloc[0] if len(lpdf) else None
+        rv = rpdf[right_total].iloc[0] if len(rpdf) else None
+        key = (lpdf if len(lpdf) else rpdf)[key_col].iloc[0]
+        lc = None if lv is None else int(lv * cents)
+        rc = None if rv is None else int(rv * cents)
+        if lv is None:
+            status, diff = "right_only", None
+        elif rv is None:
+            status, diff = "left_only", None
+        else:
+            diff = lc - rc
+            status = "match" if diff == 0 else "mismatch"
+        return pd.DataFrame(
+            {
+                key_col: [int(key)],
+                "status": [status],
+                "left_total": [None if lc is None else lc / cents],
+                "right_total": [None if rc is None else rc / cents],
+                "diff_cents": [diff],
+            }
+        )
+
+    return (
+        left.groupby(key_col)
+        .cogroup(right.groupby(key_col))
+        .applyInPandas(reconcile, schema=out_schema)
+    )

@@ -11383,6 +11383,67 @@ def aqp_revenue_estimate(spark, sf_dir):
     return aqp_sum_estimate(l, ["l_returnflag"], rev, key, sample_bps=1000)
 
 
+@register(
+    "cogroup_reconcile_order_totals",
+    "cross-source per-key reconciliation via COGROUPED applyInPandas "
+    "(groupby.cogroup.applyInPandas — the API surface for lining up "
+    "both sides of a key and deciding with arbitrary Python, the "
+    "reference's store-vs-recomputed consistency check): orders header "
+    "total vs the lineitem-recomputed charge rollup, exact integer-"
+    "cent compare, one co-partitioned shuffle per side, one output row "
+    "per key; the compare body is deliberately SQL-expressible so the "
+    "cogroup machinery itself runs under a hard full-outer-join oracle",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS rtot
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    l AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS ltot
+      FROM orders
+    ),
+    j AS (
+      SELECT COALESCE(l.o_orderkey, r.l_orderkey) AS o_orderkey,
+             CAST(FLOOR(l.ltot * 100) AS BIGINT) AS lc,
+             CAST(FLOOR(r.rtot * 100) AS BIGINT) AS rc
+      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.l_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN lc IS NULL THEN 'right_only'
+                WHEN rc IS NULL THEN 'left_only'
+                WHEN lc = rc THEN 'match' ELSE 'mismatch' END AS status,
+           lc / 100.0 AS left_total,
+           rc / 100.0 AS right_total,
+           CASE WHEN lc IS NULL OR rc IS NULL THEN NULL
+                ELSE lc - rc END AS diff_cents
+    FROM j ORDER BY o_orderkey
+    """,
+    survey_ops=("§2.9 joins", "V9", "Q5"),
+)
+def cogroup_reconcile_order_totals(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.linkage import cogroup_reconcile
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("ltot")
+    )
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    r = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(charge).alias("rtot"))
+    )
+    return cogroup_reconcile(o, r, "o_orderkey", "ltot", "rtot").orderBy(
+        "o_orderkey"
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -174,3 +174,22 @@ def test_setsim_exact_integer_threshold_boundary(spark):
     sdf = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "toks"])
     got = setsim_prefix_join(sdf, "doc_id", "toks", 1 / 3).collect()
     assert len(got) == 1 and math.isclose(got[0].jaccard, round(1 / 3, 6))
+
+
+def test_cogroup_reconcile_all_statuses(spark):
+    from mlentory_etl_pipeline_spark.operators.linkage import cogroup_reconcile
+
+    left = spark.createDataFrame(
+        [(1, 10.00), (2, 20.00), (3, 30.00)], "k long, ltot double"
+    ).select("k", F.col("ltot").cast("decimal(12,2)").alias("ltot"))
+    right = spark.createDataFrame(
+        [(1, 10.00), (2, 19.50), (4, 40.00)], "k long, rtot double"
+    ).select("k", F.col("rtot").cast("decimal(12,2)").alias("rtot"))
+    out = {r.k: r for r in cogroup_reconcile(
+        left, right, "k", "ltot", "rtot"
+    ).collect()}
+    assert out[1].status == "match" and out[1].diff_cents == 0
+    assert out[2].status == "mismatch" and out[2].diff_cents == 50
+    assert out[3].status == "left_only" and out[3].right_total is None
+    assert out[4].status == "right_only" and out[4].left_total is None
+    assert out[2].left_total == 20.0 and out[2].right_total == 19.5
