@@ -349,3 +349,39 @@ def grouped_match_topk(
         .join(questions.select(question_id_col, question_text_col), question_id_col)
         .select(question_id_col, question_text_col, "cluster", section_id_col, "score", "rank")
     )
+
+
+def sectionize_lateral(
+    spark, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """N1 on Spark 4's Python UDTF surface: the sectionizer as a
+    TABLE function consumed via ``LATERAL`` — the modern-API sibling
+    of :func:`sectionize` (same split logic, same rows), the way
+    :func:`sessionize_tws` siblings the GroupState sessionizer.
+
+    A UDTF emits the one-doc-to-N-sections fan-out DIRECTLY as rows —
+    no array column + explode round-trip, no struct re-aliasing — and
+    ``useArrow=True`` keeps the transfer batched. The plan is a
+    Generate over a PythonUDTF: map-side, pipelined, no shuffle; at
+    lake scale it behaves exactly like the pandas_udf + posexplode
+    plan (both are one Python pass per partition).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="title string, content string, level int, start_line int",
+        useArrow=True,
+    )
+    class _SectionizeMd:
+        def eval(self, text: str):
+            for s in _sectionize_markdown(text or ""):
+                yield s["title"], s["content"], s["level"], s["start_line"]
+
+    name = "sectionize_md_udtf"
+    spark.udtf.register(name, _SectionizeMd)
+    view = f"_sectionize_src_{abs(hash((id_col, text_col))) % 1_000_000}"
+    df.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT {id_col}, s.title, s.content, s.level, s.start_line "
+        f"FROM {view}, LATERAL {name}({text_col}) s"
+    )

@@ -263,3 +263,21 @@ def test_grouped_match_topk_members_share_sections(spark):
         assert len(by_q[qid]) == 3
     assert by_q[0] == by_q[2] == by_q[4] == by_q[6]
     assert by_q[1] == by_q[3] == by_q[5] == by_q[7]
+
+
+def test_sectionize_udtf_parity_with_pandas_udf(spark):
+    md = (
+        "# Top\nintro line\n```\n# not a header\n```\n"
+        "## Sub\nbody line\n### Deep\ntail"
+    )
+    df = spark.createDataFrame([(1, md), (2, "no headers at all")],
+                               "doc_id long, md string")
+    lat = nlp.sectionize_lateral(spark, df, "doc_id", "md").collect()
+    arr = (
+        nlp.sectionize(df, "md")
+        .select("doc_id", F.explode("sections").alias("s"))
+        .select("doc_id", "s.title", "s.content", "s.level", "s.start_line")
+        .collect()
+    )
+    assert sorted(map(tuple, lat)) == sorted(map(tuple, arr))
+    assert ("1", "Top > Sub > Deep") in {(str(r.doc_id), r.title) for r in lat}
