@@ -7090,13 +7090,16 @@ def _write_time_ordered_slices(df, src: str, ts_col: str = "ts"):
     """Write ``df`` to ``src`` as one parquet file per calendar quarter,
     oldest quarter first — sequential jobs give strictly increasing
     file modification times, which is the order FileStreamSource
-    replays them in."""
+    replays them in. Returns the global max timestamp (free from the
+    same key-discovery aggregation — callers that need it for sentinel
+    rows save a full re-scan)."""
     qkey = (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))).alias("_q")
-    keys = sorted(r._q for r in df.select(qkey).distinct().collect())
-    for k in keys:
+    rows = df.groupBy(qkey).agg(F.max(F.col(ts_col)).alias("_mx")).collect()
+    for k in sorted(r._q for r in rows):
         df.where(
             (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))) == k
         ).coalesce(1).write.mode("append").parquet(src)
+    return max((r._mx for r in rows), default=None)
 
 
 @register(
@@ -10030,10 +10033,9 @@ def streaming_stateful_sessions(spark, sf_dir):
     )
 
     e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    mx = e.agg(F.max("ts")).first()[0]
     land = tempfile.mkdtemp(prefix="statesess-land-")
     ckpt = tempfile.mkdtemp(prefix="statesess-ckpt-")
-    _write_time_ordered_slices(e, land)
+    mx = _write_time_ordered_slices(e, land)
     # two sentinels: the first advances the watermark past every real
     # session's timer, the second runs the batch in which those timers
     # FIRE (event-time timeouts fire one batch after the watermark
@@ -10047,9 +10049,14 @@ def streaming_stateful_sessions(spark, sf_dir):
             (F.lit(mx) + F.expr(f"INTERVAL {days} DAY")).cast(tstype).alias("ts"),
             F.lit(0.0).alias("value"),
         ).coalesce(1).write.mode("append").parquet(land)
+    # maxFilesPerTrigger=2 folds the data slice and the FIRST sentinel
+    # into one micro-batch (correct: the batch-start watermark is 0, so
+    # nothing is late; the batch-end watermark jumps past every real
+    # timer) and leaves the second sentinel as the batch in which those
+    # timers FIRE — 2 stateful batches instead of 3, same drained rows.
     stream = (
         spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(land)
     )
     sink = f"statesess_out_{abs(hash(sf_dir)) % 10_000_000}"

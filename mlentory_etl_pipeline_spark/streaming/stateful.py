@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,50 +122,103 @@ def _ts_us(v) -> int:
     return int(v.value) // 1000 if hasattr(v, "value") else int(v)
 
 
+def _ts_us_array(values) -> "np.ndarray":
+    """Vectorized µs-since-epoch from whatever applyInPandasWithState
+    hands us (datetime64 of any unit, or raw int64 µs)."""
+    arr = values.to_numpy()
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
 def make_session_update(gap_us: int):
     """Build the per-key update function for
-    :func:`sessionize_with_timeout` (gap captured by closure)."""
+    :func:`sessionize_with_timeout` (gap captured by closure).
+
+    The fold is fully VECTORIZED: gap breaks via one array diff,
+    per-session counts/totals via ``np.add.reduceat`` segment sums,
+    and all of a key's closed sessions leave in ONE DataFrame. The
+    first version iterated events row-at-a-time in Python and built a
+    1-row DataFrame per closed session — measured ~8 s of a 10 s
+    stateful batch at sf0.1; per-row Python in the hot path is the
+    same mistake inside a stateful operator as it is in a UDF."""
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        def closed_row(start_us, last_us, n, total):
-            return pd.DataFrame(
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "session_start": pd.to_datetime([start_us], unit="us"),
+                    "session_end": pd.to_datetime([last_us], unit="us"),
                     "n_events": [int(n)],
                     "total_cents": [int(total)],
                 }
             )
-
-        if state.hasTimedOut:
-            start_us, last_us, n, total = state.get
-            state.remove()
-            yield closed_row(start_us, last_us, n, total)
             return
 
-        if state.exists:
-            start_us, last_us, n, total = state.get
-        else:
-            start_us = last_us = None
-            n = total = 0
-        events = []
+        t_parts, c_parts = [], []
         for pdf in pdfs:
-            for ts, cents in zip(pdf["ts"], pdf["_cents"]):
-                events.append((_ts_us(ts), int(cents)))
-        events.sort()
-        for ts_us, cents in events:
-            if last_us is not None and ts_us - last_us > gap_us:
-                yield closed_row(start_us, last_us, n, total)
-                start_us, n, total = ts_us, 0, 0
-            if start_us is None:
-                start_us = ts_us
-            last_us = ts_us
-            n += 1
-            total += cents
-        state.update((int(start_us), int(last_us), int(n), int(total)))
+            if len(pdf):
+                t_parts.append(_ts_us_array(pdf["ts"]))
+                c_parts.append(pdf["_cents"].to_numpy(np.int64))
+        if not t_parts:
+            if state.exists:
+                s0, l0, n0, tot0 = state.get
+                state.update((int(s0), int(l0), int(n0), int(tot0)))
+                state.setTimeoutTimestamp(l0 // 1000 + gap_us // 1000)
+            return
+        t_us = np.concatenate(t_parts)
+        cents = np.concatenate(c_parts)
+        order = np.argsort(t_us, kind="stable")
+        t_us, cents = t_us[order], cents[order]
+
+        brk = np.flatnonzero(t_us[1:] - t_us[:-1] > gap_us)
+        seg_start = np.concatenate(([0], brk + 1))
+        seg_end = np.append(brk, len(t_us) - 1)
+        starts = t_us[seg_start]
+        lasts = t_us[seg_end]
+        ns = (seg_end - seg_start + 1).astype(np.int64)
+        totals = np.add.reduceat(cents, seg_start)
+
+        closed_prev = None
+        if state.exists:
+            s0, l0, n0, tot0 = state.get
+            if t_us[0] - l0 <= gap_us:
+                # first new session continues the stored one
+                starts[0] = s0
+                ns[0] += n0
+                totals[0] += tot0
+            else:
+                closed_prev = (s0, l0, n0, tot0)
+
+        # every session but the last closes in-stream; the last waits
+        # in state for the event-time timer
+        out_s = list(starts[:-1])
+        out_l = list(lasts[:-1])
+        out_n = list(ns[:-1])
+        out_t = list(totals[:-1])
+        if closed_prev is not None:
+            out_s.insert(0, closed_prev[0])
+            out_l.insert(0, closed_prev[1])
+            out_n.insert(0, closed_prev[2])
+            out_t.insert(0, closed_prev[3])
+        if out_s:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_s),
+                    "session_start": pd.to_datetime(out_s, unit="us"),
+                    "session_end": pd.to_datetime(out_l, unit="us"),
+                    "n_events": [int(x) for x in out_n],
+                    "total_cents": [int(x) for x in out_t],
+                }
+            )
+        state.update(
+            (int(starts[-1]), int(lasts[-1]), int(ns[-1]), int(totals[-1]))
+        )
         # event-time timeout: fire once the watermark passes the gap
-        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        state.setTimeoutTimestamp(int(lasts[-1]) // 1000 + gap_us // 1000)
 
     return update
 
