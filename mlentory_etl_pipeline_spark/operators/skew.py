@@ -50,3 +50,69 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return s.join(o, [*on, "_salt"], how).drop("_salt")
+
+
+def skew_key_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+    salt_share: float = 0.1,
+    aqe_ratio: float = 5.0,
+) -> DataFrame:
+    """Join-key skew diagnostic: the measurement that decides BETWEEN
+    the mitigation strategies this module and AQE provide, instead of
+    guessing. For the ``top_k`` heaviest keys, report count, share of
+    all rows, skew ratio vs the mean key, and a deterministic
+    recommendation:
+
+    - ``salt``       — one key holds > ``salt_share`` of the table: it
+      overflows any single shuffle task no matter how AQE splits
+      partitions → :func:`salted_join`.
+    - ``aqe_skew_join`` — > ``aqe_ratio``× the mean key but under the
+      salt bar: AQE's runtime partition splitting handles it.
+    - ``hash_join_ok`` — within a ratio of the mean; plain shuffle.
+
+    Plan shape: one hash-keyed count aggregation, a TakeOrdered top-k
+    (never a global window over all keys — rank is computed on the
+    ≤ top_k surviving rows), and a broadcast of the single totals row.
+    Safe to point at a 100 TB fact table: cost is the one aggregation
+    every groupBy already pays.
+    """
+    from pyspark.sql import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    # constant-partition window: the input is the ≤ top_k rows the
+    # limit kept (TakeOrdered already returns one partition), so this
+    # is bounded by k, not data size — the lit(0) partition key states
+    # that on purpose instead of tripping the global-window warning
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("key"))
+    share = F.col("cnt").cast("double") / F.col("_total").cast("double")
+    ratio = (
+        F.col("cnt").cast("double")
+        * F.col("n_keys").cast("double")
+        / F.col("_total").cast("double")
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            "n_keys",
+            F.round(share, 6).alias("share"),
+            F.round(ratio, 4).alias("skew_ratio"),
+            F.when(share > F.lit(salt_share), F.lit("salt"))
+            .when(ratio > F.lit(aqe_ratio), F.lit("aqe_skew_join"))
+            .otherwise(F.lit("hash_join_ok"))
+            .alias("recommendation"),
+        )
+        .orderBy("rank")
+    )

@@ -953,3 +953,23 @@ def test_aqp_estimate_brackets_truth_and_is_partition_invariant(spark):
         F.col("id").cast("string"), sample_bps=1000,
     ).collect()
     assert tuple(out[0]) == tuple(b[0])
+
+
+def test_skew_key_profile_recommendations(spark):
+    from mlentory_etl_pipeline_spark.operators.skew import skew_key_profile
+
+    # hot key: ~65% of rows (over the salt bar); warm key: ~8% share
+    # but ~20x the mean (AQE territory); rest spread thin
+    rows = (
+        [("hot",)] * 600
+        + [("warm",)] * 80
+        + [(f"k{i}",) for i in range(250)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key: r for r in skew_key_profile(df, ["k"], top_k=5).collect()}
+    assert out["hot"].recommendation == "salt" and out["hot"].rank == 1
+    assert out["warm"].recommendation == "aqe_skew_join"
+    k0 = out.get("k0")
+    assert k0 is not None and k0.recommendation == "hash_join_ok"
+    assert abs(out["hot"].share - 600 / 930) < 1e-6  # share is round(.,6)
+    assert out["hot"].n_keys == 252
