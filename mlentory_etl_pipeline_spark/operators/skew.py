@@ -116,3 +116,58 @@ def skew_key_profile(
         )
         .orderBy("rank")
     )
+
+
+def join_size_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Predict an equi-join's output size WITHOUT executing the join —
+    the other half of the join-planning toolkit next to
+    :func:`skew_key_profile`. ``|A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)``, so
+    two per-key count aggregations plus a join OF THE COUNT TABLES
+    (each |keys| rows, not |rows|) give the exact output cardinality,
+    the hottest key pair (the single (cnt_A·cnt_B) argmax — the task
+    that will straggle), and the key-overlap stats that say whether
+    the join is selective or a fan-out bomb. At 100 TB this costs two
+    groupBys; the join it predicts may cost hours — run the profile
+    first, then pick the strategy (broadcast / salt / pre-aggregate)
+    the numbers justify.
+
+    One output row: n_left/n_right input rows, per-side distinct keys,
+    common keys, exact join_rows, max_key_rows and its arg (ties break
+    on key ASC).
+    """
+    cl = left.select(F.col(left_key).cast("string").alias("key")).groupBy(
+        "key"
+    ).agg(F.count(F.lit(1)).alias("_cl"))
+    cr = right.select(F.col(right_key).cast("string").alias("key")).groupBy(
+        "key"
+    ).agg(F.count(F.lit(1)).alias("_cr"))
+    lstats = cl.agg(
+        F.sum("_cl").alias("n_left"), F.count(F.lit(1)).alias("left_keys")
+    )
+    rstats = cr.agg(
+        F.sum("_cr").alias("n_right"), F.count(F.lit(1)).alias("right_keys")
+    )
+    joined = cl.join(cr, "key").select(
+        "key", (F.col("_cl") * F.col("_cr")).alias("_prod")
+    )
+    jstats = joined.agg(
+        F.count(F.lit(1)).alias("common_keys"),
+        F.coalesce(F.sum("_prod"), F.lit(0)).alias("join_rows"),
+        F.max("_prod").alias("max_key_rows"),
+        F.min_by("key", F.struct((-F.col("_prod")).alias("n"), F.col("key"))).alias(
+            "hottest_key"
+        ),
+    )
+    return (
+        lstats.crossJoin(F.broadcast(rstats))
+        .crossJoin(F.broadcast(jstats))
+        .select(
+            "n_left", "n_right", "left_keys", "right_keys",
+            "common_keys", "join_rows", "max_key_rows", "hottest_key",
+        )
+    )

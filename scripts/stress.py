@@ -438,6 +438,44 @@ def case_chunk_sink(spark, sf_dir: str, k: int) -> DataFrame:
     return http_chunk_upload(r, batch_id="stress", chunk_size=1000)
 
 
+
+
+def case_holt(spark, sf_dir: str, k: int) -> DataFrame:
+    # SAME user keys, k-x deeper series (ts jittered per replica): the
+    # per-group collect+fold grows k-x per key — the harshest shape for
+    # a bounded-series operator; linear unless the fold re-sorts or
+    # re-scans per element
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    e = _replicated(e, k).select(
+        "user_id",
+        (F.col("ts") + F.make_interval(secs=F.col("_rep"))).alias("ts"),
+        "value",
+        (F.col("event_id") * k + F.col("_rep")).alias("event_id"),
+    )
+    return stats.holt_linear(e, ["user_id"], "ts", "value", "event_id")
+
+
+def case_cogroup_reconcile(spark, sf_dir: str, k: int) -> DataFrame:
+    # disjoint key copies: k-x more keys, same per-key group size —
+    # cogroup must scale with the shuffle, not with key count squared
+    from mlentory_etl_pipeline_spark.operators.linkage import cogroup_reconcile
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = _replicated(o, k).select(
+        (F.col("o_orderkey") * k + F.col("_rep")).alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("ltot"),
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li = _replicated(li, k).select(
+        (F.col("l_orderkey") * k + F.col("_rep")).alias("o_orderkey"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("_p"),
+    )
+    r = li.groupBy("o_orderkey").agg(F.sum("_p").alias("rtot"))
+    return cogroup_reconcile(o, r, "o_orderkey", "ltot", "rtot")
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -455,6 +493,8 @@ CASES = {
     "pmi": case_pmi,
     "quantile_norm": case_quantile_norm,
     "chunk_sink": case_chunk_sink,
+    "holt": case_holt,
+    "cogroup_reconcile": case_cogroup_reconcile,
 }
 
 

@@ -973,3 +973,27 @@ def test_skew_key_profile_recommendations(spark):
     assert k0 is not None and k0.recommendation == "hash_join_ok"
     assert abs(out["hot"].share - 600 / 930) < 1e-6  # share is round(.,6)
     assert out["hot"].n_keys == 252
+
+
+def test_join_size_profile_predicts_actual_join(spark):
+    from mlentory_etl_pipeline_spark.operators.skew import join_size_profile
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3, 9]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 2, 2, 4]], "k long"
+    )
+    prof = join_size_profile(left, right, "k", "k").first()
+    actual = left.join(right, "k").count()
+    assert prof.join_rows == actual == 3 * 2 + 1 * 3
+    assert prof.max_key_rows == 6 and prof.hottest_key == "1"
+    assert prof.n_left == 6 and prof.n_right == 6
+    assert prof.left_keys == 4 and prof.right_keys == 3
+    assert prof.common_keys == 2
+    # disjoint keys: zero join rows, NULL argmax, still one row
+    empty = join_size_profile(
+        left, spark.createDataFrame([(7,)], "k long"), "k", "k"
+    ).first()
+    assert empty.join_rows == 0 and empty.common_keys == 0
+    assert empty.max_key_rows is None and empty.hottest_key is None
