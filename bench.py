@@ -157,6 +157,8 @@ def main():
             "nlp_sectionize_udtf",
             "skew_join_key_profile",
             "join_size_estimate",
+            "benford_price_audit",
+            "functional_dependency_audit",
         )
         if n in REGISTRY
     ]

@@ -234,3 +234,121 @@ def frequent_items(
         )
         .orderBy(F.desc("n"), F.asc(key_col))
     )
+
+
+# P(first significant digit = d) under Benford's law, d = 1..9:
+# log10(1 + 1/d) as hard-coded 15-significant-digit literals (the
+# POISSON1_CDF idiom — no libm call, so every engine parses the exact
+# same doubles).
+BENFORD_P = [
+    0.301029995663981,
+    0.176091259055681,
+    0.124938736608300,
+    0.096910013008056,
+    0.079181246047625,
+    0.066946789630613,
+    0.057991946977687,
+    0.051152522447381,
+    0.045757490560675,
+]
+
+
+def benford_audit(
+    df: DataFrame,
+    value: "F.Column",
+    group_cols: list[str] | None = None,
+    cents: int = 100,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-or-truncated-numbers smell test for a money or
+    measurement column, as one aggregation.
+
+    Determinism: the value quantizes to integer raw units
+    (``floor(v * cents)``) and the first digit is the first character
+    of the INTEGER's decimal string — no ``log10`` per row, so no
+    cross-engine libm variance; the Benford expectations are literal
+    doubles. Emits one row per (group, digit): observed count, observed
+    frac, expected Benford frac, and the digit's chi-square term
+    ``(obs - n·p)²/(n·p)`` — sum the column for the group statistic
+    (13.36 / 20.09 are the 0.10 / 0.01 critical values at 8 df).
+
+    Scale: one map-side digit extraction + one (group, digit)-keyed
+    count + a broadcast of |groups| totals. Rows with ``v <= 0`` are
+    excluded (Benford is defined on positive magnitudes).
+    """
+    g = list(group_cols or [])
+    raw = F.floor(value * cents).cast("long")
+    base = df.select(
+        *g, F.substring(raw.cast("string"), 1, 1).cast("int").alias("digit")
+    ).where(raw > 0)
+    counts = base.groupBy(*g, "digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    totals = base.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit")
+    )
+    chi_term = (
+        (F.col("n_obs").cast("double") - F.col("_n").cast("double") * expected)
+        * (F.col("n_obs").cast("double") - F.col("_n").cast("double") * expected)
+        / (F.col("_n").cast("double") * expected)
+    )
+    joined = (
+        counts.join(F.broadcast(totals), g)
+        if g
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        *g,
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("_n").cast("double"), 6).alias(
+            "obs_frac"
+        ),
+        F.round(expected, 6).alias("benford_frac"),
+        F.round(chi_term, 4).alias("chi2_term"),
+    ).orderBy(*g, "digit")
+
+
+def functional_dependency_audit(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Does column A functionally determine column B? For each
+    candidate FD ``A -> B``: the number of A-values that map to more
+    than one distinct B (violating keys), the minimum rows to delete
+    to make the FD hold (rows outside each key's plurality B — the
+    standard g3 error measure), and whether it holds exactly. The
+    schema-discovery audit that decides normalization, dedup keys, and
+    whether a column is safe to drop as derivable.
+
+    One (A, B)-keyed count + one A-keyed fold per pair; pairs run as a
+    union of independent aggregations (each map-side combined). NULLs
+    count as ordinary values (SQL ``GROUP BY`` semantics).
+    """
+    outs = []
+    for det, dep in pairs:
+        ab = (
+            df.select(F.col(det).alias("_a"), F.col(dep).alias("_b"))
+            .groupBy("_a", "_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        per_a = ab.groupBy("_a").agg(
+            F.count(F.lit(1)).alias("_n_b"),
+            F.sum("_n").alias("_rows"),
+            F.max("_n").alias("_plurality"),
+        )
+        outs.append(
+            per_a.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("_n_b") > 1, 1).otherwise(0)).alias(
+                    "violating_keys"
+                ),
+                F.sum(F.col("_rows") - F.col("_plurality")).alias("g3_rows"),
+                (F.max("_n_b") == F.lit(1)).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("determinant", "dependent")

@@ -11603,6 +11603,114 @@ def join_size_estimate(spark, sf_dir):
     return a.unionByName(b).orderBy("joined")
 
 
+@register(
+    "benford_price_audit",
+    "Benford first-significant-digit audit of the money column — the "
+    "fabricated-or-truncated-numbers smell test as ONE aggregation: "
+    "values quantize to integer cents and the digit is the first char "
+    "of the INTEGER's decimal string (no per-row log10 — no libm "
+    "variance), Benford expectations are hard-coded literal doubles "
+    "(the POISSON1_CDF idiom); emits per-digit observed/expected "
+    "fractions and chi-square terms (sum vs 20.09 = 0.01 critical at "
+    "8 df)",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+      WHERE CAST(FLOOR(l_extendedprice * 100) AS BIGINT) > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n_obs FROM b GROUP BY digit),
+    t AS (SELECT SUM(n_obs) AS n FROM c),
+    e AS (
+      SELECT digit, n_obs, n,
+             CASE digit
+               WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
+               WHEN 3 THEN 0.124938736608300 WHEN 4 THEN 0.096910013008056
+               WHEN 5 THEN 0.079181246047625 WHEN 6 THEN 0.066946789630613
+               WHEN 7 THEN 0.057991946977687 WHEN 8 THEN 0.051152522447381
+               WHEN 9 THEN 0.045757490560675 END AS p
+      FROM c, t
+    )
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_frac,
+           ROUND(p, 6) AS benford_frac,
+           ROUND((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                 / (CAST(n AS DOUBLE) * p), 4) AS chi2_term
+    FROM e ORDER BY digit
+    """,
+    survey_ops=("dq-audit", "§2.9 aggregations"),
+)
+def benford_price_audit(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.profiling import benford_audit
+
+    return benford_audit(t(spark, sf_dir, "lineitem"), F.col("l_extendedprice"))
+
+
+@register(
+    "functional_dependency_audit",
+    "schema-discovery FD audit: does A determine B? per candidate FD "
+    "the violating-key count, the g3 repair size (min rows to delete "
+    "so the FD holds = rows outside each key's plurality B), and an "
+    "exact holds flag — the audit that decides normalization, dedup "
+    "keys, and derivable-column drops; one (A,B)-keyed count + one "
+    "A-keyed fold per pair, all map-side combined",
+    oracle="""
+    WITH pairs(det, dep) AS (VALUES
+      ('o_orderkey', 'o_custkey'),
+      ('o_custkey', 'o_orderpriority'),
+      ('o_orderpriority', 'o_orderstatus')
+    ),
+    ab AS (
+      SELECT 'o_orderkey' AS det, 'o_custkey' AS dep,
+             CAST(o_orderkey AS VARCHAR) AS a, CAST(o_custkey AS VARCHAR) AS b,
+             COUNT(*) AS n
+      FROM orders GROUP BY 3, 4
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority, COUNT(*)
+      FROM orders GROUP BY 3, 4
+      UNION ALL
+      SELECT 'o_orderpriority', 'o_orderstatus',
+             o_orderpriority, o_orderstatus, COUNT(*)
+      FROM orders GROUP BY 3, 4
+    ),
+    per_a AS (
+      SELECT det, dep, a, COUNT(*) AS n_b, SUM(n) AS rows_, MAX(n) AS plur
+      FROM ab GROUP BY det, dep, a
+    )
+    SELECT det AS determinant, dep AS dependent,
+           COUNT(*) AS n_keys,
+           SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS violating_keys,
+           SUM(rows_ - plur) AS g3_rows,
+           MAX(n_b) = 1 AS holds
+    FROM per_a GROUP BY det, dep
+    ORDER BY determinant, dependent
+    """,
+    survey_ops=("dq-audit", "§2.9 aggregations"),
+)
+def functional_dependency_audit(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.profiling import (
+        functional_dependency_audit as fd_audit,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return fd_audit(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

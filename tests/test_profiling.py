@@ -92,3 +92,50 @@ def test_mg_candidates_bounded_output(spark):
     ).repartition(8)
     n = mg_candidates(df, "k", budget=25).count()
     assert n <= 8 * 25
+
+
+def test_benford_audit_flags_uniform_and_passes_benford(spark):
+    from mlentory_etl_pipeline_spark.operators.profiling import benford_audit
+    import itertools
+
+    # benford-ish group: magnitudes spread over 4 decades via 2^i
+    # (first digits of powers of two famously follow Benford); uniform
+    # group: every value 5xx.xx -> all mass on digit 5
+    rows = [("b", float(2 ** (i % 40)) / 100.0) for i in range(400)]
+    rows += [("u", 500.0 + i / 100.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = benford_audit(df, F.col("v"), ["g"]).collect()
+    chi = {g: 0.0 for g in ("b", "u")}
+    for r in out:
+        chi[r.g] += r.chi2_term
+    # the 10x replication of each distinct value inflates both chi2s
+    # equally, so assert the SEPARATION: the one-digit spike is orders
+    # of magnitude further from Benford than the 2^i digits are
+    assert chi["u"] > 30 * chi["b"]
+    assert chi["u"] > 1000           # one-digit spike blows up chi2
+    negs = benford_audit(
+        spark.createDataFrame([("x", -1.0), ("x", 0.0)], "g string, v double"),
+        F.col("v"), ["g"],
+    ).collect()
+    assert negs == []                # non-positive values excluded
+
+
+def test_functional_dependency_audit_holds_and_g3(spark):
+    from mlentory_etl_pipeline_spark.operators.profiling import (
+        functional_dependency_audit,
+    )
+
+    rows = [
+        (1, "x", "p"), (1, "x", "p"),      # key 1: single b -> fine
+        (2, "y", "p"), (2, "y", "q"),      # dep col c varies under a=2
+        (3, "z", "p"),
+    ]
+    df = spark.createDataFrame(rows, "a long, b string, c string")
+    out = {(r.determinant, r.dependent): r for r in
+           functional_dependency_audit(df, [("a", "b"), ("a", "c")]).collect()}
+    ab = out[("a", "b")]
+    assert ab.holds and ab.violating_keys == 0 and ab.g3_rows == 0
+    ac = out[("a", "c")]
+    # a=2 maps to {p,q}: 1 violating key, delete 1 row to repair
+    assert (not ac.holds) and ac.violating_keys == 1 and ac.g3_rows == 1
+    assert ac.n_keys == 3
