@@ -159,6 +159,7 @@ def main():
             "join_size_estimate",
             "benford_price_audit",
             "functional_dependency_audit",
+            "mutual_information_pairs",
         )
         if n in REGISTRY
     ]

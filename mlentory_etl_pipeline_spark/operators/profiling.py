@@ -352,3 +352,64 @@ def functional_dependency_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("determinant", "dependent")
+
+
+def categorical_mi(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Mutual information between categorical column pairs, in nats —
+    the dependence measure that complements the chi-square test
+    (chi2 answers "is there dependence?"; MI answers "how MUCH
+    information does one column carry about the other", comparable
+    across pairs). Computed from entropies, H(X) + H(Y) − H(X,Y),
+    each via the count identity ``H = ln n − (Σ c·ln c)/n`` — one
+    (x, y)-keyed count per pair and the marginals derived FROM that
+    count table (|xy-keys| rows), never a second scan of the facts.
+
+    Also reports the normalized MI ``mi / min(H(X), H(Y))`` (0 = independent,
+    1 = one column determines the other — the soft version of
+    :func:`functional_dependency_audit`'s exact ``holds``), NULL when a
+    marginal entropy is 0 (a constant column carries no information).
+    """
+    outs = []
+    for x, y in pairs:
+        base = df.select(
+            F.col(x).cast("string").alias("_x"), F.col(y).cast("string").alias("_y")
+        )
+        cxy = base.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("c"))
+        cx = cxy.groupBy("_x").agg(F.sum("c").alias("c"))
+        cy = cxy.groupBy("_y").agg(F.sum("c").alias("c"))
+
+        def _ent(d, alias):
+            cd = F.col("c").cast("double")
+            return d.agg(
+                F.sum("c").alias(f"_n_{alias}"),
+                F.sum(cd * F.log(cd)).alias(f"_sl_{alias}"),
+            )
+
+        j = (
+            _ent(cxy, "xy")
+            .crossJoin(F.broadcast(_ent(cx, "x")))
+            .crossJoin(F.broadcast(_ent(cy, "y")))
+        )
+        n = F.col("_n_xy").cast("double")
+        hx = F.log(n) - F.col("_sl_x") / n
+        hy = F.log(n) - F.col("_sl_y") / n
+        hxy = F.log(n) - F.col("_sl_xy") / n
+        mi = hx + hy - hxy
+        outs.append(
+            j.select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("_n_xy").alias("n"),
+                F.round(hx, 6).alias("h_x"),
+                F.round(hy, 6).alias("h_y"),
+                F.round(hxy, 6).alias("h_xy"),
+                F.round(mi, 6).alias("mi_nats"),
+                F.round(
+                    mi / F.when(F.least(hx, hy) > 0, F.least(hx, hy)), 6
+                ).alias("nmi"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_x", "col_y")

@@ -11711,6 +11711,69 @@ def functional_dependency_audit(spark, sf_dir):
     )
 
 
+@register(
+    "mutual_information_pairs",
+    "mutual information between categorical column pairs in nats via "
+    "the entropy identity H = ln n - (sum c*ln c)/n — the how-much-"
+    "dependence measure next to chi2's is-there-dependence, plus "
+    "normalized MI (the soft functional-dependency score); one "
+    "(x,y)-keyed count per pair, marginals derived from the count "
+    "table (|xy-keys| rows), never a second fact scan",
+    oracle="""
+    WITH ps(x, y) AS (VALUES
+      ('l_returnflag', 'l_linestatus'), ('l_discount', 'l_returnflag')
+    ),
+    cxy AS (
+      SELECT 'l_returnflag' AS x, 'l_linestatus' AS y,
+             l_returnflag AS a, l_linestatus AS b, COUNT(*) AS c
+      FROM lineitem GROUP BY 3, 4
+      UNION ALL
+      SELECT 'l_discount', 'l_returnflag',
+             CAST(l_discount AS VARCHAR), l_returnflag, COUNT(*)
+      FROM lineitem GROUP BY 3, 4
+    ),
+    exy AS (
+      SELECT x, y, SUM(c) AS n,
+             SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sl_xy
+      FROM cxy GROUP BY x, y
+    ),
+    ex AS (
+      SELECT x, y, SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sl_x
+      FROM (SELECT x, y, a, SUM(c) AS c FROM cxy GROUP BY x, y, a)
+      GROUP BY x, y
+    ),
+    ey AS (
+      SELECT x, y, SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sl_y
+      FROM (SELECT x, y, b, SUM(c) AS c FROM cxy GROUP BY x, y, b)
+      GROUP BY x, y
+    ),
+    h AS (
+      SELECT exy.x, exy.y, exy.n,
+             LN(CAST(n AS DOUBLE)) - sl_x / CAST(n AS DOUBLE) AS hx,
+             LN(CAST(n AS DOUBLE)) - sl_y / CAST(n AS DOUBLE) AS hy,
+             LN(CAST(n AS DOUBLE)) - sl_xy / CAST(n AS DOUBLE) AS hxy
+      FROM exy JOIN ex ON exy.x = ex.x AND exy.y = ex.y
+               JOIN ey ON exy.x = ey.x AND exy.y = ey.y
+    )
+    SELECT x AS col_x, y AS col_y, n,
+           ROUND(hx, 6) AS h_x, ROUND(hy, 6) AS h_y, ROUND(hxy, 6) AS h_xy,
+           ROUND(hx + hy - hxy, 6) AS mi_nats,
+           ROUND((hx + hy - hxy)
+                 / (CASE WHEN LEAST(hx, hy) > 0 THEN LEAST(hx, hy) END),
+                 6) AS nmi
+    FROM h ORDER BY col_x, col_y
+    """,
+    survey_ops=("dq-audit", "§2.9 aggregations"),
+)
+def mutual_information_pairs(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.profiling import categorical_mi
+
+    return categorical_mi(
+        t(spark, sf_dir, "lineitem"),
+        [("l_returnflag", "l_linestatus"), ("l_discount", "l_returnflag")],
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

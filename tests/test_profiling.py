@@ -139,3 +139,22 @@ def test_functional_dependency_audit_holds_and_g3(spark):
     # a=2 maps to {p,q}: 1 violating key, delete 1 row to repair
     assert (not ac.holds) and ac.violating_keys == 1 and ac.g3_rows == 1
     assert ac.n_keys == 3
+
+
+def test_categorical_mi_determined_vs_independent(spark):
+    from mlentory_etl_pipeline_spark.operators.profiling import categorical_mi
+    import math
+
+    # b = f(a) exactly (nmi = 1); c independent of a (mi ~ 0);
+    # d constant (h_d = 0 -> nmi NULL)
+    rows = [(i % 4, (i % 4) * 10, (i // 4) % 2, "k") for i in range(400)]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d string")
+    out = {(r.col_x, r.col_y): r for r in categorical_mi(
+        df, [("a", "b"), ("a", "c"), ("a", "d")]
+    ).collect()}
+    ab = out[("a", "b")]
+    assert ab.nmi == 1.0 and abs(ab.mi_nats - math.log(4)) < 1e-6
+    ac = out[("a", "c")]
+    assert abs(ac.mi_nats) < 1e-9          # exactly balanced -> 0
+    ad = out[("a", "d")]
+    assert ad.mi_nats == 0.0 and ad.nmi is None
