@@ -116,12 +116,6 @@ SESSION_SCHEMA = (
 _SESSION_STATE = "start_us bigint, last_us bigint, n bigint, total_cents bigint"
 
 
-def _ts_us(v) -> int:
-    """µs since epoch from whatever applyInPandasWithState hands us
-    (pandas Timestamp or raw int64 µs — see module note)."""
-    return int(v.value) // 1000 if hasattr(v, "value") else int(v)
-
-
 def _ts_us_array(values) -> "np.ndarray":
     """Vectorized µs-since-epoch from whatever applyInPandasWithState
     hands us (datetime64 of any unit, or raw int64 µs)."""
@@ -131,31 +125,85 @@ def _ts_us_array(values) -> "np.ndarray":
     return arr.astype(np.int64)
 
 
+def _fold_sessions(t_parts, c_parts, prev, gap_us):
+    """The shared VECTORIZED session fold behind both stateful APIs
+    (GroupState v1 and transformWithState v2 — one implementation, so
+    the v1 operator's hard oracle covers the core of both): gap breaks
+    via one array diff, per-session counts/totals via
+    ``np.add.reduceat`` segment sums. The first version iterated
+    events row-at-a-time in Python and built a 1-row DataFrame per
+    closed session — measured ~8 s of a 10 s stateful batch at sf0.1;
+    per-row Python in the hot path is the same mistake inside a
+    stateful operator as it is in a UDF.
+
+    ``prev`` is the stored (start_us, last_us, n, total) tuple or
+    None. Returns ``(closed, state)``: ``closed`` as parallel lists
+    (starts, lasts, ns, totals) of sessions that closed in-stream, and
+    the new state tuple for the still-open last session — or
+    ``(None, prev)`` when no events arrived."""
+    if not t_parts:
+        return None, prev
+    t_us = np.concatenate(t_parts)
+    cents = np.concatenate(c_parts)
+    order = np.argsort(t_us, kind="stable")
+    t_us, cents = t_us[order], cents[order]
+
+    brk = np.flatnonzero(t_us[1:] - t_us[:-1] > gap_us)
+    seg_start = np.concatenate(([0], brk + 1))
+    seg_end = np.append(brk, len(t_us) - 1)
+    starts = t_us[seg_start]
+    lasts = t_us[seg_end]
+    ns = (seg_end - seg_start + 1).astype(np.int64)
+    totals = np.add.reduceat(cents, seg_start)
+
+    closed_prev = None
+    if prev is not None:
+        s0, l0, n0, tot0 = prev
+        if t_us[0] - l0 <= gap_us:
+            # first new session continues the stored one
+            starts[0] = s0
+            ns[0] += n0
+            totals[0] += tot0
+        else:
+            closed_prev = (s0, l0, n0, tot0)
+
+    # every session but the last closes in-stream; the last waits in
+    # state for the event-time timer
+    out_s = list(starts[:-1])
+    out_l = list(lasts[:-1])
+    out_n = list(ns[:-1])
+    out_t = list(totals[:-1])
+    if closed_prev is not None:
+        out_s.insert(0, closed_prev[0])
+        out_l.insert(0, closed_prev[1])
+        out_n.insert(0, closed_prev[2])
+        out_t.insert(0, closed_prev[3])
+    state = (int(starts[-1]), int(lasts[-1]), int(ns[-1]), int(totals[-1]))
+    return (out_s, out_l, out_n, out_t), state
+
+
+def _sessions_df(key, out_s, out_l, out_n, out_t) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_s),
+            "session_start": pd.to_datetime(out_s, unit="us"),
+            "session_end": pd.to_datetime(out_l, unit="us"),
+            "n_events": [int(x) for x in out_n],
+            "total_cents": [int(x) for x in out_t],
+        }
+    )
+
+
 def make_session_update(gap_us: int):
     """Build the per-key update function for
-    :func:`sessionize_with_timeout` (gap captured by closure).
-
-    The fold is fully VECTORIZED: gap breaks via one array diff,
-    per-session counts/totals via ``np.add.reduceat`` segment sums,
-    and all of a key's closed sessions leave in ONE DataFrame. The
-    first version iterated events row-at-a-time in Python and built a
-    1-row DataFrame per closed session — measured ~8 s of a 10 s
-    stateful batch at sf0.1; per-row Python in the hot path is the
-    same mistake inside a stateful operator as it is in a UDF."""
+    :func:`sessionize_with_timeout` (gap captured by closure); the
+    session fold itself is the shared :func:`_fold_sessions`."""
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
             start_us, last_us, n, total = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": pd.to_datetime([start_us], unit="us"),
-                    "session_end": pd.to_datetime([last_us], unit="us"),
-                    "n_events": [int(n)],
-                    "total_cents": [int(total)],
-                }
-            )
+            yield _sessions_df(key, [start_us], [last_us], [n], [total])
             return
 
         t_parts, c_parts = [], []
@@ -163,62 +211,15 @@ def make_session_update(gap_us: int):
             if len(pdf):
                 t_parts.append(_ts_us_array(pdf["ts"]))
                 c_parts.append(pdf["_cents"].to_numpy(np.int64))
-        if not t_parts:
-            if state.exists:
-                s0, l0, n0, tot0 = state.get
-                state.update((int(s0), int(l0), int(n0), int(tot0)))
-                state.setTimeoutTimestamp(l0 // 1000 + gap_us // 1000)
+        prev = tuple(state.get) if state.exists else None
+        closed, new_state = _fold_sessions(t_parts, c_parts, prev, gap_us)
+        if new_state is None:
             return
-        t_us = np.concatenate(t_parts)
-        cents = np.concatenate(c_parts)
-        order = np.argsort(t_us, kind="stable")
-        t_us, cents = t_us[order], cents[order]
-
-        brk = np.flatnonzero(t_us[1:] - t_us[:-1] > gap_us)
-        seg_start = np.concatenate(([0], brk + 1))
-        seg_end = np.append(brk, len(t_us) - 1)
-        starts = t_us[seg_start]
-        lasts = t_us[seg_end]
-        ns = (seg_end - seg_start + 1).astype(np.int64)
-        totals = np.add.reduceat(cents, seg_start)
-
-        closed_prev = None
-        if state.exists:
-            s0, l0, n0, tot0 = state.get
-            if t_us[0] - l0 <= gap_us:
-                # first new session continues the stored one
-                starts[0] = s0
-                ns[0] += n0
-                totals[0] += tot0
-            else:
-                closed_prev = (s0, l0, n0, tot0)
-
-        # every session but the last closes in-stream; the last waits
-        # in state for the event-time timer
-        out_s = list(starts[:-1])
-        out_l = list(lasts[:-1])
-        out_n = list(ns[:-1])
-        out_t = list(totals[:-1])
-        if closed_prev is not None:
-            out_s.insert(0, closed_prev[0])
-            out_l.insert(0, closed_prev[1])
-            out_n.insert(0, closed_prev[2])
-            out_t.insert(0, closed_prev[3])
-        if out_s:
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(out_s),
-                    "session_start": pd.to_datetime(out_s, unit="us"),
-                    "session_end": pd.to_datetime(out_l, unit="us"),
-                    "n_events": [int(x) for x in out_n],
-                    "total_cents": [int(x) for x in out_t],
-                }
-            )
-        state.update(
-            (int(starts[-1]), int(lasts[-1]), int(ns[-1]), int(totals[-1]))
-        )
+        if closed and closed[0]:
+            yield _sessions_df(key, *closed)
+        state.update(tuple(int(v) for v in new_state))
         # event-time timeout: fire once the watermark passes the gap
-        state.setTimeoutTimestamp(int(lasts[-1]) // 1000 + gap_us // 1000)
+        state.setTimeoutTimestamp(int(new_state[1]) // 1000 + gap_us // 1000)
 
     return update
 
@@ -282,49 +283,32 @@ def make_session_processor(gap_us: int):
             self.handle = handle
             self.state = handle.getValueState("session", _SESSION_STATE)
 
-        def _closed_row(self, start_us, last_us, n, total, key):
-            return pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [int(n)],
-                    "total_cents": [int(total)],
-                }
-            )
-
         def handleInputRows(self, key, rows, timer_values):
-            if self.state.exists():
-                start_us, last_us, n, total = self.state.get()
-            else:
-                start_us = last_us = None
-                n = total = 0
-            events = []
+            t_parts, c_parts = [], []
             for pdf in rows:
-                for ts, cents in zip(pdf["ts"], pdf["_cents"]):
-                    events.append((_ts_us(ts), int(cents)))
-            events.sort()
-            for ts_us, cents in events:
-                if last_us is not None and ts_us - last_us > gap_us:
-                    yield self._closed_row(start_us, last_us, n, total, key)
-                    start_us, n, total = ts_us, 0, 0
-                if start_us is None:
-                    start_us = ts_us
-                last_us = ts_us
-                n += 1
-                total += cents
-            self.state.update((int(start_us), int(last_us), int(n), int(total)))
+                if len(pdf):
+                    t_parts.append(_ts_us_array(pdf["ts"]))
+                    c_parts.append(pdf["_cents"].to_numpy(np.int64))
+            prev = tuple(self.state.get()) if self.state.exists() else None
+            # the fold is the SAME _fold_sessions the oracle-carrying
+            # v1 operator runs — only the state/timer plumbing differs
+            closed, new_state = _fold_sessions(t_parts, c_parts, prev, gap_us)
+            if new_state is None:
+                return
+            if closed and closed[0]:
+                yield _sessions_df(key, *closed)
+            self.state.update(tuple(int(v) for v in new_state))
             # timers accumulate on this API (unlike setTimeoutTimestamp,
             # which replaces): clear the key's previous timer first
             for t in self.handle.listTimers():
                 self.handle.deleteTimer(t)
-            self.handle.registerTimer(last_us // 1000 + gap_us // 1000)
+            self.handle.registerTimer(int(new_state[1]) // 1000 + gap_us // 1000)
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             if self.state.exists():
                 start_us, last_us, n, total = self.state.get()
                 self.state.clear()
-                yield self._closed_row(start_us, last_us, n, total, key)
+                yield _sessions_df(key, [start_us], [last_us], [n], [total])
 
         def close(self):
             pass
