@@ -319,3 +319,68 @@ def test_fold_protocol_crash_replay_interleavings(tmp_path_factory, data):
     # only the committed version survives GC
     versions = [e for e in os.listdir(sd) if e.startswith("state-v")]
     assert len(versions) == 1
+
+
+# ---------------------------------------------------------------------
+# _fold_sessions (the shared vectorized session fold) vs a naive model
+# ---------------------------------------------------------------------
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(-500, 500)),
+        min_size=0, max_size=60,
+    ),
+    prev=st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(-10_000, -1),       # start before the batch
+            st.integers(-10_000, 0),        # last_us at/before batch min
+            st.integers(1, 5), st.integers(-500, 500),
+        ),
+    ),
+    gap=st.integers(1, 2_000),
+    split=st.integers(0, 60),
+)
+@settings(max_examples=300, deadline=None)
+def test_fold_sessions_matches_naive_model(evs, prev, gap, split):
+    """The np.add.reduceat fold must equal the obvious per-event loop
+    for ANY event multiset (ties included), stored state that merges
+    or closes, and ANY split of the batch into chunks (chunk
+    boundaries must not matter)."""
+    import numpy as np
+
+    from mlentory_etl_pipeline_spark.streaming.stateful import _fold_sessions
+
+    # naive model: sort, then the original one-pass per-event loop
+    closed_model = []
+    seq = sorted(evs)
+    start = last = None
+    n = tot = 0
+    if prev is not None:
+        start, last, n, tot = prev
+    for ts, c in seq:
+        if last is not None and ts - last > gap:
+            closed_model.append((start, last, n, tot))
+            start, n, tot = ts, 0, 0
+        if start is None:
+            start = ts
+        last = ts
+        n += 1
+        tot += c
+    state_model = None if last is None else (start, last, n, tot)
+
+    parts_t, parts_c = [], []
+    cut = min(split, len(evs))
+    for chunk in (evs[:cut], evs[cut:]):
+        if chunk:
+            parts_t.append(np.array([t for t, _ in chunk], dtype=np.int64))
+            parts_c.append(np.array([c for _, c in chunk], dtype=np.int64))
+    closed, state = _fold_sessions(parts_t, parts_c, prev, gap)
+
+    if not evs:
+        assert closed is None and state == prev
+        return
+    got_closed = list(zip(*closed)) if closed and closed[0] else []
+    got_closed = [tuple(int(v) for v in r) for r in got_closed]
+    assert got_closed == closed_model
+    assert tuple(int(v) for v in state) == state_model
