@@ -9279,7 +9279,7 @@ def _bootstrap_ci_oracle(b: int = 64, lo: int = 2, hi: int = 62) -> str:
     )
     return f"""
     WITH base AS MATERIALIZED (
-      SELECT {h} AS h, CAST(l_quantity AS DECIMAL(18,2)) AS v
+      SELECT {h} AS h, CAST(FLOOR(l_quantity * 100) AS BIGINT) AS v
       FROM lineitem
     ),
     reps AS MATERIALIZED (
@@ -9290,7 +9290,8 @@ def _bootstrap_ci_oracle(b: int = 64, lo: int = 2, hi: int = 62) -> str:
     ),
     means AS MATERIALIZED (
       SELECT replica, SUM(w) AS n_eff,
-             ROUND(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS mean_value
+             ROUND(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                   / 100.0, 6) AS mean_value
       FROM reps GROUP BY replica
     ),
     ranked AS (

@@ -31,8 +31,10 @@ def test_poisson_weights_match_python_model(spark):
     model = {}
     for b in range(4):
         ws = [_py_weight(str(i), b) for i in range(50)]
-        vs = [w * float(i) for i, w in enumerate(ws)]
-        model[b] = (sum(ws), round(sum(vs) / sum(ws), 6))
+        # mirror the long-raw-units fold: floor(v*100) ints, one
+        # double division chain (sum/n)/100 at the end
+        raw = [w * (i * 100) for i, w in enumerate(ws)]
+        model[b] = (sum(ws), round(sum(raw) / sum(ws) / 100.0, 6))
     got = {r.replica: (r.n_eff, r.mean_value) for r in reps}
     assert got == model
 
