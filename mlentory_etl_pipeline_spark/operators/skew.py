@@ -16,6 +16,12 @@ are identical to the unsalted join (the oracle for the registry query
 IS the plain join); only the shuffle distribution changes. Replication
 multiplies the non-skewed side, so salt counts stay small (8–32) and
 the replicated side should be the smaller one.
+
+The measurement half of the toolkit: ``skew_key_profile`` (which
+mitigation does this key distribution actually need?) and
+``join_size_profile`` (how many rows will this join emit, and which
+key pair straggles?) — run the diagnostics on the count tables before
+paying for the join itself.
 """
 
 from __future__ import annotations
