@@ -160,6 +160,7 @@ def main():
             "benford_price_audit",
             "functional_dependency_audit",
             "mutual_information_pairs",
+            "aqp_stratified_revenue",
         )
         if n in REGISTRY
     ]

@@ -1107,3 +1107,85 @@ def aqp_sum_estimate(
         F.round(est - F.lit(float(z)) * se, 4).alias("ci_lo"),
         F.round(est + F.lit(float(z)) * se, 4).alias("ci_hi"),
     ).orderBy(*group_cols)
+
+
+def aqp_stratified_sum(
+    df: DataFrame,
+    stratum_col: str,
+    value: Column,
+    key: Column,
+    allocation: dict[str, int],
+    default_bps: int = 1000,
+    z: float = 1.96,
+    value_scale: int = 4,
+) -> DataFrame:
+    """Stratified companion to :func:`aqp_sum_estimate`: each stratum
+    samples at its OWN rate (``allocation[stratum]`` basis points,
+    ``default_bps`` otherwise; 10000 = census), so rare-but-heavy
+    strata can be read in full while the bulk is sampled thin — the
+    allocation freedom that makes a stratified estimator's interval
+    tighter than uniform Bernoulli at the same scan budget. A census
+    stratum contributes ZERO variance (the 1−p factor vanishes).
+
+    Estimate and variance are per-stratum Horvitz-Thompson terms
+    summed across strata (independent samples): the per-stratum fold
+    is exact integer raw units (one hash-keyed aggregation), the
+    cross-strata rollup runs over |strata| rows. Emits one row per
+    stratum plus a TOTAL row (stratum NULL, the grouping-sets
+    convention) with the combined CI. Sampling stays a pure function
+    of md5(key) — deterministic, engine-portable, oracle-able.
+    """
+    p_den = 10_000
+    alloc = dict(allocation)
+    bps_expr = F.lit(default_bps)
+    thr_expr = F.lit(((1 << 60) * default_bps) // p_den)
+    inv_expr = F.lit(float(p_den) / float(default_bps))
+    var_expr = F.lit(
+        float((p_den - default_bps) * p_den) / float(default_bps * default_bps)
+    )
+    for s, bps in alloc.items():
+        cond = F.col(stratum_col) == F.lit(s)
+        bps_expr = F.when(cond, F.lit(bps)).otherwise(bps_expr)
+        thr_expr = F.when(cond, F.lit(((1 << 60) * bps) // p_den)).otherwise(thr_expr)
+        inv_expr = F.when(cond, F.lit(float(p_den) / float(bps))).otherwise(inv_expr)
+        var_expr = F.when(
+            cond, F.lit(float((p_den - bps) * p_den) / float(bps * bps))
+        ).otherwise(var_expr)
+
+    u = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    raw = (value.cast("decimal(19,4)") * F.lit(10**value_scale)).cast("decimal(19,0)")
+    sampled = df.where(u < thr_expr).select(
+        F.col(stratum_col).alias("stratum"),
+        bps_expr.alias("bps"),
+        inv_expr.alias("_inv"),
+        var_expr.alias("_vf"),
+        raw.alias("_raw"),
+    )
+    per = sampled.groupBy("stratum", "bps", "_inv", "_vf").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("_raw").alias("_s1"),
+        F.sum(F.col("_raw") * F.col("_raw")).alias("_s2"),
+    )
+    sfac = float(10**value_scale)
+    est = F.col("_s1").cast("double") / F.lit(sfac) * F.col("_inv")
+    var = F.col("_vf") * (F.col("_s2").cast("double") / F.lit(sfac * sfac))
+    rows = per.select(
+        "stratum", "bps", "n_sampled",
+        F.round(est, 4).alias("est_sum"),
+        var.alias("_var"),
+    )
+    total = rows.agg(
+        F.lit(None).cast(per.schema["stratum"].dataType).alias("stratum"),
+        F.lit(None).cast("int").alias("bps"),
+        F.sum("n_sampled").alias("n_sampled"),
+        F.round(F.sum("est_sum"), 4).alias("est_sum"),
+        F.sum("_var").alias("_var"),
+    )
+    zl = F.lit(float(z))
+    out = rows.unionByName(total).select(
+        "stratum", "bps", "n_sampled", "est_sum",
+        F.round(F.sqrt(F.col("_var")), 4).alias("std_err"),
+        F.round(F.col("est_sum") - zl * F.sqrt(F.col("_var")), 4).alias("ci_lo"),
+        F.round(F.col("est_sum") + zl * F.sqrt(F.col("_var")), 4).alias("ci_hi"),
+    )
+    return out.orderBy(F.col("stratum").asc_nulls_last())

@@ -11775,6 +11775,74 @@ def mutual_information_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "aqp_stratified_revenue",
+    "stratified AQP: each order-priority stratum samples at its OWN "
+    "md5-threshold rate (URGENT = census, LOW = 5%, rest = 10%) and "
+    "the Horvitz-Thompson terms roll up across strata - census strata "
+    "contribute zero variance, so the combined interval is tighter "
+    "than uniform Bernoulli at the same scan budget; per-stratum rows "
+    "plus a TOTAL row (stratum NULL, grouping-sets convention); exact "
+    "integer raw-unit folds, deterministic sample membership, hard "
+    "oracle",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 10000
+                  WHEN '5-LOW' THEN 500 ELSE 1000 END AS bps,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 1.0
+                  WHEN '5-LOW' THEN 20.0 ELSE 10.0 END AS inv,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 0.0
+                  WHEN '5-LOW' THEN 380.0 ELSE 90.0 END AS vf,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000
+                  AS DECIMAL(19,0)) AS raw
+      FROM orders
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT)
+            < CASE o_orderpriority WHEN '1-URGENT' THEN 1152921504606846976
+                   WHEN '5-LOW' THEN 57646075230342348
+                   ELSE 115292150460684697 END
+    ),
+    per AS (
+      SELECT stratum, bps, inv, vf, COUNT(*) AS n_sampled,
+             SUM(raw) AS s1, SUM(raw * raw) AS s2
+      FROM s GROUP BY stratum, bps, inv, vf
+    ),
+    r AS (
+      SELECT stratum, bps, n_sampled,
+             ROUND(CAST(s1 AS DOUBLE) / 10000.0 * inv, 4) AS est_sum,
+             vf * (CAST(s2 AS DOUBLE) / 100000000.0) AS var
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(NULL AS VARCHAR) AS stratum, CAST(NULL AS INT) AS bps,
+             SUM(n_sampled) AS n_sampled, ROUND(SUM(est_sum), 4) AS est_sum,
+             SUM(var) AS var
+      FROM r
+    ),
+    allr AS (SELECT * FROM r UNION ALL SELECT * FROM tot)
+    SELECT stratum, bps, n_sampled, est_sum,
+           ROUND(SQRT(var), 4) AS std_err,
+           ROUND(est_sum - 1.96 * SQRT(var), 4) AS ci_lo,
+           ROUND(est_sum + 1.96 * SQRT(var), 4) AS ci_hi
+    FROM allr ORDER BY stratum NULLS LAST
+    """,
+    survey_ops=("monitoring-stats", "sampling-quota", "§2.9 aggregations"),
+)
+def aqp_stratified_revenue(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import aqp_stratified_sum
+
+    o = t(spark, sf_dir, "orders")
+    return aqp_stratified_sum(
+        o,
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)"),
+        F.col("o_orderkey").cast("string"),
+        allocation={"1-URGENT": 10000, "5-LOW": 500},
+        default_bps=1000,
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

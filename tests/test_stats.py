@@ -999,3 +999,35 @@ def test_join_size_profile_predicts_actual_join(spark):
     ).first()
     assert empty.join_rows == 0 and empty.common_keys == 0
     assert empty.max_key_rows is None and empty.hottest_key is None
+
+
+def test_aqp_stratified_census_and_bracket(spark):
+    rows = []
+    for i in range(3000):
+        stratum = "big" if i % 3 else "rare"
+        rows.append((i, stratum, float((i * 13) % 200 + 1)))
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    out = {r.stratum: r for r in stats.aqp_stratified_sum(
+        df, "s", F.col("v").cast("decimal(12,2)"),
+        F.col("id").cast("string"),
+        allocation={"rare": 10_000},  # census
+        default_bps=2000,             # 20% for the bulk
+    ).collect()}
+    true_rare = sum(v for i, s, v in rows if s == "rare")
+    true_total = sum(v for _, _, v in rows)
+    rare = out["rare"]
+    # census stratum: exact estimate, zero variance
+    assert rare.est_sum == round(true_rare, 4)
+    assert rare.std_err == 0.0 and rare.ci_lo == rare.ci_hi == rare.est_sum
+    assert rare.n_sampled == sum(1 for _, s, _ in rows if s == "rare")
+    tot = out[None]
+    assert tot.ci_lo < true_total < tot.ci_hi
+    # determinism under repartition
+    again = stats.aqp_stratified_sum(
+        df.repartition(11, "v"), "s", F.col("v").cast("decimal(12,2)"),
+        F.col("id").cast("string"), allocation={"rare": 10_000},
+        default_bps=2000,
+    ).collect()
+    assert sorted(map(tuple, again), key=str) == sorted(
+        (tuple(r) for r in out.values()), key=str
+    )
