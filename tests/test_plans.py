@@ -643,3 +643,21 @@ def test_q2_q11_q16_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     plan = _plan(spark, "q11_important_stock")
     assert "CartesianProduct" not in plan
+
+
+def test_driver_window_is_the_first_fifty_registry_entries():
+    # The external correctness harness replays the FIRST 50 registry
+    # entries; _rotate_driver_window() pins which 50 those are. A new
+    # registration accidentally landing in the window (or a rotation
+    # list drifting out of sync) silently changes what gets externally
+    # verified — fail loudly instead.
+    from mlentory_etl_pipeline_spark.plans.queries import (
+        _DRIVER_WINDOW,
+        REGISTRY,
+    )
+
+    assert len(_DRIVER_WINDOW) == 50
+    first = list(REGISTRY)[:50]
+    assert first == [n for n in _DRIVER_WINDOW if n in REGISTRY]
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"window names not in registry: {missing}"
