@@ -161,9 +161,11 @@ def term_search(
     )
     from pyspark.sql import Window
 
+    # TakeOrdered top-k FIRST (common query terms match corpus-scale
+    # row sets — never feed those through one rank task), then the
+    # rank window runs over <= k survivors (the bm25_rank shape)
+    top = scored.orderBy(F.desc("score"), F.asc("db_identifier")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("db_identifier"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("db_identifier", name_col, "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "db_identifier", name_col, "score", "rank"
     )

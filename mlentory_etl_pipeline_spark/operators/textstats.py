@@ -295,10 +295,13 @@ def zipf_slope(df, id_col: str, text_col: str, top_n: int = 200):
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w")
     ).where(F.col("_w") != "")
     freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
+    # TakeOrdered the top_n FIRST (the frequency table is vocab-sized
+    # at corpus scale); the rank window sees <= top_n rows
     w = Window.orderBy(F.desc("_f"), F.asc("_w"))
     ranked = (
-        freq.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= top_n)
+        freq.orderBy(F.desc("_f"), F.asc("_w"))
+        .limit(top_n)
+        .withColumn("_r", F.row_number().over(w))
         .select(
             F.floor(F.ln(F.col("_r")) * 1_000_000 + F.lit(0.5))
             .cast("long")
@@ -497,22 +500,23 @@ def oov_rate(df, group_col: str, text_col: str, vocab_size: int = 20):
     membership (a broadcast join) is engine-identical. Per group the
     OOV rate is an integer ratio divided once.
 
-    Scale posture: one |vocab|-bounded corpus count + top-K window
-    over the aggregate (the zipf_slope shape), vocabulary broadcast,
+    Scale posture: one |vocab|-bounded corpus count + a TakeOrdered
+    top-K over the aggregate (the zipf_slope shape), vocabulary broadcast,
     one (group) aggregation. Returns
     ``(group, n_tokens, n_oov, oov_rate)`` ordered by group.
     """
-    from pyspark.sql import Window
 
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w"),
     ).where(F.col("_w") != "")
     freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_f"))
-    w = Window.orderBy(F.desc("_f"), F.asc("_w"))
+    # TakeOrdered replaces the rank window entirely: the in-vocab set
+    # is the top-K of a vocab-sized frequency table — never sort it
+    # through one task
     vocab = (
-        freq.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= vocab_size)
+        freq.orderBy(F.desc("_f"), F.asc("_w"))
+        .limit(vocab_size)
         .select("_w", F.lit(1).alias("_in"))
     )
     return (
