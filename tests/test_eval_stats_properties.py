@@ -100,7 +100,16 @@ def test_cusum_matches_bruteforce_model(spark, cents_values):
     got = cusum_changepoint(df, ["g"], "ts", "value", "id").collect()[0]
     pos, peak = _cusum_model(cents_values)
     assert got.changepoint_pos == pos
-    assert abs(got.peak_cusum - round(peak, 4)) < 1e-9
+    # Spark's round() is HALF_UP on the double's shortest decimal repr
+    # (BigDecimal.valueOf); Python's round() is half-even — they split
+    # on exact .xxx5 reprs (e.g. peak = -0.02625 -> -0.0263 vs
+    # -0.0262), so the model must round the way the engine does
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(
+        Decimal(repr(peak)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+    assert abs(got.peak_cusum - want) < 1e-9
     assert got.n_points == len(cents_values)
 
 
