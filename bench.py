@@ -161,6 +161,7 @@ def main():
             "functional_dependency_audit",
             "mutual_information_pairs",
             "aqp_stratified_revenue",
+            "mann_kendall_user_trend",
         )
         if n in REGISTRY
     ]

@@ -1189,3 +1189,87 @@ def aqp_stratified_sum(
         F.round(F.col("est_sum") + zl * F.sqrt(F.col("_var")), 4).alias("ci_hi"),
     )
     return out.orderBy(F.col("stratum").asc_nulls_last())
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    cents: int = 100,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test — the NONPARAMETRIC "is this
+    series going up?" next to :func:`groupwise_trend`'s OLS slope and
+    :func:`holt_linear`'s smoothed trend: rank-based, so one spike
+    cannot fake a trend and no linearity is assumed (the standard
+    monotonic-trend test for telemetry).
+
+    ``S = Σ_{i<j} sign(x_j − x_i)`` over the (ts, tiebreak)-ordered
+    series, with the tie-corrected null variance
+    ``Var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18`` and the
+    continuity-corrected ``z = (S∓1)/√Var``. Everything up to the one
+    final sqrt/divide is EXACT integer arithmetic on quantized values
+    (``floor(v·cents)``), so the whole test carries a hard SQL oracle.
+
+    Plan: one row_number window per group, one group-keyed self-join
+    on ``i < j`` (pair fan-out is n²/2 PER GROUP — the same
+    bounded-events-per-entity contract as holt_linear; groups
+    distribute freely), one tie-size aggregation, one final join.
+    Returns ``(group…, n_points, s_stat, var_s, z, trend)`` with
+    ``trend`` in {increasing, decreasing, no_trend} at ``z_crit``.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(ts_col, order_tiebreak)
+    r = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.floor(F.col(value_col) * cents).cast("long").alias("_v"),
+    ).withColumn("_rn", F.row_number().over(w))
+    a = r.select(*group_cols, F.col("_rn").alias("_i"), F.col("_v").alias("_vi"))
+    b = r.select(*group_cols, F.col("_rn").alias("_j"), F.col("_v").alias("_vj"))
+    s = (
+        a.join(b, group_cols)
+        .where(F.col("_i") < F.col("_j"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.signum(F.col("_vj") - F.col("_vi")).cast("long")).alias("s_stat"))
+    )
+    ties = (
+        r.groupBy(*group_cols, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_distinct"),
+            F.sum("_t").alias("n_points"),
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie_corr"),
+        )
+    )
+    n = F.col("n_points")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("_tie_corr")).cast("double")
+        / F.lit(18.0)
+    )
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+    z = F.when(var_s > 0, s_adj / F.sqrt(var_s)).otherwise(F.lit(None))
+    out = ties.join(s, group_cols)
+    return out.select(
+        *group_cols,
+        "n_points",
+        "s_stat",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z"),
+        F.when(z > F.lit(float(z_crit)), F.lit("increasing"))
+        .when(z < F.lit(-float(z_crit)), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy(*group_cols)

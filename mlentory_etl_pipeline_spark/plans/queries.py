@@ -11843,6 +11843,60 @@ def aqp_stratified_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "mann_kendall_user_trend",
+    "per-user Mann-Kendall monotonic-trend test — the nonparametric "
+    "is-it-going-up next to OLS slope and Holt trend (rank-based: one "
+    "spike cannot fake a trend): S = sum sign(x_j - x_i) over ordered "
+    "pairs, tie-corrected null variance, continuity-corrected z, all "
+    "exact integer arithmetic on quantized cents up to one final "
+    "sqrt — a hard oracle for a hypothesis test; group-keyed pair "
+    "self-join bounded by events-per-entity",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT a.user_id, SUM(CAST(SIGN(b.v - a.v) AS BIGINT)) AS s_stat
+      FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn
+      GROUP BY a.user_id
+    ),
+    t AS (
+      SELECT user_id, SUM(tt) AS n_points,
+             SUM(tt * (tt - 1) * (2 * tt + 5)) AS tie_corr
+      FROM (SELECT user_id, v, COUNT(*) AS tt FROM r GROUP BY user_id, v)
+      GROUP BY user_id
+    ),
+    f AS (
+      SELECT t.user_id, n_points, s_stat,
+             CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                  - tie_corr AS DOUBLE) / 18.0 AS var_s,
+             CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                       WHEN s_stat < 0 THEN s_stat + 1
+                       ELSE 0 END AS DOUBLE) AS s_adj
+      FROM t JOIN s USING (user_id)
+    )
+    SELECT user_id, n_points, s_stat, ROUND(var_s, 4) AS var_s,
+           ROUND(CASE WHEN var_s > 0 THEN s_adj / SQRT(var_s) END, 4) AS z,
+           CASE WHEN (CASE WHEN var_s > 0 THEN s_adj / SQRT(var_s) END)
+                     > 1.96 THEN 'increasing'
+                WHEN (CASE WHEN var_s > 0 THEN s_adj / SQRT(var_s) END)
+                     < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM f ORDER BY user_id
+    """,
+    survey_ops=("monitoring-stats", "§2.9 joins"),
+)
+def mann_kendall_user_trend(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import mann_kendall
+
+    e = t(spark, sf_dir, "events")
+    return mann_kendall(e, ["user_id"], "ts", "value", "event_id")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -1031,3 +1031,32 @@ def test_aqp_stratified_census_and_bracket(spark):
     assert sorted(map(tuple, again), key=str) == sorted(
         (tuple(r) for r in out.values()), key=str
     )
+
+
+def test_mann_kendall_trends_and_ties(spark):
+    from datetime import datetime, timedelta
+    import math
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # strictly increasing (S = n(n-1)/2), strictly decreasing,
+    # constant (all tied: var 0 -> z NULL), alternating (no trend)
+    for i in range(12):
+        rows.append((1, t0 + timedelta(hours=i), i, float(i)))
+        rows.append((2, t0 + timedelta(hours=i), i, float(-i)))
+        rows.append((3, t0 + timedelta(hours=i), i, 5.0))
+        rows.append((4, t0 + timedelta(hours=i), i, float(i % 2)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, v double"
+    )
+    out = {r.user_id: r for r in stats.mann_kendall(
+        df, ["user_id"], "ts", "v", "event_id"
+    ).collect()}
+    n = 12
+    assert out[1].s_stat == n * (n - 1) // 2 and out[1].trend == "increasing"
+    assert out[2].s_stat == -n * (n - 1) // 2 and out[2].trend == "decreasing"
+    assert out[3].s_stat == 0 and out[3].z is None and out[3].trend == "no_trend"
+    assert out[4].trend == "no_trend"
+    # z for the clean monotone case matches the textbook formula
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert abs(out[1].z - round((out[1].s_stat - 1) / math.sqrt(var), 4)) < 1e-9
