@@ -162,6 +162,7 @@ def main():
             "mutual_information_pairs",
             "aqp_stratified_revenue",
             "mann_kendall_user_trend",
+            "theil_sen_user_slope",
         )
         if n in REGISTRY
     ]

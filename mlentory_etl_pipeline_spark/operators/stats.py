@@ -1273,3 +1273,84 @@ def mann_kendall(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     ).orderBy(*group_cols)
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-group Theil–Sen slope — the ROBUST trend estimator (median
+    of all pairwise slopes: up to ~29% of the points can be corrupted
+    before the estimate moves, where one bad point drags an OLS slope
+    arbitrarily): the third member of the trend family next to
+    :func:`groupwise_trend` (OLS) and :func:`mann_kendall` (the
+    significance test this point-estimates for).
+
+    Determinism: each pairwise slope is ONE long/long double division
+    (quantized value delta over µs delta — correctly rounded, so
+    engine-identical); the median picks exact order statistics of the
+    per-group sorted slope array (no interpolation beyond the two-
+    middle average). Scale: the same group-keyed ``i < j`` pair join
+    as mann_kendall — n²/2 pairs PER GROUP under the bounded-events-
+    per-entity contract; groups distribute freely.
+
+    Returns ``(group…, n_points, n_pairs, slope_per_day)`` (value
+    units per day, 6 dp).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(ts_col, order_tiebreak)
+    r = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.floor(F.col(value_col) * cents).cast("long").alias("_v"),
+    ).withColumn("_rn", F.row_number().over(w))
+    a = r.select(
+        *group_cols, F.col("_rn").alias("_i"),
+        F.col("_t").alias("_ti"), F.col("_v").alias("_vi"),
+    )
+    b = r.select(
+        *group_cols, F.col("_rn").alias("_j"),
+        F.col("_t").alias("_tj"), F.col("_v").alias("_vj"),
+    )
+    slope = (F.col("_vj") - F.col("_vi")).cast("double") / (
+        F.col("_tj") - F.col("_ti")
+    ).cast("double")
+    pairs = (
+        a.join(b, group_cols)
+        .where((F.col("_i") < F.col("_j")) & (F.col("_tj") != F.col("_ti")))
+        .select(*group_cols, slope.alias("_s"))
+    )
+    counts = r.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_points"))
+    agg = pairs.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("_s")).alias("_arr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n = F.col("n_pairs")
+    med = F.when(
+        n % 2 == 1, F.element_at("_arr", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("_arr", (n / 2).cast("int"))
+            + F.element_at("_arr", (n / 2).cast("int") + 1)
+        )
+        / F.lit(2.0)
+    )
+    return (
+        counts.join(agg, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_points",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.round(
+                med * F.lit(86400.0 * 1_000_000.0) / F.lit(float(cents)), 6
+            ).alias("slope_per_day"),
+        )
+        .orderBy(*group_cols)
+    )

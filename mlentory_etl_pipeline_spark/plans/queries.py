@@ -11897,6 +11897,49 @@ def mann_kendall_user_trend(spark, sf_dir):
     return mann_kendall(e, ["user_id"], "ts", "value", "event_id")
 
 
+@register(
+    "theil_sen_user_slope",
+    "per-user Theil-Sen robust slope (median of all pairwise slopes — "
+    "~29% of points can be corrupted before the estimate moves, where "
+    "one bad point drags OLS arbitrarily): each slope is one long/long "
+    "double division (engine-identical), the median picks exact order "
+    "statistics of the per-group sorted slope array; the third trend "
+    "member next to OLS (groupwise_trend) and the MK significance "
+    "test; group-keyed pair join bounded by events-per-entity",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT a.user_id,
+             CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+      FROM r a JOIN r b
+        ON a.user_id = b.user_id AND a.rn < b.rn AND a.t <> b.t
+    ),
+    g AS (
+      SELECT user_id, list_sort(list(s)) AS arr, COUNT(*) AS n_pairs
+      FROM p GROUP BY user_id
+    ),
+    c AS (SELECT user_id, COUNT(*) AS n_points FROM r GROUP BY user_id)
+    SELECT c.user_id, n_points, COALESCE(n_pairs, 0) AS n_pairs,
+           ROUND(CASE WHEN n_pairs % 2 = 1 THEN arr[(n_pairs + 1) // 2]
+                      ELSE (arr[n_pairs // 2] + arr[n_pairs // 2 + 1]) / 2.0
+                 END * 86400000000.0 / 100.0, 6) AS slope_per_day
+    FROM c LEFT JOIN g USING (user_id) ORDER BY c.user_id
+    """,
+    survey_ops=("monitoring-stats", "§2.9 joins"),
+)
+def theil_sen_user_slope(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import theil_sen
+
+    e = t(spark, sf_dir, "events")
+    return theil_sen(e, ["user_id"], "ts", "value", "event_id")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -1060,3 +1060,32 @@ def test_mann_kendall_trends_and_ties(spark):
     # z for the clean monotone case matches the textbook formula
     var = n * (n - 1) * (2 * n + 5) / 18.0
     assert abs(out[1].z - round((out[1].s_stat - 1) / math.sqrt(var), 4)) < 1e-9
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # clean ramp: +2.00/day sampled daily; corrupted twin: same ramp
+    # with one wild outlier - OLS moves, Theil-Sen must not
+    for i in range(15):
+        rows.append((1, t0 + timedelta(days=i), i, 10.0 + 2.0 * i))
+        # outlier at the series END (max leverage; a centered outlier
+        # has zero OLS leverage and would not move the slope)
+        rows.append((2, t0 + timedelta(days=i), i,
+                     10.0 + 2.0 * i + (1000.0 if i == 14 else 0.0)))
+    rows.append((3, t0, 0, 5.0))  # single point: no pairs, NULL slope
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, v double"
+    )
+    ts_out = {r.user_id: r for r in stats.theil_sen(
+        df, ["user_id"], "ts", "v", "event_id"
+    ).collect()}
+    assert abs(ts_out[1].slope_per_day - 2.0) < 1e-6
+    assert abs(ts_out[2].slope_per_day - 2.0) < 0.01   # outlier absorbed
+    assert ts_out[3].n_pairs == 0 and ts_out[3].slope_per_day is None
+    ols = {r.user_id: r for r in stats.groupwise_trend(
+        df, ["user_id"], "ts", "v"
+    ).collect()}
+    assert abs(ols[2].slope_per_day - 2.0) > 1.0       # OLS dragged
