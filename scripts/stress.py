@@ -476,6 +476,23 @@ def case_cogroup_reconcile(spark, sf_dir: str, k: int) -> DataFrame:
     return cogroup_reconcile(o, r, "o_orderkey", "ltot", "rtot")
 
 
+def case_mann_kendall(spark, sf_dir: str, k: int) -> DataFrame:
+    # DISJOINT key copies: the pair join is quadratic in per-group
+    # depth BY DESIGN (bounded-events-per-entity contract), so the
+    # honest scale axis is MORE GROUPS at constant depth — linear
+    # unless the join leaks across groups
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    e = _replicated(e, k).select(
+        (F.col("user_id") * k + F.col("_rep")).alias("user_id"),
+        "ts", "value",
+        (F.col("event_id") * k + F.col("_rep")).alias("event_id"),
+    )
+    return stats.mann_kendall(e, ["user_id"], "ts", "value", "event_id")
+
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -495,6 +512,7 @@ CASES = {
     "chunk_sink": case_chunk_sink,
     "holt": case_holt,
     "cogroup_reconcile": case_cogroup_reconcile,
+    "mann_kendall": case_mann_kendall,
 }
 
 
