@@ -163,6 +163,7 @@ def main():
             "aqp_stratified_revenue",
             "mann_kendall_user_trend",
             "theil_sen_user_slope",
+            "robust_location_by_type",
         )
         if n in REGISTRY
     ]

@@ -1089,3 +1089,26 @@ def test_theil_sen_robust_to_outlier(spark):
         df, ["user_id"], "ts", "v"
     ).collect()}
     assert abs(ols[2].slope_per_day - 2.0) > 1.0       # OLS dragged
+
+
+def test_robust_location_known_series_and_outlier(spark):
+    # group a: 1..10 with one wild outlier replacing 10 -> trimmed and
+    # median unmoved vs the clean twin b; known order statistics
+    va = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    vb = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    rows = [("a", i, v) for i, v in enumerate(va)]
+    rows += [("b", i, v) for i, v in enumerate(vb)]
+    df = spark.createDataFrame(rows, "g string, event_id long, v double")
+    out = {r.g: r for r in stats.robust_location(
+        df, ["g"], "v", "event_id", trim=0.1
+    ).collect()}
+    # n=10, k=1: trimmed mean of ranks 2..9
+    assert out["a"].trimmed_mean == sum(sorted(va)[1:9]) / 8
+    assert out["b"].trimmed_mean == sum(vb[1:9]) / 8
+    assert out["a"].median == out["b"].median == 5.5
+    # winsorized: outlier clamped to the 9th order stat
+    assert out["a"].winsor_mean == (sum(va[:9]) + 9.0 + 1.0) / 10
+    # the distribution-free CI brackets the median, bounded by data
+    for g in ("a", "b"):
+        assert out[g].median_ci_lo <= out[g].median <= out[g].median_ci_hi
+    assert out["a"].median_ci_hi <= 1000.0 and out["a"].median_ci_lo >= 1.0
