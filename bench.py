@@ -164,6 +164,8 @@ def main():
             "mann_kendall_user_trend",
             "theil_sen_user_slope",
             "robust_location_by_type",
+            "turtle_serialization",
+            "jsonld_serialization",
         )
         if n in REGISTRY
     ]

@@ -599,3 +599,118 @@ def cooccurrence_pairs(
             ).alias("lift"),
         )
     )
+
+
+def _term(col_uri_flag: Column, obj: Column) -> Column:
+    """NT-style object term: ``<uri>`` or escaped ``"literal"``."""
+    return F.when(
+        col_uri_flag, F.concat(F.lit("<"), obj, F.lit(">"))
+    ).otherwise(
+        F.concat(F.lit('"'), F.regexp_replace(obj, '"', '\\\\"'), F.lit('"'))
+    )
+
+
+def _compact(uri: Column, prefixes: dict[str, str]) -> Column:
+    """Prefix-compress a URI against ``prefixes`` (longest namespace
+    wins); falls back to ``<uri>``."""
+    expr = F.concat(F.lit("<"), uri, F.lit(">"))
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        expr = F.when(
+            uri.startswith(ns),
+            F.concat(F.lit(pfx + ":"), F.substring(uri, len(ns) + 1, 10_000)),
+        ).otherwise(expr)
+    return expr
+
+
+def to_turtle(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
+    """S12 — Turtle serialization (``MlentoryTransform.py:145-155``,
+    ``format="turtle"``): one SUBJECT BLOCK per row with
+    ``;``-grouped predicates and prefix-compressed URIs — the
+    human-readable sibling of :func:`to_ntriples` (which stays the
+    bulk-load format: line-per-triple splits anywhere, a Turtle block
+    must stay whole, which is exactly why block = row here).
+
+    Deterministic: predicates order by (predicate-term, object-term)
+    inside the block; subjects order the output. The ``@prefix``
+    header is one literal line per entry of ``prefixes`` — the
+    writer prepends it (header content is config, not data). Pure
+    formatting: one group-keyed collect + array_sort + join; no
+    Python.
+    """
+    pe = F.concat(
+        _compact(F.col("predicate"), prefixes),
+        F.lit(" "),
+        F.when(
+            F.col("object_is_uri"),
+            _compact(F.col("object"), prefixes),
+        ).otherwise(_term(F.col("object_is_uri"), F.col("object"))),
+    )
+    return (
+        triples.select(
+            _compact(F.col("subject"), prefixes).alias("subject_term"), pe.alias("_pe")
+        )
+        .groupBy("subject_term")
+        .agg(F.array_sort(F.collect_list("_pe")).alias("_pes"))
+        .select(
+            "subject_term",
+            F.size("_pes").alias("n_predicates"),
+            F.concat(
+                F.col("subject_term"),
+                F.lit(" "),
+                F.array_join("_pes", " ;\n    "),
+                F.lit(" ."),
+            ).alias("turtle"),
+        )
+        .orderBy("subject_term")
+    )
+
+
+def to_jsonld(triples: DataFrame) -> DataFrame:
+    """S12 — expanded JSON-LD serialization
+    (``MlentoryTransform.py:145-155``, ``format="json-ld"``): one
+    node object per subject, ``{"@id": s, p: [{"@id"|"@value": o},
+    …], …}`` with predicates and objects deterministically sorted.
+
+    Built by STRING CONCATENATION, not a JSON library: dynamic keys
+    with heterogeneous value types (the ``@id`` string next to
+    predicate arrays) don't fit a single Spark map type, and a
+    symmetric string build is what lets the oracle reproduce the
+    document BYTE-FOR-BYTE in SQL. Literal values get minimal JSON
+    escaping (backslash, quote); the plan shape (two nested
+    group-keyed folds, map-side formatting, no Python) is the point.
+    """
+    # minimal JSON string escaping for literals (backslash first, then
+    # quote) — URIs are quote-free by construction upstream
+    esc = F.replace(
+        F.replace(F.col("object"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    obj_json = F.when(
+        F.col("object_is_uri"),
+        F.concat(F.lit('{"@id":"'), F.col("object"), F.lit('"}')),
+    ).otherwise(F.concat(F.lit('{"@value":"'), esc, F.lit('"}')))
+    per_pred = (
+        triples.select("subject", "predicate", obj_json.alias("_oj"))
+        .groupBy("subject", "predicate")
+        .agg(F.array_sort(F.collect_list("_oj")).alias("_objs"))
+        .select(
+            "subject",
+            F.concat(
+                F.lit('"'), F.col("predicate"), F.lit('":['),
+                F.array_join("_objs", ","), F.lit("]"),
+            ).alias("_entry"),
+        )
+    )
+    return (
+        per_pred.groupBy("subject")
+        .agg(F.array_sort(F.collect_list("_entry")).alias("_entries"))
+        .select(
+            "subject",
+            F.concat(
+                F.lit('{"@id":"'), F.col("subject"), F.lit('",'),
+                F.array_join("_entries", ","), F.lit("}"),
+            ).alias("jsonld"),
+        )
+        .orderBy("subject")
+    )

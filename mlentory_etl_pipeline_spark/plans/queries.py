@@ -12000,6 +12000,101 @@ def robust_location_by_type(spark, sf_dir):
     return robust_location(e, ["event_type"], "value", "event_id")
 
 
+def _supplier_triples(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    name = s.select(
+        F.concat(F.lit("urn:supplier:"), F.col("s_suppkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("urn:p:name").alias("predicate"),
+        F.col("s_name").alias("object"),
+        F.lit(False).alias("object_is_uri"),
+    )
+    nation = s.select(
+        F.concat(F.lit("urn:supplier:"), F.col("s_suppkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("urn:p:nation").alias("predicate"),
+        F.concat(F.lit("urn:nation:"), F.col("s_nationkey").cast("string")).alias(
+            "object"
+        ),
+        F.lit(True).alias("object_is_uri"),
+    )
+    return name.unionByName(nation)
+
+
+@register(
+    "turtle_serialization",
+    "S12 Turtle sink — the reference's second graph format "
+    "(MlentoryTransform.py:145-155, format='turtle'): one SUBJECT "
+    "BLOCK per row with ';'-grouped predicates and prefix-compressed "
+    "URIs (block = row because a Turtle block must stay whole where "
+    "N-Triples lines split anywhere); deterministic predicate order "
+    "inside the block, pure formatting (group-keyed collect + "
+    "array_sort + join, no Python)",
+    oracle="""
+    WITH tri AS (
+      SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS st,
+             'p:name "' || s_name || '"' AS pe
+      FROM supplier
+      UNION ALL
+      SELECT 'sup:' || CAST(s_suppkey AS VARCHAR),
+             'p:nation nat:' || CAST(s_nationkey AS VARCHAR)
+      FROM supplier
+    )
+    SELECT st AS subject_term, COUNT(*) AS n_predicates,
+           st || ' ' || STRING_AGG(pe, ' ;
+    ' ORDER BY pe) || ' .' AS turtle
+    FROM tri GROUP BY st ORDER BY subject_term
+    """,
+    survey_ops=("S12",),
+)
+def turtle_serialization(spark, sf_dir):
+    triples = _supplier_triples(spark, sf_dir)
+    return graph.to_turtle(
+        triples,
+        {"sup": "urn:supplier:", "p": "urn:p:", "nat": "urn:nation:"},
+    )
+
+
+@register(
+    "jsonld_serialization",
+    "S12 JSON-LD sink — the reference's third graph format "
+    "(MlentoryTransform.py:145-155, format='json-ld'): one expanded "
+    "node object per subject ({'@id', predicate arrays of "
+    "{'@id'|'@value'} objects}), built by symmetric STRING "
+    "CONCATENATION with deterministically sorted keys so the oracle "
+    "reproduces the document byte-for-byte; two nested group-keyed "
+    "folds, map-side formatting, no Python",
+    oracle="""
+    WITH tri AS (
+      SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS s,
+             'urn:p:name' AS p,
+             '{"@value":"' || REPLACE(REPLACE(s_name, '\', '\\'),
+                 '"', '\"') || '"}' AS oj
+      FROM supplier
+      UNION ALL
+      SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+             'urn:p:nation',
+             '{"@id":"urn:nation:' || CAST(s_nationkey AS VARCHAR) || '"}'
+      FROM supplier
+    ),
+    pp AS (
+      SELECT s, '"' || p || '":[' || STRING_AGG(oj, ',' ORDER BY oj)
+                 || ']' AS entry
+      FROM tri GROUP BY s, p
+    )
+    SELECT s AS subject,
+           '{"@id":"' || s || '",' || STRING_AGG(entry, ',' ORDER BY entry)
+             || '}' AS jsonld
+    FROM pp GROUP BY s ORDER BY subject
+    """,
+    survey_ops=("S12",),
+)
+def jsonld_serialization(spark, sf_dir):
+    return graph.to_jsonld(_supplier_triples(spark, sf_dir))
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

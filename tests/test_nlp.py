@@ -281,3 +281,38 @@ def test_sectionize_udtf_parity_with_pandas_udf(spark):
     )
     assert sorted(map(tuple, lat)) == sorted(map(tuple, arr))
     assert ("1", "Top > Sub > Deep") in {(str(r.doc_id), r.title) for r in lat}
+
+
+def test_turtle_and_jsonld_serializers_escape_and_group(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    triples = spark.createDataFrame(
+        [
+            ("urn:x:1", "urn:p:name", 'quo"ted', False),
+            ("urn:x:1", "urn:p:link", "urn:x:2", True),
+            ("urn:x:1", "urn:p:link", "urn:y:3", True),
+            ("urn:x:2", "urn:p:name", "plain", False),
+        ],
+        "subject string, predicate string, object string, object_is_uri boolean",
+    )
+    ttl = {r.subject_term: r for r in graph.to_turtle(
+        triples, {"x": "urn:x:", "p": "urn:p:"}
+    ).collect()}
+    b1 = ttl["x:1"]
+    assert b1.n_predicates == 3
+    # grouped block, ';' separators, escaped quote, unprefixed URI kept
+    # entries sort as strings: '<urn:y:3>' ('<' = 0x3C) before 'x:2'
+    assert b1.turtle == (
+        'x:1 p:link <urn:y:3> ;\n    p:link x:2 ;\n    p:name "quo\\"ted" .'
+    )
+    assert ttl["x:2"].turtle == 'x:2 p:name "plain" .'
+
+    jd = {r.subject: r.jsonld for r in graph.to_jsonld(triples).collect()}
+    assert jd["urn:x:2"] == (
+        '{"@id":"urn:x:2","urn:p:name":[{"@value":"plain"}]}'
+    )
+    assert jd["urn:x:1"] == (
+        '{"@id":"urn:x:1",'
+        '"urn:p:link":[{"@id":"urn:x:2"},{"@id":"urn:y:3"}],'
+        '"urn:p:name":[{"@value":"quo\\"ted"}]}'
+    )
