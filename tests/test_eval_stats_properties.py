@@ -295,3 +295,51 @@ def test_quantile_normalize_matches_rank_model(spark, pairs):
     }
     model = _qn_model([(i, src, sc) for i, src, sc in rows])
     assert got == {i: float(v) for i, v in model.items()}
+
+
+# ---------------------------------------------------------------------
+# robust_location vs a naive order-statistics model
+# ---------------------------------------------------------------------
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(st.integers(-300, 300), min_size=1, max_size=40),
+    trim_pct=st.sampled_from([0.0, 0.1, 0.25]),
+)
+def test_robust_location_matches_order_stat_model(spark, cents, trim_pct):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mlentory_etl_pipeline_spark.operators.stats import robust_location
+
+    rows = [("g", i, c / 100.0) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(rows, "g string, event_id long, v double")
+    got = robust_location(df, ["g"], "v", "event_id", trim=trim_pct).collect()[0]
+
+    # model on quantized cents (floor of the IEEE product, like the op)
+    import math
+
+    q = sorted(math.floor((c / 100.0) * 100) for c in cents)
+    n = len(q)
+    k = math.floor(trim_pct * n)
+    kept = q[k:n - k]
+    trimmed = sum(kept) / len(kept) / 100.0
+    winsor = (sum(kept) + k * q[k] + k * q[n - k - 1]) / n / 100.0
+    med = (q[(n + 1) // 2 - 1] + q[(n + 2) // 2 - 1]) / 2.0 / 100.0
+    zr = 1.96 * math.sqrt(n)
+    clo = max(math.floor((n - zr) / 2.0), 1)
+    chi = min(math.ceil(1.0 + (n + zr) / 2.0), n)
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    assert got.n_points == n
+    assert abs(got.trimmed_mean - r6(trimmed)) < 2e-6
+    assert abs(got.winsor_mean - r6(winsor)) < 2e-6
+    assert abs(got.median - r6(med)) < 2e-6
+    assert got.median_ci_lo == q[int(clo) - 1] / 100.0
+    assert got.median_ci_hi == q[int(chi) - 1] / 100.0
