@@ -185,7 +185,13 @@ def main():
     # Timed once (cold ≈ warm for a drain: the cost IS the micro-batch
     # machinery, not JIT), kept out of headline_total.
     streaming: dict[str, float] = {}
-    for name in ("streaming_stateful_sessions", "streaming_dedup_watermark"):
+    for name in (
+        "streaming_stateful_sessions",
+        "streaming_dedup_watermark",
+        "streaming_stateful_running_agg",
+        "agg_state_stream_rollup",
+        "streaming_attribution_join",
+    ):
         if name in REGISTRY:
             t0 = time.perf_counter()
             REGISTRY[name].spark_fn(spark, sf_dir).count()

@@ -3488,16 +3488,24 @@ def streaming_stateful_running_agg(spark, sf_dir):
         .parquet(src)
     )
     sink = f"stateful_out_{abs(hash(sf_dir)) % 10_000_000}"
-    q = (
-        running_entity_stats(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # state partitions sized to the drain (8) — the same per-checkpoint
+    # deployment knob the sessions drain documents; 32 partitions × a
+    # Python stateful worker each is pure overhead at ~190 keys/part
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_entity_stats(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # final state per key = last update emitted (max n_events wins)
     out = spark.table(sink)
     return graph.argmax_per_group(out, ["user_id"], ["n_events", "last_ts"]).select(
