@@ -166,6 +166,7 @@ def main():
             "robust_location_by_type",
             "turtle_serialization",
             "jsonld_serialization",
+            "multimodal_arrow_digest",
         )
         if n in REGISTRY
     ]

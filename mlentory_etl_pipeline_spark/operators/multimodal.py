@@ -282,3 +282,41 @@ def synthetic_media(spark, n: int = 64):
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def digest_binary_arrow(df, id_col: str, bin_col: str):
+    """Binary-payload digest via ``mapInArrow`` — the LOWEST-overhead
+    Python path Spark offers: the function receives raw
+    ``pyarrow.RecordBatch``es (no pandas conversion, no per-row
+    objects), reads each payload as a zero-copy buffer, and returns
+    Arrow batches. This is the right surface for byte-level work over
+    huge binary columns (digests, magic-byte sniffing, container
+    demuxing) where even the pandas_udf detour would materialize
+    Python bytes objects per cell twice.
+
+    Emits ``(id, n_bytes, md5_hex)``. The digest of a payload equals
+    the digest of the bytes it was built from, which is what lets the
+    registry query carry a HARD oracle (utf-8 payloads → SQL ``md5``
+    over the source text).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    out_schema = f"{id_col} long, n_bytes long, md5_hex string"
+
+    def run(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            bins = batch.column(1)
+            sizes, digests = [], []
+            for i in range(batch.num_rows):
+                buf = bins[i].as_buffer()
+                sizes.append(len(buf))
+                digests.append(hashlib.md5(buf).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sizes, pa.int64()), pa.array(digests, pa.string())],
+                names=[id_col, "n_bytes", "md5_hex"],
+            )
+
+    return df.select(id_col, bin_col).mapInArrow(run, out_schema)

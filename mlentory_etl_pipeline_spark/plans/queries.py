@@ -12103,6 +12103,33 @@ def jsonld_serialization(spark, sf_dir):
     return graph.to_jsonld(_supplier_triples(spark, sf_dir))
 
 
+@register(
+    "multimodal_arrow_digest",
+    "binary-payload digest via mapInArrow — the lowest-overhead "
+    "Python path (raw pyarrow RecordBatches, zero-copy buffers, no "
+    "pandas conversion, no per-row objects): the byte-level surface "
+    "for digests/magic-byte sniffing over huge binary columns; "
+    "payloads here are utf-8 encodings of document text, so "
+    "md5(binary) == SQL md5(text) and the Arrow path carries a HARD "
+    "oracle",
+    oracle="""
+    SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           MD5(text) AS md5_hex
+    FROM documents ORDER BY doc_id
+    """,
+    survey_ops=("multimodal", "N4-plumbing"),
+)
+def multimodal_arrow_digest(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.multimodal import (
+        digest_binary_arrow,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return digest_binary_arrow(d, "doc_id", "payload").orderBy("doc_id")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
