@@ -289,7 +289,7 @@ def zipf_slope(df, id_col: str, text_col: str, top_n: int = 200):
 
     Returns one row ``(n_terms, zipf_slope)``.
     """
-    from pyspark.sql import DataFrame, Window  # noqa: F401
+    from pyspark.sql import Window
 
     toks = df.select(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w")
