@@ -167,6 +167,7 @@ def main():
             "turtle_serialization",
             "jsonld_serialization",
             "multimodal_arrow_digest",
+            "dedup_minhash_recall_audit",
         )
         if n in REGISTRY
     ]

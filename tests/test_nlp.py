@@ -316,3 +316,24 @@ def test_turtle_and_jsonld_serializers_escape_and_group(spark):
         '"urn:p:link":[{"@id":"urn:x:2"},{"@id":"urn:y:3"}],'
         '"urn:p:name":[{"@value":"quo\\"ted"}]}'
     )
+
+
+def test_minhash_recall_audit_planted_dups(spark):
+    # 20 base docs + exact clones of the first 10: every planted pair
+    # has Jaccard 1.0, so ANY banding must find all of them (identical
+    # signatures collide in every band) -> recall 1.0; distinct filler
+    # docs share no shingles, so they can only appear as (rare) false
+    # candidates, never as truth
+    base = [
+        " ".join(f"w{i}_{j}" for j in range(30)) for i in range(20)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(10)]  # exact clones
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_recall_audit(
+        df, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.5
+    ).collect()[0]
+    assert out.true_pairs == 10 and out.found_pairs == 10
+    assert out.recall == 1.0
+    assert out.candidate_pairs >= 10
+    assert out.candidate_precision <= 1.0
