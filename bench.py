@@ -168,6 +168,7 @@ def main():
             "jsonld_serialization",
             "multimodal_arrow_digest",
             "dedup_minhash_recall_audit",
+            "hll_error_audit",
         )
         if n in REGISTRY
     ]
