@@ -169,6 +169,7 @@ def main():
             "multimodal_arrow_digest",
             "dedup_minhash_recall_audit",
             "hll_error_audit",
+            "cms_error_audit",
         )
         if n in REGISTRY
     ]

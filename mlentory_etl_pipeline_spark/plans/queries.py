@@ -12283,6 +12283,67 @@ def hll_error_audit(spark, sf_dir):
     )
 
 
+@register(
+    "cms_error_audit",
+    "sketch-accuracy audit #2: count-min estimates vs exact token "
+    "counts over EVERY distinct token — CMS never underestimates, so "
+    "the audit is the overestimate distribution (exact-hit fraction, "
+    "max and mean absolute overestimate) against the (depth=4, "
+    "width=2048) config; the number that sizes the sketch before it "
+    "replaces exact counts; errors are exact integers, one division "
+    "at the end — hard-oracled like the sketch itself",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    cells AS (
+      SELECT i AS h, CAST(CONCAT('0x', SUBSTR(MD5(token || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS b
+      FROM toks, UNNEST(RANGE(0, 4)) AS t(i)
+    ),
+    sk AS MATERIALIZED (SELECT h, b, COUNT(*) AS cnt FROM cells GROUP BY h, b),
+    probes AS MATERIALIZED (SELECT DISTINCT token FROM toks),
+    pc AS (
+      SELECT token, i AS h, CAST(CONCAT('0x', SUBSTR(MD5(token || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS b
+      FROM probes, UNNEST(RANGE(0, 4)) AS t(i)
+    ),
+    est AS (
+      SELECT token, MIN(COALESCE(sk.cnt, 0)) AS est_count
+      FROM pc LEFT JOIN sk USING (h, b) GROUP BY token
+    ),
+    ex AS (SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token)
+    SELECT COUNT(*) AS n_tokens,
+           SUM(CASE WHEN est_count = exact_count THEN 1 ELSE 0 END) AS n_exact,
+           MAX(est_count - exact_count) AS max_overestimate,
+           ROUND(CAST(SUM(est_count - exact_count) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_overestimate
+    FROM est JOIN ex USING (token)
+    """,
+    survey_ops=("approx-aggregates", "monitoring-stats"),
+)
+def cms_error_audit(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    sk = sketches.cms_build(toks, "token")
+    est = sketches.cms_estimate(sk, toks.distinct(), "token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    j = est.join(exact, "token")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("est_count") == F.col("exact_count"), 1).otherwise(0)
+        ).alias("n_exact"),
+        F.max(F.col("est_count") - F.col("exact_count")).alias("max_overestimate"),
+        F.round(
+            F.sum(F.col("est_count") - F.col("exact_count")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_overestimate"),
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
