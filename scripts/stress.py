@@ -493,6 +493,21 @@ def case_mann_kendall(spark, sf_dir: str, k: int) -> DataFrame:
 
 
 
+def case_theil_sen(spark, sf_dir: str, k: int) -> DataFrame:
+    # disjoint key copies, constant per-group depth (the honest axis
+    # for a per-group pair join — see case_mann_kendall)
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    e = _replicated(e, k).select(
+        (F.col("user_id") * k + F.col("_rep")).alias("user_id"),
+        "ts", "value",
+        (F.col("event_id") * k + F.col("_rep")).alias("event_id"),
+    )
+    return stats.theil_sen(e, ["user_id"], "ts", "value", "event_id")
+
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -513,6 +528,7 @@ CASES = {
     "holt": case_holt,
     "cogroup_reconcile": case_cogroup_reconcile,
     "mann_kendall": case_mann_kendall,
+    "theil_sen": case_theil_sen,
 }
 
 
