@@ -343,3 +343,53 @@ def test_robust_location_matches_order_stat_model(spark, cents, trim_pct):
     assert abs(got.median - r6(med)) < 2e-6
     assert got.median_ci_lo == q[int(clo) - 1] / 100.0
     assert got.median_ci_hi == q[int(chi) - 1] / 100.0
+
+
+# ---------------------------------------------------------------------
+# theil_sen vs a naive pairwise-median model
+# ---------------------------------------------------------------------
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(st.integers(-200, 200), min_size=1, max_size=25),
+)
+def test_theil_sen_matches_pairwise_median_model(spark, cents):
+    import math
+    from datetime import datetime, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mlentory_etl_pipeline_spark.operators.stats import theil_sen
+
+    d0 = datetime(2024, 1, 1)
+    # hour-spaced points with heavy value ties (the hard case for the
+    # slope-array order statistics)
+    rows = [("g", d0 + timedelta(hours=i), i, c / 100.0)
+            for i, c in enumerate(cents)]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, event_id long, v double"
+    )
+    got = theil_sen(df, ["g"], "ts", "v", "event_id").collect()[0]
+
+    q = [math.floor((c / 100.0) * 100) for c in cents]
+    t_us = [i * 3_600_000_000 for i in range(len(q))]
+    slopes = sorted(
+        (q[j] - q[i]) / (t_us[j] - t_us[i])
+        for i in range(len(q))
+        for j in range(i + 1, len(q))
+    )
+    assert got.n_points == len(q)
+    assert got.n_pairs == len(slopes)
+    if not slopes:
+        assert got.slope_per_day is None
+        return
+    m = len(slopes)
+    med = (slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]) / 2.0 \
+        if m % 2 == 0 else slopes[(m + 1) // 2 - 1]
+    want = med * 86400.0 * 1_000_000.0 / 100.0
+    rounded = float(Decimal(repr(want)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    assert abs(got.slope_per_day - rounded) < 2e-6
