@@ -1261,7 +1261,11 @@ def mann_kendall(
         .cast("double")
     )
     z = F.when(var_s > 0, s_adj / F.sqrt(var_s)).otherwise(F.lit(None))
-    out = ties.join(s, group_cols)
+    # LEFT join + coalesce: a single-point group has NO i<j pairs —
+    # it must still report (n=1, S=0, var 0, z NULL), not vanish
+    out = ties.join(s, group_cols, "left").withColumn(
+        "s_stat", F.coalesce(F.col("s_stat"), F.lit(0))
+    )
     return out.select(
         *group_cols,
         "n_points",

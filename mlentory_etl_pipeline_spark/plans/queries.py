@@ -11879,13 +11879,15 @@ def aqp_stratified_revenue(spark, sf_dir):
       GROUP BY user_id
     ),
     f AS (
-      SELECT t.user_id, n_points, s_stat,
+      -- LEFT JOIN + COALESCE: a single-point user has no i<j pairs
+      -- but must still report (n=1, S=0, var 0, z NULL)
+      SELECT t.user_id, n_points, COALESCE(s_stat, 0) AS s_stat,
              CAST(n_points * (n_points - 1) * (2 * n_points + 5)
                   - tie_corr AS DOUBLE) / 18.0 AS var_s,
-             CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
-                       WHEN s_stat < 0 THEN s_stat + 1
+             CAST(CASE WHEN COALESCE(s_stat, 0) > 0 THEN s_stat - 1
+                       WHEN COALESCE(s_stat, 0) < 0 THEN s_stat + 1
                        ELSE 0 END AS DOUBLE) AS s_adj
-      FROM t JOIN s USING (user_id)
+      FROM t LEFT JOIN s USING (user_id)
     )
     SELECT user_id, n_points, s_stat, ROUND(var_s, 4) AS var_s,
            ROUND(CASE WHEN var_s > 0 THEN s_adj / SQRT(var_s) END, 4) AS z,

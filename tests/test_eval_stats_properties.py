@@ -393,3 +393,54 @@ def test_theil_sen_matches_pairwise_median_model(spark, cents):
     rounded = float(Decimal(repr(want)).quantize(
         Decimal("0.000001"), rounding=ROUND_HALF_UP))
     assert abs(got.slope_per_day - rounded) < 2e-6
+
+
+# ---------------------------------------------------------------------
+# mann_kendall vs the brute-force pairwise definition
+# ---------------------------------------------------------------------
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(st.integers(-8, 8), min_size=1, max_size=22),
+)
+def test_mann_kendall_matches_bruteforce_model(spark, cents):
+    import math
+    from collections import Counter
+    from datetime import datetime, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mlentory_etl_pipeline_spark.operators.stats import mann_kendall
+
+    d0 = datetime(2024, 1, 1)
+    rows = [("g", d0 + timedelta(hours=i), i, c / 100.0)
+            for i, c in enumerate(cents)]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, event_id long, v double"
+    )
+    got = mann_kendall(df, ["g"], "ts", "v", "event_id").collect()[0]
+
+    q = [math.floor((c / 100.0) * 100) for c in cents]
+    n = len(q)
+    s = sum(
+        (q[j] > q[i]) - (q[j] < q[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    ties = Counter(q).values()
+    var = (n * (n - 1) * (2 * n + 5)
+           - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 18.0
+    assert got.n_points == n and got.s_stat == s
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    assert abs(got.var_s - r4(var)) < 2e-4
+    if var > 0:
+        s_adj = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+        assert abs(got.z - r4(s_adj / math.sqrt(var))) < 2e-4
+    else:
+        assert got.z is None
