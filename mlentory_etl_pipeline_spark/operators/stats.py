@@ -1134,6 +1134,11 @@ def aqp_stratified_sum(
     stratum plus a TOTAL row (stratum NULL, the grouping-sets
     convention) with the combined CI. Sampling stays a pure function
     of md5(key) — deterministic, engine-portable, oracle-able.
+
+    Contract: a stratum whose sample came back EMPTY contributes 0 to
+    the total (the unbiased HT treatment) and emits no per-stratum
+    row — size rare strata's rates (census = 10000 bps) so that
+    cannot happen where it matters.
     """
     p_den = 10_000
     alloc = dict(allocation)
