@@ -188,6 +188,59 @@ def bootstrap_ci(
     )
 
 
+def distributed_cum_before(
+    g: DataFrame, order_col: str, weight_cols: list[str]
+) -> DataFrame:
+    """EXCLUSIVE prefix sums of ``weight_cols`` over ``g`` ordered by
+    ``order_col``, with no single-partition WindowExec — the shared
+    rank primitive behind exact_auc / mann_whitney_u / ks_two_sample
+    and the V8 entity-chunking shape (versioned_store.assign_chunks):
+
+    1. ``repartitionByRange`` on ``order_col`` (range order == sort
+       order, so partition id IS the global bucket index),
+    2. local running sum per range partition (bounded by the bucket),
+    3. per-range totals folded to global offsets via a tiny triangular
+       self-join, broadcast back.
+
+    Adds one ``_cb_<w>`` column per weight column; all other columns
+    of ``g`` pass through. ``localCheckpoint(eager=False)`` pins the
+    partition ids so the three consumers of ``ranged`` agree (the
+    documented cluster substitute is a checkpoint dir — SCALE.md).
+    """
+    n_ranges = int(
+        g.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = (
+        g.repartitionByRange(n_ranges, order_col)
+        .withColumn("_rng", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy("_rng")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = ranged.groupBy("_rng").agg(
+        *[F.sum(w).alias(f"_tot_{w}") for w in weight_cols]
+    )
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._rng") < F.col("a._rng"), "left")
+        .groupBy(F.col("a._rng").alias("_rng"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._tot_{w}"), F.lit(0)).alias(f"_off_{w}")
+                for w in weight_cols
+            ]
+        )
+    )
+    out = ranged.join(F.broadcast(offsets), "_rng")
+    for w in weight_cols:
+        local_prec = F.coalesce(F.sum(w).over(w_local), F.lit(0))
+        out = out.withColumn(f"_cb_{w}", F.col(f"_off_{w}") + local_prec)
+    return out.drop("_rng", *[f"_off_{w}" for w in weight_cols])
+
+
 def exact_auc(
     df: DataFrame,
     label: Column,
@@ -233,35 +286,8 @@ def exact_auc(
     g = q.groupBy("_s").agg(
         F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p")
     )
-    # cum-below via the DISTRIBUTED prefix sum (the V8 entity-chunking
-    # shape — versioned_store.assign_chunks): range-partition the
-    # distinct scores (range order == score order), local running sum
-    # per range, per-range totals to offsets via a tiny triangular
-    # join — no single-partition WindowExec even when the quantized
-    # score table is itself large
-    n_ranges = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    ranged = (
-        g.repartitionByRange(n_ranges, "_s")
-        .withColumn("_rng", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    w_local = (
-        Window.partitionBy("_rng")
-        .orderBy("_s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local_prec = F.coalesce(F.sum("_c").over(w_local), F.lit(0))
-    totals = ranged.groupBy("_rng").agg(F.sum("_c").alias("_tot"))
-    offsets = (
-        totals.alias("a")
-        .join(totals.alias("b"), F.col("b._rng") < F.col("a._rng"), "left")
-        .groupBy(F.col("a._rng").alias("_rng"))
-        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
-    )
-    ranked = ranged.join(F.broadcast(offsets), "_rng").select(
-        "_c", "_p", (F.col("_off") + local_prec).alias("_cb")
+    ranked = distributed_cum_before(g, "_s", ["_c"]).select(
+        "_c", "_p", F.col("_cb__c").alias("_cb")
     )
     agg = ranked.agg(
         # the rank-sum reaches ~2N^2 at data scale: accumulate DECIMAL
@@ -282,6 +308,164 @@ def exact_auc(
         F.round(
             F.try_divide(num.cast("double"), (2 * pos * neg).cast("double")), 6
         ).alias("auc"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    a,
+    b,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between groups ``a`` and ``b`` of
+    ``group`` — the nonparametric sibling of ``welch_t_test`` for the
+    same A/B decision when values are skewed/heavy-tailed (latency,
+    spend, document quality scores) and a mean test misleads. The
+    reference reports raw aggregates only (``LoadProcessor.py:531-545``);
+    a curation pipeline comparing two variants needs a distribution-
+    free verdict.
+
+    Exactness contract (the exact_auc scheme): values quantize to
+    ``floor(value·scale)`` longs first; the tie-corrected rank-sum
+    closes in pure integer arithmetic — per distinct quantized value
+    with ``c`` rows (``c1`` in group a) and ``cb`` rows strictly
+    below, twice group a's rank-sum is ``Σ c1·(2·cb + c + 1)``
+    (DECIMAL(38,0)); ``2·U_a = 2·R_a − n_a(n_a+1)``. The normal
+    approximation with the standard tie correction
+
+        z = (2·U_a − n_a·n_b) / (2·σ),
+        σ² = n_a·n_b/12 · (n+1 − T/(n(n−1))),  T = Σ(c³−c)
+
+    closes in double on identical exact operands (one SQRT, no libm
+    beyond it — the welch_t_test posture).
+
+    Scale posture: one groupBy on the quantized value (shuffle bounded
+    by |distinct values|, not |df|), then ``distributed_cum_before``
+    — no single-partition window. Degenerate contract: z is NULL
+    (try_divide) when either group is empty or all values tie.
+    """
+    q = df.where(group.isin(a, b)).select(
+        F.floor(value * scale).cast("long").alias("_s"),
+        F.when(group == a, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = q.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_c1")
+    )
+    ranked = distributed_cum_before(g, "_s", ["_c"]).select(
+        "_c", "_c1", F.col("_cb__c").alias("_cb")
+    )
+    agg = ranked.agg(
+        F.sum(
+            (F.col("_c1") * (2 * F.col("_cb") + F.col("_c") + 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_rs2"),
+        F.sum("_c1").alias("n_a"),
+        F.sum(F.col("_c") - F.col("_c1")).alias("n_b"),
+        F.sum(
+            (
+                F.col("_c").cast("decimal(38,0)") * F.col("_c") * F.col("_c")
+                - F.col("_c")
+            )
+        ).alias("_tie"),
+    )
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb = F.col("n_b").cast("decimal(38,0)")
+    n = F.col("n_a") + F.col("n_b")
+    two_u = (F.col("_rs2") - na * (na + 1)).cast("double")
+    var12 = na.cast("double") * nb.cast("double") / F.lit(12.0) * (
+        (n + 1).cast("double")
+        - F.col("_tie").cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(two_u / 2, 1).alias("u_a"),
+        F.round(
+            F.try_divide(
+                two_u - na.cast("double") * nb.cast("double"),
+                2 * F.sqrt(var12),
+            ),
+            4,
+        ).alias("z_value"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    a,
+    b,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between groups ``a`` and
+    ``b`` — the whole-distribution drift check (did this week's score /
+    value / quality distribution shift vs last week's?) that a mean or
+    rank test can miss. The canonical monitoring primitive over a
+    curation score column.
+
+    Exactness contract: values quantize to ``floor(value·scale)``
+    longs; per distinct value the two samples' INCLUSIVE cumulative
+    counts come from ``distributed_cum_before`` + the value's own
+    counts, and the sup-distance closes in integers first:
+    ``D = max |cum_a·n_b − cum_b·n_a| / (n_a·n_b)`` — one division to
+    double at the end. ``ks_stat = D·sqrt(n_a·n_b/(n_a+n_b))`` is the
+    scaled statistic (p ≈ 2·exp(−2·ks_stat²), left to the caller: no
+    cross-engine libm exp in oracled output; SQRT only, the
+    welch/mann-whitney posture).
+
+    Scale posture: groupBy on the quantized value bounds the shuffle
+    by |distinct values|; the totals row is a broadcast cross-join;
+    the sup is one max aggregation. NULL stats when a group is empty.
+    """
+    q = df.where(group.isin(a, b)).select(
+        F.floor(value * scale).cast("long").alias("_s"),
+        F.when(group == a, F.lit(1)).otherwise(F.lit(0)).alias("_ya"),
+        F.when(group == b, F.lit(1)).otherwise(F.lit(0)).alias("_yb"),
+    )
+    g = q.groupBy("_s").agg(
+        F.sum("_ya").alias("_ca"), F.sum("_yb").alias("_cb_ct")
+    )
+    ranked = distributed_cum_before(g, "_s", ["_ca", "_cb_ct"]).select(
+        (F.col("_cb__ca") + F.col("_ca")).alias("_cuma"),
+        (F.col("_cb__cb_ct") + F.col("_cb_ct")).alias("_cumb"),
+    )
+    totals = g.agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb_ct").alias("n_b")
+    )
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb = F.col("n_b").cast("decimal(38,0)")
+    dnum = ranked.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(
+                F.col("_cuma").cast("decimal(38,0)") * nb
+                - F.col("_cumb").cast("decimal(38,0)") * na
+            )
+        ).alias("_dnum"),
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+    )
+    d = F.try_divide(
+        F.col("_dnum").cast("double"),
+        (na * nb).cast("double"),
+    )
+    return dnum.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("ks_d"),
+        F.round(
+            d
+            * F.sqrt(
+                F.try_divide(
+                    (na * nb).cast("double"), (na + nb).cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
     )
 
 

@@ -12347,6 +12347,108 @@ def cms_error_audit(spark, sf_dir):
 
 
 # =====================================================================
+# Nonparametric two-sample tests (session 2: rank machinery reuse)
+# =====================================================================
+
+@register(
+    "ab_mann_whitney_values",
+    "Mann-Whitney U rank-sum test between view and click event values "
+    "— the distribution-free A/B sibling of ab_welch_value_test for "
+    "skewed values: quantized-long tie groups, integer rank-sum via "
+    "the distributed prefix-sum (no single-partition window), "
+    "tie-corrected z closing in double on identical exact operands",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS s,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    g AS (SELECT s, COUNT(*) AS c, SUM(y) AS c1 FROM q GROUP BY s),
+    r AS (
+      SELECT c, c1,
+             COALESCE(SUM(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(c1 AS HUGEINT) * (2*cb + c + 1)) AS HUGEINT) AS rs2,
+             CAST(SUM(c1) AS BIGINT) AS n_a,
+             CAST(SUM(c - c1) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(c AS HUGEINT)*c*c - c) AS HUGEINT) AS tie
+      FROM r
+    )
+    SELECT n_a, n_b,
+      ROUND(CAST(rs2 - CAST(n_a AS HUGEINT)*(n_a+1) AS DOUBLE) / 2, 1) AS u_a,
+      ROUND((CAST(rs2 - CAST(n_a AS HUGEINT)*(n_a+1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+            / (2 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(tie AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * CAST(n_a + n_b - 1 AS DOUBLE))))), 4) AS z_value
+    FROM t
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def ab_mann_whitney_values(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import mann_whitney_u
+
+    e = t(spark, sf_dir, "events")
+    return mann_whitney_u(e, F.col("event_type"), F.col("value"), "view", "click")
+
+
+@register(
+    "ks_value_drift_halves",
+    "Two-sample Kolmogorov-Smirnov distance between early and late "
+    "purchase-value distributions (split at the SCD2 T_SPLIT) — the "
+    "whole-distribution drift monitor a mean test misses; sup-distance "
+    "closes in integers (|cum_a*n_b - cum_b*n_a|) with one division "
+    "to double, inclusive ECDFs via the distributed prefix-sum",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS s,
+             CASE WHEN ts < TIMESTAMP '{T_SPLIT}' THEN 1 ELSE 0 END AS ya,
+             CASE WHEN ts < TIMESTAMP '{T_SPLIT}' THEN 0 ELSE 1 END AS yb
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (SELECT s, SUM(ya) AS ca, SUM(yb) AS cbn FROM q GROUP BY s),
+    r AS (
+      SELECT SUM(ca) OVER (ORDER BY s) AS cuma,
+             SUM(cbn) OVER (ORDER BY s) AS cumb
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cbn) AS BIGINT) AS n_b
+      FROM g
+    ),
+    m AS (
+      SELECT MAX(ABS(CAST(cuma AS HUGEINT) * tot.n_b
+                     - CAST(cumb AS HUGEINT) * tot.n_a)) AS dnum,
+             MIN(tot.n_a) AS n_a, MIN(tot.n_b) AS n_b
+      FROM r, tot
+    )
+    SELECT n_a, n_b,
+      ROUND(CAST(dnum AS DOUBLE)
+            / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS ks_d,
+      ROUND(CAST(dnum AS DOUBLE)
+            / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+            * SQRT(CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat
+    FROM m
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def ks_value_drift_halves(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import ks_two_sample
+
+    e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    half = F.when(
+        F.col("ts") < F.lit(T_SPLIT).cast("timestamp"), F.lit("early")
+    ).otherwise(F.lit("late"))
+    return ks_two_sample(e, half, F.col("value"), "early", "late")
+
+
+# =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
 # The external correctness harness verifies the FIRST 50 registry

@@ -444,3 +444,92 @@ def test_mann_kendall_matches_bruteforce_model(spark, cents):
         assert abs(got.z - r4(s_adj / math.sqrt(var))) < 2e-4
     else:
         assert got.z is None
+
+
+# --- Mann-Whitney U vs the O(n_a*n_b) pairwise definition -------------
+
+# few distinct values -> maximal ties, the hard case for rank tests
+mw_case = st.lists(
+    st.tuples(
+        st.booleans(), st.sampled_from([0.1, 0.25, 0.25001, 0.5, 0.9])
+    ),
+    min_size=2,
+    max_size=30,
+).filter(lambda xs: any(y for y, _ in xs) and any(not y for y, _ in xs))
+
+
+def _mw_model(pairs):
+    import math
+    from collections import Counter
+
+    a = [v for g, v in pairs if g]
+    b = [v for g, v in pairs if not g]
+    u = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    na, nb = len(a), len(b)
+    n = na + nb
+    tie = sum(c**3 - c for c in Counter(a + b).values())
+    var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = None if var == 0 else (2 * u - na * nb) / (2 * math.sqrt(var))
+    return na, nb, u, z
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mw_case)
+def test_mann_whitney_matches_pairwise_definition(spark, pairs):
+    from mlentory_etl_pipeline_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a" if g else "b", v) for g, v in pairs], "g string, v double"
+    )
+    row = mann_whitney_u(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    na, nb, u, z = _mw_model(pairs)
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.u_a - u) < 1e-9
+    if z is None:
+        assert row.z_value is None  # all-ties degenerate contract
+    else:
+        assert abs(row.z_value - round(z, 4)) < 2e-4
+
+
+# --- two-sample KS vs the brute-force sup over pooled values ----------
+
+
+def _ks_model(pairs):
+    import math
+
+    a = [v for g, v in pairs if g]
+    b = [v for g, v in pairs if not g]
+    na, nb = len(a), len(b)
+    d = max(
+        abs(
+            sum(1 for x in a if x <= v) / na
+            - sum(1 for x in b if x <= v) / nb
+        )
+        for v in set(a + b)
+    )
+    return na, nb, d, d * math.sqrt(na * nb / (na + nb))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mw_case)
+def test_ks_two_sample_matches_bruteforce_sup(spark, pairs):
+    from mlentory_etl_pipeline_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame(
+        [("a" if g else "b", v) for g, v in pairs], "g string, v double"
+    )
+    row = ks_two_sample(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    na, nb, d, stat = _ks_model(pairs)
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.ks_d - round(d, 6)) < 2e-6
+    assert abs(row.ks_stat - round(stat, 6)) < 2e-6
