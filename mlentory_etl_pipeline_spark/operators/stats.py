@@ -546,6 +546,149 @@ def cohen_kappa(
     )
 
 
+def gini_by_group(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Gini coefficient of ``value`` — the one-number
+    concentration audit (is corpus volume dominated by a few sources?
+    is spend concentrated in a few customers?). The reference reports
+    plain counts (``LoadProcessor.py:531-545``); a mixture builder
+    needs to SEE concentration before reweighting.
+
+    Exactness contract: values quantize to ``floor(value·scale)``
+    longs; with per-group ascending ranks ``i`` the closed form
+
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+
+    accumulates both sums in DECIMAL(38,0) (rank·value reaches n·max
+    at data scale) and divides once in double. Rank ties are benign:
+    permuting equal values leaves Σ i·x_i unchanged, so the
+    nondeterministic row_number among ties cannot change the result.
+    Intended for non-negative values (Gini is ill-defined below 0);
+    NULL gini (try_divide) when a group's total is 0.
+
+    Scale posture: ONE per-group sort window (partitioned — the group
+    is the parallelism unit; a single pathological group bounds one
+    task, the documents/customers groupings here are thousands of
+    rows each) + one aggregation.
+    """
+    q = df.select(
+        group.alias("_g"),
+        F.floor(value * scale).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    r = q.withColumn("_i", F.row_number().over(w))
+    agg = r.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            (F.col("_i").cast("decimal(38,0)") * F.col("_v"))
+        ).alias("_w"),
+    )
+    s_d = F.col("_s").cast("double")
+    w_d = F.col("_w").cast("double")
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("_g").alias("group"),
+        "n",
+        F.round(s_d / scale, 2).alias("total_value"),
+        F.round(
+            F.try_divide(
+                2 * w_d - (F.col("n") + 1).cast("double") * s_d, n_d * s_d
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+def jackknife_mean(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the overall mean
+    of ``value`` — "how sensitive is the corpus average to dropping
+    any one source?", the robustness error bar that complements the
+    Poisson bootstrap (rows resample independently there; here whole
+    correlated blocks leave together, the right model when sources
+    are the unit of contamination).
+
+    θ̂_(i) = (S − s_i)/(N − n_i) over exact quantized-long sums; each
+    deleted mean then quantizes to micro-longs (``floor(θ·10⁶+0.5)``,
+    the zipf_slope trick) so the across-group variance
+
+        SE² = (g−1)/g · Σ(θ̂_(i) − θ̄)²
+
+    closes in double on identical exact operands in both engines
+    (GREATEST(0,·) guards the ~1-ulp negative variance case before
+    the single SQRT). One row out: n_rows, n_groups, theta_hat,
+    jack_se.
+
+    Scale posture: one group aggregation (map-side combined), one
+    broadcast totals row, one final fold over g group rows — nothing
+    scales with |df| past the first scan.
+    """
+    q = df.select(
+        group.alias("_g"),
+        F.floor(value * scale).cast("long").alias("_v"),
+    )
+    a = q.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+    )
+    tot = a.agg(
+        F.sum("_n").alias("_nn"),
+        F.sum("_s").alias("_ss"),
+        F.count(F.lit(1)).alias("_gg"),
+    )
+    j = a.crossJoin(F.broadcast(tot)).select(
+        "_nn",
+        "_ss",
+        "_gg",
+        F.floor(
+            (F.col("_ss") - F.col("_s")).cast("double")
+            / (F.col("_nn") - F.col("_n")).cast("double")
+            / scale
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("_qi"),
+    )
+    z = j.agg(
+        F.min("_nn").alias("n_rows"),
+        F.min("_gg").alias("n_groups"),
+        F.min("_ss").alias("_ss2"),
+        F.sum(F.col("_qi").cast("decimal(38,0)")).alias("_sq"),
+        F.sum(
+            (F.col("_qi").cast("decimal(38,0)") * F.col("_qi"))
+        ).alias("_sqq"),
+    )
+    g_d = F.col("n_groups").cast("double")
+    sq_d = F.col("_sq").cast("double")
+    var_term = F.greatest(
+        F.lit(0.0),
+        F.col("_sqq").cast("double") - sq_d * sq_d / g_d,
+    )
+    return z.select(
+        "n_rows",
+        "n_groups",
+        F.round(
+            F.col("_ss2").cast("double")
+            / F.col("n_rows").cast("double")
+            / scale,
+            6,
+        ).alias("theta_hat"),
+        F.round(
+            F.sqrt((g_d - 1) / g_d * var_term) / 1_000_000, 6
+        ).alias("jack_se"),
+    )
+
+
 def groupwise_trend(
     df: DataFrame,
     group_cols: list[str],

@@ -12448,6 +12448,95 @@ def ks_value_drift_halves(spark, sf_dir):
     return ks_two_sample(e, half, F.col("value"), "early", "late")
 
 
+@register(
+    "gini_order_value_by_priority",
+    "Per-priority Gini concentration of order value (quantized-cent "
+    "closed form: 2*sum(i*x) - (n+1)*sum(x) over n*sum(x), DECIMAL "
+    "rank-weighted sums, one double division) — the concentration "
+    "audit a mixture builder reads before reweighting; one per-group "
+    "sort window + one aggregation",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    r AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS i
+      FROM q
+    ),
+    a AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(CAST(i AS HUGEINT) * v) AS HUGEINT) AS w
+      FROM r GROUP BY g
+    )
+    SELECT g AS "group", n,
+      ROUND(CAST(s AS DOUBLE) / 100, 2) AS total_value,
+      ROUND((2 * CAST(w AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+    FROM a
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def gini_order_value_by_priority(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import gini_by_group
+
+    o = t(spark, sf_dir, "orders")
+    return gini_by_group(
+        o, F.col("o_orderpriority"), F.col("o_totalprice"), scale=100
+    )
+
+
+@register(
+    "jackknife_source_mean_chars",
+    "Delete-one-SOURCE jackknife standard error of the corpus mean "
+    "document length — whole correlated blocks leave together (the "
+    "right sensitivity model when sources are the contamination "
+    "unit), deleted means quantized to micro-longs so the across-"
+    "group variance closes in double on identical exact operands",
+    oracle="""
+    WITH q AS (
+      SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    a AS (
+      SELECT g, COUNT(*) AS n, CAST(SUM(v) AS HUGEINT) AS s
+      FROM q GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS HUGEINT) AS ss,
+             COUNT(*) AS gg
+      FROM a
+    ),
+    j AS (
+      SELECT nn, ss, gg,
+             CAST(FLOOR(CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+                        / 1 * 1000000 + 0.5) AS BIGINT) AS qi
+      FROM a, t
+    ),
+    z AS (
+      SELECT MIN(nn) AS n_rows, MIN(gg) AS n_groups, MIN(ss) AS ss2,
+             CAST(SUM(qi) AS HUGEINT) AS sq,
+             CAST(SUM(CAST(qi AS HUGEINT) * qi) AS HUGEINT) AS sqq
+      FROM j
+    )
+    SELECT n_rows, n_groups,
+      ROUND(CAST(ss2 AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1, 6) AS theta_hat,
+      ROUND(SQRT(CAST(n_groups - 1 AS DOUBLE) / CAST(n_groups AS DOUBLE)
+            * GREATEST(0.0, CAST(sqq AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                 / CAST(n_groups AS DOUBLE))) / 1000000, 6) AS jack_se
+    FROM z
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def jackknife_source_mean_chars(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import jackknife_mean
+
+    d = t(spark, sf_dir, "documents")
+    return jackknife_mean(d, F.col("source"), F.col("n_chars"), scale=1)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

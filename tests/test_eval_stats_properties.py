@@ -533,3 +533,87 @@ def test_ks_two_sample_matches_bruteforce_sup(spark, pairs):
     assert (row.n_a, row.n_b) == (na, nb)
     assert abs(row.ks_d - round(d, 6)) < 2e-6
     assert abs(row.ks_stat - round(stat, 6)) < 2e-6
+
+
+# --- Gini vs the O(n^2) mean-absolute-difference definition -----------
+
+gini_case = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.sampled_from([0.0, 0.01, 1.0, 2.5, 2.5, 10.0]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gini_case)
+def test_gini_matches_mean_abs_difference_definition(spark, rows):
+    from mlentory_etl_pipeline_spark.operators.stats import gini_by_group
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.group: r
+        for r in gini_by_group(
+            df, F.col("g"), F.col("v"), scale=100
+        ).collect()
+    }
+    for g in {g for g, _ in rows}:
+        xs = [round(v * 100) for gg, v in rows if gg == g]  # cents
+        n, s = len(xs), sum(xs)
+        row = got[g]
+        assert row.n == n
+        if s == 0:
+            assert row.gini is None  # zero-total degenerate contract
+            continue
+        # independent definition: mean absolute difference / (2 mean)
+        mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+        assert abs(row.gini - mad / (2 * s / n)) < 2e-6
+
+
+# --- delete-one-group jackknife vs explicit deleted means -------------
+
+jk_case = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(0, 1000),
+    ),
+    min_size=2,
+    max_size=30,
+).filter(lambda xs: len({g for g, _ in xs}) >= 2)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(jk_case)
+def test_jackknife_matches_explicit_deleted_means(spark, rows):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import jackknife_mean
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    row = jackknife_mean(df, F.col("g"), F.col("v"), scale=1).collect()[0]
+    groups = sorted({g for g, _ in rows})
+    n_total = len(rows)
+    s_total = sum(v for _, v in rows)
+    thetas = []
+    for g in groups:
+        kept = [v for gg, v in rows if gg != g]
+        thetas.append(math.floor(sum(kept) / len(kept) * 1e6 + 0.5) / 1e6)
+    gg = len(groups)
+    tbar = sum(thetas) / gg
+    se = math.sqrt((gg - 1) / gg * sum((t - tbar) ** 2 for t in thetas))
+    assert row.n_rows == n_total
+    assert row.n_groups == gg
+    assert abs(row.theta_hat - s_total / n_total) < 2e-6
+    assert abs(row.jack_se - se) < 2e-5
