@@ -546,6 +546,102 @@ def cohen_kappa(
     )
 
 
+def acf_daily(
+    df: DataFrame,
+    group: Column,
+    ts: Column,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-group autocorrelation of DAILY event counts at lags
+    1..``max_lag`` — the seasonality fingerprint (a strong lag-7 says
+    weekly rhythm; a collapsing lag-1 says the feed decorrelated) that
+    complements rolling_zscore_anomalies. The calendar is DENSIFIED
+    per group (``sequence`` over [min_day, max_day], missing days
+    count 0) so zero-event days weigh in — the observed-days
+    trap flagged on the rolling z-score (ADVICE r5) does not apply.
+
+    Exactness contract: counts are integers, so every lag's sufficient
+    statistics are exact DECIMAL sums — P_k = Σ c_t·c_{t+k},
+    A_k = Σ_{t≤n−k} c_t, B_k = Σ_{t>k} c_t, plus n, S, SS — and
+
+        r_k = (P_k − m·(A_k + B_k) + (n−k)·m²) / (SS − n·m²),  m = S/n
+
+    closes in double on identical exact operands (zero-variance and
+    short-series groups yield NULL acf via try_divide/NULL sums).
+
+    Scale posture: one groupBy to daily counts (shuffle bounded by
+    |groups|×|days|, not |df|), a per-group dense-grid explode (years,
+    not rows), ONE per-group ordered window computing all ``max_lag``
+    leads in a single pass, one aggregation; the lag unpivot is over
+    |groups|×max_lag rows.
+    """
+    day = F.to_date(ts)
+    c = (
+        df.select(group.alias("_g"), day.alias("_d"))
+        .groupBy("_g", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bounds = c.groupBy("_g").agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    grid = bounds.select(
+        "_g",
+        F.explode(
+            F.expr("sequence(_d0, _d1, interval 1 day)")
+        ).alias("_d"),
+    )
+    dense = grid.join(c, ["_g", "_d"], "left").select(
+        "_g", "_d", F.coalesce(F.col("_c"), F.lit(0)).alias("_v")
+    )
+    w = Window.partitionBy("_g").orderBy("_d")
+    leads = dense.select(
+        "_g",
+        "_v",
+        *[F.lead("_v", k).over(w).alias(f"_v{k}") for k in range(1, max_lag + 1)],
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec(F.col("_v"))).alias("_s"),
+        F.sum(dec(F.col("_v")) * F.col("_v")).alias("_ss"),
+    ]
+    for k in range(1, max_lag + 1):
+        vk = F.col(f"_v{k}")
+        aggs += [
+            F.sum(
+                F.when(vk.isNotNull(), dec(F.col("_v")) * vk)
+            ).alias(f"_p{k}"),
+            F.sum(F.when(vk.isNotNull(), dec(F.col("_v")))).alias(f"_a{k}"),
+            F.sum(dec(vk)).alias(f"_b{k}"),
+        ]
+    a = leads.groupBy("_g").agg(*aggs)
+    m = F.col("_s").cast("double") / F.col("n_days").cast("double")
+    den = F.col("_ss").cast("double") - F.col("n_days").cast("double") * m * m
+    lag_rows = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"_p{k}").cast("double")
+            - m * (F.col(f"_a{k}") + F.col(f"_b{k}")).cast("double")
+            + (F.col("n_days") - k).cast("double") * m * m
+        )
+        lag_rows.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(F.try_divide(num, den), 6).alias("acf"),
+            )
+        )
+    return a.select(
+        F.col("_g").alias("group"),
+        "n_days",
+        F.explode(F.array(*lag_rows)).alias("_lr"),
+    ).select(
+        "group",
+        "n_days",
+        F.col("_lr.lag").alias("lag"),
+        F.col("_lr.acf").alias("acf"),
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     group: Column,

@@ -12537,6 +12537,74 @@ def jackknife_source_mean_chars(spark, sf_dir):
     return jackknife_mean(d, F.col("source"), F.col("n_chars"), scale=1)
 
 
+def _acf_oracle(max_lag: int) -> str:
+    lead_cols = ", ".join(
+        f"LEAD(v, {k}) OVER w AS v{k}" for k in range(1, max_lag + 1)
+    )
+    agg_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN v{k} IS NOT NULL THEN CAST(v AS HUGEINT) * v{k} END) AS HUGEINT) AS p{k},\n"
+        f"         CAST(SUM(CASE WHEN v{k} IS NOT NULL THEN v END) AS HUGEINT) AS a{k},\n"
+        f"         CAST(SUM(v{k}) AS HUGEINT) AS b{k}"
+        for k in range(1, max_lag + 1)
+    )
+    m = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    arms = "\n    UNION ALL\n    ".join(
+        f"""SELECT g AS "group", n AS n_days, {k} AS lag,
+      ROUND((CAST(p{k} AS DOUBLE)
+             - {m} * CAST(a{k} + b{k} AS DOUBLE)
+             + CAST(n - {k} AS DOUBLE) * ({m}) * ({m}))
+            / NULLIF(CAST(ss AS DOUBLE)
+                     - CAST(n AS DOUBLE) * ({m}) * ({m}), 0.0), 6) AS acf
+    FROM a"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM c GROUP BY g),
+    grid AS (
+      SELECT b.g,
+             CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    dense AS (
+      SELECT grid.g, grid.d, COALESCE(c.cnt, 0) AS v
+      FROM grid LEFT JOIN c ON c.g = grid.g AND c.d = grid.d
+    ),
+    l AS (
+      SELECT g, v, {lead_cols}
+      FROM dense WINDOW w AS (PARTITION BY g ORDER BY d)
+    ),
+    a AS (
+      SELECT g, COUNT(*) AS n, CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss,
+         {agg_cols}
+      FROM l GROUP BY g
+    )
+    {arms}
+    """
+
+
+@register(
+    "acf_daily_event_counts",
+    "Per-event-type autocorrelation of DAILY counts at lags 1..7 over "
+    "a densified calendar (zero-count days weigh in, so a dead feed "
+    "shows as decorrelation) — exact integer sufficient statistics "
+    "per lag, one ordered window computing all leads in a single "
+    "pass, acf closing in double on identical exact operands",
+    oracle=_acf_oracle(7),
+    survey_ops=("quality-scoring", "§2.9 window functions"),
+)
+def acf_daily_event_counts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import acf_daily
+
+    e = t(spark, sf_dir, "events")
+    return acf_daily(e, F.col("event_type"), F.col("ts"), max_lag=7)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -617,3 +617,61 @@ def test_jackknife_matches_explicit_deleted_means(spark, rows):
     assert row.n_groups == gg
     assert abs(row.theta_hat - s_total / n_total) < 2e-6
     assert abs(row.jack_se - se) < 2e-5
+
+
+# --- daily ACF vs the textbook definition on a dense series -----------
+
+acf_case = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),
+        st.integers(0, 9),   # day offset (gaps force densification)
+        st.integers(1, 3),   # events that day
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(acf_case)
+def test_acf_daily_matches_dense_definition(spark, rows):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.stats import acf_daily
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    data = [
+        (g, base + timedelta(days=off))
+        for g, off, cnt in rows
+        for _ in range(cnt)
+    ]
+    df = spark.createDataFrame(data, "g string, ts timestamp")
+    got = {
+        (r.group, r.lag): r
+        for r in acf_daily(df, F.col("g"), F.col("ts"), max_lag=3).collect()
+    }
+    for g in {g for g, _, _ in rows}:
+        days = [off for gg, off, _ in rows if gg == g]
+        lo, hi = min(days), max(days)
+        series = [
+            sum(c for gg, off, c in rows if gg == g and off == d)
+            for d in range(lo, hi + 1)
+        ]
+        n = len(series)
+        m = sum(series) / n
+        den = sum((v - m) ** 2 for v in series)
+        for k in (1, 2, 3):
+            row = got[(g, k)]
+            assert row.n_days == n
+            if n <= k or den == 0:
+                assert row.acf is None
+            else:
+                num = sum(
+                    (series[t] - m) * (series[t + k] - m)
+                    for t in range(n - k)
+                )
+                assert abs(row.acf - num / den) < 2e-6
