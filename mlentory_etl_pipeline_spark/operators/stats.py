@@ -919,6 +919,110 @@ def ewma_last(
     )
 
 
+def isotonic_rate(
+    df: DataFrame,
+    group: Column,
+    bucket: Column,
+    label: Column,
+) -> DataFrame:
+    """Per-group ISOTONIC (monotone non-decreasing) calibration of a
+    binary rate over ordered buckets — the reliability-curve smoother
+    (is purchase propensity really monotone in spend bucket? what is
+    the best monotone fit?) that pairs with ``calibration_bins``:
+    bins show raw rates, this returns the least-squares monotone fit.
+
+    Algorithm: the raw stream aggregates to per-(group, bucket) counts
+    ``(w, s)`` first (one map-side-combinable shuffle bounded by
+    |groups|×|buckets|, NOT |df|); the fit then uses the minimax
+    characterization of weighted isotonic regression
+
+        fit_i = max_{j≤i} min_{k≥i} (Σ_{j..k} s) / (Σ_{j..k} w)
+
+    over the BOUNDED bucket grid: an O(B²) pair self-join per group
+    with two per-group windows (suffix-min over k, prefix-max over j).
+    B is a caller-bounded calibration grid (tens), so B² stays tiny
+    and everything is built-in Column arithmetic — no UDF; for very
+    large B the PAVA stack in applyInPandas is the alternative path.
+
+    Exactness: all interval means are divisions of exact integer
+    sums, and min/max are monotone — the fitted doubles are
+    bit-identical in any engine evaluating the same formula (rounding
+    a min of correctly-rounded rationals equals the min of the
+    rounded values).
+    """
+    g = (
+        df.select(
+            group.alias("_g"),
+            bucket.alias("_b"),
+            F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+        )
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_w"), F.sum("_y").alias("_s"))
+    )
+    w_ord = Window.partitionBy("_g").orderBy("_b")
+    pre = g.select(
+        "_g",
+        "_b",
+        "_w",
+        "_s",
+        F.row_number().over(w_ord).alias("_i"),
+        F.sum("_w").over(w_ord).alias("_pw"),
+        F.sum("_s").over(w_ord).alias("_ps"),
+    )
+    j = pre.select(
+        F.col("_g").alias("_g"),
+        F.col("_i").alias("_ji"),
+        (F.col("_pw") - F.col("_w")).alias("_pw0"),
+        (F.col("_ps") - F.col("_s")).alias("_ps0"),
+    )
+    k = pre.select(
+        F.col("_g").alias("_g2"),
+        F.col("_i").alias("_ki"),
+        F.col("_pw").alias("_pwk"),
+        F.col("_ps").alias("_psk"),
+    )
+    pairs = j.join(
+        k,
+        (F.col("_g") == F.col("_g2")) & (F.col("_ji") <= F.col("_ki")),
+    ).select(
+        "_g",
+        "_ji",
+        "_ki",
+        (
+            (F.col("_psk") - F.col("_ps0")).cast("double")
+            / (F.col("_pwk") - F.col("_pw0")).cast("double")
+        ).alias("_mean"),
+    )
+    w_suf = (
+        Window.partitionBy("_g", "_ji")
+        .orderBy(F.col("_ki").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sm = pairs.withColumn("_smin", F.min("_mean").over(w_suf))
+    w_prefix = (
+        Window.partitionBy("_g", "_ki")
+        .orderBy("_ji")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fit = (
+        sm.withColumn("_fit", F.max("_smin").over(w_prefix))
+        .where(F.col("_ji") == F.col("_ki"))
+        .select("_g", F.col("_ki").alias("_i"), "_fit")
+    )
+    return (
+        pre.join(fit, ["_g", "_i"])
+        .select(
+            F.col("_g").alias("group"),
+            F.col("_b").alias("bucket"),
+            F.col("_w").alias("n"),
+            F.round(
+                F.col("_s").cast("double") / F.col("_w").cast("double"), 6
+            ).alias("rate"),
+            F.round(F.col("_fit"), 6).alias("rate_iso"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     label: Column,

@@ -675,3 +675,73 @@ def test_acf_daily_matches_dense_definition(spark, rows):
                     for t in range(n - k)
                 )
                 assert abs(row.acf - num / den) < 2e-6
+
+
+# --- isotonic rate vs the PAVA stack algorithm ------------------------
+# the operator evaluates the minimax characterization; PAVA
+# (pool-adjacent-violators) is an independent algorithm for the same
+# optimum — agreement cross-checks both
+
+iso_case = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(0, 6),    # bucket
+        st.booleans(),        # label
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _pava_model(pairs):
+    from collections import defaultdict
+    from fractions import Fraction
+
+    agg = defaultdict(lambda: [0, 0])
+    for g, b, y in pairs:
+        agg[(g, b)][0] += 1
+        agg[(g, b)][1] += int(y)
+    out = {}
+    for g in {g for g, _, _ in pairs}:
+        bs = sorted(b for gg, b in agg if gg == g)
+        pools = []  # [w, s, n_buckets]
+        for b in bs:
+            w, s = agg[(g, b)]
+            pools.append([w, s, 1])
+            while len(pools) > 1 and Fraction(
+                pools[-2][1], pools[-2][0]
+            ) >= Fraction(pools[-1][1], pools[-1][0]):
+                w2, s2, c2 = pools.pop()
+                pools[-1][0] += w2
+                pools[-1][1] += s2
+                pools[-1][2] += c2
+        i = 0
+        for w, s, c in pools:
+            for _ in range(c):
+                b = bs[i]
+                out[(g, b)] = (agg[(g, b)][0], s / w)
+                i += 1
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(iso_case)
+def test_isotonic_rate_matches_pava(spark, pairs):
+    from mlentory_etl_pipeline_spark.operators.stats import isotonic_rate
+
+    df = spark.createDataFrame(pairs, "g string, b long, y boolean")
+    got = {
+        (r.group, r.bucket): (r.n, r.rate_iso)
+        for r in isotonic_rate(
+            df, F.col("g"), F.col("b"), F.col("y")
+        ).collect()
+    }
+    want = _pava_model(pairs)
+    assert got.keys() == want.keys()
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 2e-6
