@@ -442,3 +442,90 @@ def kaplan_meier(
             F.exp(F.sum("_lnq").over(w_cum).cast("double") / 1_000_000.0), 6
         ).alias("survival"),
     ).orderBy("duration_days")
+
+
+def rfm_segments(
+    df: DataFrame,
+    custkey: Column,
+    orderdate: Column,
+    totalprice: Column,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic behavioral-segmentation rollup (who are the recent
+    high-spend regulars vs the lapsed one-timers?), the same shape a
+    corpus pipeline uses to segment SOURCES by freshness / volume /
+    size before mixture weighting.
+
+    Distributed-binning contract: plain ``ntile`` over the whole
+    customer table is a GLOBAL single-partition window — instead the
+    quintile boundaries come from one ``percentile_disc`` aggregation
+    (boundaries are actual data points, so both engines pick identical
+    values — the exact_percentiles_disc parity), broadcast back, and
+    each customer scores 1–5 by four comparisons. Boundary semantics:
+    score = 1 + Σ(v > q_i) for frequency/monetary (higher is better),
+    5 − Σ(days > q_i) for recency (fresher is better); ties on a
+    boundary fall to the lower bin deterministically in both engines
+    (this is NOT ntile — equal keys never split across bins, which is
+    the property that makes the result well-defined at all).
+
+    Exactness: recency in whole days from the global max order date,
+    frequency a count, monetary exact summed cents (DECIMAL) divided
+    to dollars once. Output is the bounded segment rollup
+    (≤125 rows): counts + average monetary per (r, f, m) cell.
+
+    Scale posture: one per-customer aggregation (map-side combined),
+    two broadcast one-row joins (reference date, boundaries), one
+    bounded segment aggregation. Nothing sorts globally.
+    """
+    per_cust = (
+        df.select(
+            custkey.alias("_c"),
+            orderdate.alias("_d"),
+            F.floor(totalprice * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("_c")
+        .agg(
+            F.max("_d").alias("_last"),
+            F.count(F.lit(1)).alias("_f"),
+            F.sum(F.col("_cents").cast("decimal(38,0)")).alias("_m"),
+        )
+    )
+    ref = df.agg(F.max(orderdate).alias("_ref"))
+    cust = per_cust.crossJoin(F.broadcast(ref)).select(
+        "_c",
+        "_f",
+        "_m",
+        F.datediff(F.col("_ref"), F.col("_last")).alias("_rd"),
+        (F.col("_m").cast("double") / 100).alias("_md"),
+    )
+    bounds = cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"_{n}{i}")
+            for c, n in (("_rd", "r"), ("_f", "f"), ("_md", "m"))
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    def gt(col, pfx):
+        return sum(
+            F.when(col > F.col(f"_{pfx}{i}"), 1).otherwise(0)
+            for i in range(1, 5)
+        )
+
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "_c",
+        "_m",
+        (F.lit(5) - gt(F.col("_rd"), "r")).alias("r_score"),
+        (F.lit(1) + gt(F.col("_f"), "f")).alias("f_score"),
+        (F.lit(1) + gt(F.col("_md"), "m")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum("_m").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100,
+            4,
+        ).alias("avg_monetary"),
+    )

@@ -12666,6 +12666,67 @@ def isotonic_purchase_rate_by_cohort(spark, sf_dir):
     )
 
 
+@register(
+    "rfm_customer_segments",
+    "RFM quintile segmentation of customers from orders (recency in "
+    "days from the global max order date, frequency, exact-cent "
+    "monetary) — quintile boundaries via ONE percentile_disc "
+    "aggregation broadcast back (no global ntile window), scores by "
+    "four comparisons, bounded (r,f,m) segment rollup",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey AS c, MAX(o_orderdate) AS last_d, COUNT(*) AS f,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders),
+    cust AS (
+      SELECT c, f, m,
+             DATE_DIFF('day', CAST(last_d AS DATE), CAST(ref_d AS DATE)) AS rd,
+             CAST(m AS DOUBLE) / 100 AS md
+      FROM pc, ref
+    ),
+    b AS (
+      SELECT QUANTILE_DISC(rd, 0.2) AS r1, QUANTILE_DISC(rd, 0.4) AS r2,
+             QUANTILE_DISC(rd, 0.6) AS r3, QUANTILE_DISC(rd, 0.8) AS r4,
+             QUANTILE_DISC(f, 0.2) AS f1, QUANTILE_DISC(f, 0.4) AS f2,
+             QUANTILE_DISC(f, 0.6) AS f3, QUANTILE_DISC(f, 0.8) AS f4,
+             QUANTILE_DISC(md, 0.2) AS m1, QUANTILE_DISC(md, 0.4) AS m2,
+             QUANTILE_DISC(md, 0.6) AS m3, QUANTILE_DISC(md, 0.8) AS m4
+      FROM cust
+    ),
+    s AS (
+      SELECT c, m,
+        5 - ((CASE WHEN rd > r1 THEN 1 ELSE 0 END)
+           + (CASE WHEN rd > r2 THEN 1 ELSE 0 END)
+           + (CASE WHEN rd > r3 THEN 1 ELSE 0 END)
+           + (CASE WHEN rd > r4 THEN 1 ELSE 0 END)) AS r_score,
+        1 + ((CASE WHEN f > f1 THEN 1 ELSE 0 END)
+           + (CASE WHEN f > f2 THEN 1 ELSE 0 END)
+           + (CASE WHEN f > f3 THEN 1 ELSE 0 END)
+           + (CASE WHEN f > f4 THEN 1 ELSE 0 END)) AS f_score,
+        1 + ((CASE WHEN md > m1 THEN 1 ELSE 0 END)
+           + (CASE WHEN md > m2 THEN 1 ELSE 0 END)
+           + (CASE WHEN md > m3 THEN 1 ELSE 0 END)
+           + (CASE WHEN md > m4 THEN 1 ELSE 0 END)) AS m_score
+      FROM cust, b
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+      ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100, 4)
+        AS avg_monetary
+    FROM s GROUP BY r_score, f_score, m_score
+    """,
+    survey_ops=("§2.9 aggregations", "sampling-splits"),
+)
+def rfm_customer_segments(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import rfm_segments
+
+    o = t(spark, sf_dir, "orders")
+    return rfm_segments(
+        o, F.col("o_custkey"), F.col("o_orderdate"), F.col("o_totalprice")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -745,3 +745,79 @@ def test_isotonic_rate_matches_pava(spark, pairs):
     for key in want:
         assert got[key][0] == want[key][0]
         assert abs(got[key][1] - want[key][1]) < 2e-6
+
+
+# --- RFM segmentation vs dict-fold model ------------------------------
+
+rfm_case = st.lists(
+    st.tuples(
+        st.integers(1, 8),    # customer
+        st.integers(0, 20),   # day offset of order
+        st.integers(1, 500),  # order total in whole dollars
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _pdisc(sorted_vals, q):
+    import math
+
+    # percentile_disc: smallest value whose cumulative fraction >= q
+    n = len(sorted_vals)
+    return sorted_vals[max(0, math.ceil(q * n) - 1)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rfm_case)
+def test_rfm_segments_matches_fold_model(spark, orders):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import rfm_segments
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (c, d0 + timedelta(days=day), float(amt))
+        for c, day, amt in orders
+    ]
+    df = spark.createDataFrame(rows, "c long, d timestamp, v double")
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.avg_monetary)
+        for r in rfm_segments(
+            df, F.col("c"), F.col("d"), F.col("v")
+        ).collect()
+    }
+    ref_day = max(day for _, day, _ in orders)
+    cust = {}
+    for c, day, amt in orders:
+        cur = cust.setdefault(c, {"last": -1, "f": 0, "cents": 0})
+        cur["last"] = max(cur["last"], day)
+        cur["f"] += 1
+        cur["cents"] += amt * 100
+    for c in cust:
+        cust[c]["rd"] = ref_day - cust[c]["last"]
+        cust[c]["md"] = cust[c]["cents"] / 100
+    qs = (0.2, 0.4, 0.6, 0.8)
+    rb = [_pdisc(sorted(x["rd"] for x in cust.values()), q) for q in qs]
+    fb = [_pdisc(sorted(x["f"] for x in cust.values()), q) for q in qs]
+    mb = [_pdisc(sorted(x["md"] for x in cust.values()), q) for q in qs]
+    segs = {}
+    for x in cust.values():
+        key = (
+            5 - sum(x["rd"] > b for b in rb),
+            1 + sum(x["f"] > b for b in fb),
+            1 + sum(x["md"] > b for b in mb),
+        )
+        n, cents = segs.get(key, (0, 0))
+        segs[key] = (n + 1, cents + x["cents"])
+    want = {
+        k: (n, round(cents / n / 100, 4)) for k, (n, cents) in segs.items()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
