@@ -529,3 +529,58 @@ def rfm_segments(
             4,
         ).alias("avg_monetary"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    entity: Column,
+    ts: Column,
+    state: Column,
+    tiebreak: Column,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences — P(next state | current state) estimated from observed
+    consecutive pairs, the behavioral-model rollup (what follows a
+    view? does signup ever follow error?) that complements the funnel
+    (fixed step order) and the sessionizer (time gaps).
+
+    Determinism contract: within an entity, events order by
+    ``(ts, tiebreak)`` — the tiebreak column (any unique id) makes
+    same-timestamp sequences well-defined, the ordering trap every
+    lag/lead pipeline must close. Probabilities are exact integer
+    pair counts divided by the exact per-source-state row total, one
+    division to double.
+
+    Scale posture: one per-entity ordered window (the entity is the
+    parallelism unit) producing lag pairs map-side, one pair count
+    aggregation (shuffle bounded by |states|², not |df|), and a
+    per-source-state window over the tiny state-pair table for the
+    row totals.
+    """
+    w = Window.partitionBy("_e").orderBy("_ts", "_tb")
+    pairs = (
+        df.select(
+            entity.alias("_e"),
+            ts.alias("_ts"),
+            tiebreak.alias("_tb"),
+            state.alias("_s"),
+        )
+        .withColumn("_prev", F.lag("_s").over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("prev_state"),
+            F.col("_s").alias("next_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_row = Window.partitionBy("prev_state")
+    return pairs.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row).cast("double"),
+            6,
+        ).alias("p"),
+    )

@@ -12789,6 +12789,41 @@ def ntriples_datasource_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "markov_event_transitions",
+    "First-order Markov transition matrix of per-user event-type "
+    "sequences ordered by (ts, event_id) — exact pair counts over one "
+    "per-user lag window, row-normalized against the per-source-state "
+    "total; the behavioral rollup complementing funnel and sessionizer",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev AS prev_state, s AS next_state, COUNT(*) AS n_transitions
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, s
+    )
+    SELECT prev_state, next_state, n_transitions,
+      ROUND(CAST(n_transitions AS DOUBLE)
+            / CAST(SUM(n_transitions) OVER (PARTITION BY prev_state)
+                   AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+    survey_ops=("§2.9 window functions", "quality-scoring"),
+)
+def markov_event_transitions(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import markov_transitions
+
+    e = t(spark, sf_dir, "events")
+    return markov_transitions(
+        e, F.col("user_id"), F.col("ts"), F.col("event_type"), F.col("event_id")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

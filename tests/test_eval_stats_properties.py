@@ -821,3 +821,63 @@ def test_rfm_segments_matches_fold_model(spark, orders):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+# --- Markov transitions vs dict-fold model ----------------------------
+
+mk_case = st.lists(
+    st.tuples(
+        st.integers(0, 3),             # entity
+        st.integers(0, 5),             # ts (coarse -> forced ties)
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mk_case)
+def test_markov_transitions_matches_fold_model(spark, events):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (e, d0 + timedelta(hours=ts), i, s)
+        for i, (e, ts, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "e long, ts timestamp, id long, s string")
+    got = {
+        (r.prev_state, r.next_state): (r.n_transitions, r.p)
+        for r in markov_transitions(
+            df, F.col("e"), F.col("ts"), F.col("s"), F.col("id")
+        ).collect()
+    }
+    counts = {}
+    for e in {e for e, _, _ in events}:
+        seq = [
+            s
+            for ts, i, s in sorted(
+                ((ts, i, s) for i, (ee, ts, s) in enumerate(events) if ee == e)
+            )
+        ]
+        for prev, nxt in zip(seq, seq[1:]):
+            counts[(prev, nxt)] = counts.get((prev, nxt), 0) + 1
+    rowsum = {}
+    for (prev, _), n in counts.items():
+        rowsum[prev] = rowsum.get(prev, 0) + n
+    want = {
+        k: (n, round(n / rowsum[k[0]], 6)) for k, n in counts.items()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 2e-6
