@@ -170,6 +170,14 @@ def main():
             "dedup_minhash_recall_audit",
             "hll_error_audit",
             "cms_error_audit",
+            "ab_mann_whitney_values",
+            "ks_value_drift_halves",
+            "gini_order_value_by_priority",
+            "jackknife_source_mean_chars",
+            "acf_daily_event_counts",
+            "isotonic_purchase_rate_by_cohort",
+            "rfm_customer_segments",
+            "ntriples_datasource_roundtrip",
         )
         if n in REGISTRY
     ]

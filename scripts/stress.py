@@ -508,6 +508,125 @@ def case_theil_sen(spark, sf_dir: str, k: int) -> DataFrame:
 
 
 
+
+
+def case_rank_tests(spark, sf_dir: str, k: int) -> DataFrame:
+    # value-salted replicas: distinct quantized values (the shuffle
+    # unit of the rank machinery) grow ~kx, so the distributed prefix
+    # sum's range partitions deepen honestly -- linear unless the
+    # triangular offset join or the local windows leak
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    r = _replicated(e, k).select(
+        "event_type",
+        (F.col("value") + F.col("_rep").cast("double") / 1000).alias("value"),
+    )
+    return stats.mann_whitney_u(
+        r, F.col("event_type"), F.col("value"), "view", "click"
+    )
+
+
+def case_ks_drift(spark, sf_dir: str, k: int) -> DataFrame:
+    # same axis as case_rank_tests for the two-ECDF sup-distance
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    r = _replicated(e, k).select(
+        "event_type",
+        (F.col("value") + F.col("_rep").cast("double") / 1000).alias("value"),
+    )
+    return stats.ks_two_sample(
+        r, F.col("event_type"), F.col("value"), "view", "click"
+    )
+
+
+def case_gini(spark, sf_dir: str, k: int) -> DataFrame:
+    # same groups kx deeper: the harshest axis for the per-group sort
+    # window (n log n per group) -- sub-quadratic unless the rank
+    # window degenerates
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    r = _replicated(o, k).select(
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.col("_rep").cast("double") / 100).alias(
+            "o_totalprice"
+        ),
+    )
+    return stats.gini_by_group(
+        r, F.col("o_orderpriority"), F.col("o_totalprice"), scale=100
+    )
+
+
+def case_acf(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx DISJOINT groups at constant day-depth: the dense grid and the
+    # ordered lead window are per-group, so groups are the honest
+    # linear axis
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    r = _replicated(e, k).select(
+        (F.pmod(F.col("user_id"), 50) * k + F.col("_rep")).alias("g"), "ts"
+    )
+    return stats.acf_daily(r, F.col("g"), F.col("ts"), max_lag=7)
+
+
+def case_isotonic(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx raw rows into the SAME bounded bucket grid: the O(B^2) fit is
+    # constant, the scan-side aggregation is the linear axis
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").select("user_id", "value", "event_type")
+    r = _replicated(e, k)
+    return stats.isotonic_rate(
+        r,
+        F.col("user_id") % 5,
+        F.floor(F.col("value") / 50).cast("long"),
+        F.col("event_type") == "purchase",
+    )
+
+
+def case_rfm(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx disjoint customers: per-customer aggregation, percentile
+    # boundaries, and the segment rollup all scale in |customers|
+    from mlentory_etl_pipeline_spark.operators.temporal import rfm_segments
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    r = _replicated(o, k).select(
+        (F.col("o_custkey") * k + F.col("_rep")).alias("o_custkey"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+    return rfm_segments(
+        r, F.col("o_custkey"), F.col("o_orderdate"), F.col("o_totalprice")
+    )
+
+
+def case_markov(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx deeper per-user sequences (ts jittered per replica): the
+    # per-user ordered lag window deepens -- the sessions-style harsh
+    # axis; the pair table stays |states|^2
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    r = _replicated(e, k).select(
+        "user_id",
+        (F.col("ts") + F.make_interval(secs=F.col("_rep") * 7)).alias("ts"),
+        "event_type",
+        (F.col("event_id") * k + F.col("_rep")).alias("event_id"),
+    )
+    return markov_transitions(
+        r, F.col("user_id"), F.col("ts"), F.col("event_type"), F.col("event_id")
+    )
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -529,6 +648,13 @@ CASES = {
     "cogroup_reconcile": case_cogroup_reconcile,
     "mann_kendall": case_mann_kendall,
     "theil_sen": case_theil_sen,
+    "rank_tests": case_rank_tests,
+    "ks_drift": case_ks_drift,
+    "gini": case_gini,
+    "acf": case_acf,
+    "isotonic": case_isotonic,
+    "rfm": case_rfm,
+    "markov": case_markov,
 }
 
 
