@@ -1369,3 +1369,67 @@ def nearest_centroid_confusion(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred_label")
     )
+
+
+def embedding_gram_exact(
+    df: DataFrame,
+    vec_col: str,
+    n_dims: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT (quantized-integer) Gram / second-moment matrix of the
+    first ``n_dims`` embedding dimensions — the input to PCA /
+    whitening / covariance drift checks over an embedding column. The
+    eigen step is a driver-side d×d numpy call; THIS is the part that
+    has to be distributed and exact.
+
+    Pattern (new in this module): integer partial aggregation from the
+    Arrow path. Each ``mapInPandas`` batch quantizes its vectors to
+    ``floor(v·scale)`` int64 and emits ONE upper-triangle partial
+    ``Gᵢⱼ = Σ qᵢ·qⱼ`` per (i, j) — a d(d+1)/2-row partial per batch,
+    computed as a single numpy ``q.T @ q`` matmul. Spark then sums
+    partials in DECIMAL(38,0), so the result is exact and
+    engine-reproducible (the DuckDB oracle unnests and re-sums the
+    same integers). Per-batch int64 bounds: |q| ≤ scale·|v|, so a
+    10k-row Arrow batch of unit-scale embeddings stays ≤ 1e16 ≪ 2⁶³.
+
+    Scale posture: the shuffle carries |batches|·d(d+1)/2 tiny rows
+    (nothing per-vector leaves the scan stage); the final aggregation
+    is d(d+1)/2 groups. This is the map-side-combine shape of the
+    mergeable-sketch family, with numpy doing the per-batch flops.
+    """
+    import pandas as pd  # noqa: F401 (signature of the generator)
+
+    out_schema = "i int, j int, n long, partial long"
+
+    def gram_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[vec_col].tolist()
+            if not vecs:
+                continue
+            m = np.asarray(vecs, dtype=np.float64)[:, :n_dims]
+            q = np.floor(m * scale).astype(np.int64)
+            g = q.T @ q
+            n = q.shape[0]
+            iu, ju = np.triu_indices(n_dims)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "n": np.full(iu.shape[0], n, dtype=np.int64),
+                    "partial": g[iu, ju],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(gram_batches, out_schema)
+    return parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("partial").cast("decimal(38,0)")).cast("double")
+            / F.lit(float(scale) * float(scale)),
+            6,
+        ).alias("gram"),
+    )

@@ -12824,6 +12824,44 @@ def markov_event_transitions(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_gram_matrix",
+    "Exact quantized Gram (second-moment) matrix of the first 8 "
+    "embedding dims — the distributed input to PCA/whitening: each "
+    "mapInPandas Arrow batch emits one numpy q.T@q integer partial "
+    "per (i,j), Spark sums partials in DECIMAL; nothing per-vector "
+    "leaves the scan stage",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding[1:8],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, UNNEST(GENERATE_SERIES(1, 8)) AS i, UNNEST(v) AS a
+      FROM q
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM q)
+    SELECT f1.i AS i, f2.i AS j, MIN(tot.n) AS n_vectors,
+      ROUND(CAST(SUM(CAST(f1.a AS HUGEINT) * f2.a) AS DOUBLE)
+            / 1000000000000.0, 6) AS gram
+    FROM flat f1
+    JOIN flat f2 ON f1.vec_id = f2.vec_id AND f1.i <= f2.i
+    CROSS JOIN tot
+    GROUP BY f1.i, f2.i
+    """,
+    survey_ops=("similarity-search", "N4 embedding generation"),
+)
+def embedding_gram_matrix(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        embedding_gram_exact,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_gram_exact(e, "embedding", n_dims=8)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

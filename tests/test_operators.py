@@ -1167,3 +1167,37 @@ def test_range_partition_bounds_sampled_is_deterministic(spark):
         ).collect()
     ]
     assert a == b and 0 < sum(r[3] for r in a) < 500
+
+
+def test_embedding_gram_exact_matches_numpy_and_batch_invariant(spark):
+    import numpy as np
+
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        embedding_gram_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 6)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = np.floor(vecs.astype(np.float64)[:, :4] * 1_000_000).astype(np.int64)
+    want = (q.T @ q) / 1e12
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        # tiny Arrow batches force many partials — proves the
+        # decimal merge, not just one batch's matmul
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            (r.i, r.j): (r.n_vectors, r.gram)
+            for r in embedding_gram_exact(
+                df.repartition(5), "embedding", n_dims=4
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert len(got) == 10  # upper triangle of 4x4
+    for (i, j), (n, gram) in got.items():
+        assert n == 120
+        assert abs(gram - round(want[i - 1, j - 1], 6)) < 2e-6
