@@ -642,6 +642,74 @@ def acf_daily(
     )
 
 
+def ols2_by_group(
+    df: DataFrame,
+    keys: list[str],
+    x1: Column,
+    x2: Column,
+    y: Column,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-group TWO-feature least squares ``y ~ b0 + b1·x1 + b2·x2``
+    via closed-form 2×2 normal equations — the multivariate step past
+    ``groupwise_trend`` (simple OLS): does the target depend on both
+    drivers jointly, controlling for each other? One aggregation pass,
+    nine exact sufficient statistics per group.
+
+    Exactness contract: x1/x2 must be integer-valued drivers (hour,
+    weekday, bucket ids — the caller quantizes); y quantizes to
+    ``floor(y·y_scale)`` longs. All nine sums (n, Σx1, Σx2, Σy, Σx1²,
+    Σx1x2, Σx2², Σx1y, Σx2y) accumulate in DECIMAL(38,0); the centered
+    moments, determinant, coefficients, and R² then close in double on
+    identical exact operands in a FIXED operation order (no libm).
+    Collinear or degenerate groups (det = 0, or SST = 0) return NULL
+    coefficients / r2 via try_divide.
+
+    Scale posture: one map-side-combinable groupBy — the shuffle
+    carries 9 numbers per group; nothing else scales with |df|.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    q = df.select(
+        *keys,
+        x1.cast("long").alias("_x1"),
+        x2.cast("long").alias("_x2"),
+        F.floor(y * y_scale).cast("long").alias("_y"),
+    )
+    a = q.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_x1"))).alias("_s1"),
+        F.sum(dec(F.col("_x2"))).alias("_s2"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x1")) * F.col("_x1")).alias("_s11"),
+        F.sum(dec(F.col("_x1")) * F.col("_x2")).alias("_s12"),
+        F.sum(dec(F.col("_x2")) * F.col("_x2")).alias("_s22"),
+        F.sum(dec(F.col("_x1")) * F.col("_y")).alias("_s1y"),
+        F.sum(dec(F.col("_x2")) * F.col("_y")).alias("_s2y"),
+        F.sum(dec(F.col("_y")) * F.col("_y")).alias("_syy"),
+    )
+    n_d = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m11 = d("_s11") - d("_s1") * d("_s1") / n_d
+    m12 = d("_s12") - d("_s1") * d("_s2") / n_d
+    m22 = d("_s22") - d("_s2") * d("_s2") / n_d
+    c1 = d("_s1y") - d("_s1") * d("_sy") / n_d
+    c2 = d("_s2y") - d("_s2") * d("_sy") / n_d
+    syy = d("_syy") - d("_sy") * d("_sy") / n_d
+    det = m11 * m22 - m12 * m12
+    b1 = F.try_divide(c1 * m22 - c2 * m12, det)
+    b2 = F.try_divide(c2 * m11 - c1 * m12, det)
+    b0 = (d("_sy") - b1 * d("_s1") - b2 * d("_s2")) / n_d
+    sse = syy - b1 * c1 - b2 * c2
+    return a.select(
+        *keys,
+        "n",
+        F.round(b0 / y_scale, 6).alias("b0"),
+        F.round(b1 / y_scale, 6).alias("b1"),
+        F.round(b2 / y_scale, 6).alias("b2"),
+        F.round(F.lit(1.0) - F.try_divide(sse, syy), 6).alias("r2"),
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     group: Column,

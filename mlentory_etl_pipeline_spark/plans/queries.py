@@ -12862,6 +12862,83 @@ def embedding_gram_matrix(spark, sf_dir):
     return embedding_gram_exact(e, "embedding", n_dims=8)
 
 
+@register(
+    "ols_value_on_hour_dom",
+    "Per-event-type two-feature least squares value ~ hour + "
+    "day-of-month (closed-form 2x2 normal equations from nine exact "
+    "DECIMAL sufficient statistics in ONE aggregation pass; "
+    "coefficients/R^2 close in double on identical exact operands, "
+    "NULL on collinear groups) — the multivariate step past the "
+    "simple groupwise trend",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS g,
+             CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS x1,
+             CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS x2,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy0
+      FROM q GROUP BY g
+    ),
+    m AS (
+      SELECT g, n,
+        CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd,
+        CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          / CAST(n AS DOUBLE) AS m11,
+        CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+          / CAST(n AS DOUBLE) AS m12,
+        CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+          / CAST(n AS DOUBLE) AS m22,
+        CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE) AS c1,
+        CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE) AS c2,
+        CAST(syy0 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE) AS syy
+      FROM a
+    ),
+    s AS (
+      SELECT g, n, s1d, s2d, syd, nd, c1, c2, syy,
+        (c1 * m22 - c2 * m12) / NULLIF(m11 * m22 - m12 * m12, 0.0) AS b1,
+        (c2 * m11 - c1 * m12) / NULLIF(m11 * m22 - m12 * m12, 0.0) AS b2
+      FROM m
+    )
+    SELECT g AS event_type, n,
+      ROUND((syd - b1 * s1d - b2 * s2d) / nd / 100, 6) AS b0,
+      ROUND(b1 / 100, 6) AS b1,
+      ROUND(b2 / 100, 6) AS b2,
+      ROUND(1.0 - (syy - b1 * c1 - b2 * c2) / NULLIF(syy, 0.0), 6) AS r2
+    FROM s
+    """,
+    survey_ops=("quality-scoring", "§2.9 aggregations"),
+)
+def ols_value_on_hour_dom(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import ols2_by_group
+
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.hour("ts").alias("_h"),
+        F.dayofmonth("ts").alias("_dm"),
+        F.col("value"),
+    )
+    out = ols2_by_group(
+        e, ["event_type"], F.col("_h"), F.col("_dm"), F.col("value")
+    )
+    return out
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
@@ -12894,11 +12971,15 @@ _DRIVER_WINDOW = [
     "path_expression_extract",
     "connector_croissant_fetch",
     "vocab_scan",
-    "spdx_license_join",
-    "semi_join_fetch_latest",
-    "platform_inference",
-    "string_sanitation",
-    "url_canonicalize_dedup",
+    # r5 session-2 rotation: five r3/r4-driver-proven simple shapes
+    # (spdx_license_join, semi_join_fetch_latest, platform_inference,
+    # string_sanitation, url_canonicalize_dedup) swap out for the new
+    # operator families, which have never had a driver row
+    "ab_mann_whitney_values",
+    "isotonic_purchase_rate_by_cohort",
+    "rfm_customer_segments",
+    "ntriples_datasource_roundtrip",
+    "embedding_gram_matrix",
     "scd2_reified_current_export",
     "nlp_sectionize",
     "nlp_section_dedup",

@@ -881,3 +881,59 @@ def test_markov_transitions_matches_fold_model(spark, events):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 2e-6
+
+
+# --- 2-feature OLS vs numpy lstsq -------------------------------------
+
+ols_case = st.lists(
+    st.tuples(
+        st.integers(0, 5),     # x1
+        st.integers(0, 3),     # x2
+        st.integers(-500, 500),  # y cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ols_case)
+def test_ols2_matches_numpy_lstsq(spark, rows):
+    import numpy as np
+
+    from mlentory_etl_pipeline_spark.operators.stats import ols2_by_group
+
+    df = spark.createDataFrame(
+        [("g", x1, x2, c / 100.0) for x1, x2, c in rows],
+        "g string, x1 long, x2 long, y double",
+    )
+    r = ols2_by_group(
+        df, ["g"], F.col("x1"), F.col("x2"), F.col("y")
+    ).collect()[0]
+    assert r.n == len(rows)
+    xs = np.array([(1.0, x1, x2) for x1, x2, _ in rows])
+    # match the operator's quantization: floor of the IEEE product
+    ys = np.array([np.floor((c / 100.0) * 100) / 100 for _, _, c in rows])
+    xc = xs[:, 1:] - xs[:, 1:].mean(axis=0)
+    det = (xc[:, 0] ** 2).sum() * (xc[:, 1] ** 2).sum() - (
+        (xc[:, 0] * xc[:, 1]).sum() ** 2
+    )
+    if det == 0:
+        # collinear/degenerate contract: NULL coefficients
+        assert r.b1 is None and r.b2 is None
+        return
+    beta, *_ = np.linalg.lstsq(xs, ys, rcond=None)
+    pred = xs @ beta
+    sst = ((ys - ys.mean()) ** 2).sum()
+    assert abs(r.b0 - beta[0]) < 1e-4
+    assert abs(r.b1 - beta[1]) < 1e-4
+    assert abs(r.b2 - beta[2]) < 1e-4
+    if sst == 0:
+        assert r.r2 is None
+    else:
+        r2 = 1 - ((ys - pred) ** 2).sum() / sst
+        assert abs(r.r2 - r2) < 1e-4
