@@ -1433,3 +1433,70 @@ def embedding_gram_exact(
             6,
         ).alias("gram"),
     )
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str,
+    n_dims: int,
+    top_k: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k PCA spectrum of an embedding column — eigenvalues of the
+    covariance matrix with explained-variance ratios, the
+    dimensionality audit before IVF/PQ quantizer sizing (how many
+    intrinsic dimensions does this embedding space actually use?).
+
+    Split-of-labor contract (the standard distributed-PCA shape, e.g.
+    Spark MLlib's RowMatrix.computePrincipalComponents): the O(N·d²)
+    half is ``embedding_gram_exact`` — one distributed pass producing
+    the EXACT quantized second-moment matrix plus exact first moments;
+    the O(d³) eigendecomposition runs on the driver over the d×d
+    matrix (d is tens-to-hundreds — never data-scale). ``collect()``
+    here moves d(d+1)/2 + d numbers, not data.
+
+    The eigen step is numpy ``eigh`` (symmetric), so this query is
+    rows-only at the oracle gate — the EXACT distributed inputs are
+    what the hard-oracled ``embedding_gram_matrix`` verifies; the
+    eigen step is property-tested against a direct numpy covariance
+    PCA in pytest.
+    """
+    import numpy as np
+
+    sums = df.select(
+        F.posexplode(F.slice(F.col(vec_col), 1, n_dims)).alias("_i", "_v")
+    ).groupBy("_i").agg(
+        F.sum(
+            F.floor(F.col("_v").cast("double") * scale)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    gram = embedding_gram_exact(df, vec_col, n_dims, scale)
+    g_rows = gram.collect()
+    s_rows = sums.collect()
+    n = g_rows[0]["n_vectors"]
+    mean = np.zeros(n_dims)
+    for r in s_rows:
+        mean[r["_i"]] = float(r["_s"]) / scale / n
+    g = np.zeros((n_dims, n_dims))
+    for r in g_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["gram"]
+        g[r["j"] - 1, r["i"] - 1] = r["gram"]
+    cov = g / n - np.outer(mean, mean)
+    evals = np.linalg.eigh(cov)[0][::-1]
+    total = float(evals.sum())
+    spark = df.sparkSession
+    out = [
+        (
+            k + 1,
+            int(n),
+            round(float(evals[k]), 6),
+            round(float(evals[k] / total), 6) if total > 0 else None,
+        )
+        for k in range(min(top_k, n_dims))
+    ]
+    return spark.createDataFrame(
+        out, "component int, n_vectors long, eigenvalue double, explained double"
+    )

@@ -1201,3 +1201,35 @@ def test_embedding_gram_exact_matches_numpy_and_batch_invariant(spark):
     for (i, j), (n, gram) in got.items():
         assert n == 120
         assert abs(gram - round(want[i - 1, j - 1], 6)) < 2e-6
+
+
+def test_embedding_pca_matches_direct_numpy(spark):
+    import numpy as np
+
+    from mlentory_etl_pipeline_spark.operators.similarity import embedding_pca
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: one dominant direction
+    base = rng.standard_normal((200, 1)) * np.array([[3.0, 1.5, 0.5, 0.1]])
+    noise = rng.standard_normal((200, 4)) * 0.05
+    vecs = (base + noise).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_pca(df, "embedding", n_dims=4, top_k=4).collect()
+
+    q = np.floor(vecs.astype(np.float64) * 1e6) / 1e6
+    # the operator's covariance is assembled from its ROUNDED gram
+    # outputs (6 dp), so compare against the same rounding
+    g = np.round(q.T @ q, 6)
+    mean = np.floor(vecs.astype(np.float64) * 1e6).sum(axis=0) / 1e6 / 200
+    cov = g / 200 - np.outer(mean, mean)
+    evals = np.linalg.eigh(cov)[0][::-1]
+    assert [r.component for r in got] == [1, 2, 3, 4]
+    for r, ev in zip(got, evals):
+        assert r.n_vectors == 200
+        assert abs(r.eigenvalue - ev) < 1e-5
+        assert abs(r.explained - ev / evals.sum()) < 1e-5
+    # the dominant direction carries most of the variance
+    assert got[0].explained > 0.9
