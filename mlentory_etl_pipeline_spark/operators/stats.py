@@ -580,6 +580,9 @@ def acf_daily(
         df.select(group.alias("_g"), day.alias("_d"))
         .groupBy("_g", "_d")
         .agg(F.count(F.lit(1)).alias("_c"))
+        # pin the daily rollup: both the bounds pass and the grid join
+        # reuse it — otherwise the raw table is scanned twice
+        .localCheckpoint(eager=False)
     )
     bounds = c.groupBy("_g").agg(
         F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
