@@ -588,3 +588,63 @@ def markov_transitions(
             6,
         ).alias("p"),
     )
+
+
+def transition_latency(
+    df: DataFrame,
+    entity: Column,
+    ts: Column,
+    state: Column,
+    tiebreak: Column,
+) -> DataFrame:
+    """Time-to-transition distribution per (prev → next) state pair —
+    the TIMING half of ``markov_transitions`` (that one says WHAT
+    follows a view, this one says HOW LONG until it does): count,
+    exact mean seconds, and median seconds between consecutive events
+    of each pair.
+
+    Exactness: deltas are exact epoch MICROseconds (long — second
+    truncation differs between engines on fractional timestamps, so
+    don't truncate); the mean is one DECIMAL sum divided once, the
+    median is ``percentile_disc`` (an actual data point — the
+    exact_percentiles_disc cross-engine parity), both divided to
+    seconds at the end. Ordering determinism via the same
+    (ts, tiebreak) contract as markov_transitions.
+
+    Scale posture: one per-entity lag window, one aggregation keyed by
+    the bounded state-pair set.
+    """
+    w = Window.partitionBy("_e").orderBy("_ts", "_tb")
+    pairs = (
+        df.select(
+            entity.alias("_e"),
+            ts.alias("_ts"),
+            tiebreak.alias("_tb"),
+            state.alias("_s"),
+        )
+        .withColumn("_prev", F.lag("_s").over(w))
+        .withColumn("_prev_ts", F.lag("_ts").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("prev_state"),
+            F.col("_s").alias("next_state"),
+            (
+                _micros(F.col("_ts")) - _micros(F.col("_prev_ts"))
+            ).alias("_gap_us"),
+        )
+    )
+    return pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            F.sum(F.col("_gap_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1000000.0,
+            4,
+        ).alias("avg_seconds"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _gap_us)")
+            .cast("double")
+            / 1000000.0,
+            6,
+        ).alias("median_seconds"),
+    )

@@ -12957,6 +12957,47 @@ def embedding_pca_spectrum(spark, sf_dir):
     return embedding_pca(e, "embedding", n_dims=8, top_k=4)
 
 
+@register(
+    "transition_latency_events",
+    "Time-to-transition per (prev -> next) event-type pair: count, "
+    "exact mean seconds (DECIMAL sum, one division) and median "
+    "seconds (percentile_disc over exact microsecond gaps) between "
+    "consecutive per-user events — the timing half of the Markov "
+    "matrix (what follows a view vs HOW LONG until it does)",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s, ts,
+             LAG(event_type) OVER w AS prev,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT prev AS prev_state, s AS next_state,
+             EPOCH_US(ts) - EPOCH_US(prev_ts) AS gap_us
+      FROM seq WHERE prev IS NOT NULL
+    )
+    SELECT prev_state, next_state,
+      COUNT(*) AS n_transitions,
+      ROUND(CAST(CAST(SUM(gap_us) AS HUGEINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 4) AS avg_seconds,
+      ROUND(CAST(QUANTILE_DISC(gap_us, 0.5) AS DOUBLE) / 1000000.0, 6)
+        AS median_seconds
+    FROM pairs GROUP BY prev_state, next_state
+    """,
+    survey_ops=("§2.9 window functions", "quality-scoring"),
+)
+def transition_latency_events(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        transition_latency,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return transition_latency(
+        e, F.col("user_id"), F.col("ts"), F.col("event_type"), F.col("event_id")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

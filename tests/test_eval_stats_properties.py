@@ -937,3 +937,54 @@ def test_ols2_matches_numpy_lstsq(spark, rows):
     else:
         r2 = 1 - ((ys - pred) ** 2).sum() / sst
         assert abs(r.r2 - r2) < 1e-4
+
+
+# --- transition latency vs dict-fold model ----------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mk_case)
+def test_transition_latency_matches_fold_model(spark, events):
+    import math
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        transition_latency,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (e, d0 + timedelta(hours=ts, microseconds=137 * i), i, s)
+        for i, (e, ts, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "e long, ts timestamp, id long, s string")
+    got = {
+        (r.prev_state, r.next_state): (
+            r.n_transitions,
+            r.avg_seconds,
+            r.median_seconds,
+        )
+        for r in transition_latency(
+            df, F.col("e"), F.col("ts"), F.col("s"), F.col("id")
+        ).collect()
+    }
+    gaps = {}
+    for e in {e for e, _, _, _ in rows}:
+        seq = sorted(
+            ((ts, i, s) for ee, ts, i, s in rows if ee == e)
+        )
+        for (t1, _, s1), (t2, _, s2) in zip(seq, seq[1:]):
+            us = round((t2 - t1).total_seconds() * 1e6)
+            gaps.setdefault((s1, s2), []).append(us)
+    assert got.keys() == gaps.keys()
+    for k, us_list in gaps.items():
+        us_list.sort()
+        n = len(us_list)
+        med = us_list[max(0, math.ceil(0.5 * n) - 1)]  # percentile_disc
+        assert got[k][0] == n
+        assert abs(got[k][1] - sum(us_list) / n / 1e6) < 1e-3
+        assert abs(got[k][2] - med / 1e6) < 1e-6
