@@ -520,6 +520,126 @@ def k_core(
     )
 
 
+def _basket_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_items_per_basket: int | None,
+) -> DataFrame:
+    """Distinct ``(_b, _i)`` basket membership, optionally hard-capped
+    per basket (top-cap items by corpus frequency DESC, item ASC — the
+    ``pmi_top_pairs``/``max_words_per_doc`` scheme) so one hot basket
+    can't detonate the downstream pair self-join's cap²/2 fan-out."""
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_items_per_basket is not None:
+        from pyspark.sql import Window
+
+        freq = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_fi"))
+        wb = Window.partitionBy("_b").orderBy(F.desc("_fi"), F.asc("_i"))
+        items = (
+            items.join(F.broadcast(freq), "_i")
+            .withColumn("_ir", F.row_number().over(wb))
+            .where(F.col("_ir") <= max_items_per_basket)
+            .select("_b", "_i")
+        )
+    return items
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_items_per_basket: int | None = None,
+) -> DataFrame:
+    """Directed association rules A → B over basket co-occurrence —
+    the classic market-basket step AFTER pair counting
+    (:func:`cooccurrence_pairs` ranks pairs; this normalizes them into
+    actionable rules): for every ordered pair with
+    ``n_pair >= min_pair_count``,
+
+    - ``support    = n_pair / N``        (how common the pattern is),
+    - ``confidence = n_pair / n_a``      (P(B in basket | A in basket)),
+    - ``lift       = n_pair·N / (n_a·n_b)`` (association beyond chance)
+
+    — all one division of exact integer products, rounded 6 dp, so
+    rows are engine-reproducible. Both orientations of each unordered
+    pair are emitted (confidence is asymmetric).
+
+    Scale posture: identical to :func:`cooccurrence_pairs` — per-basket
+    DISTINCT items, basket-keyed pair self-join (fan-out bounded by
+    items-per-basket via ``max_items_per_basket``, never catalog
+    size), map-side-combined pair counts, broadcast item marginals and
+    1-row basket count. Output is support-thresholded, not top-k: the
+    threshold IS the size bound (a pair must appear in
+    ``min_pair_count`` baskets to survive)."""
+    items = _basket_items(df, basket_col, item_col, max_items_per_basket)
+    marg = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    nb = items.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "_b")
+        .where(F.col("a._i") < F.col("b._i"))
+        .groupBy(
+            F.col("a._i").alias("_x"), F.col("b._i").alias("_y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    # Both orientations via a map-side explode — NOT a union of two
+    # selects over `pairs`, which would run the basket self-join and
+    # pair aggregation twice (two lineage consumers = two computations).
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_x").alias("antecedent"),
+                    F.col("_y").alias("consequent"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("_y").alias("antecedent"),
+                    F.col("_x").alias("consequent"),
+                    F.col("n_pair"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.antecedent", "_r.consequent", "_r.n_pair")
+    return (
+        directed.join(
+            F.broadcast(marg.withColumnRenamed("_i", "antecedent")),
+            "antecedent",
+        )
+        .withColumnRenamed("_ni", "_na")
+        .join(
+            F.broadcast(marg.withColumnRenamed("_i", "consequent")),
+            "consequent",
+        )
+        .withColumnRenamed("_ni", "_nc")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("_nb").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("_na").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_pair") * F.col("_nb")).cast("double")
+                / (F.col("_na") * F.col("_nc")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket_col: str,
@@ -552,20 +672,7 @@ def cooccurrence_pairs(
     the cap so lift's n_a·n_b stays consistent with the pairs
     actually counted. Returns ``(item_a, item_b, n_pairs, lift)``.
     """
-    items = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    if max_items_per_basket is not None:
-        from pyspark.sql import Window
-
-        freq = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_fi"))
-        wb = Window.partitionBy("_b").orderBy(F.desc("_fi"), F.asc("_i"))
-        items = (
-            items.join(F.broadcast(freq), "_i")
-            .withColumn("_ir", F.row_number().over(wb))
-            .where(F.col("_ir") <= max_items_per_basket)
-            .select("_b", "_i")
-        )
+    items = _basket_items(df, basket_col, item_col, max_items_per_basket)
     marg = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
     nb = items.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb"))
     pairs = (

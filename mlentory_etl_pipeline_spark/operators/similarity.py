@@ -356,6 +356,38 @@ def int8_rerank_topk(
     exact cosine evaluates after the shortlist window, not in the cross
     join). Integer dots are engine-exact, so the shortlist is
     deterministic; ties break on neighbor id."""
+    short = _int8_coarse_ranked(
+        corpus, queries, shortlist, id_col, vec_col, query_id_col, query_vec_col
+    )
+    # Candidate-only exact re-rank: shortlist (|q|·shortlist rows) is
+    # broadcast; the float corpus is probed by neighbor id.
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    exact = F.broadcast(short.select(query_id_col, query_vec_col, "neighbor_id")).join(
+        floats, "neighbor_id"
+    )
+    score = F.round(
+        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4
+    ).alias("score")
+    rescored = exact.select(F.col(query_id_col), F.col("neighbor_id"), score)
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def _int8_coarse_ranked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Shared coarse stage of the int8 two-stage ANN: symmetric int8
+    codes on both sides, exact long-accumulated integer dot rescaled by
+    the two per-vector scales, per-query rank ``_r`` (approx_score
+    DESC, neighbor ASC) cut at ``shortlist``. The integer dot is
+    engine-exact and the rescale is a product of three doubles (one
+    IEEE op each), so the ranking is bit-reproducible in any engine."""
     from mlentory_etl_pipeline_spark.functions.vectors import abs_max, quantize_int8
 
     c = corpus.select(
@@ -396,19 +428,33 @@ def int8_rerank_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("approx_score"), F.asc("neighbor_id")
     )
-    short = coarse.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= shortlist)
-    # Candidate-only exact re-rank: shortlist (|q|·shortlist rows) is
-    # broadcast; the float corpus is probed by neighbor id.
-    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-    exact = F.broadcast(short.select(query_id_col, query_vec_col, "neighbor_id")).join(
-        floats, "neighbor_id"
+    return coarse.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= shortlist
     )
-    score = F.round(
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4
-    ).alias("score")
-    rescored = exact.select(F.col(query_id_col), F.col("neighbor_id"), score)
-    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def int8_coarse_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The int8 coarse scan exposed AS a ranking — what the quantized
+    index would return with NO float re-rank. Exists so the ranking-
+    quality audit (:func:`...operators.stats.ranking_metrics` against
+    float brute-force truth) can measure exactly what the 4×-compressed
+    scan loses: returns (query_id, neighbor_id, approx_score, rank)."""
+    return _int8_coarse_ranked(
+        corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    ).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(F.col("approx_score"), 6).alias("approx_score"),
+        F.col("_r").alias("rank"),
+    )
 
 
 # ------------------------------------------------------ product quant.

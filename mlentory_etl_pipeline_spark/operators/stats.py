@@ -31,6 +31,8 @@ one task, free.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2052,3 +2054,106 @@ def robust_location(
         F.round(F.col("_ci_lo").cast("double") / cf, 6).alias("median_ci_lo"),
         F.round(F.col("_ci_hi").cast("double") / cf, 6).alias("median_ci_hi"),
     ).orderBy(*group_cols)
+
+
+# ------------------------------------------------- retrieval ranking
+
+
+def ranking_discounts(k: int) -> tuple[list[int], list[int]]:
+    """Integer micro-unit DCG discount tables for ``ranking_metrics``:
+    ``disc[r-1] = round(1e6 / log2(r+1))`` and the graded ideal prefix
+    ``idcg[n-1] = sum_{i<=n} (k-i+1) * disc[i-1]``.
+
+    Integerizing the log discounts (quantization ±5e-7 each) is what
+    makes DCG an ORDER-FREE exact integer sum — a float-weighted rank
+    sum cannot otherwise match bit-for-bit across engines (libm log2
+    ULP drift plus summation-order drift). The same quantized table
+    feeds numerator and denominator, so the nDCG bias is second-order.
+    Exposed as a function so the SQL oracle embeds the IDENTICAL
+    literals."""
+    disc = [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    idcg, acc = [], 0
+    for i in range(1, k + 1):
+        acc += (k - i + 1) * disc[i - 1]
+        idcg.append(acc)
+    return disc, idcg
+
+
+def ranking_metrics(
+    retrieved: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query graded retrieval-quality metrics — reciprocal rank,
+    nDCG@k, precision@k, recall@k — of a candidate ranking against a
+    ground-truth ranking. The eval companion the recall@k audit
+    (``ann_trained_recall_audit``) can't express: recall treats every
+    truth item equally, nDCG says WHERE in the list the retriever put
+    them (reference match quality: ``QAMatchingEngine.py:154-237``
+    returns ranked matches; this grades such a ranking).
+
+    Both inputs are (query, item, rank) with rank 1-based; truth items
+    are graded ``k - truth_rank + 1`` (top truth item highest). Every
+    per-query metric is computed from EXACT integers with one double
+    division at the end (first-hit rank, hit count, micro-unit DCG via
+    :func:`ranking_discounts`), so rows are engine-reproducible with no
+    order-dependent float summation anywhere. Queries come from the
+    truth side; a query with no retrieved rows scores 0.
+
+    Scale posture: one (query, item)-keyed hash join + one per-query
+    aggregation (map-side combinable); the per-query truth-size table
+    rides the same aggregation. Output is |queries| rows — take AVG of
+    any column for the corpus headline."""
+    disc, idcg = ranking_discounts(k)
+    disc_arr = F.array(*[F.lit(v).cast("long") for v in disc])
+    idcg_arr = F.array(*[F.lit(v).cast("long") for v in idcg])
+    r = retrieved.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).cast("int").alias("_rr"),
+    )
+    tr = truth.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).cast("int").alias("_tr"),
+    )
+    nt = tr.groupBy("_q").agg(F.count(F.lit(1)).alias("n_truth"))
+    j = r.join(tr, ["_q", "_i"], "left")
+    perq = j.groupBy("_q").agg(
+        F.min(F.when(F.col("_tr").isNotNull(), F.col("_rr"))).alias("_fh"),
+        F.sum(
+            F.when(
+                F.col("_tr").isNotNull(),
+                (F.lit(k) - F.col("_tr") + 1).cast("long")
+                * F.element_at(disc_arr, F.col("_rr")),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("_dcg_u"),
+        F.sum(F.when(F.col("_tr").isNotNull(), 1).otherwise(0)).alias("_hits"),
+    )
+    out = nt.join(perq, "_q", "left")
+    idcg_u = F.element_at(
+        idcg_arr, F.least(F.col("n_truth"), F.lit(k)).cast("int")
+    )
+    hits = F.coalesce(F.col("_hits"), F.lit(0))
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.col("n_truth"),
+        hits.alias("hits"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("_fh"), F.lit(0.0)), 6
+        ).alias("rr"),
+        F.round(
+            F.coalesce(F.col("_dcg_u"), F.lit(0)).cast("double")
+            / idcg_u.cast("double"),
+            6,
+        ).alias("ndcg"),
+        F.round(hits.cast("double") / F.lit(float(k)), 6).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            hits.cast("double") / F.col("n_truth").cast("double"), 6
+        ).alias("recall_at_k"),
+    )

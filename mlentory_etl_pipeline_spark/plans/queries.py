@@ -12998,6 +12998,150 @@ def transition_latency_events(spark, sf_dir):
     )
 
 
+def _ranking_quality_oracle() -> str:
+    """SQL twin of ranking_metrics(int8-coarse, float-brute, k=10):
+    discount/IDCG literals come from the SAME stats.ranking_discounts
+    call that builds the Spark plan, so both engines consume identical
+    integer micro-unit tables (the determinism contract that makes a
+    log-discounted rank metric hard-oracle-able)."""
+    from mlentory_etl_pipeline_spark.operators.stats import ranking_discounts
+
+    disc, idcg = ranking_discounts(10)
+    d = "[" + ", ".join(str(v) for v in disc) + "]"
+    g = "[" + ", ".join(str(v) for v in idcg) + "]"
+    return f"""
+    WITH vec AS (
+      SELECT vec_id, embedding,
+             LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, sc,
+             LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / sc) AS BIGINT)) AS q
+      FROM vec
+    ),
+    coarse AS (
+      SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qc.q) + 1),
+                  i -> qc.q[i] * cc.q[i])) AS DOUBLE) * qc.sc * cc.sc AS approx_score
+      FROM codes qc JOIN codes cc ON qc.vec_id <> cc.vec_id
+      WHERE qc.vec_id < 20
+    ),
+    retr AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_score DESC, neighbor_id ASC) AS r
+        FROM coarse) WHERE r <= 10
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS e FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.e) + 1),
+                        i -> CAST(q.e[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(q.e, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, v -> CAST(v AS DOUBLE) * v)))),
+               4) AS score
+      FROM qv q CROSS JOIN embeddings c
+      WHERE q.query_id <> c.vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS r
+        FROM scored) WHERE r <= 10
+    ),
+    nt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY query_id),
+    j AS (
+      SELECT r.query_id, r.r AS rr, t.r AS tr
+      FROM retr r LEFT JOIN truth t USING (query_id, neighbor_id)
+    ),
+    perq AS (
+      SELECT query_id,
+             MIN(CASE WHEN tr IS NOT NULL THEN rr END) AS fh,
+             SUM(CASE WHEN tr IS NOT NULL THEN (10 - tr + 1) * ({d})[rr] ELSE 0 END) AS dcg_u,
+             SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM j GROUP BY query_id
+    )
+    SELECT nt.query_id, nt.n_truth,
+           COALESCE(p.hits, 0) AS hits,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / p.fh, 0.0), 6) AS rr,
+           ROUND(CAST(COALESCE(p.dcg_u, 0) AS DOUBLE)
+                 / CAST(({g})[LEAST(nt.n_truth, 10)] AS DOUBLE), 6) AS ndcg,
+           ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE), 6)
+             AS precision_at_k,
+           ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
+             AS recall_at_k
+    FROM nt LEFT JOIN perq p USING (query_id)
+    """
+
+
+@register(
+    "ranking_quality_int8_coarse",
+    "graded retrieval-quality audit: per-query MRR / nDCG@10 / "
+    "precision@10 / recall@10 of the int8 coarse ANN ranking against "
+    "exact float-cosine truth (20 queries) — recall says WHETHER the "
+    "quantized scan finds the truth set, nDCG says WHERE it ranks it; "
+    "integer micro-unit DCG discounts make the log-weighted metric an "
+    "order-free exact integer sum (hard-oracle-able)",
+    oracle=_ranking_quality_oracle(),
+    survey_ops=("ann-quantization", "eval-metrics"),
+)
+def ranking_quality_int8_coarse(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    retrieved = similarity.int8_coarse_topk(e, q, k=10)
+    truth = similarity.brute_force_topk(e, q, k=10)
+    return stats.ranking_metrics(retrieved, truth, k=10)
+
+
+@register(
+    "association_rules_suppliers",
+    "directed association rules over supplier co-occurrence in orders: "
+    "support / confidence / lift per A -> B rule with pair count >= 3 "
+    "-- the market-basket normalization step after pair counting "
+    "(copurchase_supplier_pairs ranks pairs; this makes them "
+    "actionable rules), every ratio one division of exact integer "
+    "counts; basket-keyed self-join, broadcast marginals",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+    ),
+    marg AS (SELECT i, COUNT(*) AS ni FROM items GROUP BY i),
+    nb AS (SELECT COUNT(DISTINCT b) AS nbk FROM items),
+    pairs AS (
+      SELECT a.i AS x, b.i AS y, COUNT(*) AS n_pair
+      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    directed AS (
+      SELECT x AS antecedent, y AS consequent, n_pair FROM pairs
+      UNION ALL
+      SELECT y, x, n_pair FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.n_pair,
+           ROUND(CAST(d.n_pair AS DOUBLE) / CAST(nb.nbk AS DOUBLE), 6) AS support,
+           ROUND(CAST(d.n_pair AS DOUBLE) / CAST(ma.ni AS DOUBLE), 6) AS confidence,
+           ROUND(CAST(d.n_pair * nb.nbk AS DOUBLE) / CAST(ma.ni * mc.ni AS DOUBLE), 6) AS lift
+    FROM directed d
+    JOIN marg ma ON ma.i = d.antecedent
+    JOIN marg mc ON mc.i = d.consequent, nb
+    """,
+    survey_ops=("§2.9 joins", "§2.9 aggregations"),
+)
+def association_rules_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return graph.association_rules(
+        li, "l_orderkey", "l_suppkey", min_pair_count=3
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -627,6 +627,46 @@ def case_markov(spark, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+def case_assoc_rules(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx baskets over the SAME item catalog: pair fan-out stays bounded
+    # by items-per-basket, the pair table stays |catalog|^2 -- linear
+    # growth in the self-join input is the honest shape
+    from mlentory_etl_pipeline_spark.operators.graph import association_rules
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    r = _replicated(li, k).select(
+        (F.col("l_orderkey") * k + F.col("_rep")).alias("l_orderkey"),
+        "l_suppkey",
+    )
+    return association_rules(r, "l_orderkey", "l_suppkey", min_pair_count=3)
+
+
+def case_ranking_metrics(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx disjoint query universes (query and item ids offset per
+    # replica): the (query, item) hash join and per-query aggregation
+    # both scale in |queries| -- no cross-replica key collisions
+    from mlentory_etl_pipeline_spark.operators.stats import ranking_metrics
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    base = _replicated(e.where("vec_id < 2000"), k).select(
+        (F.col("vec_id") * k + F.col("_rep")).alias("q")
+    )
+    # synthetic rankings: 10 retrieved + 10 truth rows per query,
+    # overlapping on even ranks (deterministic, join-shape-faithful)
+    ranks = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rank")
+    retrieved = base.select(F.col("q").alias("query_id"), ranks).select(
+        "query_id",
+        (F.col("query_id") * 100 + F.col("rank")).alias("neighbor_id"),
+        "rank",
+    )
+    truth = base.select(F.col("q").alias("query_id"), ranks).select(
+        "query_id",
+        (F.col("query_id") * 100 + F.col("rank") * 2).alias("neighbor_id"),
+        "rank",
+    )
+    return ranking_metrics(retrieved, truth, k=10)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -655,6 +695,8 @@ CASES = {
     "isotonic": case_isotonic,
     "rfm": case_rfm,
     "markov": case_markov,
+    "assoc_rules": case_assoc_rules,
+    "ranking_metrics": case_ranking_metrics,
 }
 
 

@@ -988,3 +988,133 @@ def test_transition_latency_matches_fold_model(spark, events):
         assert got[k][0] == n
         assert abs(got[k][1] - sum(us_list) / n / 1e6) < 1e-3
         assert abs(got[k][2] - med / 1e6) < 1e-6
+
+
+# --- ranking metrics vs pure-Python model ------------------------------
+
+rank_case = st.tuples(
+    st.integers(2, 10),  # k
+    st.dictionaries(     # per query: (retrieved perm seed, truth perm seed)
+        st.integers(0, 4),
+        st.tuples(st.permutations(list(range(12))), st.permutations(list(range(12)))),
+        min_size=1,
+        max_size=4,
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rank_case)
+def test_ranking_metrics_matches_python_model(spark, case):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        ranking_discounts,
+        ranking_metrics,
+    )
+
+    k, per_query = case
+    disc, idcg = ranking_discounts(k)
+    r_rows, t_rows = [], []
+    for q, (r_perm, t_perm) in per_query.items():
+        # retrieved lists vary in depth; truth may be shorter than k
+        for rank, item in enumerate(r_perm[: k + 1], start=1):
+            r_rows.append((q, item, rank))
+        for rank, item in enumerate(t_perm[: max(1, k - 2)], start=1):
+            t_rows.append((q, item, rank))
+    rdf = spark.createDataFrame(r_rows, "query_id int, neighbor_id int, rank int")
+    tdf = spark.createDataFrame(t_rows, "query_id int, neighbor_id int, rank int")
+    got = {
+        r.query_id: r.asDict()
+        for r in ranking_metrics(rdf, tdf, k).collect()
+    }
+
+    for q, (r_perm, t_perm) in per_query.items():
+        truth_rank = {
+            item: rank
+            for rank, item in enumerate(t_perm[: max(1, k - 2)], start=1)
+            if rank <= k
+        }
+        retrieved = [
+            (rank, item)
+            for rank, item in enumerate(r_perm[: k + 1], start=1)
+            if rank <= k
+        ]
+        n_t = len(truth_rank)
+        hits = [(rank, item) for rank, item in retrieved if item in truth_rank]
+        fh = min((rank for rank, _ in hits), default=None)
+        dcg_u = sum(
+            (k - truth_rank[item] + 1) * disc[rank - 1] for rank, item in hits
+        )
+        idcg_u = idcg[min(n_t, k) - 1]
+        row = got[q]
+        assert row["n_truth"] == n_t
+        assert row["hits"] == len(hits)
+        assert row["rr"] == round(1.0 / fh, 6) if fh else row["rr"] == 0.0
+        assert abs(row["ndcg"] - dcg_u / idcg_u) < 1e-6
+        assert abs(row["precision_at_k"] - len(hits) / k) < 1e-6
+        assert abs(row["recall_at_k"] - len(hits) / n_t) < 1e-6
+    assert set(got) == set(per_query)
+
+
+# --- association rules vs dict model -----------------------------------
+
+basket_case = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (basket, item)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(basket_case)
+def test_association_rules_matches_dict_model(spark, rows):
+    from itertools import combinations
+
+    from mlentory_etl_pipeline_spark.operators.graph import association_rules
+
+    df = spark.createDataFrame(rows, "b int, i int")
+    got = {
+        (r.antecedent, r.consequent): (
+            r.n_pair,
+            r.support,
+            r.confidence,
+            r.lift,
+        )
+        for r in association_rules(df, "b", "i", min_pair_count=2).collect()
+    }
+
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n_b = len(baskets)
+    marg = {}
+    for its in baskets.values():
+        for i in its:
+            marg[i] = marg.get(i, 0) + 1
+    pair = {}
+    for its in baskets.values():
+        for x, y in combinations(sorted(its), 2):
+            pair[(x, y)] = pair.get((x, y), 0) + 1
+    want = {}
+    for (x, y), n in pair.items():
+        if n < 2:
+            continue
+        for a, c in ((x, y), (y, x)):
+            want[(a, c)] = (
+                n,
+                round(n / n_b, 6),
+                round(n / marg[a], 6),
+                round(n * n_b / (marg[a] * marg[c]), 6),
+            )
+    assert set(got) == set(want)
+    for key, (n, s, c, l) in want.items():
+        gn, gs, gc, gl = got[key]
+        assert gn == n
+        assert abs(gs - s) < 1e-6 and abs(gc - c) < 1e-6 and abs(gl - l) < 1e-6
