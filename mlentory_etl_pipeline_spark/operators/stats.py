@@ -2157,3 +2157,77 @@ def ranking_metrics(
             hits.cast("double") / F.col("n_truth").cast("double"), 6
         ).alias("recall_at_k"),
     )
+
+
+def rrf_weights(depth: int, c: int = 60) -> list[int]:
+    """Integer nano-unit reciprocal-rank-fusion weight table:
+    ``w[r-1] = round(1e9 / (c + r))`` for ranks 1..depth (Cormack &
+    Clarke's RRF with the standard c=60). Integerizing makes the
+    cross-list fused score an ORDER-FREE exact integer sum — the
+    :func:`ranking_discounts` determinism trick — so fusion ranking is
+    engine-reproducible and the SQL oracle embeds identical literals."""
+    return [round(1_000_000_000 / (c + r)) for r in range(1, depth + 1)]
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int,
+    depth: int,
+    c: int = 60,
+    query_col: str | None = None,
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion — the standard hybrid-search combiner
+    (lexical BM25 ⊕ semantic ANN ⊕ priors): each input ranking
+    contributes ``1/(c + rank)`` for its top-``depth`` items; items are
+    re-ranked by the summed contribution. Rank-based, so it needs NO
+    score calibration between rankers — the reason it wins in practice
+    over score interpolation (the reference's ES relevance and cosine
+    matcher produce incomparable score scales; this is how they'd be
+    combined).
+
+    Contributions are exact nano-unit integers (:func:`rrf_weights`),
+    summed order-free; ties break on item id. ``query_col=None`` fuses
+    single-list rankings (e.g. a corpus-wide relevance list with a
+    quality prior).
+
+    Scale posture: inputs are ALREADY top-``depth`` lists, so the union
+    is ≤ |rankers|·depth rows per query; one (query, item)-keyed
+    map-side-combinable aggregation; the rank window is per-query (or
+    over the bounded fused candidate set in single-list mode — never
+    corpus-sized)."""
+    from functools import reduce
+
+    w_arr = F.array(*[F.lit(v).cast("long") for v in rrf_weights(depth, c)])
+    parts = []
+    for r in rankings:
+        cols = [
+            F.col(item_col).alias("_i"),
+            F.col(rank_col).cast("int").alias("_r"),
+        ]
+        if query_col is not None:
+            cols.insert(0, F.col(query_col).alias("_q"))
+        parts.append(r.where(F.col(rank_col) <= depth).select(*cols))
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    keys = (["_q"] if query_col else []) + ["_i"]
+    agg = u.groupBy(*keys).agg(
+        F.sum(F.element_at(w_arr, F.col("_r"))).alias("_fu"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    order = [F.desc("_fu"), F.asc("_i")]
+    w = (
+        Window.partitionBy("_q").orderBy(*order)
+        if query_col
+        else Window.orderBy(*order)
+    )
+    out = agg.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    sel = ([F.col("_q").alias(query_col)] if query_col else []) + [
+        F.col("_i").alias(item_col),
+        F.col("n_lists"),
+        F.round(F.col("_fu").cast("double") / 1e9, 6).alias("rrf_score"),
+        F.col("rank"),
+    ]
+    return out.select(*sel)

@@ -13142,6 +13142,117 @@ def association_rules_suppliers(spark, sf_dir):
     )
 
 
+def _hybrid_rrf_oracle() -> str:
+    """SQL twin of rrf_fuse(bm25 top-20, quality-prior top-20, k=10):
+    the BM25 CTE is the bm25_document_rank oracle, the quality CTE the
+    text_quality_score oracle ranked; fusion weights are the SAME
+    nano-unit literals stats.rrf_weights feeds the Spark plan."""
+    from mlentory_etl_pipeline_spark.operators.stats import rrf_weights
+
+    w = "[" + ", ".join(str(v) for v in rrf_weights(20)) + "]"
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks,
+             LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+             SUM(CASE WHEN LIST_CONTAINS(toks, 'join') THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN LIST_CONTAINS(toks, 'filter') THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN LIST_CONTAINS(toks, 'merge') THEN 1 ELSE 0 END) AS df2
+      FROM d
+    ),
+    scored AS (
+      SELECT doc_id,
+        ROUND(
+          LN(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+            * CAST(LEN(LIST_FILTER(toks, x -> x = 'join')) AS DOUBLE) * 2.2
+            / (CAST(LEN(LIST_FILTER(toks, x -> x = 'join')) AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        + LN(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+            * CAST(LEN(LIST_FILTER(toks, x -> x = 'filter')) AS DOUBLE) * 2.2
+            / (CAST(LEN(LIST_FILTER(toks, x -> x = 'filter')) AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        + LN(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+            * CAST(LEN(LIST_FILTER(toks, x -> x = 'merge')) AS DOUBLE) * 2.2
+            / (CAST(LEN(LIST_FILTER(toks, x -> x = 'merge')) AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        , 6) AS score
+      FROM d, stats
+    ),
+    bm25 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM (SELECT doc_id, score FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20)
+    ),
+    qual AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS r
+      FROM (
+        SELECT doc_id,
+          ROUND(
+            (CASE WHEN (LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', ''))) / CAST(LENGTH(text) AS DOUBLE) > 0.1
+                  THEN 0.5 ELSE 1.0 END)
+            * (LEAST(LENGTH(text) / 500.0, 1.0) * 0.5
+               + LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                            w -> w IN ('the','a','of','and','to','in','is'))) / 5.0, 1.0) * 0.3
+               + 0.2), 4) AS q
+        FROM documents ORDER BY q DESC, doc_id ASC LIMIT 20
+      )
+    ),
+    contrib AS (
+      SELECT doc_id, r FROM bm25
+      UNION ALL
+      SELECT doc_id, r FROM qual
+    ),
+    fused AS (
+      SELECT doc_id, SUM(({w})[r]) AS fu, COUNT(*) AS n_lists
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_lists,
+           ROUND(CAST(fu AS DOUBLE) / 1000000000.0, 6) AS rrf_score,
+           rank
+    FROM (
+      SELECT doc_id, n_lists, fu,
+             ROW_NUMBER() OVER (ORDER BY fu DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "hybrid_rrf_search",
+    "reciprocal-rank fusion of BM25 lexical relevance (3-term query, "
+    "top-20) with a document-quality prior ranking (top-20) -> fused "
+    "top-10 — the standard hybrid-search combiner, rank-based so the "
+    "incomparable score scales never need calibration; nano-unit "
+    "integer RRF weights make the fused score an order-free exact sum",
+    oracle=_hybrid_rrf_oracle(),
+    survey_ops=("Q6", "eval-metrics", "text-quality"),
+)
+def hybrid_rrf_search(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    d = t(spark, sf_dir, "documents")
+    bm25 = search.bm25_rank(
+        d, ["join", "filter", "merge"], "doc_id", "text", k1=1.2, b=0.75, k=20
+    )
+    qual = (
+        d.select(
+            "doc_id", textstats.quality_score(F.col("text")).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    # rank window runs over the <=20 TakeOrdered survivors, never the
+    # corpus (the bm25_rank pattern)
+    wq = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    qual_ranked = qual.withColumn("rank", F.row_number().over(wq))
+    return stats.rrf_fuse(
+        [bm25, qual_ranked], k=10, depth=20, item_col="doc_id"
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -59,6 +59,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "N*(w-1)/2 regardless of skew)"
     ),
     "connector_arxiv_batching": "row_number over the fetch-request ID list",
+    "hybrid_rrf_search": (
+        "two bounded ranks: quality prior over <=20 TakeOrdered "
+        "survivors, fusion over <=40 already-top-20 candidates"
+    ),
     "range_partition_plan": (
         "ntile over a 1/mod sampled subset - the RangePartitioner "
         "sampling approach; sample size is the knob"

@@ -1118,3 +1118,55 @@ def test_association_rules_matches_dict_model(spark, rows):
         gn, gs, gc, gl = got[key]
         assert gn == n
         assert abs(gs - s) < 1e-6 and abs(gc - c) < 1e-6 and abs(gl - l) < 1e-6
+
+
+# --- RRF fusion vs dict model -------------------------------------------
+
+rrf_case = st.tuples(
+    st.integers(1, 3),  # number of rankers
+    st.integers(2, 8),  # depth
+    st.permutations(list(range(10))),
+    st.permutations(list(range(10))),
+    st.permutations(list(range(10))),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rrf_case)
+def test_rrf_fuse_matches_dict_model(spark, case):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        rrf_fuse,
+        rrf_weights,
+    )
+
+    n_rankers, depth, p1, p2, p3 = case
+    perms = [p1, p2, p3][:n_rankers]
+    dfs = [
+        spark.createDataFrame(
+            [(item, rank) for rank, item in enumerate(p, start=1)],
+            "neighbor_id int, rank int",
+        )
+        for p in perms
+    ]
+    k = 5
+    got = [
+        (r.neighbor_id, r.n_lists, r.rrf_score, r.rank)
+        for r in rrf_fuse(dfs, k=k, depth=depth).orderBy("rank").collect()
+    ]
+
+    w = rrf_weights(depth)
+    fused, lists = {}, {}
+    for p in perms:
+        for rank, item in enumerate(p[:depth], start=1):
+            fused[item] = fused.get(item, 0) + w[rank - 1]
+            lists[item] = lists.get(item, 0) + 1
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = [
+        (item, lists[item], round(fu / 1e9, 6), rank)
+        for rank, (item, fu) in enumerate(order, start=1)
+    ]
+    assert got == want
