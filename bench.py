@@ -178,6 +178,13 @@ def main():
             "isotonic_purchase_rate_by_cohort",
             "rfm_customer_segments",
             "ntriples_datasource_roundtrip",
+            "embedding_gram_matrix",
+            "embedding_pca_spectrum",
+            "ols_value_on_hour_dom",
+            "transition_latency_events",
+            "association_rules_suppliers",
+            "ranking_quality_int8_coarse",
+            "hybrid_rrf_search",
         )
         if n in REGISTRY
     ]

@@ -648,3 +648,71 @@ def transition_latency(
             6,
         ).alias("median_seconds"),
     )
+
+
+def weekday_seasonality(
+    df: DataFrame,
+    group: Column,
+    ts: Column,
+) -> DataFrame:
+    """Per-group multiplicative weekday index over DENSIFIED daily
+    counts — the STL-lite seasonal profile that complements
+    ``acf_daily`` (ACF says *whether* there's a weekly rhythm; this
+    says its SHAPE: Mondays run 1.3×, Sundays 0.4×) and feeds
+    seasonally-adjusted anomaly baselines.
+
+    ``seasonal_index(w) = avg(count | weekday w) / avg(count)``
+    closes as ``(sum_w · days_all) / (days_w · sum_all)`` — one double
+    division of exact integer products, engine-reproducible. The
+    calendar is densified per group (missing days count 0, the
+    ADVICE-r5 observed-days contract), so a weekday the feed skips
+    entirely scores a genuine 0, not a hole. Weekday is ISO (1=Monday
+    .. 7=Sunday).
+
+    Scale posture: one groupBy to daily counts (shuffle bounded by
+    |groups|×|days|), a per-group calendar explode (years, not rows),
+    one weekday aggregation (7×|groups| rows) + a broadcast-sized
+    per-group total join.
+    """
+    day = F.to_date(ts)
+    c = (
+        df.select(group.alias("_g"), day.alias("_d"))
+        .groupBy("_g", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = c.groupBy("_g").agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    grid = bounds.select(
+        "_g",
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("_d"),
+    )
+    dense = grid.join(c, ["_g", "_d"], "left").select(
+        "_g", "_d", F.coalesce(F.col("_c"), F.lit(0)).alias("_v")
+    )
+    wk = (
+        dense.groupBy("_g", (F.weekday("_d") + 1).alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_sv"),
+        )
+        # pinned: consumed twice (per-group totals + the final join)
+        .localCheckpoint(eager=False)
+    )
+    tot = wk.groupBy("_g").agg(
+        F.sum("n_days").alias("_nall"), F.sum("_sv").alias("_sall")
+    )
+    return wk.join(F.broadcast(tot), "_g").select(
+        F.col("_g").alias("group"),
+        "weekday",
+        "n_days",
+        F.round(
+            F.col("_sv").cast("double") / F.col("n_days").cast("double"), 6
+        ).alias("avg_count"),
+        F.round(
+            (F.col("_sv") * F.col("_nall")).cast("double")
+            / (F.col("n_days") * F.col("_sall")).cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )

@@ -12998,17 +12998,47 @@ def transition_latency_events(spark, sf_dir):
     )
 
 
-def _ranking_quality_oracle() -> str:
-    """SQL twin of ranking_metrics(int8-coarse, float-brute, k=10):
-    discount/IDCG literals come from the SAME stats.ranking_discounts
-    call that builds the Spark plan, so both engines consume identical
-    integer micro-unit tables (the determinism contract that makes a
-    log-discounted rank metric hard-oracle-able)."""
+def _ranking_metrics_sql(k: int) -> str:
+    """SQL tail computing stats.ranking_metrics over two preceding
+    CTEs ``retr(query_id, neighbor_id, r)`` / ``truth(query_id,
+    neighbor_id, r)`` — discount/IDCG literals come from the SAME
+    stats.ranking_discounts call that builds the Spark plan, so both
+    engines consume identical integer micro-unit tables (the
+    determinism contract that makes a log-discounted rank metric
+    hard-oracle-able)."""
     from mlentory_etl_pipeline_spark.operators.stats import ranking_discounts
 
-    disc, idcg = ranking_discounts(10)
+    disc, idcg = ranking_discounts(k)
     d = "[" + ", ".join(str(v) for v in disc) + "]"
     g = "[" + ", ".join(str(v) for v in idcg) + "]"
+    return f"""
+    nt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY query_id),
+    j AS (
+      SELECT r.query_id, r.r AS rr, t.r AS tr
+      FROM retr r LEFT JOIN truth t USING (query_id, neighbor_id)
+    ),
+    perq AS (
+      SELECT query_id,
+             MIN(CASE WHEN tr IS NOT NULL THEN rr END) AS fh,
+             SUM(CASE WHEN tr IS NOT NULL THEN ({k} - tr + 1) * ({d})[rr] ELSE 0 END) AS dcg_u,
+             SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM j GROUP BY query_id
+    )
+    SELECT nt.query_id, nt.n_truth,
+           COALESCE(p.hits, 0) AS hits,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / p.fh, 0.0), 6) AS rr,
+           ROUND(CAST(COALESCE(p.dcg_u, 0) AS DOUBLE)
+                 / CAST(({g})[LEAST(nt.n_truth, {k})] AS DOUBLE), 6) AS ndcg,
+           ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST({k} AS DOUBLE), 6)
+             AS precision_at_k,
+           ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
+             AS recall_at_k
+    FROM nt LEFT JOIN perq p USING (query_id)
+    """
+
+
+def _ranking_quality_oracle() -> str:
+    """SQL twin of ranking_metrics(int8-coarse, float-brute, k=10)."""
     return f"""
     WITH vec AS (
       SELECT vec_id, embedding,
@@ -13053,28 +13083,7 @@ def _ranking_quality_oracle() -> str:
                  ORDER BY score DESC, neighbor_id ASC) AS r
         FROM scored) WHERE r <= 10
     ),
-    nt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY query_id),
-    j AS (
-      SELECT r.query_id, r.r AS rr, t.r AS tr
-      FROM retr r LEFT JOIN truth t USING (query_id, neighbor_id)
-    ),
-    perq AS (
-      SELECT query_id,
-             MIN(CASE WHEN tr IS NOT NULL THEN rr END) AS fh,
-             SUM(CASE WHEN tr IS NOT NULL THEN (10 - tr + 1) * ({d})[rr] ELSE 0 END) AS dcg_u,
-             SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END) AS hits
-      FROM j GROUP BY query_id
-    )
-    SELECT nt.query_id, nt.n_truth,
-           COALESCE(p.hits, 0) AS hits,
-           ROUND(COALESCE(CAST(1 AS DOUBLE) / p.fh, 0.0), 6) AS rr,
-           ROUND(CAST(COALESCE(p.dcg_u, 0) AS DOUBLE)
-                 / CAST(({g})[LEAST(nt.n_truth, 10)] AS DOUBLE), 6) AS ndcg,
-           ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE), 6)
-             AS precision_at_k,
-           ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
-             AS recall_at_k
-    FROM nt LEFT JOIN perq p USING (query_id)
+    {_ranking_metrics_sql(10)}
     """
 
 
@@ -13099,6 +13108,113 @@ def ranking_quality_int8_coarse(spark, sf_dir):
     retrieved = similarity.int8_coarse_topk(e, q, k=10)
     truth = similarity.brute_force_topk(e, q, k=10)
     return stats.ranking_metrics(retrieved, truth, k=10)
+
+
+def _truncated_dims_oracle() -> str:
+    """SQL twin of ranking_metrics(16-dim-truncated cosine, full 64-dim
+    cosine, k=10) — both sides are the brute-force CTE, the retrieved
+    side over LIST_SLICE(embedding, 1, 16)."""
+
+    def brute(vec_expr: str) -> str:
+        return f"""
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.e) + 1),
+                        i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(q.e, v -> CAST(v AS DOUBLE) * v)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(c.e, v -> CAST(v AS DOUBLE) * v)))),
+               4) AS score
+      FROM (SELECT vec_id AS query_id, {vec_expr} AS e FROM embeddings WHERE vec_id < 20) q
+      CROSS JOIN (SELECT vec_id, {vec_expr} AS e FROM embeddings) c
+      WHERE q.query_id <> c.vec_id
+        """
+
+    return f"""
+    WITH retr AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS r
+        FROM ({brute("LIST_SLICE(embedding, 1, 16)")})) WHERE r <= 10
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS r
+        FROM ({brute("embedding")})) WHERE r <= 10
+    ),
+    {_ranking_metrics_sql(10)}
+    """
+
+
+@register(
+    "ranking_quality_truncated_dims",
+    "Matryoshka-style dimension-truncation audit: per-query MRR / "
+    "nDCG@10 / precision@10 / recall@10 of brute-force cosine over the "
+    "FIRST 16 of 64 embedding dims against full-dim truth — measures "
+    "exactly what serving truncated embeddings (4x cheaper scans) "
+    "costs in ranking quality, the modern MRL deployment question",
+    oracle=_truncated_dims_oracle(),
+    survey_ops=("ann-quantization", "eval-metrics"),
+)
+def ranking_quality_truncated_dims(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "embeddings")
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = e16.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    q = e.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    retrieved = similarity.brute_force_topk(e16, q16, k=10)
+    truth = similarity.brute_force_topk(e, q, k=10)
+    return stats.ranking_metrics(retrieved, truth, k=10)
+
+
+@register(
+    "weekday_seasonality_events",
+    "per-event-type multiplicative weekday index over a DENSIFIED "
+    "daily calendar (missing days count 0): seasonal_index(w) = "
+    "avg(count | ISO weekday w) / avg(count), closed as one division "
+    "of exact integer products — the STL-lite seasonal SHAPE "
+    "companion to acf_daily's rhythm detector",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM c GROUP BY g),
+    grid AS (
+      SELECT g, CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    dense AS (
+      SELECT grid.g, grid.d, COALESCE(c.c, 0) AS v
+      FROM grid LEFT JOIN c ON c.g = grid.g AND c.d = grid.d
+    ),
+    wk AS (
+      SELECT g, ISODOW(d) AS weekday, COUNT(*) AS n_days, SUM(v) AS sv
+      FROM dense GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, SUM(n_days) AS nall, SUM(sv) AS sall FROM wk GROUP BY g)
+    SELECT wk.g AS "group", wk.weekday, wk.n_days,
+           ROUND(CAST(wk.sv AS DOUBLE) / CAST(wk.n_days AS DOUBLE), 6) AS avg_count,
+           ROUND(CAST(wk.sv * t.nall AS DOUBLE)
+                 / CAST(wk.n_days * t.sall AS DOUBLE), 6) AS seasonal_index
+    FROM wk JOIN tot t ON t.g = wk.g
+    """,
+    survey_ops=("§2.9 aggregations", "quality-scoring"),
+)
+def weekday_seasonality_events(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        weekday_seasonality,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return weekday_seasonality(e, F.col("event_type"), F.col("ts"))
 
 
 @register(

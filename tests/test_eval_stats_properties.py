@@ -1170,3 +1170,60 @@ def test_rrf_fuse_matches_dict_model(spark, case):
         for rank, (item, fu) in enumerate(order, start=1)
     ]
     assert got == want
+
+
+# --- weekday seasonality vs dict model ----------------------------------
+
+season_case = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 20)),  # (group, day offset)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(season_case)
+def test_weekday_seasonality_matches_dict_model(spark, events):
+    from datetime import date, datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        weekday_seasonality,
+    )
+
+    d0 = datetime(2024, 1, 1, 9)  # a Monday
+    rows = [(g, d0 + timedelta(days=day)) for g, day in events]
+    df = spark.createDataFrame(rows, "g int, ts timestamp")
+    got = {
+        (r.group, r.weekday): (r.n_days, r.avg_count, r.seasonal_index)
+        for r in weekday_seasonality(df, F.col("g"), F.col("ts")).collect()
+    }
+
+    want = {}
+    for g in {g for g, _ in events}:
+        days = [d for gg, d in events if gg == g]
+        lo, hi = min(days), max(days)
+        counts = {d: 0 for d in range(lo, hi + 1)}  # densified calendar
+        for d in days:
+            counts[d] += 1
+        n_all, s_all = len(counts), sum(counts.values())
+        per_wd = {}
+        for d, c in counts.items():
+            wd = date(2024, 1, 1).toordinal() + d
+            wd = date.fromordinal(wd).isoweekday()
+            nd, sv = per_wd.get(wd, (0, 0))
+            per_wd[wd] = (nd + 1, sv + c)
+        for wd, (nd, sv) in per_wd.items():
+            want[(g, wd)] = (
+                nd,
+                round(sv / nd, 6),
+                round(sv * n_all / (nd * s_all), 6),
+            )
+    assert set(got) == set(want)
+    for key, (nd, avg, idx) in want.items():
+        assert got[key][0] == nd
+        assert abs(got[key][1] - avg) < 1e-6
+        assert abs(got[key][2] - idx) < 1e-6
