@@ -13174,6 +13174,109 @@ def ranking_quality_truncated_dims(spark, sf_dir):
     return stats.ranking_metrics(retrieved, truth, k=10)
 
 
+def _ppr_oracle(
+    seeds: tuple = (1, 2, 3),
+    iters: int = 8,
+    scale: int = 10**9,
+    dpct: int = 85,
+) -> str:
+    """Unrolled personalized-PageRank oracle: the _pagerank_oracle
+    skeleton with teleport + dangling mass landing on the seed set
+    (same exact-long arithmetic, same co-supply subgraph)."""
+    n_seeds = len(seeds)
+    in_seeds = "(" + ", ".join(str(s) for s in seeds) + ")"
+    teleport = scale * (100 - dpct) // (100 * n_seeds)
+    head = f"""
+    WITH sp AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+      WHERE l_suppkey < 150 AND l_partkey < 1000
+    ),
+    half AS MATERIALIZED (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sp a JOIN sp b USING (p) WHERE a.s < b.s
+    ),
+    e AS MATERIALIZED (
+      SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e
+    ),
+    deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY u),
+    r0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node IN {in_seeds}
+                  THEN CAST({scale // n_seeds} AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rs
+      FROM nodes
+    )"""
+    step = """,
+    c{i} AS MATERIALIZED (
+      SELECT e.v AS node,
+             SUM(CAST(FLOOR(r.rs / CAST(d.deg AS DOUBLE)) AS BIGINT)) AS cin
+      FROM e JOIN r{p} r ON r.node = e.u JOIN deg d ON d.node = e.u
+      GROUP BY e.v
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rs), 0) AS dang
+      FROM r{p} r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             (CASE WHEN nodes.node IN {in_seeds} THEN {teleport} ELSE 0 END)
+             + CAST(FLOOR({dpct}.0 * (COALESCE(c{i}.cin, 0)
+                 + CASE WHEN nodes.node IN {in_seeds}
+                        THEN CAST(FLOOR(d{i}.dang / {n_seeds}.0) AS BIGINT)
+                        ELSE 0 END) / 100.0)
+               AS BIGINT) AS rs
+      FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node, d{i}
+    )"""
+    body = head
+    for i in range(1, iters + 1):
+        body += step.format(
+            i=i, p=i - 1, in_seeds=in_seeds, teleport=teleport,
+            dpct=dpct, n_seeds=n_seeds,
+        )
+    body += f"""
+    SELECT node AS supp_key,
+           ROUND(ROUND(rs / {float(scale)}, 9), 6) AS ppr
+    FROM r{iters}
+    """
+    return body
+
+
+@register(
+    "graph_ppr_related_suppliers",
+    "personalized PageRank (8 fixed iterations, damping 85/100, "
+    "teleport pinned to seed suppliers {1,2,3}) over the undirected "
+    "co-supply graph: rank = multi-hop proximity to the seed set — "
+    "the related-entity recommender the reference's hop-1 harvest "
+    "approximates; same scaled-long order-free fold as pagerank, so "
+    "the oracle unrolls the identical 8 integer iterations",
+    oracle=_ppr_oracle(),
+    survey_ops=("T3", "T4 frontier", "§2.9 joins"),
+)
+def graph_ppr_related_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    sp = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    half = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return graph.personalized_pagerank(edges, seeds=[1, 2, 3]).select(
+        F.col("node").alias("supp_key"), F.round(F.col("ppr"), 6).alias("ppr")
+    )
+
+
 @register(
     "weekday_seasonality_events",
     "per-event-type multiplicative weekday index over a DENSIFIED "

@@ -1233,3 +1233,62 @@ def test_embedding_pca_matches_direct_numpy(spark):
         assert abs(r.explained - ev / evals.sum()) < 1e-5
     # the dominant direction carries most of the variance
     assert got[0].explained > 0.9
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # path graph 0-1-2-3-4-5 (symmetrized): teleport pinned to node 0
+    half = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        half + [(v, u) for (u, v) in half], "u long, v long"
+    )
+    ppr = {
+        r.node: r.ppr
+        for r in graph.personalized_pagerank(
+            edges, seeds=[0], iters=12
+        ).collect()
+    }
+    # mass conservation (floor losses only)
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+    # float power-iteration model, same init (all mass on seeds) and
+    # same 12 fixed iterations. NB true PPR is NOT monotone from the
+    # seed here: degree-1 seed 0 exports everything to node 1, which
+    # also collects from node 2, so ppr[1] > ppr[0] is CORRECT.
+    r = [1.0, 0, 0, 0, 0, 0]
+    degs = [1, 2, 2, 2, 2, 1]
+    for _ in range(12):
+        nxt = [0.0] * 6
+        for (u, v) in half + [(v, u) for (u, v) in half]:
+            nxt[v] += r[u] / degs[u]
+        r = [0.15 * (1.0 if i == 0 else 0.0) + 0.85 * nxt[i] for i in range(6)]
+    for i in range(6):
+        assert abs(ppr[i] - r[i]) < 1e-6
+    # proximity decays along same-parity hops (a path graph still
+    # carries parity ripples at 12 iterations from seed-pinned init)
+    assert ppr[1] > ppr[3] > ppr[5] > 0
+    assert ppr[0] > ppr[2] > ppr[4] > 0
+    # determinism
+    again = {
+        r.node: r.ppr
+        for r in graph.personalized_pagerank(
+            edges, seeds=[0], iters=12
+        ).collect()
+    }
+    assert again == ppr
+
+
+def test_personalized_pagerank_dangling_mass_to_seeds(spark):
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    # 1 -> 2 -> 3 with dangling 3: its mass must return to seed 1, so
+    # nothing leaks (uniform PR would spread it over all nodes)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    ppr = {
+        r.node: r.ppr
+        for r in graph.personalized_pagerank(
+            edges, seeds=[1], iters=12
+        ).collect()
+    }
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+    assert ppr[1] > ppr[2] > ppr[3] > 0
