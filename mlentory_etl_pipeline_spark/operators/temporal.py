@@ -716,3 +716,57 @@ def weekday_seasonality(
             6,
         ).alias("seasonal_index"),
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    entity: Column,
+    ts: Column,
+    state: Column,
+    tiebreak: Column,
+    n: int = 3,
+    min_count: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top consecutive state n-grams across per-entity event sequences
+    — the sequential-pattern-mining step above the Markov matrix
+    (order-1 says what follows a view; the trigram table finds the
+    multi-step rituals: view→view→purchase vs view→click→purchase).
+
+    Only CONSECUTIVE runs count (classic n-gram, not gappy
+    subsequences — the gappy variant is exponential and needs
+    PrefixSpan-style pruning; consecutive is one window pass).
+    Ordering determinism via the (ts, tiebreak) contract; ranking
+    (count DESC, gram ASC) is a total order.
+
+    Scale posture: ONE per-entity ordered window computing n−1 lags in
+    a single pass; the n-gram aggregation is keyed by the bounded
+    |states|ⁿ pattern space (map-side combinable); top-k is
+    TakeOrdered, never a corpus sort.
+    """
+    if n < 2:
+        raise ValueError("sequence_ngrams needs n >= 2")
+    w = Window.partitionBy("_e").orderBy("_ts", "_tb")
+    seq = df.select(
+        entity.alias("_e"),
+        ts.alias("_ts"),
+        tiebreak.alias("_tb"),
+        state.alias("_s0"),
+    )
+    for i in range(1, n):
+        seq = seq.withColumn(f"_s{i}", F.lag("_s0", i).over(w))
+    grams = seq.where(F.col(f"_s{n - 1}").isNotNull()).select(
+        *[
+            F.col(f"_s{n - 1 - i}").alias(f"state_{i + 1}")
+            for i in range(n)
+        ]
+    )
+    gram_cols = [f"state_{i + 1}" for i in range(n)]
+    counted = (
+        grams.groupBy(*gram_cols)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return counted.orderBy(
+        F.desc("n_occurrences"), *[F.asc(c) for c in gram_cols]
+    ).limit(top_k)

@@ -13278,6 +13278,46 @@ def graph_ppr_related_suppliers(spark, sf_dir):
 
 
 @register(
+    "sequence_trigrams_events",
+    "top-50 consecutive event-type trigrams across per-user sequences "
+    "(count >= 2, deterministic (ts, event_id) ordering) — the "
+    "sequential-pattern layer above the Markov matrix: one per-user "
+    "window computing both lags in a single pass, aggregation keyed "
+    "by the bounded |types|^3 pattern space, TakeOrdered top-k",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s0,
+             LAG(event_type, 1) OVER w AS s1,
+             LAG(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s2 AS state_1, s1 AS state_2, s0 AS state_3,
+           COUNT(*) AS n_occurrences
+    FROM seq WHERE s2 IS NOT NULL
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ORDER BY n_occurrences DESC, state_1, state_2, state_3
+    LIMIT 50
+    """,
+    survey_ops=("§2.9 window functions", "quality-scoring"),
+)
+def sequence_trigrams_events(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import sequence_ngrams
+
+    e = t(spark, sf_dir, "events")
+    return sequence_ngrams(
+        e,
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_type"),
+        F.col("event_id"),
+        n=3,
+        min_count=2,
+        top_k=50,
+    )
+
+
+@register(
     "weekday_seasonality_events",
     "per-event-type multiplicative weekday index over a DENSIFIED "
     "daily calendar (missing days count 0): seasonal_index(w) = "

@@ -1227,3 +1227,54 @@ def test_weekday_seasonality_matches_dict_model(spark, events):
         assert got[key][0] == nd
         assert abs(got[key][1] - avg) < 1e-6
         assert abs(got[key][2] - idx) < 1e-6
+
+
+# --- sequence n-grams vs fold model --------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mk_case, st.integers(2, 4))
+def test_sequence_ngrams_matches_fold_model(spark, events, n):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import sequence_ngrams
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (e, d0 + timedelta(hours=ts, microseconds=137 * i), i, s)
+        for i, (e, ts, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "e long, ts timestamp, id long, s string")
+    out = sequence_ngrams(
+        df, F.col("e"), F.col("ts"), F.col("s"), F.col("id"),
+        n=n, min_count=1, top_k=1000,
+    ).collect()
+    got = {
+        tuple(r[f"state_{i + 1}"] for i in range(n)): r.n_occurrences
+        for r in out
+    }
+    # ranking is (count DESC, gram ASC) — verify the emitted order too
+    emitted = [
+        (-r.n_occurrences, tuple(r[f"state_{i + 1}"] for i in range(n)))
+        for r in out
+    ]
+    assert emitted == sorted(emitted)
+
+    want = {}
+    for e in {e for e, _, _ in events}:
+        seq = [
+            s
+            for _, _, s in sorted(
+                (ts, i, s)
+                for i, (ee, ts, s) in enumerate(events)
+                if ee == e
+            )
+        ]
+        for j in range(len(seq) - n + 1):
+            g = tuple(seq[j : j + n])
+            want[g] = want.get(g, 0) + 1
+    assert got == want
