@@ -185,6 +185,12 @@ def main():
             "association_rules_suppliers",
             "ranking_quality_int8_coarse",
             "hybrid_rrf_search",
+            "ranking_quality_truncated_dims",
+            "weekday_seasonality_events",
+            "graph_ppr_related_suppliers",
+            "sequence_trigrams_events",
+            "psi_value_drift_events",
+            "conformal_value_intervals",
         )
         if n in REGISTRY
     ]

@@ -2231,3 +2231,206 @@ def rrf_fuse(
         F.col("rank"),
     ]
     return out.select(*sel)
+
+
+# ------------------------------------------------- drift & conformal
+
+
+def psi_drift(
+    df: DataFrame,
+    is_reference: Column,
+    value: Column,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and an actual
+    window of a numeric feature — the industry drift dashboard's
+    standard number (PSI < 0.1 stable, > 0.25 action): bucket edges
+    are the reference's exact ``percentile_disc`` deciles (actual data
+    points — no interpolation, engine-identical), both windows are
+    bucketed by the same edges, and
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    with add-half smoothing so empty buckets contribute finitely.
+
+    Determinism: the kl_domain_drift integerization — each bucket's
+    log-ratio is ONE ln quantized to micro-units (bigint) and
+    multiplied by the EXACT integer share difference
+    ``(2a+1)(2E+B) − (2e+1)(2A+B)`` carried in DECIMAL(38,0), so both
+    per-bucket terms and the total fold order-free; one double
+    division at the end. DECIMAL budget: counts to ~10¹² rows keep
+    every product under 10³². Requires a non-empty reference window
+    (edges are undefined otherwise).
+
+    Scale posture: one pass for the decile edges (reference
+    aggregation), one bucket-keyed count aggregation over the full
+    input (map-side combinable, ≤ n_buckets rows out), the smoothing
+    grid is literal-sized. Returns one row per bucket with its term
+    and the repeated total.
+    """
+    base = df.select(
+        is_reference.cast("boolean").alias("_ref"), value.alias("_v")
+    ).where(F.col("_v").isNotNull())
+    edge_aggs = [
+        F.expr(
+            f"percentile_disc({k}/{n_buckets}D) WITHIN GROUP (ORDER BY _v)"
+        ).alias(f"_e{k}")
+        for k in range(1, n_buckets)
+    ]
+    edges = base.where(F.col("_ref")).agg(*edge_aggs)
+    bucket = F.lit(1)
+    for k in range(1, n_buckets):
+        bucket = bucket + F.when(F.col("_v") > F.col(f"_e{k}"), 1).otherwise(0)
+    counted = (
+        base.crossJoin(F.broadcast(edges))
+        .select(bucket.alias("bucket"), "_ref")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0)).alias("_en"),
+            F.sum(F.when(F.col("_ref"), 0).otherwise(1)).alias("_an"),
+        )
+    )
+    grid = F.broadcast(
+        counted.sparkSession.range(1, n_buckets + 1).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    dense = grid.join(counted, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("_en"), F.lit(0)).alias("_en"),
+        F.coalesce(F.col("_an"), F.lit(0)).alias("_an"),
+    )
+    tot = dense.agg(
+        F.sum("_en").alias("_E"), F.sum("_an").alias("_A")
+    )
+    b = F.lit(n_buckets)
+    g = dense.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "_en",
+        "_an",
+        (F.lit(2) * F.col("_en") + 1).alias("_pe"),
+        (F.lit(2) * F.col("_an") + 1).alias("_pa"),
+        (F.lit(2) * F.col("_E") + b).alias("_de"),
+        (F.lit(2) * F.col("_A") + b).alias("_da"),
+        "_E",
+        "_A",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lq = F.floor(
+        F.log(
+            F.col("_pa").cast("double")
+            * F.col("_de").cast("double")
+            / (F.col("_pe").cast("double") * F.col("_da").cast("double"))
+        )
+        * F.lit(1000000)
+    ).cast("long")
+    num = dec(F.col("_pa")) * F.col("_de") - dec(F.col("_pe")) * F.col("_da")
+    den = (dec(F.col("_da")) * F.col("_de")).cast("double") * 1000000.0
+    terms = g.select(
+        "bucket",
+        F.col("_en").alias("expected_n"),
+        F.col("_an").alias("actual_n"),
+        F.round(F.try_divide(F.col("_en").cast("double"), F.col("_E").cast("double")), 6).alias("expected_pct"),
+        F.round(F.try_divide(F.col("_an").cast("double"), F.col("_A").cast("double")), 6).alias("actual_pct"),
+        (num * lq).alias("_ts"),
+        den.alias("_den"),
+        F.col("_E"),
+        F.col("_A"),
+    )
+    total = terms.agg(F.sum("_ts").alias("_tot")).select("_tot")
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "expected_n",
+            "actual_n",
+            "expected_pct",
+            "actual_pct",
+            F.round(F.col("_ts").cast("double") / F.col("_den"), 6).alias(
+                "psi_term"
+            ),
+            F.round(F.col("_tot").cast("double") / F.col("_den"), 6).alias(
+                "psi_total"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    group: Column,
+    id_hash_src: Column,
+    value: Column,
+    target_coverage_pct: int = 90,
+) -> DataFrame:
+    """Split-conformal prediction-interval audit per group: the
+    calibration half (deterministic md5 split on the id) fits a
+    trivially exchangeable predictor (the calibration MEDIAN — an
+    exact ``percentile_disc`` data point, no arithmetic) and takes the
+    ``target_coverage_pct`` quantile of absolute calibration residuals
+    as the interval half-width q; the held-out half then measures the
+    EMPIRICAL coverage of median ± q — the distribution-free guarantee
+    a monitoring pipeline actually checks (coverage ≈ target
+    regardless of the value distribution).
+
+    Determinism: both quantiles are percentile_disc (actual data
+    points); residuals are one IEEE subtraction of identical doubles;
+    coverage is a ratio of exact integer counts — one double division.
+
+    Scale posture: two per-group aggregations (median, then residual
+    quantile over the calibration half) + one per-group coverage
+    aggregation; the per-group stats frames are |groups| rows,
+    broadcast back.
+    """
+    base = df.select(
+        group.alias("_g"),
+        (
+            F.substring(F.md5(id_hash_src.cast("string")), 1, 2) < "80"
+        ).alias("_cal"),
+        value.alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    med = base.where(F.col("_cal")).groupBy("_g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _v)").alias(
+            "_med"
+        ),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    resid = base.join(F.broadcast(med), "_g").select(
+        "_g",
+        "_cal",
+        "_v",
+        F.abs(F.col("_v") - F.col("_med")).alias("_r"),
+    )
+    frac = target_coverage_pct / 100.0
+    q = resid.where(F.col("_cal")).groupBy("_g").agg(
+        F.expr(
+            f"percentile_disc({frac!r}D) WITHIN GROUP (ORDER BY _r)"
+        ).alias("_q")
+    )
+    ev = resid.where(~F.col("_cal")).join(F.broadcast(q), "_g")
+    return (
+        ev.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("_r") <= F.col("_q"), 1).otherwise(0)).alias(
+                "_cov"
+            ),
+            F.max("_q").alias("_qv"),
+        )
+        .join(F.broadcast(med.select("_g", "n_calib", "_med")), "_g")
+        .select(
+            F.col("_g").alias("group"),
+            "n_calib",
+            "n_eval",
+            F.round(F.col("_med"), 6).alias("median"),
+            F.round(F.col("_qv"), 6).alias("half_width"),
+            F.round(
+                F.try_divide(
+                    F.col("_cov").cast("double"), F.col("n_eval").cast("double")
+                ),
+                6,
+            ).alias("coverage"),
+            F.lit(target_coverage_pct / 100.0).alias("target"),
+        )
+    )

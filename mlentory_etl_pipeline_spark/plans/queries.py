@@ -13278,6 +13278,142 @@ def graph_ppr_related_suppliers(spark, sf_dir):
 
 
 @register(
+    "psi_value_drift_events",
+    "Population Stability Index of event value: reference window "
+    "(first half of January) vs the rest, bucketed by the reference's "
+    "exact percentile_disc deciles; add-half smoothing, per-bucket "
+    "log-ratio quantized to integer micro-units x exact DECIMAL share "
+    "difference (the kl_domain_drift determinism scheme) so terms AND "
+    "total fold order-free — the standard drift-dashboard number "
+    "under a hard oracle",
+    oracle="""
+    WITH base AS (
+      SELECT ts < TIMESTAMP '2024-01-16' AS ref, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    edges AS (
+      SELECT QUANTILE_DISC(v, 0.1) AS e1, QUANTILE_DISC(v, 0.2) AS e2,
+             QUANTILE_DISC(v, 0.3) AS e3, QUANTILE_DISC(v, 0.4) AS e4,
+             QUANTILE_DISC(v, 0.5) AS e5, QUANTILE_DISC(v, 0.6) AS e6,
+             QUANTILE_DISC(v, 0.7) AS e7, QUANTILE_DISC(v, 0.8) AS e8,
+             QUANTILE_DISC(v, 0.9) AS e9
+      FROM base WHERE ref
+    ),
+    counted AS (
+      SELECT 1 + (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e3 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e5 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e7 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bucket,
+             SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS en,
+             SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS an
+      FROM base, edges GROUP BY 1
+    ),
+    dense AS (
+      SELECT g.bucket, COALESCE(c.en, 0) AS en, COALESCE(c.an, 0) AS an
+      FROM (SELECT UNNEST(RANGE(1, 11)) AS bucket) g
+      LEFT JOIN counted c ON c.bucket = g.bucket
+    ),
+    tot AS (SELECT SUM(en) AS te, SUM(an) AS ta FROM dense),
+    g AS (
+      SELECT bucket, en, an,
+             2 * en + 1 AS pe, 2 * an + 1 AS pa,
+             2 * te + 10 AS de, 2 * ta + 10 AS da, te, ta
+      FROM dense, tot
+    ),
+    terms AS (
+      SELECT bucket, en, an, te, ta,
+             CAST(FLOOR(LN(
+               CAST(pa AS DOUBLE) * CAST(de AS DOUBLE)
+               / (CAST(pe AS DOUBLE) * CAST(da AS DOUBLE))
+             ) * 1000000) AS BIGINT)
+             * (CAST(pa AS HUGEINT) * de - CAST(pe AS HUGEINT) * da) AS ts,
+             CAST(CAST(da AS HUGEINT) * de AS DOUBLE) * 1000000.0 AS den
+      FROM g
+    )
+    SELECT bucket, en AS expected_n, an AS actual_n,
+           ROUND(CAST(en AS DOUBLE) / CAST(te AS DOUBLE), 6) AS expected_pct,
+           ROUND(CAST(an AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS actual_pct,
+           ROUND(CAST(ts AS DOUBLE) / den, 6) AS psi_term,
+           ROUND(CAST((SELECT SUM(ts) FROM terms) AS DOUBLE) / den, 6)
+             AS psi_total
+    FROM terms ORDER BY bucket
+    """,
+    survey_ops=("curation-pipeline", "eval-metrics"),
+)
+def psi_value_drift_events(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    return stats.psi_drift(
+        e,
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        F.col("value"),
+        n_buckets=10,
+    )
+
+
+@register(
+    "conformal_value_intervals",
+    "split-conformal prediction-interval audit per event type: "
+    "calibration half (deterministic md5 split) sets median +- q90 of "
+    "absolute residuals; the held-out half measures empirical "
+    "coverage of the distribution-free 90% guarantee — both quantiles "
+    "are exact percentile_disc data points, coverage a ratio of "
+    "integer counts",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 2) < '80' AS cal,
+             value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT g, QUANTILE_DISC(v, 0.5) AS med, COUNT(*) AS n_calib
+      FROM base WHERE cal GROUP BY g
+    ),
+    resid AS (
+      SELECT b.g, b.cal, ABS(b.v - m.med) AS r
+      FROM base b JOIN med m USING (g)
+    ),
+    q AS (
+      SELECT g, QUANTILE_DISC(r, 0.9) AS q
+      FROM resid WHERE cal GROUP BY g
+    ),
+    ev AS (
+      SELECT r.g, COUNT(*) AS n_eval,
+             SUM(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END) AS cov,
+             MAX(q.q) AS qv
+      FROM resid r JOIN q USING (g) WHERE NOT r.cal GROUP BY r.g
+    )
+    SELECT ev.g AS "group", m.n_calib, ev.n_eval,
+           ROUND(m.med, 6) AS median,
+           ROUND(ev.qv, 6) AS half_width,
+           ROUND(CAST(ev.cov AS DOUBLE) / CAST(ev.n_eval AS DOUBLE), 6)
+             AS coverage,
+           CAST(0.9 AS DOUBLE) AS target
+    FROM ev JOIN med m USING (g)
+    """,
+    survey_ops=("eval-metrics", "quality-scoring"),
+)
+def conformal_value_intervals(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    return stats.conformal_intervals(
+        e,
+        F.col("event_type"),
+        F.col("event_id"),
+        F.col("value"),
+        target_coverage_pct=90,
+    )
+
+
+@register(
     "sequence_trigrams_events",
     "top-50 consecutive event-type trigrams across per-user sequences "
     "(count >= 2, deterministic (ts, event_id) ordering) — the "

@@ -1278,3 +1278,127 @@ def test_sequence_ngrams_matches_fold_model(spark, events, n):
             g = tuple(seq[j : j + n])
             want[g] = want.get(g, 0) + 1
     assert got == want
+
+
+# --- PSI drift vs integerized model ---------------------------------------
+
+psi_case = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 30)),  # (is_reference, value)
+    min_size=2,
+    max_size=60,
+).filter(lambda xs: any(r for r, _ in xs))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(psi_case, st.integers(2, 6))
+def test_psi_drift_matches_integer_model(spark, rows, n_buckets):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import psi_drift
+
+    df = spark.createDataFrame(
+        [(r, float(v)) for r, v in rows], "ref boolean, v double"
+    )
+    got = {
+        r.bucket: (
+            r.expected_n,
+            r.actual_n,
+            r.psi_term,
+            r.psi_total,
+        )
+        for r in psi_drift(
+            df, F.col("ref"), F.col("v"), n_buckets=n_buckets
+        ).collect()
+    }
+
+    ref = sorted(v for r, v in rows if r)
+    # percentile_disc(p) = smallest value whose cume_dist >= p
+    edges = [
+        ref[max(0, math.ceil(k / n_buckets * len(ref)) - 1)]
+        for k in range(1, n_buckets)
+    ]
+    en = {b: 0 for b in range(1, n_buckets + 1)}
+    an = dict(en)
+    for r, v in rows:
+        b = 1 + sum(1 for e in edges if v > e)
+        (en if r else an)[b] += 1
+    te, ta = sum(en.values()), sum(an.values())
+    de, da = 2 * te + n_buckets, 2 * ta + n_buckets
+    terms = {}
+    for b in range(1, n_buckets + 1):
+        pe, pa = 2 * en[b] + 1, 2 * an[b] + 1
+        lq = math.floor(math.log((pa * de) / (pe * da)) * 1_000_000)
+        terms[b] = (pa * de - pe * da) * lq
+    den = da * de * 1_000_000
+    total = sum(terms.values())
+    assert set(got) == set(terms)
+    for b in terms:
+        assert got[b][0] == en[b]
+        assert got[b][1] == an[b]
+        assert abs(got[b][2] - terms[b] / den) < 1e-6
+        assert abs(got[b][3] - total / den) < 1e-6
+    # PSI of identical windows must be ~0; shifted windows positive —
+    # sanity direction checks on the model itself
+    if all(r for r, _ in rows):
+        assert ta == 0
+
+
+# --- conformal intervals vs dict model -------------------------------------
+
+conf_case = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 100), st.integers(-20, 20)),
+    min_size=4,
+    max_size=50,
+    unique_by=lambda t: t[1],  # unique ids -> deterministic split
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(conf_case)
+def test_conformal_intervals_matches_dict_model(spark, rows):
+    import hashlib
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        conformal_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for g, i, v in rows], "g int, id long, v double"
+    )
+    got = {
+        r.group: (r.n_calib, r.n_eval, r.median, r.half_width, r.coverage)
+        for r in conformal_intervals(
+            df, F.col("g"), F.col("id"), F.col("v"), target_coverage_pct=90
+        ).collect()
+    }
+
+    def is_cal(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < "80"
+
+    def pdisc(sorted_vals, p):
+        return sorted_vals[max(0, math.ceil(p * len(sorted_vals)) - 1)]
+
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        cal = sorted(v for gg, i, v in rows if gg == g and is_cal(i))
+        ev = [v for gg, i, v in rows if gg == g and not is_cal(i)]
+        if not cal or not ev:
+            continue  # operator inner-joins both halves away
+        med = pdisc(cal, 0.5)
+        q = pdisc(sorted(abs(v - med) for v in cal), 0.9)
+        cov = sum(1 for v in ev if abs(v - med) <= q) / len(ev)
+        want[g] = (len(cal), len(ev), round(med, 6), round(q, 6), round(cov, 6))
+    assert set(got) == set(want)
+    for g, w in want.items():
+        assert got[g][0] == w[0] and got[g][1] == w[1]
+        for a, b in zip(got[g][2:], w[2:]):
+            assert abs(a - b) < 1e-6
