@@ -191,6 +191,7 @@ def main():
             "sequence_trigrams_events",
             "psi_value_drift_events",
             "conformal_value_intervals",
+            "forecast_backtest_users",
         )
         if n in REGISTRY
     ]

@@ -13278,6 +13278,130 @@ def graph_ppr_related_suppliers(spark, sf_dir):
 
 
 @register(
+    "forecast_backtest_users",
+    "rolling-origin backtest of the Holt forecaster: at three cutoff "
+    "dates, fit level+trend on each user's PREFIX (one scan — origins "
+    "exploded map-side, the fold keyed by (user, origin)), forecast "
+    "the mean of the next 7 steps (l + 4b), and score it against the "
+    "exact-cents mean of the next 7 actual events — per-(user, origin) "
+    "absolute error, the eval layer a forecaster needs before anyone "
+    "trusts forecast_7",
+    oracle="""
+    WITH RECURSIVE og AS (
+      SELECT UNNEST(['2024-01-10', '2024-01-16', '2024-01-22']) AS origin
+    ),
+    ser AS (
+      SELECT user_id, origin,
+             ROW_NUMBER() OVER (PARTITION BY user_id, origin
+                                ORDER BY ts, event_id) AS t,
+             COUNT(*) OVER (PARTITION BY user_id, origin) AS n,
+             value AS y
+      FROM events, og
+      WHERE value IS NOT NULL AND ts < CAST(origin AS TIMESTAMP)
+    ),
+    rec AS (
+      SELECT user_id, origin, t, n, y, y AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.origin, s.t, s.n, s.y,
+             0.5 * s.y + 0.5 * (r.l + r.b) AS l,
+             0.25 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b AS b
+      FROM rec r
+      JOIN ser s ON s.user_id = r.user_id AND s.origin = r.origin
+                AND s.t = r.t + 1
+    ),
+    fit AS (
+      SELECT user_id, origin, n AS n_fit, l, b FROM rec WHERE t = n
+    ),
+    post AS (
+      SELECT user_id, origin, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, origin
+                                ORDER BY ts, event_id) AS rn
+      FROM events, og
+      WHERE value IS NOT NULL AND ts >= CAST(origin AS TIMESTAMP)
+    ),
+    act AS (
+      SELECT user_id, origin, COUNT(*) AS n_actual,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+      FROM post WHERE rn <= 7 GROUP BY user_id, origin
+    )
+    SELECT f.user_id, f.origin, CAST(f.n_fit AS INT) AS n_fit, a.n_actual,
+           -- the Spark side composes from holt_linear's 6-dp-rounded
+           -- level/trend outputs, so the oracle must round l, b FIRST
+           ROUND(ROUND(f.l, 6) + 4.0 * ROUND(f.b, 6), 6) AS forecast_mean,
+           ROUND(CAST(a.cents AS DOUBLE) / a.n_actual / 100.0, 6)
+             AS actual_mean,
+           ROUND(ABS((ROUND(f.l, 6) + 4.0 * ROUND(f.b, 6))
+                     - CAST(a.cents AS DOUBLE) / a.n_actual / 100.0), 6)
+             AS abs_err
+    FROM fit f JOIN act a USING (user_id, origin)
+    """,
+    survey_ops=("monitoring-stats", "eval-metrics"),
+)
+def forecast_backtest_users(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import holt_linear
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.explode(
+                F.array(
+                    F.lit("2024-01-10"),
+                    F.lit("2024-01-16"),
+                    F.lit("2024-01-22"),
+                )
+            ).alias("origin"),
+        )
+    )
+    fit = holt_linear(
+        e.where(F.col("ts") < F.col("origin").cast("timestamp")),
+        ["user_id", "origin"],
+        "ts",
+        "value",
+        "event_id",
+        alpha=0.5,
+        beta=0.25,
+        horizon=7,
+    ).select(
+        "user_id",
+        "origin",
+        F.col("n_points").alias("n_fit"),
+        "level",
+        "trend",
+    )
+    w = Window.partitionBy("user_id", "origin").orderBy("ts", "event_id")
+    act = (
+        e.where(F.col("ts") >= F.col("origin").cast("timestamp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 7)
+        .groupBy("user_id", "origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_actual"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("long")
+            ).alias("_cents"),
+        )
+    )
+    fmean = F.col("level") + F.lit(4.0) * F.col("trend")
+    amean = F.col("_cents").cast("double") / F.col("n_actual") / F.lit(100.0)
+    return fit.join(act, ["user_id", "origin"]).select(
+        "user_id",
+        "origin",
+        "n_fit",
+        "n_actual",
+        F.round(fmean, 6).alias("forecast_mean"),
+        F.round(amean, 6).alias("actual_mean"),
+        F.round(F.abs(fmean - amean), 6).alias("abs_err"),
+    )
+
+
+@register(
     "psi_value_drift_events",
     "Population Stability Index of event value: reference window "
     "(first half of January) vs the rest, bucketed by the reference's "
