@@ -192,6 +192,9 @@ def main():
             "psi_value_drift_events",
             "conformal_value_intervals",
             "forecast_backtest_users",
+            "training_labels_churn",
+            "ccf_views_purchases",
+            "shannon_diversity_users",
         )
         if n in REGISTRY
     ]

@@ -2434,3 +2434,182 @@ def conformal_intervals(
             F.lit(target_coverage_pct / 100.0).alias("target"),
         )
     )
+
+
+def ccf_daily(
+    df: DataFrame,
+    ts: Column,
+    is_a: Column,
+    is_b: Column,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation between two event streams' DAILY counts at
+    lags −max_lag..+max_lag — the lead/lag detector (does marketing
+    activity LEAD purchases by 3 days?) that autocorrelation
+    (:func:`acf_daily`) can't see because it compares a series only
+    with itself. Positive lag k means "a leads b by k days"
+    (r_k = corr(a_t, b_{t+k})); negative lags mirror via
+    r_{−k}(a,b) = corr(b_t, a_{t+k}).
+
+    The calendar is the GLOBAL densified day grid (missing days count
+    0 in both series). Exactness: counts are integers, so every lag's
+    sufficient statistics fold in exact DECIMAL — P_k = Σ a_t·b_{t+k},
+    the overlap sums A_k, B_k, plus n, S, SS per series — and
+
+        r_k = (P_k − m_b·A_k − m_a·B_k + (n−k)·m_a·m_b)
+              / sqrt(SS_a − n·m_a²) / sqrt(SS_b − n·m_b²)
+
+    (full-series means/sds, the statsmodels ccf convention) closes in
+    double on identical exact operands; zero-variance series yield
+    NULL via try_divide.
+
+    Scale posture: one groupBy to the daily two-column rollup (shuffle
+    bounded by |days|), ONE ordered window over the calendar-bounded
+    global series computing all 2·max_lag leads in a single pass, one
+    aggregation; output is 2·max_lag+1 rows.
+    """
+    day = F.to_date(ts)
+    c = (
+        df.select(
+            day.alias("_d"),
+            is_a.cast("int").alias("_ia"),
+            is_b.cast("int").alias("_ib"),
+        )
+        .groupBy("_d")
+        .agg(F.sum("_ia").alias("_a"), F.sum("_ib").alias("_b"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = c.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("_d")
+    )
+    dense = grid.join(c, ["_d"], "left").select(
+        "_d",
+        F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
+        F.coalesce(F.col("_b"), F.lit(0)).alias("_b"),
+    )
+    w = Window.orderBy("_d")
+    leads = dense.select(
+        "_a",
+        "_b",
+        *[F.lead("_b", k).over(w).alias(f"_bl{k}") for k in range(1, max_lag + 1)],
+        *[F.lead("_a", k).over(w).alias(f"_al{k}") for k in range(1, max_lag + 1)],
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec(F.col("_a"))).alias("_sa"),
+        F.sum(dec(F.col("_b"))).alias("_sb"),
+        F.sum(dec(F.col("_a")) * F.col("_a")).alias("_ssa"),
+        F.sum(dec(F.col("_b")) * F.col("_b")).alias("_ssb"),
+        F.sum(dec(F.col("_a")) * F.col("_b")).alias("_p0"),
+    ]
+    for k in range(1, max_lag + 1):
+        bl, al = F.col(f"_bl{k}"), F.col(f"_al{k}")
+        aggs += [
+            F.sum(F.when(bl.isNotNull(), dec(F.col("_a")) * bl)).alias(f"_pp{k}"),
+            F.sum(F.when(bl.isNotNull(), dec(F.col("_a")))).alias(f"_pa{k}"),
+            F.sum(dec(bl)).alias(f"_pb{k}"),
+            F.sum(F.when(al.isNotNull(), dec(F.col("_b")) * al)).alias(f"_np{k}"),
+            F.sum(F.when(al.isNotNull(), dec(F.col("_b")))).alias(f"_nb{k}"),
+            F.sum(dec(al)).alias(f"_na{k}"),
+        ]
+    a = leads.agg(*aggs)
+    n = F.col("n_days").cast("double")
+    ma = F.col("_sa").cast("double") / n
+    mb = F.col("_sb").cast("double") / n
+    sda = F.sqrt(F.col("_ssa").cast("double") - n * ma * ma)
+    sdb = F.sqrt(F.col("_ssb").cast("double") - n * mb * mb)
+    rows = []
+    for k in range(-max_lag, max_lag + 1):
+        if k == 0:
+            num = (
+                F.col("_p0").cast("double")
+                - mb * F.col("_sa").cast("double")
+                - ma * F.col("_sb").cast("double")
+                + n * ma * mb
+            )
+        elif k > 0:
+            num = (
+                F.col(f"_pp{k}").cast("double")
+                - mb * F.col(f"_pa{k}").cast("double")
+                - ma * F.col(f"_pb{k}").cast("double")
+                + (F.col("n_days") - k).cast("double") * ma * mb
+            )
+        else:
+            j = -k
+            num = (
+                F.col(f"_np{j}").cast("double")
+                - ma * F.col(f"_nb{j}").cast("double")
+                - mb * F.col(f"_na{j}").cast("double")
+                + (F.col("n_days") - j).cast("double") * ma * mb
+            )
+        rows.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(
+                    F.try_divide(F.try_divide(num, sda), sdb), 6
+                ).alias("ccf"),
+            )
+        )
+    return a.select(
+        "n_days", F.explode(F.array(*rows)).alias("_r")
+    ).select("n_days", "_r.lag", "_r.ccf")
+
+
+def shannon_diversity(
+    df: DataFrame,
+    group: Column,
+    category: Column,
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical distribution plus
+    Pielou evenness — the behavioral-diversity audit (does this user
+    do one thing or many? is a source's doc-type mix collapsing?) that
+    a bare distinct-count can't express because it ignores balance.
+
+    Identity used: H = ln(n) − (1/n)·Σ_c n_c·ln(n_c), so the only
+    logs are of INTEGERS — each is quantized once to micro-units
+    (⌊ln(k)·10⁶⌋, the kl_domain_drift scheme) and multiplied by exact
+    integer counts in DECIMAL(38,0); H and the evenness ratio
+    H/ln(n_categories) close as single divisions of exact integers
+    (evenness is NULL for single-category groups via try_divide).
+
+    Scale posture: one (group, category)-keyed count aggregation, one
+    per-group fold (map-side combinable both times); output is
+    |groups| rows.
+    """
+    cnt = df.select(group.alias("_g"), category.alias("_c")).groupBy(
+        "_g", "_c"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    lq = F.floor(F.log(F.col("_n").cast("double")) * F.lit(1000000)).cast(
+        "long"
+    )
+    per_g = cnt.groupBy("_g").agg(
+        F.sum("_n").alias("_ng"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("_n").cast("decimal(38,0)") * lq).alias("_sl"),
+    )
+    lg = F.floor(F.log(F.col("_ng").cast("double")) * F.lit(1000000)).cast(
+        "long"
+    )
+    lk = F.floor(
+        F.log(F.col("n_categories").cast("double")) * F.lit(1000000)
+    ).cast("long")
+    num = F.col("_ng").cast("decimal(38,0)") * lg - F.col("_sl")
+    return per_g.select(
+        F.col("_g").alias("group"),
+        F.col("_ng").alias("n_events"),
+        "n_categories",
+        F.round(
+            num.cast("double")
+            / (F.col("_ng").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("entropy"),
+        F.round(
+            F.try_divide(
+                num.cast("double"),
+                F.col("_ng").cast("double") * lk.cast("double"),
+            ),
+            6,
+        ).alias("evenness"),
+    )

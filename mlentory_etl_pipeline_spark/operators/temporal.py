@@ -770,3 +770,83 @@ def sequence_ngrams(
     return counted.orderBy(
         F.desc("n_occurrences"), *[F.asc(c) for c in gram_cols]
     ).limit(top_k)
+
+
+def build_training_labels(
+    df: DataFrame,
+    entity: Column,
+    ts: Column,
+    feature_days: int = 7,
+    label_days: int = 14,
+    snapshot_stride_days: int = 7,
+) -> DataFrame:
+    """Leakage-safe training-label construction — the supervised-ML
+    companion every churn/propensity pipeline needs and gets wrong by
+    peeking: at aligned snapshot dates, the FEATURE is activity in the
+    trailing ``feature_days`` window (strictly before the snapshot)
+    and the LABEL is whether the entity acts in the following
+    ``label_days`` — past and future touch disjoint day ranges by
+    construction, and right-censored snapshots (future window past the
+    corpus horizon) are dropped rather than mislabeled negative.
+
+    Mechanics: per-entity daily counts are DENSIFIED on the GLOBAL
+    calendar (so snapshots align across entities and silent days count
+    0); on a dense daily series, trailing/leading sums are exact ROWS
+    windows (ROWS == RANGE on a gap-free grid — the acf_daily
+    contract); snapshots are every ``snapshot_stride_days``-th day
+    from the global minimum. All outputs are exact integers.
+
+    Scale posture: one groupBy to daily counts, an |entities|×|days|
+    dense-grid explode (the deliberate price of aligned zero-filled
+    snapshots — document the day-span bound, it is calendar-, not
+    event-, sized), ONE per-entity ordered window computing both the
+    trailing feature sum and the leading label flag in a single pass,
+    then a stride filter. Returns (entity, snapshot_date,
+    past_events, label_active).
+    """
+    day = F.to_date(ts)
+    c = (
+        df.select(entity.alias("_e"), day.alias("_d"))
+        .groupBy("_e", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    gb = F.broadcast(
+        c.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    )
+    ents = c.select("_e").distinct()
+    grid = ents.crossJoin(gb).select(
+        "_e",
+        "_d0",
+        "_d1",
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("_d"),
+    )
+    dense = grid.join(c, ["_e", "_d"], "left").select(
+        "_e",
+        "_d",
+        "_d0",
+        "_d1",
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_v"),
+    )
+    w = Window.partitionBy("_e").orderBy("_d")
+    past = F.sum("_v").over(w.rowsBetween(-feature_days, -1))
+    fut = F.sum("_v").over(w.rowsBetween(0, label_days - 1))
+    lab = dense.select(
+        "_e",
+        "_d",
+        "_d0",
+        "_d1",
+        F.coalesce(past, F.lit(0)).alias("past_events"),
+        (F.coalesce(fut, F.lit(0)) > 0).alias("label_active"),
+    )
+    return lab.where(
+        (F.datediff(F.col("_d"), F.col("_d0")) % snapshot_stride_days == 0)
+        # full feature AND label windows must exist inside the corpus
+        & (F.datediff(F.col("_d"), F.col("_d0")) >= feature_days)
+        & (F.datediff(F.col("_d1"), F.col("_d")) >= label_days - 1)
+    ).select(
+        F.col("_e").alias("entity"),
+        F.col("_d").alias("snapshot_date"),
+        "past_events",
+        "label_active",
+    )

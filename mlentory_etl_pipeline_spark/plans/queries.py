@@ -13277,6 +13277,217 @@ def graph_ppr_related_suppliers(spark, sf_dir):
     )
 
 
+def _ccf_oracle(max_lag: int = 7) -> str:
+    """SQL twin of stats.ccf_daily(view, purchase): HUGEINT sufficient
+    statistics mirror the Spark side's DECIMAL(38,0); every arithmetic
+    expression keeps the identical left-associated shape so the final
+    doubles are bit-identical."""
+    leads = ",\n             ".join(
+        [f"LEAD(b, {k}) OVER w AS bl{k}" for k in range(1, max_lag + 1)]
+        + [f"LEAD(a, {k}) OVER w AS al{k}" for k in range(1, max_lag + 1)]
+    )
+    aggs = []
+    for k in range(1, max_lag + 1):
+        aggs += [
+            f"SUM(CASE WHEN bl{k} IS NOT NULL THEN CAST(a AS HUGEINT) * bl{k} END) AS pp{k}",
+            f"SUM(CASE WHEN bl{k} IS NOT NULL THEN CAST(a AS HUGEINT) END) AS pa{k}",
+            f"SUM(CAST(bl{k} AS HUGEINT)) AS pb{k}",
+            f"SUM(CASE WHEN al{k} IS NOT NULL THEN CAST(b AS HUGEINT) * al{k} END) AS np{k}",
+            f"SUM(CASE WHEN al{k} IS NOT NULL THEN CAST(b AS HUGEINT) END) AS nb{k}",
+            f"SUM(CAST(al{k} AS HUGEINT)) AS na{k}",
+        ]
+    lag_rows = []
+    for k in range(-max_lag, max_lag + 1):
+        if k == 0:
+            num = (
+                "CAST(p0 AS DOUBLE) - mb * CAST(sa AS DOUBLE)"
+                " - ma * CAST(sb AS DOUBLE) + n * ma * mb"
+            )
+        elif k > 0:
+            num = (
+                f"CAST(pp{k} AS DOUBLE) - mb * CAST(pa{k} AS DOUBLE)"
+                f" - ma * CAST(pb{k} AS DOUBLE)"
+                f" + CAST(n_days - {k} AS DOUBLE) * ma * mb"
+            )
+        else:
+            j = -k
+            num = (
+                f"CAST(np{j} AS DOUBLE) - ma * CAST(nb{j} AS DOUBLE)"
+                f" - mb * CAST(na{j} AS DOUBLE)"
+                f" + CAST(n_days - {j} AS DOUBLE) * ma * mb"
+            )
+        lag_rows.append(
+            f"SELECT n_days, {k} AS lag,"
+            f" ROUND(({num}) / sda / sdb, 6) AS ccf FROM m"
+        )
+    union = "\n      UNION ALL ".join(lag_rows)
+    return f"""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events GROUP BY 1
+    ),
+    gb AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM c),
+    grid AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM gb
+    ),
+    dense AS (
+      SELECT g.d, COALESCE(c.ca, 0) AS a, COALESCE(c.cb, 0) AS b
+      FROM grid g LEFT JOIN c ON c.d = g.d
+    ),
+    leads AS (
+      SELECT a, b,
+             {leads}
+      FROM dense WINDOW w AS (ORDER BY d)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_days,
+             SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+             SUM(CAST(a AS HUGEINT) * a) AS ssa,
+             SUM(CAST(b AS HUGEINT) * b) AS ssb,
+             SUM(CAST(a AS HUGEINT) * b) AS p0,
+             {", ".join(aggs)}
+      FROM leads
+    ),
+    m AS (
+      SELECT agg.*,
+             CAST(n_days AS DOUBLE) AS n,
+             CAST(sa AS DOUBLE) / CAST(n_days AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(n_days AS DOUBLE) AS mb,
+             SQRT(CAST(ssa AS DOUBLE) - CAST(n_days AS DOUBLE)
+               * (CAST(sa AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(sa AS DOUBLE) / CAST(n_days AS DOUBLE))) AS sda,
+             SQRT(CAST(ssb AS DOUBLE) - CAST(n_days AS DOUBLE)
+               * (CAST(sb AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(sb AS DOUBLE) / CAST(n_days AS DOUBLE))) AS sdb
+      FROM agg
+    )
+    {union}
+    """
+
+
+@register(
+    "ccf_views_purchases",
+    "cross-correlation of daily view vs purchase counts at lags -7..7 "
+    "over the densified global calendar — the lead/lag detector "
+    "(positive lag k = views lead purchases by k days) that "
+    "autocorrelation can't see; exact DECIMAL sufficient statistics "
+    "per lag, one ordered window computing all 14 leads in one pass",
+    oracle=_ccf_oracle(7),
+    survey_ops=("monitoring-stats", "§2.9 window functions"),
+)
+def ccf_views_purchases(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import ccf_daily
+
+    e = t(spark, sf_dir, "events")
+    return ccf_daily(
+        e,
+        F.col("ts"),
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        max_lag=7,
+    )
+
+
+@register(
+    "shannon_diversity_users",
+    "per-user Shannon entropy + Pielou evenness of the event-type mix "
+    "— the behavioral-diversity audit a distinct-count can't express; "
+    "H = ln(n) - (1/n)*sum(n_c*ln(n_c)) makes every log an INTEGER "
+    "log, quantized once to micro-units and weighted by exact DECIMAL "
+    "counts (the kl_domain_drift determinism scheme): one division "
+    "per output column",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id AS g, event_type AS c, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    per_g AS (
+      SELECT g, SUM(n) AS ng, COUNT(*) AS n_categories,
+             SUM(CAST(n AS HUGEINT)
+                 * CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+               AS sl
+      FROM cnt GROUP BY g
+    )
+    SELECT g AS "group", ng AS n_events, n_categories,
+           ROUND(CAST(CAST(ng AS HUGEINT)
+                   * CAST(FLOOR(LN(CAST(ng AS DOUBLE)) * 1000000) AS BIGINT)
+                   - sl AS DOUBLE)
+                 / (CAST(ng AS DOUBLE) * 1000000.0), 6) AS entropy,
+           ROUND(CAST(CAST(ng AS HUGEINT)
+                   * CAST(FLOOR(LN(CAST(ng AS DOUBLE)) * 1000000) AS BIGINT)
+                   - sl AS DOUBLE)
+                 / NULLIF(CAST(ng AS DOUBLE)
+                   * CAST(CAST(FLOOR(LN(CAST(n_categories AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS DOUBLE), 0), 6) AS evenness
+    FROM per_g
+    """,
+    survey_ops=("profiling-columns", "quality-scoring"),
+)
+def shannon_diversity_users(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import shannon_diversity
+
+    e = t(spark, sf_dir, "events")
+    return shannon_diversity(e, F.col("user_id"), F.col("event_type"))
+
+
+@register(
+    "training_labels_churn",
+    "leakage-safe churn-label builder over user activity: weekly "
+    "snapshots on a densified global calendar, feature = trailing-7d "
+    "event count (strictly before the snapshot), label = any activity "
+    "in the next 14d; right-censored snapshots dropped, past/future "
+    "windows disjoint by construction — the supervised-ML labeling "
+    "step pipelines get wrong by peeking; all counts exact integers",
+    oracle="""
+    WITH c AS (
+      SELECT user_id AS e, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    gb AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM c),
+    grid AS (
+      SELECT e.e, gb.d0, gb.d1,
+             CAST(UNNEST(GENERATE_SERIES(gb.d0, gb.d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM (SELECT DISTINCT e FROM c) e, gb
+    ),
+    dense AS (
+      SELECT g.e, g.d, g.d0, g.d1, COALESCE(c.c, 0) AS v
+      FROM grid g LEFT JOIN c ON c.e = g.e AND c.d = g.d
+    ),
+    lab AS (
+      SELECT e, d, d0, d1,
+             COALESCE(SUM(v) OVER (PARTITION BY e ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS past_events,
+             COALESCE(SUM(v) OVER (PARTITION BY e ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND 13 FOLLOWING), 0) > 0 AS label_active
+      FROM dense
+    )
+    SELECT e AS entity, d AS snapshot_date, past_events, label_active
+    FROM lab
+    WHERE DATEDIFF('day', d0, d) % 7 = 0
+      AND DATEDIFF('day', d0, d) >= 7
+      AND DATEDIFF('day', d, d1) >= 13
+    """,
+    survey_ops=("curation-pipeline", "§2.9 window functions"),
+)
+def training_labels_churn(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        build_training_labels,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return build_training_labels(
+        e,
+        F.col("user_id"),
+        F.col("ts"),
+        feature_days=7,
+        label_days=14,
+        snapshot_stride_days=7,
+    )
+
+
 @register(
     "forecast_backtest_users",
     "rolling-origin backtest of the Holt forecaster: at three cutoff "

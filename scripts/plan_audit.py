@@ -53,6 +53,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "(observation-span-bounded, not corpus-bounded)"
     ),
     "moving_avg_daily_revenue": "global DAILY series - calendar-bounded",
+    "ccf_views_purchases": (
+        "lead windows over the global DAILY series - calendar-bounded "
+        "(|days| rows, the moving_avg_daily_revenue category)"
+    ),
     "sorted_neighborhood_link": (
         "the method IS one global sort + fixed-rank-window pairing "
         "(documented trade vs blocked_link; candidate count exactly "

@@ -1402,3 +1402,165 @@ def test_conformal_intervals_matches_dict_model(spark, rows):
         assert got[g][0] == w[0] and got[g][1] == w[1]
         for a, b in zip(got[g][2:], w[2:]):
             assert abs(a - b) < 1e-6
+
+
+# --- training labels vs dict model -----------------------------------------
+
+label_case = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (entity, day)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(label_case, st.integers(2, 8), st.integers(2, 10), st.integers(1, 7))
+def test_training_labels_match_dict_model(spark, events, fd, ld, stride):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        build_training_labels,
+    )
+
+    d0 = datetime(2024, 1, 1, 12)
+    rows = [(e, d0 + timedelta(days=day)) for e, day in events]
+    df = spark.createDataFrame(rows, "e int, ts timestamp")
+    got = {
+        (r.entity, r.snapshot_date.toordinal()): (
+            r.past_events,
+            r.label_active,
+        )
+        for r in build_training_labels(
+            df, F.col("e"), F.col("ts"),
+            feature_days=fd, label_days=ld, snapshot_stride_days=stride,
+        ).collect()
+    }
+
+    lo = min(d for _, d in events)
+    hi = max(d for _, d in events)
+    base = datetime(2024, 1, 1).toordinal()
+    want = {}
+    for e in {e for e, _ in events}:
+        days = [d for ee, d in events if ee == e]
+        for snap in range(lo, hi + 1):
+            off = snap - lo
+            if off % stride or off < fd or (hi - snap) < ld - 1:
+                continue
+            past = sum(1 for d in days if snap - fd <= d < snap)
+            fut = any(snap <= d < snap + ld for d in days)
+            want[(e, base + snap)] = (past, fut)
+    assert got == want
+
+
+# --- cross-correlation vs textbook model ------------------------------------
+
+ccf_case = st.lists(
+    st.tuples(st.integers(0, 15), st.booleans()),  # (day, is_a else b)
+    min_size=2,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ccf_case, st.integers(1, 4))
+def test_ccf_daily_matches_textbook_model(spark, events, max_lag):
+    import math
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.stats import ccf_daily
+
+    d0 = datetime(2024, 1, 1, 6)
+    rows = [
+        (d0 + timedelta(days=day), "a" if is_a else "b")
+        for day, is_a in events
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    got = {
+        r.lag: r.ccf
+        for r in ccf_daily(
+            df, F.col("ts"), F.col("kind") == "a", F.col("kind") == "b",
+            max_lag=max_lag,
+        ).collect()
+    }
+
+    lo = min(d for d, _ in events)
+    hi = max(d for d, _ in events)
+    n = hi - lo + 1
+    a = [0] * n
+    b = [0] * n
+    for day, is_a in events:
+        (a if is_a else b)[day - lo] += 1
+    ma, mb = sum(a) / n, sum(b) / n
+    sda = math.sqrt(sum(x * x for x in a) - n * ma * ma)
+    sdb = math.sqrt(sum(x * x for x in b) - n * mb * mb)
+    for k in range(-max_lag, max_lag + 1):
+        if k >= 0:
+            pairs = [(a[t], b[t + k]) for t in range(n - k)]
+        else:
+            pairs = [(a[t - k], b[t]) for t in range(n + k)]
+        num = sum(
+            (x - ma) * (y - mb) for x, y in pairs
+        )
+        if sda == 0 or sdb == 0:
+            assert got[k] is None
+        else:
+            assert abs(got[k] - num / sda / sdb) < 1e-5
+    assert set(got) == set(range(-max_lag, max_lag + 1))
+
+
+# --- Shannon diversity vs quantized model ------------------------------------
+
+div_case = st.lists(
+    st.tuples(st.integers(0, 2), st.sampled_from("abcd")),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(div_case)
+def test_shannon_diversity_matches_quantized_model(spark, rows):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import shannon_diversity
+
+    df = spark.createDataFrame(rows, "g int, c string")
+    got = {
+        r.group: (r.n_events, r.n_categories, r.entropy, r.evenness)
+        for r in shannon_diversity(df, F.col("g"), F.col("c")).collect()
+    }
+    want = {}
+    for g in {g for g, _ in rows}:
+        cats = {}
+        for gg, c in rows:
+            if gg == g:
+                cats[c] = cats.get(c, 0) + 1
+        ng, k = sum(cats.values()), len(cats)
+        lq = lambda x: math.floor(math.log(x) * 1_000_000)  # noqa: E731
+        num = ng * lq(ng) - sum(n * lq(n) for n in cats.values())
+        h = num / (ng * 1_000_000)
+        ev = None if k == 1 else num / (ng * lq(k))
+        want[g] = (ng, k, h, ev)
+        # sanity: quantized H is within 2e-6 of the float definition
+        h_f = -sum((n / ng) * math.log(n / ng) for n in cats.values())
+        assert abs(h - h_f) < 2e-6
+    assert set(got) == set(want)
+    for g, (ng, k, h, ev) in want.items():
+        assert got[g][0] == ng and got[g][1] == k
+        assert abs(got[g][2] - h) < 1e-6
+        if ev is None:
+            assert got[g][3] is None
+        else:
+            assert abs(got[g][3] - ev) < 1e-6
