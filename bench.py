@@ -195,6 +195,8 @@ def main():
             "training_labels_churn",
             "ccf_views_purchases",
             "shannon_diversity_users",
+            "logrank_churn_payers",
+            "did_purchase_value",
         )
         if n in REGISTRY
     ]

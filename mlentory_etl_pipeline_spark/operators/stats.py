@@ -2613,3 +2613,82 @@ def shannon_diversity(
             6,
         ).alias("evenness"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    is_treated: Column,
+    is_post: Column,
+    value: Column,
+    cents: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator — the causal-inference
+    workhorse for "did the rollout change the metric?": the treated
+    group's pre→post change minus the control group's pre→post change
+    cancels both the group baseline and the secular time trend
+    (welch_t_test compares two groups at one time; DiD compares two
+    CHANGES). SE is the four-cell independent-samples combination
+    (Welch posture), t = DiD / SE.
+
+    Determinism: the welch_t_test contract — values quantize once to
+    exact integer raw units (⌊value·cents⌋, floor OF the IEEE
+    product), per-cell n / Σ / Σ² fold in exact DECIMAL, and every
+    mean/variance closes in double on identical exact operands; cells
+    with n ≤ 1 yield NULL variance → NULL se/t via try_divide.
+
+    Scale posture: ONE conditional aggregation pass over the input
+    (map-side combinable, 12 sufficient statistics out), a 1-row
+    finish. Returns one row: per-cell n, the four means, did, se,
+    t_stat.
+    """
+    q = F.floor(value * F.lit(cents)).cast("decimal(38,0)")
+    cells = {
+        "t1": is_treated & is_post,
+        "t0": is_treated & ~is_post,
+        "c1": ~is_treated & is_post,
+        "c0": ~is_treated & ~is_post,
+    }
+    aggs = []
+    for k, cond in cells.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{k}"),
+            F.sum(F.when(cond, q)).alias(f"_s{k}"),
+            F.sum(F.when(cond, q * q)).alias(f"_ss{k}"),
+        ]
+    a = df.where(value.isNotNull()).agg(*aggs)
+    cf = float(cents)
+
+    def mean(k):
+        return (
+            F.col(f"_s{k}").cast("double")
+            / F.col(f"n_{k}").cast("double")
+            / F.lit(cf)
+        )
+
+    def var(k):
+        n = F.col(f"n_{k}").cast("double")
+        s = F.col(f"_s{k}").cast("double")
+        return F.try_divide(
+            F.col(f"_ss{k}").cast("double") - s * s / n, n - F.lit(1.0)
+        ) / F.lit(cf * cf)
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    se = F.sqrt(
+        var("t1") / F.col("n_t1").cast("double")
+        + var("t0") / F.col("n_t0").cast("double")
+        + var("c1") / F.col("n_c1").cast("double")
+        + var("c0") / F.col("n_c0").cast("double")
+    )
+    return a.select(
+        "n_t1",
+        "n_t0",
+        "n_c1",
+        "n_c0",
+        F.round(mean("t1"), 6).alias("mean_t_post"),
+        F.round(mean("t0"), 6).alias("mean_t_pre"),
+        F.round(mean("c1"), 6).alias("mean_c_post"),
+        F.round(mean("c0"), 6).alias("mean_c_pre"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.try_divide(did, se), 4).alias("t_stat"),
+    )

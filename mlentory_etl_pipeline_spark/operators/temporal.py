@@ -850,3 +850,108 @@ def build_training_labels(
         "past_events",
         "label_active",
     )
+
+
+def logrank_test(
+    per_entity: DataFrame,
+    group: Column,
+    duration: Column,
+    event: Column,
+) -> DataFrame:
+    """Two-group log-rank test — the standard significance companion
+    to :func:`kaplan_meier` (KM draws the two survival curves; this
+    says whether they actually differ): over the POOLED distinct event
+    times, compare observed group-1 events against the hypergeometric
+    expectation from the shared risk set,
+
+        χ² = (O₁ − E₁)² / V,   E₁ = Σ_t d_t·n₁t/n_t,
+        V  = Σ_t d_t·(n₁t/n_t)·(1 − n₁t/n_t)·(n_t − d_t)/(n_t − 1).
+
+    Input is one row per entity: boolean ``group``, integer
+    ``duration``, 0/1 ``event`` (1 = observed, 0 = right-censored) —
+    exactly what a spans+censor rule produces upstream.
+
+    Determinism: risk sets and event counts are exact integers
+    (duration-keyed aggregation + per-group cumulative over the
+    densified duration×group grid); each time's E/V term is quantized
+    ONCE to micro/nano-units with a fixed expression shape, so the
+    sums fold order-free in longs and χ² closes as one final double
+    expression — identical in any engine (the kaplan_meier/KL
+    quantization contract). Times with n_t ≤ 1 or d_t = 0 contribute 0.
+
+    Scale posture: one entity-level aggregation upstream (the caller),
+    one (group, duration)-keyed count aggregation here, per-group
+    cumulative windows over ≤ |distinct durations| rows (metadata,
+    observation-span-bounded — the kaplan_meier allowlist category),
+    one 1-row final fold.
+    """
+    pu = per_entity.select(
+        group.cast("boolean").alias("_g"),
+        duration.alias("_d"),
+        event.cast("int").alias("_ev"),
+    )
+    bt = pu.groupBy("_g", "_d").agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("_ev").alias("_ne")
+    )
+    durs = bt.select("_d").distinct()
+    grps = bt.select("_g").distinct()
+    grid = durs.crossJoin(F.broadcast(grps))
+    dense = grid.join(bt, ["_g", "_d"], "left").select(
+        "_g",
+        "_d",
+        F.coalesce(F.col("_nt"), F.lit(0)).alias("_nt"),
+        F.coalesce(F.col("_ne"), F.lit(0)).alias("_ne"),
+    )
+    tot = dense.groupBy("_g").agg(F.sum("_nt").alias("_tot"))
+    w = Window.partitionBy("_g").orderBy("_d")
+    r = dense.join(F.broadcast(tot), "_g").select(
+        "_g",
+        "_d",
+        "_nt",
+        "_ne",
+        (
+            F.col("_tot")
+            - F.coalesce(
+                F.sum("_nt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).alias("_nr"),
+    )
+    by_d = r.groupBy("_d").agg(
+        F.sum(F.when(F.col("_g"), F.col("_nr")).otherwise(0)).alias("_n1"),
+        F.sum("_nr").alias("_n"),
+        F.sum(F.when(F.col("_g"), F.col("_ne")).otherwise(0)).alias("_d1"),
+        F.sum("_ne").alias("_dt"),
+    )
+    n = F.col("_n").cast("double")
+    n1 = F.col("_n1").cast("double")
+    dt = F.col("_dt").cast("double")
+    e_u = F.when(
+        (F.col("_dt") > 0) & (F.col("_n") > 0),
+        F.floor((F.col("_dt") * F.col("_n1")).cast("double") * 1000000.0 / n),
+    ).otherwise(F.lit(0)).cast("long")
+    v_u = F.when(
+        (F.col("_dt") > 0) & (F.col("_n") > 1),
+        F.floor(
+            dt
+            * (n1 / n)
+            * ((n - n1) / n)
+            * ((n - dt) / (n - F.lit(1.0)))
+            * 1000000000.0
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    agg = by_d.agg(
+        F.sum("_d1").alias("o1"),
+        F.sum(e_u).alias("_e_u"),
+        F.sum(v_u).alias("_v_u"),
+        F.sum("_dt").alias("events_total"),
+    )
+    e1 = F.col("_e_u").cast("double") / 1000000.0
+    v = F.col("_v_u").cast("double") / 1000000000.0
+    diff = F.col("o1").cast("double") - e1
+    return agg.select(
+        "events_total",
+        "o1",
+        F.round(e1, 6).alias("e1"),
+        F.round(F.try_divide(diff * diff, v), 6).alias("chi2"),
+    )

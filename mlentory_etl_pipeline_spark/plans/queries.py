@@ -13392,6 +13392,176 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "did_purchase_value",
+    "difference-in-differences on event value: treated = purchase "
+    "events, control = view events, pre/post split at Jan 16 — the "
+    "treated pre->post change minus the control change cancels both "
+    "the group baseline and the secular trend (the causal-inference "
+    "workhorse welch_t_test can't express); exact-cents DECIMAL "
+    "sufficient statistics, one conditional aggregation pass, "
+    "four-cell Welch-style SE",
+    oracle="""
+    WITH a AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_t1,
+        SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) END) AS st1,
+        SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) * CAST(FLOOR(value * 100) AS HUGEINT) END) AS sst1,
+        SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_t0,
+        SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) END) AS st0,
+        SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) * CAST(FLOOR(value * 100) AS HUGEINT) END) AS sst0,
+        SUM(CASE WHEN event_type = 'view' AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_c1,
+        SUM(CASE WHEN event_type = 'view' AND ts >= TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) END) AS sc1,
+        SUM(CASE WHEN event_type = 'view' AND ts >= TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) * CAST(FLOOR(value * 100) AS HUGEINT) END) AS ssc1,
+        SUM(CASE WHEN event_type = 'view' AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_c0,
+        SUM(CASE WHEN event_type = 'view' AND ts < TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) END) AS sc0,
+        SUM(CASE WHEN event_type = 'view' AND ts < TIMESTAMP '2024-01-16' THEN CAST(FLOOR(value * 100) AS HUGEINT) * CAST(FLOOR(value * 100) AS HUGEINT) END) AS ssc0
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    m AS (
+      SELECT a.*,
+        CAST(st1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) / 100.0 AS mt1,
+        CAST(st0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) / 100.0 AS mt0,
+        CAST(sc1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) / 100.0 AS mc1,
+        CAST(sc0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) / 100.0 AS mc0,
+        (CAST(sst1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) / (CAST(n_t1 AS DOUBLE) - 1.0) / 10000.0 AS vt1,
+        (CAST(sst0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / (CAST(n_t0 AS DOUBLE) - 1.0) / 10000.0 AS vt0,
+        (CAST(ssc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) * CAST(sc1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / (CAST(n_c1 AS DOUBLE) - 1.0) / 10000.0 AS vc1,
+        (CAST(ssc0 AS DOUBLE) - CAST(sc0 AS DOUBLE) * CAST(sc0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / (CAST(n_c0 AS DOUBLE) - 1.0) / 10000.0 AS vc0
+      FROM a
+    )
+    SELECT n_t1, n_t0, n_c1, n_c0,
+           ROUND(mt1, 6) AS mean_t_post, ROUND(mt0, 6) AS mean_t_pre,
+           ROUND(mc1, 6) AS mean_c_post, ROUND(mc0, 6) AS mean_c_pre,
+           ROUND((mt1 - mt0) - (mc1 - mc0), 6) AS did,
+           ROUND(SQRT(vt1 / CAST(n_t1 AS DOUBLE) + vt0 / CAST(n_t0 AS DOUBLE)
+                      + vc1 / CAST(n_c1 AS DOUBLE) + vc0 / CAST(n_c0 AS DOUBLE)), 6) AS se,
+           ROUND(((mt1 - mt0) - (mc1 - mc0))
+                 / SQRT(vt1 / CAST(n_t1 AS DOUBLE) + vt0 / CAST(n_t0 AS DOUBLE)
+                        + vc1 / CAST(n_c1 AS DOUBLE) + vc0 / CAST(n_c0 AS DOUBLE)), 4) AS t_stat
+    FROM m
+    """,
+    survey_ops=("monitoring-stats", "eval-metrics"),
+)
+def did_purchase_value(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import diff_in_diff
+
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return diff_in_diff(
+        e,
+        F.col("event_type") == "purchase",
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        F.col("value"),
+    )
+
+
+@register(
+    "logrank_churn_payers",
+    "two-group log-rank test: do payers (users with >= 1 purchase) "
+    "churn on a different survival curve than non-payers? Same spans "
+    "+ 7-day censor rule as kaplan_meier_churn; observed-vs-expected "
+    "group-1 events over the pooled risk sets, each time's E/V term "
+    "quantized once to micro/nano-units so the sums fold order-free "
+    "in exact longs and chi-square closes in one double expression",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS payer
+      FROM events GROUP BY user_id
+    ),
+    e AS (SELECT MAX(ts) AS mend FROM events),
+    pu AS (
+      SELECT payer = 1 AS g,
+             DATE_DIFF('day', CAST(f AS DATE), CAST(l AS DATE)) AS d,
+             CASE WHEN l < CAST(CAST(mend AS DATE) - INTERVAL 7 DAY AS TIMESTAMP)
+                  THEN 1 ELSE 0 END AS ev
+      FROM spans, e
+    ),
+    bt AS (SELECT g, d, COUNT(*) AS nt, SUM(ev) AS ne FROM pu GROUP BY g, d),
+    grid AS (
+      SELECT dd.d, gg.g
+      FROM (SELECT DISTINCT d FROM bt) dd
+      CROSS JOIN (SELECT DISTINCT g FROM bt) gg
+    ),
+    dense AS (
+      SELECT grid.g, grid.d, COALESCE(bt.nt, 0) AS nt, COALESCE(bt.ne, 0) AS ne
+      FROM grid LEFT JOIN bt USING (g, d)
+    ),
+    tot AS (SELECT g, SUM(nt) AS tg FROM dense GROUP BY g),
+    r AS (
+      SELECT dense.g, dense.d, nt, ne,
+             tg - COALESCE(SUM(nt) OVER (PARTITION BY dense.g ORDER BY dense.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+      FROM dense JOIN tot USING (g)
+    ),
+    by_d AS (
+      SELECT d,
+             SUM(CASE WHEN g THEN nr ELSE 0 END) AS n1,
+             SUM(nr) AS n,
+             SUM(CASE WHEN g THEN ne ELSE 0 END) AS d1,
+             SUM(ne) AS dt
+      FROM r GROUP BY d
+    ),
+    terms AS (
+      SELECT d1, dt,
+        CASE WHEN dt > 0 AND n > 0
+             THEN CAST(FLOOR(CAST(dt * n1 AS DOUBLE) * 1000000.0
+                             / CAST(n AS DOUBLE)) AS BIGINT)
+             ELSE 0 END AS eu,
+        CASE WHEN dt > 0 AND n > 1
+             THEN CAST(FLOOR(CAST(dt AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) / CAST(n AS DOUBLE))
+                    * ((CAST(n AS DOUBLE) - CAST(dt AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                    * 1000000000.0) AS BIGINT)
+             ELSE 0 END AS vu
+      FROM by_d
+    ),
+    agg AS (
+      SELECT SUM(dt) AS events_total, SUM(d1) AS o1,
+             SUM(eu) AS se, SUM(vu) AS sv
+      FROM terms
+    )
+    SELECT events_total, o1,
+           ROUND(CAST(se AS DOUBLE) / 1000000.0, 6) AS e1,
+           ROUND((CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+                 * (CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1000000.0)
+                 / NULLIF(CAST(sv AS DOUBLE) / 1000000000.0, 0), 6) AS chi2
+    FROM agg
+    """,
+    survey_ops=("monitoring-stats", "§2.9 window functions"),
+)
+def logrank_churn_payers(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import logrank_test
+
+    e = t(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("_f"),
+        F.max("ts").alias("_l"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("_payer"),
+    )
+    mend = F.broadcast(e.agg(F.max("ts").alias("_mend")))
+    pu = spans.crossJoin(mend).select(
+        (F.col("_payer") == 1).alias("g"),
+        F.datediff(F.to_date("_l"), F.to_date("_f")).alias("d"),
+        F.when(
+            F.col("_l")
+            < (F.to_date("_mend") - F.expr("interval 7 day")).cast(
+                "timestamp"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return logrank_test(pu, F.col("g"), F.col("d"), F.col("ev"))
+
+
+@register(
     "shannon_diversity_users",
     "per-user Shannon entropy + Pielou evenness of the event-type mix "
     "— the behavioral-diversity audit a distinct-count can't express; "

@@ -1564,3 +1564,112 @@ def test_shannon_diversity_matches_quantized_model(spark, rows):
             assert got[g][3] is None
         else:
             assert abs(got[g][3] - ev) < 1e-6
+
+
+# --- log-rank test vs textbook model -----------------------------------------
+
+lr_case = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 10), st.booleans()),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lr_case)
+def test_logrank_matches_textbook_model(spark, rows):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.temporal import logrank_test
+
+    df = spark.createDataFrame(
+        [(g, d, 1 if ev else 0) for g, d, ev in rows],
+        "g boolean, d int, ev int",
+    )
+    got = logrank_test(df, F.col("g"), F.col("d"), F.col("ev")).collect()[0]
+
+    times = sorted({d for _, d, _ in rows})
+    o1 = se = sv = 0
+    for td in times:
+        n = sum(1 for _, d, _ in rows if d >= td)
+        n1 = sum(1 for g, d, _ in rows if g and d >= td)
+        dt = sum(1 for _, d, ev in rows if d == td and ev)
+        d1 = sum(1 for g, d, ev in rows if g and d == td and ev)
+        o1 += d1
+        if dt > 0 and n > 0:
+            se += math.floor((dt * n1) * 1000000.0 / n)
+        if dt > 0 and n > 1:
+            sv += math.floor(
+                dt * (n1 / n) * ((n - n1) / n) * ((n - dt) / (n - 1.0))
+                * 1000000000.0
+            )
+    e1 = se / 1e6
+    v = sv / 1e9
+    assert got.events_total == sum(1 for _, _, ev in rows if ev)
+    assert got.o1 == o1
+    assert abs(got.e1 - e1) < 1e-6
+    if v == 0:
+        assert got.chi2 is None
+    else:
+        assert abs(got.chi2 - (o1 - e1) ** 2 / v) < 1e-5
+
+
+# --- difference-in-differences vs four-cell model ----------------------------
+
+did_case = st.lists(
+    st.tuples(st.booleans(), st.booleans(), st.integers(-500, 500)),
+    min_size=8,
+    max_size=60,
+).filter(
+    lambda xs: all(
+        sum(1 for t, p, _ in xs if t == tt and p == pp) >= 2
+        for tt in (True, False)
+        for pp in (True, False)
+    )
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(did_case)
+def test_diff_in_diff_matches_four_cell_model(spark, rows):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import diff_in_diff
+
+    df = spark.createDataFrame(
+        [(t, p, c / 100.0) for t, p, c in rows],
+        "t boolean, p boolean, v double",
+    )
+    got = diff_in_diff(df, F.col("t"), F.col("p"), F.col("v")).collect()[0]
+
+    def cell(tt, pp):
+        # mirror the floor-of-IEEE-product quantization
+        q = [
+            math.floor((c / 100.0) * 100)
+            for t_, p_, c in rows
+            if t_ == tt and p_ == pp
+        ]
+        n, s, ss = len(q), sum(q), sum(x * x for x in q)
+        m = s / n / 100.0
+        v = (ss - s * s / n) / (n - 1.0) / 10000.0
+        return n, m, v
+
+    nt1, mt1, vt1 = cell(True, True)
+    nt0, mt0, vt0 = cell(True, False)
+    nc1, mc1, vc1 = cell(False, True)
+    nc0, mc0, vc0 = cell(False, False)
+    did = (mt1 - mt0) - (mc1 - mc0)
+    se = math.sqrt(vt1 / nt1 + vt0 / nt0 + vc1 / nc1 + vc0 / nc0)
+    assert (got.n_t1, got.n_t0, got.n_c1, got.n_c0) == (nt1, nt0, nc1, nc0)
+    assert abs(got.did - did) < 1e-6
+    assert abs(got.se - se) < 1e-6
+    if se > 0:
+        assert abs(got.t_stat - did / se) < 1e-3
