@@ -197,6 +197,8 @@ def main():
             "shannon_diversity_users",
             "logrank_churn_payers",
             "did_purchase_value",
+            "bollinger_daily_revenue",
+            "cohort_ltv_weekly",
         )
         if n in REGISTRY
     ]

@@ -2692,3 +2692,62 @@ def diff_in_diff(
         F.round(se, 6).alias("se"),
         F.round(F.try_divide(did, se), 4).alias("t_stat"),
     )
+
+
+def rolling_bands(
+    df: DataFrame,
+    ts: Column,
+    value: Column,
+    window_days: int = 20,
+    n_sigma: float = 2.0,
+    min_obs: int = 5,
+    cents: int = 100,
+) -> DataFrame:
+    """Bollinger-style rolling volatility bands over a GLOBAL daily
+    series: trailing mean ± n_sigma·std of the last ``window_days``
+    daily totals, plus an outside-band flag — the adaptive-threshold
+    anomaly detector (a fixed z-score baseline goes stale when the
+    series level drifts; the rolling band follows it). Band is NULL
+    until ``min_obs`` days of history exist.
+
+    Determinism: daily totals quantize once to exact integer raw
+    units; the trailing Σ and Σ² are exact integer window sums (frame
+    summation order can't drift — the moving_avg contract), and mean /
+    population-variance / band edges close in fixed-shape double
+    arithmetic on identical exact operands.
+
+    Scale posture: one day-keyed rollup (shuffle bounded by |days|),
+    one ordered window over the calendar-bounded global series.
+    """
+    day = F.to_date(ts)
+    q = F.floor(value * F.lit(cents)).cast("decimal(38,0)")
+    daily = (
+        df.where(value.isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(F.sum(q).alias("_s"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    cf = float(cents)
+    cnt = F.count(F.lit(1)).over(w)
+    rs = F.sum("_s").over(w)
+    rss = F.sum((F.col("_s") * F.col("_s")).cast("decimal(38,0)")).over(w)
+    n = cnt.cast("double")
+    m = rs.cast("double") / n / F.lit(cf)
+    var = (
+        (rss.cast("double") - rs.cast("double") * rs.cast("double") / n)
+        / n
+        / F.lit(cf * cf)
+    )
+    band = F.when(cnt >= min_obs, F.sqrt(var) * F.lit(n_sigma))
+    v = F.col("_s").cast("double") / F.lit(cf)
+    out = daily.select(
+        "day",
+        F.round(v, 6).alias("day_value"),
+        F.round(m, 6).alias("rolling_mean"),
+        F.round(m + band, 6).alias("upper_band"),
+        F.round(m - band, 6).alias("lower_band"),
+        F.when(
+            band.isNotNull(), (v > m + band) | (v < m - band)
+        ).alias("outside_band"),
+    )
+    return out.orderBy("day")

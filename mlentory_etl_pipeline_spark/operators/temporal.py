@@ -955,3 +955,85 @@ def logrank_test(
         F.round(e1, 6).alias("e1"),
         F.round(F.try_divide(diff * diff, v), 6).alias("chi2"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    entity: Column,
+    ts: Column,
+    revenue: Column,
+    cents: int = 100,
+) -> DataFrame:
+    """Weekly cohort lifetime-value curves — the REVENUE companion to
+    :func:`cohort_retention` (retention says who comes back; LTV says
+    what they're worth cumulatively): cohort = Monday-truncated
+    first-seen week, each cell is the cohort's revenue at that week
+    offset, and the curve is the running total divided by the ORIGINAL
+    cohort size (per-acquired-user value, the number acquisition cost
+    is compared against).
+
+    Week offsets are DENSIFIED per cohort (zero-revenue weeks appear
+    as flat curve segments, not holes). Revenue quantizes once to
+    exact integer raw units (⌊value·cents⌋); the cumulative is an
+    exact integer window sum divided once per row.
+
+    Scale posture: one per-entity min aggregation, one (cohort,
+    offset)-keyed revenue aggregation, a metadata-sized offset grid +
+    per-cohort cumulative window (|cohorts|×|weeks| rows).
+    """
+    first = df.groupBy(entity.alias("_e")).agg(
+        F.date_trunc("week", F.min(ts)).alias("_cw")
+    )
+    q = F.floor(revenue * F.lit(cents)).cast("long")
+    rev = (
+        df.select(entity.alias("_e"), ts.alias("_ts"), revenue.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .join(first, "_e")
+        .select(
+            "_cw",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("_ts")), F.col("_cw")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("_off"),
+            F.floor(F.col("_v") * F.lit(cents)).cast("long").alias("_q"),
+        )
+        .groupBy("_cw", "_off")
+        .agg(F.sum("_q").alias("_rev"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = first.groupBy("_cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    span = rev.groupBy("_cw").agg(F.max("_off").alias("_mx"))
+    grid = span.select(
+        "_cw",
+        F.explode(F.sequence(F.lit(0), F.col("_mx"))).alias("_off"),
+    )
+    dense = grid.join(rev, ["_cw", "_off"], "left").select(
+        "_cw", "_off", F.coalesce(F.col("_rev"), F.lit(0)).alias("_rev")
+    )
+    w = Window.partitionBy("_cw").orderBy("_off").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cf = float(cents)
+    return (
+        dense.withColumn("_cum", F.sum("_rev").over(w))
+        .join(F.broadcast(sizes), "_cw")
+        .select(
+            F.col("_cw").alias("cohort_week"),
+            F.col("_off").alias("week_offset"),
+            "cohort_size",
+            F.round(F.col("_rev").cast("double") / F.lit(cf), 6).alias(
+                "week_revenue"
+            ),
+            F.round(
+                F.col("_cum").cast("double")
+                / F.col("cohort_size").cast("double")
+                / F.lit(cf),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -13392,6 +13392,112 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "bollinger_daily_revenue",
+    "Bollinger-style rolling volatility bands on daily order revenue: "
+    "trailing 20-day mean +- 2 sigma (population) from exact integer "
+    "cents window sums, band NULL until 5 days of history, plus the "
+    "outside-band anomaly flag — the adaptive threshold a fixed "
+    "z-score baseline can't track when the level drifts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT)) AS s
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT day,
+             CAST(s AS DOUBLE) / 100.0 AS v,
+             COUNT(*) OVER w AS cnt,
+             SUM(s) OVER w AS rs,
+             SUM(s * s) OVER w AS rss
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT day, v, cnt,
+             CAST(rs AS DOUBLE) / CAST(cnt AS DOUBLE) / 100.0 AS mu,
+             (CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+                / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) / 10000.0 AS var
+      FROM r
+    )
+    SELECT day,
+           ROUND(v, 6) AS day_value,
+           ROUND(mu, 6) AS rolling_mean,
+           ROUND(mu + (CASE WHEN cnt >= 5 THEN SQRT(var) * 2.0 END), 6) AS upper_band,
+           ROUND(mu - (CASE WHEN cnt >= 5 THEN SQRT(var) * 2.0 END), 6) AS lower_band,
+           CASE WHEN cnt >= 5
+                THEN v > mu + SQRT(var) * 2.0 OR v < mu - SQRT(var) * 2.0
+                END AS outside_band
+    FROM m ORDER BY day
+    """,
+    survey_ops=("monitoring-stats", "§2.9 windows"),
+)
+def bollinger_daily_revenue(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import rolling_bands
+
+    o = t(spark, sf_dir, "orders")
+    return rolling_bands(
+        o,
+        F.col("o_orderdate"),
+        F.col("o_totalprice"),
+        window_days=20,
+        n_sigma=2.0,
+        min_obs=5,
+    )
+
+
+@register(
+    "cohort_ltv_weekly",
+    "weekly cohort LTV curves: cumulative purchase revenue per "
+    "ORIGINAL cohort member at each week offset (densified — "
+    "zero-revenue weeks are flat segments, not holes) — the revenue "
+    "companion to the retention matrix, exact integer cents "
+    "throughout, one division per row",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cw,
+             CAST(DATE_DIFF('day', f.cw, DATE_TRUNC('week', e.ts)) / 7 AS BIGINT) AS off,
+             SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS r
+      FROM events e JOIN first f ON e.user_id = f.user_id
+      WHERE e.value IS NOT NULL AND e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM first GROUP BY cw),
+    span AS (SELECT cw, MAX(off) AS mx FROM rev GROUP BY cw),
+    grid AS (
+      SELECT cw, UNNEST(RANGE(0, mx + 1)) AS off FROM span
+    ),
+    dense AS (
+      SELECT g.cw, g.off, COALESCE(rev.r, 0) AS r
+      FROM grid g LEFT JOIN rev ON rev.cw = g.cw AND rev.off = g.off
+    )
+    SELECT d.cw AS cohort_week, d.off AS week_offset, s.cohort_size,
+           ROUND(CAST(d.r AS DOUBLE) / 100.0, 6) AS week_revenue,
+           ROUND(CAST(SUM(d.r) OVER (PARTITION BY d.cw ORDER BY d.off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE) / 100.0, 6) AS cum_ltv_per_user
+    FROM dense d JOIN sizes s ON s.cw = d.cw
+    ORDER BY cohort_week, week_offset
+    """,
+    survey_ops=("§2.9 aggregations", "§2.9 window functions"),
+)
+def cohort_ltv_weekly(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import cohort_ltv
+
+    e = t(spark, sf_dir, "events")
+    return cohort_ltv(
+        e,
+        F.col("user_id"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+
+
+@register(
     "did_purchase_value",
     "difference-in-differences on event value: treated = purchase "
     "events, control = view events, pre/post split at Jan 16 — the "

@@ -57,6 +57,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "lead windows over the global DAILY series - calendar-bounded "
         "(|days| rows, the moving_avg_daily_revenue category)"
     ),
+    "bollinger_daily_revenue": (
+        "trailing-frame windows over the global DAILY series - "
+        "calendar-bounded (the moving_avg_daily_revenue category)"
+    ),
     "sorted_neighborhood_link": (
         "the method IS one global sort + fixed-rank-window pairing "
         "(documented trade vs blocked_link; candidate count exactly "

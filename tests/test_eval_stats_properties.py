@@ -1673,3 +1673,153 @@ def test_diff_in_diff_matches_four_cell_model(spark, rows):
     assert abs(got.se - se) < 1e-6
     if se > 0:
         assert abs(got.t_stat - did / se) < 1e-3
+
+
+# --- cohort LTV vs dict model --------------------------------------------
+
+ltv_case = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user
+        st.integers(0, 27),           # day
+        st.one_of(st.none(), st.integers(0, 5000)),  # purchase cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ltv_case)
+def test_cohort_ltv_matches_dict_model(spark, events):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import cohort_ltv
+
+    d0 = datetime(2024, 1, 1, 10)  # a Monday
+    rows = [
+        (u, d0 + timedelta(days=day), None if c is None else c / 100.0)
+        for u, day, c in events
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {
+        ((r.cohort_week - datetime(2024, 1, 1)).days // 7, r.week_offset): (
+            r.cohort_size,
+            r.week_revenue,
+            r.cum_ltv_per_user,
+        )
+        for r in cohort_ltv(
+            df, F.col("u"), F.col("ts"), F.col("v")
+        ).collect()
+    }
+
+    cohort = {}
+    for u, day, _ in events:
+        w = day // 7
+        cohort[u] = min(cohort.get(u, w), w)
+    sizes = {}
+    for u, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    import math as _m
+
+    rev = {}
+    for u, day, c in events:
+        if c is None:
+            continue
+        key = (cohort[u], day // 7 - cohort[u])
+        # mirror the operator's floor-of-IEEE-product quantization
+        rev[key] = rev.get(key, 0) + _m.floor((c / 100.0) * 100)
+    want = {}
+    for cw in {cw for cw, _ in rev}:
+        mx = max(off for c2, off in rev if c2 == cw)
+        cum = 0
+        for off in range(mx + 1):
+            r = rev.get((cw, off), 0)
+            cum += r
+            want[(cw, off)] = (
+                sizes[cw],
+                round(r / 100.0, 6),
+                round(cum / sizes[cw] / 100.0, 6),
+            )
+    assert set(got) == set(want)
+    for k, (n, wr, ltv) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - wr) < 1e-6
+        assert abs(got[k][2] - ltv) < 1e-6
+
+
+# --- rolling bands vs dict model -------------------------------------------
+
+band_case = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 10000)),  # (day, cents)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(band_case)
+def test_rolling_bands_matches_dict_model(spark, rows):
+    import math
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.stats import rolling_bands
+
+    d0 = datetime(2024, 1, 1, 8)
+    df = spark.createDataFrame(
+        [(d0 + timedelta(days=day), c / 100.0) for day, c in rows],
+        "ts timestamp, v double",
+    )
+    got = {
+        r.day.toordinal(): (
+            r.day_value,
+            r.rolling_mean,
+            r.upper_band,
+            r.lower_band,
+            r.outside_band,
+        )
+        for r in rolling_bands(
+            df, F.col("ts"), F.col("v"), window_days=5, n_sigma=2.0,
+            min_obs=3,
+        ).collect()
+    }
+
+    daily = {}
+    for day, c in rows:
+        daily[day] = daily.get(day, 0) + math.floor((c / 100.0) * 100)
+    days = sorted(daily)
+    base = datetime(2024, 1, 1).toordinal()
+    want = {}
+    for i, day in enumerate(days):
+        frame = [daily[d] for d in days[max(0, i - 4) : i + 1]]
+        n = len(frame)
+        s, ss = sum(frame), sum(x * x for x in frame)
+        mu = s / n / 100.0
+        var = (ss - s * s / n) / n / 10000.0
+        v = daily[day] / 100.0
+        if n >= 3:
+            band = math.sqrt(var) * 2.0
+            out = v > mu + band or v < mu - band
+            want[base + day] = (
+                round(v, 6), round(mu, 6), round(mu + band, 6),
+                round(mu - band, 6), out,
+            )
+        else:
+            want[base + day] = (round(v, 6), round(mu, 6), None, None, None)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert abs(g[0] - w[0]) < 1e-6 and abs(g[1] - w[1]) < 1e-6
+        for a, b in ((g[2], w[2]), (g[3], w[3])):
+            if b is None:
+                assert a is None
+            else:
+                assert abs(a - b) < 1e-6
+        assert g[4] == w[4]
