@@ -199,6 +199,8 @@ def main():
             "did_purchase_value",
             "bollinger_daily_revenue",
             "cohort_ltv_weekly",
+            "cuped_value_variance_reduction",
+            "link_prediction_suppliers",
         )
         if n in REGISTRY
     ]

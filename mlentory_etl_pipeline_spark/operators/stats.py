@@ -2751,3 +2751,67 @@ def rolling_bands(
         ).alias("outside_band"),
     )
     return out.orderBy("day")
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    entity: Column,
+    is_pre: Column,
+    value: Column,
+    cents: int = 100,
+) -> DataFrame:
+    """CUPED variance-reduction audit (Deng et al., WSDM'13) — the
+    standard trick for making A/B tests converge faster: per entity,
+    the PRE-period metric X predicts the post-period metric Y, and the
+    adjusted metric Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) keeps the
+    same mean but sheds the predictable variance. This computes θ and
+    the achieved reduction (var_cuped = var(Y)·(1 − ρ²)) so an
+    experimenter knows how much smaller their test can be.
+
+    Determinism: per-entity X/Y are EXACT integer raw-unit sums
+    (⌊value·cents⌋); the second pass folds n, ΣX, ΣY, ΣX², ΣY², ΣXY in
+    exact DECIMAL(38,0); every moment closes in fixed-shape double
+    arithmetic on identical operands (degenerate var(X)=0 → NULL θ via
+    try_divide).
+
+    Scale posture: one entity-keyed conditional aggregation (map-side
+    combinable), one 12-statistic global fold, a 1-row finish.
+    """
+    q = F.floor(value * F.lit(cents)).cast("long")
+    per_e = (
+        df.where(value.isNotNull())
+        .groupBy(entity.alias("_e"))
+        .agg(
+            F.sum(F.when(is_pre, q).otherwise(0)).alias("_x"),
+            F.sum(F.when(~is_pre, q).otherwise(0)).alias("_y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = per_e.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x")) * F.col("_x")).alias("_sxx"),
+        F.sum(dec(F.col("_y")) * F.col("_y")).alias("_syy"),
+        F.sum(dec(F.col("_x")) * F.col("_y")).alias("_sxy"),
+    )
+    cf = float(cents)
+    n = F.col("n_entities").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = (F.col("_sxy").cast("double") - sx * sy / n) / (n - F.lit(1.0))
+    vx = (F.col("_sxx").cast("double") - sx * sx / n) / (n - F.lit(1.0))
+    vy = (F.col("_syy").cast("double") - sy * sy / n) / (n - F.lit(1.0))
+    theta = F.try_divide(cov, vx)
+    vc = vy - F.try_divide(cov * cov, vx)
+    return a.select(
+        "n_entities",
+        F.round(sx / n / F.lit(cf), 6).alias("mean_pre"),
+        F.round(sy / n / F.lit(cf), 6).alias("mean_post"),
+        F.round(theta, 6).alias("theta"),
+        F.round(vy / F.lit(cf * cf), 6).alias("var_post"),
+        F.round(vc / F.lit(cf * cf), 6).alias("var_cuped"),
+        F.round(
+            F.lit(100.0) * F.try_divide(cov * cov, vx * vy), 4
+        ).alias("var_reduction_pct"),
+    )

@@ -13392,6 +13392,134 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "link_prediction_suppliers",
+    "neighborhood-Jaccard link prediction on the supplier co-order "
+    "graph (edge = >= 28 shared orders; degrees 3-43): top-100 "
+    "NON-edges ranked by |N(u) n N(v)| / |N(u) u N(v)| with hub "
+    "centers above degree 40 dropped from the wedge role — the "
+    "who-to-connect recommender, exact integer wedge counts, one "
+    "anti-join against existing edges, TakeOrdered",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+    ),
+    half AS (
+      SELECT a.i AS u, b.i AS v
+      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 28
+    ),
+    e AS (SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half),
+    deg AS (SELECT u AS n, COUNT(*) AS deg FROM e GROUP BY u),
+    centers AS (
+      SELECT e.u, e.v FROM e JOIN deg ON deg.n = e.u WHERE deg.deg <= 40
+    ),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y, COUNT(*) AS common
+      FROM centers a JOIN centers b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2 HAVING COUNT(*) >= 1
+    ),
+    non_edges AS (
+      SELECT w.x, w.y, w.common
+      FROM wedges w LEFT JOIN e ON e.u = w.x AND e.v = w.y
+      WHERE e.u IS NULL
+    )
+    SELECT n.x, n.y, n.common,
+           ROUND(CAST(n.common AS DOUBLE)
+                 / CAST(dx.deg + dy.deg - n.common AS DOUBLE), 6) AS jaccard
+    FROM non_edges n
+    JOIN deg dx ON dx.n = n.x
+    JOIN deg dy ON dy.n = n.y
+    ORDER BY jaccard DESC, n.x, n.y LIMIT 100
+    """,
+    survey_ops=("T3", "§2.9 joins"),
+)
+def link_prediction_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_suppkey").alias("i")
+    ).distinct()
+    half = (
+        items.alias("a")
+        .join(items.alias("b"), "b")
+        .where(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("u"), F.col("b.i").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 28)
+        .select("u", "v")
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return graph.jaccard_link_prediction(
+        edges, max_degree=40, min_common=1, top_k=100
+    )
+
+
+@register(
+    "cuped_value_variance_reduction",
+    "CUPED variance-reduction audit (Deng et al. WSDM'13): per-user "
+    "pre-period value (before Jan 16) as the covariate for the "
+    "post-period metric — theta = cov/var from exact DECIMAL moments "
+    "over exact-cents per-user sums, achieved variance reduction = "
+    "rho^2 — how much smaller the A/B test can run; one entity "
+    "aggregation + one 1-row moment fold",
+    oracle="""
+    WITH per_e AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    a AS (
+      SELECT COUNT(*) AS n_entities,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM per_e
+    ),
+    m AS (
+      SELECT n_entities,
+             CAST(n_entities AS DOUBLE) AS n,
+             CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n_entities AS DOUBLE))
+               / (CAST(n_entities AS DOUBLE) - 1.0) AS cov,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n_entities AS DOUBLE))
+               / (CAST(n_entities AS DOUBLE) - 1.0) AS vx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n_entities AS DOUBLE))
+               / (CAST(n_entities AS DOUBLE) - 1.0) AS vy
+      FROM a
+    )
+    SELECT n_entities,
+           ROUND(dx / n / 100.0, 6) AS mean_pre,
+           ROUND(dy / n / 100.0, 6) AS mean_post,
+           ROUND(cov / NULLIF(vx, 0), 6) AS theta,
+           ROUND(vy / 10000.0, 6) AS var_post,
+           ROUND((vy - cov * cov / NULLIF(vx, 0)) / 10000.0, 6) AS var_cuped,
+           ROUND(100.0 * (cov * cov / NULLIF(vx * vy, 0)), 4)
+             AS var_reduction_pct
+    FROM m
+    """,
+    survey_ops=("monitoring-stats", "eval-metrics"),
+)
+def cuped_value_variance_reduction(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import cuped_adjustment
+
+    e = t(spark, sf_dir, "events")
+    return cuped_adjustment(
+        e,
+        F.col("user_id"),
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        F.col("value"),
+    )
+
+
+@register(
     "bollinger_daily_revenue",
     "Bollinger-style rolling volatility bands on daily order revenue: "
     "trailing 20-day mean +- 2 sigma (population) from exact integer "

@@ -1823,3 +1823,111 @@ def test_rolling_bands_matches_dict_model(spark, rows):
             else:
                 assert abs(a - b) < 1e-6
         assert g[4] == w[4]
+
+
+# --- CUPED vs moment model -----------------------------------------------
+
+cuped_case = st.lists(
+    st.tuples(st.integers(0, 9), st.booleans(), st.integers(0, 2000)),
+    min_size=4,
+    max_size=60,
+).filter(lambda xs: len({u for u, _, _ in xs}) >= 2)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cuped_case)
+def test_cuped_matches_moment_model(spark, rows):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import cuped_adjustment
+
+    df = spark.createDataFrame(
+        [(u, pre, c / 100.0) for u, pre, c in rows],
+        "u int, pre boolean, v double",
+    )
+    got = cuped_adjustment(
+        df, F.col("u"), F.col("pre"), F.col("v")
+    ).collect()[0]
+
+    per = {}
+    for u, pre, c in rows:
+        q = math.floor((c / 100.0) * 100)
+        x, y = per.get(u, (0, 0))
+        per[u] = (x + q, y) if pre else (x, y + q)
+    xs = [x for x, _ in per.values()]
+    ys = [y for _, y in per.values()]
+    n = len(per)
+    sx, sy = sum(xs), sum(ys)
+    cov = (sum(a * b for a, b in zip(xs, ys)) - sx * sy / n) / (n - 1.0)
+    vx = (sum(a * a for a in xs) - sx * sx / n) / (n - 1.0)
+    vy = (sum(b * b for b in ys) - sy * sy / n) / (n - 1.0)
+    assert got.n_entities == n
+    assert abs(got.mean_pre - sx / n / 100.0) < 1e-6
+    assert abs(got.var_post - vy / 10000.0) < 1e-5
+    if vx == 0:
+        assert got.theta is None
+    else:
+        assert abs(got.theta - cov / vx) < 1e-5
+        assert abs(got.var_cuped - (vy - cov * cov / vx) / 10000.0) < 1e-5
+        # CUPED never increases variance
+        assert got.var_cuped <= got.var_post + 1e-9
+
+
+# --- Jaccard link prediction vs dict model ----------------------------------
+
+link_case = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda t: t[0] != t[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(link_case, st.integers(2, 7))
+def test_jaccard_link_prediction_matches_dict_model(spark, pairs, max_deg):
+    from itertools import combinations
+
+    from mlentory_etl_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    half = {(min(u, v), max(u, v)) for u, v in pairs}
+    edges = list(half) + [(v, u) for u, v in half]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {
+        (r.x, r.y): (r.common, r.jaccard)
+        for r in jaccard_link_prediction(
+            df, max_degree=max_deg, min_common=1, top_k=1000
+        ).collect()
+    }
+
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+    want = {}
+    for x, y in combinations(sorted(nbrs), 2):
+        if (x, y) in half:
+            continue
+        # wedge centers capped at max_deg degree
+        common = sum(
+            1
+            for w in nbrs[x] & nbrs[y]
+            if len(nbrs[w]) <= max_deg
+        )
+        if common >= 1:
+            j = common / (len(nbrs[x]) + len(nbrs[y]) - common)
+            want[(x, y)] = (common, round(j, 6))
+    assert set(got) == set(want)
+    for k, (c, j) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - j) < 1e-6
