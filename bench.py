@@ -201,6 +201,8 @@ def main():
             "cohort_ltv_weekly",
             "cuped_value_variance_reduction",
             "link_prediction_suppliers",
+            "rate_ratio_purchases",
+            "rake_keywords_docs",
         )
         if n in REGISTRY
     ]

@@ -2815,3 +2815,62 @@ def cuped_adjustment(
             F.lit(100.0) * F.try_divide(cov * cov, vx * vy), 4
         ).alias("var_reduction_pct"),
     )
+
+
+def rate_ratio_test(
+    df: DataFrame,
+    in_a: Column,
+    in_b: Column,
+    exposure_a: float,
+    exposure_b: float,
+) -> DataFrame:
+    """Poisson rate-ratio test between two observation windows — the
+    incident/error-budget comparison ("did the purchase rate per day
+    actually change?") that a raw count diff gets wrong when the
+    windows have different lengths: rates λ = c/exposure, and under
+    H₀ the log rate ratio is ~N(0, 1/c₁ + 1/c₂), so
+
+        z = ln(λ₁/λ₂) / sqrt(1/c₁ + 1/c₂).
+
+    Exposures are caller-supplied constants (days, host-hours — the
+    denominators an experimenter controls). Determinism: counts are
+    exact integers; the single ln of the exact rational
+    ``(c₁·e₂)/(c₂·e₁)`` is quantized once to micro-units (the
+    kl_domain_drift scheme), and 1/c₁ + 1/c₂ is one two-term sum of
+    exact-integer reciprocals — every engine computes the identical
+    doubles. Zero counts yield NULL z via try_divide/NULL ln input
+    guards.
+
+    Scale posture: ONE conditional count aggregation, a 1-row finish.
+    """
+    a = df.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("c_b"),
+    )
+    ca, cb = F.col("c_a"), F.col("c_b")
+    ra = ca.cast("double") / F.lit(float(exposure_a))
+    rb = cb.cast("double") / F.lit(float(exposure_b))
+    lq = F.when(
+        (ca > 0) & (cb > 0),
+        F.floor(
+            F.log(
+                (ca * F.lit(float(exposure_b))).cast("double")
+                / (cb * F.lit(float(exposure_a))).cast("double")
+            )
+            * F.lit(1000000)
+        ).cast("long"),
+    )
+    se = F.sqrt(
+        F.try_divide(F.lit(1.0), ca.cast("double"))
+        + F.try_divide(F.lit(1.0), cb.cast("double"))
+    )
+    return a.select(
+        "c_a",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(F.try_divide(ra, rb), 6).alias("rate_ratio"),
+        F.round(
+            F.try_divide(lq.cast("double") / F.lit(1000000.0), se), 4
+        ).alias("z"),
+    )

@@ -537,3 +537,100 @@ def oov_rate(df, group_col: str, text_col: str, vocab_size: int = 20):
         )
         .orderBy(group_col)
     )
+
+
+def rake_keywords(
+    df,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str],
+    top_k: int = 3,
+):
+    """RAKE keyword extraction (Rose et al. 2010) — per-document
+    keyphrases without any model: candidate phrases are the maximal
+    stopword-free token runs; each word scores degree/frequency
+    (degree = total length of phrases it occurs in — words that keep
+    company with long phrases matter more); a phrase scores the sum of
+    its words' scores. The keyword-extraction member of the text
+    family (c-TF-IDF finds class-distinctive terms ACROSS docs; RAKE
+    finds each doc's own keyphrases).
+
+    Determinism: all counts are exact integers; each word score is
+    quantized ONCE to micro-units (⌊deg·10⁶/freq⌋), so phrase scores
+    fold order-free in longs; identical phrases share identical scores
+    (word scores are doc-level), making the distinct + rank
+    (score DESC, phrase ASC) a total order.
+
+    Scale posture: everything is keyed by doc (posexplode, per-doc
+    running stopword count for phrase ids, per-(doc, phrase) and
+    per-(doc, word) aggregations, per-doc rank window) — embarrassing
+    document parallelism, no corpus-wide state at all.
+    """
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_pos", "_tok"
+        ),
+    ).withColumn("_stop", F.array_contains(sw, F.col("_tok")))
+    wo = Window.partitionBy("_id").orderBy("_pos")
+    words = (
+        toks.withColumn(
+            "_pid", F.sum(F.col("_stop").cast("int")).over(wo)
+        )
+        .where(~F.col("_stop"))
+        .select("_id", "_pos", "_tok", "_pid")
+        .localCheckpoint(eager=False)
+    )
+    phr = words.groupBy("_id", "_pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_plen"),
+    )
+    wstat = (
+        words.join(phr.select("_id", "_pid", "_plen"), ["_id", "_pid"])
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_freq"), F.sum("_plen").alias("_deg"))
+    )
+    wscore = wstat.select(
+        "_id",
+        "_tok",
+        F.floor(
+            F.col("_deg").cast("double")
+            * 1000000.0
+            / F.col("_freq").cast("double")
+        )
+        .cast("long")
+        .alias("_su"),
+    )
+    pscore = (
+        words.join(wscore, ["_id", "_tok"])
+        .groupBy("_id", "_pid")
+        .agg(F.sum("_su").alias("_psu"))
+    )
+    uniq = (
+        phr.join(pscore, ["_id", "_pid"])
+        .groupBy("_id", "phrase")
+        .agg(F.max("_psu").alias("_psu"), F.max("_plen").alias("n_words"))
+    )
+    wr = Window.partitionBy("_id").orderBy(F.desc("_psu"), F.asc("phrase"))
+    return (
+        uniq.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            "phrase",
+            "n_words",
+            F.round(F.col("_psu").cast("double") / 1000000.0, 6).alias(
+                "score"
+            ),
+            "rank",
+        )
+    )

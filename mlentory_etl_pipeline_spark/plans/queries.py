@@ -13392,6 +13392,134 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "rake_keywords_docs",
+    "RAKE keyword extraction per document (model-free keyphrases): "
+    "candidate phrases = maximal stopword-free token runs, word score "
+    "= degree/frequency quantized once to micro-units, phrase score = "
+    "order-free integer sum of word scores, top-3 per doc — the "
+    "keyword member of the text family (c-TF-IDF is cross-class, "
+    "this is per-doc); fully doc-parallel, no corpus state",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS toks
+      FROM documents
+    ),
+    t1 AS (
+      SELECT doc_id, toks, UNNEST(RANGE(1, LEN(toks) + 1)) AS pos FROM d
+    ),
+    toks AS (
+      SELECT doc_id, pos, toks[pos] AS tok,
+             toks[pos] IN ('a', 'the', 'of', 'and', 'to', 'in', 'is') AS stop
+      FROM t1
+    ),
+    pid AS (
+      SELECT doc_id, pos, tok, stop,
+             SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM toks
+    ),
+    words AS (
+      SELECT doc_id, pos, tok, pid FROM pid WHERE NOT stop
+    ),
+    phr AS (
+      SELECT doc_id, pid, STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM words GROUP BY doc_id, pid
+    ),
+    wstat AS (
+      SELECT w.doc_id, w.tok, COUNT(*) AS freq, SUM(p.plen) AS deg
+      FROM words w JOIN phr p ON p.doc_id = w.doc_id AND p.pid = w.pid
+      GROUP BY w.doc_id, w.tok
+    ),
+    wscore AS (
+      SELECT doc_id, tok,
+             CAST(FLOOR(CAST(deg AS DOUBLE) * 1000000.0
+                        / CAST(freq AS DOUBLE)) AS BIGINT) AS su
+      FROM wstat
+    ),
+    pscore AS (
+      SELECT w.doc_id, w.pid, SUM(s.su) AS psu
+      FROM words w JOIN wscore s ON s.doc_id = w.doc_id AND s.tok = w.tok
+      GROUP BY w.doc_id, w.pid
+    ),
+    uniq AS (
+      SELECT p.doc_id, p.phrase, MAX(ps.psu) AS psu, MAX(p.plen) AS n_words
+      FROM phr p JOIN pscore ps ON ps.doc_id = p.doc_id AND ps.pid = p.pid
+      GROUP BY p.doc_id, p.phrase
+    )
+    SELECT doc_id, phrase, n_words,
+           ROUND(CAST(psu AS DOUBLE) / 1000000.0, 6) AS score, rank
+    FROM (
+      SELECT doc_id, phrase, n_words, psu,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY psu DESC, phrase ASC) AS rank
+      FROM uniq
+    ) WHERE rank <= 3
+    """,
+    survey_ops=("text-quality", "N1"),
+)
+def rake_keywords_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return textstats.rake_keywords(
+        d,
+        "doc_id",
+        "text",
+        stopwords=["a", "the", "of", "and", "to", "in", "is"],
+        top_k=3,
+    )
+
+
+@register(
+    "rate_ratio_purchases",
+    "Poisson rate-ratio test: purchase rate per day in Jan 1-10 (9 "
+    "days) vs Jan 10-31 (21 days) — z = ln(rate ratio) / "
+    "sqrt(1/c1 + 1/c2), the unequal-window incident comparison a raw "
+    "count diff gets wrong; single micro-quantized ln of an exact "
+    "rational, one conditional count pass",
+    oracle="""
+    WITH a AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-01'
+                  AND ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END) AS c_a,
+        SUM(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-31' THEN 1 ELSE 0 END) AS c_b
+      FROM events
+    )
+    SELECT c_a, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / 9.0, 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / 21.0, 6) AS rate_b,
+           ROUND((CAST(c_a AS DOUBLE) / 9.0)
+                 / NULLIF(CAST(c_b AS DOUBLE) / 21.0, 0), 6) AS rate_ratio,
+           ROUND((CASE WHEN c_a > 0 AND c_b > 0
+                   THEN CAST(FLOOR(LN(CAST(c_a * 21.0 AS DOUBLE)
+                        / CAST(c_b * 9.0 AS DOUBLE)) * 1000000) AS BIGINT)
+                   END) / 1000000.0
+                 / NULLIF(SQRT(1.0 / CAST(c_a AS DOUBLE)
+                               + 1.0 / CAST(c_b AS DOUBLE)), 0), 4) AS z
+    FROM a
+    """,
+    survey_ops=("monitoring-stats", "eval-metrics"),
+)
+def rate_ratio_purchases(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import rate_ratio_test
+
+    e = t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    t1 = F.lit("2024-01-10").cast("timestamp")
+    t2 = F.lit("2024-01-31").cast("timestamp")
+    return rate_ratio_test(
+        e,
+        is_p & (F.col("ts") >= t0) & (F.col("ts") < t1),
+        is_p & (F.col("ts") >= t1) & (F.col("ts") < t2),
+        exposure_a=9.0,
+        exposure_b=21.0,
+    )
+
+
+@register(
     "link_prediction_suppliers",
     "neighborhood-Jaccard link prediction on the supplier co-order "
     "graph (edge = >= 28 shared orders; degrees 3-43): top-100 "

@@ -1931,3 +1931,93 @@ def test_jaccard_link_prediction_matches_dict_model(spark, pairs, max_deg):
     for k, (c, j) in want.items():
         assert got[k][0] == c
         assert abs(got[k][1] - j) < 1e-6
+
+
+# --- rate ratio vs closed form -----------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.integers(0, 40), st.integers(0, 40))
+def test_rate_ratio_matches_closed_form(spark, ca, cb):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import rate_ratio_test
+
+    rows = [("a",)] * ca + [("b",)] * cb + [("x",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = rate_ratio_test(
+        df, F.col("k") == "a", F.col("k") == "b",
+        exposure_a=3.0, exposure_b=7.0,
+    ).collect()[0]
+    assert (got.c_a, got.c_b) == (ca, cb)
+    assert abs(got.rate_a - round(ca / 3.0, 6)) < 1e-9
+    if cb == 0:
+        assert got.rate_ratio is None and got.z is None
+    elif ca == 0:
+        assert got.z is None
+    else:
+        lq = math.floor(math.log((ca * 7.0) / (cb * 3.0)) * 1_000_000)
+        z = (lq / 1e6) / math.sqrt(1.0 / ca + 1.0 / cb)
+        assert abs(got.z - z) < 1e-3
+
+
+# --- RAKE vs dict model ------------------------------------------------------
+
+rake_case = st.lists(
+    st.sampled_from(["a", "the", "spark", "join", "fast", "scan", "table"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rake_case)
+def test_rake_keywords_matches_dict_model(spark, toks):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.textstats import rake_keywords
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    stop = ["a", "the"]
+    got = [
+        (r.phrase, r.n_words, r.score, r.rank)
+        for r in rake_keywords(df, "doc_id", "text", stop, top_k=100)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    phrases, cur = [], []
+    for tk in toks:
+        if tk in stop:
+            if cur:
+                phrases.append(cur)
+            cur = []
+        else:
+            cur.append(tk)
+    if cur:
+        phrases.append(cur)
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    su = {w: math.floor(deg[w] * 1e6 / freq[w]) for w in freq}
+    scored = {}
+    for p in phrases:
+        phrase = " ".join(p)
+        scored[phrase] = (len(p), sum(su[w] for w in p))
+    order = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    want = [
+        (ph, n, round(s / 1e6, 6), rk)
+        for rk, (ph, (n, s)) in enumerate(order, start=1)
+    ]
+    assert got == want
