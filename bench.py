@@ -203,6 +203,9 @@ def main():
             "link_prediction_suppliers",
             "rate_ratio_purchases",
             "rake_keywords_docs",
+            "mad_scale_by_type",
+            "hill_tail_index_prices",
+            "seasonal_adjusted_bursts_events",
         )
         if n in REGISTRY
     ]

@@ -2874,3 +2874,110 @@ def rate_ratio_test(
             F.try_divide(lq.cast("double") / F.lit(1000000.0), se), 4
         ).alias("z"),
     )
+
+
+def mad_scale(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+) -> DataFrame:
+    """Per-group Median Absolute Deviation — the robust scale estimate
+    (breakdown point 50%) that pairs with robust_location's medians
+    the way stddev pairs with the mean: one wild row moves a stddev
+    arbitrarily far, while MAD ignores it. The 1.4826 consistency
+    factor (Normal-consistent sigma estimate) ships as a second
+    column; a robust z-score is then ``|x − median| / mad_sigma``.
+
+    Determinism: both quantiles are exact ``percentile_disc`` data
+    points (the exact_percentiles_disc cross-engine contract); the
+    residual is one IEEE subtraction of identical doubles, so the
+    second median selects the same element in any engine; the only
+    arithmetic is the final literal multiply.
+
+    Scale posture: two per-group aggregations (median, then median of
+    absolute residuals) with a broadcast-back join between them —
+    the conformal_intervals shape.
+    """
+    base = df.select(
+        *[F.col(c) for c in group_cols], value.alias("_v")
+    ).where(F.col("_v").isNotNull())
+    med = base.groupBy(*group_cols).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _v)").alias(
+            "_med"
+        ),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    resid = base.join(F.broadcast(med), group_cols).select(
+        *group_cols,
+        "n_points",
+        "_med",
+        F.abs(F.col("_v") - F.col("_med")).alias("_r"),
+    )
+    return (
+        resid.groupBy(*group_cols)
+        .agg(
+            F.max("n_points").alias("n_points"),
+            F.max("_med").alias("_med"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _r)").alias(
+                "_mad"
+            ),
+        )
+        .select(
+            *group_cols,
+            "n_points",
+            F.round(F.col("_med"), 6).alias("median"),
+            F.round(F.col("_mad"), 6).alias("mad"),
+            F.round(F.col("_mad") * F.lit(1.4826), 6).alias("mad_sigma"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value: Column,
+    tiebreak: Column,
+    k: int = 200,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-k order
+    statistics — the heavy-tail detector (α ≤ 2 means infinite
+    variance: means and stddevs stop being meaningful, bootstrap CIs
+    stop converging) that tells a pipeline WHICH of its metrics can be
+    trusted to aggregate:
+
+        Hill = (1/k)·Σ_{i≤k} ln(x_i / x_(k+1)),   α = 1/Hill.
+
+    Determinism: the tail set is a TakeOrdered top-(k+1) with a total
+    order (value DESC, tiebreak ASC); each log-ratio is quantized once
+    to micro-units and summed over ALL k+1 rows — the threshold row
+    contributes ln(1) = 0 exactly, so no rank column is ever needed;
+    α closes as one double expression. Non-positive values are
+    excluded (the estimator is for right tails).
+
+    Scale posture: one distributed TakeOrdered (k+1 rows survive), a
+    broadcast 1-row threshold, one bounded fold.
+    """
+    top = (
+        df.where(value > 0)
+        .select(value.alias("_v"), tiebreak.alias("_tb"))
+        .orderBy(F.desc("_v"), F.asc("_tb"))
+        .limit(k + 1)
+    )
+    th = F.broadcast(top.agg(F.min("_v").alias("_t")))
+    s = top.crossJoin(th).agg(
+        F.sum(
+            F.floor(
+                F.log(F.col("_v").cast("double") / F.col("_t").cast("double"))
+                * F.lit(1000000)
+            ).cast("long")
+        ).alias("_su"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_t").alias("_th"),
+    )
+    hill = F.col("_su").cast("double") / F.lit(float(k)) / F.lit(1000000.0)
+    return s.select(
+        (F.col("_n") - 1).alias("k_tail"),
+        F.round(F.col("_th").cast("double"), 6).alias("threshold"),
+        F.round(hill, 6).alias("hill"),
+        F.round(F.try_divide(F.lit(1.0), hill), 6).alias("alpha"),
+    )

@@ -1037,3 +1037,97 @@ def cohort_ltv(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def seasonal_adjusted_bursts(
+    df: DataFrame,
+    group: Column,
+    ts: Column,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Seasonality-adjusted burst detection — the composition that
+    closes the weekday loop: a plain daily z-score flags every Monday
+    of a weekday-rhythmic feed as an anomaly; dividing each day's
+    count by its group's multiplicative weekday index
+    (:func:`weekday_seasonality`) first leaves only the bursts that
+    are NOT explained by the weekly rhythm.
+
+    Determinism: the adjusted count is quantized ONCE to micro-units
+    with every factor an exact integer —
+    ``⌊c·days_w·sum_all·10⁶ / (sum_w·days_all)⌋`` — so the per-group
+    mean/sd fold in exact DECIMAL and each day's z closes in
+    fixed-shape doubles (micro-unit scale cancels). Days on a weekday
+    the feed NEVER fires (index 0) are excluded from both the moments
+    and the output. DECIMAL budget: counts to ~10⁹/day keep the
+    product under 10³⁴.
+
+    Scale posture: one daily rollup (|groups|×|days| shuffle bound),
+    the weekday index tables are 7×|groups| broadcasts, one per-group
+    moment fold, one filtered output pass. Returns the bursting days:
+    (group, day, n_events, adjusted, z).
+    """
+    day = F.to_date(ts)
+    c = (
+        df.select(group.alias("_g"), day.alias("_d"))
+        .groupBy("_g", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = c.groupBy("_g").agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    grid = bounds.select(
+        "_g",
+        F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("_d"),
+    )
+    dense = grid.join(c, ["_g", "_d"], "left").select(
+        "_g",
+        "_d",
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+        (F.weekday("_d") + 1).alias("_wd"),
+    )
+    wk = dense.groupBy("_g", "_wd").agg(
+        F.count(F.lit(1)).alias("_dw"),
+        F.sum("_c").alias("_sw"),
+    ).localCheckpoint(eager=False)
+    tot = wk.groupBy("_g").agg(
+        F.sum("_dw").alias("_da"), F.sum("_sw").alias("_sa")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    adj_u = F.floor(
+        (dec(F.col("_c")) * F.col("_dw") * F.col("_sa")).cast("double")
+        * F.lit(1000000.0)
+        / (F.col("_sw") * F.col("_da")).cast("double")
+    ).cast("long")
+    adjusted = (
+        dense.join(F.broadcast(wk), ["_g", "_wd"])
+        .join(F.broadcast(tot), "_g")
+        .where(F.col("_sw") > 0)
+        .select("_g", "_d", "_c", adj_u.alias("_au"))
+        .localCheckpoint(eager=False)
+    )
+    mo = adjusted.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_au"))).alias("_s"),
+        F.sum(dec(F.col("_au")) * F.col("_au")).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    m = F.col("_s").cast("double") / n
+    sd = F.sqrt(
+        (F.col("_ss").cast("double") - F.col("_s").cast("double") * m) / n
+    )
+    z = F.try_divide(F.col("_au").cast("double") - m, sd)
+    return (
+        adjusted.join(F.broadcast(mo), "_g")
+        .select(
+            F.col("_g").alias("group"),
+            F.col("_d").alias("day"),
+            F.col("_c").alias("n_events"),
+            F.round(F.col("_au").cast("double") / F.lit(1000000.0), 6).alias(
+                "adjusted"
+            ),
+            F.round(z, 4).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= F.lit(z_threshold))
+        .orderBy("group", "day")
+    )

@@ -13392,6 +13392,154 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "seasonal_adjusted_bursts_events",
+    "seasonality-adjusted burst days per event type (|z| >= 2.0 after "
+    "dividing each day's count by its weekday index): a plain daily "
+    "z-score flags every Monday of a rhythmic feed; this flags only "
+    "bursts the weekly rhythm does NOT explain — adjusted counts "
+    "micro-quantized from exact integer factors, DECIMAL moment fold, "
+    "fixed-shape z",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM c GROUP BY g),
+    grid AS (
+      SELECT g, CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    dense AS (
+      SELECT grid.g, grid.d, COALESCE(c.c, 0) AS c, ISODOW(grid.d) AS wd
+      FROM grid LEFT JOIN c ON c.g = grid.g AND c.d = grid.d
+    ),
+    wk AS (
+      SELECT g, wd, COUNT(*) AS dw, SUM(c) AS sw FROM dense GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, SUM(dw) AS da, SUM(sw) AS sa FROM wk GROUP BY g),
+    adjusted AS (
+      SELECT d.g, d.d, d.c,
+             CAST(FLOOR(CAST(CAST(d.c AS HUGEINT) * w.dw * t.sa AS DOUBLE)
+                        * 1000000.0
+                        / CAST(w.sw * t.da AS DOUBLE)) AS BIGINT) AS au
+      FROM dense d
+      JOIN wk w ON w.g = d.g AND w.wd = d.wd
+      JOIN tot t ON t.g = d.g
+      WHERE w.sw > 0
+    ),
+    mo AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(au AS HUGEINT)) AS s,
+             SUM(CAST(au AS HUGEINT) * au) AS ss
+      FROM adjusted GROUP BY g
+    ),
+    z AS (
+      SELECT a.g, a.d, a.c,
+             ROUND(CAST(a.au AS DOUBLE) / 1000000.0, 6) AS adjusted,
+             ROUND((CAST(a.au AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / NULLIF(SQRT((CAST(m.ss AS DOUBLE)
+                       - CAST(m.s AS DOUBLE)
+                         * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                       / CAST(m.n AS DOUBLE)), 0), 4) AS z
+      FROM adjusted a JOIN mo m ON m.g = a.g
+    )
+    SELECT g AS "group", d AS day, c AS n_events, adjusted, z
+    FROM z WHERE ABS(z) >= 2.0 ORDER BY "group", day
+    """,
+    survey_ops=("monitoring-stats", "§2.9 aggregations"),
+)
+def seasonal_adjusted_bursts_events(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        seasonal_adjusted_bursts,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return seasonal_adjusted_bursts(
+        e, F.col("event_type"), F.col("ts"), z_threshold=2.0
+    )
+
+
+@register(
+    "hill_tail_index_prices",
+    "Hill power-law tail-index over the top-200 order prices: alpha = "
+    "k / sum(ln(x_i/x_(k+1))) — the heavy-tail detector that says "
+    "whether means and bootstrap CIs can be trusted at all; "
+    "TakeOrdered tail set with a total order, micro-quantized "
+    "log-ratios summed over k+1 rows (the threshold row contributes "
+    "ln(1)=0 exactly, so no rank column exists)",
+    oracle="""
+    WITH top AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_totalprice > 0
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 201
+    ),
+    th AS (SELECT MIN(v) AS t FROM top),
+    s AS (
+      SELECT SUM(CAST(FLOOR(LN(CAST(v AS DOUBLE) / CAST(t AS DOUBLE))
+                            * 1000000) AS BIGINT)) AS su,
+             COUNT(*) AS n, MAX(t) AS th
+      FROM top, th
+    )
+    SELECT n - 1 AS k_tail,
+           ROUND(CAST(th AS DOUBLE), 6) AS threshold,
+           ROUND(CAST(su AS DOUBLE) / 200.0 / 1000000.0, 6) AS hill,
+           ROUND(CAST(1 AS DOUBLE)
+                 / NULLIF(CAST(su AS DOUBLE) / 200.0 / 1000000.0, 0), 6)
+             AS alpha
+    FROM s
+    """,
+    survey_ops=("profiling-columns", "monitoring-stats"),
+)
+def hill_tail_index_prices(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import hill_tail_index
+
+    o = t(spark, sf_dir, "orders")
+    return hill_tail_index(
+        o, F.col("o_totalprice"), F.col("o_orderkey"), k=200
+    )
+
+
+@register(
+    "mad_scale_by_type",
+    "per-event-type Median Absolute Deviation with the 1.4826 "
+    "Normal-consistency factor — the 50%-breakdown robust scale that "
+    "pairs with robust_location's medians the way stddev pairs with "
+    "the mean; both quantiles exact percentile_disc data points, the "
+    "residual one IEEE subtraction, so every engine selects the same "
+    "elements",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT g, QUANTILE_DISC(v, 0.5) AS med, COUNT(*) AS n_points
+      FROM base GROUP BY g
+    ),
+    resid AS (
+      SELECT b.g, m.n_points, m.med, ABS(b.v - m.med) AS r
+      FROM base b JOIN med m ON m.g = b.g
+    )
+    SELECT g AS event_type, MAX(n_points) AS n_points,
+           ROUND(MAX(med), 6) AS median,
+           ROUND(QUANTILE_DISC(r, 0.5), 6) AS mad,
+           ROUND(QUANTILE_DISC(r, 0.5) * 1.4826, 6) AS mad_sigma
+    FROM resid GROUP BY g ORDER BY event_type
+    """,
+    survey_ops=("profiling-columns", "monitoring-stats"),
+)
+def mad_scale_by_type(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import mad_scale
+
+    e = t(spark, sf_dir, "events")
+    return mad_scale(
+        e.select(F.col("event_type"), F.col("value")),
+        ["event_type"],
+        F.col("value"),
+    )
+
+
+@register(
     "rake_keywords_docs",
     "RAKE keyword extraction per document (model-free keyphrases): "
     "candidate phrases = maximal stopword-free token runs, word score "

@@ -2021,3 +2021,77 @@ def test_rake_keywords_matches_dict_model(spark, toks):
         for rk, (ph, (n, s)) in enumerate(order, start=1)
     ]
     assert got == want
+
+
+# --- MAD vs sorted-list model -------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(-500, 500)),
+                min_size=1, max_size=40))
+def test_mad_scale_matches_sorted_model(spark, rows):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import mad_scale
+
+    df = spark.createDataFrame(
+        [(g, c / 10.0) for g, c in rows], "g int, v double"
+    )
+    got = {
+        r.g: (r.n_points, r.median, r.mad, r.mad_sigma)
+        for r in mad_scale(df, ["g"], F.col("v")).collect()
+    }
+
+    def pdisc(vals, p):
+        vals = sorted(vals)
+        return vals[max(0, math.ceil(p * len(vals)) - 1)]
+
+    for g in {g for g, _ in rows}:
+        vals = [c / 10.0 for gg, c in rows if gg == g]
+        med = pdisc(vals, 0.5)
+        mad = pdisc([abs(v - med) for v in vals], 0.5)
+        assert got[g][0] == len(vals)
+        assert abs(got[g][1] - med) < 1e-6
+        assert abs(got[g][2] - mad) < 1e-6
+        assert abs(got[g][3] - round(mad * 1.4826, 6)) < 1e-6
+
+
+# --- Hill estimator vs model --------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(1, 100000), min_size=3, max_size=40),
+       st.integers(2, 10))
+def test_hill_tail_index_matches_model(spark, vals, k):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import hill_tail_index
+
+    df = spark.createDataFrame(
+        [(v / 10.0, i) for i, v in enumerate(vals)], "v double, i long"
+    )
+    got = hill_tail_index(df, F.col("v"), F.col("i"), k=k).collect()[0]
+
+    # top-(k+1) by (v desc, i asc)
+    order = sorted(
+        ((v / 10.0, i) for i, v in enumerate(vals)),
+        key=lambda t: (-t[0], t[1]),
+    )[: k + 1]
+    th = min(v for v, _ in order)
+    su = sum(
+        math.floor(math.log(v / th) * 1_000_000) for v, _ in order
+    )
+    hill = su / k / 1e6
+    assert got.k_tail == len(order) - 1
+    assert abs(got.threshold - th) < 1e-6
+    assert abs(got.hill - hill) < 1e-6
+    if hill > 0:
+        assert abs(got.alpha - 1.0 / hill) < 1e-3
