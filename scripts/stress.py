@@ -667,6 +667,67 @@ def case_ranking_metrics(spark, sf_dir: str, k: int) -> DataFrame:
     return ranking_metrics(retrieved, truth, k=10)
 
 
+def case_training_labels(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx disjoint entities on the SAME calendar: the dense grid grows
+    # linearly in |entities|, the per-entity window deepens not at all
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        build_training_labels,
+    )
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    r = _replicated(e, k).select(
+        (F.col("user_id") * k + F.col("_rep")).alias("user_id"), "ts"
+    )
+    return build_training_labels(r, F.col("user_id"), F.col("ts"))
+
+
+def case_rake(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx documents (ids offset per replica): per-doc work is constant,
+    # so the whole pipeline scales in |docs|
+    from mlentory_etl_pipeline_spark.operators.textstats import rake_keywords
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"), "text"
+    )
+    return rake_keywords(
+        r, "doc_id", "text",
+        stopwords=["a", "the", "of", "and", "to", "in", "is"], top_k=3,
+    )
+
+
+def case_link_prediction(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx DISJOINT graph copies (node ids offset): wedge fan-out stays
+    # bounded by the per-copy degree cap, total work linear in copies
+    from mlentory_etl_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    items = li.distinct()
+    half = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+        # sf0.1 co-order threshold: >= 6 gives degrees 11-74 over 1000
+        # nodes (the sf0.01 registry query's 28 would leave 0 edges)
+        .where(F.col("_c") >= 6)
+        .select("u", "v")
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    r = _replicated(edges, k).select(
+        (F.col("u") * k + F.col("_rep")).alias("u"),
+        (F.col("v") * k + F.col("_rep")).alias("v"),
+    )
+    return jaccard_link_prediction(r, max_degree=60, min_common=1, top_k=100)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -697,6 +758,9 @@ CASES = {
     "markov": case_markov,
     "assoc_rules": case_assoc_rules,
     "ranking_metrics": case_ranking_metrics,
+    "training_labels": case_training_labels,
+    "rake": case_rake,
+    "link_prediction": case_link_prediction,
 }
 
 
