@@ -206,6 +206,7 @@ def main():
             "mad_scale_by_type",
             "hill_tail_index_prices",
             "seasonal_adjusted_bursts_events",
+            "skyline_parts_price_size",
         )
         if n in REGISTRY
     ]

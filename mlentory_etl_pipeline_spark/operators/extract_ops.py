@@ -293,3 +293,56 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*keys, change.alias("change_type"))
+
+
+def skyline_2d(
+    df,
+    maximize,
+    minimize,
+    id_col: str,
+):
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other
+    — another row dominates if it is ≥ on the maximized dimension, ≤
+    on the minimized one, and strictly better on at least one. The
+    classic multi-criteria shortlist (best price-for-size, best
+    quality-for-cost) that no single ORDER BY can express.
+
+    Scalable 2-D formulation (not the quadratic all-pairs test): with
+    mp[s] = min(minimize | maximize = s) and M[s] = min over s' > s of
+    mp[s'], a row survives iff its cost equals mp[s] (nothing cheaper
+    at the same level — equal-cost ties all survive, mutual
+    non-domination) and beats every higher level (M[s] NULL or cost <
+    M[s]). Exact comparisons only — no arithmetic at all, so the
+    result is engine-identical by construction.
+
+    Scale posture: one maximize-keyed aggregation (|levels| rows out,
+    map-side combinable), ONE running-min window over the bounded
+    level domain (metadata-sized — allowlisted, never corpus-sized),
+    one broadcast join back; the dominance test is a per-row filter.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), maximize.alias("_mx"), minimize.alias("_mn")
+    ).where(F.col("_mx").isNotNull() & F.col("_mn").isNotNull())
+    mp = base.groupBy("_mx").agg(F.min("_mn").alias("_mp"))
+    # mp holds ONE row per level, so a ROWS frame ending 1 before the
+    # current row is exactly "all strictly greater levels" — valid for
+    # any orderable level type (a RANGE -1 frame would need integers)
+    w = Window.orderBy(F.desc("_mx")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = mp.withColumn("_hi", F.min("_mp").over(w))
+    return (
+        base.join(F.broadcast(levels), "_mx")
+        .where(
+            (F.col("_mn") == F.col("_mp"))
+            & (F.col("_hi").isNull() | (F.col("_mn") < F.col("_hi")))
+        )
+        .select(
+            F.col(id_col),
+            F.col("_mx").alias("max_dim"),
+            F.col("_mn").alias("min_dim"),
+        )
+        .orderBy(F.desc("max_dim"), F.asc("min_dim"), F.asc(id_col))
+    )

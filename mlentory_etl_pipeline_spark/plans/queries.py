@@ -13392,6 +13392,40 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "skyline_parts_price_size",
+    "2-D skyline / Pareto frontier over parts (maximize size, "
+    "minimize retail price): rows no other row dominates — the "
+    "multi-criteria shortlist no single ORDER BY expresses; the "
+    "scalable per-level formulation (min price per size, running "
+    "strict-higher min over the BOUNDED size domain, broadcast join "
+    "back) — exact comparisons only, zero arithmetic",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, p_size AS mx, p_retailprice AS mn
+      FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    ),
+    mp AS (SELECT mx, MIN(mn) AS mp FROM base GROUP BY mx),
+    levels AS (
+      SELECT mx, mp,
+             MIN(mp) OVER (ORDER BY mx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+      FROM mp
+    )
+    SELECT b.p_partkey, b.mx AS max_dim, b.mn AS min_dim
+    FROM base b JOIN levels l ON l.mx = b.mx
+    WHERE b.mn = l.mp AND (l.hi IS NULL OR b.mn < l.hi)
+    ORDER BY max_dim DESC, min_dim ASC, p_partkey ASC
+    """,
+    survey_ops=("F3", "§2.9 window functions"),
+)
+def skyline_parts_price_size(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return extract_ops.skyline_2d(
+        p, F.col("p_size"), F.col("p_retailprice"), "p_partkey"
+    )
+
+
+@register(
     "seasonal_adjusted_bursts_events",
     "seasonality-adjusted burst days per event type (|z| >= 2.0 after "
     "dividing each day's count by its weekday index): a plain daily "

@@ -61,6 +61,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "trailing-frame windows over the global DAILY series - "
         "calendar-bounded (the moving_avg_daily_revenue category)"
     ),
+    "skyline_parts_price_size": (
+        "running min over ONE ROW PER LEVEL of the bounded size "
+        "domain (|distinct sizes| rows - metadata, never corpus)"
+    ),
     "sorted_neighborhood_link": (
         "the method IS one global sort + fixed-rank-window pairing "
         "(documented trade vs blocked_link; candidate count exactly "

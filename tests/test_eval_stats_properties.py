@@ -2095,3 +2095,42 @@ def test_hill_tail_index_matches_model(spark, vals, k):
     assert abs(got.hill - hill) < 1e-6
     if hill > 0:
         assert abs(got.alpha - 1.0 / hill) < 1e-3
+
+
+# --- 2-D skyline vs brute-force dominance ----------------------------------
+
+sky_case = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),  # (max_dim, min_dim)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sky_case)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    from mlentory_etl_pipeline_spark.operators.extract_ops import skyline_2d
+
+    rows = [(i, mx, float(mn)) for i, (mx, mn) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, mx int, mn double")
+    got = {
+        r.id for r in skyline_2d(df, F.col("mx"), F.col("mn"), "id").collect()
+    }
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] >= a[1]
+            and b[2] <= a[2]
+            and (b[1] > a[1] or b[2] < a[2])
+        )
+
+    want = {
+        a[0]
+        for a in rows
+        if not any(dominated(a, b) for b in rows if b[0] != a[0])
+    }
+    assert got == want
