@@ -207,6 +207,8 @@ def main():
             "hill_tail_index_prices",
             "seasonal_adjusted_bursts_events",
             "skyline_parts_price_size",
+            "weighted_percentiles_price",
+            "woe_iv_value_purchase",
         )
         if n in REGISTRY
     ]

@@ -13392,6 +13392,128 @@ def ccf_views_purchases(spark, sf_dir):
 
 
 @register(
+    "woe_iv_value_purchase",
+    "Weight-of-Evidence / Information Value of event value as a "
+    "purchase predictor: overall percentile_disc decile buckets, "
+    "add-half-smoothed per-bucket WOE = ln((pos share)/(neg share)) "
+    "quantized to micro-units, IV = order-free exact sum of share "
+    "difference x WOE — credit-scoring's standard feature screen, "
+    "the supervised sibling of psi_value_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type = 'purchase' AS pos, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    edges AS (
+      SELECT QUANTILE_DISC(v, 0.1) AS e1, QUANTILE_DISC(v, 0.2) AS e2,
+             QUANTILE_DISC(v, 0.3) AS e3, QUANTILE_DISC(v, 0.4) AS e4,
+             QUANTILE_DISC(v, 0.5) AS e5, QUANTILE_DISC(v, 0.6) AS e6,
+             QUANTILE_DISC(v, 0.7) AS e7, QUANTILE_DISC(v, 0.8) AS e8,
+             QUANTILE_DISC(v, 0.9) AS e9
+      FROM base
+    ),
+    counted AS (
+      SELECT 1 + (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e3 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e5 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e7 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+               + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bucket,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pn,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+      FROM base, edges GROUP BY 1
+    ),
+    dense AS (
+      SELECT g.bucket, COALESCE(c.pn, 0) AS pn, COALESCE(c.nn, 0) AS nn
+      FROM (SELECT UNNEST(RANGE(1, 11)) AS bucket) g
+      LEFT JOIN counted c ON c.bucket = g.bucket
+    ),
+    tot AS (SELECT SUM(pn) AS tp, SUM(nn) AS tn FROM dense),
+    g AS (
+      SELECT bucket, pn, nn,
+             2 * pn + 1 AS sp, 2 * nn + 1 AS sn,
+             2 * tp + 10 AS dp, 2 * tn + 10 AS dn
+      FROM dense, tot
+    ),
+    terms AS (
+      SELECT bucket, pn, nn,
+             CAST(FLOOR(LN(
+               CAST(sp AS DOUBLE) * CAST(dn AS DOUBLE)
+               / (CAST(sn AS DOUBLE) * CAST(dp AS DOUBLE))
+             ) * 1000000) AS BIGINT) AS lq,
+             CAST(sp AS HUGEINT) * dn - CAST(sn AS HUGEINT) * dp AS num,
+             CAST(CAST(dp AS HUGEINT) * dn AS DOUBLE) * 1000000.0 AS den
+      FROM g
+    )
+    SELECT bucket, pn AS n_pos, nn AS n_neg,
+           ROUND(CAST(lq AS DOUBLE) / 1000000.0, 6) AS woe,
+           ROUND(CAST(num * lq AS DOUBLE) / den, 6) AS iv_term,
+           ROUND(CAST((SELECT SUM(num * lq) FROM terms) AS DOUBLE) / den, 6)
+             AS iv_total
+    FROM terms ORDER BY bucket
+    """,
+    survey_ops=("eval-metrics", "curation-pipeline"),
+)
+def woe_iv_value_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import woe_iv
+
+    e = t(spark, sf_dir, "events")
+    return woe_iv(
+        e, F.col("event_type") == "purchase", F.col("value"), n_buckets=10
+    )
+
+
+@register(
+    "weighted_percentiles_price",
+    "quantity-weighted price quartiles per return flag: the "
+    "per-UNIT-SOLD median/quartiles plain percentile_disc misstates "
+    "when weights vary — smallest value whose cumulative weight "
+    "reaches p*W; exact integer weight rollup per distinct value, one "
+    "per-group cumulative window over the value DOMAIN (not rows)",
+    oracle="""
+    WITH rolled AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS wv
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, v,
+             SUM(wv) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(wv) OVER (PARTITION BY g) AS tot
+      FROM rolled
+    )
+    SELECT g AS l_returnflag, MAX(tot) AS total_weight,
+           MIN(CASE WHEN CAST(c AS DOUBLE) >= 0.25 * CAST(tot AS DOUBLE)
+                    THEN v END) AS wp25,
+           MIN(CASE WHEN CAST(c AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+                    THEN v END) AS wp50,
+           MIN(CASE WHEN CAST(c AS DOUBLE) >= 0.75 * CAST(tot AS DOUBLE)
+                    THEN v END) AS wp75
+    FROM cum GROUP BY g ORDER BY l_returnflag
+    """,
+    survey_ops=("§2.9 aggregations", "profiling-columns"),
+)
+def weighted_percentiles_price(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        weighted_percentiles,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        li,
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+    )
+
+
+@register(
     "skyline_parts_price_size",
     "2-D skyline / Pareto frontier over parts (maximize size, "
     "minimize retail price): rows no other row dominates — the "

@@ -2134,3 +2134,109 @@ def test_skyline_matches_bruteforce_dominance(spark, pts):
         if not any(dominated(a, b) for b in rows if b[0] != a[0])
     }
     assert got == want
+
+
+# --- weighted percentiles vs cumulative model --------------------------------
+
+wp_case = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-50, 50), st.integers(1, 9)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wp_case)
+def test_weighted_percentiles_match_cumulative_model(spark, rows):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), w) for g, v, w in rows], "g int, v double, w long"
+    )
+    got = {
+        r.g: (r.total_weight, r.wp25, r.wp50, r.wp75)
+        for r in weighted_percentiles(
+            df, ["g"], F.col("v"), F.col("w")
+        ).collect()
+    }
+    for g in {g for g, _, _ in rows}:
+        pairs = {}
+        for gg, v, w in rows:
+            if gg == g:
+                pairs[v] = pairs.get(v, 0) + w
+        tot = sum(pairs.values())
+        want = [tot]
+        for p in (0.25, 0.5, 0.75):
+            cum = 0
+            sel = None
+            for v in sorted(pairs):
+                cum += pairs[v]
+                if cum >= p * tot:
+                    sel = float(v)
+                    break
+            want.append(sel)
+        assert got[g] == tuple(want)
+
+
+# --- WOE/IV vs integerized model ---------------------------------------------
+
+woe_case = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 30)),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(woe_case, st.integers(2, 6))
+def test_woe_iv_matches_integer_model(spark, rows, n_buckets):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import woe_iv
+
+    df = spark.createDataFrame(
+        [(p, float(v)) for p, v in rows], "pos boolean, v double"
+    )
+    got = {
+        r.bucket: (r.n_pos, r.n_neg, r.woe, r.iv_term, r.iv_total)
+        for r in woe_iv(
+            df, F.col("pos"), F.col("v"), n_buckets=n_buckets
+        ).collect()
+    }
+
+    vals = sorted(v for _, v in rows)
+    edges = [
+        vals[max(0, math.ceil(k / n_buckets * len(vals)) - 1)]
+        for k in range(1, n_buckets)
+    ]
+    pn = {b: 0 for b in range(1, n_buckets + 1)}
+    nn = dict(pn)
+    for p, v in rows:
+        b = 1 + sum(1 for e in edges if v > e)
+        (pn if p else nn)[b] += 1
+    tp, tn = sum(pn.values()), sum(nn.values())
+    dp, dn = 2 * tp + n_buckets, 2 * tn + n_buckets
+    terms, lqs = {}, {}
+    for b in pn:
+        sp, sn = 2 * pn[b] + 1, 2 * nn[b] + 1
+        lq = math.floor(math.log((sp * dn) / (sn * dp)) * 1_000_000)
+        lqs[b] = lq
+        terms[b] = (sp * dn - sn * dp) * lq
+    den = dp * dn * 1_000_000
+    tot = sum(terms.values())
+    assert set(got) == set(terms)
+    for b in terms:
+        assert got[b][0] == pn[b] and got[b][1] == nn[b]
+        assert abs(got[b][2] - lqs[b] / 1e6) < 1e-6
+        assert abs(got[b][3] - terms[b] / den) < 1e-6
+        assert abs(got[b][4] - tot / den) < 1e-6
