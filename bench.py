@@ -209,6 +209,7 @@ def main():
             "skyline_parts_price_size",
             "weighted_percentiles_price",
             "woe_iv_value_purchase",
+            "best_split_value_purchase",
         )
         if n in REGISTRY
     ]

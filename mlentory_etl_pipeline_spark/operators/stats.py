@@ -3145,3 +3145,113 @@ def woe_iv(
         )
         .orderBy("bucket")
     )
+
+
+def best_split_stump(
+    df: DataFrame,
+    is_positive: Column,
+    value: Column,
+    max_bins: int = 32,
+) -> DataFrame:
+    """Best single-threshold split of a numeric feature against a
+    boolean label by information gain — the decision STUMP, i.e. the
+    unit of every tree ensemble and the sharpest one-number answer to
+    "is this feature predictive, and where does it cut?" (WOE/IV says
+    how much signal the bins carry; this says where the tree would
+    split).
+
+    Candidate thresholds are a ``max_bins`` percentile_disc grid
+    (exact data points). For a split, gain·t in micro-nat·count units
+    is the EXACT integer
+
+        G(split) = [t·lq(t) − P·lq(P) − N·lq(N)]
+                 − [t_l·lq(t_l) − p_l·lq(p_l) − n_l·lq(n_l)]
+                 − [t_r·lq(t_r) − p_r·lq(p_r) − n_r·lq(n_r)],
+
+    with lq(x) = ⌊ln(x)·10⁶⌋ and 0-count terms dropped (0·ln 0 = 0) —
+    the Shannon identity makes every log an INTEGER log, so the
+    argmax over candidates compares exact integers (ties break on the
+    lower threshold). Output gain is G/t/10⁶ nats.
+
+    Scale posture: one percentile aggregation, one bucket-keyed count
+    aggregation (≤ max_bins rows), a bounded cumulative window over
+    the bin grid (metadata-sized, allowlisted), a 1-row argmax.
+    """
+    base = df.select(
+        is_positive.cast("boolean").alias("_pos"), value.alias("_v")
+    ).where(F.col("_v").isNotNull() & F.col("_pos").isNotNull())
+    edge_aggs = [
+        F.expr(
+            f"percentile_disc({k}/{max_bins}D) WITHIN GROUP (ORDER BY _v)"
+        ).alias(f"_e{k}")
+        for k in range(1, max_bins)
+    ]
+    edges = base.agg(*edge_aggs)
+    bucket = F.lit(1)
+    for k in range(1, max_bins):
+        bucket = bucket + F.when(F.col("_v") > F.col(f"_e{k}"), 1).otherwise(0)
+    counted = (
+        base.crossJoin(F.broadcast(edges))
+        .select(bucket.alias("_b"), "_pos", "_v")
+        .groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_p"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("_n"),
+            # the threshold this bucket ends at (max value is exact;
+            # for the last bucket there is no split -> filtered below)
+            F.max(F.col("_v")).alias("_vmax"),
+        )
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = counted.select(
+        "_b",
+        F.max("_b").over(wt).alias("_bmax"),
+        F.sum("_p").over(w).alias("_pl"),
+        F.sum("_n").over(w).alias("_nl"),
+        F.sum("_p").over(wt).alias("_P"),
+        F.sum("_n").over(wt).alias("_N"),
+        F.max(F.col("_vmax")).over(w).alias("threshold"),
+    ).where(F.col("_b") < F.col("_bmax"))
+
+    def xlq(c):
+        # x * floor(ln(x) * 1e6) as an exact long; 0 for x = 0
+        return F.when(
+            c > 0,
+            c * F.floor(F.log(c.cast("double")) * F.lit(1000000)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    pl, nl = F.col("_pl"), F.col("_nl")
+    pr, nr = F.col("_P") - pl, F.col("_N") - nl
+    tl, tr = pl + nl, pr + nr
+    tt = F.col("_P") + F.col("_N")
+    gain_u = (
+        (xlq(tt) - xlq(F.col("_P")) - xlq(F.col("_N")))
+        - (xlq(tl) - xlq(pl) - xlq(nl))
+        - (xlq(tr) - xlq(pr) - xlq(nr))
+    )
+    scored = cum.select(
+        "threshold",
+        pl.alias("pos_left"),
+        nl.alias("neg_left"),
+        pr.alias("pos_right"),
+        nr.alias("neg_right"),
+        gain_u.alias("_gu"),
+        tt.alias("_t"),
+    )
+    best = scored.orderBy(
+        F.desc("_gu"), F.asc("threshold")
+    ).limit(1)
+    return best.select(
+        "threshold",
+        "pos_left",
+        "neg_left",
+        "pos_right",
+        "neg_right",
+        F.round(
+            F.col("_gu").cast("double")
+            / F.col("_t").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("gain_nats"),
+    )

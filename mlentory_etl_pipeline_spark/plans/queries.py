@@ -13391,6 +13391,89 @@ def ccf_views_purchases(spark, sf_dir):
     )
 
 
+def _stump_oracle(max_bins: int = 32) -> str:
+    """SQL twin of stats.best_split_stump over event value vs the
+    purchase label — dyadic percentile fractions (k/32) parse to the
+    identical double in both engines; every log is an INTEGER log via
+    the Shannon identity, so the candidate argmax compares exact
+    integers."""
+    edges_sel = ",\n             ".join(
+        f"QUANTILE_DISC(v, {k / max_bins!r}) AS e{k}"
+        for k in range(1, max_bins)
+    )
+    bucket = "1 " + " ".join(
+        f"+ (CASE WHEN v > e{k} THEN 1 ELSE 0 END)"
+        for k in range(1, max_bins)
+    )
+    xlq = (
+        "CASE WHEN {x} > 0 THEN {x} * CAST(FLOOR(LN(CAST({x} AS DOUBLE))"
+        " * 1000000) AS BIGINT) ELSE 0 END"
+    )
+
+    def x(expr):
+        return xlq.format(x=expr)
+
+    return f"""
+    WITH base AS (
+      SELECT event_type = 'purchase' AS pos, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    edges AS (
+      SELECT {edges_sel}
+      FROM base
+    ),
+    counted AS (
+      SELECT {bucket} AS b,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n,
+             MAX(v) AS vmax
+      FROM base, edges GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, MAX(b) OVER () AS bmax,
+             SUM(p) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS pl,
+             SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS nl,
+             SUM(p) OVER () AS tp, SUM(n) OVER () AS tn,
+             MAX(vmax) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS threshold
+      FROM counted
+    ),
+    scored AS (
+      SELECT threshold, pl AS pos_left, nl AS neg_left,
+             tp - pl AS pos_right, tn - nl AS neg_right,
+             ({x("(tp + tn)")} - {x("tp")} - {x("tn")})
+             - ({x("(pl + nl)")} - {x("pl")} - {x("nl")})
+             - ({x("((tp - pl) + (tn - nl))")} - {x("(tp - pl)")} - {x("(tn - nl)")})
+               AS gu,
+             tp + tn AS t
+      FROM cum WHERE b < bmax
+    )
+    SELECT threshold, pos_left, neg_left, pos_right, neg_right,
+           ROUND(CAST(gu AS DOUBLE) / CAST(t AS DOUBLE) / 1000000.0, 6)
+             AS gain_nats
+    FROM scored ORDER BY gu DESC, threshold ASC LIMIT 1
+    """
+
+
+@register(
+    "best_split_value_purchase",
+    "decision-stump best split of event value against the purchase "
+    "label: 32-bin percentile_disc candidate grid, information gain "
+    "per candidate as an EXACT integer via the Shannon identity "
+    "(every log an integer log, micro-quantized once), argmax over "
+    "exact integers with lower-threshold ties — WOE/IV says how much "
+    "signal, this says where the tree would cut",
+    oracle=_stump_oracle(32),
+    survey_ops=("eval-metrics", "curation-pipeline"),
+)
+def best_split_value_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import best_split_stump
+
+    e = t(spark, sf_dir, "events")
+    return best_split_stump(
+        e, F.col("event_type") == "purchase", F.col("value"), max_bins=32
+    )
+
+
 @register(
     "woe_iv_value_purchase",
     "Weight-of-Evidence / Information Value of event value as a "

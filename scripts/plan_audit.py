@@ -61,6 +61,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "trailing-frame windows over the global DAILY series - "
         "calendar-bounded (the moving_avg_daily_revenue category)"
     ),
+    "best_split_value_purchase": (
+        "cumulative window over ONE ROW PER BIN of the <=32-bin "
+        "candidate grid (metadata, never corpus)"
+    ),
     "skyline_parts_price_size": (
         "running min over ONE ROW PER LEVEL of the bounded size "
         "domain (|distinct sizes| rows - metadata, never corpus)"

@@ -2240,3 +2240,81 @@ def test_woe_iv_matches_integer_model(spark, rows, n_buckets):
         assert abs(got[b][2] - lqs[b] / 1e6) < 1e-6
         assert abs(got[b][3] - terms[b] / den) < 1e-6
         assert abs(got[b][4] - tot / den) < 1e-6
+
+
+# --- decision stump vs brute-force model -------------------------------------
+
+stump_case = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 20)),
+    min_size=4,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stump_case, st.integers(2, 8))
+def test_best_split_stump_matches_bruteforce(spark, rows, max_bins):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.stats import best_split_stump
+
+    df = spark.createDataFrame(
+        [(p, float(v)) for p, v in rows], "pos boolean, v double"
+    )
+    out = best_split_stump(
+        df, F.col("pos"), F.col("v"), max_bins=max_bins
+    ).collect()
+
+    vals = sorted(v for _, v in rows)
+    edges = [
+        vals[max(0, math.ceil(k / max_bins * len(vals)) - 1)]
+        for k in range(1, max_bins)
+    ]
+    buckets = {}
+    for p, v in rows:
+        b = 1 + sum(1 for e in edges if v > e)
+        pp, nn, vm = buckets.get(b, (0, 0, None))
+        buckets[b] = (
+            pp + (1 if p else 0),
+            nn + (0 if p else 1),
+            v if vm is None else max(vm, v),
+        )
+    order = sorted(buckets)
+    tp = sum(p for p, _, _ in buckets.values())
+    tn = sum(n for _, n, _ in buckets.values())
+
+    def xlq(x):
+        return x * math.floor(math.log(x) * 1_000_000) if x > 0 else 0
+
+    cands = []
+    pl = nl = 0
+    vmax = None
+    for b in order[:-1]:
+        p, n, vm = buckets[b]
+        pl, nl = pl + p, nl + n
+        vmax = vm if vmax is None else max(vmax, vm)
+        pr, nr = tp - pl, tn - nl
+        gu = (
+            (xlq(tp + tn) - xlq(tp) - xlq(tn))
+            - (xlq(pl + nl) - xlq(pl) - xlq(nl))
+            - (xlq(pr + nr) - xlq(pr) - xlq(nr))
+        )
+        cands.append((gu, vmax, pl, nl, pr, nr))
+    if not cands:
+        assert out == []
+        return
+    gu, th, pl, nl, pr, nr = sorted(
+        cands, key=lambda c: (-c[0], c[1])
+    )[0]
+    got = out[0]
+    assert got.threshold == th
+    assert (got.pos_left, got.neg_left, got.pos_right, got.neg_right) == (
+        pl, nl, pr, nr,
+    )
+    assert abs(got.gain_nats - gu / (tp + tn) / 1e6) < 1e-6
+    # information gain is non-negative up to the 1e-6 log quantization
+    assert got.gain_nats > -1e-3
