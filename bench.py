@@ -210,6 +210,7 @@ def main():
             "weighted_percentiles_price",
             "woe_iv_value_purchase",
             "best_split_value_purchase",
+            "attribution_models_purchases",
         )
         if n in REGISTRY
     ]

@@ -1131,3 +1131,106 @@ def seasonal_adjusted_bursts(
         .where(F.abs(F.col("z")) >= F.lit(z_threshold))
         .orderBy("group", "day")
     )
+
+
+def attribution_credits(
+    df: DataFrame,
+    entity: Column,
+    ts: Column,
+    tiebreak: Column,
+    is_touch: Column,
+    is_conversion: Column,
+    channel: Column,
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Multi-touch attribution — the four standard credit models
+    computed side by side per channel: for every conversion, the
+    touchpoints are the same entity's touch events in the
+    ``lookback_days`` window strictly before it, and credit splits as
+
+    - **first_touch** — 1 to the earliest touch,
+    - **last_touch**  — 1 to the latest,
+    - **linear**      — 1/n to each,
+    - **position**    — 40/20/40: 0.4 first, 0.4 last, 0.2 split over
+      middles (n=1 → 1, n=2 → 0.5/0.5),
+
+    (the single-model last-touch join exists in streaming form; this
+    is the model COMPARISON a marketing team actually debates).
+    Fractional credits are exact integer micro-units (⌊10⁶/n⌋ etc.),
+    so per-channel totals fold order-free; conversions with no touch
+    in window contribute nothing.
+
+    Scale posture: one entity-keyed join between conversions and
+    touches with the time predicate (fan-out bounded by touches per
+    lookback window per entity — the attribution join's inherent
+    cost), one per-conversion rank window, one (channel, model)-keyed
+    aggregation (map-side combinable).
+    """
+    base = df.select(
+        entity.alias("_e"),
+        ts.alias("_ts"),
+        tiebreak.alias("_tb"),
+        is_touch.alias("_it"),
+        is_conversion.alias("_ic"),
+        channel.alias("_ch"),
+    )
+    conv = base.where(F.col("_ic")).select(
+        "_e",
+        F.col("_ts").alias("_cts"),
+        F.col("_tb").alias("_cid"),
+    )
+    touch = base.where(F.col("_it")).select(
+        "_e", "_ts", "_tb", "_ch"
+    )
+    j = conv.join(touch, "_e").where(
+        (F.col("_ts") < F.col("_cts"))
+        & (
+            F.col("_ts")
+            >= F.col("_cts") - F.expr(f"interval {lookback_days} days")
+        )
+    )
+    w = Window.partitionBy("_e", "_cid").orderBy("_ts", "_tb")
+    ranked = j.select(
+        "_e",
+        "_cid",
+        "_ch",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("_e", "_cid")
+        ).alias("_n"),
+    )
+    n = F.col("_n")
+    r = F.col("_r")
+    first_u = F.when(r == 1, F.lit(1000000)).otherwise(0)
+    last_u = F.when(r == n, F.lit(1000000)).otherwise(0)
+    linear_u = F.floor(F.lit(1000000.0) / n.cast("double")).cast("long")
+    position_u = (
+        F.when(n == 1, F.lit(1000000))
+        .when((n == 2), F.lit(500000))
+        .when(r == 1, F.lit(400000))
+        .when(r == n, F.lit(400000))
+        .otherwise(
+            F.floor(F.lit(200000.0) / (n - 2).cast("double")).cast("long")
+        )
+    )
+    models = F.array(
+        F.struct(F.lit("first_touch").alias("model"), first_u.cast("long").alias("u")),
+        F.struct(F.lit("last_touch").alias("model"), last_u.cast("long").alias("u")),
+        F.struct(F.lit("linear").alias("model"), linear_u.alias("u")),
+        F.struct(F.lit("position").alias("model"), position_u.cast("long").alias("u")),
+    )
+    exploded = ranked.select(
+        "_ch", F.explode(models).alias("_m")
+    ).select("_ch", "_m.model", "_m.u")
+    return (
+        exploded.groupBy(F.col("_ch").alias("channel"), "model")
+        .agg(F.sum("u").alias("_cu"))
+        .select(
+            "channel",
+            "model",
+            F.round(F.col("_cu").cast("double") / 1000000.0, 6).alias(
+                "credit"
+            ),
+        )
+        .orderBy("channel", "model")
+    )

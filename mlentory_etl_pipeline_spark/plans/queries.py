@@ -13455,6 +13455,79 @@ def _stump_oracle(max_bins: int = 32) -> str:
 
 
 @register(
+    "attribution_models_purchases",
+    "multi-touch attribution, four models side by side per channel "
+    "(first/last/linear/position 40-20-40) over purchase conversions "
+    "with a 7-day lookback — the model comparison a marketing team "
+    "debates, not just the single last-touch join; fractional credits "
+    "as exact micro-units so per-channel totals fold order-free",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS e, ts, event_id AS tb, event_type AS ch,
+             event_type IN ('view', 'click') AS it,
+             event_type = 'purchase' AS ic
+      FROM events
+    ),
+    conv AS (SELECT e, ts AS cts, tb AS cid FROM base WHERE ic),
+    touch AS (SELECT e, ts, tb, ch FROM base WHERE it),
+    j AS (
+      SELECT c.e, c.cid, t.ch, t.ts, t.tb
+      FROM conv c JOIN touch t ON t.e = c.e
+      WHERE t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT e, cid, ch,
+             ROW_NUMBER() OVER (PARTITION BY e, cid ORDER BY ts, tb) AS r,
+             COUNT(*) OVER (PARTITION BY e, cid) AS n
+      FROM j
+    ),
+    credits AS (
+      SELECT ch, 'first_touch' AS model,
+             CAST(CASE WHEN r = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS u
+      FROM ranked
+      UNION ALL
+      SELECT ch, 'last_touch',
+             CASE WHEN r = n THEN 1000000 ELSE 0 END
+      FROM ranked
+      UNION ALL
+      SELECT ch, 'linear',
+             CAST(FLOOR(1000000.0 / CAST(n AS DOUBLE)) AS BIGINT)
+      FROM ranked
+      UNION ALL
+      SELECT ch, 'position',
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN r = 1 THEN 400000
+                  WHEN r = n THEN 400000
+                  ELSE CAST(FLOOR(200000.0 / CAST(n - 2 AS DOUBLE)) AS BIGINT)
+             END
+      FROM ranked
+    )
+    SELECT ch AS channel, model,
+           ROUND(CAST(SUM(u) AS DOUBLE) / 1000000.0, 6) AS credit
+    FROM credits GROUP BY 1, 2 ORDER BY channel, model
+    """,
+    survey_ops=("§2.9 joins", "eval-metrics"),
+)
+def attribution_models_purchases(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        attribution_credits,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return attribution_credits(
+        e,
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("event_type").isin("view", "click"),
+        F.col("event_type") == "purchase",
+        F.col("event_type"),
+        lookback_days=7,
+    )
+
+
+@register(
     "best_split_value_purchase",
     "decision-stump best split of event value against the purchase "
     "label: 32-bin percentile_disc candidate grid, information gain "

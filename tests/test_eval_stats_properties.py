@@ -2318,3 +2318,83 @@ def test_best_split_stump_matches_bruteforce(spark, rows, max_bins):
     assert abs(got.gain_nats - gu / (tp + tn) / 1e6) < 1e-6
     # information gain is non-negative up to the 1e-6 log quantization
     assert got.gain_nats > -1e-3
+
+
+# --- attribution models vs dict model ----------------------------------------
+
+attr_case = st.lists(
+    st.tuples(
+        st.integers(0, 2),                 # user
+        st.integers(0, 200),               # hour offset
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(attr_case)
+def test_attribution_credits_match_dict_model(spark, events):
+    import math
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        attribution_credits,
+    )
+
+    d0 = datetime(2024, 1, 1)
+    rows = [
+        (u, d0 + timedelta(hours=h, microseconds=13 * i), i, k)
+        for i, (u, h, k) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, id long, k string")
+    got = {
+        (r.channel, r.model): r.credit
+        for r in attribution_credits(
+            df,
+            F.col("u"), F.col("ts"), F.col("id"),
+            F.col("k").isin("view", "click"),
+            F.col("k") == "purchase",
+            F.col("k"),
+            lookback_days=2,
+        ).collect()
+    }
+
+    credits = {}
+
+    def add(ch, model, u):
+        credits[(ch, model)] = credits.get((ch, model), 0) + u
+
+    for u_, cts, cid, k in rows:
+        if k != "purchase":
+            continue
+        touches = sorted(
+            (ts, i, kk)
+            for uu, ts, i, kk in rows
+            if uu == u_
+            and kk in ("view", "click")
+            and ts < cts
+            and ts >= cts - timedelta(days=2)
+        )
+        n = len(touches)
+        for r_, (ts, i, ch) in enumerate(touches, start=1):
+            add(ch, "first_touch", 1000000 if r_ == 1 else 0)
+            add(ch, "last_touch", 1000000 if r_ == n else 0)
+            add(ch, "linear", math.floor(1000000.0 / n))
+            if n == 1:
+                add(ch, "position", 1000000)
+            elif n == 2:
+                add(ch, "position", 500000)
+            elif r_ == 1 or r_ == n:
+                add(ch, "position", 400000)
+            else:
+                add(ch, "position", math.floor(200000.0 / (n - 2)))
+    want = {
+        k: round(v / 1e6, 6) for k, v in credits.items()
+    }
+    assert got == want
