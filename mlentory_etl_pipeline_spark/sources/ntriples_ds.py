@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -206,6 +207,9 @@ class NTriplesDataSource(DataSource):
     def reader(self, schema):
         return NTriplesReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return NTriplesStreamReader(self.options)
+
     def writer(self, schema, overwrite: bool):
         return NTriplesWriter(self.options, overwrite)
 
@@ -215,3 +219,76 @@ def register(spark) -> None:
     # filter-pushdown conf; it is a runtime SQL conf, safe to flip here
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(NTriplesDataSource)
+
+
+def _parse_nt_rows(path: str):
+    """Yield (subject, predicate, object, object_is_uri) tuples from
+    one N-Triples file — the row-tuple twin of NTriplesReader.read's
+    Arrow batches, shared by the streaming reader (streaming's simple
+    API is tuple-based)."""
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            m = _LINE.match(line)
+            if not m:
+                raise ValueError(
+                    f"malformed N-Triples line in {path}: {line!r}"
+                )
+            s, p, o_uri, o_lit = m.groups()
+            is_uri = o_uri is not None
+            yield (
+                s,
+                p,
+                o_uri if is_uri else o_lit.replace('\\"', '"'),
+                is_uri,
+            )
+
+
+class NTriplesStreamReader(SimpleDataSourceStreamReader):
+    """Landing-zone tail as a STREAMING source (Spark 4 simple stream
+    reader API): the offset is ``{"idx": n}`` — how many files of the
+    SORTED directory listing have been consumed — so each micro-batch
+    reads exactly the files that appeared since the last one. This is
+    the incremental graph-ingest path (reference: the extractor drops
+    .nt dumps into a directory; the loader should pick up only new
+    ones) expressed through Structured Streaming's offset contract:
+    deterministic replay between any two offsets, exactly-once when
+    paired with an idempotent sink (the SCD2 merge).
+
+    Files must be immutable once written and named monotonically (the
+    writer's part-file scheme satisfies both); appends to an already-
+    consumed file are NOT picked up — the file, not the byte, is the
+    unit of progress.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ntriples stream source requires a path")
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        files = _nt_files(self.path)
+        idx = int(start["idx"])
+        # a LIST, not a generator: the simple-API runner caches the
+        # batch with copy.copy for replay (generators can't be copied).
+        # Materializing on the driver is the simple reader's documented
+        # trade — the unit of progress is a landing FILE, sized by the
+        # upstream chunker (entity_chunking), not the corpus.
+        rows = [r for f in files[idx:] for r in _parse_nt_rows(f)]
+        return rows, {"idx": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = _nt_files(self.path)
+        return [
+            r
+            for f in files[int(start["idx"]) : int(end["idx"])]
+            for r in _parse_nt_rows(f)
+        ]
+
+    def commit(self, end):
+        pass

@@ -90,3 +90,61 @@ def test_comments_and_blanks_skipped_malformed_raises(registered, tmp_path):
     (d / "a.nt").write_text("<s> <p> missing-dot\n")
     with pytest.raises(Exception, match="malformed|MALFORMED|PYTHON"):
         registered.read.format("ntriples").load(str(d)).collect()
+
+
+def test_ntriples_stream_reader_tails_new_files(registered, tmp_path):
+    """The streaming reader's offset is the consumed-file count: a
+    fresh checkpoint consumes everything present; a resumed one
+    processes ONLY files that landed since (incremental, no
+    reprocessing)."""
+    spark = registered
+    d = tmp_path / "land"
+    d.mkdir()
+    (d / "s_a.nt").write_text(
+        "<s1> <p> <o1> .\n<s2> <p> \"lit\" .\n", encoding="utf-8"
+    )
+
+    q = (
+        spark.readStream.format("ntriples")
+        .option("path", str(d))
+        .load()
+        .writeStream.format("memory")
+        .queryName("nt_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    first = {
+        (r.subject, r.object, r.object_is_uri)
+        for r in spark.sql("SELECT * FROM nt_tail").collect()
+    }
+    assert first == {("s1", "o1", True), ("s2", "lit", False)}
+
+    (d / "s_b.nt").write_text("<s3> <p> <o3> .\n", encoding="utf-8")
+    seen: list[set] = []
+
+    def capture(batch_df, batch_id):
+        seen.append({r.subject for r in batch_df.collect()})
+
+    def run_with_checkpoint():
+        q2 = (
+            spark.readStream.format("ntriples")
+            .option("path", str(d))
+            .load()
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(60)
+
+    # fresh checkpoint: first run consumes ALL files present
+    run_with_checkpoint()
+    assert set().union(*seen) == {"s1", "s2", "s3"}
+
+    # resume from the committed offset: a further file is the ONLY new
+    # data the next run processes (incremental, no reprocessing)
+    seen.clear()
+    (d / "s_c.nt").write_text("<s4> <p> <o4> .\n", encoding="utf-8")
+    run_with_checkpoint()
+    assert seen and set().union(*seen) == {"s4"}
