@@ -211,6 +211,7 @@ def main():
             "woe_iv_value_purchase",
             "best_split_value_purchase",
             "attribution_models_purchases",
+            "als_rank1_supplier_factors",
         )
         if n in REGISTRY
     ]

@@ -13454,6 +13454,77 @@ def _stump_oracle(max_bins: int = 32) -> str:
     """
 
 
+def _als_oracle(iters: int = 4, lam_u2: int = 10**11) -> str:
+    """Unrolled rank-1 ALS oracle: factors in micro-units, every fold
+    an exact HUGEINT sum, one floored division per update — the
+    pagerank/Lloyd's fixed-iteration precedent applied to matrix
+    factorization."""
+    head = """
+    WITH r AS MATERIALIZED (
+      SELECT o.o_custkey AS u, l.l_suppkey AS i, COUNT(*) AS rt
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    u0 AS MATERIALIZED (
+      SELECT u, CAST(1000000 AS BIGINT) AS uf FROM (SELECT DISTINCT u FROM r)
+    )"""
+    body = head
+    for it in range(1, iters + 1):
+        body += f""",
+    i{it} AS MATERIALIZED (
+      SELECT i,
+             CAST(FLOOR(
+               CAST(SUM(CAST(rt AS HUGEINT) * uf) * 1000000000000 AS DOUBLE)
+               / CAST(SUM(CAST(uf AS HUGEINT) * uf) + {lam_u2} AS DOUBLE)
+             ) AS BIGINT) AS itf
+      FROM r JOIN u{it - 1} USING (u) GROUP BY i
+    ),
+    u{it} AS MATERIALIZED (
+      SELECT u,
+             CAST(FLOOR(
+               CAST(SUM(CAST(rt AS HUGEINT) * itf) * 1000000000000 AS DOUBLE)
+               / CAST(SUM(CAST(itf AS HUGEINT) * itf) + {lam_u2} AS DOUBLE)
+             ) AS BIGINT) AS uf
+      FROM r JOIN i{it} USING (i) GROUP BY u
+    )"""
+    body += f"""
+    SELECT i AS l_suppkey,
+           ROUND(CAST(itf AS DOUBLE) / 1000000.0, 6) AS factor
+    FROM i{iters} ORDER BY l_suppkey
+    """
+    return body
+
+
+@register(
+    "als_rank1_supplier_factors",
+    "rank-1 ALS matrix factorization over the customer x supplier "
+    "purchase-count matrix (4 alternations, lambda=0.1): the marquee "
+    "MLlib recommender workload with the WHOLE alternating fold in "
+    "exact integer micro-units (DECIMAL rating x factor sums, one "
+    "floored division per update) — no float summation, so the "
+    "fixed-iteration fixpoint unrolls into a hard SQL oracle like "
+    "pagerank; per iteration: two rating-keyed aggregations, the "
+    "pregel message shape",
+    oracle=_als_oracle(4),
+    survey_ops=("N6", "§2.9 joins", "§2.9 aggregations"),
+)
+def als_rank1_supplier_factors(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.factorization import als_rank1
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("rt"))
+    )
+    return als_rank1(
+        ratings, "o_custkey", "l_suppkey", "rt", iters=4
+    ).select(
+        F.col("l_suppkey"), F.col("factor")
+    ).orderBy("l_suppkey")
+
+
 @register(
     "attribution_models_purchases",
     "multi-touch attribution, four models side by side per channel "

@@ -2398,3 +2398,57 @@ def test_attribution_credits_match_dict_model(spark, events):
         k: round(v / 1e6, 6) for k, v in credits.items()
     }
     assert got == want
+
+
+# --- rank-1 ALS vs quantized fold model --------------------------------------
+
+als_case = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3), st.integers(1, 5)),
+    min_size=2,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(als_case, st.integers(1, 3))
+def test_als_rank1_matches_quantized_model(spark, ratings, iters):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.factorization import als_rank1
+
+    df = spark.createDataFrame(ratings, "u int, i int, rt int")
+    got = {
+        r.i: r.factor
+        for r in als_rank1(df, "u", "i", "rt", iters=iters).collect()
+    }
+
+    SCALE = 10**6
+    lam = 100000 * SCALE
+    uf = {u: SCALE for u, _, _ in ratings}
+    itf = {}
+    for _ in range(iters):
+        num, den = {}, {}
+        for u, i, rt in ratings:
+            num[i] = num.get(i, 0) + rt * uf[u]
+            den[i] = den.get(i, 0) + uf[u] * uf[u]
+        itf = {
+            i: math.floor(
+                float(num[i] * SCALE * SCALE) / float(den[i] + lam)
+            )
+            for i in num
+        }
+        nu, du = {}, {}
+        for u, i, rt in ratings:
+            nu[u] = nu.get(u, 0) + rt * itf[i]
+            du[u] = du.get(u, 0) + itf[i] * itf[i]
+        uf = {
+            u: math.floor(float(nu[u] * SCALE * SCALE) / float(du[u] + lam))
+            for u in nu
+        }
+    want = {i: round(v / SCALE, 6) for i, v in itf.items()}
+    assert got == want
