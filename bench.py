@@ -212,6 +212,7 @@ def main():
             "best_split_value_purchase",
             "attribution_models_purchases",
             "als_rank1_supplier_factors",
+            "fellegi_sunter_part_weights",
         )
         if n in REGISTRY
     ]

@@ -371,3 +371,166 @@ def cogroup_reconcile(
         .cogroup(right.groupby(key_col))
         .applyInPandas(reconcile, schema=out_schema)
     )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    iters: int = 5,
+    init_prior_u: int = 100000,
+    init_m_u: int = 800000,
+    init_u_u: int = 300000,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights by EM — the statistical
+    model behind every probabilistic matcher (Splink, dedupe.io): from
+    UNLABELED candidate pairs with per-field agreement booleans, learn
+    each field's m-probability (agreement | match) and u-probability
+    (agreement | non-match) plus the match prior, and emit the
+    log2 agreement/disagreement weights a scorer sums per pair.
+
+    The scalable move: pairs collapse to their 2^F AGREEMENT PATTERNS
+    first (one map-side-combinable aggregation — the only pass over
+    the pair table), and EM iterates on that metadata-sized pattern
+    table. Determinism: parameters live in exact micro-units; each
+    E-step weight is ONE fixed-shape double expression of quantized
+    params floored back to micro-units, so every M-step statistic is
+    an exact integer sum — the fixed iteration count unrolls into a
+    hard SQL oracle (the Lloyd's/pagerank/ALS precedent, now for EM).
+    Degenerate corners (a step with zero expected matches) keep the
+    previous parameters instead of dividing by zero.
+
+    Returns one row per field: (field, m, u, w_agree, w_disagree,
+    match_prior, n_pairs).
+    """
+    S = 1000000
+    n_f = len(agreement_cols)
+    pat = (
+        pairs.groupBy(
+            *[
+                F.col(c).cast("boolean").alias(f"_a{i}")
+                for i, c in enumerate(agreement_cols)
+            ]
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    spark = pairs.sparkSession
+    params = spark.range(1).select(
+        F.lit(init_prior_u).cast("long").alias("_p"),
+        *[F.lit(init_m_u).cast("long").alias(f"_m{i}") for i in range(n_f)],
+        *[F.lit(init_u_u).cast("long").alias(f"_u{i}") for i in range(n_f)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    for _ in range(iters):
+        j = pat.crossJoin(F.broadcast(params))
+        pm = F.col("_p").cast("double") / F.lit(float(S))
+        qu = (F.lit(S) - F.col("_p")).cast("double") / F.lit(float(S))
+        for i in range(n_f):
+            mf = F.col(f"_m{i}").cast("double") / F.lit(float(S))
+            uf = F.col(f"_u{i}").cast("double") / F.lit(float(S))
+            pm = pm * F.when(F.col(f"_a{i}"), mf).otherwise(F.lit(1.0) - mf)
+            qu = qu * F.when(F.col(f"_a{i}"), uf).otherwise(F.lit(1.0) - uf)
+        w = F.floor(F.lit(1000000.0) * pm / (pm + qu)).cast("long")
+        jw = j.withColumn("_w", w)
+        aggs = [
+            F.sum("_n").alias("_sn"),
+            F.sum(dec(F.col("_n")) * F.col("_w")).alias("_snw"),
+            F.sum(dec(F.col("_n")) * (F.lit(S) - F.col("_w"))).alias("_snq"),
+        ]
+        for i in range(n_f):
+            af = F.when(F.col(f"_a{i}"), 1).otherwise(0)
+            aggs += [
+                F.sum(dec(F.col("_n")) * F.col("_w") * af).alias(f"_snwa{i}"),
+                F.sum(
+                    dec(F.col("_n")) * (F.lit(S) - F.col("_w")) * af
+                ).alias(f"_snqa{i}"),
+            ]
+        a = jw.agg(*aggs).crossJoin(F.broadcast(params))
+        upd = [
+            F.when(
+                F.col("_sn") > 0,
+                F.floor(
+                    F.col("_snw").cast("double") / F.col("_sn").cast("double")
+                ).cast("long"),
+            )
+            .otherwise(F.col("_p"))
+            .alias("_p")
+        ]
+        for i in range(n_f):
+            upd.append(
+                F.when(
+                    F.col("_snw") > 0,
+                    F.floor(
+                        F.lit(1000000.0)
+                        * F.col(f"_snwa{i}").cast("double")
+                        / F.col("_snw").cast("double")
+                    ).cast("long"),
+                )
+                .otherwise(F.col(f"_m{i}"))
+                .alias(f"_m{i}")
+            )
+        for i in range(n_f):
+            upd.append(
+                F.when(
+                    F.col("_snq") > 0,
+                    F.floor(
+                        F.lit(1000000.0)
+                        * F.col(f"_snqa{i}").cast("double")
+                        / F.col("_snq").cast("double")
+                    ).cast("long"),
+                )
+                .otherwise(F.col(f"_u{i}"))
+                .alias(f"_u{i}")
+            )
+        params = a.select(*upd).localCheckpoint(eager=False)
+    n_pairs = pat.agg(F.sum("_n").alias("n_pairs"))
+    LN2 = 0.6931471805599453
+    rows = []
+    for i, c in enumerate(agreement_cols):
+        m_u = F.col(f"_m{i}")
+        u_u = F.col(f"_u{i}")
+        # degenerate-corner contract: a weight is NULL when its
+        # log-ratio is undefined (u=0 / m=0 for agreement, m=1 / u=1
+        # for disagreement) — matching welch_t_test's NULL posture
+        lr = F.when(
+            (m_u > 0) & (u_u > 0),
+            F.floor(
+                F.log(m_u.cast("double") / u_u.cast("double"))
+                * F.lit(1000000)
+            ).cast("long"),
+        )
+        dl = F.when(
+            (m_u < S) & (u_u < S),
+            F.floor(
+                F.log(
+                    (F.lit(S) - m_u).cast("double")
+                    / (F.lit(S) - u_u).cast("double")
+                )
+                * F.lit(1000000)
+            ).cast("long"),
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("field"),
+                F.round(m_u.cast("double") / F.lit(float(S)), 6).alias("m"),
+                F.round(u_u.cast("double") / F.lit(float(S)), 6).alias("u"),
+                F.round(
+                    lr.cast("double") / F.lit(1000000.0) / F.lit(LN2), 6
+                ).alias("w_agree"),
+                F.round(
+                    dl.cast("double") / F.lit(1000000.0) / F.lit(LN2), 6
+                ).alias("w_disagree"),
+            )
+        )
+    return (
+        params.crossJoin(F.broadcast(n_pairs))
+        .select(
+            F.explode(F.array(*rows)).alias("_f"),
+            F.round(F.col("_p").cast("double") / F.lit(float(S)), 6).alias(
+                "match_prior"
+            ),
+            "n_pairs",
+        )
+        .select("_f.*", "match_prior", "n_pairs")
+        .orderBy("field")
+    )

@@ -13495,6 +13495,151 @@ def _als_oracle(iters: int = 4, lam_u2: int = 10**11) -> str:
     return body
 
 
+def _fs_em_oracle(iters: int = 5) -> str:
+    """Unrolled Fellegi-Sunter EM oracle (5 iterations, 3 fields):
+    pattern counts once, then per iteration one E-step weight per
+    pattern (fixed-shape double expression of micro-unit params,
+    floored) and exact HUGEINT M-step sums — Lloyd's/pagerank/ALS
+    unrolling applied to EM."""
+    fields = ["type_agree", "size_agree", "name_agree"]
+
+    def pmqu(prev: str) -> tuple[str, str]:
+        pm = f"(CAST({prev}.p AS DOUBLE) / 1000000.0)"
+        qu = f"(CAST(1000000 - {prev}.p AS DOUBLE) / 1000000.0)"
+        for i in range(3):
+            pm = (
+                f"{pm} * (CASE WHEN pat.a{i} THEN CAST({prev}.m{i} AS DOUBLE) / 1000000.0"
+                f" ELSE 1.0 - CAST({prev}.m{i} AS DOUBLE) / 1000000.0 END)"
+            )
+            qu = (
+                f"{qu} * (CASE WHEN pat.a{i} THEN CAST({prev}.u{i} AS DOUBLE) / 1000000.0"
+                f" ELSE 1.0 - CAST({prev}.u{i} AS DOUBLE) / 1000000.0 END)"
+            )
+        return pm, qu
+
+    body = """
+    WITH p AS MATERIALIZED (
+      SELECT p_partkey, p_brand, p_type, p_size, SUBSTR(p_name, 1, 5) AS pfx
+      FROM part
+    ),
+    pat AS MATERIALIZED (
+      SELECT a.p_type = b.p_type AS a0, a.p_size = b.p_size AS a1,
+             a.pfx = b.pfx AS a2, COUNT(*) AS n
+      FROM p a JOIN p b ON a.p_brand = b.p_brand
+                        AND a.p_partkey < b.p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    q0 AS (
+      SELECT CAST(100000 AS BIGINT) AS p,
+             CAST(800000 AS BIGINT) AS m0, CAST(800000 AS BIGINT) AS m1,
+             CAST(800000 AS BIGINT) AS m2,
+             CAST(300000 AS BIGINT) AS u0, CAST(300000 AS BIGINT) AS u1,
+             CAST(300000 AS BIGINT) AS u2
+    )"""
+    for it in range(1, iters + 1):
+        prev = f"q{it - 1}"
+        pm, qu = pmqu(prev)
+        sums = [
+            "SUM(n) AS sn",
+            "SUM(CAST(n AS HUGEINT) * w) AS snw",
+            "SUM(CAST(n AS HUGEINT) * (1000000 - w)) AS snq",
+        ]
+        for i in range(3):
+            sums.append(
+                f"SUM(CAST(n AS HUGEINT) * w * (CASE WHEN a{i} THEN 1 ELSE 0 END)) AS snwa{i}"
+            )
+            sums.append(
+                f"SUM(CAST(n AS HUGEINT) * (1000000 - w) * (CASE WHEN a{i} THEN 1 ELSE 0 END)) AS snqa{i}"
+            )
+        upd = [
+            f"CASE WHEN g.sn > 0 THEN CAST(FLOOR(CAST(g.snw AS DOUBLE)"
+            f" / CAST(g.sn AS DOUBLE)) AS BIGINT) ELSE {prev}.p END AS p"
+        ]
+        for i in range(3):
+            upd.append(
+                f"CASE WHEN g.snw > 0 THEN CAST(FLOOR(1000000.0 *"
+                f" CAST(g.snwa{i} AS DOUBLE) / CAST(g.snw AS DOUBLE)) AS BIGINT)"
+                f" ELSE {prev}.m{i} END AS m{i}"
+            )
+        for i in range(3):
+            upd.append(
+                f"CASE WHEN g.snq > 0 THEN CAST(FLOOR(1000000.0 *"
+                f" CAST(g.snqa{i} AS DOUBLE) / CAST(g.snq AS DOUBLE)) AS BIGINT)"
+                f" ELSE {prev}.u{i} END AS u{i}"
+            )
+        body += f""",
+    w{it} AS MATERIALIZED (
+      SELECT pat.a0, pat.a1, pat.a2, pat.n,
+             CAST(FLOOR(1000000.0 * ({pm}) / (({pm}) + ({qu}))) AS BIGINT) AS w
+      FROM pat, {prev}
+    ),
+    g{it} AS MATERIALIZED (
+      SELECT {", ".join(sums)} FROM w{it}
+    ),
+    q{it} AS MATERIALIZED (
+      SELECT {", ".join(upd)} FROM g{it} g, {prev}
+    )"""
+    rows = []
+    for i, name in enumerate(fields):
+        rows.append(f"""
+      SELECT '{name}' AS field,
+             ROUND(CAST(m{i} AS DOUBLE) / 1000000.0, 6) AS m,
+             ROUND(CAST(u{i} AS DOUBLE) / 1000000.0, 6) AS u,
+             ROUND(CAST(CAST(FLOOR(LN(CAST(m{i} AS DOUBLE) / CAST(u{i} AS DOUBLE))
+                   * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+                   / 0.6931471805599453, 6) AS w_agree,
+             ROUND(CAST(CAST(FLOOR(LN(CAST(1000000 - m{i} AS DOUBLE)
+                   / CAST(1000000 - u{i} AS DOUBLE))
+                   * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+                   / 0.6931471805599453, 6) AS w_disagree,
+             ROUND(CAST(p AS DOUBLE) / 1000000.0, 6) AS match_prior,
+             (SELECT SUM(n) FROM pat) AS n_pairs
+      FROM q{iters}""")
+    body += "\n      UNION ALL".join([""] + rows)[len("\n      UNION ALL"):]
+    body += "\n    ORDER BY field"
+    return body
+
+
+@register(
+    "fellegi_sunter_part_weights",
+    "Fellegi-Sunter record-linkage weights by EM (5 iterations) over "
+    "brand-blocked part pairs with type/size/name-prefix agreement "
+    "fields: m/u probabilities, match prior, and the log2 agree/"
+    "disagree weights a probabilistic matcher sums — pairs collapse "
+    "to their 2^3 agreement PATTERNS first (the only pass over the "
+    "pair table), EM iterates on metadata; micro-unit params + exact "
+    "HUGEINT M-step sums unroll EM into a hard oracle (the Lloyd's/"
+    "pagerank/ALS precedent, now for EM)",
+    oracle=_fs_em_oracle(5),
+    survey_ops=("record-linkage", "G9 argmax disambiguation"),
+)
+def fellegi_sunter_part_weights(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.linkage import (
+        fellegi_sunter_em,
+    )
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.substring("p_name", 1, 5).alias("pfx"),
+    )
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), "p_brand")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
+            (F.col("a.p_size") == F.col("b.p_size")).alias("size_agree"),
+            (F.col("a.pfx") == F.col("b.pfx")).alias("name_agree"),
+        )
+    )
+    return fellegi_sunter_em(
+        pairs, ["type_agree", "size_agree", "name_agree"], iters=5
+    )
+
+
 @register(
     "als_rank1_supplier_factors",
     "rank-1 ALS matrix factorization over the customer x supplier "

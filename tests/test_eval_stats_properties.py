@@ -2452,3 +2452,71 @@ def test_als_rank1_matches_quantized_model(spark, ratings, iters):
         }
     want = {i: round(v / SCALE, 6) for i, v in itf.items()}
     assert got == want
+
+
+# --- Fellegi-Sunter EM vs fold model -----------------------------------------
+
+fs_case = st.lists(
+    st.tuples(st.booleans(), st.booleans()),  # two agreement fields
+    min_size=2,
+    max_size=50,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fs_case, st.integers(1, 4))
+def test_fellegi_sunter_em_matches_fold_model(spark, pairs, iters):
+    import math
+
+    from mlentory_etl_pipeline_spark.operators.linkage import (
+        fellegi_sunter_em,
+    )
+
+    df = spark.createDataFrame(pairs, "f0 boolean, f1 boolean")
+    got = {
+        r.field: (r.m, r.u, r.match_prior, r.n_pairs)
+        for r in fellegi_sunter_em(df, ["f0", "f1"], iters=iters).collect()
+    }
+
+    S = 1000000
+    pat = {}
+    for a0, a1 in pairs:
+        pat[(a0, a1)] = pat.get((a0, a1), 0) + 1
+    p, m, u = 100000, [800000, 800000], [300000, 300000]
+    for _ in range(iters):
+        sn = snw = snq = 0
+        snwa = [0, 0]
+        snqa = [0, 0]
+        for (a0, a1), n in pat.items():
+            pm = p / S
+            qu = (S - p) / S
+            for i, a in enumerate((a0, a1)):
+                pm *= (m[i] / S) if a else (1.0 - m[i] / S)
+                qu *= (u[i] / S) if a else (1.0 - u[i] / S)
+            w = math.floor(1000000.0 * pm / (pm + qu))
+            sn += n
+            snw += n * w
+            snq += n * (S - w)
+            for i, a in enumerate((a0, a1)):
+                if a:
+                    snwa[i] += n * w
+                    snqa[i] += n * (S - w)
+        p = math.floor(snw / sn) if sn > 0 else p
+        m = [
+            math.floor(1000000.0 * snwa[i] / snw) if snw > 0 else m[i]
+            for i in range(2)
+        ]
+        u = [
+            math.floor(1000000.0 * snqa[i] / snq) if snq > 0 else u[i]
+            for i in range(2)
+        ]
+    for i, name in enumerate(("f0", "f1")):
+        gm, gu, gp, gn = got[name]
+        assert gn == len(pairs)
+        assert abs(gm - m[i] / S) < 1e-6
+        assert abs(gu - u[i] / S) < 1e-6
+        assert abs(gp - p / S) < 1e-6
