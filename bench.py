@@ -213,6 +213,7 @@ def main():
             "attribution_models_purchases",
             "als_rank1_supplier_factors",
             "fellegi_sunter_part_weights",
+            "croston_part_demand",
         )
         if n in REGISTRY
     ]

@@ -3255,3 +3255,118 @@ def best_split_stump(
             6,
         ).alias("gain_nats"),
     )
+
+
+def croston_forecast(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    qty: Column,
+    alpha: float = 0.25,
+    period: str = "day",
+) -> DataFrame:
+    """Croston's method (1972) — the forecaster for INTERMITTENT
+    demand, where Holt/EWMA systematically lag toward zero because
+    most periods are empty: maintain two EWMAs, demand SIZE z and
+    inter-demand INTERVAL x, updated only when demand occurs; the
+    demand-rate forecast is z/x per period.
+
+    Recurrence over the DENSIFIED per-group daily grid (zero days ARE
+    the signal here), starting at the first demand (z=d, x=1):
+
+        d_t > 0:  z ← α·d_t + (1−α)·z ;  x ← α·q + (1−α)·x ;  q ← 1
+        d_t = 0:  q ← q + 1
+
+    Determinism: the holt_linear contract — one sequential JVM-side
+    ``F.aggregate`` fold per group over the (date-sorted) dense
+    series, identical IEEE ops in identical order, so the recurrence
+    carries a hard DuckDB RECURSIVE-CTE oracle; keep ``alpha`` dyadic.
+    Demands are exact integers.
+
+    Scale posture: one daily rollup, a per-group calendar explode
+    (the acf_daily posture), one group-keyed collect+fold; series
+    bounded per entity by the observation span.
+    """
+    step = {"day": "interval 1 day", "week": "interval 7 day"}[period]
+    day = F.to_date(F.date_trunc(period, F.col(ts_col)))
+    c = (
+        df.select(*group_cols, day.alias("_d"), qty.cast("long").alias("_q"))
+        .where(F.col("_q").isNotNull())
+        .groupBy(*group_cols, "_d")
+        .agg(F.sum("_q").alias("_dq"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = c.groupBy(*group_cols).agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    grid = bounds.select(
+        *group_cols,
+        F.explode(F.expr(f"sequence(_d0, _d1, {step})")).alias("_d"),
+    )
+    dense = grid.join(c, [*group_cols, "_d"], "left").select(
+        *group_cols,
+        "_d",
+        F.coalesce(F.col("_dq"), F.lit(0)).alias("_dq"),
+    )
+    ser = dense.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_dq"))),
+            lambda s: s["_dq"],
+        ).alias("_ser"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("_dq") > 0, 1).otherwise(0)).alias(
+            "n_demand_days"
+        ),
+    )
+    a = F.lit(alpha)
+    one_a = F.lit(1.0 - alpha)
+    init = F.named_struct(
+        F.lit("z"), F.lit(0.0),
+        F.lit("x"), F.lit(0.0),
+        F.lit("q"), F.lit(1).cast("long"),
+        F.lit("started"), F.lit(False),
+    )
+
+    def step(acc, d):
+        started_now = acc["started"] | (d > 0)
+        z = (
+            F.when(~acc["started"] & (d > 0), d.cast("double"))
+            .when(
+                acc["started"] & (d > 0),
+                a * d.cast("double") + one_a * acc["z"],
+            )
+            .otherwise(acc["z"])
+        )
+        x = (
+            F.when(~acc["started"] & (d > 0), F.lit(1.0))
+            .when(
+                acc["started"] & (d > 0),
+                a * acc["q"].cast("double") + one_a * acc["x"],
+            )
+            .otherwise(acc["x"])
+        )
+        q = (
+            F.when(d > 0, F.lit(1).cast("long"))
+            .otherwise(acc["q"] + F.lit(1).cast("long"))
+        )
+        return F.named_struct(
+            F.lit("z"), z,
+            F.lit("x"), x,
+            F.lit("q"), q,
+            F.lit("started"), started_now,
+        )
+
+    folded = ser.select(
+        *group_cols,
+        "n_days",
+        "n_demand_days",
+        F.aggregate(F.col("_ser"), init, step).alias("_st"),
+    )
+    return folded.where(F.col("_st.started")).select(
+        *group_cols,
+        "n_days",
+        "n_demand_days",
+        F.round(F.col("_st.z"), 6).alias("size_ewma"),
+        F.round(F.col("_st.x"), 6).alias("interval_ewma"),
+        F.round(F.col("_st.z") / F.col("_st.x"), 6).alias("demand_rate"),
+    )

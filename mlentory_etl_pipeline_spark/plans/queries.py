@@ -13601,6 +13601,91 @@ def _fs_em_oracle(iters: int = 5) -> str:
 
 
 @register(
+    "croston_part_demand",
+    "Croston's intermittent-demand forecast per part over the "
+    "densified WEEKLY ship-quantity series, 1995-96 window, 500 parts "
+    "(zero periods ARE the signal): "
+    "demand-size and inter-demand-interval EWMAs (alpha=0.25, dyadic) "
+    "updated only on demand days, rate = z/x — the forecaster "
+    "Holt/EWMA systematically bias toward zero on sparse series; "
+    "sequential per-group F.aggregate fold under a hard RECURSIVE-CTE "
+    "oracle (the holt_linear determinism contract)",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT l_partkey AS g, CAST(DATE_TRUNC('week', l_shipdate) AS DATE) AS d,
+             SUM(CAST(l_quantity AS BIGINT)) AS dq
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_partkey < 500
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT g, MIN(d) AS d0, MAX(d) AS d1 FROM c GROUP BY g),
+    grid AS (
+      SELECT g, CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 7 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    dense AS (
+      SELECT grid.g, grid.d, COALESCE(c.dq, 0) AS dq
+      FROM grid LEFT JOIN c ON c.g = grid.g AND c.d = grid.d
+    ),
+    ser AS (
+      SELECT g, dq,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS t
+      FROM dense
+    ),
+    stats AS (
+      SELECT g, COUNT(*) AS n_days,
+             SUM(CASE WHEN dq > 0 THEN 1 ELSE 0 END) AS n_demand_days
+      FROM dense GROUP BY g
+    ),
+    rec AS (
+      SELECT g, 0 AS t, CAST(0.0 AS DOUBLE) AS z, CAST(0.0 AS DOUBLE) AS x,
+             CAST(1 AS BIGINT) AS q, FALSE AS started
+      FROM (SELECT DISTINCT g FROM ser)
+      UNION ALL
+      SELECT r.g, s.t,
+             CASE WHEN NOT r.started AND s.dq > 0 THEN CAST(s.dq AS DOUBLE)
+                  WHEN r.started AND s.dq > 0
+                    THEN 0.25 * CAST(s.dq AS DOUBLE) + 0.75 * r.z
+                  ELSE r.z END,
+             CASE WHEN NOT r.started AND s.dq > 0 THEN CAST(1.0 AS DOUBLE)
+                  WHEN r.started AND s.dq > 0
+                    THEN 0.25 * CAST(r.q AS DOUBLE) + 0.75 * r.x
+                  ELSE r.x END,
+             CASE WHEN s.dq > 0 THEN CAST(1 AS BIGINT) ELSE r.q + 1 END,
+             r.started OR s.dq > 0
+      FROM rec r JOIN ser s ON s.g = r.g AND s.t = r.t + 1
+    )
+    SELECT r.g AS l_partkey, st.n_days, st.n_demand_days,
+           ROUND(r.z, 6) AS size_ewma,
+           ROUND(r.x, 6) AS interval_ewma,
+           ROUND(r.z / r.x, 6) AS demand_rate
+    FROM rec r JOIN stats st ON st.g = r.g AND st.n_days = r.t
+    WHERE r.started
+    """,
+    survey_ops=("monitoring-stats", "§2.9 aggregations"),
+)
+def croston_part_demand(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.stats import croston_forecast
+
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") < 500)
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return croston_forecast(
+        li, ["l_partkey"], "l_shipdate", F.col("l_quantity"), alpha=0.25,
+        period="week",
+    ).select(
+        F.col("l_partkey"),
+        "n_days",
+        "n_demand_days",
+        "size_ewma",
+        "interval_ewma",
+        "demand_rate",
+    )
+
+
+@register(
     "fellegi_sunter_part_weights",
     "Fellegi-Sunter record-linkage weights by EM (5 iterations) over "
     "brand-blocked part pairs with type/size/name-prefix agreement "

@@ -2520,3 +2520,69 @@ def test_fellegi_sunter_em_matches_fold_model(spark, pairs, iters):
         assert abs(gm - m[i] / S) < 1e-6
         assert abs(gu - u[i] / S) < 1e-6
         assert abs(gp - p / S) < 1e-6
+
+
+# --- Croston vs fold model ---------------------------------------------------
+
+croston_case = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(1, 9)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(croston_case)
+def test_croston_matches_fold_model(spark, demands):
+    from datetime import datetime, timedelta
+
+    from mlentory_etl_pipeline_spark.operators.stats import croston_forecast
+
+    d0 = datetime(2024, 1, 1, 9)
+    rows = [
+        (g, d0 + timedelta(days=day), q) for g, day, q in demands
+    ]
+    df = spark.createDataFrame(rows, "g int, ts timestamp, q long")
+    got = {
+        r.g: (
+            r.n_days,
+            r.n_demand_days,
+            r.size_ewma,
+            r.interval_ewma,
+            r.demand_rate,
+        )
+        for r in croston_forecast(
+            df, ["g"], "ts", F.col("q"), alpha=0.25
+        ).collect()
+    }
+
+    for g in {g for g, _, _ in demands}:
+        daily = {}
+        for gg, day, q in demands:
+            if gg == g:
+                daily[day] = daily.get(day, 0) + q
+        lo, hi = min(daily), max(daily)
+        ser = [daily.get(d, 0) for d in range(lo, hi + 1)]
+        z = x = 0.0
+        qq, started = 1, False
+        for d in ser:
+            if not started and d > 0:
+                z, x, started = float(d), 1.0, True
+                qq = 1
+            elif started and d > 0:
+                z = 0.25 * d + 0.75 * z
+                x = 0.25 * qq + 0.75 * x
+                qq = 1
+            else:
+                qq += 1
+        n_demand = sum(1 for d in ser if d > 0)
+        assert started  # every present group has >= 1 demand
+        assert got[g][0] == len(ser)
+        assert got[g][1] == n_demand
+        assert abs(got[g][2] - z) < 1e-6
+        assert abs(got[g][3] - x) < 1e-6
+        assert abs(got[g][4] - z / x) < 1e-5
