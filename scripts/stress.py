@@ -728,6 +728,27 @@ def case_link_prediction(spark, sf_dir: str, k: int) -> DataFrame:
     return jaccard_link_prediction(r, max_degree=60, min_common=1, top_k=100)
 
 
+def case_als(spark, sf_dir: str, k: int) -> DataFrame:
+    # kx DISJOINT rating matrices (user and item ids offset per
+    # replica): each iteration's two rating-keyed aggregations scale
+    # linearly in |ratings|; factor tables grow in |users|+|items|
+    from mlentory_etl_pipeline_spark.operators.factorization import als_rank1
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("rt"))
+    )
+    r = _replicated(ratings, k).select(
+        (F.col("o_custkey") * k + F.col("_rep")).alias("o_custkey"),
+        (F.col("l_suppkey") * k + F.col("_rep")).alias("l_suppkey"),
+        "rt",
+    )
+    return als_rank1(r, "o_custkey", "l_suppkey", "rt", iters=4)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -761,6 +782,7 @@ CASES = {
     "training_labels": case_training_labels,
     "rake": case_rake,
     "link_prediction": case_link_prediction,
+    "als": case_als,
 }
 
 
