@@ -13601,6 +13601,46 @@ def _fs_em_oracle(iters: int = 5) -> str:
 
 
 @register(
+    "variant_props_rollup",
+    "Spark 4 VARIANT-type surface: parse_json(props) once into a "
+    "semi-structured VARIANT column, variant_get typed extraction, "
+    "per-event-type rollup of the extracted metric — the modern "
+    "schema-on-read path (vs the string-re-parse get_json_object "
+    "queries); exact integer sums, one aggregation",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           ROUND(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS k_avg
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops=("S8", "§2.9 aggregations"),
+)
+def variant_props_rollup(spark, sf_dir):
+    e = t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "long").alias(
+            "_k"
+        ),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("k_sum"),
+            F.round(
+                F.sum("_k").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "croston_part_demand",
     "Croston's intermittent-demand forecast per part over the "
     "densified WEEKLY ship-quantity series, 1995-96 window, 500 parts "
