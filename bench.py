@@ -214,6 +214,8 @@ def main():
             "als_rank1_supplier_factors",
             "fellegi_sunter_part_weights",
             "croston_part_demand",
+            "variant_props_rollup",
+            "dbscan_embedding_clusters",
         )
         if n in REGISTRY
     ]

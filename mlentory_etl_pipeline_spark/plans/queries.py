@@ -13601,6 +13601,130 @@ def _fs_em_oracle(iters: int = 5) -> str:
 
 
 @register(
+    "dbscan_embedding_clusters",
+    "DBSCAN density clustering over embeddings with planted exact-"
+    "cosine triples (each base vector < 120 plus 2x- and 0.5x-scaled "
+    "copies — power-of-2 scaling preserves cosine EXACTLY in IEEE): "
+    "eps-pairs = rounded cosine >= 0.999, min_pts=3 -> the triples "
+    "become all-core clusters labeled by their minimum id, the other "
+    "380 vectors get the first-class NOISE verdict k-means can't "
+    "give; labeling is pure integer counting + the large-star CC fold "
+    "+ min aggregations, so DBSCAN carries a hard reachability oracle",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000,
+             LIST_TRANSFORM(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))
+      FROM base WHERE vec_id < 120
+      UNION ALL
+      SELECT vec_id + 20000,
+             LIST_TRANSFORM(embedding, x -> CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT))
+      FROM base WHERE vec_id < 120
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE ROUND(
+          LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, v -> CAST(v AS DOUBLE) * v)))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, v -> CAST(v AS DOUBLE) * v)))),
+          4) >= 0.999
+    ),
+    und AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+    core AS (SELECT src AS id FROM deg WHERE d >= 2),
+    ce AS (
+      SELECT p.a_id, p.b_id FROM pairs p
+      JOIN core ca ON ca.id = p.a_id JOIN core cb ON cb.id = p.b_id
+    ),
+    cund AS (
+      SELECT a_id AS src, b_id AS dst FROM ce
+      UNION SELECT b_id, a_id FROM ce
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM cund
+      UNION
+      SELECT u.dst, r.label FROM reach r JOIN cund u ON u.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    core_lab AS (
+      SELECT core.id, COALESCE(comp.component, core.id) AS cl
+      FROM core LEFT JOIN comp ON comp.node = core.id
+    ),
+    border AS (
+      SELECT u.src AS id, MIN(cl.cl) AS cl
+      FROM und u JOIN core_lab cl ON cl.id = u.dst
+      WHERE u.src NOT IN (SELECT id FROM core_lab)
+      GROUP BY u.src
+    ),
+    labeled AS (
+      SELECT id, 'core' AS role, cl FROM core_lab
+      UNION ALL SELECT id, 'border', cl FROM border
+    )
+    SELECT c.vec_id, COALESCE(l.role, 'noise') AS role, l.cl AS cluster
+    FROM corpus c LEFT JOIN labeled l ON l.id = c.vec_id
+    ORDER BY c.vec_id
+    """,
+    survey_ops=("dedup-clustering", "N6", "ann-brute-force"),
+)
+def dbscan_embedding_clusters(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def scaled(off, factor):
+        return e.where("vec_id < 120").select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * F.lit(factor)).cast("float"),
+            ).alias("embedding"),
+        )
+
+    corpus = e.unionByName(scaled(10000, 2.0)).unionByName(
+        scaled(20000, 0.5)
+    ).localCheckpoint(eager=False)
+    from mlentory_etl_pipeline_spark.functions import vectors
+
+    c = corpus.select(
+        "vec_id",
+        "embedding",
+        vectors.l2_norm(F.col("embedding")).alias("_n"),
+    )
+    a = c.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("_ea"),
+        F.col("_n").alias("_na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("_eb"),
+        F.col("_n").alias("_nb"),
+    )
+    score = F.round(
+        vectors.dot_product(F.col("_ea"), F.col("_eb"))
+        / (F.col("_na") * F.col("_nb")),
+        4,
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(score >= 0.999)
+        .select("a_id", "b_id")
+    )
+    return similarity.dbscan_label(
+        corpus, pairs, min_pts=3, id_col="vec_id"
+    )
+
+
+@register(
     "variant_props_rollup",
     "Spark 4 VARIANT-type surface: parse_json(props) once into a "
     "semi-structured VARIANT column, variant_get typed extraction, "

@@ -2586,3 +2586,70 @@ def test_croston_matches_fold_model(spark, demands):
         assert abs(got[g][2] - z) < 1e-6
         assert abs(got[g][3] - x) < 1e-6
         assert abs(got[g][4] - z / x) < 1e-5
+
+
+# --- DBSCAN labeling vs dict model -------------------------------------------
+
+dbscan_case = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(2, 5),  # min_pts
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(dbscan_case)
+def test_dbscan_label_matches_dict_model(spark, case):
+    from mlentory_etl_pipeline_spark.operators.similarity import dbscan_label
+
+    raw, min_pts = case
+    pairs = sorted({(min(u, v), max(u, v)) for u, v in raw})
+    ids = spark.createDataFrame([(i,) for i in range(10)], "vec_id int")
+    pdf = spark.createDataFrame(
+        pairs or [(None, None)], "a_id int, b_id int"
+    ).where(F.col("a_id").isNotNull())
+    got = {
+        r.vec_id: (r.role, r.cluster)
+        for r in dbscan_label(ids, pdf, min_pts=min_pts).collect()
+    }
+
+    nbrs = {i: set() for i in range(10)}
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    core = {i for i in range(10) if len(nbrs[i]) + 1 >= min_pts}
+    # components over core-core edges (plus isolated cores)
+    comp = {c: c for c in core}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for a, b in pairs:
+        if a in core and b in core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                comp[max(ra, rb)] = min(ra, rb)
+    cl = {c: find(c) for c in core}
+    want = {}
+    for i in range(10):
+        if i in core:
+            want[i] = ("core", cl[i])
+        else:
+            cands = [cl[n] for n in nbrs[i] if n in core]
+            if cands:
+                want[i] = ("border", min(cands))
+            else:
+                want[i] = ("noise", None)
+    assert got == want
