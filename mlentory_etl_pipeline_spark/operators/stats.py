@@ -313,6 +313,83 @@ def exact_auc(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    scale: int = 1_000_000,
+    term_scale: int = 10**12,
+) -> DataFrame:
+    """Exact average precision (area under the step-wise PR curve) of
+    ``score`` against boolean ``label`` — the PR-curve companion to
+    :func:`exact_auc`. For imbalanced curation labels (near-dup?
+    contaminated? toxic?) ROC AUC saturates while AP keeps resolving
+    ranking quality among the rare positives, so both belong in the
+    classifier-audit toolbox.
+
+    Tie-corrected threshold formulation (sklearn's
+    ``average_precision_score``): thresholds are the distinct quantized
+    scores descending; a block with ``c`` rows (``p`` positive), ``Cb``
+    rows and ``Pb`` positives strictly ABOVE it contributes
+
+        (p / P) · (Pb + p) / (Cb + c)      (ΔRecall · Precision@block)
+
+    Exactness contract: scores quantize to ``floor(score·scale)``
+    longs; each block term closes as one integral division
+    ``term_scale·p·(Pb+p) DIV (P·(Cb+c))`` in DECIMAL(38,0) (floor on
+    positives — engine-identical), summed exactly, ONE divide by
+    ``term_scale`` at the end. AP is therefore itself quantized to
+    1/term_scale per block — documented, deterministic.
+
+    Scale posture: identical to exact_auc — one map-side-combined
+    groupBy on the quantized score, descending prefix sums via
+    ``distributed_cum_before`` (range partition + local window +
+    broadcast triangular offsets; no single-partition WindowExec).
+
+    Degenerate contract: zero positives → no blocks with p>0 → ``ap``
+    NULL (sum over empty), ``n_pos`` says why.
+    """
+    q = df.select(
+        # negate so ascending order of _k == descending score
+        (-F.floor(score * scale)).cast("long").alias("_k"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = q.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p")
+    )
+    ranked = distributed_cum_before(g, "_k", ["_c", "_p"])
+    tot = ranked.agg(
+        F.sum("_p").alias("_tp"), F.sum("_c").alias("_tc")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    with_tot = ranked.crossJoin(F.broadcast(tot))
+    num = (
+        F.lit(term_scale).cast("decimal(38,0)")
+        * d(F.col("_p"))
+        * (d(F.col("_cb__p")) + d(F.col("_p")))
+    )
+    den = d(F.col("_tp")) * (d(F.col("_cb__c")) + d(F.col("_c")))
+    agg = with_tot.select(
+        "_tp",
+        "_tc",
+        # NULL block (skipped by SUM) when p=0: no ΔRecall, and it
+        # keeps the integral divide away from a P=0 denominator
+        F.when(F.col("_p") > 0, num.cast("decimal(38,0)")).alias("_num"),
+        den.alias("_den"),
+    ).agg(
+        F.sum(F.expr("_num DIV _den")).alias("_ts"),
+        F.max("_tp").alias("n_pos"),
+        F.max("_tc").alias("n"),
+    )
+    return agg.select(
+        "n_pos",
+        "n",
+        F.round(
+            F.col("_ts").cast("double") / F.lit(float(term_scale)), 6
+        ).alias("ap"),
+    )
+
+
 def mann_whitney_u(
     df: DataFrame,
     group: Column,

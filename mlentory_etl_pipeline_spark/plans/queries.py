@@ -15440,6 +15440,221 @@ def hybrid_rrf_search(spark, sf_dir):
     )
 
 
+@register(
+    "naive_bayes_lang_confusion",
+    "trainable in-engine multinomial Naive Bayes: md5-bucket 80/20 "
+    "split, add-one-smoothed per-(class, token) log-likelihoods "
+    "quantized to micro-units, SPARSE integer scoring (observed pairs "
+    "+ per-class unseen default — never vocab x classes densified), "
+    "deterministic argmax -> held-out confusion matrix; the cheap "
+    "distributed baseline classifier for corpus routing "
+    "(quality/lang/source) a 100 TB curation pipeline thresholds on",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT lang, tk FROM (
+        SELECT lang,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z]+')) AS tk
+        FROM split WHERE is_train
+      ) WHERE tk <> ''
+    ),
+    tc AS (SELECT lang, tk, COUNT(*) AS n_ct FROM train_tok GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT tk FROM tc),
+    vsz AS (SELECT COUNT(*) AS v FROM vocab),
+    ct AS (SELECT lang, SUM(n_ct) AS n_c FROM tc GROUP BY 1),
+    dc AS (SELECT lang, COUNT(*) AS n_docs_c FROM split WHERE is_train GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_docs FROM split WHERE is_train),
+    cs AS (
+      SELECT dc.lang, COALESCE(ct.n_c, 0) AS n_c, v,
+             CAST(FLOOR(LN(CAST(n_docs_c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                        * 1000000) AS BIGINT) AS q_prior,
+             CASE WHEN COALESCE(ct.n_c, 0) + v > 0 THEN
+               CAST(FLOOR(LN(CAST(1 AS DOUBLE)
+                             / CAST(COALESCE(ct.n_c, 0) + v AS DOUBLE))
+                          * 1000000) AS BIGINT)
+             ELSE 0 END AS q_default
+      FROM dc LEFT JOIN ct ON ct.lang = dc.lang, vsz, tot
+    ),
+    tll AS (
+      SELECT tc.lang, tk,
+             CAST(FLOOR(LN(CAST(n_ct + 1 AS DOUBLE) / CAST(n_c + v AS DOUBLE))
+                        * 1000000) AS BIGINT) AS q_loglik
+      FROM tc JOIN cs ON tc.lang = cs.lang
+    ),
+    test_tok AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z]+')) AS tk
+        FROM split WHERE NOT is_train
+      ) WHERE tk <> ''
+    ),
+    doc_tf AS (
+      SELECT t.doc_id, t.tk, COUNT(*) AS tf
+      FROM test_tok t JOIN vocab v ON t.tk = v.tk GROUP BY 1, 2
+    ),
+    doc_tot AS (
+      SELECT s.doc_id, COALESCE(SUM(d.tf), 0) AS t_d
+      FROM split s LEFT JOIN doc_tf d ON s.doc_id = d.doc_id
+      WHERE NOT s.is_train GROUP BY 1
+    ),
+    sparse AS (
+      SELECT d.doc_id, l.lang,
+             SUM(d.tf * (l.q_loglik - cs.q_default)) AS delta
+      FROM doc_tf d JOIN tll l ON d.tk = l.tk
+      JOIN cs ON l.lang = cs.lang
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dt.doc_id, cs.lang AS cls,
+             cs.q_prior + dt.t_d * cs.q_default
+               + COALESCE(sp.delta, 0) AS score
+      FROM doc_tot dt CROSS JOIN cs
+      LEFT JOIN sparse sp ON sp.doc_id = dt.doc_id AND sp.lang = cs.lang
+    ),
+    best AS (
+      SELECT doc_id, cls AS pred FROM (
+        SELECT doc_id, cls,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT s.lang AS label_true, b.pred, COUNT(*) AS n_docs
+    FROM split s JOIN best b ON s.doc_id = b.doc_id
+    WHERE NOT s.is_train
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_ops=("classifier-nb", "curation-pipeline", "N8"),
+)
+def naive_bayes_lang_confusion(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    return classify.nb_confusion(d, "lang", "doc_id", "text")
+
+
+@register(
+    "average_precision_purchase",
+    "exact tie-corrected average precision (step-wise PR-curve area) "
+    "of event value as a purchase ranker — the imbalanced-label "
+    "companion to exact_auc: quantized-score blocks, each block term "
+    "one DECIMAL(38,0) integral divide at pico-unit scale, distributed "
+    "descending prefix sums (no single-partition window)",
+    oracle="""
+    WITH q AS (
+      SELECT -CAST(FLOOR(value * 1000000) AS BIGINT) AS k,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT k, COUNT(*) AS c, SUM(y) AS p FROM q GROUP BY 1),
+    r AS (
+      SELECT k, c, p,
+             COALESCE(SUM(c) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             COALESCE(SUM(p) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+      FROM g
+    ),
+    tot AS (SELECT SUM(p) AS tp, SUM(c) AS tc FROM g),
+    terms AS (
+      SELECT CASE WHEN p > 0 THEN
+               (CAST(1000000000000 AS HUGEINT) * p * (pb + p))
+                 // (CAST(tp AS HUGEINT) * (cb + c))
+             END AS t, tp, tc
+      FROM r, tot
+    )
+    SELECT CAST(MAX(tp) AS BIGINT) AS n_pos, CAST(MAX(tc) AS BIGINT) AS n,
+           ROUND(CAST(SUM(t) AS DOUBLE) / 1000000000000.0, 6) AS ap
+    FROM terms
+    """,
+    survey_ops=("eval-metrics",),
+)
+def average_precision_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return stats.average_precision(
+        e, F.col("event_type") == "purchase", F.col("value")
+    )
+
+
+@register(
+    "target_encoding_loo_orders",
+    "leakage-safe leave-one-out target encoding of order priority "
+    "against fulfilled status: per-row (group sum - own label), "
+    "smoothing-20 shrink toward the global rate, exact rational close "
+    "(integer numerator/denominator, one divide) — the standard "
+    "categorical feature statistic a downstream trainer consumes "
+    "without label leakage; one groupBy + broadcast join, no window",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority, SUM(y) AS a, COUNT(*) AS n
+      FROM base GROUP BY 1
+    ),
+    gl AS (SELECT SUM(y) AS p, COUNT(*) AS nn FROM base)
+    SELECT b.o_orderkey, b.o_orderpriority, b.y AS label,
+           ROUND(
+             CAST(CAST(s.a - b.y AS HUGEINT) * g.nn
+                  + 20 * CAST(g.p AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(g.nn AS HUGEINT) * (s.n - 1 + 20) AS DOUBLE),
+           6) AS te_loo
+    FROM base b
+    JOIN stats s ON b.o_orderpriority = s.o_orderpriority
+    CROSS JOIN gl g
+    """,
+    survey_ops=("feature-encoding", "curation-pipeline"),
+)
+def target_encoding_loo_orders(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import classify
+
+    o = t(spark, sf_dir, "orders")
+    return classify.target_encoding_loo(
+        o,
+        ["o_orderpriority"],
+        F.col("o_orderstatus") == "F",
+        ["o_orderkey"],
+        smoothing=20,
+    )
+
+
+@register(
+    "feature_hashing_docs",
+    "hashing-trick document featurizer: tokens -> 60-bit md5 prefix "
+    "mod 64 buckets -> per-(doc, bucket) term counts in sparse "
+    "exploded layout — fixed-width vocabulary-free features with no "
+    "driver-side vocab state; map-only fan-out + one map-side-combined "
+    "aggregation",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, tk FROM (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z]+')) AS tk
+        FROM documents
+      ) WHERE tk <> ''
+    )
+    SELECT doc_id,
+           CAST(CONCAT('0x', SUBSTR(MD5(tk), 1, 15)) AS BIGINT) % 64 AS bucket,
+           COUNT(*) AS tf
+    FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """,
+    survey_ops=("feature-encoding", "N4-plumbing"),
+)
+def feature_hashing_docs(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    return classify.feature_hashing(d, "doc_id", "text", dims=64)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
