@@ -1001,3 +1001,88 @@ def jaccard_link_prediction(
     return scored.orderBy(
         F.desc("jaccard"), F.asc("x"), F.asc("y")
     ).limit(top_k)
+
+
+def hits(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    iters: int = 4,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Deterministic HITS (Kleinberg hubs & authorities) over a
+    DIRECTED edge list — the link-analysis dual of :func:`pagerank`
+    for bipartite-flavored graphs (supplier→part, user→document):
+    hubs point at good authorities, authorities are pointed at by good
+    hubs. The reference ranks related entities by one-hop counts only
+    (``GraphHandler`` query surface); HITS is the two-sided mutual
+    refinement of that.
+
+    Fixed-iteration fold entirely in scaled-long arithmetic (the
+    pagerank/Lloyd's precedent, graph.py:315): each half-step sums
+    integer scores over edges (order-independent longs) then
+    max-normalizes back to ``scale`` units via ONE integral divide in
+    DECIMAL(38,0) — ``floor(raw·scale / max_raw)`` — so the whole
+    fixpoint is bit-replicable and the registry oracle unrolls the same
+    iterations in SQL.
+
+    Scale shape per iteration: two shuffles (messages grouped by
+    destination, then by source) against the static edge list, each
+    max-normalization a broadcast one-row apex — pregel's message
+    pattern, O(1) plan size via localCheckpoint pinning.
+
+    Returns ``(side, node, score)``: side ``'hub'`` for u-nodes,
+    ``'auth'`` for v-nodes, score in [0, 1] rounded 9 dp (max node =
+    1.0 by construction). Precondition: ``edges`` nonempty.
+    """
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    ).localCheckpoint(eager=False)
+    hubs = e.select(F.col("u").alias("node")).distinct()
+    auths = e.select(F.col("v").alias("node")).distinct()
+    h = hubs.select("node", F.lit(scale).cast("long").alias("hs"))
+
+    def _norm(df: DataFrame, raw: str) -> DataFrame:
+        mx = F.broadcast(df.agg(F.max(raw).alias("_mx")))
+        return df.crossJoin(mx).select(
+            "node",
+            F.expr(
+                f"CAST(CAST({raw} AS DECIMAL(38,0)) * {scale} DIV _mx AS BIGINT)"
+            ).alias(raw),
+        )
+
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hs").alias("as_"))
+        )
+        a = _norm(
+            auths.join(a_raw, "node", "left").select(
+                "node", F.coalesce("as_", F.lit(0)).alias("as_")
+            ),
+            "as_",
+        ).localCheckpoint(eager=False)
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "v").withColumnRenamed("as_", "as2"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("as2").alias("hs"))
+        )
+        h = _norm(
+            hubs.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hs", F.lit(0)).alias("hs")
+            ),
+            "hs",
+        ).localCheckpoint(eager=False)
+    out_h = h.select(
+        F.lit("hub").alias("side"),
+        "node",
+        F.round(F.col("hs") / F.lit(float(scale)), 9).alias("score"),
+    )
+    out_a = a.select(
+        F.lit("auth").alias("side"),
+        "node",
+        F.round(F.col("as_") / F.lit(float(scale)), 9).alias("score"),
+    )
+    return out_h.unionByName(out_a)

@@ -3447,3 +3447,108 @@ def croston_forecast(
         F.round(F.col("_st.x"), 6).alias("interval_ewma"),
         F.round(F.col("_st.z") / F.col("_st.x"), 6).alias("demand_rate"),
     )
+
+
+def normal_sf2_micro(z_micro: Column) -> Column:
+    """Two-sided normal p-value of a MICRO-QUANTIZED z, itself
+    micro-quantized: ``p = erfc(|z|/sqrt(2))`` via the Abramowitz &
+    Stegun 7.1.26 polynomial (|err| < 1.5e-7, well under the 1e-6
+    quantum). Taking the exactly-quantized ``z_micro`` (a long) as
+    input means both engines evaluate the IDENTICAL double expression;
+    every op is correctly rounded except one ``exp`` call, floored at
+    the 1e-6 quantum (the ln-quantization precedent — SNIPPETS'
+    quantized-libm rule). Association order is frozen and mirrored
+    verbatim in SQL oracles:
+
+        x = abs(z_micro / 1e6) / sqrt(2)
+        t = 1 / (1 + 0.3275911·x)
+        poly = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))
+        p = poly · exp(-(x·x)) ;  return floor(p·1e6)
+    """
+    x = F.abs(z_micro.cast("double") / F.lit(1000000.0)) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    p = poly * F.exp(-(x * x))
+    return F.floor(p * F.lit(1000000.0)).cast("long")
+
+
+NORMAL_SF2_MICRO_SQL = """
+CAST(FLOOR((
+  (1.0 / (1.0 + 0.3275911 * ({x})))
+  * (0.254829592 + (1.0 / (1.0 + 0.3275911 * ({x})))
+    * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * ({x})))
+      * (1.421413741 + (1.0 / (1.0 + 0.3275911 * ({x})))
+        * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * ({x}))) * 1.061405429))))
+  * EXP(-(({x}) * ({x})))
+) * 1000000.0) AS BIGINT)
+"""
+
+
+def bh_fdr(
+    tests: DataFrame,
+    key_cols: list[str],
+    p_micro_col: str = "p_micro",
+    q_pct: int = 5,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a table of test
+    p-values — the multiple-comparisons guard every fleet-wide metric
+    sweep needs (test 25 nations at α=.05 and ~1 false positive is
+    EXPECTED; BH caps the false-discovery RATE at q instead). Input is
+    one row per test with a micro-quantized p-value; the procedure
+    closes in exact integer arithmetic:
+
+        reject all tests ranked ≤ k*,  k* = max{k : p_(k) ≤ (k/m)·q}
+        integer form:  p_micro · m · 100  ≤  k · q_pct · 10^6
+
+    Ranking breaks ties deterministically by ``key_cols``. The rank
+    window is partition-less but bounded by the NUMBER OF TESTS (one
+    row per group under test — metadata-sized, the bootstrap-replica
+    precedent); k* folds via one broadcast apex aggregation.
+
+    Adds ``rank``, ``bh_threshold_micro`` (= floor(k·q_pct·10^6 /
+    (m·100)), the per-rank cutoff for display), and ``rejected``.
+    """
+    m_row = F.broadcast(tests.agg(F.count(F.lit(1)).alias("_m")))
+    w = Window.orderBy(F.asc(p_micro_col), *[F.asc(c) for c in key_cols])
+    ranked = (
+        tests.crossJoin(m_row)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "_ok",
+            F.col(p_micro_col) * F.col("_m") * F.lit(100)
+            <= F.col("rank") * F.lit(q_pct) * F.lit(1000000),
+        )
+    )
+    kmax = F.broadcast(
+        ranked.agg(
+            F.coalesce(
+                F.max(F.when(F.col("_ok"), F.col("rank"))), F.lit(0)
+            ).alias("_k")
+        )
+    )
+    return (
+        ranked.crossJoin(kmax)
+        .select(
+            *key_cols,
+            p_micro_col,
+            "rank",
+            F.floor(
+                F.col("rank") * F.lit(q_pct) * F.lit(1000000)
+                / (F.col("_m") * F.lit(100))
+            )
+            .cast("long")
+            .alias("bh_threshold_micro"),
+            (F.col("rank") <= F.col("_k")).alias("rejected"),
+        )
+    )

@@ -15655,6 +15655,239 @@ def feature_hashing_docs(spark, sf_dir):
     return classify.feature_hashing(d, "doc_id", "text", dims=64)
 
 
+def _hits_oracle(iters: int = 4, scale: int = 10**9) -> str:
+    """Unrolled integer-HITS oracle (the _pagerank_oracle scheme): each
+    iteration is two message CTEs + two max-normalizations, every step
+    exact scaled-long arithmetic with ONE HUGEINT integral divide."""
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS u, l_partkey AS v FROM lineitem
+      WHERE l_suppkey < 150 AND l_partkey < 1000
+    ),
+    hubs AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+    auths AS MATERIALIZED (SELECT DISTINCT v AS node FROM e),
+    h0 AS MATERIALIZED (
+      SELECT node, CAST({scale} AS BIGINT) AS hs FROM hubs
+    )"""
+    step = """,
+    ar{i} AS MATERIALIZED (
+      SELECT e.v AS node, SUM(h.hs) AS raw
+      FROM e JOIN h{p} h ON h.node = e.u GROUP BY e.v
+    ),
+    af{i} AS MATERIALIZED (
+      SELECT a.node, COALESCE(r.raw, 0) AS raw
+      FROM auths a LEFT JOIN ar{i} r ON r.node = a.node
+    ),
+    am{i} AS MATERIALIZED (SELECT MAX(raw) AS mx FROM af{i}),
+    a{i} AS MATERIALIZED (
+      SELECT node,
+             CAST((CAST(raw AS HUGEINT) * {scale}) // mx AS BIGINT) AS asv
+      FROM af{i}, am{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.u AS node, SUM(a.asv) AS raw
+      FROM e JOIN a{i} a ON a.node = e.v GROUP BY e.u
+    ),
+    hf{i} AS MATERIALIZED (
+      SELECT h.node, COALESCE(r.raw, 0) AS raw
+      FROM hubs h LEFT JOIN hr{i} r ON r.node = h.node
+    ),
+    hm{i} AS MATERIALIZED (SELECT MAX(raw) AS mx FROM hf{i}),
+    h{i} AS MATERIALIZED (
+      SELECT node,
+             CAST((CAST(raw AS HUGEINT) * {scale}) // mx AS BIGINT) AS hs
+      FROM hf{i}, hm{i}
+    )"""
+    body = head
+    for i in range(1, iters + 1):
+        body += step.format(i=i, p=i - 1, scale=scale)
+    body += f"""
+    SELECT 'hub' AS side, node,
+           ROUND(ROUND(CAST(hs AS DOUBLE) / CAST({scale} AS DOUBLE), 9), 6)
+             AS score
+    FROM h{iters}
+    UNION ALL
+    SELECT 'auth' AS side, node,
+           ROUND(ROUND(CAST(asv AS DOUBLE) / CAST({scale} AS DOUBLE), 9), 6)
+             AS score
+    FROM a{iters}
+    """
+    return body
+
+
+@register(
+    "graph_hits_supplier_parts",
+    "deterministic HITS hubs & authorities (4 fixed iterations) over "
+    "the directed supplier->part supply graph: integer message sums + "
+    "one DECIMAL(38,0) max-normalization integral divide per "
+    "half-step, so the mutual-refinement fixpoint is bit-replicable "
+    "and the oracle unrolls the same iterations; two shuffles per "
+    "iteration (pregel message shape), O(1) plan via checkpoint "
+    "pinning",
+    oracle=_hits_oracle(iters=4),
+    survey_ops=("§2.9 joins", "T4 frontier", "Q3"),
+)
+def graph_hits_supplier_parts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    # same bounded subgraph as graph_triangle_counts / pagerank
+    edges = (
+        li.where((F.col("l_suppkey") < 150) & (F.col("l_partkey") < 1000))
+        .select(F.col("l_suppkey").alias("u"), F.col("l_partkey").alias("v"))
+        .distinct()
+    )
+    return graph.hits(edges, iters=4).select(
+        "side", "node", F.round("score", 6).alias("score")
+    )
+
+
+def _bh_fdr_oracle(q_pct: int = 5) -> str:
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        NORMAL_SF2_MICRO_SQL,
+    )
+
+    x = "ABS(CAST(zm AS DOUBLE) / CAST(1000000 AS DOUBLE)) / SQRT(2.0)"
+    p_micro = NORMAL_SF2_MICRO_SQL.format(x=x)
+    return f"""
+    WITH per_nation AS (
+      SELECT n.n_name, COUNT(*) AS n_orders,
+             SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k_f
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_orders) AS nn, SUM(k_f) AS kk FROM per_nation
+    ),
+    z AS (
+      SELECT n_name, n_orders, k_f,
+             CAST(FLOOR((
+               (CAST(k_f AS DOUBLE) / CAST(n_orders AS DOUBLE))
+               - (CAST(kk - k_f AS DOUBLE) / CAST(nn - n_orders AS DOUBLE))
+             ) / SQRT(
+               ((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                * (CAST(1 AS DOUBLE)
+                   - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)))
+               * ((CAST(1 AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                  + (CAST(1 AS DOUBLE) / CAST(nn - n_orders AS DOUBLE)))
+             ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS zm
+      FROM per_nation, tot
+    ),
+    pm AS (
+      SELECT n_name, n_orders, k_f, zm, {p_micro} AS p_micro FROM z
+    ),
+    mm AS (SELECT COUNT(*) AS m_ FROM pm),
+    ranked AS (
+      SELECT pm.*, m_,
+             ROW_NUMBER() OVER (ORDER BY p_micro, n_name) AS rank
+      FROM pm, mm
+    ),
+    kstar AS (
+      SELECT COALESCE(MAX(CASE
+        WHEN p_micro * m_ * 100 <= rank * {q_pct} * 1000000 THEN rank
+      END), 0) AS kmax FROM ranked
+    )
+    SELECT n_name, n_orders, k_f,
+           ROUND(CAST(zm AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS z,
+           ROUND(CAST(p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p,
+           rank,
+           CAST(FLOOR((rank * {q_pct} * 1000000) / (m_ * 100)) AS BIGINT)
+             AS bh_threshold_micro,
+           rank <= kmax AS rejected
+    FROM ranked, kstar ORDER BY rank
+    """
+
+
+@register(
+    "bh_fdr_nation_fulfilled",
+    "Benjamini-Hochberg FDR (q=5%) over 25 per-nation one-vs-rest "
+    "two-proportion z-tests of fulfilled-order rate: exact integer "
+    "counts -> correctly-rounded double z quantized to micro-units -> "
+    "A&S-polynomial normal p (one quantized exp) -> exact-integer "
+    "step-up rejection — the multiple-comparisons guard for "
+    "fleet-wide metric sweeps; rank window bounded by #tests",
+    oracle=_bh_fdr_oracle(q_pct=5),
+    survey_ops=("eval-metrics", "§2.9 aggregations"),
+)
+def bh_fdr_nation_fulfilled(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("k_f"),
+        )
+    )
+    tot = F.broadcast(
+        per_nation.agg(
+            F.sum("n_orders").alias("_nn"), F.sum("k_f").alias("_kk")
+        )
+    )
+    d = lambda c_: c_.cast("double")  # noqa: E731
+    z = per_nation.crossJoin(tot).select(
+        "n_name",
+        "n_orders",
+        "k_f",
+        F.floor(
+            (
+                (d(F.col("k_f")) / d(F.col("n_orders")))
+                - (
+                    d(F.col("_kk") - F.col("k_f"))
+                    / d(F.col("_nn") - F.col("n_orders"))
+                )
+            )
+            / F.sqrt(
+                (
+                    (d(F.col("_kk")) / d(F.col("_nn")))
+                    * (
+                        F.lit(1.0)
+                        - d(F.col("_kk")) / d(F.col("_nn"))
+                    )
+                )
+                * (
+                    (F.lit(1.0) / d(F.col("n_orders")))
+                    + (F.lit(1.0) / d(F.col("_nn") - F.col("n_orders")))
+                )
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("zm"),
+    )
+    pm = z.withColumn("p_micro", stats.normal_sf2_micro(F.col("zm")))
+    out = stats.bh_fdr(
+        pm.select("n_name", "n_orders", "k_f", "zm", "p_micro"),
+        ["n_name"],
+        "p_micro",
+        q_pct=5,
+    )
+    # bh_fdr keys the output by key_cols + p_micro + rank; re-attach
+    # the display stats
+    return (
+        out.join(
+            pm.select("n_name", "n_orders", "k_f", "zm"), "n_name"
+        )
+        .select(
+            "n_name",
+            "n_orders",
+            "k_f",
+            F.round(F.col("zm") / F.lit(1000000.0), 6).alias("z"),
+            F.round(F.col("p_micro") / F.lit(1000000.0), 6).alias("p"),
+            "rank",
+            "bh_threshold_micro",
+            "rejected",
+        )
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

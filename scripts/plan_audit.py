@@ -44,6 +44,10 @@ from mlentory_etl_pipeline_spark.session import get_spark  # noqa: E402
 # so even deliberate partitionBy(lit(0)) bounded windows land here.
 GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "bootstrap_ci_avg_quantity": "ranks the B=64 replica means",
+    "bh_fdr_nation_fulfilled": (
+        "BH step-up rank over ONE ROW PER TEST (25 nations - "
+        "metadata-sized, the bootstrap-replica category)"
+    ),
     "skew_join_key_profile": "rank over the <=top_k TakeOrdered survivors",
     "search_term_relevance": "rank over the <=k TakeOrdered survivors",
     "bm25_document_rank": "rank over the <=k TakeOrdered survivors",

@@ -219,3 +219,94 @@ def test_feature_hashing_buckets_match_hashlib(spark):
         (2, bucket("merge")): 1,
     }
     assert got == expect
+
+
+# --- HITS vs an exact integer Python model ----------------------------
+
+
+def _hits_model(edges, iters=4, scale=10**9):
+    hubs = sorted({u for u, _ in edges})
+    auths = sorted({v for _, v in edges})
+    h = {u: scale for u in hubs}
+    a = {}
+    for _ in range(iters):
+        raw = {v: 0 for v in auths}
+        for u, v in set(edges):
+            raw[v] += h[u]
+        mx = max(raw.values())
+        a = {v: raw[v] * scale // mx for v in auths}
+        raw = {u: 0 for u in hubs}
+        for u, v in set(edges):
+            raw[u] += a[v]
+        mx = max(raw.values())
+        h = {u: raw[u] * scale // mx for u in hubs}
+    return h, a
+
+
+hits_edges = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(100, 106)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(hits_edges)
+def test_hits_matches_integer_model(spark, edges):
+    from mlentory_etl_pipeline_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        sorted(set(edges)), "u long, v long"
+    )
+    got = {
+        (r.side, r.node): r.score for r in hits(df, iters=3).collect()
+    }
+    h, a = _hits_model(edges, iters=3)
+    expect = {("hub", u): round(s / 1e9, 9) for u, s in h.items()}
+    expect |= {("auth", v): round(s / 1e9, 9) for v, s in a.items()}
+    assert got == expect
+
+
+# --- normal SF polynomial + BH step-up --------------------------------
+
+
+def test_normal_sf2_micro_matches_erfc(spark):
+    from mlentory_etl_pipeline_spark.operators.stats import normal_sf2_micro
+
+    zs = [-3_500_000, -1_959_964, -500_000, 0, 123_456, 1_644_854, 2_575_829]
+    df = spark.createDataFrame([(z,) for z in zs], "zm long")
+    got = {
+        r.zm: r.pm
+        for r in df.select(
+            "zm", normal_sf2_micro(F.col("zm")).alias("pm")
+        ).collect()
+    }
+    for z in zs:
+        true_p = math.erfc(abs(z / 1e6) / math.sqrt(2.0))
+        # A&S 7.1.26 |err| < 1.5e-7 plus the floor quantum
+        assert abs(got[z] / 1e6 - true_p) < 2e-6
+
+
+bh_case = st.lists(st.integers(0, 1_000_000), min_size=1, max_size=25)
+
+
+@settings(**SETTINGS)
+@given(bh_case, st.integers(1, 20))
+def test_bh_fdr_matches_stepup_model(spark, ps, q_pct):
+    from mlentory_etl_pipeline_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(ps)], "k string, p_micro long"
+    )
+    got = {
+        r.k: (r.rank, r.rejected)
+        for r in bh_fdr(df, ["k"], "p_micro", q_pct=q_pct).collect()
+    }
+    order = sorted(range(len(ps)), key=lambda i: (ps[i], str(i)))
+    m = len(ps)
+    kmax = 0
+    for rank, i in enumerate(order, start=1):
+        if ps[i] * m * 100 <= rank * q_pct * 1_000_000:
+            kmax = rank
+    for rank, i in enumerate(order, start=1):
+        assert got[str(i)] == (rank, rank <= kmax)
