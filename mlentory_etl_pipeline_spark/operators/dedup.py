@@ -19,7 +19,7 @@ what makes near-dup results auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -803,4 +803,82 @@ def minhash_recall_audit(
         "found_pairs",
         F.round(F.when(tp > 0, fp / tp), 6).alias("recall"),
         F.round(F.when(cp > 0, fp / cp), 6).alias("candidate_precision"),
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment ``C(A→B) =
+    |A ∩ B| / |A| ≥ t`` — finds documents SUBSUMED by others (quotes,
+    excerpts, boilerplate-wrapped copies) that symmetric Jaccard
+    misses: a 50-shingle excerpt inside a 5000-shingle page has
+    J ≈ 0.01 but C = 1.0. The curation action is directional (drop the
+    contained copy, keep the superset), which is why the pair is
+    ordered.
+
+    Lossless prefix filter, containment-adapted (Gravano/PPJoin family
+    — the setsim_prefix_join scheme, linkage.py:189): if
+    ``|A ∩ B| ≥ ceil(t·|A|)`` then A must share a token among its
+    first ``|A| − ceil(t·|A|) + 1`` rarest-first tokens; B is probed
+    on its FULL token list (no B-side prefix exists for asymmetric
+    containment), plus the size filter ``|B| ≥ ceil(t·|A|)``. Global
+    rarest-first ordering keeps hot shingles out of A-prefixes, which
+    bounds the candidate fan-out at corpus scale.
+
+    Returns ``(a_id, b_id, containment)`` for verified DIRECTED pairs
+    ``A ⊂~ B``, a_id ≠ b_id, containment rounded 6 dp — exactly the
+    all-pairs answer (filter is lossless), which the oracle computes.
+    """
+    sets = (
+        doc_shingles(docs, id_col, text_col, n=n)
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(F.collect_set("shingle").alias("_set"))
+        .where(F.size("_set") > 0)
+    )
+    freq = (
+        sets.select(F.explode("_set").alias("_tk"))
+        .groupBy("_tk")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    exploded = sets.select(
+        "_id", F.size("_set").alias("_sz"), F.explode("_set").alias("_tk")
+    ).join(freq, "_tk")
+    # epsilon-guarded ceil (the setsim_prefix_join note)
+    def _ceil_t(sz):
+        return F.ceil(F.lit(threshold) * sz - F.lit(1e-9))
+
+    ordered = exploded.withColumn(
+        "_pos",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_f", "_tk")),
+    )
+    prefix_len = (F.col("_sz") - _ceil_t(F.col("_sz")) + F.lit(1)).cast("int")
+    a_prefix = ordered.where(F.col("_pos") <= prefix_len).select(
+        F.col("_id").alias("a_id"), "_tk", F.col("_sz").alias("_asz")
+    )
+    b_all = exploded.select(
+        F.col("_id").alias("b_id"), "_tk", F.col("_sz").alias("_bsz")
+    )
+    cands = (
+        a_prefix.join(b_all, "_tk")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(F.col("_bsz") >= _ceil_t(F.col("_asz")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = sets.select(F.col("_id").alias("a_id"), F.col("_set").alias("_aset"))
+    bv = sets.select(F.col("_id").alias("b_id"), F.col("_set").alias("_bset"))
+    inter = F.size(F.array_intersect("_aset", "_bset"))
+    return (
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn(
+            "_c", inter.cast("double") / F.size("_aset").cast("double")
+        )
+        .where(F.col("_c") >= threshold)
+        .select("a_id", "b_id", F.round("_c", 6).alias("containment"))
     )

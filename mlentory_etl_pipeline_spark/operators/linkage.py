@@ -534,3 +534,104 @@ def fellegi_sunter_em(
         .select("_f.*", "match_prior", "n_pairs")
         .orderBy("field")
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_cols: tuple[str, str],
+    str_cols: tuple[str, str],
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """R⋈S edit-distance join: all pairs with ``levenshtein ≤ k``,
+    without the all-pairs cross product — the scalable fuzzy-key join
+    (Gravano et al., VLDB'01 q-gram filtering) behind approximate
+    identifier reconciliation across sources.
+
+    Lossless candidate filters:
+
+    - length:  ``| |a| − |b| | ≤ k``;
+    - count:   each edit destroys ≤ q grams, so a true pair shares
+      BAG-intersection ≥ ``max(|a|,|b|) − q + 1 − k·q`` q-grams —
+      applied via a gram equi-join with per-string gram counts and
+      ``Σ min(cnt_a, cnt_b)``;
+    - short strings (``len < q·(k+1)`` on BOTH sides — where the count
+      bound degenerates to ≤ 0) pair through an exploded-length
+      equi-join instead (each left row emits lengths ``len−k … len+k``;
+      cost (2k+1)× the short population, no cross join).
+
+    Candidates then verify with one ``levenshtein`` call (built-in,
+    JVM-side; identical semantics in DuckDB, so the all-pairs oracle
+    is exact). Returns ``(a_id, b_id, edit_distance)``.
+
+    Scale posture: the gram join shuffles on the gram key; global
+    rarest-vs-hot gram skew is the known hazard of q-gram joins —
+    near-identical key populations (serial numbers sharing long
+    prefixes) degrade toward quadratic candidates, which is a property
+    of the DATA, not the plan; AQE skew-split applies.
+    """
+    lid, rid = id_cols
+    lstr, rstr = str_cols
+    short_cut = q * (k + 1)  # len < short_cut → degenerate count bound
+
+    def grams(df, idc, sc, side):
+        base = df.select(
+            F.col(idc).alias(f"{side}_id"),
+            F.col(sc).alias(f"_{side}s"),
+            F.length(F.col(sc)).alias(f"_{side}len"),
+        )
+        g = base.where(F.col(f"_{side}len") >= short_cut).select(
+            f"{side}_id",
+            f"_{side}len",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.col(f"_{side}len") - F.lit(q - 1)
+                    ),
+                    lambda i: F.col(f"_{side}s").substr(i, F.lit(q)),
+                )
+            ).alias("_g"),
+        )
+        return base, g.groupBy(f"{side}_id", f"_{side}len", "_g").agg(
+            F.count(F.lit(1)).alias(f"_{side}cnt")
+        )
+
+    lbase, lg = grams(left, lid, lstr, "a")
+    rbase, rg = grams(right, rid, rstr, "b")
+    common = (
+        lg.join(rg, "_g")
+        .where(
+            F.abs(F.col("_alen") - F.col("_blen")) <= k
+        )
+        .groupBy("a_id", "b_id", "_alen", "_blen")
+        .agg(F.sum(F.least("_acnt", "_bcnt")).alias("_common"))
+        .where(
+            F.col("_common")
+            >= F.greatest("_alen", "_blen") - F.lit(q - 1) - F.lit(k * q)
+        )
+        .select("a_id", "b_id")
+    )
+    # short × short: exploded-length equi-join (no gram to share)
+    lshort = lbase.where(F.col("_alen") < short_cut).select(
+        "a_id",
+        "_as",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_alen") - F.lit(k), F.lit(0)),
+                F.col("_alen") + F.lit(k),
+            )
+        ).alias("_lmatch"),
+    )
+    rshort = rbase.where(F.col("_blen") < short_cut).select(
+        "b_id", "_bs", F.col("_blen").alias("_lmatch")
+    )
+    short_cands = lshort.join(rshort, "_lmatch").select("a_id", "b_id")
+    cands = common.unionByName(short_cands).distinct()
+    return (
+        cands.join(lbase.select("a_id", "_as"), "a_id")
+        .join(rbase.select("b_id", "_bs"), "b_id")
+        .withColumn("edit_distance", F.levenshtein("_as", "_bs"))
+        .where(F.col("edit_distance") <= k)
+        .select("a_id", "b_id", "edit_distance")
+    )

@@ -15888,6 +15888,81 @@ def bh_fdr_nation_fulfilled(spark, sf_dir):
     )
 
 
+@register(
+    "containment_quote_detection",
+    "asymmetric near-dup: 3-shingle containment |A∩B|/|A| >= 0.5 "
+    "finds docs SUBSUMED by others (quotes/excerpts/boilerplate "
+    "wraps) that symmetric Jaccard misses; lossless A-prefix filter "
+    "(rarest-first ordering) against a full B-side index + size "
+    "filter, exact verification on candidates only",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+      FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 3, 0) + 1),
+                      i -> ARRAY_TO_STRING(w[i + 1 : i + 3], ' '))) AS shingle
+        FROM words
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           ROUND(i / CAST(sa.sz AS DOUBLE), 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = a_id
+    WHERE i / CAST(sa.sz AS DOUBLE) >= 0.5
+    """,
+    survey_ops=("dedup-containment", "dedup-ngram-jaccard", "N3"),
+)
+def containment_quote_detection(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.containment_join(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register(
+    "edit_distance_join_parts",
+    "q-gram-filtered edit-distance join (Gravano VLDB'01): a minted "
+    "typo batch of distinct part names joined to the name catalog "
+    "within levenshtein <= 2, via lossless length + bag-gram count "
+    "filters (short strings through an exploded-length equi-join) — "
+    "the scalable fuzzy-key reconciliation join, no cross product",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS nid FROM part GROUP BY 1
+    ),
+    a AS (SELECT nid + 1000000 AS a_id, p_name || 'q' AS s FROM names),
+    b AS (SELECT nid AS b_id, p_name AS s FROM names)
+    SELECT a_id, b_id, levenshtein(a.s, b.s) AS edit_distance
+    FROM a, b
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+    survey_ops=("linkage-blocked", "F8"),
+)
+def edit_distance_join_parts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import linkage
+
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+    )
+    typos = names.select(
+        (F.col("nid") + 1000000).alias("tid"),
+        F.concat(F.col("p_name"), F.lit("q")).alias("tname"),
+    )
+    base = names.select(F.col("nid"), F.col("p_name"))
+    return linkage.edit_distance_join(
+        typos, base, ("tid", "nid"), ("tname", "p_name"), k=2, q=2
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

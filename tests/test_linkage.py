@@ -10,6 +10,8 @@ import math
 import random
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mlentory_etl_pipeline_spark.operators.linkage import (
@@ -193,3 +195,101 @@ def test_cogroup_reconcile_all_statuses(spark):
     assert out[3].status == "left_only" and out[3].right_total is None
     assert out[4].status == "right_only" and out[4].left_total is None
     assert out[2].left_total == 20.0 and out[2].right_total == 19.5
+
+
+# --- edit_distance_join vs brute-force DP ----------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# tiny alphabet + short lengths: maximizes collisions AND exercises the
+# short-string exploded-length path (len < q*(k+1))
+ed_strings = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=8), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ed_strings, ed_strings, st.integers(1, 2))
+def test_edit_distance_join_matches_brute_force(spark, ls, rs, k):
+    from mlentory_etl_pipeline_spark.operators.linkage import (
+        edit_distance_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ls)], "lid long, ls string"
+    )
+    right = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rs)], "rid long, rs string"
+    )
+    got = {
+        (r.a_id, r.b_id): r.edit_distance
+        for r in edit_distance_join(
+            left, right, ("lid", "rid"), ("ls", "rs"), k=k, q=2
+        ).collect()
+    }
+    expect = {
+        (i, j): _lev(a, b)
+        for i, a in enumerate(ls)
+        for j, b in enumerate(rs)
+        if _lev(a, b) <= k
+    }
+    assert got == expect
+
+
+# --- containment_join vs brute-force set model ------------------------
+
+cont_docs = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cont_docs)
+def test_containment_join_matches_brute_force(spark, docs):
+    from mlentory_etl_pipeline_spark.operators.dedup import containment_join
+
+    t_ = 0.5
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_join(df, "doc_id", "text", n=3, threshold=t_).collect()
+    }
+
+    def shingles(ws):
+        if not ws:
+            return set()  # empty text still yields one ''-shingle upstream?
+        return {
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 3, 0) + 1)
+        }
+
+    texts = [" ".join(ws).lower().strip().split() if ws else [""] for ws in docs]
+    sets = [shingles(ws) for ws in texts]
+    expect = {}
+    for i, a in enumerate(sets):
+        if not a:
+            continue
+        for j, b in enumerate(sets):
+            if i == j or not b:
+                continue
+            c = len(a & b) / len(a)
+            if c >= t_:
+                expect[(i, j)] = round(c, 6)
+    assert got == expect
