@@ -199,3 +199,49 @@ def range_partition_bounds(
         )
         .orderBy("bucket")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each key goes to
+    ``argmax_s md5(key ':' s)`` over shards ``0..n_shards-1`` — the
+    consistent-placement primitive for a 100 TB lake: when a shard is
+    added, ONLY keys whose new-shard weight wins move (≈ 1/(N+1) of
+    them), versus ``hash % N`` reshuffling almost everything. Pure
+    map-side Column expression (one transform over the shard range +
+    array_max on (weight, shard) structs — deterministic total order),
+    no shuffle, engine-replicable via the md5-prefix integer idiom
+    (sketches.py:284).
+
+    Scale note: cost is O(n_shards) per row map-side; for shard counts
+    beyond a few hundred use the two-level variant (HRW over shard
+    GROUPS, then within the group).
+    """
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key_col).cast("string"),
+                            F.lit(":"),
+                            s.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("w"),
+            s.alias("s"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(w).getField("s"))

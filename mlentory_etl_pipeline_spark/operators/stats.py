@@ -3552,3 +3552,241 @@ def bh_fdr(
             (F.col("rank") <= F.col("_k")).alias("rejected"),
         )
     )
+
+
+def eb_beta_binomial_shrink(
+    df: DataFrame,
+    key_cols: list[str],
+    k_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Empirical-Bayes rate shrinkage (the baseball-batting-average
+    estimator): fit a Beta(α, β) prior to the per-entity rates by
+    method of moments, then report each entity's posterior mean
+    ``(k + α) / (n + α + β)`` — small-sample rates shrink hard toward
+    the corpus prior, high-n rates barely move. The standard guard
+    against ranking a 1/1 entity above a 980/1000 one in quality
+    scoring, CTR ranking, or source-reliability weighting.
+
+    Exactness contract: per-entity rates quantize to micro-units via
+    ONE integral divide (``k·10^6 DIV n``); the moment sums (U, Σr,
+    Σr²) close in DECIMAL(38,0); m and v derive from those exact
+    integers in frozen-association double math; α, β floor to
+    micro-units so the final posterior mean is one double divide of
+    exact integers. Degenerate contract: zero rate variance or
+    non-positive prior strength (v ≥ m(1−m) — no valid Beta moment
+    fit) → ``shrunk`` NULL, ``alpha_micro``/``beta_micro`` NULL.
+
+    Scale: one map-side-combined aggregation for the moments (3
+    numbers), broadcast back over the entity table — no window, no
+    second shuffle.
+    """
+    base = df.select(
+        *key_cols,
+        F.col(k_col).cast("long").alias("_k"),
+        F.col(n_col).cast("long").alias("_n"),
+    ).where(F.col("_n") > 0)
+    rated = base.withColumn(
+        "_rq", F.expr("CAST(_k AS DECIMAL(38,0)) * 1000000 DIV _n")
+    )
+    mom = F.broadcast(
+        rated.agg(
+            F.count(F.lit(1)).alias("_u"),
+            F.sum(F.col("_rq").cast("decimal(38,0)")).alias("_s1"),
+            F.sum(
+                (F.col("_rq") * F.col("_rq")).cast("decimal(38,0)")
+            ).alias("_s2"),
+        )
+    )
+    j = rated.crossJoin(mom)
+    m = F.col("_s1").cast("double") / (
+        F.col("_u").cast("double") * F.lit(1000000.0)
+    )
+    v = (
+        F.col("_u").cast("decimal(38,0)") * F.col("_s2")
+        - F.col("_s1") * F.col("_s1")
+    ).cast("double") / (
+        (F.col("_u").cast("double") * F.col("_u").cast("double"))
+        * F.lit(1e12)
+    )
+    strength = (m * (F.lit(1.0) - m)) / v - F.lit(1.0)
+    valid = (v > 0) & ((m * (F.lit(1.0) - m)) / v - F.lit(1.0) > 0)
+    alpha_micro = F.when(
+        valid, F.floor(m * strength * F.lit(1000000.0)).cast("long")
+    )
+    beta_micro = F.when(
+        valid,
+        F.floor((F.lit(1.0) - m) * strength * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    out = j.select(
+        *key_cols,
+        F.col("_k").alias("k"),
+        F.col("_n").alias("n"),
+        F.round(F.col("_rq") / F.lit(1000000.0), 6).alias("raw_rate"),
+        alpha_micro.alias("alpha_micro"),
+        beta_micro.alias("beta_micro"),
+    )
+    shrunk = (
+        (F.col("k") * F.lit(1000000) + F.col("alpha_micro")).cast("double")
+        / (
+            F.col("n") * F.lit(1000000)
+            + F.col("alpha_micro")
+            + F.col("beta_micro")
+        ).cast("double")
+    )
+    return out.withColumn("shrunk", F.round(shrunk, 6))
+
+
+def ipw_ate(
+    df: DataFrame,
+    stratum_cols: list[str],
+    treat: Column,
+    outcome: Column,
+    cents: int = 100,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with
+    stratum-estimated propensities — the observational companion to
+    did_purchase_value/cuped: reweight treated and control outcomes by
+    1/p̂(s) and 1/(1−p̂(s)) within each confounder stratum, so strata
+    where treatment is rare count each treated unit more.
+
+    Algebra (exact): with per-stratum counts n_s, treated nt_s and
+    outcome sums Yt_s, Yc_s (outcome quantized to integer ``cents``
+    units), the Horvitz–Thompson terms fold as ONE integral divide per
+    stratum — ``Yt_s·n_s·10^6 DIV nt_s`` — summed in DECIMAL(38,0),
+    with a single double division by N·10^6·cents at the end.
+
+    Positivity contract: a stratum with zero treated or zero control
+    units makes IPW undefined; such strata are COUNTED
+    (``positivity_violations``) and force ``ate`` to NULL rather than
+    silently dropping them.
+    """
+    y = F.floor(outcome * cents).cast("long")
+    tcol = F.when(treat, F.lit(1)).otherwise(F.lit(0))
+    per = (
+        df.select(*stratum_cols, tcol.alias("_t"), y.alias("_y"))
+        .groupBy(*stratum_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_t").alias("_nt"),
+            F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0)).alias(
+                "_yt"
+            ),
+            F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0)).alias(
+                "_yc"
+            ),
+        )
+    )
+    ok = (F.col("_nt") > 0) & (F.col("_nt") < F.col("_n"))
+    term_t = F.expr(
+        "CAST(_yt AS DECIMAL(38,0)) * _n * 1000000 DIV _nt"
+    )
+    term_c = F.expr(
+        "CAST(_yc AS DECIMAL(38,0)) * _n * 1000000 DIV (_n - _nt)"
+    )
+    agg = per.agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("positivity_violations"),
+        F.sum(F.when(ok, term_t.cast("decimal(38,0)"))).alias("_st"),
+        F.sum(F.when(ok, term_c.cast("decimal(38,0)"))).alias("_sc"),
+    )
+    ate = F.when(
+        F.col("positivity_violations") == 0,
+        F.round(
+            (F.col("_st") - F.col("_sc")).cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.lit(1000000.0)
+                * F.lit(float(cents))
+            ),
+            6,
+        ),
+    )
+    return agg.select("n", "n_strata", "positivity_violations", ate.alias("ate"))
+
+
+def msprt_always_valid(
+    daily: DataFrame,
+    day_col: str,
+    d_micro_col: str,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (Johari et al. —
+    always-valid inference): an A/B monitor you may PEEK at daily
+    without inflating false positives. Input is the daily
+    treatment-minus-control difference series (micro-quantized); the
+    mixture likelihood ratio under a N(0, τ²) effect prior with
+    τ² = σ̂² (the standard default) is
+
+        Λ_n = sqrt(1/(1+n)) · exp( n²·δ̂_n² / (2σ̂²(1+n)) )
+
+    and the always-valid p-value is the running min of 1/Λ_n —
+    monotone by construction, valid at every stopping time.
+
+    Exactness contract: σ̂² derives from exact integer moment sums of
+    the micro-quantized series; δ̂_n from exact cumulative integer
+    sums; log Λ evaluates in frozen-association double math and
+    floors to micro-units before ``exp``; the running min then folds
+    INTEGERS. Windows are calendar-bounded (one row per day — the
+    moving_avg_daily_revenue category). Degenerate contract: zero
+    series variance → NULL p (documented).
+
+    Returns per day: ``(day, n, dbar, p_always)``.
+    """
+    w_cum = Window.orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mom = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).alias("_u"),
+            F.sum(F.col(d_micro_col).cast("decimal(38,0)")).alias("_s1"),
+            F.sum(
+                (F.col(d_micro_col) * F.col(d_micro_col)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_s2"),
+        )
+    )
+    cum = daily.select(
+        day_col,
+        F.row_number().over(Window.orderBy(day_col)).alias("n"),
+        F.sum(d_micro_col).over(w_cum).alias("_cs"),
+    ).crossJoin(mom)
+    sigma2 = (
+        F.col("_u").cast("decimal(38,0)") * F.col("_s2")
+        - F.col("_s1") * F.col("_s1")
+    ).cast("double") / (
+        (F.col("_u").cast("double") * F.col("_u").cast("double"))
+        * F.lit(1e12)
+    )
+    nd = F.col("n").cast("double")
+    dbar = F.col("_cs").cast("double") / (nd * F.lit(1000000.0))
+    log_lambda = F.lit(0.5) * F.log(F.lit(1.0) / (F.lit(1.0) + nd)) + (
+        (nd * nd) * (dbar * dbar)
+    ) / ((F.lit(2.0) * sigma2) * (F.lit(1.0) + nd))
+    p_raw = F.when(
+        sigma2 > 0,
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.floor(
+                F.exp(
+                    -(F.floor(log_lambda * F.lit(1000000.0)) / F.lit(1000000.0))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ),
+    )
+    staged = cum.select(day_col, "n", F.round(dbar, 6).alias("dbar"), p_raw.alias("_pr"))
+    p_always = F.min("_pr").over(
+        Window.orderBy(day_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return staged.select(
+        day_col,
+        "n",
+        "dbar",
+        F.round(p_always / F.lit(1000000.0), 6).alias("p_always"),
+    )

@@ -15963,6 +15963,319 @@ def edit_distance_join_parts(spark, sf_dir):
     )
 
 
+_HRW_WEIGHT_SQL = (
+    "CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(doc_id AS VARCHAR), "
+    "':', CAST(s AS VARCHAR))), 1, 15)) AS BIGINT) AS HUGEINT) * 32 + s"
+)
+
+
+@register(
+    "rendezvous_shard_docs",
+    "rendezvous (HRW) consistent sharding of docs at N=16 and N=17: "
+    "shard = argmax_s md5(key:s) — map-only, no shuffle; the `moved` "
+    "flag exhibits the minimal-movement law (only keys won by the NEW "
+    "shard move, ~1/17) that hash-mod placement violates",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LIST_MAX(LIST_TRANSFORM(RANGE(0, 16),
+                s -> {_HRW_WEIGHT_SQL})) % 32 AS INT) AS shard16,
+           CAST(LIST_MAX(LIST_TRANSFORM(RANGE(0, 17),
+                s -> {_HRW_WEIGHT_SQL})) % 32 AS INT) AS shard17,
+           CAST(LIST_MAX(LIST_TRANSFORM(RANGE(0, 16),
+                s -> {_HRW_WEIGHT_SQL})) % 32 AS INT)
+             <> CAST(LIST_MAX(LIST_TRANSFORM(RANGE(0, 17),
+                s -> {_HRW_WEIGHT_SQL})) % 32 AS INT) AS moved
+    FROM documents
+    """,
+    survey_ops=("layout-placement", "S11"),
+)
+def rendezvous_shard_docs(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import layout
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    d = layout.rendezvous_assign(d, "doc_id", 16, out_col="shard16")
+    d = layout.rendezvous_assign(d, "doc_id", 17, out_col="shard17")
+    return d.select(
+        "doc_id",
+        "shard16",
+        "shard17",
+        (F.col("shard16") != F.col("shard17")).alias("moved"),
+    )
+
+
+@register(
+    "winnowing_fingerprints_docs",
+    "winnowing (MOSS) local fingerprints: 8-char-gram md5 hashes, "
+    "window-of-8 minima with rightmost tie-break, distinct (pos, "
+    "hash) — guarantees any shared substring >= 15 chars shares a "
+    "fingerprint at 2/(w+1) density; pure Column HOF pipeline, "
+    "map-only until the distinct",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    hl AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               RANGE(1, GREATEST(LENGTH(t) - 7, 1) + 1),
+               i -> CAST(CONCAT('0x', SUBSTR(MD5(SUBSTR(t, i, 8)), 1, 15))
+                         AS BIGINT)) AS hl
+      FROM n
+    ),
+    p AS (
+      SELECT doc_id, hl, LEAST(8, LEN(hl)) AS wl FROM hl
+    ),
+    wins AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, LEN(hl) - wl + 2),
+               j -> STRUCT_PACK(
+                 pos := CAST(j + wl - LIST_POSITION(
+                   LIST_REVERSE(hl[j : j + wl - 1]),
+                   LIST_MIN(hl[j : j + wl - 1])) AS INT),
+                 fp := LIST_MIN(hl[j : j + wl - 1])))) AS f
+      FROM p
+    )
+    SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp FROM wins
+    """,
+    survey_ops=("text-fingerprint", "dedup-containment", "N3"),
+)
+def winnowing_fingerprints_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return dedup.winnowing_fingerprints(d, "doc_id", "text", k=8, w=8)
+
+
+@register(
+    "eb_shrunk_user_purchase_rates",
+    "empirical-Bayes beta-binomial shrinkage of per-user purchase "
+    "rates: method-of-moments Beta prior from exact integer moment "
+    "sums (micro-quantized rates, one integral divide each), "
+    "posterior mean (k+a)/(n+a+b) — the guard against ranking a 1/1 "
+    "user above a 980/1000 one; one aggregation + broadcast, no "
+    "window",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT user_id, k, n,
+             CAST((CAST(k AS HUGEINT) * 1000000) // n AS BIGINT) AS rq
+      FROM per WHERE n > 0
+    ),
+    mom AS (
+      SELECT COUNT(*) AS u, SUM(CAST(rq AS HUGEINT)) AS s1,
+             SUM(CAST(rq AS HUGEINT) * rq) AS s2
+      FROM r
+    ),
+    par AS (
+      SELECT u,
+             CAST(s1 AS DOUBLE) / (CAST(u AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS m,
+             CAST(u * s2 - s1 * s1 AS DOUBLE)
+               / ((CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) * 1e12) AS v
+      FROM mom
+    ),
+    ab AS (
+      SELECT CASE WHEN v > 0 AND (m * (1.0 - m)) / v - 1.0 > 0 THEN
+               CAST(FLOOR(m * ((m * (1.0 - m)) / v - 1.0)
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             END AS alpha_micro,
+             CASE WHEN v > 0 AND (m * (1.0 - m)) / v - 1.0 > 0 THEN
+               CAST(FLOOR((1.0 - m) * ((m * (1.0 - m)) / v - 1.0)
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             END AS beta_micro
+      FROM par
+    )
+    SELECT user_id, k, n,
+           ROUND(CAST(rq AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS raw_rate,
+           alpha_micro, beta_micro,
+           ROUND(CAST(k * 1000000 + alpha_micro AS DOUBLE)
+                 / CAST(n * 1000000 + alpha_micro + beta_micro AS DOUBLE),
+                 6) AS shrunk
+    FROM r, ab
+    """,
+    survey_ops=("eval-metrics", "curation-pipeline"),
+)
+def eb_shrunk_user_purchase_rates(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k_purch"),
+    )
+    return stats.eb_beta_binomial_shrink(
+        per, ["user_id"], "k_purch", "n_events"
+    )
+
+
+@register(
+    "ipw_ate_purchase_value",
+    "inverse-propensity-weighted ATE of a hash-assigned treatment on "
+    "event value, weekday-stratified propensities: Horvitz-Thompson "
+    "terms close as one integral divide per stratum in DECIMAL(38,0), "
+    "positivity violations counted and NULL-forcing (never silently "
+    "dropped); synthetic treatment = user_id parity (the estimator "
+    "demo, not a causal claim)",
+    oracle="""
+    WITH base AS (
+      -- stratum key: DuckDB dayofweek is 0-6, Spark 1-7 — a bijection,
+      -- so the stratum PARTITION (all that matters) is identical
+      SELECT DAYOFWEEK(ts) AS dow,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t_,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+      SELECT dow, COUNT(*) AS n, SUM(t_) AS nt,
+             SUM(CASE WHEN t_ = 1 THEN y ELSE 0 END) AS yt,
+             SUM(CASE WHEN t_ = 0 THEN y ELSE 0 END) AS yc
+      FROM base GROUP BY 1
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS n_strata,
+             SUM(CASE WHEN nt > 0 AND nt < n THEN 0 ELSE 1 END)
+               AS positivity_violations,
+             SUM(CASE WHEN nt > 0 AND nt < n THEN
+                   (CAST(yt AS HUGEINT) * n * 1000000) // nt END) AS st,
+             SUM(CASE WHEN nt > 0 AND nt < n THEN
+                   (CAST(yc AS HUGEINT) * n * 1000000) // (n - nt) END) AS sc
+      FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_strata, positivity_violations,
+           CASE WHEN positivity_violations = 0 THEN
+             ROUND(CAST(st - sc AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                      * CAST(100 AS DOUBLE)), 6)
+           END AS ate
+    FROM agg
+    """,
+    survey_ops=("eval-metrics", "§2.9 aggregations"),
+)
+def ipw_ate_purchase_value(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return stats.ipw_ate(
+        e.withColumn("dow", F.dayofweek("ts")),
+        ["dow"],
+        F.col("user_id") % 2 == 1,
+        F.col("value"),
+        cents=100,
+    )
+
+
+@register(
+    "msprt_daily_value_monitor",
+    "always-valid mSPRT A/B monitor over the daily "
+    "variant-difference series (variant = user_id parity): mixture "
+    "likelihood ratio with tau^2 = sigma^2, log-Lambda in frozen "
+    "double math floored to micro-units, always-valid p = running "
+    "INTEGER min of 1/Lambda — peek daily without alpha inflation; "
+    "windows calendar-bounded (one row per day)",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t_,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT day,
+             SUM(CASE WHEN t_ = 1 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN t_ = 1 THEN y ELSE 0 END) AS sa,
+             SUM(CASE WHEN t_ = 0 THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN t_ = 0 THEN y ELSE 0 END) AS sb
+      FROM base GROUP BY 1
+    ),
+    d AS (
+      SELECT day,
+             CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dm
+      FROM daily WHERE na > 0 AND nb > 0
+    ),
+    mom AS (
+      SELECT COUNT(*) AS u, SUM(CAST(dm AS HUGEINT)) AS s1,
+             SUM(CAST(dm AS HUGEINT) * dm) AS s2
+      FROM d
+    ),
+    cum AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS n,
+             SUM(dm) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM d
+    ),
+    scored AS (
+      SELECT day, n,
+             CAST(cs AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS dbar,
+             CAST(u * s2 - s1 * s1 AS DOUBLE)
+               / ((CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) * 1e12) AS sigma2
+      FROM cum, mom
+    ),
+    praw AS (
+      SELECT day, n, dbar,
+             CASE WHEN sigma2 > 0 THEN
+               LEAST(CAST(1000000 AS BIGINT), CAST(FLOOR(EXP(
+                 -(CAST(FLOOR((0.5 * LN(1.0 / (1.0 + CAST(n AS DOUBLE)))
+                     + ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                        * (dbar * dbar))
+                       / ((2.0 * sigma2) * (1.0 + CAST(n AS DOUBLE))))
+                     * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                   / CAST(1000000 AS DOUBLE))
+               ) * CAST(1000000 AS DOUBLE)) AS BIGINT))
+             END AS pr
+      FROM scored
+    )
+    SELECT day, n, ROUND(dbar, 6) AS dbar,
+           ROUND(CAST(MIN(pr) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p_always
+    FROM praw ORDER BY day
+    """,
+    survey_ops=("eval-metrics", "streaming-monitor"),
+)
+def msprt_daily_value_monitor(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("_t"),
+        F.floor(F.col("value") * 100).cast("long").alias("_y"),
+    )
+    daily = base.groupBy("day").agg(
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0)).alias(
+            "_sa"
+        ),
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0)).alias(
+            "_sb"
+        ),
+    )
+    d = daily.where((F.col("_na") > 0) & (F.col("_nb") > 0)).select(
+        "day",
+        F.floor(
+            (
+                F.col("_sa").cast("double") / F.col("_na").cast("double")
+                - F.col("_sb").cast("double") / F.col("_nb").cast("double")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    return stats.msprt_always_valid(d, "day", "d_micro").orderBy("day")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -44,6 +44,11 @@ from mlentory_etl_pipeline_spark.session import get_spark  # noqa: E402
 # so even deliberate partitionBy(lit(0)) bounded windows land here.
 GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "bootstrap_ci_avg_quantity": "ranks the B=64 replica means",
+    "msprt_daily_value_monitor": (
+        "cumulative + running-min windows over the global DAILY "
+        "series - calendar-bounded (the moving_avg_daily_revenue "
+        "category)"
+    ),
     "bh_fdr_nation_fulfilled": (
         "BH step-up rank over ONE ROW PER TEST (25 nations - "
         "metadata-sized, the bootstrap-replica category)"

@@ -1292,3 +1292,103 @@ def test_personalized_pagerank_dangling_mass_to_seeds(spark):
     }
     assert abs(sum(ppr.values()) - 1.0) < 1e-6
     assert ppr[1] > ppr[2] > ppr[3] > 0
+
+
+# --- winnowing fingerprints vs the SIGMOD'03 reference algorithm ------
+
+
+def test_winnowing_matches_reference_model(spark):
+    import hashlib as _hl
+
+    from mlentory_etl_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abc"),                       # shorter than k: whole-string gram
+        (3, "aaaaaaaaaaaaaaaa"),          # max ties: rightmost-min rule
+        (4, "the quick brown fox jumps"),  # shared prefix with doc 1
+    ]
+    k, w = 8, 4
+
+    def model(text):
+        t = " ".join(text.lower().strip().split())
+        if not t:
+            return set()
+        n_h = max(len(t) - k + 1, 1)
+        hs = [
+            int(_hl.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n_h)
+        ]
+        wl = min(w, len(hs))
+        out = set()
+        for j in range(len(hs) - wl + 1):
+            window = hs[j : j + wl]
+            m = min(window)
+            # rightmost occurrence of the min
+            pos = j + max(i for i, h in enumerate(window) if h == m) + 1
+            out.add((pos, m))
+        return out
+
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnowing_fingerprints(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            k=k,
+            w=w,
+        ).collect()
+    }
+    expect = {
+        (i, pos, fp) for i, txt in docs for (pos, fp) in model(txt)
+    }
+    assert got == expect
+    # the winnowing guarantee: docs 1 and 4 share a >= w+k-1 char
+    # prefix, so they MUST share at least one fingerprint
+    f1 = {(p, f) for (d, p, f) in got if d == 1}
+    f4 = {(p, f) for (d, p, f) in got if d == 4}
+    assert f1 & f4
+
+
+# --- rendezvous sharding: hashlib parity + minimal movement -----------
+
+
+def test_rendezvous_matches_hashlib_and_moves_minimally(spark):
+    import hashlib as _hl
+
+    from mlentory_etl_pipeline_spark.operators.layout import (
+        rendezvous_assign,
+    )
+
+    keys = list(range(400))
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = rendezvous_assign(
+        rendezvous_assign(df, "doc_id", 16, "s16"), "doc_id", 17, "s17"
+    )
+    got = {r.doc_id: (r.s16, r.s17) for r in out.collect()}
+
+    def hrw(key, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                int(
+                    _hl.md5(f"{key}:{s}".encode()).hexdigest()[:15], 16
+                ),
+                s,
+            ),
+        )
+
+    moved = 0
+    for kk in keys:
+        expect = (hrw(kk, 16), hrw(kk, 17))
+        assert got[kk] == expect
+        moved += expect[0] != expect[1]
+    # minimal-movement law: only keys won by shard 16 move (E = n/17);
+    # generous band around 400/17 ~= 23.5
+    assert 5 <= moved <= 60
+    # every key that moved, moved TO the new shard
+    for kk in keys:
+        if got[kk][0] != got[kk][1]:
+            assert got[kk][1] == 16

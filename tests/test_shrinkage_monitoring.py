@@ -1,0 +1,213 @@
+"""EB shrinkage / IPW / mSPRT vs independent Python models.
+
+Each operator's documented quantization contract is re-implemented
+directly in Python (ints + floats, no Spark) on hypothesis-generated
+inputs that stress the degenerate corners the sf-data gate never hits
+(constant rates, empty arms, zero variance).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mlentory_etl_pipeline_spark.operators.stats import (
+    eb_beta_binomial_shrink,
+    ipw_ate,
+    msprt_always_valid,
+)
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# --- EB beta-binomial shrinkage ---------------------------------------
+
+eb_case = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(1, 20)).map(
+        lambda kn: (min(kn), max(kn))  # k <= n
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _eb_model(rows):
+    rqs = [(k * 1_000_000) // n for k, n in rows]
+    u = len(rqs)
+    s1 = sum(rqs)
+    s2 = sum(r * r for r in rqs)
+    m = s1 / (u * 1_000_000.0)
+    v = (u * s2 - s1 * s1) / ((u * float(u)) * 1e12)
+    if v > 0 and (m * (1.0 - m)) / v - 1.0 > 0:
+        strength = (m * (1.0 - m)) / v - 1.0
+        a = math.floor(m * strength * 1_000_000.0)
+        b = math.floor((1.0 - m) * strength * 1_000_000.0)
+    else:
+        a = b = None
+    out = []
+    for (k, n), rq in zip(rows, rqs):
+        if a is None:
+            out.append((k, n, round(rq / 1e6, 6), None, None, None))
+        else:
+            out.append(
+                (
+                    k,
+                    n,
+                    round(rq / 1e6, 6),
+                    a,
+                    b,
+                    round((k * 1_000_000 + a) / (n * 1_000_000 + a + b), 6),
+                )
+            )
+    return out
+
+
+@settings(**SETTINGS)
+@given(eb_case)
+def test_eb_shrink_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, n) for i, (k, n) in enumerate(rows)],
+        "id long, k long, n long",
+    )
+    got = {
+        r.id: (r.k, r.n, r.raw_rate, r.alpha_micro, r.beta_micro, r.shrunk)
+        for r in eb_beta_binomial_shrink(df, ["id"], "k", "n").collect()
+    }
+    model = _eb_model(rows)
+    for i, exp in enumerate(model):
+        g = got[i]
+        assert g[:5] == exp[:5]
+        if exp[5] is None:
+            assert g[5] is None
+        else:
+            assert abs(g[5] - exp[5]) < 2e-6
+    # shrinkage direction: when valid, every shrunk rate sits between
+    # the raw rate and the prior mean
+    if model and model[0][3] is not None:
+        a, b = model[0][3], model[0][4]
+        prior = a / (a + b) if a + b > 0 else None
+        for k, n, raw, *_rest, sh in model:
+            if prior is not None:
+                lo, hi = sorted((raw, round(prior, 4)))
+                assert lo - 1e-4 <= sh <= hi + 1e-4
+
+
+# --- IPW ATE ----------------------------------------------------------
+
+ipw_case = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # stratum
+        st.booleans(),          # treated
+        st.integers(-50, 50),   # outcome (whole units)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _ipw_model(rows):
+    strata = {}
+    for s, t_, y in rows:
+        n, nt, yt, yc = strata.get(s, (0, 0, 0, 0))
+        strata[s] = (
+            n + 1,
+            nt + (1 if t_ else 0),
+            yt + (y * 100 if t_ else 0),
+            yc + (0 if t_ else y * 100),
+        )
+    viol = sum(1 for n, nt, _, _ in strata.values() if nt == 0 or nt == n)
+    if viol:
+        return len(rows), len(strata), viol, None
+    st_ = sum(
+        (yt * n * 1_000_000) // nt for n, nt, yt, _ in strata.values()
+    )
+    sc = sum(
+        (yc * n * 1_000_000) // (n - nt)
+        for n, nt, _, yc in strata.values()
+    )
+    n_tot = len(rows)
+    return (
+        n_tot,
+        len(strata),
+        0,
+        round((st_ - sc) / (n_tot * 1_000_000.0 * 100.0), 6),
+    )
+
+
+@settings(**SETTINGS)
+@given(ipw_case)
+def test_ipw_ate_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [(s, t_, float(y)) for s, t_, y in rows],
+        "s int, t boolean, y double",
+    )
+    r = ipw_ate(df, ["s"], F.col("t"), F.col("y"), cents=100).collect()[0]
+    n, k, viol, ate = _ipw_model(rows)
+    assert (r.n, r.n_strata, r.positivity_violations) == (n, k, viol)
+    if ate is None:
+        assert r.ate is None
+    else:
+        assert abs(r.ate - ate) < 2e-6
+
+
+# --- mSPRT ------------------------------------------------------------
+
+msprt_case = st.lists(st.integers(-3_000_000, 3_000_000), min_size=1, max_size=15)
+
+
+def _msprt_model(dms):
+    u = len(dms)
+    s1 = sum(dms)
+    s2 = sum(d * d for d in dms)
+    sigma2 = (u * s2 - s1 * s1) / ((u * float(u)) * 1e12)
+    out = []
+    cs = 0
+    best = None
+    for n, d in enumerate(dms, start=1):
+        cs += d
+        dbar = cs / (n * 1_000_000.0)
+        if sigma2 > 0:
+            ll = 0.5 * math.log(1.0 / (1.0 + float(n))) + (
+                (float(n) * float(n)) * (dbar * dbar)
+            ) / ((2.0 * sigma2) * (1.0 + float(n)))
+            pr = min(
+                1_000_000,
+                math.floor(
+                    math.exp(-(math.floor(ll * 1_000_000.0) / 1_000_000.0))
+                    * 1_000_000.0
+                ),
+            )
+            best = pr if best is None else min(best, pr)
+            out.append((n, round(dbar, 6), round(best / 1e6, 6)))
+        else:
+            out.append((n, round(dbar, 6), None))
+    return out
+
+
+@settings(**SETTINGS)
+@given(msprt_case)
+def test_msprt_matches_model(spark, dms):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(dms)], "day int, d_micro long"
+    )
+    got = {
+        r.day: (r.n, r.dbar, r.p_always)
+        for r in msprt_always_valid(df, "day", "d_micro").collect()
+    }
+    for day, exp in enumerate(_msprt_model(dms)):
+        g = got[day]
+        assert g[0] == exp[0]
+        assert abs(g[1] - exp[1]) < 2e-6
+        if exp[2] is None:
+            assert g[2] is None
+        else:
+            assert abs(g[2] - exp[2]) < 2e-6
+    # always-valid property: p is non-increasing over days
+    ps = [got[d][2] for d in sorted(got) if got[d][2] is not None]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
