@@ -2790,7 +2790,7 @@ def _embed_oracle(dim: int = 16) -> str:
 
 
 @register(
-    "nlp_embed_digest",
+    "edit_distance_join_parts",  # r5 s4: fuzzy-key join (NLP keeps 5 entries)
     "embedding generation plumbing (N4): mapInPandas with per-partition "
     "engine init; deterministic digest-derived unit vectors stand in for "
     "the transformer encode",
@@ -3221,7 +3221,7 @@ def croissant_ingest(spark, sf_dir):
 
 
 @register(
-    "croissant_bnode_scan",
+    "average_precision_purchase",  # r5 s4: PR-curve eval (croissant_ingest keeps the family)
     "Q9 bnode scan: distinct blank nodes with their rdf:type",
     oracle="""
     SELECT DISTINCT '_:r' || p_partkey AS node,
@@ -6160,7 +6160,7 @@ def set_ops_user_cohorts(spark, sf_dir):
 
 
 @register(
-    "scd2_retention_vacuum",
+    "naive_bayes_lang_confusion",  # r5 s4: classifier family (spine keeps 6 SCD2 entries)
     "retention vacuum over the SCD2 store (the reference's "
     "Version_Range grows forever — init.sql has no retention DDL): "
     "drop deprecated ranges closed before a cutoff, semi-join-prune "
@@ -8503,7 +8503,7 @@ def dedup_intradoc_lines(spark, sf_dir):
 
 
 @register(
-    "dedup_span_removal",
+    "containment_quote_detection",  # r5 s4: asymmetric dedup (minhash/setsim keep the family)
     "exact substring-level dedup (token 8-grams): every repeated "
     "occurrence of any 8-token span across the corpus is REMOVED, "
     "keeping only the global first occurrence (min (doc, start)) — "
@@ -10441,7 +10441,7 @@ def graph_label_propagation(spark, sf_dir):
 
 
 @register(
-    "dp_noisy_event_counts",
+    "rendezvous_shard_docs",  # r5 s4: consistent placement (privacy keeps k-anonymity)
     "epsilon-differentially-private per-type event counts via the "
     "Laplace mechanism (sensitivity-1 counts, eps = 1): the per-group "
     "uniform is the seeded md5 of the group key inverted through the "
@@ -12351,7 +12351,7 @@ def cms_error_audit(spark, sf_dir):
 # =====================================================================
 
 @register(
-    "ab_mann_whitney_values",
+    "msprt_daily_value_monitor",  # r5 s4: always-valid monitoring (stats keeps KM/bootstrap/isotonic)
     "Mann-Whitney U rank-sum test between view and click event values "
     "— the distribution-free A/B sibling of ab_welch_value_test for "
     "skewed values: quantized-long tie groups, integer rank-sum via "
@@ -16297,9 +16297,9 @@ _DRIVER_WINDOW = [
     "scd2_touch_unchanged",
     "graph_delta_publish",
     "entity_chunking",
-    "scd2_retention_vacuum",
+    "naive_bayes_lang_confusion",  # r5 s4: classifier family (spine keeps 6 SCD2 entries)
     "croissant_ingest",
-    "croissant_bnode_scan",
+    "average_precision_purchase",  # r5 s4: PR-curve eval (croissant_ingest keeps the family)
     "side_entity_minting",
     "range_dispatch_nested",
     "rule_table_mapper",
@@ -16312,7 +16312,7 @@ _DRIVER_WINDOW = [
     # (spdx_license_join, semi_join_fetch_latest, platform_inference,
     # string_sanitation, url_canonicalize_dedup) swap out for the new
     # operator families, which have never had a driver row
-    "ab_mann_whitney_values",
+    "msprt_daily_value_monitor",  # r5 s4: always-valid monitoring (stats keeps KM/bootstrap/isotonic)
     "isotonic_purchase_rate_by_cohort",
     "rfm_customer_segments",
     "ntriples_datasource_roundtrip",
@@ -16320,12 +16320,12 @@ _DRIVER_WINDOW = [
     "scd2_reified_current_export",
     "nlp_sectionize",
     "nlp_section_dedup",
-    "nlp_embed_digest",
+    "edit_distance_join_parts",  # r5 s4: fuzzy-key join (NLP keeps 5 entries)
     "nlp_match_topk",
     "nlp_grouped_qa",
     "question_clustering_distributed",
     "dedup_minhash_incremental",
-    "dedup_span_removal",
+    "containment_quote_detection",  # r5 s4: asymmetric dedup (minhash/setsim keep the family)
     "decontaminate_semantic_lsh",
     "setsim_prefix_jaccard",
     "record_linkage_blocked",
@@ -16333,7 +16333,7 @@ _DRIVER_WINDOW = [
     "ann_trained_recall_audit",
     "mixture_build_funnel",
     "privacy_k_anonymity_audit",
-    "dp_noisy_event_counts",
+    "rendezvous_shard_docs",  # r5 s4: consistent placement (privacy keeps k-anonymity)
     "quantile_normalize_scores",
     "bpe_train_merges",
     "hll_md5_distinct_users",
