@@ -3790,3 +3790,151 @@ def msprt_always_valid(
         "dbar",
         F.round(p_always / F.lit(1000000.0), 6).alias("p_always"),
     )
+
+
+def ucb1_scores(
+    df: DataFrame,
+    arm: Column,
+    reward: Column,
+    cents: int = 100,
+) -> DataFrame:
+    """UCB1 bandit scores (Auer et al. 2002) over logged rewards —
+    the DETERMINISTIC allocation rule (mean + sqrt(2 ln N / n_a))
+    for choose-the-next-arm serving decisions: which connector to
+    poll, which extraction strategy to route a doc through. Thompson
+    sampling needs randomness; UCB1 is replayable from counts alone,
+    so it fits the exact-oracle posture.
+
+    Exactness: rewards quantize to integer ``cents``; means are exact
+    integer ratios; the exploration bonus ``sqrt(2·ln N / n_a)``
+    evaluates in frozen-association double math and the final score
+    quantizes to micro-units before the argmax (ties → arm name ASC).
+    One aggregation, metadata-sized output (one row per arm).
+    """
+    y = F.floor(reward * cents).cast("long")
+    per = (
+        df.select(arm.alias("arm"), y.alias("_y"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n_a"), F.sum("_y").alias("_s"))
+    )
+    tot = F.broadcast(per.agg(F.sum("n_a").alias("_n")))
+    j = per.crossJoin(tot)
+    mean = F.col("_s").cast("double") / (
+        F.col("n_a").cast("double") * F.lit(float(cents))
+    )
+    bonus = F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("_n").cast("double"))
+        / F.col("n_a").cast("double")
+    )
+    scored = j.select(
+        "arm",
+        "n_a",
+        F.floor((mean + bonus) * F.lit(1000000.0))
+        .cast("long")
+        .alias("ucb_micro"),
+        F.round(mean, 6).alias("mean_reward"),
+    )
+    best = F.broadcast(
+        scored.agg(
+            F.max(F.struct(F.col("ucb_micro"), F.col("arm"))).alias("_b")
+        )
+    )
+    return scored.crossJoin(best).select(
+        "arm",
+        "n_a",
+        "mean_reward",
+        F.round(F.col("ucb_micro") / F.lit(1000000.0), 6).alias("ucb"),
+        (
+            (F.col("ucb_micro") == F.col("_b.ucb_micro"))
+            & (F.col("arm") == F.col("_b.arm"))
+        ).alias("chosen"),
+    )
+
+
+def qini_uplift_curve(
+    df: DataFrame,
+    score: Column,
+    treat: Column,
+    outcome: Column,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini uplift curve by targeting-score decile — the evaluation
+    for "whom should we treat": rank units by the model's score,
+    sweep top-k%, and plot cumulative incremental conversions
+    ``Qini_k = Yt_k − Yc_k · (Nt_k / Nc_k)``. A useless score gives
+    the random-targeting diagonal; area between is the Qini
+    coefficient's numerator.
+
+    Buckets come from OVERALL percentile_disc decile EDGES of the
+    score (the woe_iv/psi scheme — one aggregation + a broadcast
+    literal comparison, NO corpus-sized ranking window; bucket 1 =
+    top decile). Cumulative terms close per bucket with ONE integral
+    divide (``Yc_cum·Nt_cum·10^6 DIV Nc_cum``) in DECIMAL(38,0).
+    Bucket-level windows are bounded by ``n_buckets``
+    (metadata-sized). Degenerate: a prefix with zero control units →
+    NULL qini for that bucket (try-style CASE).
+    """
+    base = df.select(
+        score.alias("_v"),
+        F.when(treat, F.lit(1)).otherwise(F.lit(0)).alias("_t"),
+        F.when(outcome, F.lit(1)).otherwise(F.lit(0)).alias("_o"),
+    )
+    edges = F.broadcast(
+        base.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({k}/{n_buckets}D)"
+                    " WITHIN GROUP (ORDER BY _v)"
+                ).alias(f"_e{k}")
+                for k in range(1, n_buckets)
+            ]
+        )
+    )
+    asc_bucket = F.lit(1)
+    for k in range(1, n_buckets):
+        asc_bucket = asc_bucket + F.when(
+            F.col("_v") > F.col(f"_e{k}"), 1
+        ).otherwise(0)
+    ranked = base.crossJoin(edges).select(
+        (F.lit(n_buckets + 1) - asc_bucket).alias("bucket"),
+        "_t",
+        "_o",
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.sum("_t").alias("_nt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("_nc"),
+        F.sum(F.col("_t") * F.col("_o")).alias("_yt"),
+        F.sum((F.lit(1) - F.col("_t")) * F.col("_o")).alias("_yc"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("_nt").over(w).alias("nt_cum"),
+        F.sum("_nc").over(w).alias("nc_cum"),
+        F.sum("_yt").over(w).alias("yt_cum"),
+        F.sum("_yc").over(w).alias("yc_cum"),
+    )
+    scaled = F.expr(
+        "CAST(yc_cum AS DECIMAL(38,0)) * nt_cum * 1000000 DIV nc_cum"
+    )
+    return cum.select(
+        "bucket",
+        "nt_cum",
+        "nc_cum",
+        "yt_cum",
+        "yc_cum",
+        F.when(
+            F.col("nc_cum") > 0,
+            F.round(
+                (
+                    F.col("yt_cum") * F.lit(1000000)
+                    - scaled.cast("long")
+                ).cast("double")
+                / F.lit(1000000.0),
+                6,
+            ),
+        ).alias("qini"),
+    ).orderBy("bucket")

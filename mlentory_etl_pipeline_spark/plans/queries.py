@@ -16276,6 +16276,131 @@ def msprt_daily_value_monitor(spark, sf_dir):
     return stats.msprt_always_valid(d, "day", "d_micro").orderBy("day")
 
 
+@register(
+    "ucb1_event_type_allocation",
+    "UCB1 bandit scores per event-type arm over logged value rewards: "
+    "exact integer count/sum state, frozen-association exploration "
+    "bonus sqrt(2 ln N / n_a) quantized to micro-units, deterministic "
+    "argmax (ties -> arm ASC via struct max) — the replayable "
+    "allocation rule for choose-next-connector serving; one "
+    "aggregation, one row per arm",
+    oracle="""
+    WITH per AS (
+      SELECT event_type AS arm, COUNT(*) AS n_a,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_a) AS n FROM per),
+    sc AS (
+      SELECT arm, n_a,
+             ROUND(CAST(s AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(100 AS DOUBLE)), 6)
+               AS mean_reward,
+             CAST(FLOOR((CAST(s AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(100 AS DOUBLE))
+                         + SQRT(2.0 * LN(CAST(n AS DOUBLE))
+                                / CAST(n_a AS DOUBLE)))
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS um
+      FROM per, tot
+    ),
+    b AS (SELECT um, arm FROM sc ORDER BY um DESC, arm DESC LIMIT 1)
+    SELECT sc.arm, sc.n_a, sc.mean_reward,
+           ROUND(CAST(sc.um AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS ucb,
+           sc.um = b.um AND sc.arm = b.arm AS chosen
+    FROM sc, b
+    """,
+    survey_ops=("eval-metrics", "N8"),
+)
+def ucb1_event_type_allocation(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return stats.ucb1_scores(
+        e, F.col("event_type"), F.col("value"), cents=100
+    )
+
+
+def _qini_oracle(n_buckets: int = 10) -> str:
+    qd = ", ".join(
+        f"QUANTILE_DISC(n_ev, {k}/{n_buckets}) AS e{k}"
+        for k in range(1, n_buckets)
+    )
+    gt = " + ".join(
+        f"(CASE WHEN n_ev > e{k} THEN 1 ELSE 0 END)"
+        for k in range(1, n_buckets)
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_ev,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purch
+      FROM events GROUP BY 1
+    ),
+    edges AS (SELECT {qd} FROM u),
+    assigned AS (
+      SELECT {n_buckets + 1} - (1 + {gt}) AS bucket,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t_,
+             purch AS o_
+      FROM u, edges
+    ),
+    per AS (
+      SELECT bucket, SUM(t_) AS nt, SUM(1 - t_) AS nc,
+             SUM(t_ * o_) AS yt, SUM((1 - t_) * o_) AS yc
+      FROM assigned GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket,
+             SUM(nt) OVER w AS nt_cum, SUM(nc) OVER w AS nc_cum,
+             SUM(yt) OVER w AS yt_cum, SUM(yc) OVER w AS yc_cum
+      FROM per
+      WINDOW w AS (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket,
+           CAST(nt_cum AS BIGINT) AS nt_cum,
+           CAST(nc_cum AS BIGINT) AS nc_cum,
+           CAST(yt_cum AS BIGINT) AS yt_cum,
+           CAST(yc_cum AS BIGINT) AS yc_cum,
+           CASE WHEN nc_cum > 0 THEN
+             ROUND(CAST(yt_cum * 1000000
+                        - CAST((CAST(yc_cum AS HUGEINT) * nt_cum * 1000000)
+                               // nc_cum AS BIGINT) AS DOUBLE)
+                   / CAST(1000000 AS DOUBLE), 6)
+           END AS qini
+    FROM cum ORDER BY bucket
+    """
+
+
+@register(
+    "qini_uplift_user_targeting",
+    "Qini uplift curve by engagement-score decile (score = per-user "
+    "event count, treatment = user parity, outcome = any purchase): "
+    "decile EDGES from one percentile_disc aggregation (no "
+    "corpus-sized ranking window), cumulative incremental conversions "
+    "Yt - Yc*(Nt/Nc) closed with one integral divide per bucket; "
+    "bucket windows bounded by 10 rows",
+    oracle=_qini_oracle(10),
+    survey_ops=("eval-metrics", "curation-pipeline"),
+)
+def qini_uplift_user_targeting(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purch"),
+    )
+    return stats.qini_uplift_curve(
+        users,
+        F.col("n_ev"),
+        F.col("user_id") % 2 == 1,
+        F.col("purch") == 1,
+        n_buckets=10,
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

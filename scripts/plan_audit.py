@@ -44,6 +44,10 @@ from mlentory_etl_pipeline_spark.session import get_spark  # noqa: E402
 # so even deliberate partitionBy(lit(0)) bounded windows land here.
 GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "bootstrap_ci_avg_quantity": "ranks the B=64 replica means",
+    "qini_uplift_user_targeting": (
+        "cumulative window over ONE ROW PER DECILE (10 rows - "
+        "metadata, the best_split category)"
+    ),
     "msprt_daily_value_monitor": (
         "cumulative + running-min windows over the global DAILY "
         "series - calendar-bounded (the moving_avg_daily_revenue "

@@ -749,6 +749,74 @@ def case_als(spark, sf_dir: str, k: int) -> DataFrame:
     return als_rank1(r, "o_custkey", "l_suppkey", "rt", iters=4)
 
 
+def case_edit_distance(spark, sf_dir: str, k: int) -> DataFrame:
+    # distinct part names k x with the replica id FUSED INTO the name
+    # (prefix), so q-gram blocks multiply instead of deepening and the
+    # true answer is k disjoint copies.  Catches: gram-key fan-out,
+    # bag-count aggregation skew.
+    from mlentory_etl_pipeline_spark.operators.linkage import (
+        edit_distance_join,
+    )
+
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+    )
+    r = _replicated(names, k).select(
+        (F.col("nid") * k + F.col("_rep")).alias("nid"),
+        F.concat(F.col("_rep").cast("string"), F.lit("#"), F.col("p_name")).alias(
+            "p_name"
+        ),
+    )
+    typos = r.select(
+        (F.col("nid") + 100000000).alias("tid"),
+        F.concat(F.col("p_name"), F.lit("q")).alias("tname"),
+    )
+    return edit_distance_join(
+        typos, r, ("tid", "nid"), ("tname", "p_name"), k=2, q=2
+    )
+
+
+def case_containment(spark, sf_dir: str, k: int) -> DataFrame:
+    # docs k x word-salted (the minhash scheme): replica shingle spaces
+    # are ~disjoint, so true containment pairs stay within replicas and
+    # grow linearly.  Catches: A-prefix x B-full index fan-out.
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        _salt_words(F.col("text"), F.col("_rep")).alias("text"),
+    )
+    return dedup.containment_join(r, "doc_id", "text", n=3, threshold=0.5)
+
+
+def case_winnowing(spark, sf_dir: str, k: int) -> DataFrame:
+    # map-only fingerprint selection + one distinct: should be ~linear;
+    # catches HOF-pipeline regressions (re-hash per window) showing up
+    # as superlinear wall time.
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        _salt_words(F.col("text"), F.col("_rep")).alias("text"),
+    )
+    return dedup.winnowing_fingerprints(r, "doc_id", "text", k=8, w=8)
+
+
+def case_multinomial_nb(spark, sf_dir: str, k: int) -> DataFrame:
+    # docs k x word-salted: VOCAB grows ~k x (unlike the hashed-feature
+    # nb_classifier case where the model is fixed-width) — stresses the
+    # sparse (class, token) model join and the vocab semi-join.
+    from mlentory_etl_pipeline_spark.operators.classify import nb_confusion
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    r = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        "lang",
+        _salt_words(F.col("text"), F.col("_rep")).alias("text"),
+    )
+    return nb_confusion(r, "lang", "doc_id", "text")
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -783,6 +851,10 @@ CASES = {
     "rake": case_rake,
     "link_prediction": case_link_prediction,
     "als": case_als,
+    "edit_distance": case_edit_distance,
+    "containment": case_containment,
+    "winnowing": case_winnowing,
+    "multinomial_nb": case_multinomial_nb,
 }
 
 

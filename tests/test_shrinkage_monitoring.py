@@ -211,3 +211,66 @@ def test_msprt_matches_model(spark, dms):
     # always-valid property: p is non-increasing over days
     ps = [got[d][2] for d in sorted(got) if got[d][2] is not None]
     assert all(a >= b for a, b in zip(ps, ps[1:]))
+
+
+# --- UCB1 -------------------------------------------------------------
+
+
+def test_ucb1_matches_model(spark):
+    from mlentory_etl_pipeline_spark.operators.stats import ucb1_scores
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("c", 2.0), ("c", 2.0), ("c", 2.0)]
+    df = spark.createDataFrame(rows, "arm string, y double")
+    got = {
+        r.arm: (r.n_a, r.mean_reward, r.ucb, r.chosen)
+        for r in ucb1_scores(df, F.col("arm"), F.col("y"), cents=100).collect()
+    }
+    n = len(rows)
+    per = {}
+    for a, y in rows:
+        c, s = per.get(a, (0, 0))
+        per[a] = (c + 1, s + int(y * 100))
+    scored = {
+        a: math.floor(
+            (s / (c * 100.0) + math.sqrt(2.0 * math.log(float(n)) / c))
+            * 1_000_000.0
+        )
+        for a, (c, s) in per.items()
+    }
+    best = max(scored, key=lambda a: (scored[a], a))
+    for a, (c, s) in per.items():
+        assert got[a][0] == c
+        assert abs(got[a][1] - s / (c * 100.0)) < 2e-6
+        assert abs(got[a][2] - scored[a] / 1e6) < 2e-6
+        assert got[a][3] == (a == best)
+    # exploration property: rarely-pulled arm b outranks its mean
+    assert got["b"][2] > got["b"][1]
+
+
+# --- Qini -------------------------------------------------------------
+
+
+def test_qini_random_score_near_zero_and_cumulative_shape(spark):
+    from mlentory_etl_pipeline_spark.operators.stats import qini_uplift_curve
+
+    # deterministic synthetic: 400 units, outcome rate higher under
+    # treatment for high-score units only
+    rows = []
+    for i in range(400):
+        score = i % 100
+        treat = i % 2 == 0
+        outcome = (score >= 80 and treat) or (i % 17 == 0)
+        rows.append((float(score), treat, outcome))
+    df = spark.createDataFrame(rows, "s double, t boolean, o boolean")
+    out = qini_uplift_curve(
+        df, F.col("s"), F.col("t"), F.col("o"), n_buckets=10
+    ).collect()
+    assert [r.bucket for r in out] == list(range(1, 11))
+    # totals: final cumulative row covers everything
+    last = out[-1]
+    assert last.nt_cum + last.nc_cum == 400
+    # the uplift is concentrated in the TOP deciles: qini at bucket 2
+    # (top 20%) captures most of the total incremental effect
+    q2 = next(r.qini for r in out if r.bucket == 2)
+    qlast = last.qini
+    assert q2 > 0 and q2 >= 0.5 * qlast
