@@ -3938,3 +3938,178 @@ def qini_uplift_curve(
             ),
         ).alias("qini"),
     ).orderBy("bucket")
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    a,
+    b,
+    scale: int = 100,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between groups ``a``
+    and ``b`` of ``value`` — the drift metric that reports HOW FAR the
+    distribution moved in value units, where KS reports only the max
+    CDF gap and PSI needs binning: W1 = ∫|F_a − F_b| dv. The natural
+    "did this week's spend/quality/score distribution shift, and by
+    how much?" monitor to sit beside ks_two_sample / psi_drift /
+    kl_domain_drift.
+
+    Exactness contract: values quantize to ``floor(value·scale)``
+    longs; inclusive cumulative counts per distinct value come from
+    ``distributed_cum_before``; each inter-value gap contributes
+    ``(v_next − v)·|cum_a·n_b − cum_b·n_a|`` in DECIMAL(38,0), summed
+    exactly, ONE division by ``n_a·n_b·scale`` at the end.
+
+    Scale posture: the groupBy bounds the shuffle by |distinct
+    quantized values| — a VALUE-DOMAIN bound (range × scale), not a
+    corpus bound, which is also the documented justification for the
+    single gap-lead window over that domain table (the
+    weighted_percentiles "value DOMAIN" category). NULL w1 when a
+    group is empty (try_divide).
+    """
+    q = df.where(group.isin(a, b)).select(
+        F.floor(value * scale).cast("long").alias("_s"),
+        F.when(group == a, F.lit(1)).otherwise(F.lit(0)).alias("_ya"),
+        F.when(group == b, F.lit(1)).otherwise(F.lit(0)).alias("_yb"),
+    )
+    g = q.groupBy("_s").agg(
+        F.sum("_ya").alias("_ca"), F.sum("_yb").alias("_cb_ct")
+    )
+    ranked = distributed_cum_before(g, "_s", ["_ca", "_cb_ct"]).select(
+        "_s",
+        (F.col("_cb__ca") + F.col("_ca")).alias("_cuma"),
+        (F.col("_cb__cb_ct") + F.col("_cb_ct")).alias("_cumb"),
+    )
+    w = Window.orderBy("_s")
+    gapped = ranked.withColumn(
+        "_gap", F.coalesce(F.lead("_s").over(w) - F.col("_s"), F.lit(0))
+    )
+    totals = g.agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb_ct").alias("n_b")
+    )
+    na = F.col("n_a").cast("decimal(38,0)")
+    nb = F.col("n_b").cast("decimal(38,0)")
+    agg = gapped.crossJoin(F.broadcast(totals)).agg(
+        F.sum(
+            F.col("_gap").cast("decimal(38,0)")
+            * F.abs(
+                F.col("_cuma").cast("decimal(38,0)") * nb
+                - F.col("_cumb").cast("decimal(38,0)") * na
+            )
+        ).alias("_num"),
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.try_divide(
+                F.col("_num").cast("double"),
+                (
+                    F.col("n_a").cast("decimal(38,0)")
+                    * F.col("n_b").cast("decimal(38,0)")
+                ).cast("double")
+                * F.lit(float(scale)),
+            ),
+            6,
+        ).alias("w1"),
+    )
+
+
+def platt_scaling_fit(
+    df: DataFrame,
+    label: Column,
+    z_micro: Column,
+    iters: int = 3,
+) -> DataFrame:
+    """Platt scaling: fit ``p = sigmoid(w0 + w1·z)`` by ``iters``
+    unrolled Newton–Raphson steps — the standard score→probability
+    calibrator (Platt 1999) that turns a ranking score (BM25, NB
+    log-odds, quality score) into a usable probability; the TRAINABLE
+    sibling of isotonic calibration (parametric, monotone, 2 params).
+
+    Exactness contract (the ALS/Lloyd's fixed-iteration scheme): the
+    feature arrives MICRO-QUANTIZED (``z_micro`` long, caller's
+    floor); weights live as micro-unit integers between iterations.
+    Per iteration, η = (w0_micro + w1_micro·z_micro/10^6)/10^6
+    evaluates on exact integers in frozen association, the per-row
+    sigmoid (the one libm ``exp``) floors to micro-units, and the
+    gradient/Hessian sums (Σ(y−p), Σ(y−p)z, Σw, Σwz, Σwzz with
+    w = p(1−p)) close in DECIMAL(38,0) integers. The 2×2 Newton solve
+    runs in frozen-association doubles from those exact sums and the
+    update floors back to micro-units — so the ENTIRE trajectory is
+    an integer sequence and the oracle unrolls the same iterations.
+
+    Scale posture: each iteration is ONE map-side-combined aggregation
+    (5 numbers) broadcast back — the pregel-free fixed-point shape;
+    plan size O(iters) with no checkpoint needed (state is one row).
+
+    Degenerate contract: singular Hessian (all-one-class or constant
+    z) → NULL weights from that iteration on (try-style CASE).
+    """
+    base = df.select(
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+        z_micro.cast("long").alias("_z"),
+    )
+    state = None  # (w0_micro, w1_micro) as a one-row DataFrame
+    spark = df.sparkSession
+    w0 = F.lit(0).cast("long").alias("w0m")
+    w1 = F.lit(0).cast("long").alias("w1m")
+    state = spark.range(1).select(w0, w1)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    for _ in range(iters):
+        j = base.crossJoin(F.broadcast(state))
+        eta = (
+            F.col("w0m").cast("double")
+            + F.col("w1m").cast("double")
+            * (F.col("_z").cast("double") / F.lit(1000000.0))
+        ) / F.lit(1000000.0)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        pq = F.floor(p * F.lit(1000000.0)).cast("long")
+        wq = F.floor(p * (F.lit(1.0) - p) * F.lit(1000000.0)).cast("long")
+        agg = j.select(
+            "w0m",
+            "w1m",
+            (F.col("_y") * F.lit(1000000) - pq).alias("_r"),
+            pq.alias("_pq"),
+            wq.alias("_wq"),
+            F.col("_z").alias("_zz"),
+        ).groupBy("w0m", "w1m").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(d(F.col("_r"))).alias("_s"),
+            F.sum(d(F.col("_r")) * d(F.col("_zz"))).alias("_sz"),
+            F.sum(d(F.col("_wq"))).alias("_w"),
+            F.sum(d(F.col("_wq")) * d(F.col("_zz"))).alias("_wz"),
+            F.sum(
+                d(F.col("_wq")) * d(F.col("_zz")) * d(F.col("_zz"))
+            ).alias("_wzz"),
+        )
+        # natural units: S = _s/1e6, Sz = _sz/1e12, W = _w/1e6,
+        # Wz = _wz/1e12, Wzz = _wzz/1e18 — frozen divisions
+        s_ = F.col("_s").cast("double") / F.lit(1e6)
+        sz = F.col("_sz").cast("double") / F.lit(1e12)
+        w_ = F.col("_w").cast("double") / F.lit(1e6)
+        wz = F.col("_wz").cast("double") / F.lit(1e12)
+        wzz = F.col("_wzz").cast("double") / F.lit(1e18)
+        det = w_ * wzz - wz * wz
+        dw0 = (wzz * s_ - wz * sz) / det
+        dw1 = (w_ * sz - wz * s_) / det
+        state = agg.select(
+            F.when(
+                det > 0,
+                F.col("w0m") + F.floor(dw0 * F.lit(1000000.0)).cast("long"),
+            ).alias("w0m"),
+            F.when(
+                det > 0,
+                F.col("w1m") + F.floor(dw1 * F.lit(1000000.0)).cast("long"),
+            ).alias("w1m"),
+            F.col("_n").alias("n"),
+        ).localCheckpoint(eager=False)
+    return state.select(
+        "n",
+        F.round(F.col("w0m") / F.lit(1000000.0), 6).alias("w0"),
+        F.round(F.col("w1m") / F.lit(1000000.0), 6).alias("w1"),
+    )

@@ -274,3 +274,128 @@ def test_qini_random_score_near_zero_and_cumulative_shape(spark):
     q2 = next(r.qini for r in out if r.bucket == 2)
     qlast = last.qini
     assert q2 > 0 and q2 >= 0.5 * qlast
+
+
+# --- Wasserstein-1 ----------------------------------------------------
+
+w1_case = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.sampled_from([0.0, 0.25, 0.5, 0.77, 1.0, 2.5, -1.3]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _w1_model(pairs, scale=100):
+    qa = sorted(math.floor(v * scale) for g, v in pairs if g)
+    qb = sorted(math.floor(v * scale) for g, v in pairs if not g)
+    if not qa or not qb:
+        return len(qa), len(qb), None
+    vals = sorted(set(qa) | set(qb))
+    na, nb = len(qa), len(qb)
+    num = 0
+    for v, vn in zip(vals, vals[1:]):
+        ca = sum(1 for x in qa if x <= v)
+        cb = sum(1 for x in qb if x <= v)
+        num += (vn - v) * abs(ca * nb - cb * na)
+    return na, nb, round(num / (na * nb * float(scale)), 6)
+
+
+@settings(**SETTINGS)
+@given(w1_case)
+def test_wasserstein_matches_model(spark, pairs):
+    from mlentory_etl_pipeline_spark.operators.stats import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [("a" if g else "b", v) for g, v in pairs], "g string, v double"
+    )
+    r = wasserstein_1d(
+        df, F.col("g"), F.col("v"), "a", "b", scale=100
+    ).collect()[0]
+    na, nb, w1 = _w1_model(pairs)
+    assert (r.n_a, r.n_b) == (na, nb)
+    if w1 is None:
+        assert r.w1 is None
+    else:
+        assert abs(r.w1 - w1) < 2e-6
+    # sanity: identical samples => distance 0
+    if w1 is not None and sorted(
+        v for g, v in pairs if g
+    ) == sorted(v for g, v in pairs if not g):
+        assert r.w1 == 0.0
+
+
+# --- Platt scaling ----------------------------------------------------
+
+
+def _platt_model(rows, iters=3):
+    w0m = w1m = 0
+    n = len(rows)
+    for _ in range(iters):
+        if w0m is None:
+            return None, None, n
+        s = sz = w = wz = wzz = 0
+        for y, z in rows:
+            eta = (float(w0m) + float(w1m) * (float(z) / 1e6)) / 1e6
+            p = 1.0 / (1.0 + math.exp(-eta))
+            pq = math.floor(p * 1e6)
+            wq = math.floor(p * (1.0 - p) * 1e6)
+            r = y * 1_000_000 - pq
+            s += r
+            sz += r * z
+            w += wq
+            wz += wq * z
+            wzz += wq * z * z
+        wd, wzd, wzzd = w / 1e6, wz / 1e12, wzz / 1e18
+        sd, szd = s / 1e6, sz / 1e12
+        det = wd * wzzd - wzd * wzd
+        if det > 0:
+            w0m = w0m + math.floor((wzzd * sd - wzd * szd) / det * 1e6)
+            w1m = w1m + math.floor((wd * szd - wzd * sd) / det * 1e6)
+        else:
+            w0m = w1m = None
+    return w0m, w1m, n
+
+
+platt_case = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.sampled_from([0, 250_000, 500_000, 1_000_000, 2_000_000]),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(platt_case)
+def test_platt_matches_unrolled_model(spark, rows):
+    from mlentory_etl_pipeline_spark.operators.stats import platt_scaling_fit
+
+    data = [(1 if y else 0, z) for y, z in rows]
+    df = spark.createDataFrame(data, "y int, z long")
+    r = platt_scaling_fit(
+        df, F.col("y") == 1, F.col("z"), iters=3
+    ).collect()[0]
+    w0m, w1m, n = _platt_model(data)
+    assert r.n == n
+    if w0m is None:
+        assert r.w0 is None and r.w1 is None
+    else:
+        assert abs(r.w0 - round(w0m / 1e6, 6)) < 2e-6
+        assert abs(r.w1 - round(w1m / 1e6, 6)) < 2e-6
+    # calibration sanity: all-positive high scores push w1 up
+    pos_high = all(y for y, z in rows if z >= 1_000_000)
+    neg_low = all(not y for y, z in rows if z == 0)
+    if (
+        w0m is not None
+        and pos_high
+        and neg_low
+        and any(z >= 1_000_000 for _, z in rows)
+        and any(z == 0 for _, z in rows)
+        and any(y for y, _ in rows)
+        and any(not y for y, _ in rows)
+    ):
+        assert w1m > 0
