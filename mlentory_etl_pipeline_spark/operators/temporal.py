@@ -1234,3 +1234,116 @@ def attribution_credits(
         )
         .orderBy("channel", "model")
     )
+
+
+def cox_ph_binary(
+    df: DataFrame,
+    duration: Column,
+    event: Column,
+    group: Column,
+    iters: int = 4,
+) -> DataFrame:
+    """Cox proportional-hazards fit for ONE binary covariate (Breslow
+    tie handling) — the third leg of the survival stool: Kaplan–Meier
+    DESCRIBES each arm, the log-rank test DETECTS a difference,
+    Cox QUANTIFIES it as a hazard ratio with the censoring handled
+    properly (naive churn-rate ratios are biased by censoring).
+
+    For binary x the partial-likelihood machinery collapses to
+    per-event-time risk counts: with n0(t), n1(t) at risk and d(t),
+    d1(t) events (d1 in group 1),
+
+        U(β) = Σ_t d1 − d·(e^β·n1)/(n0 + e^β·n1)
+        I(β) = Σ_t d·(e^β·n1·n0)/(n0 + e^β·n1)²
+
+    and Newton iterates β ← β + U/I.
+
+    Exactness contract (the platt_scaling scheme): risk counts derive
+    from ``distributed_cum_before`` over the duration-keyed aggregate
+    (exact integers, ≤ |distinct durations| rows — observation-span
+    bounded); per iteration β is a micro-unit INTEGER, e^β the one
+    libm call on the identical exact operand, per-time score/info
+    terms floor to micro-units and sum exactly, and the update floors
+    back to micro — the whole trajectory replays in SQL. Degenerate
+    contract: I ≤ 0 (no events in one arm at every time) → NULL β/HR
+    from that iteration on.
+
+    Scale posture: risk sets computed ONCE (one groupBy + the
+    range-partition prefix sum); each Newton step is one map-side
+    aggregation over the metadata-sized time table (5 numbers out).
+    """
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        distributed_cum_before,
+    )
+
+    q = df.select(
+        duration.cast("long").alias("_t"),
+        F.when(event, F.lit(1)).otherwise(F.lit(0)).alias("_e"),
+        F.when(group, F.lit(1)).otherwise(F.lit(0)).alias("_g"),
+    )
+    bt = q.groupBy("_t").agg(
+        F.sum(F.lit(1) - F.col("_g")).alias("_c0"),
+        F.sum("_g").alias("_c1"),
+        F.sum((F.lit(1) - F.col("_g")) * F.col("_e")).alias("_d0"),
+        F.sum(F.col("_g") * F.col("_e")).alias("_d1"),
+    )
+    ranked = distributed_cum_before(bt, "_t", ["_c0", "_c1"])
+    tot = F.broadcast(
+        bt.agg(
+            F.sum("_c0").alias("_t0"),
+            F.sum("_c1").alias("_t1"),
+            F.sum(F.col("_d0") + F.col("_d1")).alias("n_events"),
+            F.sum(F.col("_c0") + F.col("_c1")).alias("n"),
+        )
+    )
+    times = (
+        ranked.crossJoin(tot.select("_t0", "_t1"))
+        .where((F.col("_d0") + F.col("_d1")) > 0)
+        .select(
+            (F.col("_t0") - F.col("_cb__c0")).alias("_n0"),
+            (F.col("_t1") - F.col("_cb__c1")).alias("_n1"),
+            (F.col("_d0") + F.col("_d1")).alias("_d"),
+            F.col("_d1").alias("_d1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+    state = spark.range(1).select(F.lit(0).cast("long").alias("bm"))
+    for _ in range(iters):
+        j = times.crossJoin(F.broadcast(state))
+        eb = F.exp(F.col("bm").cast("double") / F.lit(1000000.0))
+        en1 = eb * F.col("_n1").cast("double")
+        s0 = F.col("_n0").cast("double") + en1
+        u_term = F.floor(
+            (F.col("_d1").cast("double") - F.col("_d").cast("double") * (en1 / s0))
+            * F.lit(1000000.0)
+        ).cast("long")
+        i_term = F.floor(
+            (
+                F.col("_d").cast("double")
+                * ((en1 * F.col("_n0").cast("double")) / (s0 * s0))
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+        agg = j.groupBy("bm").agg(
+            F.sum(u_term.cast("decimal(38,0)")).alias("_u"),
+            F.sum(i_term.cast("decimal(38,0)")).alias("_i"),
+        )
+        state = agg.select(
+            F.when(
+                F.col("_i") > 0,
+                F.col("bm")
+                + F.floor(
+                    F.col("_u").cast("double")
+                    / F.col("_i").cast("double")
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("bm"),
+        ).localCheckpoint(eager=False)
+    beta = F.col("bm") / F.lit(1000000.0)
+    return state.crossJoin(tot.select("n", "n_events")).select(
+        "n",
+        "n_events",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(F.round(beta, 6)), 6).alias("hazard_ratio"),
+    )

@@ -16553,6 +16553,123 @@ def platt_scaling_purchase_score(spark, sf_dir):
     )
 
 
+def _cox_oracle(iters: int = 4) -> str:
+    en1 = (
+        "EXP(CAST(bm AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " * CAST(n1 AS DOUBLE)"
+    )
+    s0 = f"CAST(n0 AS DOUBLE) + {en1}"
+    u_inner = (
+        f"CAST(d1 AS DOUBLE) - CAST(dd AS DOUBLE) * (({en1}) / ({s0}))"
+    )
+    i_inner = (
+        f"CAST(dd AS DOUBLE) * ((({en1}) * CAST(n0 AS DOUBLE))"
+        f" / (({s0}) * ({s0})))"
+    )
+    head = """
+    WITH spans AS (
+      SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY user_id
+    ),
+    pu AS (
+      SELECT DATE_DIFF('day', CAST(f AS DATE),
+                       CAST(COALESCE(fp, l) AS DATE)) AS d,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g
+      FROM spans
+    ),
+    bt AS MATERIALIZED (
+      SELECT d, SUM(1 - g) AS c0, SUM(g) AS c1,
+             SUM((1 - g) * ev) AS d0, SUM(g * ev) AS d1
+      FROM pu GROUP BY d
+    ),
+    tot AS (
+      SELECT SUM(c0) AS t0, SUM(c1) AS t1,
+             SUM(d0 + d1) AS nev, SUM(c0 + c1) AS nn
+      FROM bt
+    ),
+    r AS (
+      SELECT d, d0, d1,
+             t0 - COALESCE(SUM(c0) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+             t1 - COALESCE(SUM(c1) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+             nev, nn
+      FROM bt, tot
+    ),
+    times AS MATERIALIZED (
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             CAST(d0 + d1 AS BIGINT) AS dd, CAST(d1 AS BIGINT) AS d1
+      FROM r WHERE d0 + d1 > 0
+    ),
+    s0_ AS (SELECT CAST(0 AS BIGINT) AS bm)"""
+    step = """,
+    a{i} AS MATERIALIZED (
+      SELECT bm,
+             SUM(CAST(FLOOR(({u}) * CAST(1000000 AS DOUBLE)) AS HUGEINT))
+               AS u_,
+             SUM(CAST(FLOOR(({v}) * CAST(1000000 AS DOUBLE)) AS HUGEINT))
+               AS i_
+      FROM times, s{p} GROUP BY bm
+    ),
+    s{i}_ AS MATERIALIZED (
+      SELECT CASE WHEN i_ > 0 THEN
+               bm + CAST(FLOOR(CAST(u_ AS DOUBLE) / CAST(i_ AS DOUBLE)
+                               * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             END AS bm
+      FROM a{i}
+    )"""
+    body = head
+    for i in range(1, iters + 1):
+        body += step.format(i=i, p=f"{i - 1}_", u=u_inner, v=i_inner)
+    body += f"""
+    SELECT CAST(nn AS BIGINT) AS n, CAST(nev AS BIGINT) AS n_events,
+           ROUND(CAST(bm AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS beta,
+           ROUND(EXP(ROUND(CAST(bm AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)),
+                 6) AS hazard_ratio
+    FROM s{iters}_, tot
+    """
+    return body
+
+
+@register(
+    "cox_ph_time_to_purchase",
+    "Cox proportional-hazards fit (binary variant covariate, Breslow "
+    "ties, 4 unrolled Newton steps) on right-censored "
+    "time-to-first-purchase — the third survival leg after "
+    "kaplan_meier (describe) and logrank (detect): QUANTIFIES the "
+    "variant effect as a hazard ratio with censoring (never-purchased "
+    "users censored at last-seen) handled properly; risk sets via the "
+    "distributed prefix sum computed ONCE, each Newton step one "
+    "aggregation over the duration-keyed table, beta a micro-unit "
+    "integer between steps so the trajectory replays in SQL",
+    oracle=_cox_oracle(iters=4),
+    survey_ops=("§2.9 window functions", "eval-metrics"),
+)
+def cox_ph_time_to_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import temporal
+
+    e = t(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("_f"),
+        F.max("ts").alias("_l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_fp"),
+    )
+    pu = spans.select(
+        F.datediff(
+            F.to_date(F.coalesce("_fp", "_l")), F.to_date("_f")
+        ).alias("dur"),
+        F.col("_fp").isNotNull().alias("purchased"),
+        (F.col("user_id") % 2 == 1).alias("variant"),
+    )
+    return temporal.cox_ph_binary(
+        pu, F.col("dur"), F.col("purchased"), F.col("variant"), iters=4
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -399,3 +399,101 @@ def test_platt_matches_unrolled_model(spark, rows):
         and any(not y for y, _ in rows)
     ):
         assert w1m > 0
+
+
+# --- Cox PH (binary covariate) ----------------------------------------
+
+
+def _cox_model(rows, iters=4):
+    """rows: (duration, event, group). Replays the operator's exact
+    quantized Newton trajectory."""
+    from collections import defaultdict
+
+    bt = defaultdict(lambda: [0, 0, 0, 0])  # c0, c1, d0, d1
+    for d_, e_, g_ in rows:
+        b = bt[d_]
+        b[1 if g_ else 0] += 1
+        if e_:
+            b[3 if g_ else 2] += 1
+    t0 = sum(b[0] for b in bt.values())
+    t1 = sum(b[1] for b in bt.values())
+    nev = sum(b[2] + b[3] for b in bt.values())
+    times = []
+    cb0 = cb1 = 0
+    for d_ in sorted(bt):
+        c0, c1, d0, d1 = bt[d_]
+        if d0 + d1 > 0:
+            times.append((t0 - cb0, t1 - cb1, d0 + d1, d1))
+        cb0 += c0
+        cb1 += c1
+    if not times:
+        return None  # empty result contract
+    bm = 0
+    for _ in range(iters):
+        if bm is None:
+            break
+        u = i_ = 0
+        for n0, n1, dd, d1 in times:
+            eb = math.exp(float(bm) / 1e6)
+            en1 = eb * float(n1)
+            s0 = float(n0) + en1
+            u += math.floor((float(d1) - float(dd) * (en1 / s0)) * 1e6)
+            i_ += math.floor(
+                (float(dd) * ((en1 * float(n0)) / (s0 * s0))) * 1e6
+            )
+        bm = (
+            bm + math.floor(u / float(i_) * 1e6) if i_ > 0 else None
+        )
+    n = t0 + t1
+    if bm is None:
+        return n, nev, None, None
+    beta = round(bm / 1e6, 6)
+    return n, nev, beta, round(math.exp(beta), 6)
+
+
+cox_case = st.lists(
+    st.tuples(
+        st.integers(0, 8),   # duration
+        st.booleans(),       # event
+        st.booleans(),       # group
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(cox_case)
+def test_cox_matches_quantized_trajectory(spark, rows):
+    from mlentory_etl_pipeline_spark.operators.temporal import cox_ph_binary
+
+    df = spark.createDataFrame(rows, "d long, e boolean, g boolean")
+    out = cox_ph_binary(
+        df, F.col("d"), F.col("e"), F.col("g"), iters=4
+    ).collect()
+    model = _cox_model(rows)
+    if model is None:
+        assert out == []
+        return
+    n, nev, beta, hr = model
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.n_events) == (n, nev)
+    if beta is None:
+        assert r.beta is None and r.hazard_ratio is None
+    else:
+        assert abs(r.beta - beta) < 2e-6
+        assert abs(r.hazard_ratio - hr) < 2e-5
+
+
+def test_cox_recovers_known_hazard_direction(spark):
+    from mlentory_etl_pipeline_spark.operators.temporal import cox_ph_binary
+
+    # group 1 fails systematically EARLIER -> positive beta (HR > 1)
+    rows = [(2 + (i % 3), True, True) for i in range(60)] + [
+        (8 + (i % 3), True, False) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "d long, e boolean, g boolean")
+    r = cox_ph_binary(df, F.col("d"), F.col("e"), F.col("g"), iters=4).collect()[0]
+    assert r.beta is not None and r.beta > 0.5
+    assert r.hazard_ratio > 1.5
