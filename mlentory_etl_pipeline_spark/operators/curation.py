@@ -29,7 +29,7 @@ Scale posture (see SCALE.md):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mlentory_etl_pipeline_spark.operators.dedup import (
@@ -1349,4 +1349,84 @@ def privacy_audit(
         ).alias("pct_rows_below_k"),
         "min_l_diversity",
         "n_classes_below_l",
+    )
+
+
+def dp_user_level_counts(
+    df: DataFrame,
+    user_col: str,
+    order_col: str,
+    group_cols: list[str],
+    max_per_user: int = 5,
+    epsilon_num: int = 1,
+    epsilon_den: int = 1,
+    seed: str = "dp-user-v1",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """USER-level ε-DP release of per-group counts — the stronger
+    privacy unit :func:`dp_noisy_counts` does not give: event-level DP
+    protects one ROW, but one user may own thousands of rows, so the
+    promise is hollow for them. Here each user's total contribution is
+    CLAMPED to ``max_per_user`` rows (deterministic md5-ordered
+    selection keyed by ``order_col`` — replayable, unbiased w.r.t.
+    event semantics), making the per-group count's user-sensitivity ≤
+    C; the Laplace noise then scales as C/ε (Dwork–Roth §3, the
+    standard bounded-contribution mechanism behind every production
+    user-level DP release).
+
+    Determinism: the clamp is a per-user window ordered by a seeded
+    md5 of ``order_col`` (engine-identical); noise reuses the
+    dp_noisy_counts seeded-uniform scheme with the micro-quantized ln,
+    multiplied by the integer sensitivity C. Same contract: seeded
+    noise is the test/replay device; production uses a fresh secret
+    seed.
+
+    Scale posture: one per-user window (user-partitioned — the
+    natural key distribution), one count aggregation, map-side
+    column expressions. Clamping also BOUNDS the window depth hazard:
+    rank computation is O(rows per user) but emission is capped.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.md5(F.concat(F.lit(seed), F.col(order_col).cast("string"))),
+        F.col(order_col),
+    )
+    clamped = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_user)
+        .drop("_rn")
+    )
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit("|"), key)), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    centered = u - F.lit(0.5)
+    sign = F.when(centered < 0, F.lit(-1)).otherwise(F.lit(1))
+    q_ln = F.floor(
+        F.ln(
+            F.greatest(F.lit(1.0) - 2 * F.abs(centered), F.lit(2.0 ** -60))
+        )
+        * scale
+        + F.lit(0.5)
+    ).cast("long")
+    noise = (
+        (-sign * q_ln).cast("double")
+        * F.lit(float(max_per_user) * epsilon_den)
+        / F.lit(float(epsilon_num) * scale)
+    )
+    return (
+        clamped.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            F.round(F.col("_n") + noise, 6).alias("noisy_count"),
+        )
     )

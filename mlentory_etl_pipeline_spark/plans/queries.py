@@ -2790,7 +2790,7 @@ def _embed_oracle(dim: int = 16) -> str:
 
 
 @register(
-    "edit_distance_join_parts",  # r5 s4: fuzzy-key join (NLP keeps 5 entries)
+    "nlp_embed_digest",
     "embedding generation plumbing (N4): mapInPandas with per-partition "
     "engine init; deterministic digest-derived unit vectors stand in for "
     "the transformer encode",
@@ -3221,7 +3221,7 @@ def croissant_ingest(spark, sf_dir):
 
 
 @register(
-    "average_precision_purchase",  # r5 s4: PR-curve eval (croissant_ingest keeps the family)
+    "croissant_bnode_scan",
     "Q9 bnode scan: distinct blank nodes with their rdf:type",
     oracle="""
     SELECT DISTINCT '_:r' || p_partkey AS node,
@@ -6160,7 +6160,7 @@ def set_ops_user_cohorts(spark, sf_dir):
 
 
 @register(
-    "naive_bayes_lang_confusion",  # r5 s4: classifier family (spine keeps 6 SCD2 entries)
+    "scd2_retention_vacuum",
     "retention vacuum over the SCD2 store (the reference's "
     "Version_Range grows forever — init.sql has no retention DDL): "
     "drop deprecated ranges closed before a cutoff, semi-join-prune "
@@ -8503,7 +8503,7 @@ def dedup_intradoc_lines(spark, sf_dir):
 
 
 @register(
-    "containment_quote_detection",  # r5 s4: asymmetric dedup (minhash/setsim keep the family)
+    "dedup_span_removal",
     "exact substring-level dedup (token 8-grams): every repeated "
     "occurrence of any 8-token span across the corpus is REMOVED, "
     "keeping only the global first occurrence (min (doc, start)) — "
@@ -10441,7 +10441,7 @@ def graph_label_propagation(spark, sf_dir):
 
 
 @register(
-    "rendezvous_shard_docs",  # r5 s4: consistent placement (privacy keeps k-anonymity)
+    "dp_noisy_event_counts",
     "epsilon-differentially-private per-type event counts via the "
     "Laplace mechanism (sensitivity-1 counts, eps = 1): the per-group "
     "uniform is the seeded md5 of the group key inverted through the "
@@ -12351,7 +12351,7 @@ def cms_error_audit(spark, sf_dir):
 # =====================================================================
 
 @register(
-    "msprt_daily_value_monitor",  # r5 s4: always-valid monitoring (stats keeps KM/bootstrap/isotonic)
+    "ab_mann_whitney_values",
     "Mann-Whitney U rank-sum test between view and click event values "
     "— the distribution-free A/B sibling of ab_welch_value_test for "
     "skewed values: quantized-long tie groups, integer rank-sum via "
@@ -16667,6 +16667,62 @@ def cox_ph_time_to_purchase(spark, sf_dir):
     )
     return temporal.cox_ph_binary(
         pu, F.col("dur"), F.col("purchased"), F.col("variant"), iters=4
+    )
+
+
+@register(
+    "dp_user_level_event_counts",
+    "USER-level epsilon-DP per-type event counts: each user's total "
+    "contribution clamped to 5 md5-selected rows (bounded-"
+    "contribution mechanism), so the count's USER-sensitivity is 5 "
+    "and Laplace noise scales 5/eps — the privacy unit that actually "
+    "protects a heavy user, vs dp_noisy_event_counts' event-level "
+    "promise; per-user window + one count aggregation, seeded noise "
+    "replayable (production uses a fresh secret seed)",
+    oracle="""
+    WITH clamped AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id
+                 ORDER BY MD5('dp-user-v1' || CAST(event_id AS VARCHAR)),
+                          event_id) AS rn
+        FROM events
+      ) WHERE rn <= 5
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n FROM clamped GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             CAST(('0x' || SUBSTR(MD5('dp-user-v1' || '|' || event_type),
+                                  1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS uu
+      FROM g
+    )
+    SELECT event_type,
+           ROUND(n + (CASE WHEN uu < 0.5 THEN 1 ELSE -1 END)
+                     * CAST(FLOOR(LN(GREATEST(1 - 2 * ABS(uu - 0.5),
+                                              POWER(2, -60))) * 1000000 + 0.5)
+                            AS BIGINT) * 5.0 / 1000000.0, 6) AS noisy_count
+    FROM u ORDER BY event_type
+    """,
+    survey_ops=("curation-sampling", "§2.9 aggregations"),
+)
+def dp_user_level_event_counts(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        dp_user_level_counts,
+    )
+
+    e = t(spark, sf_dir, "events")
+    return dp_user_level_counts(
+        e,
+        "user_id",
+        "event_id",
+        ["event_type"],
+        max_per_user=5,
+        epsilon_num=1,
+        epsilon_den=1,
     )
 
 

@@ -668,3 +668,31 @@ def test_quantile_normalize_grid_mode_no_global_reference_sort(spark):
     # back: the only window left is the per-group percent_rank
     assert plan.count("percent_rank") >= 1
     assert "percentile_approx" in plan
+
+
+def test_dp_user_level_clamp_bounds_heavy_user(spark):
+    """A user with 1000 rows contributes at most max_per_user to the
+    released count: noisy_count of their group stays within noise
+    range of the clamped count, not the raw one."""
+    import pyspark.sql.functions as F
+
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        dp_user_level_counts,
+    )
+
+    rows = [(i, 1, "hot") for i in range(1000)] + [
+        (10_000 + i, 2 + i, "cold") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = {
+        r.event_type: r.noisy_count
+        for r in dp_user_level_counts(
+            df, "user_id", "event_id", ["event_type"], max_per_user=5
+        ).collect()
+    }
+    # clamped counts: hot -> 5 (one user), cold -> 10 (10 users x 1);
+    # Laplace(5/1) noise is bounded by 5*60*ln2 ~ 208 by the 2^-60 clamp,
+    # but overwhelmingly within ~60; the raw hot count 1000 is far out
+    assert abs(out["hot"] - 5) < 250
+    assert out["hot"] < 500  # clamp engaged: nowhere near 1000
+    assert abs(out["cold"] - 10) < 250
