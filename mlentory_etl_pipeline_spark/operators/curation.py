@@ -1430,3 +1430,111 @@ def dp_user_level_counts(
             F.round(F.col("_n") + noise, 6).alias("noisy_count"),
         )
     )
+
+
+def doremi_domain_reweight(
+    docs: DataFrame,
+    domain_col: str,
+    text_col: str,
+    eta_tenths: int = 1,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    public): upweight domains with EXCESS loss under a proxy model so
+    the next training mixture spends capacity where the model is
+    furthest behind — the principled replacement for hand-tuned
+    mixture weights feeding :func:`mixture build` funnels.
+
+    Proxy loss here is the add-α unigram cross-entropy against the
+    corpus-wide model (the lm_perplexity machinery); reference DoReMi
+    uses a small trained proxy — the UPDATE RULE is what this operator
+    owns:
+
+        excess_d = max(0, CE_d − CE_corpus)
+        w_d ∝ exp(η·excess_d),  normalized over domains
+
+    Exactness contract: per-token log-probs quantize to micro-nats
+    (floor·10^6) so per-domain sums are exact longs; CE_d closes with
+    ONE integral divide (micro-nats per token); the exp(η·excess)
+    factor floors to micro-units; normalization is one more integral
+    divide to ppm. η = ``eta_tenths``/10.
+
+    Scale posture: two token-keyed map-side-combined aggregations
+    (corpus model + per-domain sums), then |domains|-sized column
+    math with two broadcast apex rows — no window, no per-row Python.
+    """
+    from mlentory_etl_pipeline_spark.operators.textstats import tokens
+
+    toks = docs.select(
+        F.col(domain_col).alias("_d"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    cnt = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = F.broadcast(
+        cnt.agg(
+            F.sum("_c").cast("double").alias("_t"),
+            F.count(F.lit(1)).cast("double").alias("_v"),
+        )
+    )
+    logprob = F.ln(
+        (F.col("_c") + F.lit(alpha)) / (F.col("_t") + F.lit(alpha) * F.col("_v"))
+    )
+    q = (
+        toks.join(cnt, "_tok")
+        .crossJoin(totals)
+        .select(
+            "_d", F.floor(logprob * F.lit(1000000.0)).cast("long").alias("_q")
+        )
+    )
+    per_d = q.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_sq"),
+    )
+    base = F.broadcast(
+        per_d.agg(
+            F.sum("n_tokens").alias("_nn"),
+            F.sum("_sq").alias("_sq0"),
+        )
+    )
+    j = per_d.crossJoin(base)
+    ce_d = F.expr("CAST(-_sq AS DECIMAL(38,0)) DIV n_tokens")
+    ce_0 = F.expr("CAST(-_sq0 AS DECIMAL(38,0)) DIV _nn")
+    staged = j.select(
+        F.col("_d").alias("domain"),
+        "n_tokens",
+        ce_d.cast("long").alias("_ced"),
+        ce_0.cast("long").alias("_ce0"),
+    ).select(
+        "domain",
+        "n_tokens",
+        F.round(F.col("_ced") / F.lit(1000000.0), 6).alias("ce"),
+        F.greatest(F.col("_ced") - F.col("_ce0"), F.lit(0).cast("long")).alias(
+            "excess_micro"
+        ),
+    )
+    factor = F.floor(
+        F.exp(
+            (F.lit(float(eta_tenths)) / F.lit(10.0))
+            * (F.col("excess_micro").cast("double") / F.lit(1000000.0))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    with_f = staged.withColumn("_f", factor)
+    fsum = F.broadcast(with_f.agg(F.sum("_f").alias("_fs")))
+    return (
+        with_f.crossJoin(fsum)
+        .select(
+            "domain",
+            "n_tokens",
+            "ce",
+            "excess_micro",
+            F.round(
+                F.expr("CAST(_f AS DECIMAL(38,0)) * 1000000 DIV _fs").cast(
+                    "long"
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("domain")
+    )

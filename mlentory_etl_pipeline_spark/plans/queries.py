@@ -16726,6 +16726,72 @@ def dp_user_level_event_counts(spark, sf_dir):
     )
 
 
+@register(
+    "doremi_domain_reweight",
+    "one DoReMi-style domain-reweighting step over sources: per-"
+    "source unigram cross-entropy vs the corpus model (micro-nat "
+    "integer sums, one integral divide), excess loss over the corpus "
+    "baseline, weight ~ exp(eta*excess) floored to micro then "
+    "ppm-normalized with one integral divide — the principled "
+    "mixture-weight update feeding the mixture funnel; two token-"
+    "keyed aggregations + domain-sized column math",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS d,
+             UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v
+      FROM cnt
+    ),
+    q AS (
+      SELECT d,
+             CAST(FLOOR(LN((c + 0.5) / (t + 0.5 * v))
+                        * 1000000.0) AS BIGINT) AS qq
+      FROM toks JOIN cnt USING (tok), tot
+    ),
+    per_d AS (
+      SELECT d, COUNT(*) AS n_tokens,
+             SUM(CAST(qq AS HUGEINT)) AS sq
+      FROM q GROUP BY d
+    ),
+    base AS (SELECT SUM(n_tokens) AS nn, SUM(sq) AS sq0 FROM per_d),
+    staged AS (
+      SELECT d AS domain, n_tokens,
+             CAST((-sq) // n_tokens AS BIGINT) AS ced,
+             CAST((-sq0) // nn AS BIGINT) AS ce0
+      FROM per_d, base
+    ),
+    wf AS (
+      SELECT domain, n_tokens,
+             ROUND(CAST(ced AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS ce,
+             GREATEST(ced - ce0, 0) AS excess_micro,
+             CAST(FLOOR(EXP((CAST(1 AS DOUBLE) / CAST(10 AS DOUBLE))
+                            * (CAST(GREATEST(ced - ce0, 0) AS DOUBLE)
+                               / CAST(1000000 AS DOUBLE)))
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS f
+      FROM staged
+    ),
+    fs AS (SELECT SUM(CAST(f AS HUGEINT)) AS fsum FROM wf)
+    SELECT domain, CAST(n_tokens AS BIGINT) AS n_tokens, ce,
+           CAST(excess_micro AS BIGINT) AS excess_micro,
+           ROUND(CAST(CAST((CAST(f AS HUGEINT) * 1000000) // fsum AS BIGINT)
+                      AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS weight
+    FROM wf, fs ORDER BY domain
+    """,
+    survey_ops=("curation-mixture", "curation-pipeline"),
+)
+def doremi_domain_reweight(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        doremi_domain_reweight as doremi,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return doremi(d, "source", "text", eta_tenths=1, alpha=0.5)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

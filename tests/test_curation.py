@@ -696,3 +696,26 @@ def test_dp_user_level_clamp_bounds_heavy_user(spark):
     assert abs(out["hot"] - 5) < 250
     assert out["hot"] < 500  # clamp engaged: nowhere near 1000
     assert abs(out["cold"] - 10) < 250
+
+
+def test_doremi_reweight_upweights_lossy_domain(spark):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        doremi_domain_reweight,
+    )
+
+    # domain "rare" uses tokens the corpus model assigns low prob
+    rows = [(i, "common", "the cat sat on the mat") for i in range(20)] + [
+        (100 + i, "rare", f"zq{i}x wobble{i} frumious") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.domain: (r.weight, r.excess_micro, r.n_tokens)
+        for r in doremi_domain_reweight(df, "source", "text").collect()
+    }
+    assert set(out) == {"common", "rare"}
+    # weights normalize to ~1 (ppm floors lose < |domains| ppm)
+    total = sum(w for w, _, _ in out.values())
+    assert 0.999 <= total <= 1.000001
+    # the high-cross-entropy domain gets the larger weight
+    assert out["rare"][1] > 0
+    assert out["rare"][0] > out["common"][0]
