@@ -1538,3 +1538,69 @@ def doremi_domain_reweight(
         )
         .orderBy("domain")
     )
+
+
+def chat_template_render(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    seq_col: str,
+    role_col: Column,
+    content_col: Column,
+) -> DataFrame:
+    """Render per-user event streams into chat-template training text —
+    the SFT/instruction-data assembly step: one row per conversation
+    with ``<|role|>content`` turn markers, turn count, and a
+    whitespace token count for the packing budget. The reference
+    pipeline renders QA prompts driver-side per row
+    (``QAInferenceEngine.py``); at lake scale the conversation
+    assembly must be ONE aggregation.
+
+    Determinism: turns sort by (ts, seq) via ``array_sort`` over
+    structs whose FIRST fields are the sort key — collect_list order
+    is partition-dependent, the sort is what makes the rendered
+    string engine- and run-stable (mirrored by ``STRING_AGG ... ORDER
+    BY`` in SQL). Content must be pre-formatted to strings by the
+    caller (no float rendering inside — cross-engine float-to-string
+    is a parity hazard).
+
+    Scale posture: one groupBy(user) with map-side combined
+    collect_list; per-conversation size is bounded by the session
+    length — cap upstream (quota_sample) for adversarial users.
+    """
+    lines = events.select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            F.col(seq_col).alias("_seq"),
+            F.concat(
+                F.lit("<|"), role_col, F.lit("|>"), content_col
+            ).alias("_line"),
+        ).alias("_t"),
+    )
+    conv = lines.groupBy("_u").agg(
+        F.array_sort(F.collect_list("_t")).alias("_ts_sorted")
+    )
+    text = F.array_join(
+        F.transform(F.col("_ts_sorted"), lambda s: s.getField("_line")),
+        "\n",
+    )
+    return conv.select(
+        F.col("_u").alias(user_col),
+        F.size("_ts_sorted").alias("n_turns"),
+        text.alias("conversation"),
+        F.size(F.split(F.trim(text), r"\s+")).alias("n_tokens"),
+    )
+
+
+def with_observation(df: DataFrame, name: str, *metrics: Column):
+    """Attach a named :class:`pyspark.sql.Observation` to ``df`` —
+    pipeline telemetry (row counts, null rates, filter pass rates)
+    collected AS A SIDE EFFECT of the action that already runs, zero
+    extra passes over the data: the at-scale alternative to a
+    separate ``count()`` job per metric. Returns ``(df, observation)``;
+    read ``observation.get`` after the first action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

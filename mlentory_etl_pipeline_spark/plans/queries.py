@@ -16792,6 +16792,61 @@ def doremi_domain_reweight(spark, sf_dir):
     return doremi(d, "source", "text", eta_tenths=1, alpha=0.5)
 
 
+@register(
+    "chat_template_render_sessions",
+    "SFT conversation assembly: per-user event streams rendered to "
+    "chat-template text (<|role|>content turns, ts+seq sorted via "
+    "array_sort over sort-key-first structs — collect_list order is "
+    "partition-dependent, the sort makes the string engine-stable), "
+    "with turn counts and whitespace token budget; ONE map-side-"
+    "combined aggregation, content pre-stringified (cents ints — "
+    "cross-engine float rendering is a parity hazard)",
+    oracle=r"""
+    WITH lines AS (
+      SELECT user_id, ts, event_id,
+             '<|' || (CASE WHEN event_type = 'purchase' THEN 'assistant'
+                           WHEN event_type = 'view' THEN 'user'
+                           ELSE 'system' END)
+                  || '|>' || event_type || ':'
+                  || CAST(COALESCE(CAST(FLOOR(value * 100) AS BIGINT), 0)
+                          AS VARCHAR) AS line
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id,
+             COUNT(*) AS n_turns,
+             STRING_AGG(line, chr(10) ORDER BY ts, event_id) AS conversation
+      FROM lines GROUP BY user_id
+    )
+    SELECT user_id, n_turns, conversation,
+           LEN(STRING_SPLIT_REGEX(TRIM(conversation), '\s+')) AS n_tokens
+    FROM conv
+    """,
+    survey_ops=("curation-pipeline", "N7", "N8"),
+)
+def chat_template_render_sessions(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        chat_template_render,
+    )
+
+    e = t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type") == "purchase", "assistant")
+        .when(F.col("event_type") == "view", "user")
+        .otherwise("system")
+    )
+    content = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.coalesce(
+            F.floor(F.col("value") * 100).cast("long"), F.lit(0)
+        ).cast("string"),
+    )
+    return chat_template_render(
+        e, "user_id", "ts", "event_id", role, content
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -719,3 +719,52 @@ def test_doremi_reweight_upweights_lossy_domain(spark):
     # the high-cross-entropy domain gets the larger weight
     assert out["rare"][1] > 0
     assert out["rare"][0] > out["common"][0]
+
+
+def test_chat_template_render_orders_and_counts(spark):
+    import pyspark.sql.functions as F
+
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        chat_template_render,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:02", 3, "b"),
+        (1, "2024-01-01 10:00:01", 2, "a"),
+        (1, "2024-01-01 10:00:02", 1, "c"),  # ts tie -> seq breaks it
+        (2, "2024-01-01 09:00:00", 9, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts_s string, seq long, ev string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        r.u: (r.n_turns, r.conversation, r.n_tokens)
+        for r in chat_template_render(
+            df, "u", "ts", "seq", F.lit("user"), F.col("ev")
+        ).collect()
+    }
+    assert out[1][0] == 3
+    assert out[1][1] == "<|user|>a\n<|user|>c\n<|user|>b"
+    assert out[2] == (1, "<|user|>solo", 1)
+
+
+def test_with_observation_collects_metrics_in_one_pass(spark):
+    import pyspark.sql.functions as F
+
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        with_observation,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    observed, obs = with_observation(
+        df,
+        "quality",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("v") >= 50.0, 1).otherwise(0)).alias("passed"),
+    )
+    kept = observed.where(F.col("v") >= 50.0).count()
+    assert kept == 50
+    m = obs.get
+    assert m["rows"] == 100 and m["passed"] == 50
