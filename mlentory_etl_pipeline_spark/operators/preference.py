@@ -1,0 +1,133 @@
+"""Pairwise-preference rating operators (RLHF data-prep family).
+
+Reward-model training data is pairwise preferences; before training
+anything you want per-item strength estimates from those pairs —
+which responses/sources/suppliers systematically win. Bradley–Terry
+is the canonical model; Hunter's (2004, public) MM algorithm fits it
+with a fixed-point iteration that maps exactly onto the pregel-style
+join+aggregate shape every iterative operator in this repo uses
+(pagerank/ALS/HITS precedent: graph.py:315, factorization.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bradley_terry_ratings(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 4,
+) -> DataFrame:
+    """Bradley–Terry strength ratings from pairwise win counts via
+    ``iters`` unrolled MM updates (Hunter 2004):
+
+        π_i ← W_i / Σ_{j~i} m_ij / (π_i + π_j)
+
+    with W_i = total wins of i, m_ij = comparisons between i and j,
+    renormalized to mean 1 each round (BT is scale-free; the
+    renormalization pins the gauge and bounds the integer state).
+
+    Exactness contract (the pagerank/HITS scheme): ratings are
+    micro-unit INTEGERS between rounds; each edge term closes as ONE
+    integral divide ``m_ij·10^12 DIV (π_i + π_j)`` (exact long sums),
+    the node update as ``W_i·10^12 DIV d_i`` clamped to ≥ 1 micro
+    (a zero-rated pair would otherwise divide by zero), and the
+    renormalization as ``π_i·(n·10^6) DIV Σπ`` — every step
+    engine-replicable, so the registry oracle unrolls the same
+    rounds.
+
+    Scale posture per round: two broadcast-or-shuffle hash joins of
+    the (node, rating) table onto the edge list + one node-keyed
+    aggregation — the pregel message shape; O(1) plan via
+    localCheckpoint pinning. Input needs ONE row per ordered
+    (winner, loser) observation; ties must be dropped upstream.
+
+    Returns ``(node, wins, comparisons, rating)`` with rating scaled
+    to mean 1.0, rounded 6 dp.
+    """
+    obs = comparisons.select(
+        F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
+    )
+    wins = obs.groupBy(F.col("_w").alias("node")).agg(
+        F.count(F.lit(1)).alias("_wins")
+    )
+    # symmetric comparison counts: m_ij listed from BOTH endpoints
+    m = (
+        obs.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"))
+        .unionByName(
+            obs.select(F.col("_l").alias("_i"), F.col("_w").alias("_j"))
+        )
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = m.select(F.col("_i").alias("node")).distinct()
+    full = (
+        nodes.join(wins, "node", "left")
+        .select("node", F.coalesce("_wins", F.lit(0)).alias("_wins"))
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = F.broadcast(full.agg(F.count(F.lit(1)).alias("_n")))
+    ratings = full.select(
+        "node", F.lit(1_000_000).cast("long").alias("_p")
+    )
+    for _ in range(iters):
+        ri = ratings.select(F.col("node").alias("_i"), F.col("_p").alias("_pi"))
+        rj = ratings.select(F.col("node").alias("_j"), F.col("_p").alias("_pj"))
+        d = (
+            m.join(ri, "_i")
+            .join(rj, "_j")
+            .select(
+                F.col("_i").alias("node"),
+                F.expr(
+                    "CAST(_m AS DECIMAL(38,0)) * 1000000000000"
+                    " DIV (_pi + _pj)"
+                ).alias("_t"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("_t").cast("decimal(38,0)")).alias("_d"))
+        )
+        raw = (
+            full.join(d, "node")
+            .select(
+                "node",
+                F.greatest(
+                    F.expr(
+                        "CAST(_wins AS DECIMAL(38,0)) * 1000000000000"
+                        " DIV _d"
+                    ).cast("long"),
+                    F.lit(1).cast("long"),
+                ).alias("_pr"),
+            )
+        )
+        tot = F.broadcast(raw.agg(F.sum("_pr").alias("_tp")))
+        ratings = (
+            raw.crossJoin(tot)
+            .crossJoin(n_nodes)
+            .select(
+                "node",
+                F.greatest(
+                    F.expr(
+                        "CAST(_pr AS DECIMAL(38,0)) * (_n * 1000000)"
+                        " DIV _tp"
+                    ).cast("long"),
+                    F.lit(1).cast("long"),
+                ).alias("_p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    comp_counts = m.groupBy(F.col("_i").alias("node")).agg(
+        F.sum("_m").alias("comparisons")
+    )
+    return (
+        full.join(ratings, "node")
+        .join(comp_counts, "node")
+        .select(
+            "node",
+            F.col("_wins").alias("wins"),
+            "comparisons",
+            F.round(F.col("_p") / F.lit(1000000.0), 6).alias("rating"),
+        )
+    )

@@ -4113,3 +4113,65 @@ def platt_scaling_fit(
         F.round(F.col("w0m") / F.lit(1000000.0), 6).alias("w0"),
         F.round(F.col("w1m") / F.lit(1000000.0), 6).alias("w1"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_cols: list[str],
+    correct: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, the Codex paper):
+    with n samples per task of which c are correct,
+
+        pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+
+    — the expectation over all size-k subsets, NOT the biased
+    "any of the first k" count. The standard eval metric for
+    sample-based generation (code, math, agents).
+
+    Exactness: the product closes as two exact integer products in
+    DECIMAL(38,0) (k ≤ ~15 at n ≤ ~1000 stays under 38 digits; the
+    caller owns that bound) via ``aggregate`` over a literal
+    0..k−1 sequence, then ONE divide, round 6. Tasks with n < k get
+    NULL (pass@k undefined; the count columns say why). Per-task
+    aggregation only — map-side combined, no window, no shuffle
+    beyond the task key.
+    """
+    per = df.groupBy(*task_cols).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.when(correct, 1).otherwise(0)).alias("n_correct"),
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    num = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        one,
+        lambda acc, i: acc
+        * F.greatest(
+            (F.col("n_samples") - F.col("n_correct") - i).cast(
+                "decimal(38,0)"
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        one,
+        lambda acc, i: acc * (F.col("n_samples") - i).cast("decimal(38,0)"),
+    )
+    return per.select(
+        *task_cols,
+        "n_samples",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double")
+            / F.col("n_samples").cast("double"),
+            6,
+        ).alias("pass_at_1"),
+        F.when(
+            F.col("n_samples") >= k,
+            F.round(
+                F.lit(1.0) - num.cast("double") / den.cast("double"), 6
+            ),
+        ).alias(f"pass_at_{k}"),
+    )

@@ -16847,6 +16847,160 @@ def chat_template_render_sessions(spark, sf_dir):
     )
 
 
+def _pass_at_k_oracle(k: int = 5) -> str:
+    num = " * ".join(
+        f"CAST(GREATEST(n_samples - n_correct - {i}, 0) AS HUGEINT)"
+        for i in range(k)
+    )
+    den = " * ".join(
+        f"CAST(n_samples - {i} AS HUGEINT)" for i in range(k)
+    )
+    return f"""
+    WITH per AS (
+      SELECT l_partkey AS task_id, COUNT(*) AS n_samples,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS n_correct
+      FROM lineitem WHERE l_partkey < 200 GROUP BY 1
+    )
+    SELECT task_id, n_samples, n_correct,
+           ROUND(CAST(n_correct AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+             AS pass_at_1,
+           CASE WHEN n_samples >= {k} THEN
+             ROUND(1.0 - CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6)
+           END AS pass_at_{k}
+    FROM per ORDER BY task_id
+    """
+
+
+@register(
+    "pass_at_k_return_tasks",
+    "unbiased pass@k estimator (the Codex-paper subset expectation, "
+    "NOT the biased first-k count): per-task exact integer products "
+    "C(n-c,k)/C(n,k) = prod (n-c-i)/(n-i) in DECIMAL(38,0) via "
+    "aggregate over a literal 0..k-1 sequence, one divide — the "
+    "standard sample-based generation eval; n<k tasks NULL by "
+    "contract; one task-keyed map-side aggregation",
+    oracle=_pass_at_k_oracle(5),
+    survey_ops=("eval-metrics",),
+)
+def pass_at_k_return_tasks(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 200)
+    return stats.pass_at_k(
+        li.select(F.col("l_partkey").alias("task_id"), "l_returnflag"),
+        ["task_id"],
+        F.col("l_returnflag") == "R",
+        k=5,
+    )
+
+
+def _bradley_terry_oracle(iters: int = 4) -> str:
+    head = """
+    WITH li AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_suppkey AS s,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS v
+      FROM lineitem WHERE l_suppkey < 100
+    ),
+    obs AS MATERIALIZED (
+      SELECT a.s AS w, b.s AS l
+      FROM li a JOIN li b ON a.ok = b.ok AND a.s <> b.s AND a.v > b.v
+    ),
+    wins AS MATERIALIZED (SELECT w AS node, COUNT(*) AS wins FROM obs GROUP BY 1),
+    m AS MATERIALIZED (
+      SELECT _i, _j, COUNT(*) AS _m FROM (
+        SELECT w AS _i, l AS _j FROM obs
+        UNION ALL SELECT l AS _i, w AS _j FROM obs
+      ) GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT _i AS node FROM m),
+    fullt AS MATERIALIZED (
+      SELECT n.node, COALESCE(w.wins, 0) AS wins
+      FROM nodes n LEFT JOIN wins w ON w.node = n.node
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM fullt),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes)"""
+    step = """,
+    d{i} AS MATERIALIZED (
+      SELECT m._i AS node,
+             SUM((CAST(_m AS HUGEINT) * 1000000000000)
+                 // (ri.p + rj.p)) AS d
+      FROM m JOIN r{p} ri ON ri.node = m._i
+             JOIN r{p} rj ON rj.node = m._j
+      GROUP BY m._i
+    ),
+    raw{i} AS MATERIALIZED (
+      SELECT f.node,
+             GREATEST(CAST((CAST(f.wins AS HUGEINT) * 1000000000000)
+                           // d.d AS BIGINT), 1) AS pr
+      FROM fullt f JOIN d{i} d ON d.node = f.node
+    ),
+    t{i} AS (SELECT SUM(CAST(pr AS HUGEINT)) AS tp FROM raw{i}),
+    r{i} AS MATERIALIZED (
+      SELECT node,
+             GREATEST(CAST((CAST(pr AS HUGEINT) * (n * 1000000))
+                           // tp AS BIGINT), 1) AS p
+      FROM raw{i}, t{i}, nn
+    )"""
+    body = head
+    for i in range(1, iters + 1):
+        body += step.format(i=i, p=i - 1)
+    body += f"""
+    SELECT f.node, f.wins,
+           CAST(c.comparisons AS BIGINT) AS comparisons,
+           ROUND(CAST(r.p AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+             AS rating
+    FROM fullt f
+    JOIN r{iters} r ON r.node = f.node
+    JOIN (SELECT _i AS node, SUM(_m) AS comparisons FROM m GROUP BY 1) c
+      ON c.node = f.node
+    """
+    return body
+
+
+@register(
+    "bradley_terry_supplier_ratings",
+    "Bradley-Terry strength ratings from pairwise within-order "
+    "supplier win counts (higher net line value wins, ties dropped), "
+    "4 unrolled Hunter-MM rounds: ratings are micro-unit integers, "
+    "each edge term and node update ONE integral divide, mean-1 "
+    "renormalization per round — the RLHF preference-rating "
+    "primitive; per round two rating joins onto the edge list + one "
+    "node aggregation (pregel shape)",
+    oracle=_bradley_terry_oracle(iters=4),
+    survey_ops=("eval-metrics", "G9"),
+)
+def bradley_terry_supplier_ratings(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators.preference import (
+        bradley_terry_ratings,
+    )
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") < 100)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("s"),
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("v"),
+        )
+    )
+    obs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.s") != F.col("b.s"))
+            & (F.col("a.v") > F.col("b.v")),
+        )
+        .select(F.col("a.s").alias("winner"), F.col("b.s").alias("loser"))
+    )
+    return bradley_terry_ratings(obs, "winner", "loser", iters=4)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -497,3 +497,108 @@ def test_cox_recovers_known_hazard_direction(spark):
     r = cox_ph_binary(df, F.col("d"), F.col("e"), F.col("g"), iters=4).collect()[0]
     assert r.beta is not None and r.beta > 0.5
     assert r.hazard_ratio > 1.5
+
+
+# --- pass@k -----------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.booleans()), min_size=1, max_size=40
+    ),
+    st.integers(1, 6),
+)
+def test_pass_at_k_matches_comb(spark, rows, k):
+    from mlentory_etl_pipeline_spark.operators.stats import pass_at_k
+
+    df = spark.createDataFrame(rows, "task int, ok boolean")
+    got = {
+        r.task: (r.n_samples, r.n_correct, r.pass_at_1, r[f"pass_at_{k}"])
+        for r in pass_at_k(df, ["task"], F.col("ok"), k=k).collect()
+    }
+    from collections import Counter
+
+    n_by = Counter(t for t, _ in rows)
+    c_by = Counter(t for t, ok in rows if ok)
+    for task, n in n_by.items():
+        c = c_by.get(task, 0)
+        g = got[task]
+        assert g[0] == n and g[1] == c
+        assert abs(g[2] - round(c / n, 6)) < 1e-9
+        if n < k:
+            assert g[3] is None
+        else:
+            expect = 1.0 - math.comb(n - c, k) / math.comb(n, k)
+            assert abs(g[3] - expect) < 2e-6
+
+
+# --- Bradley-Terry ----------------------------------------------------
+
+
+def _bt_model(obs, iters=4):
+    from collections import Counter
+
+    wins = Counter(w for w, _ in obs)
+    m = Counter()
+    for w, l in obs:
+        m[(w, l)] += 1
+        m[(l, w)] += 1
+    nodes = sorted({x for e in m for x in e})
+    n = len(nodes)
+    p = {x: 1_000_000 for x in nodes}
+    for _ in range(iters):
+        d = Counter()
+        for (i, j), mm in m.items():
+            d[i] += (mm * 10**12) // (p[i] + p[j])
+        raw = {
+            x: max((wins.get(x, 0) * 10**12) // d[x], 1) for x in nodes
+        }
+        tp = sum(raw.values())
+        p = {x: max((raw[x] * (n * 1_000_000)) // tp, 1) for x in nodes}
+    comp = Counter()
+    for (i, _j), mm in m.items():
+        comp[i] += mm
+    return {
+        x: (wins.get(x, 0), comp[x], round(p[x] / 1e6, 6)) for x in nodes
+    }
+
+
+bt_case = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 4)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(bt_case)
+def test_bradley_terry_matches_mm_model(spark, obs):
+    from mlentory_etl_pipeline_spark.operators.preference import (
+        bradley_terry_ratings,
+    )
+
+    df = spark.createDataFrame(obs, "w int, l int")
+    got = {
+        r.node: (r.wins, r.comparisons, r.rating)
+        for r in bradley_terry_ratings(df, "w", "l", iters=4).collect()
+    }
+    assert got == _bt_model(obs)
+
+
+def test_bradley_terry_dominant_item_rates_highest(spark):
+    from mlentory_etl_pipeline_spark.operators.preference import (
+        bradley_terry_ratings,
+    )
+
+    # item 0 beats everyone twice; 1 beats 2; 2 beats 3
+    obs = [(0, 1), (0, 1), (0, 2), (0, 2), (0, 3), (0, 3), (1, 2), (2, 3)]
+    df = spark.createDataFrame(obs, "w int, l int")
+    r = {
+        x.node: x.rating
+        for x in bradley_terry_ratings(df, "w", "l", iters=4).collect()
+    }
+    assert r[0] == max(r.values())
+    assert r[0] > r[1] > r[3]
