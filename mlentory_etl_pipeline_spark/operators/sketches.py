@@ -343,3 +343,59 @@ def hll_md5_estimate(
     e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     est = F.when((e_raw <= 2.5 * m) & (v > 0), e_lc).otherwise(e_raw)
     return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    days: int = 7,
+    b: int = 8,
+) -> DataFrame:
+    """Trailing-``days`` rolling distinct counts from MERGED daily HLL
+    sketches — the production rolling-uniques pattern at lake scale:
+    per-day register tables are tiny (m rows/day), immutable, and
+    mergeable (``max`` per register), so "7-day uniques per day" costs
+    an interval join over METADATA instead of re-scanning a week of
+    raw events per day (the associativity law
+    ``sketch(A∪B) = merge(sketch(A), sketch(B))`` is what the
+    agg-state tests assert exactly).
+
+    Shape: one raw-data pass builds daily registers
+    (:func:`hll_md5_registers`); a broadcast day-spine interval join
+    (|days| × m × window rows — metadata) re-groups ``max(rho)`` per
+    (day, register); :func:`hll_md5_estimate` closes each day. The
+    range join is on the SKETCH table, never the corpus. Engine-exact
+    end-to-end (the md5-HLL determinism scheme), so the rolling
+    APPROXIMATE series itself carries a hard SQL oracle.
+    """
+    base = df.select(
+        F.to_date(F.col(ts_col)).alias("_day"), F.col(value_col)
+    )
+    regs = hll_md5_registers(base, ["_day"], value_col, b)
+    epoch = F.lit("1970-01-01").cast("date")
+    r = regs.select(
+        F.datediff(F.col("_day"), epoch).alias("_dn"),
+        "register",
+        "max_rho",
+    )
+    spine = (
+        regs.select("_day")
+        .distinct()
+        .select("_day", F.datediff(F.col("_day"), epoch).alias("_dd"))
+    )
+    merged = (
+        F.broadcast(spine)
+        .join(
+            r,
+            (F.col("_dn") <= F.col("_dd"))
+            & (F.col("_dn") >= F.col("_dd") - F.lit(days - 1)),
+        )
+        .groupBy("_day", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return (
+        hll_md5_estimate(merged, ["_day"], b)
+        .withColumnRenamed("_day", "day")
+        .orderBy("day")
+    )

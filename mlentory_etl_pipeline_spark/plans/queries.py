@@ -17001,6 +17001,70 @@ def bradley_terry_supplier_ratings(spark, sf_dir):
     return bradley_terry_ratings(obs, "winner", "loser", iters=4)
 
 
+def _hll_rolling_oracle(days: int = 7, b: int = 8) -> str:
+    m = 1 << b
+    payload = 60 - b
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    w = f"CAST(FLOOR(hv / {m}) AS BIGINT)"
+    return f"""
+    WITH h AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    regs AS MATERIALIZED (
+      SELECT day, hv % {m} AS register,
+             MAX(CASE WHEN {w} > 0 THEN {payload + 1} - LENGTH(BIN({w}))
+                      ELSE {payload + 1} END) AS max_rho
+      FROM h GROUP BY day, hv % {m}
+    ),
+    spine AS (SELECT DISTINCT day FROM regs),
+    merged AS MATERIALIZED (
+      SELECT s.day, r.register, MAX(r.max_rho) AS max_rho
+      FROM spine s JOIN regs r
+        ON DATE_DIFF('day', r.day, s.day) BETWEEN 0 AND {days - 1}
+      GROUP BY s.day, r.register
+    ),
+    kx AS (SELECT day, MAX(max_rho) AS k FROM merged GROUP BY day),
+    agg AS (
+      SELECT r.day,
+             SUM(CAST(1 AS BIGINT) << (kx.k - r.max_rho))
+               + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << ANY_VALUE(kx.k)) AS n,
+             ANY_VALUE(kx.k) AS k,
+             COUNT(*) AS present
+      FROM merged r JOIN kx ON kx.day = r.day
+      GROUP BY r.day
+    )
+    SELECT day,
+           ROUND(CASE WHEN ({alpha_m2!r} * POWER(2.0, CAST(k AS DOUBLE)) / n)
+                        <= {2.5 * m}
+                       AND ({m} - present) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - present))
+                  ELSE {alpha_m2!r} * POWER(2.0, CAST(k AS DOUBLE)) / n
+             END, 4) AS est_distinct
+    FROM agg ORDER BY day
+    """
+
+
+@register(
+    "hll_rolling_7day_distinct_users",
+    "trailing-7-day rolling distinct users per day from MERGED daily "
+    "md5-HLL register tables: the lake rolling-uniques pattern — one "
+    "raw pass builds per-day sketches, a broadcast day-spine interval "
+    "join re-merges max(rho) per (day, register) over METADATA (never "
+    "re-scanning raw events), integer harmonic close; the rolling "
+    "approximate series itself is engine-exact under a hard oracle",
+    oracle=_hll_rolling_oracle(days=7, b=8),
+    survey_ops=("approx-aggregates", "sketch-aggregates", "Q8"),
+)
+def hll_rolling_7day_distinct_users(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import sketches
+
+    e = t(spark, sf_dir, "events").select("ts", "user_id")
+    return sketches.hll_rolling_distinct(e, "ts", "user_id", days=7, b=8)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

