@@ -4175,3 +4175,92 @@ def pass_at_k(
             ),
         ).alias(f"pass_at_{k}"),
     )
+
+
+def optimal_f1_threshold(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Best F1 decision threshold over the quantized score domain —
+    the missing step between scoring and ACTING: exact_auc says the
+    ranking is good, this says WHERE to cut it (predict positive when
+    ``score ≥ t``). Sweeps every distinct quantized score as a
+    candidate threshold using the distributed prefix-sum rank
+    primitive (no single-partition window), closing each candidate's
+    F1 as ONE integral divide:
+
+        f1_micro(t) = 2·TP·10^6 DIV (TP + FP + P)
+
+    (algebraically 2TP/(2TP+FP+FN) with FN = P−TP). The argmax is a
+    struct-max with the LOWEST threshold breaking ties (equal F1 →
+    prefer recall). Returns one row: threshold (in score units),
+    tp/fp/fn, precision/recall/f1 (micro-quantized, rounded 6).
+    Degenerate: zero positives → empty result (no threshold is
+    defined; callers read the empty frame).
+    """
+    q = df.select(
+        F.floor(score * scale).cast("long").alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = q.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p")
+    )
+    ranked = distributed_cum_before(g, "_s", ["_c", "_p"])
+    tot = F.broadcast(
+        g.agg(F.sum("_c").alias("_tc"), F.sum("_p").alias("_tp"))
+    )
+    cand = ranked.crossJoin(tot).select(
+        "_s",
+        (F.col("_tp") - F.col("_cb__p")).alias("_TP"),
+        (
+            (F.col("_tc") - F.col("_tp"))
+            - (F.col("_cb__c") - F.col("_cb__p"))
+        ).alias("_FP"),
+        F.col("_tp").alias("_P"),
+    )
+    scored = cand.where(F.col("_P") > 0).select(
+        "_s",
+        "_TP",
+        "_FP",
+        F.expr(
+            "CAST(2 * _TP AS DECIMAL(38,0)) * 1000000 DIV (_TP + _FP + _P)"
+        ).alias("_f1m"),
+        "_P",
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("_f1m"), (-F.col("_s")).alias("_ns"))).alias(
+            "_b"
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .where(
+            (F.col("_f1m") == F.col("_b._f1m"))
+            & (-F.col("_s") == F.col("_b._ns"))
+        )
+        .select(
+            F.round(F.col("_s") / F.lit(float(scale)), 6).alias("threshold"),
+            F.col("_TP").alias("tp"),
+            F.col("_FP").alias("fp"),
+            (F.col("_P") - F.col("_TP")).alias("fn"),
+            F.round(
+                F.expr(
+                    "CAST(CAST(_TP AS DECIMAL(38,0)) * 1000000"
+                    " DIV (_TP + _FP) AS DOUBLE)"
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.expr(
+                    "CAST(CAST(_TP AS DECIMAL(38,0)) * 1000000"
+                    " DIV _P AS DOUBLE)"
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("recall"),
+            F.round(F.col("_f1m") / F.lit(1000000.0), 6).alias("f1"),
+        )
+    )

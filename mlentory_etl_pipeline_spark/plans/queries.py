@@ -17065,6 +17065,65 @@ def hll_rolling_7day_distinct_users(spark, sf_dir):
     return sketches.hll_rolling_distinct(e, "ts", "user_id", days=7, b=8)
 
 
+@register(
+    "optimal_f1_threshold_purchase",
+    "best-F1 decision threshold for value-as-purchase-classifier: "
+    "every distinct micro-quantized score swept as a candidate cut "
+    "via the distributed prefix-sum rank primitive, each F1 ONE "
+    "integral divide, struct-argmax with lowest-threshold tie-break "
+    "— where exact_auc rates the ranking, this picks the operating "
+    "point a curation pipeline actually thresholds on",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM q GROUP BY 1),
+    r AS (
+      SELECT s, COALESCE(SUM(c) OVER w, 0) AS cbc,
+             COALESCE(SUM(p) OVER w, 0) AS cbp
+      FROM g
+      WINDOW w AS (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    tot AS (SELECT SUM(c) AS tc, SUM(p) AS tp FROM g),
+    cand AS (
+      SELECT s, tp - cbp AS tpv, (tc - tp) - (cbc - cbp) AS fpv,
+             tp AS pp
+      FROM r, tot
+    ),
+    scored AS (
+      SELECT s, tpv, fpv, pp,
+             (CAST(2 * tpv AS HUGEINT) * 1000000) // (tpv + fpv + pp)
+               AS f1m
+      FROM cand WHERE pp > 0
+    ),
+    best AS (SELECT f1m, s FROM scored ORDER BY f1m DESC, s ASC LIMIT 1)
+    SELECT ROUND(CAST(sc.s AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+             AS threshold,
+           CAST(tpv AS BIGINT) AS tp, CAST(fpv AS BIGINT) AS fp,
+           CAST(pp - tpv AS BIGINT) AS fn,
+           ROUND(CAST(CAST((CAST(tpv AS HUGEINT) * 1000000)
+                           // (tpv + fpv) AS BIGINT) AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE), 6) AS "precision",
+           ROUND(CAST(CAST((CAST(tpv AS HUGEINT) * 1000000)
+                           // pp AS BIGINT) AS DOUBLE)
+                 / CAST(1000000 AS DOUBLE), 6) AS recall,
+           ROUND(CAST(sc.f1m AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS f1
+    FROM scored sc, best b WHERE sc.f1m = b.f1m AND sc.s = b.s
+    """,
+    survey_ops=("eval-metrics", "F1"),
+)
+def optimal_f1_threshold_purchase(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return stats.optimal_f1_threshold(
+        e, F.col("event_type") == "purchase", F.col("value")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -602,3 +602,46 @@ def test_bradley_terry_dominant_item_rates_highest(spark):
     }
     assert r[0] == max(r.values())
     assert r[0] > r[1] > r[3]
+
+
+# --- optimal F1 threshold ---------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),
+            st.sampled_from([0.1, 0.25, 0.25001, 0.5, 0.9]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_optimal_f1_matches_sweep(spark, pairs):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        optimal_f1_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(1 if y else 0, s) for y, s in pairs], "y int, s double"
+    )
+    out = optimal_f1_threshold(df, F.col("y") == 1, F.col("s")).collect()
+    P = sum(1 for y, _ in pairs if y)
+    if P == 0:
+        assert out == []
+        return
+    qs = [(math.floor(s * 1e6), y) for y, s in pairs]
+    best = None
+    for t_ in sorted({q for q, _ in qs}):
+        tp = sum(1 for q, y in qs if q >= t_ and y)
+        fp = sum(1 for q, y in qs if q >= t_ and not y)
+        f1m = (2 * tp * 1_000_000) // (tp + fp + P)
+        key = (f1m, -t_)
+        if best is None or key > best[0]:
+            best = (key, t_, tp, fp)
+    _, t_, tp, fp = best
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r.threshold - round(t_ / 1e6, 6)) < 1e-9
+    assert (r.tp, r.fp, r.fn) == (tp, fp, P - tp)
