@@ -4264,3 +4264,150 @@ def optimal_f1_threshold(
             F.round(F.col("_f1m") / F.lit(1000000.0), 6).alias("f1"),
         )
     )
+
+
+def permutation_test_diff(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    id_col: str,
+    n_perms: int = 63,
+    cents: int = 100,
+    seed: str = "perm-v1",
+) -> DataFrame:
+    """Two-sample permutation test of the mean difference — the
+    assumption-free inference workhorse (no normality, no variance
+    model: under H0 labels are exchangeable, so the observed diff is
+    compared to its own relabeling distribution). Complements
+    welch (parametric) and mann-whitney (rank) on the same A/B
+    decision.
+
+    Determinism contract (the bootstrap-replica scheme): permutation
+    ``b`` relabels each row by the parity of ``md5(seed|b|id)`` — an
+    exchangeable, engine-replicable relabeling; per-replica sums close
+    in exact integer cents via ONE map-side fan-out
+    (``explode(sequence(1, B))``) and a B-row shuffle; mean diffs
+    quantize to micro-cents in frozen double math; the p-value is the
+    add-one-smoothed exceedance count ``(1 + #{|d_b| ≥ |d_obs|}) /
+    (B+1)`` — pure integer comparisons.
+
+    Scale: fan-out ×B is map-side (one md5 per (row, b)); the shuffle
+    carries B pre-aggregated rows. Degenerate: an empty arm in the
+    OBSERVED split → NULL p (try-style CASE); empty arms in a replica
+    contribute NULL diff which never exceeds (documented).
+    """
+    y = F.floor(value * cents).cast("long")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.when(group, F.lit(1)).otherwise(F.lit(0)).alias("_g"),
+        y.alias("_y"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("_g") == 1, F.col("_y")).otherwise(0)).alias("_sa"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_g") == 0, F.col("_y")).otherwise(0)).alias("_sb"),
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("n_b"),
+    )
+    dmicro = lambda sa, na, sb, nb: F.floor(  # noqa: E731
+        (
+            sa.cast("double") / na.cast("double")
+            - sb.cast("double") / nb.cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    fan = base.select(
+        "_id",
+        "_y",
+        F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("_b"),
+    ).select(
+        "_b",
+        "_y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.lit("|"),
+                            F.col("_b").cast("string"),
+                            F.lit("|"),
+                            F.col("_id"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("_pg"),
+    )
+    reps = fan.groupBy("_b").agg(
+        F.sum(F.when(F.col("_pg") == 1, F.col("_y")).otherwise(0)).alias("_sa"),
+        F.sum(F.when(F.col("_pg") == 1, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_pg") == 0, F.col("_y")).otherwise(0)).alias("_sb"),
+        F.sum(F.when(F.col("_pg") == 0, 1).otherwise(0)).alias("_nb"),
+    )
+    rep_d = reps.select(
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            F.abs(
+                dmicro(
+                    F.col("_sa"), F.col("_na"), F.col("_sb"), F.col("_nb")
+                )
+            ),
+        ).alias("_ad")
+    )
+    obs_d = obs.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            dmicro(F.col("_sa"), F.col("n_a"), F.col("_sb"), F.col("n_b")),
+        ).alias("_dobs"),
+    )
+    exceed = rep_d.crossJoin(F.broadcast(obs_d)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("_dobs").alias("_dobs"),
+        F.sum(
+            F.when(F.col("_ad") >= F.abs(F.col("_dobs")), 1).otherwise(0)
+        ).alias("_ge"),
+    )
+    return exceed.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_dobs") / F.lit(1000000.0) / F.lit(float(cents)), 6).alias(
+            "mean_diff"
+        ),
+        F.when(
+            F.col("_dobs").isNotNull(),
+            F.round(
+                (F.lit(1) + F.col("_ge")).cast("double")
+                / F.lit(float(n_perms + 1)),
+                6,
+            ),
+        ).alias("p_value"),
+    )
+
+
+def dataset_content_digest(
+    df: DataFrame,
+    row_key: Column,
+) -> DataFrame:
+    """Order-invariant dataset content digest: ``Σ md5_60(row_key)``
+    (exact DECIMAL(38,0)) plus the row count — the cache-key /
+    did-anything-change primitive for content-addressable dataset
+    versioning at lake scale. Addition is a commutative monoid, so
+    per-partition / per-shard digests MERGE by adding (the sketch
+    mergeability property), and the digest is independent of
+    partitioning, ordering, and engine. Collision bound: birthday on
+    60 bits — fine for change detection, not for adversarial
+    integrity (document the threat model; use a Merkle tree for
+    that)."""
+    h = F.conv(F.substring(F.md5(row_key), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").alias("digest"),
+    )

@@ -17124,6 +17124,122 @@ def optimal_f1_threshold_purchase(spark, sf_dir):
     )
 
 
+@register(
+    "permutation_test_value_parity",
+    "two-sample permutation test of mean event value between user-"
+    "parity arms: 63 deterministic md5 relabelings (map-side fan-out, "
+    "63-row shuffle), exact integer cents sums, micro-quantized "
+    "diffs, add-one exceedance p — randomization inference with no "
+    "distributional assumptions, the third leg beside welch and "
+    "mann-whitney",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS id,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    obs AS (
+      SELECT SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS sa,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS sb,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS nb
+      FROM base
+    ),
+    obsd AS (
+      SELECT na AS n_a, nb AS n_b,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             END AS dobs
+      FROM obs
+    ),
+    fan AS (
+      SELECT b.b, y,
+             CAST(('0x' || SUBSTR(MD5('perm-v1' || '|'
+                   || CAST(b.b AS VARCHAR) || '|' || id), 1, 15))
+                  AS BIGINT) % 2 AS pg
+      FROM base, (SELECT UNNEST(RANGE(1, 64)) AS b) b
+    ),
+    reps AS (
+      SELECT b, SUM(CASE WHEN pg = 1 THEN y ELSE 0 END) AS sa,
+             SUM(CASE WHEN pg = 1 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN pg = 0 THEN y ELSE 0 END) AS sb,
+             SUM(CASE WHEN pg = 0 THEN 1 ELSE 0 END) AS nb
+      FROM fan GROUP BY b
+    ),
+    repd AS (
+      SELECT CASE WHEN na > 0 AND nb > 0 THEN
+               ABS(CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                              * CAST(1000000 AS DOUBLE)) AS BIGINT))
+             END AS ad
+      FROM reps
+    ),
+    ge AS (
+      SELECT od.n_a, od.n_b, od.dobs,
+             SUM(CASE WHEN r.ad >= ABS(od.dobs) THEN 1 ELSE 0 END) AS g_
+      FROM repd r, obsd od GROUP BY od.n_a, od.n_b, od.dobs
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(dobs AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                 / CAST(100 AS DOUBLE), 6) AS mean_diff,
+           CASE WHEN dobs IS NOT NULL THEN
+             ROUND(CAST(1 + g_ AS DOUBLE) / CAST(64 AS DOUBLE), 6)
+           END AS p_value
+    FROM ge
+    """,
+    survey_ops=("eval-metrics", "§2.9 aggregations"),
+)
+def permutation_test_value_parity(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return stats.permutation_test_diff(
+        e,
+        F.col("user_id") % 2 == 1,
+        F.col("value"),
+        "event_id",
+        n_perms=63,
+        cents=100,
+    )
+
+
+@register(
+    "dataset_content_digest_docs",
+    "order-invariant corpus content digest: sum of 60-bit md5 row "
+    "keys in exact DECIMAL(38,0) + row count — the did-anything-"
+    "change cache key for content-addressed dataset versioning; "
+    "addition is a commutative monoid so shard digests MERGE by "
+    "adding; digest emitted as string (exact cross-engine transport)",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || SUBSTR(MD5(
+             CONCAT_WS('|', CAST(doc_id AS VARCHAR), MD5(text), lang,
+                       source, CAST(n_chars AS VARCHAR))), 1, 15))
+             AS BIGINT) AS HUGEINT)) AS VARCHAR) AS digest
+    FROM documents
+    """,
+    survey_ops=("S11", "dq-audit"),
+)
+def dataset_content_digest_docs(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    d = t(spark, sf_dir, "documents")
+    key = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.md5(F.col("text")),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    return stats.dataset_content_digest(d, key).select(
+        "n_rows", F.col("digest").cast("string").alias("digest")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

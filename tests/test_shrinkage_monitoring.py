@@ -645,3 +645,62 @@ def test_optimal_f1_matches_sweep(spark, pairs):
     r = out[0]
     assert abs(r.threshold - round(t_ / 1e6, 6)) < 1e-9
     assert (r.tp, r.fp, r.fn) == (tp, fp, P - tp)
+
+
+# --- permutation test & content digest ---------------------------------
+
+
+def test_permutation_test_null_effect_has_large_p(spark):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        permutation_test_diff,
+    )
+
+    # identical distributions in both arms -> p should be large;
+    # a planted massive effect -> p should be the minimum 1/64
+    null_rows = [(i, i % 2 == 0, float(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(null_rows, "id long, g boolean, v double")
+    r = permutation_test_diff(
+        df, F.col("g"), F.col("v"), "id", n_perms=63
+    ).collect()[0]
+    assert r.p_value is not None and r.p_value > 0.05
+    eff_rows = [(i, i < 100, 100.0 if i < 100 else 1.0) for i in range(200)]
+    df2 = spark.createDataFrame(eff_rows, "id long, g boolean, v double")
+    r2 = permutation_test_diff(
+        df2, F.col("g"), F.col("v"), "id", n_perms=63
+    ).collect()[0]
+    assert abs(r2.p_value - round(1 / 64, 6)) < 1e-9
+    assert abs(r2.mean_diff - 99.0) < 1e-4
+    # degenerate: one empty arm -> NULL p
+    df3 = spark.createDataFrame(
+        [(1, True, 1.0), (2, True, 2.0)], "id long, g boolean, v double"
+    )
+    r3 = permutation_test_diff(
+        df3, F.col("g"), F.col("v"), "id", n_perms=7
+    ).collect()[0]
+    assert r3.p_value is None
+
+
+def test_dataset_digest_order_invariant_and_change_sensitive(spark):
+    import hashlib as _hl
+
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        dataset_content_digest,
+    )
+
+    rows = [(i, f"text-{i}") for i in range(50)]
+    df1 = spark.createDataFrame(rows, "id long, t string")
+    df2 = spark.createDataFrame(list(reversed(rows)), "id long, t string").repartition(7)
+    key = F.concat_ws("|", F.col("id").cast("string"), F.col("t"))
+    d1 = dataset_content_digest(df1, key).collect()[0]
+    d2 = dataset_content_digest(df2, key).collect()[0]
+    assert (d1.n_rows, d1.digest) == (d2.n_rows, d2.digest)
+    expect = sum(
+        int(_hl.md5(f"{i}|text-{i}".encode()).hexdigest()[:15], 16)
+        for i, _ in rows
+    )
+    assert int(d1.digest) == expect
+    df3 = spark.createDataFrame(
+        rows[:-1] + [(49, "text-49x")], "id long, t string"
+    )
+    d3 = dataset_content_digest(df3, key).collect()[0]
+    assert d3.digest != d1.digest
