@@ -9588,7 +9588,7 @@ def trend_value_drift_by_type(spark, sf_dir):
 
 
 @register(
-    "markov_event_transitions",
+    "markov_transitions_gapped",
     "first-order Markov transition matrix over per-user event "
     "sequences: ONE lead window keyed by user (deterministic order: "
     "ts then event_id), transitions gapped at <= 1 hour, counts + "
@@ -9620,7 +9620,7 @@ def trend_value_drift_by_type(spark, sf_dir):
     """,
     survey_ops=("§2.9 window functions", "T1 classification"),
 )
-def markov_event_transitions(spark, sf_dir):
+def markov_transitions_gapped(spark, sf_dir):
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
