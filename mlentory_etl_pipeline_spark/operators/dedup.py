@@ -635,10 +635,19 @@ def connected_components(
     )
     e = e.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Lazy checkpoint: the symmetric-difference count below is the
+        # action that materializes it — one Spark job per round instead
+        # of three (eager-checkpoint job + two anti-join probes). Both
+        # sides are distinct sets, so |Δ| = rows appearing exactly once
+        # in the union — a single hash aggregation.
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         changed = (
-            new_e.join(e, ["u", "v"], "left_anti").limit(1).count()
-            + e.join(new_e, ["u", "v"], "left_anti").limit(1).count()
+            new_e.unionByName(e)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") == 1)
+            .limit(1)
+            .count()
         )
         e = new_e
         if changed == 0:

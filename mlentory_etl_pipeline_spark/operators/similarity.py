@@ -1628,3 +1628,113 @@ def dbscan_label(
         )
         .orderBy(id_col)
     )
+
+
+def _blocking_refs(dim: int, n_refs: int) -> list[list[float]]:
+    """Deterministic, data-independent reference directions for
+    angular blocking: element ``i`` of ref ``j`` is an md5-derived
+    uniform in [-1, 1] (compile-time constants — no RNG state, the
+    LSH-hyperplane scheme from dedup.embedding_near_dup_lsh)."""
+    import hashlib
+
+    refs = []
+    for j in range(n_refs):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"angref:{j}:{i}".encode()).hexdigest()
+            row.append(int(h[:15], 16) / float(16**15) * 2.0 - 1.0)
+        refs.append(row)
+    return refs
+
+
+def cosine_pairs_angular_blocked(
+    df: DataFrame,
+    threshold: float,
+    round_dp: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_refs: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine-threshold pairs (``round(cos, dp) >= threshold``)
+    with LOSSLESS angular blocking — the high-threshold replacement
+    for the all-pairs cross join.
+
+    For any unit reference direction r, the spherical triangle
+    inequality gives ``angle(a, b) >= |angle(a, r) - angle(b, r)|``,
+    so every qualifying pair (cos >= threshold - half-ulp of the
+    rounding) lies within ``band = acos(threshold - 1.5 * 10^-dp)``
+    degrees along EVERY reference. The plan:
+
+    1. one cheap pass computes k reference angles per vector
+       (k small dots — O(N * k * d), map-side);
+    2. vectors are bucketed by ``floor(theta_1 / band)`` and each
+       probes its 3 adjacent buckets via posexplode → EQUI-join
+       (no cross product; each qualifying pair matches exactly one
+       probe key because the build side keeps its single home bin);
+    3. survivors pass the remaining k-1 scalar angle bands before
+       the full-dimension dot product runs — the d-element HOF is
+       paid only on near-duplicate candidates.
+
+    Correctness is exact (blocking is a necessary condition, the
+    final filter is the same rounded cosine as brute force), so the
+    brute-force SQL oracle carries unchanged. For random corpora the
+    band keeps ~(band / angle-std) of pairs per ref, concentrating
+    the quadratic term by orders of magnitude at thresholds >= 0.99;
+    at low thresholds the band widens toward 90 degrees and the
+    cross-join baseline or LSH path is the right tool instead.
+
+    Zero-norm vectors are excluded up front: their cosine is
+    NULL/undefined and can never pass the threshold (same verdict as
+    brute force, where the NULL comparison is false).
+    """
+    import hashlib as _hashlib  # noqa: F401  (refs helper uses md5)
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cos_floor = threshold - 1.5 * (10.0 ** -round_dp)
+    band = math.degrees(math.acos(max(-1.0, min(1.0, cos_floor)))) + 0.05
+
+    refs = _blocking_refs(dim, n_refs)
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_e"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).where(F.col("_n") > 0)
+    for j, r in enumerate(refs):
+        rnorm = math.sqrt(sum(x * x for x in r))
+        rcol = F.array(*[F.lit(float(x)) for x in r])
+        cosr = dot_product(F.col("_e"), rcol) / (F.col("_n") * F.lit(rnorm))
+        v = v.withColumn(
+            f"_t{j}",
+            F.degrees(F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cosr)))),
+        )
+    v = v.withColumn("_bin", F.floor(F.col(f"_t0") / F.lit(band)).cast("long"))
+    v = v.localCheckpoint(eager=False)
+
+    probe = v.select(
+        F.col("_id").alias("a_id"),
+        F.col("_e").alias("_ea"),
+        F.col("_n").alias("_na"),
+        *[F.col(f"_t{j}").alias(f"_ta{j}") for j in range(n_refs)],
+        F.explode(
+            F.array(F.col("_bin") - 1, F.col("_bin"), F.col("_bin") + 1)
+        ).alias("_pbin"),
+    )
+    build = v.select(
+        F.col("_id").alias("b_id"),
+        F.col("_e").alias("_eb"),
+        F.col("_n").alias("_nb"),
+        *[F.col(f"_t{j}").alias(f"_tb{j}") for j in range(n_refs)],
+        F.col("_bin").alias("_pbin"),
+    )
+    cand = probe.join(build, "_pbin").where(F.col("a_id") < F.col("b_id"))
+    for j in range(n_refs):
+        cand = cand.where(
+            F.abs(F.col(f"_ta{j}") - F.col(f"_tb{j}")) <= F.lit(band)
+        )
+    score = F.round(
+        dot_product(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+        round_dp,
+    )
+    return cand.where(score >= F.lit(threshold)).select("a_id", "b_id")

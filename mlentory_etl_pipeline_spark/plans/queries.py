@@ -13690,34 +13690,13 @@ def dbscan_embedding_clusters(spark, sf_dir):
     corpus = e.unionByName(scaled(10000, 2.0)).unionByName(
         scaled(20000, 0.5)
     ).localCheckpoint(eager=False)
-    from mlentory_etl_pipeline_spark.functions import vectors
-
-    c = corpus.select(
-        "vec_id",
-        "embedding",
-        vectors.l2_norm(F.col("embedding")).alias("_n"),
-    )
-    a = c.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("_ea"),
-        F.col("_n").alias("_na"),
-    )
-    b = c.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("_eb"),
-        F.col("_n").alias("_nb"),
-    )
-    score = F.round(
-        vectors.dot_product(F.col("_ea"), F.col("_eb"))
-        / (F.col("_na") * F.col("_nb")),
-        4,
-    )
-    pairs = (
-        F.broadcast(a)
-        .crossJoin(b)
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(score >= 0.999)
-        .select("a_id", "b_id")
+    # Lossless angular blocking replaces the all-pairs cross join: at
+    # threshold 0.999 the spherical band is ~2.7 degrees, so the
+    # 64-dim dot runs only on bucketed near-candidates — the exact
+    # same pair set (necessary-condition prefilter + identical
+    # rounded-cosine final filter), so the brute-force oracle stands.
+    pairs = similarity.cosine_pairs_angular_blocked(
+        corpus, threshold=0.999, round_dp=4, dim=64
     )
     return similarity.dbscan_label(
         corpus, pairs, min_pts=3, id_col="vec_id"
