@@ -556,10 +556,13 @@ def edit_distance_join(
       BAG-intersection ≥ ``max(|a|,|b|) − q + 1 − k·q`` q-grams —
       applied via a gram equi-join with per-string gram counts and
       ``Σ min(cnt_a, cnt_b)``;
-    - short strings (``len < q·(k+1)`` on BOTH sides — where the count
-      bound degenerates to ≤ 0) pair through an exploded-length
-      equi-join instead (each left row emits lengths ``len−k … len+k``;
-      cost (2k+1)× the short population, no cross join).
+    - short strings (``len < q·(k+1)``, where the count bound can
+      degenerate to ≤ 0) pair through an exploded-length equi-join
+      instead (the short row emits lengths ``len−k … len+k``; cost
+      (2k+1)× the short population, no cross join). A pair takes the
+      gram path only when BOTH sides reach the cutoff; a pair with
+      EITHER side short takes the length path — routed from the short
+      side so mixed short×long pairs are never dropped.
 
     Candidates then verify with one ``levenshtein`` call (built-in,
     JVM-side; identical semantics in DuckDB, so the all-pairs oracle
@@ -612,10 +615,11 @@ def edit_distance_join(
         )
         .select("a_id", "b_id")
     )
-    # short × short: exploded-length equi-join (no gram to share)
+    # pairs with EITHER side short: exploded-length equi-join routed
+    # from the short side (the gram path above requires both sides at
+    # the cutoff, so a mixed short x long pair must be caught here)
     lshort = lbase.where(F.col("_alen") < short_cut).select(
         "a_id",
-        "_as",
         F.explode(
             F.sequence(
                 F.greatest(F.col("_alen") - F.lit(k), F.lit(0)),
@@ -623,11 +627,22 @@ def edit_distance_join(
             )
         ).alias("_lmatch"),
     )
+    rany = rbase.select("b_id", F.col("_blen").alias("_lmatch"))
+    short_a = lshort.join(rany, "_lmatch").select("a_id", "b_id")
     rshort = rbase.where(F.col("_blen") < short_cut).select(
-        "b_id", "_bs", F.col("_blen").alias("_lmatch")
+        "b_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_blen") - F.lit(k), F.lit(0)),
+                F.col("_blen") + F.lit(k),
+            )
+        ).alias("_lmatch"),
     )
-    short_cands = lshort.join(rshort, "_lmatch").select("a_id", "b_id")
-    cands = common.unionByName(short_cands).distinct()
+    llong = lbase.where(F.col("_alen") >= short_cut).select(
+        "a_id", F.col("_alen").alias("_lmatch")
+    )
+    short_b = rshort.join(llong, "_lmatch").select("a_id", "b_id")
+    cands = common.unionByName(short_a).unionByName(short_b).distinct()
     return (
         cands.join(lbase.select("a_id", "_as"), "a_id")
         .join(rbase.select("b_id", "_bs"), "b_id")
