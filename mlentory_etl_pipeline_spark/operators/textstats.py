@@ -634,3 +634,73 @@ def rake_keywords(
             "rank",
         )
     )
+
+
+def watermark_greenlist_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    green_hexes: tuple[str, ...] = ("0", "1", "2", "3"),
+    min_transitions: int = 20,
+    z_flag: float = 2.0,
+):
+    """LLM-watermark detection (Kirchenbauer et al., ICML'23 shape):
+    under a greenlist watermark, the generator biases each token toward
+    a pseudo-random "green" subset seeded by the previous token, so
+    watermarked text shows a green-fraction excess over the null rate
+    gamma. The detector recomputes membership — here green iff the
+    first hex digit of ``md5(prev || '|' || cur)`` falls in
+    ``green_hexes`` (gamma = len/16) — and scores each document with
+    the one-proportion z statistic
+    ``(g - gamma*T) / sqrt(gamma*(1-gamma)*T)`` over its T adjacent
+    token transitions.
+
+    Plan shape: pure map — split, one zip_with over adjacent-token
+    slices, one integer fold; no shuffle, no UDF. gamma and
+    gamma*(1-gamma) are dyadic rationals (4/16 -> 0.25/0.1875), so the
+    float expression is a single subtract/divide/sqrt chain that
+    DuckDB replays bit-for-bit; z is rounded to 6 dp and the flag
+    compares the ROUNDED z (compose-from-rounded rule).
+
+    Documents with fewer than ``min_transitions`` transitions are
+    excluded (the z approximation is meaningless and the fold would be
+    empty). Returns (id, n_transitions, n_green, z, watermarked).
+    """
+    gamma = len(green_hexes) / 16.0
+    var = gamma * (1.0 - gamma)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    prev = F.slice(toks, F.lit(1), n - 1)
+    nxt = F.slice(toks, F.lit(2), n - 1)
+    greens = F.zip_with(
+        prev,
+        nxt,
+        lambda p, c: F.when(
+            F.substring(F.md5(F.concat(p, F.lit("|"), c)), 1, 1).isin(
+                *green_hexes
+            ),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    out = df.select(
+        F.col(id_col),
+        (n - 1).cast("long").alias("n_transitions"),
+        F.aggregate(
+            greens, F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("n_green"),
+    ).where(F.col("n_transitions") >= min_transitions)
+    z = F.round(
+        (
+            F.col("n_green").cast("double")
+            - F.lit(gamma) * F.col("n_transitions").cast("double")
+        )
+        / F.sqrt(F.lit(var) * F.col("n_transitions").cast("double")),
+        6,
+    )
+    return out.select(
+        id_col,
+        "n_transitions",
+        "n_green",
+        z.alias("z"),
+        (z >= F.lit(z_flag)).alias("watermarked"),
+    ).orderBy(id_col)

@@ -17219,6 +17219,43 @@ def dataset_content_digest_docs(spark, sf_dir):
     )
 
 
+@register(
+    "watermark_greenlist_detection",
+    "LLM-output watermark detector (Kirchenbauer greenlist shape): a "
+    "token transition is GREEN iff the first md5 hex of prev|cur is in "
+    "0-3 (gamma=1/4); per-doc one-proportion z over T transitions, "
+    "docs flagged at rounded z >= 2 — pure map (split, one zip_with, "
+    "one integer fold), no shuffle, no UDF; gamma and gamma*(1-gamma) "
+    "are dyadic so the float chain replays bit-for-bit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id, LEN(t) - 1 AS n_transitions,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(t)),
+               i -> CASE WHEN SUBSTR(MD5(t[i] || '|' || t[i+1]), 1, 1)
+                              IN ('0','1','2','3')
+                    THEN 1 ELSE 0 END)) AS n_green
+      FROM tok WHERE LEN(t) - 1 >= 20
+    )
+    SELECT doc_id, n_transitions, CAST(n_green AS BIGINT) AS n_green,
+           ROUND((CAST(n_green AS DOUBLE)
+                  - 0.25 * CAST(n_transitions AS DOUBLE))
+                 / SQRT(0.1875 * CAST(n_transitions AS DOUBLE)), 6) AS z,
+           ROUND((CAST(n_green AS DOUBLE)
+                  - 0.25 * CAST(n_transitions AS DOUBLE))
+                 / SQRT(0.1875 * CAST(n_transitions AS DOUBLE)), 6)
+             >= 2.0 AS watermarked
+    FROM m ORDER BY doc_id
+    """,
+    survey_ops=("text-watermark-detection", "F1"),
+)
+def watermark_greenlist_detection(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return textstats.watermark_greenlist_scores(d)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
