@@ -1604,3 +1604,158 @@ def with_observation(df: DataFrame, name: str, *metrics: Column):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def kv_prefix_sharing(
+    df: DataFrame,
+    text_col: str = "text",
+    depths: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """Serving-side KV-cache prefix-sharing analysis: for each probe
+    depth d, how many of the corpus' prompts share their first d
+    tokens — the statistic that sizes a prefix-cache (vLLM automatic
+    prefix caching / RadixAttention): every prompt beyond the first
+    with the same d-token prefix re-uses d cached KV entries, so
+    ``tokens_saved(d) = (n_prompts - n_distinct_prefixes) * d``.
+
+    Plan shape: one generate (4 depth probes per doc, map-side) and a
+    two-level aggregation — partial counts on (depth, prefix) combine
+    map-side, then a depths-sized rollup; hot prefixes are absorbed by
+    the partial aggregation, never materialized as groups-as-rows.
+    Output is bounded by len(depths).
+    """
+    from mlentory_etl_pipeline_spark.operators import textstats
+
+    toks = textstats.tokens(F.col(text_col))
+    base = df.select(toks.alias("_t"), F.size(toks).alias("_n"))
+    probes = base.select(
+        "_t",
+        "_n",
+        F.explode(F.array(*[F.lit(d) for d in depths])).alias("depth"),
+    ).where(F.col("_n") >= F.col("depth"))
+    prefixes = probes.select(
+        "depth",
+        F.array_join(
+            F.slice(F.col("_t"), F.lit(1), F.col("depth")), " "
+        ).alias("_prefix"),
+    )
+    per_prefix = prefixes.groupBy("depth", "_prefix").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    saved = (F.sum("_n") - F.count(F.lit(1))) * F.col("depth")
+    return (
+        per_prefix.groupBy("depth")
+        .agg(
+            F.sum("_n").alias("n_prompts"),
+            F.count(F.lit(1)).alias("n_distinct_prefixes"),
+        )
+        .select(
+            "depth",
+            "n_prompts",
+            "n_distinct_prefixes",
+            (
+                (F.col("n_prompts") - F.col("n_distinct_prefixes"))
+                * F.col("depth")
+            ).alias("tokens_saved"),
+            F.round(
+                (
+                    (F.col("n_prompts") - F.col("n_distinct_prefixes"))
+                    * F.col("depth")
+                ).cast("double")
+                / (F.col("n_prompts") * F.col("depth")).cast("double"),
+                6,
+            ).alias("sharing_ratio"),
+        )
+        .orderBy("depth")
+    )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col,
+    budget_frac_ppm: int = 600000,
+) -> DataFrame:
+    """Token-budget allocation across domains by exact integer
+    WATERFILLING: given each domain's available token count a_d and a
+    total budget B, find the water level c with
+    ``sum(min(a_d, c)) = B`` — small domains are taken whole, large
+    domains are capped at the common level, the fairest feasible mix
+    when no quality prior says otherwise (the max-min-fair complement
+    to temperature/DoReMi reweighting).
+
+    Exact integer construction (no float level): domains sorted by
+    (available, domain); a domain is FULLY TAKEN iff taking it and
+    everything smaller whole, with all larger domains capped at its
+    size, still fits the budget (``cum_d + a_d * n_larger <= B`` — a
+    prefix sum + rank window over the DOMAINS table, metadata-sized).
+    The remaining budget splits evenly across the k capped domains:
+    ``floor((B - cum_full) / k)`` each, with the r leftover tokens
+    going one each to the r first capped domains in sort order —
+    allocations are integers and sum to B exactly.
+
+    Budget is ``floor(total_available * budget_frac_ppm / 1e6)``
+    (exact integer ppm arithmetic). The windows run over the domain
+    table (bounded by |domains|); the only corpus-sized pass is the
+    initial per-domain sum. Returns one row per domain:
+    (domain, available_tokens, allocated_tokens, capped).
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(tokens_col).cast("long").alias("available_tokens")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("available_tokens", "domain")
+    # |domains| rows: the global windows are metadata-bounded (same
+    # justification as the plan-audit allowlist's deciles/tests cases)
+    ranked = per.select(
+        "domain",
+        "available_tokens",
+        F.sum("available_tokens").over(w_all).alias("_total"),
+        F.row_number().over(w_ord).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_ndom"),
+        F.sum("available_tokens").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+    ).withColumn(
+        "_budget",
+        F.floor(
+            F.col("_total") * F.lit(budget_frac_ppm) / F.lit(1000000)
+        ).cast("long"),
+    )
+    feasible = ranked.withColumn(
+        "_full",
+        F.col("_cum")
+        + F.col("available_tokens") * (F.col("_ndom") - F.col("_rk"))
+        <= F.col("_budget"),
+    )
+    agg = feasible.select(
+        F.max(F.when(F.col("_full"), F.col("_rk")).otherwise(0)).over(
+            w_all
+        ).alias("_m"),
+        F.max(
+            F.when(F.col("_full"), F.col("_cum")).otherwise(0)
+        ).over(w_all).alias("_cum_full"),
+        "domain",
+        "available_tokens",
+        "_rk",
+        "_ndom",
+        "_budget",
+    )
+    k = F.col("_ndom") - F.col("_m")
+    rem = F.col("_budget") - F.col("_cum_full")
+    share = F.floor(rem / k).cast("long")
+    leftover = (rem - share * k).cast("long")
+    return agg.select(
+        "domain",
+        "available_tokens",
+        F.when(F.col("_rk") <= F.col("_m"), F.col("available_tokens"))
+        .otherwise(
+            share
+            + F.when(
+                F.col("_rk") - F.col("_m") <= leftover, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("allocated_tokens"),
+        (F.col("_rk") > F.col("_m")).alias("capped"),
+    ).orderBy("domain")

@@ -17256,6 +17256,108 @@ def watermark_greenlist_detection(spark, sf_dir):
     return textstats.watermark_greenlist_scores(d)
 
 
+@register(
+    "kv_prefix_sharing_docs",
+    "serving-side KV-cache prefix-sharing analysis: per probe depth "
+    "(1/2/4/8 tokens) the distinct-prefix count vs prompt count and "
+    "the KV entries a prefix cache saves (RadixAttention / automatic-"
+    "prefix-caching sizing stat) — one map-side generate, two-level "
+    "aggregation with map-side combine on (depth, prefix), output "
+    "bounded by len(depths)",
+    oracle="""
+    WITH d AS (SELECT UNNEST([1, 2, 4, 8]) AS depth),
+    tok AS (
+      SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS t FROM documents
+    ),
+    p AS (
+      SELECT depth,
+             ARRAY_TO_STRING(
+               LIST_TRANSFORM(RANGE(1, depth + 1), i -> t[i]), ' '
+             ) AS prefix
+      FROM tok CROSS JOIN d WHERE LEN(t) >= depth
+    ),
+    c AS (SELECT depth, prefix, COUNT(*) AS n FROM p GROUP BY 1, 2)
+    SELECT depth,
+           CAST(SUM(n) AS BIGINT) AS n_prompts,
+           COUNT(*) AS n_distinct_prefixes,
+           CAST((SUM(n) - COUNT(*)) * depth AS BIGINT) AS tokens_saved,
+           ROUND(CAST((SUM(n) - COUNT(*)) * depth AS DOUBLE)
+                 / CAST(SUM(n) * depth AS DOUBLE), 6) AS sharing_ratio
+    FROM c GROUP BY depth ORDER BY depth
+    """,
+    survey_ops=("serving-analytics", "§2.9 aggregations"),
+)
+def kv_prefix_sharing_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return curation.kv_prefix_sharing(d)
+
+
+@register(
+    "token_budget_waterfill_sources",
+    "token-budget mixture planning by exact integer waterfilling: "
+    "allocate a 60% corpus budget across sources with sum(min(a_d, c)) "
+    "= B — small domains taken whole, large domains capped at the "
+    "water level, remainder distributed one token each in sort order "
+    "so allocations are integers summing exactly to B; windows run "
+    "over the DOMAIN table (metadata-bounded), the only corpus pass "
+    "is the per-domain token sum",
+    oracle="""
+    WITH per AS (
+      SELECT source AS domain,
+             CAST(SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT domain, available_tokens,
+             SUM(available_tokens) OVER () AS total,
+             ROW_NUMBER() OVER (ORDER BY available_tokens, domain) AS rk,
+             COUNT(*) OVER () AS ndom,
+             SUM(available_tokens) OVER (
+               ORDER BY available_tokens, domain ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM per
+    ),
+    b AS (
+      SELECT *, CAST(FLOOR(CAST(total * 600000 AS DOUBLE) / 1000000.0)
+                     AS BIGINT) AS budget
+      FROM ranked
+    ),
+    f AS (
+      SELECT *,
+             (cum + available_tokens * (ndom - rk) <= budget) AS full_ok
+      FROM b
+    ),
+    m AS (
+      SELECT *,
+             MAX(CASE WHEN full_ok THEN rk ELSE 0 END) OVER () AS m_,
+             MAX(CASE WHEN full_ok THEN cum ELSE 0 END) OVER ()
+               AS cum_full
+      FROM f
+    )
+    SELECT domain, available_tokens,
+           CAST(CASE WHEN rk <= m_ THEN available_tokens
+                ELSE FLOOR(CAST(budget - cum_full AS DOUBLE)
+                           / CAST(ndom - m_ AS DOUBLE))
+                     + CASE WHEN rk - m_ <=
+                         (budget - cum_full)
+                         - CAST(FLOOR(CAST(budget - cum_full AS DOUBLE)
+                                / CAST(ndom - m_ AS DOUBLE)) AS BIGINT)
+                           * (ndom - m_)
+                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated_tokens,
+           rk > m_ AS capped
+    FROM m ORDER BY domain
+    """,
+    survey_ops=("mixture-planning", "§2.9 window functions"),
+)
+def token_budget_waterfill_sources(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return curation.token_budget_waterfill(
+        d, "source", textstats.token_count(F.col("text"))
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

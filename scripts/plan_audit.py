@@ -44,6 +44,11 @@ from mlentory_etl_pipeline_spark.session import get_spark  # noqa: E402
 # so even deliberate partitionBy(lit(0)) bounded windows land here.
 GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "bootstrap_ci_avg_quantity": "ranks the B=64 replica means",
+    "token_budget_waterfill_sources": (
+        "rank/prefix-sum windows over ONE ROW PER DOMAIN "
+        "(|sources| rows - metadata; the only corpus pass is the "
+        "per-domain token sum aggregation)"
+    ),
     "wasserstein_value_drift_halves": (
         "gap-lead window over ONE ROW PER DISTINCT CENT VALUE - "
         "value-DOMAIN-bounded (range x scale rows, the "
