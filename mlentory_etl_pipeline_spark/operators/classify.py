@@ -315,3 +315,135 @@ def feature_hashing(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def dawid_skene_hard(
+    ann: DataFrame,
+    item_col: str = "item",
+    annotator_col: str = "annotator",
+    label_col: str = "label",
+    rounds: int = 2,
+) -> DataFrame:
+    """Crowd-label aggregation a la Dawid-Skene (1979), hard-EM
+    variant — the label-quality primitive behind RLHF preference and
+    annotation pipelines: infer each item's consensus label AND each
+    annotator's confusion behaviour jointly, so a consistently-wrong
+    annotator is outvoted even when raw majority vote ties or flips.
+
+    Hard (classification) EM keeps every step engine-exact:
+
+    - init: majority vote per item (count desc, label asc tiebreak);
+    - M: confusion counts n[j][c][r] and priors from the current hard
+      assignment — pure integer counting with Laplace +1 smoothing
+      over the L observed labels, so every probability is the rational
+      (cnt+1)/(tot+L);
+    - E: score(i,c) = qlog(prior_c) + sum_j qlog(p[j][c][r_ij]) with
+      qlog(x) = floor(1e6*ln(x)) on identical rationals — integer
+      sums, argmax by (score desc, label asc). Both engines evaluate
+      ln on the same double, so assignments replay bit-for-bit (the
+      woe_iv / fellegi_sunter quantization precedent).
+
+    Scale posture: per round, ONE item-keyed join + aggregation over
+    the annotations table; model state (annotators x L x L dense
+    confusion grid + L priors) is metadata-sized and broadcast; the
+    per-item argmax window partitions by item. Plan growth is
+    O(rounds) with lazy localCheckpoint pinning between rounds.
+
+    Returns (item, label, score_micro) — consensus label per item and
+    its integer micro-log posterior score from the final round.
+    """
+    a = ann.select(
+        F.col(item_col).alias("_i"),
+        F.col(annotator_col).alias("_j"),
+        F.col(label_col).alias("_r"),
+    ).localCheckpoint(eager=False)
+    labels = a.select(F.col("_r").alias("_c")).distinct()
+    annotators = a.select("_j").distinct()
+    consts = a.agg(
+        F.countDistinct("_r").alias("_L"),
+        F.countDistinct("_i").alias("_n_items"),
+    )
+
+    votes = a.groupBy("_i", "_r").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_item = Window.partitionBy("_i").orderBy(
+        F.desc("_cnt"), F.asc("_r")
+    )
+    assign = (
+        votes.withColumn("_rn", F.row_number().over(w_item))
+        .where(F.col("_rn") == 1)
+        .select("_i", F.col("_r").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+
+    score_col = None
+    for _ in range(rounds):
+        conf = a.join(assign, "_i").groupBy(
+            a["_j"].alias("_j"), "_c", a["_r"].alias("_r")
+        ).agg(F.count(F.lit(1)).alias("_cnt"))
+        tot = conf.groupBy("_j", "_c").agg(F.sum("_cnt").alias("_tot"))
+        dense = (
+            annotators.crossJoin(labels)
+            .crossJoin(labels.select(F.col("_c").alias("_r")))
+            .join(conf, ["_j", "_c", "_r"], "left")
+            .join(tot, ["_j", "_c"], "left")
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "_j",
+                "_c",
+                "_r",
+                _qlog(
+                    (F.coalesce(F.col("_cnt"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / (
+                        F.coalesce(F.col("_tot"), F.lit(0))
+                        + F.col("_L")
+                    ).cast("double")
+                ).alias("_q"),
+            )
+        )
+        prior = (
+            labels.join(
+                assign.groupBy("_c").agg(
+                    F.count(F.lit(1)).alias("_pc")
+                ),
+                "_c",
+                "left",
+            )
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "_c",
+                _qlog(
+                    (F.coalesce(F.col("_pc"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / (F.col("_n_items") + F.col("_L")).cast("double")
+                ).alias("_pq"),
+            )
+        )
+        scores = (
+            a.join(F.broadcast(dense), ["_j", "_r"])
+            .groupBy("_i", "_c")
+            .agg(F.sum("_q").alias("_s"))
+            .join(F.broadcast(prior), "_c")
+            .select(
+                "_i", "_c", (F.col("_s") + F.col("_pq")).alias("_s")
+            )
+        )
+        w_score = Window.partitionBy("_i").orderBy(
+            F.desc("_s"), F.asc("_c")
+        )
+        assign = (
+            scores.withColumn("_rn", F.row_number().over(w_score))
+            .where(F.col("_rn") == 1)
+            .select("_i", "_c", "_s")
+            .localCheckpoint(eager=False)
+        )
+        score_col = "_s"
+
+    out = assign.select(
+        F.col("_i").alias(item_col),
+        F.col("_c").alias(label_col),
+        *([F.col("_s").alias("score_micro")] if score_col else []),
+    )
+    return out.orderBy(item_col)

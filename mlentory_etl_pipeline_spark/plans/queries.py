@@ -17358,6 +17358,150 @@ def token_budget_waterfill_sources(spark, sf_dir):
     )
 
 
+def _ds_round_sql(n: int, prev: str) -> str:
+    """One unrolled Dawid-Skene hard-EM round (M + E + argmax) against
+    the assignment CTE ``prev`` — mirrors classify.dawid_skene_hard's
+    loop body expression-for-expression."""
+    return f"""
+    conf{n} AS (
+      SELECT a.j, s.c, a.r, COUNT(*) AS cnt
+      FROM ann a JOIN {prev} s ON s.i = a.i GROUP BY a.j, s.c, a.r
+    ),
+    tot{n} AS (SELECT j, c, SUM(cnt) AS tot FROM conf{n} GROUP BY j, c),
+    dense{n} AS (
+      SELECT an.j, lc.c, lr.c AS r,
+             CAST(FLOOR(LN(CAST(COALESCE(cf.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(tt.tot, 0) + cs.L AS DOUBLE))
+                  * 1000000) AS BIGINT) AS q
+      FROM annotators an CROSS JOIN labels lc CROSS JOIN labels lr
+      LEFT JOIN conf{n} cf
+        ON cf.j = an.j AND cf.c = lc.c AND cf.r = lr.c
+      LEFT JOIN tot{n} tt ON tt.j = an.j AND tt.c = lc.c
+      CROSS JOIN consts cs
+    ),
+    prior{n} AS (
+      SELECT l.c,
+             CAST(FLOOR(LN(CAST(COALESCE(p.pc, 0) + 1 AS DOUBLE)
+                  / CAST(cs.n_items + cs.L AS DOUBLE))
+                  * 1000000) AS BIGINT) AS pq
+      FROM labels l
+      LEFT JOIN (SELECT c, COUNT(*) AS pc FROM {prev} GROUP BY c) p
+        ON p.c = l.c
+      CROSS JOIN consts cs
+    ),
+    score{n} AS (
+      SELECT a.i, d.c, SUM(d.q) AS s
+      FROM ann a JOIN dense{n} d ON d.j = a.j AND d.r = a.r
+      GROUP BY a.i, d.c
+    ),
+    assign{n} AS (
+      SELECT i, c, s FROM (
+        SELECT s1.i, s1.c, s1.s + p.pq AS s,
+               ROW_NUMBER() OVER (PARTITION BY s1.i
+                 ORDER BY s1.s + p.pq DESC, s1.c ASC) AS rn
+        FROM score{n} s1 JOIN prior{n} p ON p.c = s1.c
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "dawid_skene_consensus_labels",
+    "Dawid-Skene crowd-label aggregation (hard-EM, 2 unrolled rounds) "
+    "over three deterministic synthetic annotators of doc language "
+    "(md5-selected corruption at 10/25/40% with a cyclic confusion "
+    "map): majority-vote init, integer confusion/prior counts with "
+    "Laplace smoothing, E-step scores as sums of floor(1e6*ln(p)) on "
+    "identical rationals, argmax with label tiebreak — the RLHF/"
+    "annotation label-quality primitive; per round one item-keyed "
+    "join + aggregation, model state broadcast (J x L x L grid)",
+    oracle="""
+    WITH ann AS (
+      SELECT doc_id AS i, j,
+        CASE WHEN CAST(('0x' || SUBSTR(MD5(
+                 CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 100
+             < CASE j WHEN 0 THEN 10 WHEN 1 THEN 25 ELSE 40 END
+        THEN CASE lang WHEN 'en' THEN 'es' WHEN 'es' THEN 'fr'
+                       WHEN 'fr' THEN 'de' WHEN 'de' THEN 'zh'
+                       WHEN 'zh' THEN 'en' ELSE 'en' END
+        ELSE lang END AS r
+      FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+    ),
+    consts AS (
+      SELECT COUNT(DISTINCT r) AS L, COUNT(DISTINCT i) AS n_items
+      FROM ann
+    ),
+    labels AS (SELECT DISTINCT r AS c FROM ann),
+    annotators AS (SELECT DISTINCT j FROM ann),
+    votes AS (SELECT i, r, COUNT(*) AS cnt FROM ann GROUP BY i, r),
+    assign0 AS (
+      SELECT i, r AS c FROM (
+        SELECT i, r, ROW_NUMBER() OVER (PARTITION BY i
+                 ORDER BY cnt DESC, r ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),"""
+    + _ds_round_sql(1, "assign0")
+    + ","
+    + _ds_round_sql(2, "assign1")
+    + """
+    SELECT i AS doc_id, c AS label, s AS score_micro
+    FROM assign2 ORDER BY doc_id
+    """,
+    survey_ops=("label-aggregation", "N7", "§2.9 aggregations"),
+)
+def dawid_skene_consensus_labels(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import classify
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias(
+            "annotator"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("annotator").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    thr = (
+        F.when(F.col("annotator") == 0, F.lit(10))
+        .when(F.col("annotator") == 1, F.lit(25))
+        .otherwise(F.lit(40))
+    )
+    shift = (
+        F.when(F.col("lang") == "en", F.lit("es"))
+        .when(F.col("lang") == "es", F.lit("fr"))
+        .when(F.col("lang") == "fr", F.lit("de"))
+        .when(F.col("lang") == "de", F.lit("zh"))
+        .when(F.col("lang") == "zh", F.lit("en"))
+        .otherwise(F.lit("en"))
+    )
+    ann = base.select(
+        "doc_id",
+        "annotator",
+        F.when(u < thr, shift).otherwise(F.col("lang")).alias("label"),
+    )
+    return classify.dawid_skene_hard(
+        ann, "doc_id", "annotator", "label", rounds=2
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

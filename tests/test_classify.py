@@ -310,3 +310,39 @@ def test_bh_fdr_matches_stepup_model(spark, ps, q_pct):
             kmax = rank
     for rank, i in enumerate(order, start=1):
         assert got[str(i)] == (rank, rank <= kmax)
+
+
+def test_dawid_skene_outvotes_adversarial_annotator(spark):
+    """One honest annotator, one mostly-honest annotator that corrupts
+    a 3-item block into the adversary's label, and one adversary that
+    always reports 'B'. On the corrupted block raw majority is WRONG
+    (B wins 2-1); Dawid-Skene's learned confusions (annotator 2
+    reports B for every class, annotator 1 is consistent, the B prior
+    is tiny) must flip all three back to the truth while keeping every
+    untied item — and stay deterministic across reruns."""
+    from mlentory_etl_pipeline_spark.operators.classify import (
+        dawid_skene_hard,
+    )
+
+    truths = ["A", "C", "D"]
+    truth = {}
+    rows = []
+    for i in range(300):
+        t_ = truths[i % 3]
+        truth[i] = t_
+        rows.append((i, 0, "B" if i < 3 else t_))
+        rows.append((i, 1, t_))
+        rows.append((i, 2, "B"))
+    ann = spark.createDataFrame(
+        rows, "item long, annotator int, label string"
+    )
+    got = {
+        r.item: r.label
+        for r in dawid_skene_hard(ann, "item", "annotator", "label").collect()
+    }
+    assert all(got[i] == truth[i] for i in range(300))
+    again = {
+        r.item: r.label
+        for r in dawid_skene_hard(ann, "item", "annotator", "label").collect()
+    }
+    assert got == again
