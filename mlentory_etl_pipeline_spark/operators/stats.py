@@ -4411,3 +4411,75 @@ def dataset_content_digest(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").alias("digest"),
     )
+
+
+def krippendorff_alpha_nominal(
+    ann: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the inter-annotator
+    reliability coefficient that, unlike Cohen's kappa, handles ANY
+    number of annotators per item and missing annotations: the
+    annotation-pipeline health stat before trusting crowd labels.
+
+    Exact-arithmetic construction: per item with m_i >= 2 annotations,
+    the ordered disagreeing-pair count is ``pd_i = m_i^2 - sum_c
+    m_ic^2`` (pure integer); its 1/(m_i - 1) coincidence weight is
+    quantized once as ``floor((pd_i * 1e6) / (m_i - 1))`` — the
+    quotient is exact in double below 2^53, so the floor is
+    deterministic in both engines. With n pairable
+    annotations and per-label totals n_c,
+
+        alpha = 1 - (n - 1) * (Do_micros / 1e6) / (n^2 - sum n_c^2)
+
+    evaluated in one fixed double chain rounded to 6 dp. Plan shape:
+    one (item, label)-keyed count, one item-keyed rollup, one global
+    single-row aggregate pair — map-side-combinable throughout, no
+    windows. Items with a single annotation are excluded (standard:
+    they carry no pairable information).
+
+    Returns one row: (n_items, n_annotations, do_micros, alpha).
+    """
+    il = ann.groupBy(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_mic"))
+    per_item = il.groupBy("_i").agg(
+        F.sum("_mic").alias("_m"),
+        F.sum(F.col("_mic") * F.col("_mic")).alias("_msq"),
+    ).where(F.col("_m") >= 2)
+    item_stats = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_m").alias("n_annotations"),
+        F.sum(
+            F.floor(
+                (
+                    (F.col("_m") * F.col("_m") - F.col("_msq"))
+                    * F.lit(1000000)
+                ).cast("double")
+                / (F.col("_m") - 1).cast("double")
+            ).cast("long")
+        ).alias("do_micros"),
+    )
+    label_tot = (
+        il.join(per_item.select("_i"), "_i")
+        .groupBy("_c")
+        .agg(F.sum("_mic").alias("_nc"))
+        .agg(F.sum(F.col("_nc") * F.col("_nc")).alias("_ncsq"))
+    )
+    joined = item_stats.crossJoin(F.broadcast(label_tot))
+    de_pairs = (
+        F.col("n_annotations") * F.col("n_annotations") - F.col("_ncsq")
+    )
+    alpha = F.round(
+        F.lit(1.0)
+        - (
+            (F.col("n_annotations") - 1).cast("double")
+            * (F.col("do_micros").cast("double") / F.lit(1000000.0))
+        )
+        / de_pairs.cast("double"),
+        6,
+    )
+    return joined.select(
+        "n_items", "n_annotations", "do_micros", alpha.alias("alpha")
+    )

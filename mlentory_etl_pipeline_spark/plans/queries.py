@@ -17502,6 +17502,110 @@ def dawid_skene_consensus_labels(spark, sf_dir):
     )
 
 
+@register(
+    "krippendorff_alpha_langs",
+    "Krippendorff's alpha (nominal) over the synthetic annotator "
+    "panel — the any-m, missing-tolerant reliability coefficient "
+    "beside Cohen's kappa: the same md5-corrupted annotators as "
+    "dawid_skene plus a fourth that only covers doc_id % 3 = 0 "
+    "(variable m_i exercises the 1/(m_i-1) coincidence weights, "
+    "quantized as exact integer-micro floors); one (item,label) "
+    "count, one item rollup, two single-row aggregates — no windows",
+    oracle="""
+    WITH ann AS (
+      SELECT doc_id AS i, j,
+        CASE WHEN CAST(('0x' || SUBSTR(MD5(
+                 CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 100
+             < CASE j WHEN 0 THEN 10 WHEN 1 THEN 25
+                      WHEN 2 THEN 40 ELSE 15 END
+        THEN CASE lang WHEN 'en' THEN 'es' WHEN 'es' THEN 'fr'
+                       WHEN 'fr' THEN 'de' WHEN 'de' THEN 'zh'
+                       WHEN 'zh' THEN 'en' ELSE 'en' END
+        ELSE lang END AS r
+      FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j)
+      WHERE j < 3 OR doc_id % 3 = 0
+    ),
+    il AS (SELECT i, r AS c, COUNT(*) AS mic FROM ann GROUP BY i, r),
+    per_item AS (
+      SELECT i, SUM(mic) AS m, SUM(mic * mic) AS msq
+      FROM il GROUP BY i HAVING SUM(mic) >= 2
+    ),
+    item_stats AS (
+      SELECT COUNT(*) AS n_items,
+             CAST(SUM(m) AS BIGINT) AS n_annotations,
+             CAST(SUM(CAST(FLOOR(
+               CAST((m * m - msq) * 1000000 AS DOUBLE)
+               / CAST(m - 1 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS do_micros
+      FROM per_item
+    ),
+    label_tot AS (
+      SELECT CAST(SUM(nc * nc) AS BIGINT) AS ncsq FROM (
+        SELECT il.c, SUM(il.mic) AS nc
+        FROM il JOIN per_item p ON p.i = il.i
+        GROUP BY il.c
+      )
+    )
+    SELECT n_items, n_annotations, do_micros,
+           ROUND(1.0 - (CAST(n_annotations - 1 AS DOUBLE)
+                        * (CAST(do_micros AS DOUBLE) / 1000000.0))
+                 / CAST(n_annotations * n_annotations - ncsq
+                        AS DOUBLE), 6) AS alpha
+    FROM item_stats CROSS JOIN label_tot
+    """,
+    survey_ops=("label-aggregation", "quality-scoring"),
+)
+def krippendorff_alpha_langs(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))
+        ).alias("annotator"),
+    ).where((F.col("annotator") < 3) | (F.col("doc_id") % 3 == 0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("annotator").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    thr = (
+        F.when(F.col("annotator") == 0, F.lit(10))
+        .when(F.col("annotator") == 1, F.lit(25))
+        .when(F.col("annotator") == 2, F.lit(40))
+        .otherwise(F.lit(15))
+    )
+    shift = (
+        F.when(F.col("lang") == "en", F.lit("es"))
+        .when(F.col("lang") == "es", F.lit("fr"))
+        .when(F.col("lang") == "fr", F.lit("de"))
+        .when(F.col("lang") == "de", F.lit("zh"))
+        .when(F.col("lang") == "zh", F.lit("en"))
+        .otherwise(F.lit("en"))
+    )
+    ann = base.select(
+        "doc_id",
+        F.when(u < thr, shift).otherwise(F.col("lang")).alias("label"),
+    )
+    return stats.krippendorff_alpha_nominal(ann, "doc_id", "label")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

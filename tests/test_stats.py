@@ -1112,3 +1112,29 @@ def test_robust_location_known_series_and_outlier(spark):
     for g in ("a", "b"):
         assert out[g].median_ci_lo <= out[g].median <= out[g].median_ci_hi
     assert out["a"].median_ci_hi <= 1000.0 and out["a"].median_ci_lo >= 1.0
+
+
+def test_krippendorff_alpha_hand_cases(spark):
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        krippendorff_alpha_nominal,
+    )
+
+    def alpha_of(rows):
+        df = spark.createDataFrame(rows, "item long, label string")
+        r = krippendorff_alpha_nominal(df, "item", "label").collect()[0]
+        return r
+
+    # perfect agreement -> alpha = 1
+    r = alpha_of([(1, "A"), (1, "A"), (2, "B"), (2, "B")])
+    assert r.alpha == 1.0 and r.do_micros == 0
+    # (A,A) + (A,B): Do_sum = 2, n=4, n_A=3,n_B=1 ->
+    # alpha = 1 - 3*2/(16-10) = 0  (observed = chance)
+    r = alpha_of([(1, "A"), (1, "A"), (2, "A"), (2, "B")])
+    assert r.alpha == 0.0 and r.do_micros == 2_000_000
+    # variable m: (A,A,B) has pd=4, weight 1/(3-1) -> 2e6 micros;
+    # singleton items are excluded from n and the label totals
+    r = alpha_of([(1, "A"), (1, "A"), (1, "B"), (2, "C")])
+    assert r.n_items == 1 and r.n_annotations == 3
+    assert r.do_micros == 2_000_000
+    # n=3, n_A=2, n_B=1: alpha = 1 - 2*2/(9-5) = 0
+    assert r.alpha == 0.0
