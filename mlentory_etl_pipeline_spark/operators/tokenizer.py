@@ -134,3 +134,180 @@ def bpe_apply(
         find, repl = rules[r]
         seq = F.replace(seq, F.lit(find), F.lit(repl))
     return df.withColumn("bpe_symbols", F.split(F.trim(seq), "  "))
+
+
+def unigram_lm_round(
+    words: DataFrame,
+    word_col: str,
+    n_col: str,
+    max_piece_len: int = 4,
+    min_piece_count: int = 100,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer, one training round
+    (Kudo 2018): seed a substring vocabulary from corpus counts, score
+    pieces with quantized log-likelihoods, VITERBI-segment every word
+    under the seed model, and re-estimate piece probabilities from the
+    best segmentations — the other real-world subword tokenizer beside
+    BPE, and the one whose training step is a per-word dynamic
+    program rather than an iterated global replace.
+
+    Everything is engine-exact:
+
+    - seed counts are integer occurrence sums (every (word, start,
+      len<=max_piece_len) substring weighted by word frequency);
+      pieces below ``min_piece_count`` are dropped except single
+      characters (so every word stays segmentable);
+    - piece scores are ``floor(1e6*ln(cnt/total))`` — integer micros;
+    - the Viterbi DP maximizes integer score sums with a smallest-
+      start tiebreak, so the best segmentation is unique and
+      replayable (the oracle unrolls the same DP by position level);
+    - re-estimated probabilities are Laplace-smoothed rationals of the
+      Viterbi counts, quantized the same way.
+
+    Scale posture: the model state (piece table) is vocab-bounded and
+    broadcast; the DP runs entirely MAP-SIDE as higher-order functions
+    over each distinct word's edge list (one fold builds best[pos],
+    one fold walks the backpointers) — per-word local work, no joins
+    in the hot loop, no UDF; the only shuffles are the word/piece
+    aggregations, all map-side combinable and bounded by |distinct
+    words| x word_len x max_piece_len, never raw-corpus-sized.
+
+    Returns (piece, seed_count, viterbi_count, p_micro) per vocab
+    piece.
+    """
+    w = words.select(
+        F.col(word_col).alias("_w"), F.col(n_col).alias("_freq")
+    ).localCheckpoint(eager=False)
+    positions = (
+        w.select(
+            "_w",
+            "_freq",
+            F.explode(
+                F.sequence(F.lit(0), F.length("_w") - 1)
+            ).alias("_s"),
+        )
+        .select(
+            "_w",
+            "_freq",
+            "_s",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(max_piece_len))
+            ).alias("_plen"),
+        )
+        .where(F.col("_s") + F.col("_plen") <= F.length("_w"))
+        .select(
+            "_w",
+            "_freq",
+            "_s",
+            (F.col("_s") + F.col("_plen")).alias("_e"),
+            F.col("_w").substr(
+                F.col("_s") + 1, F.col("_plen")
+            ).alias("_piece"),
+        )
+    )
+    piece_cnt = positions.groupBy("_piece").agg(
+        F.sum("_freq").alias("_cnt")
+    )
+    vocab = piece_cnt.where(
+        (F.col("_cnt") >= min_piece_count) | (F.length("_piece") == 1)
+    ).localCheckpoint(eager=False)
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    vq = vocab.crossJoin(F.broadcast(total)).select(
+        "_piece",
+        "_cnt",
+        F.floor(
+            F.log(
+                F.col("_cnt").cast("double")
+                / F.col("_total").cast("double")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("_q"),
+    )
+    edges = positions.join(F.broadcast(vq.select("_piece", "_q")), "_piece")
+    edge_arr = edges.groupBy("_w", "_freq").agg(
+        F.collect_list(F.struct("_s", "_e", "_q")).alias("_edges")
+    )
+
+    wlen = F.length("_w")
+    zero = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("score"),
+            F.lit(0).alias("negs"),
+        )
+    )
+
+    def _dp_step(acc, _):
+        cands = F.filter(
+            F.col("_edges"), lambda e: e["_e"] == F.size(acc)
+        )
+        scored = F.transform(
+            cands,
+            lambda e: F.struct(
+                (
+                    F.element_at(acc, e["_s"] + 1)["score"] + e["_q"]
+                ).alias("score"),
+                (-e["_s"]).alias("negs"),
+            ),
+        )
+        return F.concat(acc, F.array(F.array_max(scored)))
+
+    best = F.aggregate(F.sequence(F.lit(1), wlen), zero, _dp_step)
+    with_best = edge_arr.select(
+        "_w", "_freq", best.alias("_best")
+    )
+
+    bt_zero = F.struct(
+        wlen.alias("pos"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+
+    def _bt_step(acc, _):
+        prev = -F.element_at(F.col("_best"), acc["pos"] + 1)["negs"]
+        piece = F.col("_w").substr(prev + 1, acc["pos"] - prev)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                prev.alias("pos"),
+                F.concat(acc["pieces"], F.array(piece)).alias(
+                    "pieces"
+                ),
+            ),
+        ).otherwise(acc)
+
+    paths = with_best.select(
+        "_freq",
+        F.aggregate(
+            F.sequence(F.lit(1), wlen), bt_zero, _bt_step
+        )["pieces"].alias("_pieces"),
+    )
+    vcounts = paths.select(
+        "_freq", F.explode("_pieces").alias("_piece")
+    ).groupBy("_piece").agg(F.sum("_freq").alias("_vcnt"))
+    vtotals = vcounts.agg(
+        F.sum("_vcnt").alias("_vtotal")
+    ).crossJoin(F.broadcast(vocab.agg(F.count(F.lit(1)).alias("_V"))))
+    return (
+        vq.join(vcounts, "_piece", "left")
+        .crossJoin(F.broadcast(vtotals))
+        .select(
+            F.col("_piece").alias("piece"),
+            F.col("_cnt").alias("seed_count"),
+            F.coalesce(F.col("_vcnt"), F.lit(0)).cast("long").alias(
+                "viterbi_count"
+            ),
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce(F.col("_vcnt"), F.lit(0)) + 1
+                    ).cast("double")
+                    / (F.col("_vtotal") + F.col("_V")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+        .orderBy("piece")
+    )

@@ -17606,6 +17606,124 @@ def krippendorff_alpha_langs(spark, sf_dir):
     return stats.krippendorff_alpha_nominal(ann, "doc_id", "label")
 
 
+def _unigram_dp_levels(max_len: int) -> str:
+    """Unrolled Viterbi DP levels 1..max_len for the unigram-LM
+    oracle — each level takes the argmax (score desc, start asc) over
+    vocab edges ending at that position, mirroring
+    tokenizer.unigram_lm_round's HOF fold level-for-level."""
+    parts = []
+    for p in range(1, max_len + 1):
+        parts.append(f"""
+    lvl{p} AS MATERIALIZED (
+      SELECT word, pos, score, prev FROM (
+        SELECT e.word, e.e AS pos, d.score + e.q AS score, e.s AS prev,
+               ROW_NUMBER() OVER (PARTITION BY e.word, e.e
+                 ORDER BY d.score + e.q DESC, e.s ASC) AS rn
+        FROM edges e JOIN dp{p - 1} d
+          ON d.word = e.word AND d.pos = e.s
+        WHERE e.e = {p}
+      ) WHERE rn = 1
+    ),
+    dp{p} AS MATERIALIZED (
+      SELECT * FROM dp{p - 1} UNION ALL SELECT * FROM lvl{p})""")
+    return ",".join(parts)
+
+
+@register(
+    "unigram_lm_tokenizer_round",
+    "SentencePiece-style unigram-LM tokenizer, one training round "
+    "(Kudo 2018): substring seed vocab (len<=4, count>=100 or single "
+    "char), floor(1e6*ln(cnt/total)) piece scores, per-word VITERBI "
+    "segmentation (integer-score DP, smallest-start tiebreak), "
+    "Laplace-smoothed count re-estimation — the DP runs map-side as "
+    "HOF folds over each distinct word's edge list (model broadcast, "
+    "no joins in the hot loop); the oracle unrolls the same DP by "
+    "position level plus a recursive backtrack",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    pos1 AS (
+      SELECT word, freq, UNNEST(RANGE(0, LEN(word))) AS s FROM w
+    ),
+    pos AS (
+      SELECT word, freq, s, UNNEST(RANGE(1, 5)) AS plen FROM pos1
+    ),
+    pieces AS (
+      SELECT word, freq, s, s + plen AS e,
+             SUBSTR(word, s + 1, plen) AS piece
+      FROM pos WHERE s + plen <= LEN(word)
+    ),
+    pc AS (SELECT piece, SUM(freq) AS cnt FROM pieces GROUP BY piece),
+    vocab AS (
+      SELECT piece, cnt FROM pc WHERE cnt >= 100 OR LEN(piece) = 1
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    vq AS (
+      SELECT piece, cnt,
+             CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                  * 1000000) AS BIGINT) AS q
+      FROM vocab CROSS JOIN tot
+    ),
+    edges AS MATERIALIZED (
+      SELECT p.word, p.s, p.e, v.q
+      FROM pieces p JOIN vq v USING (piece)
+    ),
+    dp0 AS (
+      SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, -1 AS prev
+      FROM w
+    ),"""
+    + _unigram_dp_levels(12)
+    + """,
+    bt AS (
+      SELECT d.word, d.pos, d.prev,
+             SUBSTR(d.word, d.prev + 1, d.pos - d.prev) AS piece
+      FROM dp12 d JOIN w ON w.word = d.word AND d.pos = LEN(w.word)
+      WHERE d.pos > 0
+      UNION ALL
+      SELECT d.word, d.pos, d.prev,
+             SUBSTR(d.word, d.prev + 1, d.pos - d.prev)
+      FROM bt b JOIN dp12 d ON d.word = b.word AND d.pos = b.prev
+      WHERE b.prev > 0
+    ),
+    vc AS (
+      SELECT bt.piece, SUM(w.freq) AS vcnt
+      FROM bt JOIN w USING (word) GROUP BY bt.piece
+    ),
+    vt AS (SELECT SUM(vcnt) AS vtotal FROM vc),
+    vsz AS (SELECT COUNT(*) AS V FROM vocab)
+    SELECT v.piece, v.cnt AS seed_count,
+           CAST(COALESCE(vc.vcnt, 0) AS BIGINT) AS viterbi_count,
+           CAST(FLOOR(LN(CAST(COALESCE(vc.vcnt, 0) + 1 AS DOUBLE)
+                / CAST(vt.vtotal + vsz.V AS DOUBLE)) * 1000000)
+             AS BIGINT) AS p_micro
+    FROM vocab v LEFT JOIN vc USING (piece)
+    CROSS JOIN vt CROSS JOIN vsz
+    ORDER BY v.piece
+    """,
+    survey_ops=("tokenizer-unigram", "N2"),
+)
+def unigram_lm_tokenizer_round(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import tokenizer
+
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tokenizer.unigram_lm_round(
+        words, "word", "n", max_piece_len=4, min_piece_count=100
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -85,3 +85,27 @@ def test_bpe_train_weighted_counts(spark):
     )
     first = tokenizer.bpe_train(df, "w", "n", rounds=1).first()
     assert first.pair == "z q" and first.cnt == 100
+
+
+def test_unigram_lm_round_viterbi_semantics(spark):
+    """'abab'x10 + 'ab'x5 + 'cd'x3 with threshold 8: 'abab' must win
+    as a whole piece over ab+ab (ln(10/121) > 2*ln(25/121)), 'ab'
+    segments as itself, and 'cd' (seed count 3 < 8, not in vocab)
+    falls back to single chars. Viterbi counts follow."""
+    from mlentory_etl_pipeline_spark.operators.tokenizer import (
+        unigram_lm_round,
+    )
+
+    w = spark.createDataFrame(
+        [("abab", 10), ("ab", 5), ("cd", 3)], "word string, n long"
+    )
+    out = {
+        r.piece: (r.seed_count, r.viterbi_count)
+        for r in unigram_lm_round(w, "word", "n", min_piece_count=8).collect()
+    }
+    assert out["abab"] == (10, 10)
+    assert out["ab"] == (25, 5)
+    assert out["c"] == (3, 3)
+    assert out["d"] == (3, 3)
+    assert out["a"] == (25, 0) and out["b"] == (25, 0)
+    assert "cd" not in out
