@@ -17761,7 +17761,7 @@ _DRIVER_WINDOW = [
     # string_sanitation, url_canonicalize_dedup) swap out for the new
     # operator families, which have never had a driver row
     "msprt_daily_value_monitor",  # r5 s4: always-valid monitoring (stats keeps KM/bootstrap/isotonic)
-    "isotonic_purchase_rate_by_cohort",
+    "watermark_greenlist_detection",  # r5 s5: text-detection family (stats keeps msprt/KM/bootstrap/AP)
     "rfm_customer_segments",
     "ntriples_datasource_roundtrip",
     "embedding_gram_matrix",
@@ -17769,7 +17769,7 @@ _DRIVER_WINDOW = [
     "nlp_sectionize",
     "nlp_section_dedup",
     "edit_distance_join_parts",  # r5 s4: fuzzy-key join (NLP keeps 5 entries)
-    "nlp_match_topk",
+    "dawid_skene_consensus_labels",  # r5 s5: label aggregation (NLP keeps 4 entries)
     "nlp_grouped_qa",
     "question_clustering_distributed",
     "dedup_minhash_incremental",
@@ -17787,7 +17787,7 @@ _DRIVER_WINDOW = [
     "hll_md5_distinct_users",
     "http_chunk_sink_receipts",
     "graph_triangle_counts",
-    "graph_label_propagation",
+    "unigram_lm_tokenizer_round",  # r5 s5: unigram tokenizer (graph keeps triangles)
     "kaplan_meier_churn",
     "bootstrap_ci_avg_quantity",
     "ivm_join_delta",
