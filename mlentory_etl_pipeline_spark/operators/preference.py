@@ -11,7 +11,7 @@ join+aggregate shape every iterative operator in this repo uses
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def bradley_terry_ratings(
@@ -130,4 +130,55 @@ def bradley_terry_ratings(
             "comparisons",
             F.round(F.col("_p") / F.lit(1000000.0), 6).alias("rating"),
         )
+    )
+
+
+def group_relative_advantages(
+    df: DataFrame,
+    group_col: str,
+    reward_col,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """GRPO-style group-relative advantages (Shao et al. 2024): for a
+    batch of sampled completions per prompt, the advantage of sample i
+    is its reward standardized WITHIN the prompt group,
+    ``(r_i - mean_g) / std_g`` — the critic-free baseline used by
+    group-relative policy optimization; here the RL-data-prep
+    primitive that turns raw reward logs into training advantages.
+
+    Exactness: rewards enter as integers (quantize upstream — the
+    cents/micros idiom), group moments come from integer sums
+    (``n*ss - s*s`` stays in BIGINT), and the standardization is one
+    fixed double chain rounded to 6 dp. Degenerate groups (single
+    sample, or zero variance) yield NULL advantage — documented
+    contract, same as welch/auc.
+
+    Plan shape: one group-partitioned window carrying three partial-
+    aggregable sums; no global window, no second pass. Returns the
+    kept columns plus (reward_int, advantage).
+    """
+    w = Window.partitionBy(group_col)
+    r = reward_col.cast("long")
+    base = df.select(
+        *keep_cols,
+        F.col(group_col),
+        r.alias("reward_int"),
+    )
+    s = F.sum("reward_int").over(w)
+    ss = F.sum(F.col("reward_int") * F.col("reward_int")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / n.cast("double")
+    var = (n * ss - s * s).cast("double") / (n * n).cast("double")
+    adv = F.when(
+        var > 0,
+        F.round(
+            (F.col("reward_int").cast("double") - mean) / F.sqrt(var),
+            6,
+        ),
+    )
+    return base.select(
+        *keep_cols,
+        group_col,
+        "reward_int",
+        adv.alias("advantage"),
     )

@@ -17724,6 +17724,101 @@ def unigram_lm_tokenizer_round(spark, sf_dir):
     )
 
 
+@register(
+    "grpo_group_advantages",
+    "GRPO-style group-relative advantages over per-user reward logs: "
+    "each event's value (cents-quantized) standardized within its "
+    "(user, event_type) group from integer sums — the critic-free RL "
+    "advantage prep; one group-partitioned window, NULL advantage for "
+    "degenerate (single-sample / zero-variance) groups",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS reward_int
+      FROM events
+    ),
+    g AS (
+      SELECT event_id, user_id, event_type, reward_int,
+             SUM(reward_int) OVER w AS s,
+             SUM(reward_int * reward_int) OVER w AS ss,
+             COUNT(*) OVER w AS n
+      FROM r
+      WINDOW w AS (PARTITION BY user_id, event_type)
+    )
+    SELECT event_id, user_id, event_type, reward_int,
+           CASE WHEN CAST(n * ss - s * s AS DOUBLE)
+                     / CAST(n * n AS DOUBLE) > 0
+                THEN ROUND((CAST(reward_int AS DOUBLE)
+                            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / SQRT(CAST(n * ss - s * s AS DOUBLE)
+                            / CAST(n * n AS DOUBLE)), 6)
+           END AS advantage
+    FROM g ORDER BY event_id
+    """,
+    survey_ops=("rl-data-prep", "§2.9 window functions"),
+)
+def grpo_group_advantages(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import preference
+
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"), F.col("event_type")
+        ).alias("_grp"),
+        F.floor(F.col("value") * 100).alias("_reward"),
+    )
+    out = preference.group_relative_advantages(
+        base,
+        "_grp",
+        F.col("_reward"),
+        keep_cols=("event_id", "user_id", "event_type"),
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "reward_int", "advantage"
+    ).orderBy("event_id")
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    "interpolated Kneser-Ney bigram LM trained in-engine (D=0.75 "
+    "absolute discount, continuation-type backoff) over the document "
+    "corpus — per seen bigram p_kn(w|v) = (c(vw)-D)/c(v) + "
+    "(D*N1+(v.)/c(v)) * (N1+(.w)/N1+(..)); map-side bigram "
+    "extraction, vocab^2-bounded count table, context/continuation "
+    "stats aggregated over counts (never raw corpus), one fixed "
+    "double chain rounded 6dp",
+    oracle="""
+    WITH tok AS (
+      SELECT STRING_SPLIT(TRIM(text), ' ') AS t FROM documents
+      WHERE LEN(STRING_SPLIT(TRIM(text), ' ')) >= 2
+    ),
+    b1 AS (SELECT t, UNNEST(RANGE(1, LEN(t))) AS i FROM tok),
+    bg AS (SELECT t[i] AS v, t[i + 1] AS w FROM b1),
+    c_vw AS (SELECT v, w, COUNT(*) AS c_vw FROM bg GROUP BY v, w),
+    ctx AS (
+      SELECT v, SUM(c_vw) AS cv, COUNT(*) AS n1v FROM c_vw GROUP BY v
+    ),
+    cont AS (SELECT w, COUNT(*) AS n1w FROM c_vw GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n1tot FROM c_vw)
+    SELECT c.v, c.w, c.c_vw,
+           ROUND((CAST(c.c_vw AS DOUBLE) - 0.75) / CAST(x.cv AS DOUBLE)
+                 + (0.75 * CAST(x.n1v AS DOUBLE) / CAST(x.cv AS DOUBLE))
+                   * (CAST(n.n1w AS DOUBLE) / CAST(t.n1tot AS DOUBLE)),
+                 6) AS p_kn
+    FROM c_vw c
+    JOIN ctx x USING (v) JOIN cont n USING (w) CROSS JOIN tot t
+    ORDER BY c.v, c.w
+    """,
+    survey_ops=("lm-training", "text-perplexity"),
+)
+def kneser_ney_bigram_lm(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return textstats.kneser_ney_bigram_lm(d)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -69,3 +69,53 @@ def test_map_in_arrow_digest_matches_hashlib(spark):
         df.repartition(3), "id", "payload"
     ).collect()}
     assert again == {i: tuple(r) for i, r in out.items()}
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark):
+    from mlentory_etl_pipeline_spark.operators.textstats import (
+        kneser_ney_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b c a"),
+            (3, "b c b a a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = kneser_ney_bigram_lm(docs).collect()
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r.v, 0.0)
+        by_ctx[r.v] += r.p_kn
+        assert 0.0 < r.p_kn < 1.0
+    # interpolated KN is a proper distribution over SEEN continuations
+    # plus backoff mass spread over seen types; since every (v, w)
+    # type with the continuation dist restricted to seen bigrams of v
+    # covers n1w/n1tot of the backoff mass, the per-context total is
+    # <= 1 and equals 1 when v's seen continuations cover all types
+    for v, s in by_ctx.items():
+        assert s <= 1.0 + 1e-5, (v, s)
+
+
+def test_grpo_advantages_standardize_within_group(spark):
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.operators.preference import (
+        group_relative_advantages,
+    )
+
+    rows = [(1, "g1", 10), (2, "g1", 20), (3, "g1", 30),
+            (4, "g2", 5), (5, "g2", 5), (6, "g3", 7)]
+    df = spark.createDataFrame(rows, "id long, g string, r long")
+    got = {
+        r.id: r.advantage
+        for r in group_relative_advantages(
+            df, "g", F.col("r"), keep_cols=("id",)
+        ).collect()
+    }
+    # g1: mean 20, population std sqrt(200/3); advantages symmetric
+    assert got[2] == 0.0
+    assert got[1] is not None and abs(got[1] + got[3]) < 1e-9
+    # zero-variance and singleton groups -> NULL
+    assert got[4] is None and got[5] is None and got[6] is None
