@@ -216,6 +216,12 @@ def main():
             "croston_part_demand",
             "variant_props_rollup",
             "dbscan_embedding_clusters",
+            "dawid_skene_consensus_labels",
+            "unigram_lm_tokenizer_round",
+            "watermark_greenlist_detection",
+            "kneser_ney_bigram_lm",
+            "kv_prefix_sharing_docs",
+            "grpo_group_advantages",
         )
         if n in REGISTRY
     ]

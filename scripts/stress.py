@@ -817,6 +817,103 @@ def case_multinomial_nb(spark, sf_dir: str, k: int) -> DataFrame:
     return nb_confusion(r, "lang", "doc_id", "text")
 
 
+
+
+def case_dawid_skene(spark, sf_dir: str, k: int) -> DataFrame:
+    # disjoint item copies (item ids offset per replica): per EM round
+    # the item-keyed join/agg and the broadcast J x L x L model must
+    # scale linearly in annotations
+    from mlentory_etl_pipeline_spark.operators import classify
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"), "lang"
+    )
+    ann = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("annotator"),
+    ).select(
+        "doc_id",
+        "annotator",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#"),
+                            F.col("annotator").cast("string"),
+                        )
+                    ), 1, 15,
+                ), 16, 10,
+            ).cast("long") % 100 < 25,
+            F.lit("xx"),
+        ).otherwise(F.col("lang")).alias("label"),
+    )
+    return classify.dawid_skene_hard(ann, "doc_id", "annotator", "label")
+
+
+def case_unigram_lm(spark, sf_dir: str, k: int) -> DataFrame:
+    # replica-salted words (distinct-word vocab multiplies by k, word
+    # frequency constant): seed counts, edge lists, and the map-side
+    # Viterbi folds must all scale with |distinct words|
+    from mlentory_etl_pipeline_spark.operators import tokenizer
+
+    d = t(spark, sf_dir, "documents").select("text")
+    words = (
+        _replicated(d, k)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+            F.col("_rep"),
+        )
+        .select(
+            F.concat(
+                F.col("w"),
+                F.substring(F.lit("abcdefghijklmnopqrst"), F.col("_rep") + 1, 1),
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tokenizer.unigram_lm_round(words, "word", "n", min_piece_count=100)
+
+
+def case_angular_pairs(spark, sf_dir: str, k: int) -> DataFrame:
+    # disjoint directional copies via per-replica dimension ROTATION
+    # (circular shift by _rep): a permutation preserves every within-
+    # replica angle exactly — so the planted 2x-scaled near-dups (the
+    # dbscan construction) replicate k-fold — while cross-replica
+    # directions decorrelate; the angle-bucket equi-join must not
+    # degrade toward all-pairs. (A first attempt shifted dim 0 by a
+    # replica offset instead, which made every vector in a replica
+    # nearly parallel — an honestly quadratic OUTPUT, not a plan test.)
+    from mlentory_etl_pipeline_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.unionByName(
+        e.where("vec_id < 120").select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * 2.0).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    rot = _replicated(planted, k).select(
+        (F.col("vec_id") * k + F.col("_rep")).alias("vec_id"),
+        F.concat(
+            F.slice(
+                "embedding", F.col("_rep") + 1, F.lit(64) - F.col("_rep")
+            ),
+            F.slice("embedding", F.lit(1), F.col("_rep")),
+        ).alias("embedding"),
+    )
+    return similarity.cosine_pairs_angular_blocked(
+        rot, threshold=0.999, round_dp=4, dim=64
+    )
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -855,6 +952,9 @@ CASES = {
     "containment": case_containment,
     "winnowing": case_winnowing,
     "multinomial_nb": case_multinomial_nb,
+    "dawid_skene": case_dawid_skene,
+    "unigram_lm": case_unigram_lm,
+    "angular_pairs": case_angular_pairs,
 }
 
 
