@@ -182,3 +182,135 @@ def group_relative_advantages(
         "reward_int",
         adv.alias("advantage"),
     )
+
+
+def best_of_n_curve(
+    df: DataFrame,
+    group_col: str,
+    reward_col,
+    ns: tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Best-of-n expected-maximum reward curve — the inference-time
+    scaling primitive (how much does reward improve if we sample n
+    completions and keep the best?): from the empirical reward
+    distribution, ``E[max of n] = sum_x x * (F(x)^n - F(x-)^n)`` over
+    distinct reward values x with empirical CDF F.
+
+    Determinism: rewards enter as integers; the per-group CDF comes
+    from a cumulative window over DISTINCT reward values (bounded by
+    the value domain, never corpus rows — the weighted_percentiles
+    category); powers are explicit squaring chains (u2 = u*u,
+    u4 = u2*u2, ...) so both engines multiply in the same order; each
+    term quantizes to ``floor(x * (u^n - uprev^n) * 1e6)`` BEFORE the
+    sum, so the aggregation is an exact integer fold (the nDCG/PSI
+    rule: never sum raw doubles across rows).
+
+    Returns (group, n, n_samples, expected_max) with expected_max in
+    reward units rounded to 6 dp.
+    """
+    vals = df.groupBy(
+        F.col(group_col).alias("_g"),
+        reward_col.cast("long").alias("_x"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("_g").orderBy("_x")
+    cum = vals.select(
+        "_g",
+        "_x",
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.sum("_c").over(
+            Window.partitionBy("_g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    cum = cum.withColumn(
+        "_cprev",
+        F.coalesce(F.lag("_cum").over(w), F.lit(0).cast("long")),
+    )
+
+    def powers(col):
+        # explicit squaring chain: identical association in any engine
+        p = {1: col}
+        p[2] = p[1] * p[1]
+        p[4] = p[2] * p[2]
+        p[8] = p[4] * p[4]
+        p[16] = p[8] * p[8]
+        return p
+
+    lo = F.col("_cprev").cast("double") / F.col("_n").cast("double")
+    hi = F.col("_cum").cast("double") / F.col("_n").cast("double")
+    phi, plo = powers(hi), powers(lo)
+    out = None
+    for n in ns:
+        if n not in phi:
+            raise ValueError("ns must be drawn from {1,2,4,8,16}")
+        term = F.floor(
+            F.col("_x").cast("double")
+            * (phi[n] - plo[n])
+            * F.lit(1000000.0)
+        ).cast("long")
+        part = cum.groupBy(F.col("_g")).agg(
+            F.max("_n").alias("n_samples"),
+            F.sum(term).alias("_micros"),
+        ).select(
+            F.col("_g").alias(group_col),
+            F.lit(n).alias("n"),
+            "n_samples",
+            F.round(
+                F.col("_micros").cast("double") / F.lit(1000000.0), 6
+            ).alias("expected_max"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy(group_col, "n")
+
+
+def dpo_pair_construction(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    reward_col,
+    min_margin: int = 1,
+) -> DataFrame:
+    """DPO preference-pair construction from scored samples: per
+    prompt group, pair the highest-reward completion (chosen) with the
+    lowest (rejected), keeping groups whose margin clears
+    ``min_margin`` — the standard offline-preference dataset build
+    feeding DPO/IPO trainers (the pair-mining half of what
+    bradley_terry_ratings consumes).
+
+    Deterministic: rewards are integers and ties break on the id
+    (max_by/min_by over a (reward, id) struct with the id negated on
+    the max side, so equal rewards pick the SMALLEST id on both
+    sides); one group-keyed aggregation, no windows, no self-join.
+
+    Returns (group, chosen_id, rejected_id, chosen_reward,
+    rejected_reward, margin).
+    """
+    r = reward_col.cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        r.alias("_r"),
+    )
+    agg = base.groupBy("_g").agg(
+        F.max(F.struct(F.col("_r"), (-F.col("_id")).alias("_nid"))).alias(
+            "_best"
+        ),
+        F.min(F.struct(F.col("_r"), F.col("_id"))).alias("_worst"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        agg.where(F.col("_n") >= 2)
+        .select(
+            F.col("_g").alias(group_col),
+            (-F.col("_best._nid")).alias("chosen_id"),
+            F.col("_worst._id").alias("rejected_id"),
+            F.col("_best._r").alias("chosen_reward"),
+            F.col("_worst._r").alias("rejected_reward"),
+            (F.col("_best._r") - F.col("_worst._r")).alias("margin"),
+        )
+        .where(F.col("margin") >= min_margin)
+        .orderBy(group_col)
+    )

@@ -17819,6 +17819,124 @@ def kneser_ney_bigram_lm(spark, sf_dir):
     return textstats.kneser_ney_bigram_lm(d)
 
 
+@register(
+    "best_of_n_reward_curve",
+    "best-of-n expected-max reward curve per event type (inference-"
+    "time scaling primitive): E[max of n] from the empirical reward "
+    "CDF over DISTINCT dollar-quantized rewards (value-domain-bounded "
+    "cumulative window), explicit squaring chains for the CDF powers, "
+    "per-term integer-micro quantization BEFORE the sum (no raw "
+    "double summation)",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS g, CAST(FLOOR(value) AS BIGINT) AS x
+      FROM events
+    ),
+    vals AS (SELECT g, x, COUNT(*) AS c FROM r GROUP BY g, x),
+    cum AS (
+      SELECT g, x,
+             SUM(c) OVER (PARTITION BY g ORDER BY x
+               ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM vals
+    ),
+    cp AS (
+      SELECT *, COALESCE(LAG(cm) OVER (PARTITION BY g ORDER BY x),
+                         0) AS cprev
+      FROM cum
+    ),
+    b AS (
+      SELECT g, x, n,
+             CAST(cm AS DOUBLE) / CAST(n AS DOUBLE) AS hi,
+             CAST(cprev AS DOUBLE) / CAST(n AS DOUBLE) AS lo
+      FROM cp
+    ),
+    p1 AS (SELECT *, hi * hi AS h2, lo * lo AS l2 FROM b),
+    p2 AS (SELECT *, h2 * h2 AS h4, l2 * l2 AS l4 FROM p1),
+    p3 AS (SELECT *, h4 * h4 AS h8, l4 * l4 AS l8 FROM p2),
+    p4 AS (SELECT *, h8 * h8 AS h16, l8 * l8 AS l16 FROM p3),
+    terms AS (
+      SELECT g, n, nn.nv,
+             CAST(FLOOR(CAST(x AS DOUBLE)
+               * (CASE nn.nv WHEN 1 THEN hi - lo WHEN 2 THEN h2 - l2
+                             WHEN 4 THEN h4 - l4 WHEN 8 THEN h8 - l8
+                             ELSE h16 - l16 END)
+               * 1000000.0) AS BIGINT) AS tm
+      FROM p4 CROSS JOIN (SELECT UNNEST([1, 2, 4, 8, 16]) AS nv) nn
+    )
+    SELECT g AS event_type, nv AS n,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           ROUND(CAST(SUM(tm) AS DOUBLE) / 1000000.0, 6)
+             AS expected_max
+    FROM terms GROUP BY g, nv ORDER BY g, nv
+    """,
+    survey_ops=("rl-eval", "§2.9 window functions"),
+)
+def best_of_n_reward_curve(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import preference
+
+    e = t(spark, sf_dir, "events")
+    base = e.select("event_type", F.floor(F.col("value")).alias("_rw"))
+    out = preference.best_of_n_curve(
+        base, "event_type", F.col("_rw")
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("int").alias("n"),
+        "n_samples",
+        "expected_max",
+    ).orderBy("event_type", "n")
+
+
+@register(
+    "dpo_pair_mining",
+    "DPO preference-pair construction: per user, chosen = highest-"
+    "reward event, rejected = lowest (cents-quantized, id tiebreaks "
+    "via struct max/min so ties pick the smallest id on both sides), "
+    "kept when the margin clears 100 cents — one group-keyed "
+    "aggregation, no self-join, no windows",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS rw
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_id, rw,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY rw DESC, event_id ASC) AS rn
+      FROM r
+    ),
+    rj AS (
+      SELECT user_id, event_id, rw,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY rw ASC, event_id ASC) AS rn
+      FROM r
+    ),
+    cnt AS (SELECT user_id, COUNT(*) AS n FROM r GROUP BY user_id)
+    SELECT c.user_id, c.event_id AS chosen_id,
+           j.event_id AS rejected_id, c.rw AS chosen_reward,
+           j.rw AS rejected_reward, c.rw - j.rw AS margin
+    FROM ch c JOIN rj j USING (user_id) JOIN cnt USING (user_id)
+    WHERE c.rn = 1 AND j.rn = 1 AND cnt.n >= 2
+      AND c.rw - j.rw >= 100
+    ORDER BY c.user_id
+    """,
+    survey_ops=("rl-data-prep", "G9"),
+)
+def dpo_pair_mining(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import preference
+
+    e = t(spark, sf_dir, "events")
+    return preference.dpo_pair_construction(
+        e,
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100),
+        min_margin=100,
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -119,3 +119,43 @@ def test_grpo_advantages_standardize_within_group(spark):
     assert got[1] is not None and abs(got[1] + got[3]) < 1e-9
     # zero-variance and singleton groups -> NULL
     assert got[4] is None and got[5] is None and got[6] is None
+
+
+def test_best_of_n_curve_monotone_and_exact_max(spark):
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.operators.preference import (
+        best_of_n_curve,
+    )
+
+    # rewards 1..4 uniform: E[max_1] = 2.5; E[max_n] increases in n
+    # and is bounded by the max reward
+    rows = [("g", v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, r long")
+    got = {r.n: r.expected_max for r in best_of_n_curve(df, "g", F.col("r")).collect()}
+    assert abs(got[1] - 2.5) < 1e-5
+    prev = 0.0
+    for n in (1, 2, 4, 8, 16):
+        assert prev <= got[n] <= 4.0
+        prev = got[n]
+    # E[max_2] for uniform{1,2,3,4}: sum x*((F^2)-(F-)^2)/16
+    # = (1*1 + 2*(9-1)... ) computed: (1 + 2*3 + 3*5 + 4*7)/16 = 3.125
+    assert abs(got[2] - 3.125) < 1e-5
+
+
+def test_dpo_pair_mining_tiebreaks_and_margin(spark):
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.operators.preference import (
+        dpo_pair_construction,
+    )
+
+    rows = [
+        ("u1", 1, 10), ("u1", 2, 10), ("u1", 3, 5),   # tie on max -> id 1
+        ("u2", 4, 7), ("u2", 5, 7),                    # zero margin -> dropped
+        ("u3", 6, 9),                                  # singleton -> dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, r long")
+    got = dpo_pair_construction(df, "g", "id", F.col("r"), min_margin=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.g == "u1" and r.chosen_id == 1 and r.rejected_id == 3
+    assert r.margin == 5
