@@ -650,3 +650,91 @@ def edit_distance_join(
         .where(F.col("edit_distance") <= k)
         .select("a_id", "b_id", "edit_distance")
     )
+
+
+def b_cubed(
+    df: DataFrame,
+    item_col: str,
+    pred_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998) — the
+    standard entity-resolution / dedup-cluster quality metric that,
+    unlike pairwise F1, weights every ITEM equally: per item,
+    precision is the fraction of its predicted cluster sharing its
+    gold cluster, recall the fraction of its gold cluster sharing its
+    predicted cluster; both average over items.
+
+    Exact-arithmetic shape: per-item sums collapse to contingency
+    CELLS — for cell (p, g) with n_pg items, each contributes
+    ``n_pg / n_p`` precision, so B3-precision = sum n_pg^2 / n_p / N.
+    Cell terms quantize to ``floor(n_pg^2 * 1e6 / n_p)`` integer
+    micros BEFORE summing (exact in double below 2^53), so the
+    aggregation is an integer fold; F1 composes from the ROUNDED
+    precision/recall (compose-from-rounded rule), NULL when both are
+    zero.
+
+    Plan shape: one (pred, gold) cell count (map-side combined,
+    bounded by the contingency table), two marginal aggregations over
+    cells, one single-row rollup — no windows, no self-joins. Returns
+    one row: (n_items, b3_precision, b3_recall, b3_f1).
+    """
+    cell = df.groupBy(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_npg"))
+    psz = cell.groupBy("_p").agg(F.sum("_npg").alias("_np"))
+    gsz = cell.groupBy("_g").agg(F.sum("_npg").alias("_ng"))
+    terms = (
+        cell.join(psz, "_p")
+        .join(gsz, "_g")
+        .select(
+            "_npg",
+            F.floor(
+                (F.col("_npg") * F.col("_npg") * F.lit(1000000)).cast(
+                    "double"
+                )
+                / F.col("_np").cast("double")
+            ).cast("long").alias("_pm"),
+            F.floor(
+                (F.col("_npg") * F.col("_npg") * F.lit(1000000)).cast(
+                    "double"
+                )
+                / F.col("_ng").cast("double")
+            ).cast("long").alias("_rm"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("_npg").alias("n_items"),
+        F.sum("_pm").alias("_pmic"),
+        F.sum("_rm").alias("_rmic"),
+    )
+    pr = agg.select(
+        "n_items",
+        F.round(
+            F.col("_pmic").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_items").cast("double"),
+            6,
+        ).alias("b3_precision"),
+        F.round(
+            F.col("_rmic").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_items").cast("double"),
+            6,
+        ).alias("b3_recall"),
+    )
+    return pr.select(
+        "n_items",
+        "b3_precision",
+        "b3_recall",
+        F.when(
+            F.col("b3_precision") + F.col("b3_recall") > 0,
+            F.round(
+                2
+                * F.col("b3_precision")
+                * F.col("b3_recall")
+                / (F.col("b3_precision") + F.col("b3_recall")),
+                6,
+            ),
+        ).alias("b3_f1"),
+    )

@@ -17937,6 +17937,107 @@ def dpo_pair_mining(spark, sf_dir):
     )
 
 
+def _bcubed_simhash_oracle() -> str:
+    """B-cubed oracle over the simhash near-dup corpus: reuses the
+    simhash16 nibble expressions, labels pred = signature and
+    gold = base doc id, then evaluates the contingency cells with the
+    same integer-micro quantization as linkage.b_cubed."""
+    sum_exprs = ",\n        ".join(
+        "SUM(CASE WHEN ((STRPOS('0123456789abcdef', SUBSTR(hx, {pos}, 1)) - 1) & {mask}) > 0 "
+        "THEN 1 ELSE -1 END) AS s{bit}".format(
+            pos=bit // 4 + 1, mask=1 << (bit % 4), bit=bit
+        )
+        for bit in range(16)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{bit} > 0 THEN {1 << bit} ELSE 0 END)"
+        for bit in range(16)
+    )
+    return (
+        "WITH "
+        + _NEARDUP_CORPUS_SQL.replace(
+            "FROM documents", "FROM documents WHERE doc_id < 150"
+        )
+        + ","
+        + _SHINGLE_SQL
+        + f""",
+    votes AS (SELECT doc_id, MD5(shingle) AS hx FROM shingled),
+    sums AS (SELECT doc_id, {sum_exprs} FROM votes GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
+    ),
+    lab AS (
+      SELECT doc_id, simhash AS pred, doc_id % 1000000 AS gold
+      FROM sigs
+    ),
+    cell AS (
+      SELECT pred, gold, COUNT(*) AS npg FROM lab GROUP BY pred, gold
+    ),
+    psz AS (SELECT pred, SUM(npg) AS np FROM cell GROUP BY pred),
+    gsz AS (SELECT gold, SUM(npg) AS ng FROM cell GROUP BY gold),
+    terms AS (
+      SELECT c.npg,
+             CAST(FLOOR(CAST(c.npg * c.npg * 1000000 AS DOUBLE)
+                  / CAST(p.np AS DOUBLE)) AS BIGINT) AS pm,
+             CAST(FLOOR(CAST(c.npg * c.npg * 1000000 AS DOUBLE)
+                  / CAST(g.ng AS DOUBLE)) AS BIGINT) AS rm
+      FROM cell c JOIN psz p USING (pred) JOIN gsz g USING (gold)
+    ),
+    agg AS (
+      SELECT CAST(SUM(npg) AS BIGINT) AS n_items,
+             SUM(pm) AS pmic, SUM(rm) AS rmic
+      FROM terms
+    ),
+    pr AS (
+      SELECT n_items,
+             ROUND(CAST(pmic AS DOUBLE) / 1000000.0
+                   / CAST(n_items AS DOUBLE), 6) AS b3_precision,
+             ROUND(CAST(rmic AS DOUBLE) / 1000000.0
+                   / CAST(n_items AS DOUBLE), 6) AS b3_recall
+      FROM agg
+    )
+    SELECT n_items, b3_precision, b3_recall,
+           CASE WHEN b3_precision + b3_recall > 0
+                THEN ROUND(2 * b3_precision * b3_recall
+                     / (b3_precision + b3_recall), 6)
+           END AS b3_f1
+    FROM pr
+    """
+    )
+
+
+@register(
+    "bcubed_simhash_vs_exact",
+    "B-cubed clustering evaluation of simhash16 bucket equality "
+    "against base-document gold clusters (each doc + its ' extra' "
+    "near-dup sibling share a gold id): per-item precision/recall "
+    "collapsed to contingency cells with integer-micro term "
+    "quantization, F1 from the rounded averages — the entity-"
+    "resolution quality metric beside the minhash recall audit",
+    oracle=_bcubed_simhash_oracle(),
+    survey_ops=("linkage-eval", "dedup-clustering"),
+)
+def bcubed_simhash_vs_exact(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import linkage
+
+    d = t(spark, sf_dir, "documents").where("doc_id < 150").select(
+        "doc_id", "text"
+    )
+    sib = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    c = d.unionByName(sib)
+    sh = dedup.doc_shingles(c, "doc_id", "text", n=3)
+    sigs = dedup.simhash16(sh, "doc_id")
+    lab = sigs.select(
+        "doc_id",
+        F.col("simhash").alias("pred"),
+        (F.col("doc_id") % 1000000).alias("gold"),
+    )
+    return linkage.b_cubed(lab, "doc_id", "pred", "gold")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -293,3 +293,31 @@ def test_containment_join_matches_brute_force(spark, docs):
             if c >= t_:
                 expect[(i, j)] = round(c, 6)
     assert got == expect
+
+
+def test_b_cubed_hand_case(spark):
+    """Classic contingency check: gold {1,2,3},{4,5}; pred puts 1,2
+    together, 3,4 together, 5 alone.
+    precision: items 1,2 -> 2/2; 3 -> 1/2; 4 -> 1/2; 5 -> 1/1
+      => (1+1+.5+.5+1)/5 = 0.8
+    recall: 1,2 -> 2/3; 3 -> 1/3; 4 -> 1/2; 5 -> 1/2
+      => (2/3+2/3+1/3+.5+.5)/5 = 8/15 ~= 0.533333
+    """
+    from mlentory_etl_pipeline_spark.operators.linkage import b_cubed
+
+    rows = [(1, "A", "X"), (2, "A", "X"), (3, "B", "X"),
+            (4, "B", "Y"), (5, "C", "Y")]
+    df = spark.createDataFrame(rows, "item long, pred string, gold string")
+    r = b_cubed(df, "item", "pred", "gold").collect()[0]
+    assert r.n_items == 5
+    assert abs(r.b3_precision - 0.8) < 1e-5
+    assert abs(r.b3_recall - 0.533333) < 1e-5
+    f1 = 2 * 0.8 * (8 / 15) / (0.8 + 8 / 15)
+    assert abs(r.b3_f1 - f1) < 1e-4
+    # perfect clustering -> all ones
+    perfect = spark.createDataFrame(
+        [(i, g, g) for i, g in enumerate(["X", "X", "Y"])],
+        "item long, pred string, gold string",
+    )
+    p = b_cubed(perfect, "item", "pred", "gold").collect()[0]
+    assert (p.b3_precision, p.b3_recall, p.b3_f1) == (1.0, 1.0, 1.0)
