@@ -1738,3 +1738,85 @@ def cosine_pairs_angular_blocked(
         round_dp,
     )
     return cand.where(score >= F.lit(threshold)).select("a_id", "b_id")
+
+
+def k_center_greedy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """k-center greedy coreset selection (Gonzalez 1985; the
+    facility-location heuristic behind diverse eval-set and
+    active-learning sampling, e.g. Sener & Savarese 2018): start from
+    the smallest id, then k-1 times pick the point FARTHEST from the
+    current selected set — a 2-approximation of the optimal k-center
+    cover, and the standard "spread exemplars" primitive a
+    quality-stratified sample can't give.
+
+    Determinism: squared-euclidean distances fold left-to-right in
+    double (the dot_product precedent), quantize to integer micros,
+    and the per-round argmax breaks ties on the smallest id —
+    replayable, so the oracle unrolls the same k rounds.
+
+    Scale posture: each round is one broadcast of the (<= k)-row
+    selected set against the corpus (BNLJ over a k-bounded side), one
+    per-point min, one TakeOrdered(1) — O(k * corpus) work total,
+    never corpus x corpus; lazy localCheckpoint pins each round so
+    the plan stays O(k).
+
+    Returns (rank, id, dist_micro) — dist_micro is the squared-
+    euclidean micro-distance from the point to the previously-selected
+    set at the moment it was chosen (NULL for the seed; the LAST row's
+    value is the cover radius).
+    """
+    c = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).localCheckpoint(eager=False)
+    sel = (
+        c.orderBy("_id")
+        .limit(1)
+        .select(
+            "_id",
+            "_v",
+            F.lit(0).alias("rank"),
+            F.lit(None).cast("long").alias("dist_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for r in range(1, k):
+        s = F.broadcast(
+            sel.select(F.col("_id").alias("_sid"), F.col("_v").alias("_sv"))
+        )
+        diff_sq = F.zip_with(
+            F.col("_v"),
+            F.col("_sv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        dist_micro = F.floor(
+            F.aggregate(diff_sq, F.lit(0.0), lambda a, v: a + v)
+            * F.lit(1000000.0)
+        ).cast("long")
+        mind = (
+            c.crossJoin(s)
+            .select("_id", dist_micro.alias("_dm"))
+            .groupBy("_id")
+            .agg(F.min("_dm").alias("_md"))
+        )
+        cand = (
+            mind.join(sel.select("_id"), "_id", "left_anti")
+            .join(c, "_id")
+            .orderBy(F.desc("_md"), F.asc("_id"))
+            .limit(1)
+            .select(
+                "_id",
+                "_v",
+                F.lit(r).alias("rank"),
+                F.col("_md").alias("dist_micro"),
+            )
+        )
+        sel = sel.unionByName(cand).localCheckpoint(eager=False)
+    return sel.select(
+        "rank", F.col("_id").alias(id_col), "dist_micro"
+    ).orderBy("rank")

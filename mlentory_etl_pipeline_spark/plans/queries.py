@@ -18038,6 +18038,183 @@ def bcubed_simhash_vs_exact(spark, sf_dir):
     return linkage.b_cubed(lab, "doc_id", "pred", "gold")
 
 
+@register(
+    "kcenter_greedy_coreset",
+    "k-center greedy coreset selection over embeddings (k=8): seed at "
+    "the smallest id, then repeatedly take the point farthest "
+    "(quantized squared-euclidean micros, id tiebreak) from the "
+    "selected set -- the 2-approx diverse-exemplar sampler for eval "
+    "sets / active learning; each round broadcasts the <=k selected "
+    "rows (BNLJ over a k-bounded side), one per-point min, one "
+    "TakeOrdered(1) -- O(k*corpus), plan pinned O(k) via lazy "
+    "localCheckpoint; oracle unrolls the same rounds (MATERIALIZED)",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ),
+    sel0 AS MATERIALIZED (
+      SELECT vec_id, embedding, 0 AS rank,
+             CAST(NULL AS BIGINT) AS dist_micro
+      FROM corpus ORDER BY vec_id LIMIT 1
+    ),
+    mind1 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel0 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand1 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 1 AS rank, m.md AS dist_micro
+      FROM mind1 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel0)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT * FROM sel0 UNION ALL SELECT * FROM cand1
+    ),
+    mind2 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel1 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand2 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 2 AS rank, m.md AS dist_micro
+      FROM mind2 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel1)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel2 AS MATERIALIZED (
+      SELECT * FROM sel1 UNION ALL SELECT * FROM cand2
+    ),
+    mind3 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel2 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand3 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 3 AS rank, m.md AS dist_micro
+      FROM mind3 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel2)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel3 AS MATERIALIZED (
+      SELECT * FROM sel2 UNION ALL SELECT * FROM cand3
+    ),
+    mind4 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel3 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand4 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 4 AS rank, m.md AS dist_micro
+      FROM mind4 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel3)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel4 AS MATERIALIZED (
+      SELECT * FROM sel3 UNION ALL SELECT * FROM cand4
+    ),
+    mind5 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel4 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand5 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 5 AS rank, m.md AS dist_micro
+      FROM mind5 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel4)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel5 AS MATERIALIZED (
+      SELECT * FROM sel4 UNION ALL SELECT * FROM cand5
+    ),
+    mind6 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel5 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand6 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 6 AS rank, m.md AS dist_micro
+      FROM mind6 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel5)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel6 AS MATERIALIZED (
+      SELECT * FROM sel5 UNION ALL SELECT * FROM cand6
+    ),
+    mind7 AS MATERIALIZED (
+      SELECT c.vec_id,
+             MIN(CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, LEN(c.embedding) + 1),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(s.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(s.embedding[i] AS DOUBLE))))
+               * 1000000.0) AS BIGINT)) AS md
+      FROM corpus c JOIN sel6 s ON TRUE
+      GROUP BY c.vec_id
+    ),
+    cand7 AS MATERIALIZED (
+      SELECT m.vec_id, c.embedding, 7 AS rank, m.md AS dist_micro
+      FROM mind7 m JOIN corpus c USING (vec_id)
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM sel6)
+      ORDER BY m.md DESC, m.vec_id ASC LIMIT 1
+    ),
+    sel7 AS MATERIALIZED (
+      SELECT * FROM sel6 UNION ALL SELECT * FROM cand7
+    )
+    SELECT rank, vec_id, dist_micro FROM sel7 ORDER BY rank
+    """,
+    survey_ops=("coreset-selection", "ann-brute-force"),
+)
+def kcenter_greedy_coreset(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").where("vec_id < 200").select(
+        "vec_id", "embedding"
+    )
+    return similarity.k_center_greedy(e, "vec_id", "embedding", k=8)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

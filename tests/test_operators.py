@@ -1392,3 +1392,22 @@ def test_rendezvous_matches_hashlib_and_moves_minimally(spark):
     for kk in keys:
         if got[kk][0] != got[kk][1]:
             assert got[kk][1] == 16
+
+
+def test_k_center_greedy_picks_extremes(spark):
+    """1-D points embedded as arrays: seed = smallest id (x=0); the
+    farthest point (x=100) goes second; then the midpoint region —
+    greedy k-center must spread, never cluster."""
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        k_center_greedy,
+    )
+
+    pts = [(i, [float(x), 0.0]) for i, x in enumerate([0, 1, 2, 50, 51, 100])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [(r.rank, r.vec_id) for r in k_center_greedy(df, k=4).collect()]
+    assert got[0] == (0, 0)
+    assert got[1] == (1, 5)      # x=100, farthest from 0
+    assert got[2][1] in (3, 4)   # the 50/51 cluster next
+    # radius (last dist_micro) shrinks monotonically after round 1
+    dists = [r.dist_micro for r in k_center_greedy(df, k=4).collect()][1:]
+    assert all(dists[i] >= dists[i + 1] for i in range(len(dists) - 1))
