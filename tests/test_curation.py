@@ -768,3 +768,67 @@ def test_with_observation_collects_metrics_in_one_pass(spark):
     assert kept == 50
     m = obs.get
     assert m["rows"] == 100 and m["passed"] == 50
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    avail=st.lists(st.integers(min_value=0, max_value=10000),
+                   min_size=1, max_size=8),
+    frac_ppm=st.integers(min_value=1, max_value=999999),
+)
+def test_waterfill_invariants(spark, avail, frac_ppm):
+    """Allocations are integers, never exceed availability, sum
+    EXACTLY to floor(total * frac), and capped domains all receive
+    within one token of each other (max-min fairness)."""
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        token_budget_waterfill,
+    )
+
+    rows = [(f"d{i}", a) for i, a in enumerate(avail)]
+    df = spark.createDataFrame(rows, "domain string, n long")
+    out = token_budget_waterfill(
+        df, "domain", F.col("n"), budget_frac_ppm=frac_ppm
+    ).collect()
+    total = sum(avail)
+    budget = total * frac_ppm // 1000000
+    allocs = {r.domain: r.allocated_tokens for r in out}
+    capped = {r.domain: r.capped for r in out}
+    av = {f"d{i}": a for i, a in enumerate(avail)}
+    assert sum(allocs.values()) == budget
+    for d, a in allocs.items():
+        assert 0 <= a <= av[d], (d, a, av[d])
+        if not capped[d]:
+            assert a == av[d]
+    capped_allocs = [allocs[d] for d, c in capped.items() if c]
+    if capped_allocs:
+        assert max(capped_allocs) - min(capped_allocs) <= 1
+
+
+def test_watermark_detector_flags_planted_text(spark):
+    """Greedily generate watermarked text (always pick a green next
+    token) and mix with normal docs: the detector must flag the
+    planted docs and not the null docs (null z concentrates near 0)."""
+    import hashlib
+    from mlentory_etl_pipeline_spark.operators.textstats import (
+        watermark_greenlist_scores,
+    )
+
+    vocab = [f"w{i}" for i in range(40)]
+
+    def is_green(p, c):
+        return hashlib.md5(f"{p}|{c}".encode()).hexdigest()[0] in "0123"
+
+    planted = ["w0"]
+    for _ in range(80):
+        nxt = next(c for c in vocab if is_green(planted[-1], c))
+        planted.append(nxt)
+    normal = " ".join(vocab[i % 40] for i in range(81))
+    df = spark.createDataFrame(
+        [(1, " ".join(planted)), (2, normal)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.z, r.watermarked)
+           for r in watermark_greenlist_scores(df).collect()}
+    assert got[1][1] is True and got[1][0] > 10
+    assert got[2][1] is False
