@@ -18277,6 +18277,57 @@ def injection_phrase_audit(spark, sf_dir):
     return textstats.injection_pattern_audit(corpus)
 
 
+@register(
+    "bucketed_colocated_join",
+    "Hive-bucketed co-located join (the storage half of the 100 TB "
+    "join story): orders and customer written bucketBy(8, custkey) + "
+    "sortBy, re-read and sort-merge-joined with NO Exchange and NO "
+    "Sort in the executed plan (bucketed scans report distribution + "
+    "order to the planner; asserted in tests); revenue rollup per "
+    "market segment in exact cents — the write pays the shuffle ONCE, "
+    "every later join on the key rides it",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    survey_ops=("S11", "§2.9 joins", "bucketing"),
+)
+def bucketed_colocated_join(spark, sf_dir):
+    import os as _os
+
+    from mlentory_etl_pipeline_spark.sources import files
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    files.write_bucketed(
+        t(spark, sf_dir, "orders").select(
+            "o_custkey", F.floor(F.col("o_totalprice") * 100).alias("_cents")
+        ),
+        ot,
+        "o_custkey",
+    )
+    files.write_bucketed(
+        t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        ct,
+        "o_custkey",
+    )
+    joined = files.colocated_join(spark, ot, ct, "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -218,3 +218,59 @@ def evolve_union(
         )
         out = proj if out is None else out.unionByName(proj)
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 8,
+) -> None:
+    """Persist ``df`` as a Hive-bucketed, bucket-sorted parquet table:
+    rows are hash-partitioned into ``num_buckets`` files per write
+    task ON DISK, so a later equi-join or aggregation on ``key``
+    between tables bucketed the same way needs NO SHUFFLE — the
+    bucketed scan reports the hash distribution and the planner elides
+    both Exchange nodes (asserted in tests). The remaining sort-merge
+    Sorts are PARTITION-LOCAL (global=false — no data movement);
+    Spark 3+ stopped trusting bucket-file sort order because a bucket
+    written by several tasks is only sorted per file.
+
+    This is the storage half of the co-located-join story (SURVEY §4 /
+    SCALE.md): at 100 TB, bucketing the fact tables by their join key
+    turns every repeated join on that key from a full shuffle into a
+    zip of pre-aligned files. The cost is paid ONCE at write time (the
+    bucketing write shuffles by hash(key)).
+
+    The in-memory catalog forgets managed tables across sessions while
+    their warehouse directory persists, so a re-run would hit
+    LOCATION_ALREADY_EXISTS: drop the catalog entry AND the stale
+    location (through the Hadoop FS API — works on any filesystem)
+    before writing.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key with a forced
+    sort-merge join — with both sides bucketed and bucket-sorted by
+    ``key``, the executed plan has no Exchange and no Sort (assert in
+    tests via ``_assert_no_exchange``)."""
+    l = spark.table(left_table)
+    r = spark.table(right_table)
+    return l.hint("merge").join(r, key)

@@ -157,3 +157,29 @@ def test_widening_lattice_properties():
         # when both association orders are defined they must agree
         if left is not None and right is not None:
             assert left == right, (a, b, c)
+
+
+def test_bucketed_join_elides_exchange_and_sort(spark):
+    """Both sides written bucketBy(8, key): the forced sort-merge
+    join must read the bucketed layout directly — no Exchange
+    anywhere in the executed join plan, and any Sort is partition-
+    LOCAL (global=false), i.e. zero data movement."""
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.sources import files
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    files.write_bucketed(left, "bkt_test_left", "k")
+    files.write_bucketed(right, "bkt_test_right", "k")
+    joined = files.colocated_join(spark, "bkt_test_left", "bkt_test_right", "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    import re
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", plan  # local sort only
+    assert joined.count() == 500
