@@ -1820,3 +1820,81 @@ def k_center_greedy(
     return sel.select(
         "rank", F.col("_id").alias(id_col), "dist_micro"
     ).orderBy("rank")
+
+
+def late_interaction_maxsim(
+    query_tokens: DataFrame,
+    doc_tokens: DataFrame,
+    k: int = 5,
+    q_col: str = "q",
+    qtok_col: str = "qt_id",
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval scoring (Khattab &
+    Zaharia 2020): a query and a document are BAGS of token
+    embeddings, and ``MaxSim(q, d) = sum over query tokens of the max
+    cosine against any document token`` — the fine-grained relevance
+    signal single-vector retrieval flattens away.
+
+    Determinism: cosines quantize to ``floor(cos * 1e4)`` integers
+    (floor of the same double in both engines), the per-token max and
+    per-pair sum are integer folds, and the top-k window breaks ties
+    on the doc id. Zero-norm tokens are dropped up front (NULL-cosine
+    hazard).
+
+    Scale posture: the query-token table is the small side (queries x
+    tokens-per-query) and BROADCASTS against the corpus token table —
+    one BNLJ bounded by |query tokens| x |corpus tokens|, then two
+    hash aggregations (max per (query, token, doc), sum per (query,
+    doc)) and a per-query top-k window. For corpus-scale serving,
+    compose with the ANN layer: prefilter candidate docs per query
+    token (IVF/LSH bucket probe), then MaxSim only the shortlist —
+    this operator is the exact scorer at the end of that funnel.
+
+    Returns (query, doc, maxsim, rank) — top-k docs per query.
+    """
+    from mlentory_etl_pipeline_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+
+    qt = query_tokens.select(
+        F.col(q_col).alias("_q"),
+        F.col(qtok_col).alias("_qt"),
+        F.col(vec_col).alias("_qe"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    ).where(F.col("_qn") > 0)
+    dt = doc_tokens.select(
+        F.col(doc_col).alias("_doc"),
+        F.col(vec_col).alias("_de"),
+        l2_norm(F.col(vec_col)).alias("_dn"),
+    ).where(F.col("_dn") > 0)
+    qcos = F.floor(
+        dot_product(F.col("_qe"), F.col("_de"))
+        / (F.col("_qn") * F.col("_dn"))
+        * F.lit(10000.0)
+    ).cast("long")
+    per_tok = (
+        dt.crossJoin(F.broadcast(qt))
+        .select("_q", "_qt", "_doc", qcos.alias("_qc"))
+        .groupBy("_q", "_qt", "_doc")
+        .agg(F.max("_qc").alias("_m"))
+    )
+    per_pair = per_tok.groupBy("_q", "_doc").agg(
+        F.sum("_m").alias("_s")
+    )
+    w = Window.partitionBy("_q").orderBy(F.desc("_s"), F.asc("_doc"))
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_q").alias(q_col),
+            F.col("_doc").alias(doc_col),
+            F.round(
+                F.col("_s").cast("double") / F.lit(10000.0), 4
+            ).alias("maxsim"),
+            "rank",
+        )
+        .orderBy(q_col, "rank")
+    )

@@ -1411,3 +1411,30 @@ def test_k_center_greedy_picks_extremes(spark):
     # radius (last dist_micro) shrinks monotonically after round 1
     dists = [r.dist_micro for r in k_center_greedy(df, k=4).collect()][1:]
     assert all(dists[i] >= dists[i + 1] for i in range(len(dists) - 1))
+
+
+def test_maxsim_prefers_doc_covering_all_query_tokens(spark):
+    """Two orthogonal query tokens: a doc containing BOTH directions
+    must outscore a doc that matches only one perfectly (the signal
+    single-vector retrieval flattens)."""
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        late_interaction_maxsim,
+    )
+
+    ex = [1.0, 0.0, 0.0, 0.0]
+    ey = [0.0, 1.0, 0.0, 0.0]
+    qt = spark.createDataFrame(
+        [(0, 0, ex), (0, 1, ey)],
+        "q int, qt_id long, embedding array<float>",
+    )
+    dt = spark.createDataFrame(
+        [(100, ex), (100, ey),        # covers both tokens
+         (200, ex), (200, ex),        # only x, twice
+         (300, [0.7, 0.7, 0.0, 0.0])],  # diagonal: ~0.7 on each
+        "doc long, embedding array<float>",
+    )
+    got = [(r.doc, r.maxsim, r.rank)
+           for r in late_interaction_maxsim(qt, dt, k=3).collect()]
+    assert got[0][0] == 100 and abs(got[0][1] - 2.0) < 1e-6
+    # diagonal doc: 2 * cos(45deg) ~ 1.414 beats the x-only doc's 1.0
+    assert got[1][0] == 300 and got[2][0] == 200
