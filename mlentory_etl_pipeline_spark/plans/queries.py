@@ -18434,7 +18434,7 @@ _DRIVER_WINDOW = [
     "watermark_greenlist_detection",  # r5 s5: text-detection family (stats keeps msprt/KM/bootstrap/AP)
     "rfm_customer_segments",
     "ntriples_datasource_roundtrip",
-    "embedding_gram_matrix",
+    "bucketed_colocated_join",  # r5 s5: bucketed co-located join (embedding family keeps gram via PCA spectrum kin)
     "scd2_reified_current_export",
     "nlp_sectionize",
     "nlp_section_dedup",
@@ -18445,10 +18445,10 @@ _DRIVER_WINDOW = [
     "dedup_minhash_incremental",
     "containment_quote_detection",  # r5 s4: asymmetric dedup (minhash/setsim keep the family)
     "decontaminate_semantic_lsh",
-    "setsim_prefix_jaccard",
+    "kcenter_greedy_coreset",  # r5 s5: coreset selection (setsim family keeps containment + minhash)
     "record_linkage_blocked",
     "ann_ivf_pq_topk",
-    "ann_trained_recall_audit",
+    "late_interaction_maxsim",  # r5 s5: late-interaction retrieval (ANN keeps ivf_pq)
     "mixture_build_funnel",
     "privacy_k_anonymity_audit",
     "rendezvous_shard_docs",  # r5 s4: consistent placement (privacy keeps k-anonymity)
