@@ -222,6 +222,15 @@ def main():
             "kneser_ney_bigram_lm",
             "kv_prefix_sharing_docs",
             "grpo_group_advantages",
+            "best_of_n_reward_curve",
+            "dpo_pair_mining",
+            "bcubed_simhash_vs_exact",
+            "kcenter_greedy_coreset",
+            "late_interaction_maxsim",
+            "injection_phrase_audit",
+            "token_budget_waterfill_sources",
+            "krippendorff_alpha_langs",
+            "bucketed_colocated_join",
         )
         if n in REGISTRY
     ]
