@@ -18394,6 +18394,90 @@ def late_interaction_maxsim(spark, sf_dir):
     return similarity.late_interaction_maxsim(qt, dt, k=5)
 
 
+@register(
+    "slice_finder_return_rate",
+    "slice-finder data-debugging audit: every 1- and 2-feature slice "
+    "over (linestatus, ship month, quantity bucket) scored by the z "
+    "deviation of its return rate from the corpus rate, support >= "
+    "100, |z| >= 2 — the where-is-my-metric-broken primitive (Chung "
+    "et al., SliceFinder); ONE grouping-sets aggregation (map-side "
+    "combined, slice table bounded by categorical domains), exact "
+    "integer counts, one fixed double chain",
+    oracle="""
+    WITH base AS (
+      SELECT l_linestatus AS f1,
+             CAST(MONTH(l_shipdate) AS VARCHAR) AS f2,
+             CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS VARCHAR)
+               AS f3,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (SELECT COUNT(*) AS gn, SUM(y) AS gp FROM base),
+    slices AS (
+      SELECT COALESCE(f1, '*') AS linestatus,
+             COALESCE(f2, '*') AS ship_month,
+             COALESCE(f3, '*') AS qty_bucket,
+             COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM base
+      GROUP BY GROUPING SETS ((f1), (f2), (f3), (f1, f2), (f1, f3),
+                              (f2, f3))
+    ),
+    scored AS (
+      SELECT linestatus, ship_month, qty_bucket, n, pos,
+             ROUND((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                   / SQRT((CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                          * (CAST(1 AS DOUBLE)
+                             - CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                          / CAST(n AS DOUBLE)), 6) AS z
+      FROM slices CROSS JOIN g
+      WHERE n >= 100
+    )
+    SELECT * FROM scored WHERE ABS(z) >= 2.0
+    ORDER BY linestatus, ship_month, qty_bucket
+    """,
+    survey_ops=("data-debugging", "§2.9 grouping sets"),
+)
+def slice_finder_return_rate(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("f1"),
+        F.month("l_shipdate").cast("string").alias("f2"),
+        F.floor(F.col("l_quantity") / 10).cast("string").alias("f3"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    li.createOrReplaceTempView("_slicefinder_base")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT COUNT(*) AS gn, SUM(y) AS gp FROM _slicefinder_base
+        ),
+        slices AS (
+          SELECT COALESCE(f1, '*') AS linestatus,
+                 COALESCE(f2, '*') AS ship_month,
+                 COALESCE(f3, '*') AS qty_bucket,
+                 COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          FROM _slicefinder_base
+          GROUP BY GROUPING SETS ((f1), (f2), (f3), (f1, f2),
+                                  (f1, f3), (f2, f3))
+        ),
+        scored AS (
+          SELECT linestatus, ship_month, qty_bucket, n, pos,
+                 ROUND((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                       / SQRT((CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                              * (CAST(1 AS DOUBLE)
+                                 - CAST(gp AS DOUBLE)
+                                   / CAST(gn AS DOUBLE))
+                              / CAST(n AS DOUBLE)), 6) AS z
+          FROM slices CROSS JOIN g
+          WHERE n >= 100
+        )
+        SELECT * FROM scored WHERE ABS(z) >= 2.0
+        ORDER BY linestatus, ship_month, qty_bucket
+        """
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
