@@ -18478,6 +18478,82 @@ def slice_finder_return_rate(spark, sf_dir):
     )
 
 
+@register(
+    "vocab_overlap_sources",
+    "pairwise vocabulary overlap matrix across sources: distinct "
+    "token sets per source, token-keyed equi-join for intersections "
+    "(a < b), exact Jaccard from integer set sizes — the corpus-"
+    "comparison stat behind mixture design (which domains are "
+    "near-duplicates of each other vocabulary-wise); output bounded "
+    "by |sources|^2",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, UNNEST(STRING_SPLIT(TRIM(text), ' '))
+               AS token
+      FROM documents
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM st a JOIN st b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
+    """,
+    survey_ops=("corpus-comparison", "§2.9 joins"),
+)
+def vocab_overlap_sources(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    st = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "token"
+        ),
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
