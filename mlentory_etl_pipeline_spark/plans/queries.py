@@ -18554,6 +18554,73 @@ def vocab_overlap_sources(spark, sf_dir):
     )
 
 
+@register(
+    "packing_efficiency_audit",
+    "sequence-packing efficiency rollup per split: bins used, total "
+    "tokens, capacity utilization of the 512-token bins — the "
+    "context-window waste stat that decides bin size before a "
+    "training run; aggregates the pack_sequences layout (same "
+    "deterministic md5 order), output bounded by |splits|",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, split, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512.0) AS BIGINT) AS bin
+      FROM d
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT bin) AS n_bins,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT bin) * 512 AS DOUBLE), 6)
+             AS utilization
+    FROM packed GROUP BY split ORDER BY split
+    """,
+    survey_ops=("sequence-packing", "§2.9 aggregations"),
+)
+def packing_efficiency_audit(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    assigned = curation.hash_split(d, "doc_id").select(
+        "doc_id", "n_tokens", "split"
+    )
+    packed = curation.pack_sequences(
+        assigned, "doc_id", "n_tokens", 512, part_col="split"
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("bin").alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_bins") * 512).cast("double"),
+                6,
+            ).alias("utilization"),
+        )
+        .orderBy("split")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
