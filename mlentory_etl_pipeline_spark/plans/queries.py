@@ -18621,6 +18621,84 @@ def packing_efficiency_audit(spark, sf_dir):
     )
 
 
+@register(
+    "ngram_novelty_val_vs_train",
+    "n-gram novelty / memorization audit: fraction of each val/test "
+    "document's distinct 3-grams NEVER seen in the train split (the "
+    "generalization-vs-leakage stat run before trusting an eval "
+    "split) — train gram set built once, probe via left-anti-"
+    "semantics left join, per-doc exact integer ratio; same md5 "
+    "hash-split as the packing/split queries",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 3, 0) + 1),
+               i -> ARRAY_TO_STRING(w[i + 1 : i + 3], ' '))) AS gram
+      FROM d
+    ),
+    train_g AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    probe AS (
+      SELECT e.doc_id, e.split, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g e LEFT JOIN train_g t ON t.gram = e.gram
+      WHERE e.split <> 'train'
+      GROUP BY e.doc_id, e.split
+    )
+    SELECT doc_id, split, n_grams, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS novelty
+    FROM probe ORDER BY doc_id
+    """,
+    survey_ops=("decontamination", "eval-split-audit"),
+)
+def ngram_novelty_val_vs_train(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = curation.hash_split(d, "doc_id")
+    sh = dedup.doc_shingles(
+        assigned.select("doc_id", "text"), "doc_id", "text", n=3
+    ).join(assigned.select("doc_id", "split"), "doc_id")
+    train_g = (
+        sh.where(F.col("split") == "train")
+        .select(F.col("shingle").alias("gram"))
+        .distinct()
+    )
+    probe = (
+        sh.where(F.col("split") != "train")
+        .select("doc_id", "split", F.col("shingle").alias("gram"))
+        .join(
+            train_g.select("gram", F.lit(1).alias("_seen")),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return probe.select(
+        "doc_id",
+        "split",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
