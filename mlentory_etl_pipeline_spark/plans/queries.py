@@ -18699,6 +18699,118 @@ def ngram_novelty_val_vs_train(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "tv_distance_event_mix",
+    "total-variation distance of the event-type mix between the early "
+    "and late halves (the label/prior drift stat beside the value-"
+    "distribution KS/PSI/Wasserstein family): TV = max over types of "
+    "|p - q| and equivalently half the L1 — both reported; per-type "
+    "rates are exact integer ratios quantized to micros BEFORE the "
+    "L1 sum (integer fold, no raw double summation); one count "
+    "aggregation over (half, type), rollup bounded by |types|",
+    oracle=f"""
+    WITH h AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{T_SPLIT}'
+                  THEN 'early' ELSE 'late' END AS half,
+             event_type
+      FROM events
+    ),
+    c AS (
+      SELECT half, event_type, COUNT(*) AS n FROM h GROUP BY 1, 2
+    ),
+    tot AS (SELECT half, SUM(n) AS tn FROM c GROUP BY half),
+    types AS (SELECT DISTINCT event_type FROM c),
+    grid AS (
+      SELECT t.event_type,
+             COALESCE(e.n, 0) AS ne, COALESCE(l.n, 0) AS nl,
+             te.tn AS te, tl.tn AS tl
+      FROM types t
+      LEFT JOIN c e ON e.event_type = t.event_type AND e.half = 'early'
+      LEFT JOIN c l ON l.event_type = t.event_type AND l.half = 'late'
+      CROSS JOIN (SELECT tn FROM tot WHERE half = 'early') te
+      CROSS JOIN (SELECT tn FROM tot WHERE half = 'late') tl
+    ),
+    diffs AS (
+      SELECT event_type,
+             ABS(CAST(FLOOR(CAST(ne * 1000000 AS DOUBLE)
+                      / CAST(te AS DOUBLE)) AS BIGINT)
+                 - CAST(FLOOR(CAST(nl * 1000000 AS DOUBLE)
+                        / CAST(tl AS DOUBLE)) AS BIGINT)) AS d_micros
+      FROM grid
+    )
+    SELECT COUNT(*) AS n_types,
+           ROUND(CAST(MAX(d_micros) AS DOUBLE) / 1000000.0, 6)
+             AS tv_max,
+           ROUND(CAST(SUM(d_micros) AS DOUBLE) / 2000000.0, 6)
+             AS tv_l1_half
+    FROM diffs
+    """,
+    survey_ops=("drift-monitoring", "§2.9 aggregations"),
+)
+def tv_distance_event_mix(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit(T_SPLIT).cast("timestamp"), F.lit("early")
+    ).otherwise(F.lit("late"))
+    c = e.select(half.alias("half"), "event_type").groupBy(
+        "half", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("half").agg(F.sum("n").alias("tn"))
+    types = c.select("event_type").distinct()
+    te = tot.where(F.col("half") == "early").select(
+        F.col("tn").alias("te")
+    )
+    tl = tot.where(F.col("half") == "late").select(
+        F.col("tn").alias("tl")
+    )
+    grid = (
+        types.join(
+            c.where(F.col("half") == "early").select(
+                "event_type", F.col("n").alias("ne")
+            ),
+            "event_type",
+            "left",
+        )
+        .join(
+            c.where(F.col("half") == "late").select(
+                "event_type", F.col("n").alias("nl")
+            ),
+            "event_type",
+            "left",
+        )
+        .crossJoin(F.broadcast(te))
+        .crossJoin(F.broadcast(tl))
+        .select(
+            "event_type",
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+            F.coalesce("nl", F.lit(0)).alias("nl"),
+            "te",
+            "tl",
+        )
+    )
+    d = grid.select(
+        F.abs(
+            F.floor(
+                (F.col("ne") * 1000000).cast("double")
+                / F.col("te").cast("double")
+            ).cast("long")
+            - F.floor(
+                (F.col("nl") * 1000000).cast("double")
+                / F.col("tl").cast("double")
+            ).cast("long")
+        ).alias("d_micros")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.max("d_micros").cast("double") / F.lit(1000000.0), 6
+        ).alias("tv_max"),
+        F.round(
+            F.sum("d_micros").cast("double") / F.lit(2000000.0), 6
+        ).alias("tv_l1_half"),
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
