@@ -4483,3 +4483,101 @@ def krippendorff_alpha_nominal(
     return joined.select(
         "n_items", "n_annotations", "do_micros", alpha.alias("alpha")
     )
+
+
+def holt_winters_additive(
+    daily: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    y_col: str,
+    m: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Per-group additive Holt-Winters (level + trend + m-period
+    seasonality) over a DENSIFIED daily series — the seasonal upgrade
+    of :func:`holt_linear`: a weekday-periodic feed (weekend dips)
+    needs the seasonal state or the trend chases the weekly wave.
+
+    Recurrence (simplified zero-init seasonals, l1 = y1, b1 = 0):
+
+        l_t = a*(y_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+        s_t = G*(y_t - l_t) + (1-G)*s_{t-m}
+
+    carried as a rotating m-slot buffer inside one sequential
+    ``F.aggregate`` fold per group (the holt_linear determinism
+    contract: identical IEEE doubles in identical order, dyadic
+    smoothing constants, so a DuckDB recursive CTE replays it
+    bit-for-bit). Input must be gap-free per group — densify with a
+    day spine first (a gap would silently misalign the seasonal
+    buffer; that is the caller's contract, same as the rolling_zscore
+    densification note).
+
+    Forecast h steps out: ``l + h*b + s_buffer[h]`` (the buffer after
+    the last step holds the NEXT m seasonal components in order).
+    Returns (group..., n_days, level, trend, forecast_1, forecast_m),
+    rounded to 6 dp.
+    """
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    series = daily.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).alias("d"),
+                    F.col(y_col).cast("double").alias("y"),
+                )
+            )
+        ).alias("_s")
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(m)])
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        zeros.alias("s"),
+        F.lit(0).alias("t"),
+    )
+
+    def step(acc, e):
+        y = e["y"]
+        s1 = F.element_at(acc["s"], 1)
+        lnew = F.lit(a) * (y - s1) + F.lit(1.0 - a) * (
+            acc["l"] + acc["b"]
+        )
+        bnew = F.lit(b_) * (lnew - acc["l"]) + F.lit(1.0 - b_) * acc["b"]
+        snew = F.lit(g) * (y - lnew) + F.lit(1.0 - g) * s1
+        rotated = F.concat(
+            F.slice(acc["s"], 2, m - 1), F.array(snew)
+        )
+        first = F.struct(
+            y.alias("l"),
+            F.lit(0.0).alias("b"),
+            acc["s"].alias("s"),
+            F.lit(1).alias("t"),
+        )
+        rest = F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            rotated.alias("s"),
+            (acc["t"] + 1).alias("t"),
+        )
+        return F.when(acc["t"] == 0, first).otherwise(rest)
+
+    fin = F.aggregate(F.col("_s"), init, step)
+    return series.select(
+        *group_cols,
+        F.size("_s").alias("n_days"),
+        F.round(fin["l"], 6).alias("level"),
+        F.round(fin["b"], 6).alias("trend"),
+        F.round(
+            fin["l"] + F.lit(1.0) * fin["b"] + F.element_at(fin["s"], 1),
+            6,
+        ).alias("forecast_1"),
+        F.round(
+            fin["l"]
+            + F.lit(float(m)) * fin["b"]
+            + F.element_at(fin["s"], m),
+            6,
+        ).alias(f"forecast_{m}"),
+    ).orderBy(*group_cols)

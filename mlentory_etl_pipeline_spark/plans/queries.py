@@ -18811,6 +18811,100 @@ def tv_distance_event_mix(spark, sf_dir):
     )
 
 
+@register(
+    "holt_winters_event_volumes",
+    "per-event-type additive Holt-Winters (level + trend + weekly "
+    "seasonality m=7) over densified daily event counts with 1- and "
+    "7-day forecasts — the seasonal upgrade of holt_trend: weekday-"
+    "periodic feeds need the seasonal buffer or the trend chases the "
+    "weekly wave; zero-event days densified from a bounded day spine "
+    "(the rolling_zscore lesson), dyadic a=0.5/B=0.25/G=0.25, one "
+    "sequential HOF fold per type replayed by a recursive-CTE oracle",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.day,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) AS y
+      FROM types t CROSS JOIN days d
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.day = d.day
+    ),
+    ser AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM grid
+    ),
+    rec AS (
+      SELECT event_type, t, n, y, y AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2,
+             CAST(0.0 AS DOUBLE) AS s3, CAST(0.0 AS DOUBLE) AS s4,
+             CAST(0.0 AS DOUBLE) AS s5, CAST(0.0 AS DOUBLE) AS s6,
+             CAST(0.0 AS DOUBLE) AS s7
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT s.event_type, s.t, s.n, s.y,
+             0.5 * (s.y - r.s1) + 0.5 * (r.l + r.b) AS l,
+             0.25 * ((0.5 * (s.y - r.s1) + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b AS b,
+             r.s2 AS s1, r.s3 AS s2, r.s4 AS s3, r.s5 AS s4,
+             r.s6 AS s5, r.s7 AS s6,
+             0.25 * (s.y - (0.5 * (s.y - r.s1) + 0.5 * (r.l + r.b)))
+               + 0.75 * r.s1 AS s7
+      FROM rec r JOIN ser s
+        ON s.event_type = r.event_type AND s.t = r.t + 1
+    )
+    SELECT event_type, CAST(n AS INT) AS n_days,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + 1.0 * b + s1, 6) AS forecast_1,
+           ROUND(l + 7.0 * b + s7, 6) AS forecast_7
+    FROM rec WHERE t = n ORDER BY event_type
+    """,
+    survey_ops=("monitoring-stats", "§2.9 window functions"),
+)
+def holt_winters_event_volumes(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("d0"),
+        F.to_date(F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    return stats.holt_winters_additive(
+        grid, ["event_type"], "day", "y", m=7
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
