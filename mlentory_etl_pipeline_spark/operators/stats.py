@@ -4581,3 +4581,76 @@ def holt_winters_additive(
             6,
         ).alias(f"forecast_{m}"),
     ).orderBy(*group_cols)
+
+
+def median_ci_order_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN from order
+    statistics (the binomial argument, normal-approximated ranks):
+    with n observations the 95% CI is the pair of values at ranks
+    ``floor(n/2 - 0.98*sqrt(n))`` and ``ceil(n/2 + 1 + 0.98*sqrt(n))``
+    — no bootstrap replicas, no distributional assumption; the robust
+    companion to bootstrap_ci's mean interval.
+
+    Exactness: values enter as integers; ranks derive from n in one
+    fixed double chain (0.98 = 1.96/2 parses to the same double in
+    any engine) and clamp into [1, n]; rank selection walks the
+    cumulative count over DISTINCT values (value-domain-bounded
+    window, the weighted_percentiles category) — the value at rank r
+    is ``min(v | cum(v) >= r)``, a conditional aggregation after an
+    equi-join of the 3-row-per-group rank table.
+
+    Returns (group..., n, median, ci_lo, ci_hi) with values in the
+    input's integer units.
+    """
+    g = [F.col(c) for c in group_cols]
+    vals = df.groupBy(*g, value_col.cast("long").alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(*group_cols, "_v", F.sum("_c").over(w).alias("_cum"))
+    n = df.groupBy(*g).agg(F.count(F.lit(1)).alias("n"))
+    half = F.lit(0.5) * F.col("n").cast("double")
+    spread = F.lit(0.98) * F.sqrt(F.col("n").cast("double"))
+    k_med = F.ceil(half).cast("long")
+    k_lo = F.greatest(F.floor(half - spread).cast("long"), F.lit(1))
+    k_hi = F.least(
+        F.ceil(half + F.lit(1.0) + spread).cast("long"), F.col("n")
+    )
+    ranks = n.select(
+        *group_cols,
+        "n",
+        F.explode(
+            F.array(
+                F.struct(F.lit("median").alias("_lab"), k_med.alias("_k")),
+                F.struct(F.lit("lo").alias("_lab"), k_lo.alias("_k")),
+                F.struct(F.lit("hi").alias("_lab"), k_hi.alias("_k")),
+            )
+        ).alias("_r"),
+    ).select(*group_cols, "n", F.col("_r._lab").alias("_lab"), F.col("_r._k").alias("_k"))
+    picked = (
+        cum.join(ranks, group_cols)
+        .where(F.col("_cum") >= F.col("_k"))
+        .groupBy(*group_cols, "n", "_lab")
+        .agg(F.min("_v").alias("_pick"))
+    )
+    return (
+        picked.groupBy(*group_cols, "n")
+        .agg(
+            F.max(F.when(F.col("_lab") == "median", F.col("_pick"))).alias(
+                "median"
+            ),
+            F.max(F.when(F.col("_lab") == "lo", F.col("_pick"))).alias(
+                "ci_lo"
+            ),
+            F.max(F.when(F.col("_lab") == "hi", F.col("_pick"))).alias(
+                "ci_hi"
+            ),
+        )
+        .orderBy(*group_cols)
+    )

@@ -18981,6 +18981,68 @@ def capture_recapture_corpus_size(spark, sf_dir):
     )
 
 
+@register(
+    "median_ci_event_values",
+    "distribution-free 95% CI for the median event value per type "
+    "from order statistics (binomial-rank argument, no bootstrap, no "
+    "distributional assumption): ranks derive from n in one fixed "
+    "double chain, rank selection walks the cumulative count over "
+    "DISTINCT cent values (value-domain-bounded window) — the robust "
+    "companion to bootstrap_ci's mean interval",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    vals AS (
+      SELECT event_type, v, COUNT(*) AS c FROM r GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cm
+      FROM vals
+    ),
+    nn AS (SELECT event_type, COUNT(*) AS n FROM r GROUP BY 1),
+    ranks AS (
+      SELECT event_type, n, lab, k FROM nn, (VALUES ('median'),
+        ('lo'), ('hi')) AS labs(lab),
+      LATERAL (
+        SELECT CASE lab
+          WHEN 'median' THEN CAST(CEIL(0.5 * CAST(n AS DOUBLE))
+                                  AS BIGINT)
+          WHEN 'lo' THEN GREATEST(CAST(FLOOR(0.5 * CAST(n AS DOUBLE)
+                           - 0.98 * SQRT(CAST(n AS DOUBLE)))
+                           AS BIGINT), 1)
+          ELSE LEAST(CAST(CEIL(0.5 * CAST(n AS DOUBLE) + 1.0
+                           + 0.98 * SQRT(CAST(n AS DOUBLE)))
+                           AS BIGINT), n)
+        END AS k
+      ) kk
+    ),
+    picked AS (
+      SELECT c.event_type, r.n, r.lab, MIN(c.v) AS pick
+      FROM cum c JOIN ranks r ON r.event_type = c.event_type
+      WHERE c.cm >= r.k
+      GROUP BY c.event_type, r.n, r.lab
+    )
+    SELECT event_type, n,
+           MAX(CASE WHEN lab = 'median' THEN pick END) AS median,
+           MAX(CASE WHEN lab = 'lo' THEN pick END) AS ci_lo,
+           MAX(CASE WHEN lab = 'hi' THEN pick END) AS ci_hi
+    FROM picked GROUP BY event_type, n ORDER BY event_type
+    """,
+    survey_ops=("monitoring-stats", "§2.9 window functions"),
+)
+def median_ci_event_values(spark, sf_dir):
+    from mlentory_etl_pipeline_spark.operators import stats
+
+    e = t(spark, sf_dir, "events")
+    return stats.median_ci_order_stats(
+        e, ["event_type"], F.floor(F.col("value") * 100)
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

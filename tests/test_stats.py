@@ -1138,3 +1138,24 @@ def test_krippendorff_alpha_hand_cases(spark):
     assert r.do_micros == 2_000_000
     # n=3, n_A=2, n_B=1: alpha = 1 - 2*2/(9-5) = 0
     assert r.alpha == 0.0
+
+
+def test_median_ci_order_stats_known_ranks(spark):
+    """n=100 values 1..100 (cents): median rank ceil(50)=50 -> 50;
+    lo = floor(50 - 9.8) = 40, hi = ceil(50 + 1 + 9.8) = 61."""
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.operators.stats import (
+        median_ci_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 101)], "g string, v long"
+    )
+    r = median_ci_order_stats(df, ["g"], F.col("v")).collect()[0]
+    assert (r.n, r.median, r.ci_lo, r.ci_hi) == (100, 50, 40, 61)
+    # duplicates: all-same values collapse the interval
+    df2 = spark.createDataFrame(
+        [("g", 7)] * 50, "g string, v long"
+    )
+    r2 = median_ci_order_stats(df2, ["g"], F.col("v")).collect()[0]
+    assert (r2.median, r2.ci_lo, r2.ci_hi) == (7, 7, 7)
