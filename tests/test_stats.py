@@ -1159,3 +1159,30 @@ def test_median_ci_order_stats_known_ranks(spark):
     )
     r2 = median_ci_order_stats(df2, ["g"], F.col("v")).collect()[0]
     assert (r2.median, r2.ci_lo, r2.ci_hi) == (7, 7, 7)
+
+
+def test_shapley_coverage_credits_sum_to_covered_vocab(spark):
+    """Coverage-game Shapley closed form: each token splits 1/k among
+    the k sources holding it; per-source credits must sum exactly to
+    the covered vocabulary size (efficiency axiom), and a token
+    unique to one source credits it fully."""
+    from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+    import duckdb, os
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["shapley_source_vocab_value"].spark_fn(spark, sf).collect()
+    total_credit_60 = sum(r.credit_60 for r in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    covered = con.execute("""
+      WITH top5 AS (
+        SELECT source FROM (
+          SELECT source, COUNT(*) AS nd FROM documents GROUP BY source
+          ORDER BY nd DESC, source ASC LIMIT 5
+        )
+      )
+      SELECT COUNT(DISTINCT token) FROM (
+        SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS token
+        FROM documents JOIN top5 USING (source)
+      )
+    """).fetchone()[0]
+    assert total_credit_60 == covered * 60
