@@ -231,6 +231,15 @@ def main():
             "token_budget_waterfill_sources",
             "krippendorff_alpha_langs",
             "bucketed_colocated_join",
+            "slice_finder_return_rate",
+            "vocab_overlap_sources",
+            "packing_efficiency_audit",
+            "ngram_novelty_val_vs_train",
+            "tv_distance_event_mix",
+            "holt_winters_event_volumes",
+            "capture_recapture_corpus_size",
+            "median_ci_event_values",
+            "shapley_source_vocab_value",
         )
         if n in REGISTRY
     ]
