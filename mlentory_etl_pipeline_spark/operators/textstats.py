@@ -826,3 +826,110 @@ def injection_pattern_audit(
         )
         .orderBy(id_col)
     )
+
+
+def monroe_log_odds(
+    df,
+    group_col: str,
+    text_col: str,
+    group_a: str,
+    group_b: str,
+    alpha0_ppm: int = 500000,
+    top_k: int = 25,
+):
+    """Monroe et al. (2008) informative-Dirichlet-prior log-odds ratio
+    for comparing term usage between two corpora — the lexical
+    fightin'-words statistic that fixes raw log-odds' small-count
+    explosions by shrinking every term toward the BACKGROUND
+    distribution:
+
+        d_w = ln((y_aw + a_w) / (n_a + a0 - y_aw - a_w))
+            - ln((y_bw + a_w) / (n_b + a0 - y_bw - a_w)),
+        z_w = d_w / sqrt(1/(y_aw + a_w) + 1/(y_bw + a_w))
+
+    with a_w = a0 * bg_w / bg_total (prior proportional to the pooled
+    background counts, a0 = alpha0_ppm/1e6 of... here a0 scales with
+    the background total via ppm so the prior is corpus-size-stable).
+
+    Engine parity: every ln/sqrt argument is the same rational of
+    integer counts evaluated in one fixed double chain; the statistic
+    rounds to 6 dp and ranking carries a (|z| desc via rounded z,
+    term asc) total order. One token count per group (map-side
+    combined, vocab-bounded), one background rollup, one join.
+
+    Returns the top_k terms per side: (term, y_a, y_b, z) with
+    positive z favoring ``group_a``, negative favoring ``group_b``.
+    """
+    toks = df.where(
+        F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    counts = toks.groupBy("_g", "_w").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    terms = (
+        counts.groupBy("_w")
+        .agg(F.sum("_y").alias("_bg"))
+        .join(
+            counts.where(F.col("_g") == group_a).select(
+                "_w", F.col("_y").alias("_ya")
+            ),
+            "_w",
+            "left",
+        )
+        .join(
+            counts.where(F.col("_g") == group_b).select(
+                "_w", F.col("_y").alias("_yb")
+            ),
+            "_w",
+            "left",
+        )
+        .select(
+            "_w",
+            "_bg",
+            F.coalesce("_ya", F.lit(0)).alias("_ya"),
+            F.coalesce("_yb", F.lit(0)).alias("_yb"),
+        )
+    )
+    tots = terms.agg(
+        F.sum("_ya").alias("_na"),
+        F.sum("_yb").alias("_nb"),
+        F.sum("_bg").alias("_nbg"),
+    )
+    j = terms.crossJoin(F.broadcast(tots))
+    a0 = F.col("_nbg").cast("double") * F.lit(alpha0_ppm / 1e6)
+    aw = a0 * F.col("_bg").cast("double") / F.col("_nbg").cast("double")
+    da = F.log(
+        (F.col("_ya").cast("double") + aw)
+        / (F.col("_na").cast("double") + a0 - F.col("_ya").cast("double") - aw)
+    )
+    db = F.log(
+        (F.col("_yb").cast("double") + aw)
+        / (F.col("_nb").cast("double") + a0 - F.col("_yb").cast("double") - aw)
+    )
+    var = (
+        F.lit(1.0) / (F.col("_ya").cast("double") + aw)
+        + F.lit(1.0) / (F.col("_yb").cast("double") + aw)
+    )
+    z = F.round((da - db) / F.sqrt(var), 6)
+    scored = j.select(
+        F.col("_w").alias("term"),
+        F.col("_ya").alias("y_a"),
+        F.col("_yb").alias("y_b"),
+        z.alias("z"),
+    )
+    from pyspark.sql import Window
+
+    wtop = Window.partitionBy().orderBy(F.desc("z"), F.asc("term"))
+    wbot = Window.partitionBy().orderBy(F.asc("z"), F.asc("term"))
+    top = scored.withColumn("rank", F.row_number().over(wtop)).where(
+        F.col("rank") <= top_k
+    ).withColumn("side", F.lit(group_a))
+    bot = scored.withColumn("rank", F.row_number().over(wbot)).where(
+        F.col("rank") <= top_k
+    ).withColumn("side", F.lit(group_b))
+    return top.unionByName(bot).select(
+        "side", "rank", "term", "y_a", "y_b", "z"
+    ).orderBy("side", "rank")

@@ -19119,6 +19119,82 @@ def shapley_source_vocab_value(spark, sf_dir):
     )
 
 
+@register(
+    "monroe_log_odds_sources",
+    "Monroe fightin'-words log-odds ratio with informative Dirichlet "
+    "prior comparing term usage between src0 and src1: counts shrink "
+    "toward the pooled background (a_w proportional to background "
+    "counts, a0 = half the background total), z from one fixed "
+    "double chain rounded 6dp, top-25 per side with term tiebreak; "
+    "token counts map-side combined, ranking windows vocab-bounded "
+    "(allowlisted)",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS g,
+             UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    counts AS (SELECT g, w, COUNT(*) AS y FROM toks GROUP BY g, w),
+    terms AS (
+      SELECT t.w, t.bg, COALESCE(a.y, 0) AS ya, COALESCE(b.y, 0) AS yb
+      FROM (SELECT w, SUM(y) AS bg FROM counts GROUP BY w) t
+      LEFT JOIN (SELECT w, y FROM counts WHERE g = 'src0') a
+        ON a.w = t.w
+      LEFT JOIN (SELECT w, y FROM counts WHERE g = 'src1') b
+        ON b.w = t.w
+    ),
+    tots AS (
+      SELECT SUM(ya) AS na, SUM(yb) AS nb, SUM(bg) AS nbg FROM terms
+    ),
+    scored AS (
+      SELECT w AS term, ya AS y_a, yb AS y_b,
+        ROUND(
+          (LN((CAST(ya AS DOUBLE)
+               + CAST(nbg AS DOUBLE) * 0.5 * CAST(bg AS DOUBLE)
+                 / CAST(nbg AS DOUBLE))
+              / (CAST(na AS DOUBLE) + CAST(nbg AS DOUBLE) * 0.5
+                 - CAST(ya AS DOUBLE)
+                 - CAST(nbg AS DOUBLE) * 0.5 * CAST(bg AS DOUBLE)
+                   / CAST(nbg AS DOUBLE)))
+           - LN((CAST(yb AS DOUBLE)
+               + CAST(nbg AS DOUBLE) * 0.5 * CAST(bg AS DOUBLE)
+                 / CAST(nbg AS DOUBLE))
+              / (CAST(nb AS DOUBLE) + CAST(nbg AS DOUBLE) * 0.5
+                 - CAST(yb AS DOUBLE)
+                 - CAST(nbg AS DOUBLE) * 0.5 * CAST(bg AS DOUBLE)
+                   / CAST(nbg AS DOUBLE))))
+          / SQRT(1.0 / (CAST(ya AS DOUBLE)
+                  + CAST(nbg AS DOUBLE) * 0.5 * CAST(bg AS DOUBLE)
+                    / CAST(nbg AS DOUBLE))
+               + 1.0 / (CAST(yb AS DOUBLE)
+                  + CAST(nbg AS DOUBLE) * 0.5 * CAST(bg AS DOUBLE)
+                    / CAST(nbg AS DOUBLE))), 6) AS z
+      FROM terms CROSS JOIN tots
+    ),
+    top AS (
+      SELECT 'src0' AS side, ROW_NUMBER() OVER (ORDER BY z DESC,
+               term ASC) AS rank, term, y_a, y_b, z
+      FROM scored
+    ),
+    bot AS (
+      SELECT 'src1' AS side, ROW_NUMBER() OVER (ORDER BY z ASC,
+               term ASC) AS rank, term, y_a, y_b, z
+      FROM scored
+    )
+    SELECT * FROM (
+      SELECT * FROM top WHERE rank <= 25
+      UNION ALL SELECT * FROM bot WHERE rank <= 25
+    ) ORDER BY side, rank
+    """,
+    survey_ops=("corpus-comparison", "quality-scoring"),
+)
+def monroe_log_odds_sources(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return textstats.monroe_log_odds(
+        d, "source", "text", "src0", "src1", top_k=25
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -49,6 +49,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "(|sources| rows - metadata; the only corpus pass is the "
         "per-domain token sum aggregation)"
     ),
+    "monroe_log_odds_sources": (
+        "two ranking windows over ONE ROW PER DISTINCT TERM - "
+        "vocab-bounded (the weighted_percentiles category), never "
+        "corpus-bounded; token counts are map-side combined first"
+    ),
     "wasserstein_value_drift_halves": (
         "gap-lead window over ONE ROW PER DISTINCT CENT VALUE - "
         "value-DOMAIN-bounded (range x scale rows, the "
