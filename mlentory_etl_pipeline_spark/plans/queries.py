@@ -19195,6 +19195,81 @@ def monroe_log_odds_sources(spark, sf_dir):
     )
 
 
+@register(
+    "mcnemar_paired_classifiers",
+    "McNemar's test for PAIRED classifier comparison (the correct "
+    "test when two models score the same examples — accuracy deltas "
+    "ignore the pairing): two deterministic threshold rules over the "
+    "value/hour features predict purchase; discordant counts b (only "
+    "A right) and c (only B right), statistic (|b-c|-1)^2/(b+c) with "
+    "continuity correction — exact integer counts, one aggregation, "
+    "one double chain; NULL statistic when b+c=0 (documented, the "
+    "try_divide posture)",
+    oracle="""
+    WITH p AS (
+      SELECT (event_type = 'purchase') AS y,
+             (value >= 50.0) AS pred_a,
+             (HOUR(ts) >= 12) AS pred_b
+      FROM events
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN (pred_a = y) AND (pred_b <> y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN (pred_a <> y) AND (pred_b = y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        COUNT(*) AS n
+      FROM p
+    )
+    SELECT n, b, c,
+           CASE WHEN b + c > 0 THEN
+             ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+                   / CAST(b + c AS DOUBLE), 6)
+           END AS chi2_mcnemar
+    FROM c
+    """,
+    survey_ops=("eval-stats", "classifier-eval"),
+)
+def mcnemar_paired_classifiers(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    p = e.select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (F.col("value") >= 50.0).alias("pred_a"),
+        (F.hour("ts") >= 12).alias("pred_b"),
+    )
+    agg = p.agg(
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("y"))
+                & (F.col("pred_b") != F.col("y")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("y"))
+                & (F.col("pred_b") == F.col("y")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = F.abs(F.col("b") - F.col("c"))
+    return agg.select(
+        "n",
+        "b",
+        "c",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.round(
+                ((d - 1) * (d - 1)).cast("double")
+                / (F.col("b") + F.col("c")).cast("double"),
+                6,
+            ),
+        ).alias("chi2_mcnemar"),
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
