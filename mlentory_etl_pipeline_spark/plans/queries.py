@@ -19270,6 +19270,122 @@ def mcnemar_paired_classifiers(spark, sf_dir):
     )
 
 
+@register(
+    "jsd_source_unigrams",
+    "Jensen-Shannon divergence between src0 and src1 unigram "
+    "distributions — the symmetric, bounded ([0, ln 2]) corpus "
+    "distance beside KL (which blows up on unshared vocabulary): "
+    "per-term contributions p*ln(2p/(p+q)) evaluated in one fixed "
+    "double chain and quantized to nano-nats BEFORE the integer fold "
+    "(zero-p terms contribute zero by construction); one token count "
+    "per side, vocab-bounded term table",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS g,
+             UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    counts AS (SELECT g, w, COUNT(*) AS y FROM toks GROUP BY g, w),
+    terms AS (
+      SELECT t.w, COALESCE(a.y, 0) AS ya, COALESCE(b.y, 0) AS yb
+      FROM (SELECT DISTINCT w FROM counts) t
+      LEFT JOIN (SELECT w, y FROM counts WHERE g = 'src0') a
+        ON a.w = t.w
+      LEFT JOIN (SELECT w, y FROM counts WHERE g = 'src1') b
+        ON b.w = t.w
+    ),
+    tots AS (
+      SELECT SUM(ya) AS na, SUM(yb) AS nb FROM terms
+    ),
+    contrib AS (
+      SELECT
+        CASE WHEN ya > 0 THEN
+          CAST(FLOOR((CAST(ya AS DOUBLE) / CAST(na AS DOUBLE))
+            * LN(2.0 * (CAST(ya AS DOUBLE) / CAST(na AS DOUBLE))
+                 / (CAST(ya AS DOUBLE) / CAST(na AS DOUBLE)
+                    + CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            * 1000000000.0) AS BIGINT)
+        ELSE 0 END AS tp,
+        CASE WHEN yb > 0 THEN
+          CAST(FLOOR((CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE))
+            * LN(2.0 * (CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / (CAST(ya AS DOUBLE) / CAST(na AS DOUBLE)
+                    + CAST(yb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            * 1000000000.0) AS BIGINT)
+        ELSE 0 END AS tq
+      FROM terms CROSS JOIN tots
+    )
+    SELECT COUNT(*) AS n_terms,
+           ROUND((CAST(SUM(tp) AS DOUBLE) / 1000000000.0
+                  + CAST(SUM(tq) AS DOUBLE) / 1000000000.0)
+                 * 0.5, 6) AS jsd_nats
+    FROM contrib
+    """,
+    survey_ops=("drift-monitoring", "corpus-comparison"),
+)
+def jsd_source_unigrams(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = d.select(
+        F.col("source").alias("g"),
+        F.explode(textstats.tokens(F.col("text"))).alias("w"),
+    )
+    counts = toks.groupBy("g", "w").agg(F.count(F.lit(1)).alias("y"))
+    terms = (
+        counts.select("w")
+        .distinct()
+        .join(
+            counts.where(F.col("g") == "src0").select(
+                "w", F.col("y").alias("ya")
+            ),
+            "w",
+            "left",
+        )
+        .join(
+            counts.where(F.col("g") == "src1").select(
+                "w", F.col("y").alias("yb")
+            ),
+            "w",
+            "left",
+        )
+        .select(
+            "w",
+            F.coalesce("ya", F.lit(0)).alias("ya"),
+            F.coalesce("yb", F.lit(0)).alias("yb"),
+        )
+    )
+    tots = terms.agg(
+        F.sum("ya").alias("na"), F.sum("yb").alias("nb")
+    )
+    j = terms.crossJoin(F.broadcast(tots))
+    pa = F.col("ya").cast("double") / F.col("na").cast("double")
+    pb = F.col("yb").cast("double") / F.col("nb").cast("double")
+    tp = F.when(
+        F.col("ya") > 0,
+        F.floor(
+            pa * F.log(F.lit(2.0) * pa / (pa + pb)) * F.lit(1000000000.0)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    tq = F.when(
+        F.col("yb") > 0,
+        F.floor(
+            pb * F.log(F.lit(2.0) * pb / (pa + pb)) * F.lit(1000000000.0)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select(tp.alias("tp"), tq.alias("tq")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            (
+                F.sum("tp").cast("double") / F.lit(1000000000.0)
+                + F.sum("tq").cast("double") / F.lit(1000000000.0)
+            )
+            * F.lit(0.5),
+            6,
+        ).alias("jsd_nats"),
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
