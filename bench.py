@@ -240,6 +240,9 @@ def main():
             "capture_recapture_corpus_size",
             "median_ci_event_values",
             "shapley_source_vocab_value",
+            "monroe_log_odds_sources",
+            "mcnemar_paired_classifiers",
+            "jsd_source_unigrams",
         )
         if n in REGISTRY
     ]
