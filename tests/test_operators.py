@@ -1438,3 +1438,115 @@ def test_maxsim_prefers_doc_covering_all_query_tokens(spark):
     assert got[0][0] == 100 and abs(got[0][1] - 2.0) < 1e-6
     # diagonal doc: 2 * cos(45deg) ~ 1.414 beats the x-only doc's 1.0
     assert got[1][0] == 300 and got[2][0] == 200
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-5, max_value=5), min_size=6, max_size=6),
+        min_size=2, max_size=12,
+    ),
+    dup_of=st.integers(min_value=0, max_value=3),
+)
+def test_angular_blocking_is_lossless_vs_brute_force(spark, vecs, dup_of):
+    """The blocked pair set must EQUAL brute force at threshold 0.999
+    — including planted exact near-dups (a 2x-scaled copy of one
+    vector, cosine exactly 1) and arbitrary integer vectors."""
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        cosine_pairs_angular_blocked,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    src = vecs[dup_of % len(vecs)]
+    rows.append((1000, [float(x) * 2.0 for x in src]))
+    # zero vectors have undefined cosine: the operator drops them by
+    # contract (brute force would NULL/ANSI-error), so mirror that here
+    rows = [r for r in rows if any(x != 0.0 for x in r[1])]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    blocked = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_angular_blocked(
+            df, threshold=0.999, round_dp=4, dim=6
+        ).collect()
+    }
+    a = df.select(F.col("vec_id").alias("a_id"),
+                  F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("b_id"),
+                  F.col("embedding").alias("eb"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 4)
+            >= 0.999
+        )
+        .collect()
+    }
+    assert blocked == brute
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=9),
+        min_size=1, max_size=6,
+    )
+)
+def test_unigram_viterbi_matches_python_dp(spark, words):
+    """The HOF Viterbi fold must reproduce a reference Python DP:
+    same seed scores, same smallest-start tiebreak, same counts."""
+    import math
+    from collections import Counter
+    from mlentory_etl_pipeline_spark.operators.tokenizer import (
+        unigram_lm_round,
+    )
+
+    thr = 3
+    # python replica of the seed vocab + viterbi + recount
+    piece_cnt = Counter()
+    for w, f in words.items():
+        for s in range(len(w)):
+            for plen in range(1, 5):
+                if s + plen <= len(w):
+                    piece_cnt[w[s:s + plen]] += f
+    vocab = {p: c for p, c in piece_cnt.items()
+             if c >= thr or len(p) == 1}
+    total = sum(vocab.values())
+    q = {p: math.floor(math.log(c / total) * 1000000)
+         for p, c in vocab.items()}
+    vcnt = Counter()
+    for w, f in words.items():
+        best = [(0, -1)] + [None] * len(w)
+        for pos in range(1, len(w) + 1):
+            cands = []
+            for s in range(max(0, pos - 4), pos):
+                piece = w[s:pos]
+                if piece in q and best[s] is not None:
+                    cands.append((best[s][0] + q[piece], -s))
+            best[pos] = (max(cands)[0], -max(cands)[1])
+        pos = len(w)
+        while pos > 0:
+            s = best[pos][1]
+            vcnt[w[s:pos]] += f
+            pos = s
+    df = spark.createDataFrame(list(words.items()), "word string, n long")
+    got = {r.piece: (r.seed_count, r.viterbi_count)
+           for r in unigram_lm_round(df, "word", "n",
+                                     min_piece_count=thr).collect()}
+    assert set(got) == set(vocab)
+    for p in vocab:
+        assert got[p] == (vocab[p], vcnt.get(p, 0)), (p, got[p])
