@@ -49,6 +49,11 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "(|sources| rows - metadata; the only corpus pass is the "
         "per-domain token sum aggregation)"
     ),
+    "neyman_allocation_event_types": (
+        "largest-remainder ranking over ONE ROW PER STRATUM "
+        "(|event types| rows - metadata; the only corpus pass is the "
+        "per-stratum moment aggregation)"
+    ),
     "monroe_log_odds_sources": (
         "two ranking windows over ONE ROW PER DISTINCT TERM - "
         "vocab-bounded (the weighted_percentiles category), never "

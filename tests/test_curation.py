@@ -832,3 +832,44 @@ def test_watermark_detector_flags_planted_text(spark):
            for r in watermark_greenlist_scores(df).collect()}
     assert got[1][1] is True and got[1][0] > 10
     assert got[2][1] is False
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    strata=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.lists(st.integers(min_value=0, max_value=100),
+                 min_size=2, max_size=12),
+        min_size=2, max_size=4,
+    ),
+    budget=st.integers(min_value=1, max_value=20),
+)
+def test_neyman_allocation_invariants(spark, strata, budget):
+    """Allocations are nonneg integers, capped by stratum size, and
+    sum exactly to the budget whenever no cap binds; zero-variance
+    strata get zero weight (allocated only via remainders)."""
+    from pyspark.sql import functions as F
+    from mlentory_etl_pipeline_spark.operators.curation import (
+        neyman_allocation,
+    )
+    import statistics
+
+    # at least one stratum must have variance or the weight total is 0
+    if all(len(set(vs)) == 1 for vs in strata.values()):
+        return
+    rows = [(k, v) for k, vs in strata.items() for v in vs]
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {r.stratum: (r.allocated, r.n_rows)
+           for r in neyman_allocation(df, "s", F.col("v"), budget).collect()}
+    total = sum(a for a, _ in out.values())
+    capped = any(a == n for a, n in out.values())
+    for a, n in out.values():
+        assert 0 <= a <= n
+    if not capped:
+        assert total == budget
+    # weights follow N_h * population-std ordering when uncapped
+    pstd = {k: statistics.pstdev(vs) * len(vs) for k, vs in strata.items()}
+    if not capped and len(out) >= 2:
+        ks = sorted(out, key=lambda k: -pstd[k])
+        assert out[ks[0]][0] >= out[ks[-1]][0] - 1
