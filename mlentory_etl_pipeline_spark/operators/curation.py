@@ -1844,3 +1844,69 @@ def neyman_allocation(
             F.col("n_rows"),
         ).cast("long").alias("allocated"),
     ).orderBy("stratum")
+
+
+def greedy_set_cover(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy maximum-coverage selection (the 1-1/e-approximate
+    submodular classic): pick k documents that together cover the most
+    distinct tokens — the eval-set / demonstration-pool builder that
+    prefers COMPLEMENTARY documents where top-k-by-quality picks
+    near-duplicates.
+
+    Each round: count every candidate's UNCOVERED tokens (one
+    anti-join of the (doc, token) pairs against the covered-token set
+    + one count), take the argmax with a smallest-id tiebreak, fold
+    its tokens into the covered set (lazy localCheckpoint pins the
+    round). Determinism is pure integer counting. O(k) rounds over the
+    pair table; the covered set is bounded by the vocabulary, never
+    the corpus.
+
+    Returns (rank, id, new_tokens, covered_total) — covered_total is
+    the running distinct-coverage after each pick.
+    """
+    pairs = df.select(
+        F.col(id_col).alias("_id"), F.col(token_col).alias("_tok")
+    ).distinct().localCheckpoint(eager=False)
+    covered = pairs.select("_tok").where(F.lit(False))
+    picks = None
+    total = 0  # plan-side only; totals carried as columns
+    for r in range(k):
+        gains = (
+            pairs.join(covered, "_tok", "left_anti")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_gain"))
+        )
+        if picks is not None:
+            gains = gains.join(
+                picks.select("_id"), "_id", "left_anti"
+            )
+        best = (
+            gains.orderBy(F.desc("_gain"), F.asc("_id"))
+            .limit(1)
+            .select("_id", F.lit(r).alias("rank"), F.col("_gain").alias("new_tokens"))
+            .localCheckpoint(eager=False)
+        )
+        picks = (
+            best if picks is None else picks.unionByName(best)
+        ).localCheckpoint(eager=False)
+        covered = (
+            covered.unionByName(
+                pairs.join(best.select("_id"), "_id").select("_tok")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    w = Window.partitionBy().orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return picks.select(
+        "rank",
+        F.col("_id").alias(id_col),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("covered_total"),
+    ).orderBy("rank")

@@ -19446,6 +19446,187 @@ def neyman_allocation_event_types(spark, sf_dir):
     )
 
 
+@register(
+    "greedy_set_cover_docs",
+    "greedy maximum-coverage selection of 8 documents over distinct "
+    "3-gram shingles (the 1-1/e submodular classic): per round one anti-join "
+    "of the (doc, token) pairs against the covered set + one count + "
+    "one argmax with smallest-id tiebreak -- prefers COMPLEMENTARY "
+    "docs where top-k-by-quality picks near-duplicates; covered set "
+    "vocab-bounded, plan pinned O(k); oracle unrolls the same rounds "
+    "(MATERIALIZED)",
+    oracle="""
+    WITH wd AS (
+      SELECT doc_id,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS warr
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(0, GREATEST(LEN(warr) - 3, 0) + 1),
+               i -> ARRAY_TO_STRING(warr[i + 1 : i + 3], ' ')))
+               AS token
+      FROM wd
+    ),
+    cov0 AS (SELECT token FROM pairs WHERE FALSE),
+    gains0 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov0 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT -1 AS doc_id WHERE FALSE)
+      GROUP BY p.doc_id
+    ),
+    pick0 AS MATERIALIZED (
+      SELECT doc_id, 0 AS rank, g AS new_tokens
+      FROM gains0 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov1 AS MATERIALIZED (
+      SELECT token FROM cov0
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick0 k ON k.doc_id = p.doc_id
+    ),
+    gains1 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov1 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0)
+      GROUP BY p.doc_id
+    ),
+    pick1 AS MATERIALIZED (
+      SELECT doc_id, 1 AS rank, g AS new_tokens
+      FROM gains1 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov2 AS MATERIALIZED (
+      SELECT token FROM cov1
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick1 k ON k.doc_id = p.doc_id
+    ),
+    gains2 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov2 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0 UNION ALL SELECT doc_id FROM pick1)
+      GROUP BY p.doc_id
+    ),
+    pick2 AS MATERIALIZED (
+      SELECT doc_id, 2 AS rank, g AS new_tokens
+      FROM gains2 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov3 AS MATERIALIZED (
+      SELECT token FROM cov2
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick2 k ON k.doc_id = p.doc_id
+    ),
+    gains3 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov3 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0 UNION ALL SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2)
+      GROUP BY p.doc_id
+    ),
+    pick3 AS MATERIALIZED (
+      SELECT doc_id, 3 AS rank, g AS new_tokens
+      FROM gains3 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov4 AS MATERIALIZED (
+      SELECT token FROM cov3
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick3 k ON k.doc_id = p.doc_id
+    ),
+    gains4 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov4 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0 UNION ALL SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3)
+      GROUP BY p.doc_id
+    ),
+    pick4 AS MATERIALIZED (
+      SELECT doc_id, 4 AS rank, g AS new_tokens
+      FROM gains4 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov5 AS MATERIALIZED (
+      SELECT token FROM cov4
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick4 k ON k.doc_id = p.doc_id
+    ),
+    gains5 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov5 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0 UNION ALL SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3 UNION ALL SELECT doc_id FROM pick4)
+      GROUP BY p.doc_id
+    ),
+    pick5 AS MATERIALIZED (
+      SELECT doc_id, 5 AS rank, g AS new_tokens
+      FROM gains5 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov6 AS MATERIALIZED (
+      SELECT token FROM cov5
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick5 k ON k.doc_id = p.doc_id
+    ),
+    gains6 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov6 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0 UNION ALL SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3 UNION ALL SELECT doc_id FROM pick4 UNION ALL SELECT doc_id FROM pick5)
+      GROUP BY p.doc_id
+    ),
+    pick6 AS MATERIALIZED (
+      SELECT doc_id, 6 AS rank, g AS new_tokens
+      FROM gains6 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov7 AS MATERIALIZED (
+      SELECT token FROM cov6
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick6 k ON k.doc_id = p.doc_id
+    ),
+    gains7 AS MATERIALIZED (
+      SELECT p.doc_id, COUNT(*) AS g
+      FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM cov7 c WHERE c.token = p.token)
+        AND p.doc_id NOT IN (SELECT doc_id FROM pick0 UNION ALL SELECT doc_id FROM pick1 UNION ALL SELECT doc_id FROM pick2 UNION ALL SELECT doc_id FROM pick3 UNION ALL SELECT doc_id FROM pick4 UNION ALL SELECT doc_id FROM pick5 UNION ALL SELECT doc_id FROM pick6)
+      GROUP BY p.doc_id
+    ),
+    pick7 AS MATERIALIZED (
+      SELECT doc_id, 7 AS rank, g AS new_tokens
+      FROM gains7 ORDER BY g DESC, doc_id ASC LIMIT 1
+    ),
+    cov8 AS MATERIALIZED (
+      SELECT token FROM cov7
+      UNION
+      SELECT DISTINCT p.token FROM pairs p
+      JOIN pick7 k ON k.doc_id = p.doc_id
+    ),
+    picks AS (
+      SELECT * FROM pick0 UNION ALL SELECT * FROM pick1
+      UNION ALL SELECT * FROM pick2 UNION ALL SELECT * FROM pick3
+      UNION ALL SELECT * FROM pick4 UNION ALL SELECT * FROM pick5
+      UNION ALL SELECT * FROM pick6 UNION ALL SELECT * FROM pick7
+    )
+    SELECT rank, doc_id, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY rank
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_total
+    FROM picks ORDER BY rank
+    """,
+    survey_ops=("coreset-selection", "sampling-quota"),
+)
+def greedy_set_cover_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.doc_shingles(d, "doc_id", "text", n=3).select(
+        "doc_id", F.col("shingle").alias("token")
+    )
+    return curation.greedy_set_cover(pairs, "doc_id", "token", k=8)
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

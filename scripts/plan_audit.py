@@ -49,6 +49,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
         "(|sources| rows - metadata; the only corpus pass is the "
         "per-domain token sum aggregation)"
     ),
+    "greedy_set_cover_docs": (
+        "cumulative-coverage window over ONE ROW PER PICK (k=8 rows "
+        "- the selection result, never corpus-sized)"
+    ),
     "neyman_allocation_event_types": (
         "largest-remainder ranking over ONE ROW PER STRATUM "
         "(|event types| rows - metadata; the only corpus pass is the "
