@@ -243,6 +243,8 @@ def main():
             "monroe_log_odds_sources",
             "mcnemar_paired_classifiers",
             "jsd_source_unigrams",
+            "neyman_allocation_event_types",
+            "greedy_set_cover_docs",
         )
         if n in REGISTRY
     ]
