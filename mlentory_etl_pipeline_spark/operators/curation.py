@@ -1874,7 +1874,6 @@ def greedy_set_cover(
     ).distinct().localCheckpoint(eager=False)
     covered = pairs.select("_tok").where(F.lit(False))
     picks = None
-    total = 0  # plan-side only; totals carried as columns
     for r in range(k):
         gains = (
             pairs.join(covered, "_tok", "left_anti")

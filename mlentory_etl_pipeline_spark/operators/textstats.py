@@ -859,6 +859,12 @@ def monroe_log_odds(
 
     Returns the top_k terms per side: (term, y_a, y_b, z) with
     positive z favoring ``group_a``, negative favoring ``group_b``.
+
+    Degenerate-input note: a corpus whose vocabulary is a SINGLE term
+    drives the log denominators to a0 - aw = 0 (infinite log-odds);
+    callers comparing such corpora should threshold on vocabulary size
+    first — the statistic is about RELATIVE term usage and is
+    undefined without at least two terms.
     """
     toks = df.where(
         F.col(group_col).isin(group_a, group_b)
