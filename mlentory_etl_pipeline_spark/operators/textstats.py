@@ -799,10 +799,12 @@ def injection_pattern_audit(
 
     Detection is case-insensitive LITERAL containment (no regex — the
     one string primitive with identical semantics in every engine);
-    the hit list is emitted as a sorted array so output is
-    deterministic. Pure map over the corpus: one lowercase, k
-    containment probes, one array filter — no shuffle, no UDF. Flagged
-    docs only (the audit output, not a full-corpus projection).
+    the hit list is emitted '|'-joined in sorted order (flat string —
+    the driver-comparator-safe serialization, the quantize_int8
+    precedent) so output is deterministic. Pure map over the corpus:
+    one lowercase, k containment probes, one array filter — no
+    shuffle, no UDF. Flagged docs only (the audit output, not a
+    full-corpus projection).
 
     Returns (id, n_hits, hit_phrases, flagged) for docs with >= 1 hit.
     """
@@ -815,7 +817,7 @@ def injection_pattern_audit(
         df.select(
             F.col(id_col),
             F.size(hits).alias("n_hits"),
-            hits.alias("hit_phrases"),
+            F.array_join(hits, "|").alias("hit_phrases"),
         )
         .where(F.col("n_hits") >= 1)
         .select(

@@ -18247,7 +18247,8 @@ def kcenter_greedy_coreset(spark, sf_dir):
              ) AS hit_phrases
       FROM corpus
     )
-    SELECT doc_id, LEN(hit_phrases) AS n_hits, hit_phrases,
+    SELECT doc_id, LEN(hit_phrases) AS n_hits,
+           ARRAY_TO_STRING(hit_phrases, '|') AS hit_phrases,
            TRUE AS flagged
     FROM hits WHERE LEN(hit_phrases) >= 1
     ORDER BY doc_id
