@@ -19628,6 +19628,81 @@ def greedy_set_cover_docs(spark, sf_dir):
     return curation.greedy_set_cover(pairs, "doc_id", "token", k=8)
 
 
+@register(
+    "multimodal_phash_buckets",
+    "perceptual-hash (aHash) near-dup bucketing over decoded media "
+    "features: the REAL mapInPandas decode plumbing (fake codec over "
+    "utf-8 payloads, so sha256(binary) == SQL sha256(text) and the "
+    "whole pipeline carries a HARD oracle — upgrading the multimodal "
+    "family beyond rows-only checks); bit i set iff 8*b_i > sum(b) "
+    "(exact integer comparison after recovering digest bytes from "
+    "the float features), bucket sizes by hash equality",
+    oracle="""
+    WITH h AS (SELECT doc_id, SHA256(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(RANGE(0, 8),
+               i -> CAST(('0x' || SUBSTR(hx, i * 2 + 1, 2)) AS INT))
+               AS bs
+      FROM h
+    ),
+    s AS (
+      SELECT doc_id, bs, CAST(LIST_SUM(bs) AS INT) AS tot FROM b
+    ),
+    a AS (
+      SELECT doc_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 8),
+               i -> CASE WHEN 8 * bs[i + 1] > tot
+                    THEN CAST(POWER(2, i) AS INT) ELSE 0 END))
+               AS BIGINT) AS ahash
+      FROM s
+    ),
+    c AS (SELECT ahash, COUNT(*) AS bucket_size FROM a GROUP BY ahash)
+    SELECT a.doc_id, a.ahash, c.bucket_size
+    FROM a JOIN c USING (ahash) ORDER BY a.doc_id
+    """,
+    survey_ops=("multimodal", "dedup-clustering"),
+)
+def multimodal_phash_buckets(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("png").alias("format"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    decoded = multimodal.decode_media(d, fake=True)
+    bytes_ = F.transform(
+        "features",
+        lambda f: F.round(f.cast("double") * 255).cast("int"),
+    )
+    withb = decoded.select(
+        F.col("media_id").alias("doc_id"), bytes_.alias("_b")
+    ).select(
+        "doc_id",
+        "_b",
+        F.aggregate(
+            "_b", F.lit(0), lambda a, v: a + v
+        ).alias("_tot"),
+    )
+    bit_terms = [
+        F.when(
+            F.element_at(F.col("_b"), i + 1) * 8 > F.col("_tot"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(8)
+    ]
+    ahash = bit_terms[0]
+    for term in bit_terms[1:]:
+        ahash = ahash + term
+    hashed = withb.select("doc_id", ahash.alias("ahash"))
+    sizes = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return hashed.join(sizes, "ahash").select(
+        "doc_id", "ahash", "bucket_size"
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
