@@ -19752,7 +19752,7 @@ _DRIVER_WINDOW = [
     "nlp_grouped_qa",
     "question_clustering_distributed",
     "dedup_minhash_incremental",
-    "containment_quote_detection",  # r5 s4: asymmetric dedup (minhash/setsim keep the family)
+    "multimodal_phash_buckets",  # r5 s5: first hard-oracled multimodal row (dedup keeps minhash/decontaminate/containment via gate)
     "decontaminate_semantic_lsh",
     "kcenter_greedy_coreset",  # r5 s5: coreset selection (setsim family keeps containment + minhash)
     "record_linkage_blocked",
