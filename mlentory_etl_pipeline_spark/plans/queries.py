@@ -19703,6 +19703,66 @@ def multimodal_phash_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "ab_sample_size_planning",
+    "two-proportion experiment sample-size planning from the observed "
+    "baseline: n per arm = ceil((z_a + z_b)^2 * (p1(1-p1) + p2(1-p2)) "
+    "/ (p2-p1)^2) for a 10% relative lift at alpha=.05 two-sided, "
+    "power .80 (z constants as exact literals 1.959964 / 0.841621) — "
+    "the PLANNING step in front of the welch/msprt/cuped testing "
+    "family; baseline rate is an exact integer ratio, one double "
+    "chain, one corpus pass",
+    oracle="""
+    WITH b AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS BIGINT) AS k
+      FROM events
+    ),
+    p AS (
+      SELECT n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1.1 AS p2
+      FROM b
+    )
+    SELECT n AS n_observed, k AS n_positive,
+           ROUND(p1, 6) AS baseline_rate,
+           ROUND(p2, 6) AS target_rate,
+           CAST(CEIL(
+             (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+             / ((p2 - p1) * (p2 - p1))
+           ) AS BIGINT) AS n_per_arm
+    FROM p
+    """,
+    survey_ops=("eval-stats", "experiment-planning"),
+)
+def ab_sample_size_planning(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("k"),
+    )
+    p1 = F.col("k").cast("double") / F.col("n").cast("double")
+    p2 = F.col("k").cast("double") / F.col("n").cast("double") * F.lit(
+        1.1
+    )
+    z = F.lit(1.959964) + F.lit(0.841621)
+    return b.select(
+        F.col("n").alias("n_observed"),
+        F.col("k").alias("n_positive"),
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        F.ceil(
+            z * z
+            * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+            / ((p2 - p1) * (p2 - p1))
+        ).cast("long").alias("n_per_arm"),
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
