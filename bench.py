@@ -245,6 +245,8 @@ def main():
             "jsd_source_unigrams",
             "neyman_allocation_event_types",
             "greedy_set_cover_docs",
+            "multimodal_phash_buckets",
+            "ab_sample_size_planning",
         )
         if n in REGISTRY
     ]
