@@ -914,6 +914,63 @@ def case_angular_pairs(spark, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+
+
+def case_set_cover(spark, sf_dir: str, k: int) -> DataFrame:
+    # replica-salted shingles (coverage space multiplies by k, per-doc
+    # gain structure constant): each greedy round's anti-join + count
+    # must scale linearly in the pair table
+    from mlentory_etl_pipeline_spark.operators import curation, dedup
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _replicated(d, k).select(
+        (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" rep"),
+            F.col("_rep").cast("string"),
+        ).alias("text"),
+    )
+    pairs = dedup.doc_shingles(d, "doc_id", "text", n=3).select(
+        "doc_id", F.col("shingle").alias("token")
+    )
+    return curation.greedy_set_cover(pairs, "doc_id", "token", k=8)
+
+
+def case_maxsim(spark, sf_dir: str, k: int) -> DataFrame:
+    # corpus token table k-fold (disjoint doc ids, dim-rotated vectors
+    # — the angular_pairs construction); the broadcast query side stays
+    # FIXED, so the BNLJ and both aggregations must scale linearly
+    from pyspark.sql import Window as W
+
+    from mlentory_etl_pipeline_spark.operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy("vec_id")
+    qt = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .select(
+            F.col("label").alias("q"),
+            F.col("vec_id").alias("qt_id"),
+            "embedding",
+        )
+    )
+    dt = _replicated(
+        e.select("vec_id", "embedding"), k
+    ).select(
+        ((F.col("vec_id") / 10).cast("long") * k + F.col("_rep")).alias(
+            "doc"
+        ),
+        F.concat(
+            F.slice("embedding", F.col("_rep") + 1,
+                    F.lit(64) - F.col("_rep")),
+            F.slice("embedding", F.lit(1), F.col("_rep")),
+        ).alias("embedding"),
+    )
+    return similarity.late_interaction_maxsim(qt, dt, k=5)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -955,6 +1012,8 @@ CASES = {
     "dawid_skene": case_dawid_skene,
     "unigram_lm": case_unigram_lm,
     "angular_pairs": case_angular_pairs,
+    "set_cover": case_set_cover,
+    "maxsim": case_maxsim,
 }
 
 
