@@ -19763,6 +19763,93 @@ def ab_sample_size_planning(spark, sf_dir):
     )
 
 
+@register(
+    "trimmed_mean_event_values",
+    "exact 10% two-sided trimmed mean of event values per type — the "
+    "outlier-robust location estimate between mean and median: drop "
+    "the g = floor(0.1*n) lowest and highest observations and average "
+    "the rest, computed EXACTLY over the distinct-value cumulative "
+    "table (kept multiplicity per value = interval overlap with "
+    "[g+1, n-g], pure integer arithmetic; value-domain-bounded "
+    "window, the weighted_percentiles category)",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    vals AS (
+      SELECT event_type, v, COUNT(*) AS c FROM r GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    kept AS (
+      SELECT event_type, n, n // 10 AS g,
+             GREATEST(CAST(0 AS BIGINT),
+               LEAST(cm, n - n // 10)
+               - GREATEST(cm - c + 1, n // 10 + 1) + 1) AS kc,
+             v
+      FROM cum
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(g) AS BIGINT) AS n_trimmed_each_side,
+           ROUND(CAST(SUM(v * kc) AS DOUBLE)
+                 / CAST(MAX(n) - 2 * MAX(g) AS DOUBLE), 6)
+             AS trimmed_mean_cents
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops=("monitoring-stats", "§2.9 window functions"),
+)
+def trimmed_mean_event_values(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    vals = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w).alias("cm"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    g = F.floor(F.col("n").cast("double") / 10.0).cast("long")
+    kc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cm"), F.col("n") - g)
+        - F.greatest(F.col("cm") - F.col("c") + 1, g + 1)
+        + 1,
+    )
+    kept = cum.select(
+        "event_type",
+        "n",
+        g.alias("g"),
+        kc.alias("kc"),
+        "v",
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("g").cast("long").alias("n_trimmed_each_side"),
+            F.round(
+                F.sum(F.col("v") * F.col("kc")).cast("double")
+                / (F.max("n") - 2 * F.max("g")).cast("double"),
+                6,
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

