@@ -19850,6 +19850,125 @@ def trimmed_mean_event_values(spark, sf_dir):
     )
 
 
+@register(
+    "effect_size_halves_by_type",
+    "standardized effect size (Cohen's d + Hedges' g small-sample "
+    "correction) of the early-vs-late value shift per event type — "
+    "the practical-significance companion to welch/mann-whitney "
+    "p-values (a tiny p on lake-scale n says nothing about "
+    "magnitude): pooled-variance d from integer sums, g = d * (1 - "
+    "3/(4*(n1+n2)-9)), one aggregation + one fixed double chain; "
+    "NULL when either half is empty or pooled variance is zero",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{T_SPLIT}'
+                  THEN 'early' ELSE 'late' END AS half,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN half = 'early' THEN v ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN half = 'late' THEN v ELSE 0 END)
+                  AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN half = 'early' THEN v * v ELSE 0 END)
+                  AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN half = 'late' THEN v * v ELSE 0 END)
+                  AS BIGINT) AS q2
+      FROM r GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n1, n2,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS mdiff,
+             (CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)
+              + CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(n2 AS DOUBLE))
+             / CAST(n1 + n2 - 2 AS DOUBLE) AS pooled_var
+      FROM m WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT event_type, n1, n2,
+           CASE WHEN pooled_var > 0 THEN
+             ROUND(mdiff / SQRT(pooled_var), 6) END AS cohens_d,
+           CASE WHEN pooled_var > 0 THEN
+             ROUND(mdiff / SQRT(pooled_var)
+               * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)),
+               6) END AS hedges_g
+    FROM d ORDER BY event_type
+    """,
+    survey_ops=("eval-stats", "drift-monitoring"),
+)
+def effect_size_halves_by_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit(T_SPLIT).cast("timestamp"), F.lit("early")
+    ).otherwise(F.lit("late"))
+    v = F.floor(F.col("value") * 100).cast("long")
+    m = e.select("event_type", half.alias("half"), v.alias("v")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("half") == "early", 1).otherwise(0)).cast(
+            "long"
+        ).alias("n1"),
+        F.sum(F.when(F.col("half") == "late", 1).otherwise(0)).cast(
+            "long"
+        ).alias("n2"),
+        F.sum(
+            F.when(F.col("half") == "early", F.col("v")).otherwise(0)
+        ).cast("long").alias("s1"),
+        F.sum(
+            F.when(F.col("half") == "late", F.col("v")).otherwise(0)
+        ).cast("long").alias("s2"),
+        F.sum(
+            F.when(
+                F.col("half") == "early", F.col("v") * F.col("v")
+            ).otherwise(0)
+        ).cast("long").alias("q1"),
+        F.sum(
+            F.when(
+                F.col("half") == "late", F.col("v") * F.col("v")
+            ).otherwise(0)
+        ).cast("long").alias("q2"),
+    ).where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    mdiff = (
+        F.col("s1").cast("double") / F.col("n1").cast("double")
+        - F.col("s2").cast("double") / F.col("n2").cast("double")
+    )
+    pooled_var = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("n1").cast("double")
+        + F.col("q2").cast("double")
+        - F.col("s2").cast("double")
+        * F.col("s2").cast("double")
+        / F.col("n2").cast("double")
+    ) / (F.col("n1") + F.col("n2") - 2).cast("double")
+    dd = mdiff / F.sqrt(pooled_var)
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n1") + F.col("n2")).cast("double")
+        - F.lit(9.0)
+    )
+    return m.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.when(pooled_var > 0, F.round(dd, 6)).alias("cohens_d"),
+        F.when(pooled_var > 0, F.round(dd * corr, 6)).alias(
+            "hedges_g"
+        ),
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
