@@ -19969,6 +19969,98 @@ def effect_size_halves_by_type(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@register(
+    "runs_test_shuffle_order",
+    "Wald-Wolfowitz runs test of shuffle randomness per source: docs "
+    "in md5(doc_id) order (the hash-shuffle order the sharding "
+    "queries emit), binary mark = (lang = 'en'); runs count R vs "
+    "E[R] = 1 + 2*n1*n2/n with the exact variance, z in one fixed "
+    "double chain — the statistical audit that a deterministic "
+    "'shuffle' actually decorrelates labels; one source-partitioned "
+    "lag window + one aggregation, NULL z for degenerate (single-"
+    "class) sources",
+    oracle="""
+    WITH d AS (
+      SELECT source, MD5(CAST(doc_id AS VARCHAR)) AS h, doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS m
+      FROM documents
+    ),
+    seq AS (
+      SELECT source, m,
+             LAG(m) OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS pm
+      FROM d
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(m) AS BIGINT) AS n1,
+             CAST(SUM(1 - m) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN pm IS NOT NULL AND m <> pm
+                          THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq GROUP BY source
+    )
+    SELECT source, n, n1, n2, runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+             ROUND((CAST(runs AS DOUBLE)
+                    - (1.0 + 2.0 * CAST(n1 AS DOUBLE)
+                       * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        - CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n - 1 AS DOUBLE))), 6)
+           END AS z
+    FROM agg ORDER BY source
+    """,
+    survey_ops=("sampling-quota", "eval-stats"),
+)
+def runs_test_shuffle_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("m"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    seq = d.select(
+        "source", "m", F.lag("m").over(w).alias("pm")
+    )
+    agg = seq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").cast("long").alias("n1"),
+        F.sum(1 - F.col("m")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("pm").isNotNull()
+                    & (F.col("m") != F.col("pm")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    er = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd
+    varr = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (F.col("n") - 1).cast("double"))
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1),
+        F.round((F.col("runs").cast("double") - er) / F.sqrt(varr), 6),
+    )
+    return agg.select(
+        "source", "n", "n1", "n2", "runs", z.alias("z")
+    ).orderBy("source")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================
