@@ -20061,6 +20061,119 @@ def runs_test_shuffle_order(spark, sf_dir):
     ).orderBy("source")
 
 
+@register(
+    "spearman_value_hour_by_type",
+    "EXACT tie-aware Spearman rank correlation between event value "
+    "and hour-of-day per type — the robust complement to the Pearson "
+    "corr_matrix (monotone association, outlier-immune): midranks "
+    "come from the distinct-value cumulative table as DOUBLED "
+    "integers (2*cum_prev + c + 1, no fractions), every sum of rank "
+    "products is an exact long fold, and Pearson-on-ranks closes in "
+    "one double chain; two value-domain-bounded rank tables join "
+    "back by value — no corpus-sized ranking window",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS g, CAST(FLOOR(value * 100) AS BIGINT) AS x,
+             CAST(HOUR(ts) AS BIGINT) AS y
+      FROM events
+    ),
+    rx AS (
+      SELECT g, x,
+             2 * (SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) - COUNT(*))
+             + COUNT(*) + 1 AS rx2
+      FROM r GROUP BY g, x
+    ),
+    ry AS (
+      SELECT g, y,
+             2 * (SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY y
+                  ROWS UNBOUNDED PRECEDING) - COUNT(*))
+             + COUNT(*) + 1 AS ry2
+      FROM r GROUP BY g, y
+    ),
+    j AS (
+      SELECT r.g, rx.rx2, ry.ry2
+      FROM r JOIN rx ON rx.g = r.g AND rx.x = r.x
+      JOIN ry ON ry.g = r.g AND ry.y = r.y
+    ),
+    m AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+      FROM j GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx
+                      - CAST(sx AS DECIMAL(38,0)) * sx) > 0
+                 AND (CAST(n AS DECIMAL(38,0)) * syy
+                      - CAST(sy AS DECIMAL(38,0)) * sy) > 0 THEN
+             ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                        - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                   / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                          - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                          * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                            - CAST(sy AS DECIMAL(38,0)) * sy
+                            AS DOUBLE)), 6)
+           END AS spearman_rho
+    FROM m ORDER BY event_type
+    """,
+    survey_ops=("eval-stats", "§2.9 window functions"),
+)
+def spearman_value_hour_by_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    r = e.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+
+    def midranks(col):
+        w = Window.partitionBy("g").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        grp = r.groupBy("g", col).agg(F.count(F.lit(1)).alias("_c"))
+        return grp.select(
+            "g",
+            col,
+            (
+                2 * (F.sum("_c").over(w) - F.col("_c"))
+                + F.col("_c")
+                + 1
+            ).alias(f"{col}2"),
+        )
+
+    rx, ry = midranks("x"), midranks("y")
+    j = r.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    m = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x2").cast("long").alias("sx"),
+        F.sum("y2").cast("long").alias("sy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("syy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("long").alias("sxy"),
+    )
+    # DECIMAL(38,0) closing products: n*sxx at lake scale overflows
+    # BIGINT (rank2 ~ 2n; the overflow-audit discipline)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = dec("n") * F.col("sxy") - dec("sx") * F.col("sy")
+    dx = dec("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    dy = dec("n") * F.col("syy") - dec("sy") * F.col("sy")
+    rho = F.when(
+        (dx > 0) & (dy > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+            6,
+        ),
+    )
+    return m.select(
+        F.col("g").alias("event_type"), "n", rho.alias("spearman_rho")
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver-visible correctness window (VERDICT r4 №1)
 # =====================================================================

@@ -1220,3 +1220,42 @@ def test_trimmed_mean_matches_hand_computation(spark):
     # h: 10x value-5 + one 100; n=11, g=1 -> drop one 5 and the 100;
     # mean of nine 5s = 5.0 (the outlier is gone)
     assert out["h"] == 5.0
+
+
+def test_spearman_exact_on_known_sequences(spark):
+    """Perfect monotone -> rho = 1; perfect reverse -> -1; ties give
+    the scipy-identical tie-aware value."""
+    from mlentory_etl_pipeline_spark.plans.queries import REGISTRY
+    from pyspark.sql import Window, functions as F
+
+    # drive the same midrank construction on a toy frame
+    def rho_of(xy):
+        r = spark.createDataFrame(
+            [("g", x, y) for x, y in xy], "g string, x long, y long"
+        )
+        def midranks(col):
+            w = Window.partitionBy("g").orderBy(col).rowsBetween(
+                Window.unboundedPreceding, 0)
+            grp = r.groupBy("g", col).agg(F.count(F.lit(1)).alias("_c"))
+            return grp.select("g", col,
+                (2 * (F.sum("_c").over(w) - F.col("_c")) + F.col("_c") + 1
+                 ).alias(f"{col}2"))
+        j = r.join(midranks("x"), ["g", "x"]).join(midranks("y"), ["g", "y"])
+        m = j.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x2").alias("sx"), F.sum("y2").alias("sy"),
+            F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+            F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+            F.sum(F.col("x2") * F.col("y2")).alias("sxy"))
+        row = m.collect()[0]
+        num = row.n * row.sxy - row.sx * row.sy
+        dx = row.n * row.sxx - row.sx * row.sx
+        dy = row.n * row.syy - row.sy * row.sy
+        return num / (dx * dy) ** 0.5
+
+    assert abs(rho_of([(i, i * 10) for i in range(1, 9)]) - 1.0) < 1e-12
+    assert abs(rho_of([(i, -i) for i in range(1, 9)]) + 1.0) < 1e-12
+    # tie-aware case: x midranks (1, 2.5, 2.5, 4) vs y (1,2,3,4) ->
+    # Pearson-on-midranks = 0.9486832980505138 (hand-computed)
+    assert abs(rho_of([(1, 1), (2, 2), (2, 3), (3, 4)])
+               - 0.9486832980505138) < 1e-9
