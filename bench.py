@@ -247,6 +247,10 @@ def main():
             "greedy_set_cover_docs",
             "multimodal_phash_buckets",
             "ab_sample_size_planning",
+            "trimmed_mean_event_values",
+            "effect_size_halves_by_type",
+            "runs_test_shuffle_order",
+            "spearman_value_hour_by_type",
         )
         if n in REGISTRY
     ]
