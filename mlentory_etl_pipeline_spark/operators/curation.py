@@ -1806,15 +1806,30 @@ def neyman_allocation(
         ),
         weight.alias("_w"),
     )
-    tot = w.agg(F.sum("_w").alias("_tw"))
+    tot = w.agg(
+        F.sum("_w").alias("_tw"), F.sum("n_rows").alias("_tn")
+    )
     shares = w.crossJoin(F.broadcast(tot)).select(
         "stratum",
         "n_rows",
         "std_micro",
-        F.floor(
-            F.col("_w") * F.lit(float(budget)) / F.col("_tw")
-            * F.lit(1000000.0)
-        ).cast("long").alias("_share_micro"),
+        # try_divide: an all-zero-variance input makes the weight
+        # total 0 (no Neyman signal) — fall back to PROPORTIONAL
+        # shares so the exact-sum contract survives the degenerate
+        # input (ANSI-safe, the welch/auc try_divide posture)
+        F.coalesce(
+            F.floor(
+                F.try_divide(
+                    F.col("_w") * F.lit(float(budget)), F.col("_tw")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+            F.floor(
+                (F.col("n_rows") * F.lit(budget) * F.lit(1000000))
+                .cast("double")
+                / F.col("_tn").cast("double")
+            ).cast("long"),
+        ).alias("_share_micro"),
     )
     base = shares.select(
         "stratum",

@@ -847,17 +847,15 @@ def test_watermark_detector_flags_planted_text(spark):
 )
 def test_neyman_allocation_invariants(spark, strata, budget):
     """Allocations are nonneg integers, capped by stratum size, and
-    sum exactly to the budget whenever no cap binds; zero-variance
-    strata get zero weight (allocated only via remainders)."""
+    sum exactly to the budget whenever no cap binds — including the
+    all-zero-variance degenerate input, which falls back to
+    proportional shares (try_divide + coalesce, ANSI-safe)."""
     from pyspark.sql import functions as F
     from mlentory_etl_pipeline_spark.operators.curation import (
         neyman_allocation,
     )
     import statistics
 
-    # at least one stratum must have variance or the weight total is 0
-    if all(len(set(vs)) == 1 for vs in strata.values()):
-        return
     rows = [(k, v) for k, vs in strata.items() for v in vs]
     df = spark.createDataFrame(rows, "s string, v long")
     out = {r.stratum: (r.allocated, r.n_rows)
@@ -868,8 +866,10 @@ def test_neyman_allocation_invariants(spark, strata, budget):
         assert 0 <= a <= n
     if not capped:
         assert total == budget
-    # weights follow N_h * population-std ordering when uncapped
+    # weights follow N_h * population-std ordering when uncapped and
+    # the Neyman signal exists (all-zero variance falls back to
+    # proportional shares, where this ordering does not apply)
     pstd = {k: statistics.pstdev(vs) * len(vs) for k, vs in strata.items()}
-    if not capped and len(out) >= 2:
+    if not capped and len(out) >= 2 and any(v > 0 for v in pstd.values()):
         ks = sorted(out, key=lambda k: -pstd[k])
         assert out[ks[0]][0] >= out[ks[-1]][0] - 1
