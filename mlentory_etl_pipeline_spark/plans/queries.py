@@ -1862,7 +1862,7 @@ def _simhash_oracle() -> str:
       SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
     """
@@ -4327,9 +4327,9 @@ def corpus_shuffle_shards(spark, sf_dir):
     )
     SELECT event_type,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS n_parsed,
-           SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS n_corrupt,
-           SUM(CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END) AS sum_k
+           CAST(SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k
     FROM s GROUP BY event_type
     """,
     survey_ops=("robust-ingest", "T2"),
@@ -4502,7 +4502,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     )
     SELECT split, COUNT(*) AS n_docs,
            ROUND(AVG(quality), 4) AS avg_quality,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM split GROUP BY split
     """,
     survey_ops=("decontamination", "sampling-hash-split", "text-quality", "dedup-exact"),
@@ -4718,20 +4718,20 @@ def profile_heavy_hitters(spark, sf_dir):
     "ANALYZE-TABLE surface: per-column null count / exact distinct / "
     "min / max for four orders columns in ONE aggregation pass",
     oracle="""
-    SELECT 'o_orderkey' AS column, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    SELECT 'o_orderkey' AS column, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT o_orderkey) AS n_distinct,
            CAST(MIN(o_orderkey) AS VARCHAR) AS min_value, CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
-    SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+    SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
-    SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+    SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
     FROM orders
     UNION ALL
-    SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+    SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
     FROM orders
     """,
@@ -5592,8 +5592,8 @@ def q11_important_stock(spark, sf_dir):
     "the CASE counts fold map-side into a 3-row result",
     oracle="""
     SELECT l_returnflag AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -5818,8 +5818,8 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -6644,10 +6644,10 @@ def weighted_sample_per_source(spark, sf_dir):
     "into the same result row",
     oracle="""
     WITH fact AS (
-      SELECT SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS qty_nonpositive,
-             SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_out_of_range,
-             SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS returnflag_invalid,
-             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS shipdate_null,
+      SELECT CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS qty_nonpositive,
+             CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+             CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_invalid,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_null,
              COUNT(*) AS n_rows
       FROM lineitem
     ),
@@ -8267,10 +8267,10 @@ def graph_pagerank_suppliers(spark, sf_dir):
              SUM(n) OVER (PARTITION BY event_type) AS total
       FROM b
     ),
-    q AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+    q AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
     SELECT event_type, q,
            0.0 + (MIN(bin) + 1) * 500.0 / 64 AS quantile_est,
-           MIN(total) AS total
+           CAST(MIN(total) AS BIGINT) AS total
     FROM c, q
     WHERE cum >= CEIL(q * total - 0.000000001)
     GROUP BY event_type, q
@@ -8609,9 +8609,9 @@ def weighted_sample_docs(spark, sf_dir):
     oracle="""
     WITH cum AS (
       SELECT source, doc_id, n_chars,
-             SUM(n_chars) OVER (PARTITION BY source
+             CAST(SUM(n_chars) OVER (PARTITION BY source
                                 ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM documents
     )
     SELECT source, doc_id, n_chars, cum_tokens
@@ -9057,7 +9057,7 @@ def mg_frequent_tokens(spark, sf_dir):
       FROM lab
     )
     SELECT f.doc_id, COUNT(*) AS n_feats,
-           ANY_VALUE(prior.p) + SUM(w.w) AS score_micro,
+           CAST(ANY_VALUE(prior.p) + SUM(w.w) AS BIGINT) AS score_micro,
            (ANY_VALUE(prior.p) + SUM(w.w)) >= 0 AS pred_quality
     FROM feats f JOIN wts w USING (bucket), prior
     GROUP BY f.doc_id
@@ -9164,7 +9164,7 @@ def _bpe_rounds_cte(rounds: int) -> str:
         sym = "string_split(trim(seq), '  ')"
         sql += f""",
     p{r} AS (
-      SELECT pr, SUM(n) AS cnt FROM (
+      SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt FROM (
         SELECT UNNEST(list_transform(range(1, len({sym})),
                  i -> {sym}[CAST(i AS INT)] || ' ' || {sym}[CAST(i AS INT) + 1])) AS pr,
                n
@@ -9202,7 +9202,7 @@ def _bpe_vocab_oracle(rounds: int = 8, k: int = 20) -> str:
         _bpe_words_cte()
         + _bpe_rounds_cte(rounds)
         + f"""
-    SELECT symbol, SUM(n) AS cnt FROM (
+    SELECT symbol, CAST(SUM(n) AS BIGINT) AS cnt FROM (
       SELECT UNNEST(string_split(trim(seq), '  ')) AS symbol, n FROM w{rounds}
     ) fin GROUP BY symbol ORDER BY cnt DESC, symbol ASC LIMIT {k}"""
     )
@@ -10028,7 +10028,7 @@ def ivm_zset_agg_maintenance(spark, sf_dir):
       FROM m
     )
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events, SUM(cents) AS total_cents
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, session_start
     """,
@@ -11582,7 +11582,7 @@ def skew_join_key_profile(spark, sf_dir):
            (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS left_keys,
            (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS right_keys,
            COUNT(*) AS common_keys,
-           SUM(cl * cr) AS join_rows,
+           CAST(SUM(cl * cr) AS BIGINT) AS join_rows,
            MAX(cl * cr) AS max_key_rows,
            FIRST(key ORDER BY cl * cr DESC, key ASC) AS hottest_key
     FROM ol
@@ -11590,7 +11590,7 @@ def skew_join_key_profile(spark, sf_dir):
     SELECT 'events_self',
            (SELECT COUNT(*) FROM events), (SELECT COUNT(*) FROM events),
            COUNT(*), COUNT(*), COUNT(*),
-           SUM(c * c), MAX(c * c),
+           CAST(SUM(c * c) AS BIGINT), MAX(c * c),
            FIRST(key ORDER BY c * c DESC, key ASC)
     FROM ev
     ORDER BY joined
@@ -11643,7 +11643,7 @@ def join_size_estimate(spark, sf_dir):
     )
     SELECT digit, n_obs,
            ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_frac,
-           ROUND(p, 6) AS benford_frac,
+           ROUND(CAST(p AS DOUBLE), 6) AS benford_frac,
            ROUND((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
                  * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
                  / (CAST(n AS DOUBLE) * p), 4) AS chi2_term
@@ -11691,8 +11691,8 @@ def benford_price_audit(spark, sf_dir):
     )
     SELECT det AS determinant, dep AS dependent,
            COUNT(*) AS n_keys,
-           SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS violating_keys,
-           SUM(rows_ - plur) AS g3_rows,
+           CAST(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys,
+           CAST(SUM(rows_ - plur) AS BIGINT) AS g3_rows,
            MAX(n_b) = 1 AS holds
     FROM per_a GROUP BY det, dep
     ORDER BY determinant, dependent
@@ -11742,7 +11742,7 @@ def functional_dependency_audit(spark, sf_dir):
       FROM lineitem GROUP BY 3, 4
     ),
     exy AS (
-      SELECT x, y, SUM(c) AS n,
+      SELECT x, y, CAST(SUM(c) AS BIGINT) AS n,
              SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sl_xy
       FROM cxy GROUP BY x, y
     ),
@@ -11824,7 +11824,8 @@ def mutual_information_pairs(spark, sf_dir):
     ),
     tot AS (
       SELECT CAST(NULL AS VARCHAR) AS stratum, CAST(NULL AS INT) AS bps,
-             SUM(n_sampled) AS n_sampled, ROUND(SUM(est_sum), 4) AS est_sum,
+             CAST(SUM(n_sampled) AS BIGINT) AS n_sampled,
+             ROUND(SUM(est_sum), 4) AS est_sum,
              SUM(var) AS var
       FROM r
     ),
@@ -11868,12 +11869,13 @@ def aqp_stratified_revenue(spark, sf_dir):
       FROM events WHERE value IS NOT NULL
     ),
     s AS (
-      SELECT a.user_id, SUM(CAST(SIGN(b.v - a.v) AS BIGINT)) AS s_stat
+      SELECT a.user_id,
+             CAST(SUM(CAST(SIGN(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
       FROM r a JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn
       GROUP BY a.user_id
     ),
     t AS (
-      SELECT user_id, SUM(tt) AS n_points,
+      SELECT user_id, CAST(SUM(tt) AS BIGINT) AS n_points,
              SUM(tt * (tt - 1) * (2 * tt + 5)) AS tie_corr
       FROM (SELECT user_id, v, COUNT(*) AS tt FROM r GROUP BY user_id, v)
       GROUP BY user_id
@@ -12315,7 +12317,8 @@ def hll_error_audit(spark, sf_dir):
     ),
     ex AS (SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token)
     SELECT COUNT(*) AS n_tokens,
-           SUM(CASE WHEN est_count = exact_count THEN 1 ELSE 0 END) AS n_exact,
+           CAST(SUM(CASE WHEN est_count = exact_count THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
            MAX(est_count - exact_count) AS max_overestimate,
            ROUND(CAST(SUM(est_count - exact_count) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS mean_overestimate
@@ -13021,7 +13024,8 @@ def _ranking_metrics_sql(k: int) -> str:
       SELECT query_id,
              MIN(CASE WHEN tr IS NOT NULL THEN rr END) AS fh,
              SUM(CASE WHEN tr IS NOT NULL THEN ({k} - tr + 1) * ({d})[rr] ELSE 0 END) AS dcg_u,
-             SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END) AS hits
+             CAST(SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
       FROM j GROUP BY query_id
     )
     SELECT nt.query_id, nt.n_truth,
@@ -13438,8 +13442,10 @@ def _stump_oracle(max_bins: int = 32) -> str:
       FROM counted
     ),
     scored AS (
-      SELECT threshold, pl AS pos_left, nl AS neg_left,
-             tp - pl AS pos_right, tn - nl AS neg_right,
+      SELECT threshold, CAST(pl AS BIGINT) AS pos_left,
+             CAST(nl AS BIGINT) AS neg_left,
+             CAST(tp - pl AS BIGINT) AS pos_right,
+             CAST(tn - nl AS BIGINT) AS neg_right,
              ({x("(tp + tn)")} - {x("tp")} - {x("tn")})
              - ({x("(pl + nl)")} - {x("pl")} - {x("nl")})
              - ({x("((tp - pl) + (tn - nl))")} - {x("(tp - pl)")} - {x("(tn - nl)")})
@@ -13593,7 +13599,7 @@ def _fs_em_oracle(iters: int = 5) -> str:
                    * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
                    / 0.6931471805599453, 6) AS w_disagree,
              ROUND(CAST(p AS DOUBLE) / 1000000.0, 6) AS match_prior,
-             (SELECT SUM(n) FROM pat) AS n_pairs
+             (SELECT CAST(SUM(n) AS BIGINT) FROM pat) AS n_pairs
       FROM q{iters}""")
     body += "\n      UNION ALL".join([""] + rows)[len("\n      UNION ALL"):]
     body += "\n    ORDER BY field"
@@ -13713,7 +13719,8 @@ def dbscan_embedding_clusters(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            ROUND(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS k_avg
     FROM events WHERE props IS NOT NULL
@@ -13799,7 +13806,8 @@ def variant_props_rollup(spark, sf_dir):
              r.started OR s.dq > 0
       FROM rec r JOIN ser s ON s.g = r.g AND s.t = r.t + 1
     )
-    SELECT r.g AS l_partkey, st.n_days, st.n_demand_days,
+    SELECT r.g AS l_partkey, st.n_days,
+           CAST(st.n_demand_days AS BIGINT) AS n_demand_days,
            ROUND(r.z, 6) AS size_ewma,
            ROUND(r.x, 6) AS interval_ewma,
            ROUND(r.z / r.x, 6) AS demand_rate
@@ -14048,7 +14056,8 @@ def best_split_value_purchase(spark, sf_dir):
              CAST(CAST(dp AS HUGEINT) * dn AS DOUBLE) * 1000000.0 AS den
       FROM g
     )
-    SELECT bucket, pn AS n_pos, nn AS n_neg,
+    SELECT bucket, CAST(pn AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
            ROUND(CAST(lq AS DOUBLE) / 1000000.0, 6) AS woe,
            ROUND(CAST(num * lq AS DOUBLE) / den, 6) AS iv_term,
            ROUND(CAST((SELECT SUM(num * lq) FROM terms) AS DOUBLE) / den, 6)
@@ -14088,7 +14097,7 @@ def woe_iv_value_purchase(spark, sf_dir):
              SUM(wv) OVER (PARTITION BY g) AS tot
       FROM rolled
     )
-    SELECT g AS l_returnflag, MAX(tot) AS total_weight,
+    SELECT g AS l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_weight,
            MIN(CASE WHEN CAST(c AS DOUBLE) >= 0.25 * CAST(tot AS DOUBLE)
                     THEN v END) AS wp25,
            MIN(CASE WHEN CAST(c AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
@@ -14391,7 +14400,7 @@ def rake_keywords_docs(spark, sf_dir):
                   AND ts < TIMESTAMP '2024-01-31' THEN 1 ELSE 0 END) AS c_b
       FROM events
     )
-    SELECT c_a, c_b,
+    SELECT CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
            ROUND(CAST(c_a AS DOUBLE) / 9.0, 6) AS rate_a,
            ROUND(CAST(c_b AS DOUBLE) / 21.0, 6) AS rate_b,
            ROUND((CAST(c_a AS DOUBLE) / 9.0)
@@ -14696,7 +14705,8 @@ def cohort_ltv_weekly(spark, sf_dir):
         (CAST(ssc0 AS DOUBLE) - CAST(sc0 AS DOUBLE) * CAST(sc0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / (CAST(n_c0 AS DOUBLE) - 1.0) / 10000.0 AS vc0
       FROM a
     )
-    SELECT n_t1, n_t0, n_c1, n_c0,
+    SELECT CAST(n_t1 AS BIGINT) AS n_t1, CAST(n_t0 AS BIGINT) AS n_t0,
+           CAST(n_c1 AS BIGINT) AS n_c1, CAST(n_c0 AS BIGINT) AS n_c0,
            ROUND(mt1, 6) AS mean_t_post, ROUND(mt0, 6) AS mean_t_pre,
            ROUND(mc1, 6) AS mean_c_post, ROUND(mc0, 6) AS mean_c_pre,
            ROUND((mt1 - mt0) - (mc1 - mc0), 6) AS did,
@@ -14786,7 +14796,8 @@ def did_purchase_value(spark, sf_dir):
       FROM by_d
     ),
     agg AS (
-      SELECT SUM(dt) AS events_total, SUM(d1) AS o1,
+      SELECT CAST(SUM(dt) AS BIGINT) AS events_total,
+             CAST(SUM(d1) AS BIGINT) AS o1,
              SUM(eu) AS se, SUM(vu) AS sv
       FROM terms
     )
@@ -14847,7 +14858,7 @@ def logrank_churn_payers(spark, sf_dir):
                AS sl
       FROM cnt GROUP BY g
     )
-    SELECT g AS "group", ng AS n_events, n_categories,
+    SELECT g AS "group", CAST(ng AS BIGINT) AS n_events, n_categories,
            ROUND(CAST(CAST(ng AS HUGEINT)
                    * CAST(FLOOR(LN(CAST(ng AS DOUBLE)) * 1000000) AS BIGINT)
                    - sl AS DOUBLE)
@@ -14894,8 +14905,9 @@ def shannon_diversity_users(spark, sf_dir):
     ),
     lab AS (
       SELECT e, d, d0, d1,
-             COALESCE(SUM(v) OVER (PARTITION BY e ORDER BY d
-               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS past_events,
+             CAST(COALESCE(SUM(v) OVER (PARTITION BY e ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS past_events,
              COALESCE(SUM(v) OVER (PARTITION BY e ORDER BY d
                ROWS BETWEEN CURRENT ROW AND 13 FOLLOWING), 0) > 0 AS label_active
       FROM dense
@@ -15106,7 +15118,8 @@ def forecast_backtest_users(spark, sf_dir):
              CAST(CAST(da AS HUGEINT) * de AS DOUBLE) * 1000000.0 AS den
       FROM g
     )
-    SELECT bucket, en AS expected_n, an AS actual_n,
+    SELECT bucket, CAST(en AS BIGINT) AS expected_n,
+           CAST(an AS BIGINT) AS actual_n,
            ROUND(CAST(en AS DOUBLE) / CAST(te AS DOUBLE), 6) AS expected_pct,
            ROUND(CAST(an AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS actual_pct,
            ROUND(CAST(ts AS DOUBLE) / den, 6) AS psi_term,
@@ -15729,7 +15742,8 @@ def _bh_fdr_oracle(q_pct: int = 5) -> str:
     return f"""
     WITH per_nation AS (
       SELECT n.n_name, COUNT(*) AS n_orders,
-             SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k_f
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_f
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -16037,7 +16051,8 @@ def winnowing_fingerprints_docs(spark, sf_dir):
     oracle="""
     WITH per AS (
       SELECT user_id, COUNT(*) AS n,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
       FROM events GROUP BY 1
     ),
     r AS (
@@ -16118,8 +16133,8 @@ def eb_shrunk_user_purchase_rates(spark, sf_dir):
     ),
     agg AS (
       SELECT SUM(n) AS n, COUNT(*) AS n_strata,
-             SUM(CASE WHEN nt > 0 AND nt < n THEN 0 ELSE 1 END)
-               AS positivity_violations,
+             CAST(SUM(CASE WHEN nt > 0 AND nt < n THEN 0 ELSE 1 END)
+               AS BIGINT) AS positivity_violations,
              SUM(CASE WHEN nt > 0 AND nt < n THEN
                    (CAST(yt AS HUGEINT) * n * 1000000) // nt END) AS st,
              SUM(CASE WHEN nt > 0 AND nt < n THEN
@@ -16837,8 +16852,8 @@ def _pass_at_k_oracle(k: int = 5) -> str:
     return f"""
     WITH per AS (
       SELECT l_partkey AS task_id, COUNT(*) AS n_samples,
-             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-               AS n_correct
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
       FROM lineitem WHERE l_partkey < 200 GROUP BY 1
     )
     SELECT task_id, n_samples, n_correct,
@@ -17126,7 +17141,7 @@ def optimal_f1_threshold_purchase(spark, sf_dir):
       FROM base
     ),
     obsd AS (
-      SELECT na AS n_a, nb AS n_b,
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
              CASE WHEN na > 0 AND nb > 0 THEN
                CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
                            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
@@ -17445,7 +17460,7 @@ def _ds_round_sql(n: int, prev: str) -> str:
     + ","
     + _ds_round_sql(2, "assign1")
     + """
-    SELECT i AS doc_id, c AS label, s AS score_micro
+    SELECT i AS doc_id, c AS label, CAST(s AS BIGINT) AS score_micro
     FROM assign2 ORDER BY doc_id
     """,
     survey_ops=("label-aggregation", "N7", "§2.9 aggregations"),
@@ -17657,7 +17672,8 @@ def _unigram_dp_levels(max_len: int) -> str:
              SUBSTR(word, s + 1, plen) AS piece
       FROM pos WHERE s + plen <= LEN(word)
     ),
-    pc AS (SELECT piece, SUM(freq) AS cnt FROM pieces GROUP BY piece),
+    pc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM pieces GROUP BY piece),
     vocab AS (
       SELECT piece, cnt FROM pc WHERE cnt >= 100 OR LEN(piece) = 1
     ),

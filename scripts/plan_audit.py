@@ -171,18 +171,33 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PLAN_AUDIT.json",
     )
+    # Merge into the standing artifact: a single-query re-audit must
+    # refresh that query's row, not clobber the fleet-wide evidence
+    # (round-5 ADVICE: the 360-plan audit was overwritten by a 1-query
+    # run). Dropped registry entries are pruned so the summary stays
+    # honest.
+    merged = dict(out)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f).get("queries", {})
+            for n, r in prior.items():
+                if n in REGISTRY and n not in merged:
+                    merged[n] = r
+        except (json.JSONDecodeError, OSError):
+            pass
     summary = {
-        "audited": len(out),
-        "errors": sum(1 for r in out.values() if "error" in r),
-        "cartesians": sum(1 for r in out.values() if r.get("cartesian")),
+        "audited": len(merged),
+        "errors": sum(1 for r in merged.values() if "error" in r),
+        "cartesians": sum(1 for r in merged.values() if r.get("cartesian")),
         "global_windows": sum(
-            1 for n, r in out.items()
+            1 for n, r in merged.items()
             if r.get("global_windows") and n not in GLOBAL_WINDOW_ALLOWED
         ),
-        "bnlj_queries": sorted(n for n, r in out.items() if r.get("bnlj")),
+        "bnlj_queries": sorted(n for n, r in merged.items() if r.get("bnlj")),
     }
     with open(path, "w") as f:
-        json.dump({"summary": summary, "queries": out}, f, indent=1)
+        json.dump({"summary": summary, "queries": merged}, f, indent=1)
     print(json.dumps({"metric": "plan_audit", **summary}))
     spark.stop()
     if bad:
