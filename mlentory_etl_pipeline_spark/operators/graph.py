@@ -84,13 +84,31 @@ def platform_of(url: Column) -> Column:
     )
 
 
+def _nt_escape(col: Column) -> Column:
+    """N-Triples literal escaping: backslash FIRST, then quote, then
+    the line-breaking controls — quote-only escaping emitted
+    ``"...\\"`` for a literal ending in a backslash, which the source's
+    own reader (and any conformant parser, e.g. the reference's
+    Virtuoso bulk loader) rejects."""
+    out = col
+    for find, repl in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ):
+        out = F.replace(out, F.lit(find), F.lit(repl))
+    return out
+
+
 def to_ntriples(triples: DataFrame) -> DataFrame:
     """S12 — N-Triples serialization as a formatting select
     (``MlentoryTransform.py:145-155``): write with ``df.write.text``."""
     obj = F.when(
         F.col("object_is_uri"), F.concat(F.lit("<"), F.col("object"), F.lit(">"))
     ).otherwise(
-        F.concat(F.lit('"'), F.regexp_replace("object", '"', '\\\\"'), F.lit('"'))
+        F.concat(F.lit('"'), _nt_escape(F.col("object")), F.lit('"'))
     )
     return triples.select(
         F.concat(
@@ -140,7 +158,7 @@ def reified_ntriples(
 
     def lit_str(col):
         return F.concat(
-            F.lit('"'), F.regexp_replace(col.cast("string"), '"', '\\\\"'), F.lit('"')
+            F.lit('"'), _nt_escape(col.cast("string")), F.lit('"')
         )
 
     sid = F.concat(
@@ -813,7 +831,7 @@ def _term(col_uri_flag: Column, obj: Column) -> Column:
     return F.when(
         col_uri_flag, F.concat(F.lit("<"), obj, F.lit(">"))
     ).otherwise(
-        F.concat(F.lit('"'), F.regexp_replace(obj, '"', '\\\\"'), F.lit('"'))
+        F.concat(F.lit('"'), _nt_escape(obj), F.lit('"'))
     )
 
 

@@ -86,7 +86,17 @@ def skew_key_profile(
     """
     from pyspark.sql import Window
 
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    # concat_ws silently DROPS null parts, so ('a', NULL, 'b') and
+    # ('a', 'b', NULL) would collapse into one profile key and
+    # overstate its count; coalesce each part to a NUL-prefixed
+    # sentinel no real value carries so null keeps its position.
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in key_cols
+        ],
+    )
     counts = df.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -158,13 +168,21 @@ def join_size_profile(
     rstats = cr.agg(
         F.sum("_cr").alias("n_right"), F.count(F.lit(1)).alias("right_keys")
     )
+    # per-key products and their sum are exactly what a fan-out bomb
+    # inflates — accumulate in decimal(38,0) (the exact_auc discipline)
+    # so the profile never wraps or ANSI-faults in int64; the final
+    # try_cast reports NULL join_rows iff the prediction exceeds int64
+    # (by then the answer IS "do not run this join").
     joined = cl.join(cr, "key").select(
-        "key", (F.col("_cl") * F.col("_cr")).alias("_prod")
+        "key",
+        (F.col("_cl").cast("decimal(38,0)") * F.col("_cr")).alias("_prod"),
     )
     jstats = joined.agg(
         F.count(F.lit(1)).alias("common_keys"),
-        F.coalesce(F.sum("_prod"), F.lit(0)).alias("join_rows"),
-        F.max("_prod").alias("max_key_rows"),
+        F.coalesce(F.sum("_prod"), F.lit(0).cast("decimal(38,0)"))
+        .try_cast("long")
+        .alias("join_rows"),
+        F.max("_prod").try_cast("long").alias("max_key_rows"),
         F.min_by("key", F.struct((-F.col("_prod")).alias("n"), F.col("key"))).alias(
             "hottest_key"
         ),

@@ -58,6 +58,34 @@ _LINE = re.compile(
 
 SCHEMA = "subject string, predicate string, object string, object_is_uri boolean"
 
+# Literal escaping: backslash FIRST on write (quote-only escaping
+# serialized a trailing backslash as "...\" — unparseable), and a real
+# escape-sequence decoder on read (\\ \" \n \r \t — the N-Triples
+# string escapes external producers emit).
+_ESCAPES = (
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\t", "\\t"),
+)
+_UNESCAPE_RE = re.compile(r"\\(.)")
+_UNESCAPE_MAP = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+
+
+def _escape_literal(s: str) -> str:
+    for find, repl in _ESCAPES:
+        s = s.replace(find, repl)
+    return s
+
+
+def _unescape_literal(s: str) -> str:
+    if "\\" not in s:
+        return s
+    return _UNESCAPE_RE.sub(
+        lambda m: _UNESCAPE_MAP.get(m.group(1), m.group(1)), s
+    )
+
 
 @dataclass
 class _FilePartition(InputPartition):
@@ -144,7 +172,7 @@ class NTriplesReader(DataSourceReader):
                     continue
                 s_l.append(s)
                 p_l.append(p)
-                o_l.append(o_uri if is_uri else o_lit.replace('\\"', '"'))
+                o_l.append(o_uri if is_uri else _unescape_literal(o_lit))
                 u_l.append(is_uri)
                 if len(s_l) >= BATCH_ROWS:
                     yield flush()
@@ -173,7 +201,7 @@ class NTriplesWriter(DataSourceWriter):
                 o = (
                     f"<{row.object}>"
                     if row.object_is_uri
-                    else '"' + row.object.replace('"', '\\"') + '"'
+                    else '"' + _escape_literal(row.object) + '"'
                 )
                 fh.write(f"<{row.subject}> <{row.predicate}> {o} .\n")
                 n += 1
@@ -241,7 +269,7 @@ def _parse_nt_rows(path: str):
             yield (
                 s,
                 p,
-                o_uri if is_uri else o_lit.replace('\\"', '"'),
+                o_uri if is_uri else _unescape_literal(o_lit),
                 is_uri,
             )
 

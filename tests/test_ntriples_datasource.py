@@ -36,6 +36,48 @@ def test_roundtrip_including_escaped_literals(registered, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(ROWS)
 
 
+def test_roundtrip_backslash_and_control_literals(registered, tmp_path):
+    """Quote-only escaping serialized 'ends with \\' as "...\\" which
+    the reader's own grammar rejects — backslash must be escaped FIRST
+    on write and properly unescaped on read (round-5 ADVICE)."""
+    rows = [
+        ("urn:a", "ex:label", "ends with \\", False),
+        ("urn:a", "ex:label", "mid\\dle", False),
+        ("urn:a", "ex:label", 'both \\ and "q"', False),
+        ("urn:a", "ex:label", "tab\there\nline", False),
+        ("urn:a", "ex:label", "\\\\double", False),
+    ]
+    d = str(tmp_path / "g")
+    registered.createDataFrame(rows, SCHEMA).write.format(
+        "ntriples"
+    ).mode("overwrite").save(d)
+    back = registered.read.format("ntriples").load(d)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_writer_output_matches_graph_to_ntriples(registered, tmp_path):
+    """The DataSource writer and graph.to_ntriples are the two NT
+    serializers — they must emit identical lines for the same triples
+    (including backslash escapes), or a graph exported one way cannot
+    be diffed against the other."""
+    from mlentory_etl_pipeline_spark.operators import graph
+
+    rows = [
+        ("urn:a", "ex:p", "urn:b", True),
+        ("urn:a", "ex:label", 'q "x" \\ end\\', False),
+    ]
+    df = registered.createDataFrame(rows, SCHEMA)
+    d = str(tmp_path / "g")
+    df.coalesce(1).write.format("ntriples").mode("overwrite").save(d)
+    ds_lines = set()
+    for f in os.listdir(d):
+        if f.endswith(".nt"):
+            with open(os.path.join(d, f)) as fh:
+                ds_lines |= {ln.rstrip("\n") for ln in fh if ln.strip()}
+    op_lines = {r.line for r in graph.to_ntriples(df).collect()}
+    assert ds_lines == op_lines
+
+
 def test_overwrite_replaces_previous_files(registered, tmp_path):
     d = str(tmp_path / "g")
     df = registered.createDataFrame(ROWS, SCHEMA)
