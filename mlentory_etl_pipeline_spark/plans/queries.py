@@ -20203,6 +20203,16 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # The local gate (scripts/check_correctness.py) still verifies ALL
 # entries; this only rotates which 50 the driver replays.
 
+# r6 rotation (VERDICT r5 №4): 20 multi-round-green entries swap out
+# for 20 never-driver-checked family representatives. Kept: the SCD2
+# spine (6), q1, croissant_ingest, and — per VERDICT №1 — the four r5
+# driver-red queries (dawid_skene, bpe_train_merges, unigram_lm,
+# streaming_stateful_sessions) stay IN until externally green; their
+# oracles' HUGEINT output columns (the actual red cause) are now cast.
+# Several swap-ins (sessionize, token_budget, json_corrupt, q12, dq,
+# variant, profile, mann_kendall, pass_at_k, fellegi_sunter,
+# weighted_percentiles) carried the same latent HUGEINT outputs — they
+# validate the fix class externally.
 _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "scd2_version_ranges",
@@ -20210,54 +20220,50 @@ _DRIVER_WINDOW = [
     "scd2_history",
     "scd2_touch_unchanged",
     "graph_delta_publish",
-    "entity_chunking",
-    "naive_bayes_lang_confusion",  # r5 s4: classifier family (spine keeps 6 SCD2 entries)
+    "profile_orders_columns",  # r6: profiling (entity_chunking out: driver-green r3+r5)
+    "dq_constraint_audit",  # r6: DQ audit (naive_bayes out: classify keeps dawid)
     "croissant_ingest",
-    "average_precision_purchase",  # r5 s4: PR-curve eval (croissant_ingest keeps the family)
-    "side_entity_minting",
+    "pass_at_k_return_tasks",  # r6: LLM eval (average_precision out: same family)
+    "q12_shipping_lag_priority",  # r6: TPC-H join+CASE counts (side_entity_minting out)
     "range_dispatch_nested",
     "rule_table_mapper",
-    "arxiv_triples",
-    "yaml_front_matter_parse",
-    "path_expression_extract",
-    "connector_croissant_fetch",
+    "json_corrupt_records_audit",  # r6: robust ingest (arxiv_triples out: melt keeps range_dispatch)
+    "variant_props_rollup",  # r6: VARIANT surface (yaml_front_matter out: T2 gate-covered)
+    "watermark_incremental",  # r6: S2 incremental fetch (path_expression out)
+    "kv_prefix_sharing_docs",  # r6: serving family (connector_croissant_fetch out)
     "vocab_scan",
-    # r5 session-2 rotation: five r3/r4-driver-proven simple shapes
-    # (spdx_license_join, semi_join_fetch_latest, platform_inference,
-    # string_sanitation, url_canonicalize_dedup) swap out for the new
-    # operator families, which have never had a driver row
-    "msprt_daily_value_monitor",  # r5 s4: always-valid monitoring (stats keeps KM/bootstrap/isotonic)
-    "watermark_greenlist_detection",  # r5 s5: text-detection family (stats keeps msprt/KM/bootstrap/AP)
-    "rfm_customer_segments",
+    "mann_kendall_user_trend",  # r6: trend stats (msprt out: stats keeps KM/bootstrap)
+    "theil_sen_user_slope",  # r6: robust forecasting rep (watermark_greenlist out)
+    "weighted_percentiles_price",  # r6: weighted profiling (rfm out)
     "ntriples_datasource_roundtrip",
-    "bucketed_colocated_join",  # r5 s5: bucketed co-located join (embedding family keeps gram via PCA spectrum kin)
+    "sessionize_events_gaps",  # r6: headline windowed sessionization (bucketed_colocated out)
     "scd2_reified_current_export",
     "nlp_sectionize",
-    "nlp_section_dedup",
-    "edit_distance_join_parts",  # r5 s4: fuzzy-key join (NLP keeps 5 entries)
-    "dawid_skene_consensus_labels",  # r5 s5: label aggregation (NLP keeps 4 entries)
+    "bm25_document_rank",  # r6: Q6 full-text rank (nlp_section_dedup out: dedup family below)
+    "fellegi_sunter_part_weights",  # r6: linkage EM (edit_distance out: record_linkage stays)
+    "dawid_skene_consensus_labels",  # r5-red, kept until driver-green
     "nlp_grouped_qa",
-    "question_clustering_distributed",
-    "dedup_minhash_incremental",
-    "multimodal_phash_buckets",  # r5 s5: first hard-oracled multimodal row (dedup keeps minhash/decontaminate/containment via gate)
+    "dpo_pair_mining",  # r6: RL-prep pair mining (question_clustering out)
+    "dedup_minhash_lsh",  # r6: banded-LSH flagship (incremental variant out)
+    "multimodal_phash_buckets",
     "decontaminate_semantic_lsh",
-    "kcenter_greedy_coreset",  # r5 s5: coreset selection (setsim family keeps containment + minhash)
+    "kcenter_greedy_coreset",
     "record_linkage_blocked",
     "ann_ivf_pq_topk",
-    "late_interaction_maxsim",  # r5 s5: late-interaction retrieval (ANN keeps ivf_pq)
+    "late_interaction_maxsim",
     "mixture_build_funnel",
     "privacy_k_anonymity_audit",
-    "rendezvous_shard_docs",  # r5 s4: consistent placement (privacy keeps k-anonymity)
-    "quantile_normalize_scores",
-    "bpe_train_merges",
-    "hll_md5_distinct_users",
+    "grpo_group_advantages",  # r6: RL-prep group advantages (rendezvous out)
+    "token_budget_sample",  # r6: sampling quota (quantile_normalize out: r4 weak item closed)
+    "bpe_train_merges",  # r5-red, kept until driver-green
+    "cms_token_heavy_hitters",  # r6: sketch family (hll out: sketch rep swaps)
     "http_chunk_sink_receipts",
-    "graph_triangle_counts",
-    "unigram_lm_tokenizer_round",  # r5 s5: unigram tokenizer (graph keeps triangles)
+    "temperature_mix_sample",  # r6: mixture sampling (graph_triangle out)
+    "unigram_lm_tokenizer_round",  # r5-red, kept until driver-green
     "kaplan_meier_churn",
     "bootstrap_ci_avg_quantity",
     "ivm_join_delta",
-    "streaming_stateful_sessions",
+    "streaming_stateful_sessions",  # r5-red, kept until driver-green
 ]
 
 
