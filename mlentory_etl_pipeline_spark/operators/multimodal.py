@@ -7,12 +7,13 @@ Decoding is layered by what the environment provides:
   real Spark plumbing (schema contract, batch iteration,
   partition-parallel execution) with no codec at all.
 - ``fake=False`` — REAL decoders, resolved per modality at runtime:
-  WAV audio through the stdlib ``wave`` module (always available);
-  images through Pillow when importable; ``soundfile`` for non-WAV
-  audio when importable. A modality whose codec is absent raises a
-  clear ``NotImplementedError`` — or degrades to the deterministic
-  stub when ``fallback_to_fake=True`` (the posture for mixed fleets
-  where some workers lack a codec).
+  WAV audio through the stdlib ``wave`` module and PNG images through
+  a stdlib zlib-inflate + scanline-unfilter decoder (both always
+  available); other images through Pillow when importable;
+  ``soundfile`` for non-WAV audio when importable. A modality whose
+  codec is absent raises a clear ``NotImplementedError`` — or degrades
+  to the deterministic stub when ``fallback_to_fake=True`` (the
+  posture for mixed fleets where some workers lack a codec).
 
 Scale notes: media bytes never pass through Python row-at-a-time; Arrow
 moves whole column batches. Partition by content-size bands upstream so
@@ -22,11 +23,13 @@ small for wide binary rows.
 
 from __future__ import annotations
 
+import binascii
 import hashlib
 import io
 import math
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -105,6 +108,198 @@ def _decode_wav(content: bytes, dim: int) -> list[float]:
     ]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# ITU-R 601-2 luma transform, the same integer formula Pillow's
+# convert("L") applies — keeps the stdlib path bit-compatible with the
+# Pillow path on RGB inputs
+_LUMA = (299, 587, 114)
+
+
+def _png_chunks(content: bytes):
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
+        (want,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != want:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline PNG filters (types 0–4, spec §9) —
+    the inflate+unfilter half a real image decoder cannot skip."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * height)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        po = o - stride
+        if f == 0:
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                b = out[po + x] if y else 0
+                out[o + x] = (line[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[po + x] if y else 0
+                out[o + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[po + x] if y else 0
+                c = out[po + x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+    return out
+
+
+def _decode_png(content: bytes, dim: int) -> list[float]:
+    """REAL image decode via the stdlib only (zlib inflate + scanline
+    unfilter, PNG spec §9–§10): grayscale luminance per pixel, then
+    ``dim`` per-segment means in [0, 1] — the same feature contract as
+    the Pillow path, so the two decoders are drop-in equivalents.
+    8-bit depth, color types 0/2/3/4/6, non-interlaced. 16-bit depth
+    and Adam7 interlace raise NotImplementedError (capability gap →
+    fallback_to_fake taxonomy, same as 24-bit WAV)."""
+    import numpy as np
+
+    width = height = None
+    depth = ctype = interlace = None
+    palette = None
+    idat = bytearray()
+    for tag, data in _png_chunks(content):
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif tag == b"PLTE":
+            palette = data
+        elif tag == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(
+            f"real media decode: PNG bit depth {depth} unsupported"
+        )
+    if interlace:
+        raise NotImplementedError(
+            "real media decode: Adam7-interlaced PNG unsupported"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG: invalid color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    px = np.frombuffer(
+        bytes(_png_unfilter(raw, width, height, channels)), dtype=np.uint8
+    ).reshape(height * width, channels)
+    if ctype == 0:
+        lum = px[:, 0].astype(np.float64)
+    elif ctype == 4:  # gray + alpha: luminance ignores alpha
+        lum = px[:, 0].astype(np.float64)
+    elif ctype == 3:
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[px[:, 0]].astype(np.int64)
+        lum = (
+            rgb[:, 0] * _LUMA[0] + rgb[:, 1] * _LUMA[1] + rgb[:, 2] * _LUMA[2]
+        ) // 1000
+        lum = lum.astype(np.float64)
+    else:  # 2 (RGB) or 6 (RGBA): alpha ignored, 601-2 integer luma
+        rgb = px[:, :3].astype(np.int64)
+        lum = (
+            rgb[:, 0] * _LUMA[0] + rgb[:, 1] * _LUMA[1] + rgb[:, 2] * _LUMA[2]
+        ) // 1000
+        lum = lum.astype(np.float64)
+    segs = np.array_split(lum / 255.0, dim)
+    return [float(s.mean()) if s.size else 0.0 for s in segs]
+
+
+def png_encode_gray(
+    pixels: bytes, width: int, height: int, filter_type: int = 0
+) -> bytes:
+    """Minimal grayscale 8-bit PNG ENCODER (stdlib zlib) — the test and
+    oracle-side twin of :func:`_decode_png`. ``filter_type`` applies
+    the chosen scanline filter (0–4) to every row, so a decode
+    round-trip exercises the matching unfilter path."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = pixels[y * width : (y + 1) * width]
+        raw.append(filter_type)
+        for x in range(width):
+            a = line[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if filter_type == 0:
+                v = line[x]
+            elif filter_type == 1:
+                v = line[x] - a
+            elif filter_type == 2:
+                v = line[x] - b
+            elif filter_type == 3:
+                v = line[x] - (a + b) // 2
+            elif filter_type == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pr
+            else:
+                raise ValueError(f"filter type {filter_type}")
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _image_decoder():
     """Pillow-backed image decoder, or None when Pillow is absent."""
     try:
@@ -154,8 +349,9 @@ def decode_media(
 
     ``fake=True`` runs the deterministic fake decoder for every row.
     ``fake=False`` dispatches REAL decoders per (media_type, format):
-    WAV audio always decodes (stdlib ``wave``); images decode when
-    Pillow is importable; other audio when ``soundfile`` is importable.
+    WAV audio and PNG images always decode (stdlib ``wave`` / zlib
+    inflate + unfilter); other images decode when Pillow is
+    importable; other audio when ``soundfile`` is importable.
     A row whose modality has no available codec raises
     ``NotImplementedError`` ("real media decode …") unless
     ``fallback_to_fake=True``, which degrades that row to the
@@ -178,6 +374,9 @@ def decode_media(
             decoder = _decode_wav
         elif media_type == "audio":
             decoder = soundfile_decoder
+        elif media_type == "image" and (fmt or "").lower() == "png":
+            # stdlib PNG path: always available, Pillow-free
+            decoder = _decode_png
         elif media_type == "image":
             decoder = image_decoder
         if decoder is None:

@@ -19720,6 +19720,91 @@ def multimodal_phash_buckets(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_luminance",
+    "REAL image decode under a HARD oracle: each doc becomes a genuine "
+    "8x6 grayscale PNG (pixels = md5(doc_id) bytes tiled, encoded with "
+    "scanline filter doc_id%5 so every unfilter path 0-4 runs), the "
+    "stdlib zlib-inflate+unfilter decoder (multimodal._decode_png — "
+    "no Pillow) extracts 8 per-segment luminance means via "
+    "mapInPandas, and integer segment sums recovered from the float32 "
+    "features must equal the oracle's direct md5 hex-pair arithmetic "
+    "— the encode->deflate->inflate->unfilter->segment round-trip is "
+    "verified END TO END, closing the round-5 'real image decode is "
+    "rows-only' gap (reference media payloads: "
+    "HFDatasetManager.py:459-489)",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents WHERE doc_id < 64
+    ),
+    px AS (
+      SELECT doc_id, p.p AS p,
+             CAST(('0x' || SUBSTR(hx, 2 * (p.p % 16) + 1, 2)) AS BIGINT)
+               AS v
+      FROM d, UNNEST(RANGE(0, 48)) AS p(p)
+    )
+    SELECT doc_id, CAST(p // 6 AS INTEGER) AS seg,
+           CAST(SUM(v) AS BIGINT) AS lum_sum
+    FROM px GROUP BY doc_id, p // 6
+    ORDER BY doc_id, seg
+    """,
+    survey_ops=("multimodal", "N4 embeddings"),
+)
+def multimodal_png_luminance(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd_  # noqa: N813 - local alias, matches operators
+
+    from mlentory_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        png_encode_gray,
+    )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            pngs = []
+            for i in ids:
+                digest = hashlib.md5(str(i).encode()).digest()
+                pixels = bytes(digest[p % 16] for p in range(48))
+                pngs.append(
+                    png_encode_gray(pixels, 8, 6, filter_type=i % 5)
+                )
+            yield pd_.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "content": pngs,
+                    "format": ["png"] * len(ids),
+                    "width": [8] * len(ids),
+                    "height": [6] * len(ids),
+                    "duration_ms": pd_.array(
+                        [None] * len(ids), dtype="Int64"
+                    ),
+                }
+            )
+
+    media = d.mapInPandas(build, MEDIA_SCHEMA)
+    decoded = multimodal.decode_media(media, fake=False, feature_dim=8)
+    # each segment holds 6 pixels: mean/255 * 6*255 recovers the exact
+    # integer luminance sum (float32 carries <=1530 exactly)
+    return decoded.select(
+        F.col("media_id").alias("doc_id"),
+        F.posexplode("features").alias("seg", "_f"),
+    ).select(
+        "doc_id",
+        "seg",
+        F.round(F.col("_f").cast("double") * 1530).cast("long").alias(
+            "lum_sum"
+        ),
+    ).orderBy("doc_id", "seg")
+
+
+@register(
     "ab_sample_size_planning",
     "two-proportion experiment sample-size planning from the observed "
     "baseline: n per arm = ceil((z_a + z_b)^2 * (p1(1-p1) + p2(1-p2)) "
@@ -20231,7 +20316,7 @@ _DRIVER_WINDOW = [
     "variant_props_rollup",  # r6: VARIANT surface (yaml_front_matter out: T2 gate-covered)
     "watermark_incremental",  # r6: S2 incremental fetch (path_expression out)
     "kv_prefix_sharing_docs",  # r6: serving family (connector_croissant_fetch out)
-    "vocab_scan",
+    "multimodal_png_luminance",  # r6: REAL PNG decode under hard oracle (vocab_scan out)
     "mann_kendall_user_trend",  # r6: trend stats (msprt out: stats keeps KM/bootstrap)
     "theil_sen_user_slope",  # r6: robust forecasting rep (watermark_greenlist out)
     "weighted_percentiles_price",  # r6: weighted profiling (rfm out)

@@ -50,7 +50,10 @@ def test_multimodal_real_decode_raises_without_codec(spark):
         pytest.skip("Pillow present — the no-codec path can't trigger")
     except ImportError:
         pass
-    media = multimodal.synthetic_media(spark, n=3).where("media_type = 'image'")
+    # PNG now decodes via the stdlib path, so the codec-absent branch
+    # needs a non-PNG image format (jpeg requires Pillow)
+    rows = [(i, "image", bytes([i] * 32), "jpeg", 8, 4, None) for i in range(3)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception) as exc:
         multimodal.decode_media(media, fake=False).collect()
     assert "real media decode" in str(exc.value)
@@ -90,18 +93,12 @@ def test_multimodal_real_wav_decode(spark):
 
 
 def test_multimodal_real_image_decode(spark):
-    import pytest
-
-    PIL = pytest.importorskip("PIL")  # noqa: F841
-    import io as _io
-
-    from PIL import Image
+    """REAL PNG decode, no skip: the stdlib zlib+unfilter decoder
+    (multimodal._decode_png) handles genuine PNG bytes in any
+    environment — the former Pillow-only skip is gone."""
 
     def png(shade):
-        im = Image.new("L", (16, 16), shade)
-        buf = _io.BytesIO()
-        im.save(buf, format="PNG")
-        return buf.getvalue()
+        return multimodal.png_encode_gray(bytes([shade] * 256), 16, 16)
 
     rows = [
         (0, "image", png(0), "png", 16, 16, None),
@@ -111,6 +108,72 @@ def test_multimodal_real_image_decode(spark):
     got = {r.media_id: r for r in multimodal.decode_media(media, fake=False).collect()}
     assert all(x < 0.01 for x in got[0].features)  # black
     assert all(x > 0.99 for x in got[1].features)  # white
+
+
+def test_png_decode_roundtrip_every_filter_type(spark):
+    """Encode one deterministic gradient under each PNG scanline
+    filter (0–4): identical pixels in, so the decoded features must be
+    identical across filters AND equal to the directly-computed
+    per-segment means — proving the unfilter paths, not just filter 0."""
+    import numpy as np
+
+    w, h = 16, 12
+    pixels = bytes(((x * 7 + y * 13) % 256) for y in range(h) for x in range(w))
+    rows = [
+        (f, "image", multimodal.png_encode_gray(pixels, w, h, filter_type=f),
+         "png", w, h, None)
+        for f in range(5)
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.decode_media(media, fake=False).collect()}
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64) / 255.0
+    want = [float(s.mean()) for s in np.array_split(arr, 8)]
+    for f in range(5):
+        assert got[f].features == pytest_approx_list(want)
+
+
+def pytest_approx_list(vals):
+    import pytest
+
+    return pytest.approx(vals, abs=1e-6)
+
+
+def test_png_decode_failure_taxonomy(spark):
+    """Corrupt PNG bytes → ValueError (quarantine, never masked);
+    capability gaps (16-bit depth) → NotImplementedError, which
+    fallback_to_fake degrades gracefully."""
+    import struct as _struct
+
+    import pytest
+
+    good = multimodal.png_encode_gray(bytes(range(64)), 8, 8)
+    corrupt = good[:-8] + b"\x00\x00\x00\x00" + good[-4:]  # break IEND CRC
+    media = spark.createDataFrame(
+        [(0, "image", corrupt, "png", 8, 8, None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(media, fake=False).collect()
+    assert "media decode failed" in str(exc.value)
+
+    # 16-bit depth: rewrite IHDR (fix its CRC) — capability gap
+    import binascii as _binascii
+
+    ihdr = _struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
+    chunk = (
+        _struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + _struct.pack(">I", _binascii.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    deep = good[:8] + chunk + good[8 + 12 + 13 :]
+    media16 = spark.createDataFrame(
+        [(0, "image", deep, "png", 8, 8, None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(media16, fake=False).collect()
+    assert "real media decode" in str(exc.value)
+    fb = multimodal.decode_media(media16, fake=False, fallback_to_fake=True)
+    assert len(fb.collect()[0].features) == 8
 
 
 def test_frame_sample_plan(spark):
