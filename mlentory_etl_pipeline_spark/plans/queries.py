@@ -1244,7 +1244,7 @@ def scd2_stream_load_ranges(spark, sf_dir):
         q = incremental.scd2_stream_load(
             spark.readStream.schema(b1.schema).parquet(land), store, ckpt
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
     state = store.state()
     return state.version_range.join(
         state.triplet.drop("subject"), "triplet_hash"
@@ -3503,7 +3503,7 @@ def streaming_stateful_running_agg(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # final state per key = last update emitted (max n_events wins)
@@ -7094,20 +7094,64 @@ def hll_md5_distinct_users(spark, sf_dir):
     return sketches.hll_md5_estimate(regs, ["event_type"], b=8)
 
 
+def _restamp_landing(src: str) -> None:
+    """Pin the arrival order of landing files EXPLICITLY: stamp every
+    not-yet-stamped file in ``src`` with a strictly increasing mtime
+    (10 s apart, starting an hour in the past so everything stays
+    inside FileStreamSource's maxFileAge horizon). FileStreamSource
+    replays files in modification-time order; sequential writes
+    normally produce increasing mtimes, but on a loaded machine or a
+    coarse-granularity filesystem two writes can collide to the same
+    mtime and fall back to arbitrary path order — which re-slices the
+    micro-batches. Call after EVERY landing write (slices and
+    sentinels) before the stream starts."""
+    import os
+    import time
+
+    state = _LANDING_STAMPS.setdefault(
+        src, [set(), 0, time.time() - 3600.0]
+    )
+    for name in sorted(os.listdir(src)):
+        if name in state[0]:
+            continue
+        t_stamp = state[2] + state[1] * 10.0
+        os.utime(os.path.join(src, name), (t_stamp, t_stamp))
+        state[0].add(name)
+    state[1] += 1
+
+
+_LANDING_STAMPS: dict = {}
+
+
+def _drain(q, timeout_s: int = 300) -> None:
+    """Await an availableNow drain and FAIL LOUDLY if it does not
+    finish: ``awaitTermination(t)`` returns False on timeout, and a
+    caller that ignores that and reads the sink gets silently partial
+    results — exactly the kind of load-dependent wrongness an external
+    gate sees and a fast local run never does."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream drain did not complete within {timeout_s}s"
+        )
+
+
 def _write_time_ordered_slices(df, src: str, ts_col: str = "ts"):
     """Write ``df`` to ``src`` as one parquet file per calendar quarter,
-    oldest quarter first — sequential jobs give strictly increasing
-    file modification times, which is the order FileStreamSource
-    replays them in. Returns the global max timestamp (free from the
-    same key-discovery aggregation — callers that need it for sentinel
-    rows save a full re-scan)."""
+    oldest quarter first, and explicitly stamp each slice's mtime via
+    :func:`_restamp_landing` so FileStreamSource's replay order is
+    pinned even under mtime-granularity collisions. Returns
+    ``(max_ts, n_slices)`` — both free from the same key-discovery
+    aggregation (callers need the max for sentinel rows and the slice
+    count to size ``maxFilesPerTrigger``, without a re-scan)."""
     qkey = (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))).alias("_q")
     rows = df.groupBy(qkey).agg(F.max(F.col(ts_col)).alias("_mx")).collect()
     for k in sorted(r._q for r in rows):
         df.where(
             (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))) == k
         ).coalesce(1).write.mode("append").parquet(src)
-    return max((r._mx for r in rows), default=None)
+        _restamp_landing(src)
+    return max((r._mx for r in rows), default=None), len(rows)
 
 
 @register(
@@ -7164,7 +7208,7 @@ def streaming_dedup_watermark(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
@@ -8671,7 +8715,7 @@ def agg_state_stream_rollup(spark, sf_dir):
         .parquet(src)
     )
     q = agg_state_stream_maintenance(stream, ["event_type"], "value", state, ckpt)
-    q.awaitTermination(120)
+    _drain(q, 120)
     return read_agg_state(spark, state).select(
         "event_type",
         "cnt",
@@ -9546,7 +9590,7 @@ def streaming_attribution_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(sink).agg(
@@ -10061,7 +10105,7 @@ def streaming_stateful_sessions(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
     land = tempfile.mkdtemp(prefix="statesess-land-")
     ckpt = tempfile.mkdtemp(prefix="statesess-ckpt-")
-    mx = _write_time_ordered_slices(e, land)
+    mx, n_slices = _write_time_ordered_slices(e, land)
     # two sentinels: the first advances the watermark past every real
     # session's timer, the second runs the batch in which those timers
     # FIRE (event-time timeouts fire one batch after the watermark
@@ -10075,14 +10119,19 @@ def streaming_stateful_sessions(spark, sf_dir):
             (F.lit(mx) + F.expr(f"INTERVAL {days} DAY")).cast(tstype).alias("ts"),
             F.lit(0.0).alias("value"),
         ).coalesce(1).write.mode("append").parquet(land)
+        _restamp_landing(land)
     # maxFilesPerTrigger=2 folds the data slice and the FIRST sentinel
     # into one micro-batch (correct: the batch-start watermark is 0, so
     # nothing is late; the batch-end watermark jumps past every real
     # timer) and leaves the second sentinel as the batch in which those
-    # timers FIRE — 2 stateful batches instead of 3, same drained rows.
+    # timers FIRE — exactly 2 stateful batches at ANY scale factor
+    # (n_slices data files + sentinel 1, then sentinel 2), same drained
+    # rows: micro-batch boundaries are semantically invisible
+    # (test_sessionize_microbatch_boundaries_are_invisible), so the
+    # drain pays the per-batch fixed cost the minimum number of times.
     stream = (
         spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", n_slices + 1)
         .parquet(land)
     )
     sink = f"statesess_out_{abs(hash(sf_dir)) % 10_000_000}"
@@ -10105,7 +10154,7 @@ def streaming_stateful_sessions(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
