@@ -20,6 +20,71 @@ def pytest_configure(config):
     )
 
 
+# Individually slow tests (measured ≥ ~3.5 s call time on local[4] —
+# `pytest --durations=40`, 2026-08). Marked centrally by name instead of
+# decorating a dozen files; each remains in the full (no `-m`) gate.
+_SLOW_BY_NAME = {
+    "test_reappearing_triple_gets_fresh_range",
+    "test_etl_spine_end_to_end",
+    "test_semantic_bucketed_parity_with_exhaustive",
+    "test_agg_state_stream_maintenance",
+    "test_scd2_stream_load_incremental_parity",
+    "test_sessionize_with_timeout_both_close_paths",
+    "test_sessionize_microbatch_boundaries_are_invisible",
+    "test_snapshot_time_travel",
+    "test_bfs_crawl_loop",
+    "test_personalized_pagerank_seed_locality",
+    "test_unigram_viterbi_matches_python_dp",
+    "test_fetch_retries_then_succeeds",
+    "test_embedding_near_dup_lsh_recall",
+    "test_query_interface_facade",
+    "test_persistence_roundtrip",
+    "test_neyman_allocation_invariants",
+    "test_pagerank_star_graph",
+    "test_connected_components_long_chain_logarithmic",
+    "test_banded_lsh_single_corpus_scan",
+    "test_http_chunk_upload_entity_aligned_and_finalize",
+    "test_changed_values_deprecate_old_ranges",
+    "test_vacuum_closed_ranges",
+    "test_arxiv_version_normalization",
+    "test_ntriples_stream_reader_tails_new_files",
+    "test_roundtrip_including_escaped_literals",
+    "test_point_in_time_graph",
+    "test_idempotent_reload_advances_use_end",
+    "test_hash_split_total_and_stable",
+    "test_bpe_train_matches_sequential_model",
+    "test_semantic_dedup_policies",
+    "test_waterfill_invariants",
+    "test_incremental_minhash_equals_full_cross_pairs",
+    "test_landing_append_partitions",
+    "test_foreach_batch_merge_parity",
+    "test_personalized_pagerank_dangling_mass_to_seeds",
+    "test_running_stats_stream_batch_parity",
+    "test_frequent_items_partition_invariant",
+    "test_stream_stream_interval_join",
+    "test_pagerank_dangling_mass",
+    "test_http_chunk_upload_error_capture_and_finalize_refusal",
+    "test_fetch_exhausted_and_permanent_errors",
+    "test_roundtrip_backslash_and_control_literals",
+    "test_label_propagation_partition_invariant",
+    "test_pq_adc_recall_and_compression_shape",
+    "test_simhash_blocking_complete",
+    "test_changes_between_scalar_and_inplan_agree",
+    "test_triangle_degree_orientation_bounds_hub_fanout",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    # `-m fast` tier: everything not explicitly marked slow. The full
+    # suite (no -m) remains the shipping gate; fast is the mid-session
+    # smoke tier (< 5 min), covering every module's cheap tests.
+    for item in items:
+        if item.originalname in _SLOW_BY_NAME or item.name in _SLOW_BY_NAME:
+            item.add_marker(pytest.mark.slow)
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("mlentory-tests")

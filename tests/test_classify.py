@@ -47,6 +47,11 @@ nb_corpus = st.lists(
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _qlog(x: float) -> int:
     return math.floor(math.log(x) * 1_000_000)
 

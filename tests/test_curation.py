@@ -7,6 +7,8 @@ cover semantics the synthetic corpus can't reach."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mlentory_etl_pipeline_spark.operators import curation
@@ -339,6 +341,7 @@ def test_gopher_quality_rule_boundaries(spark):
             assert getattr(r, c) is not None
 
 
+@pytest.mark.slow
 def test_mixture_build_funnel_invariants(spark):
     from mlentory_etl_pipeline_spark.operators.curation import (
         build_training_mixture,
@@ -400,6 +403,7 @@ def test_semantic_bucketed_parity_with_exhaustive(spark):
     assert lsh == exact
 
 
+@pytest.mark.slow
 def test_mixture_funnel_semantic_stage(spark):
     """With doc/eval embeddings supplied, the funnel gains the
     semantic_decontaminated stage between n-gram decontamination and

@@ -31,6 +31,11 @@ auc_case = st.lists(
 ).filter(lambda xs: any(y for y, _ in xs) and any(not y for y, _ in xs))
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _pairwise_auc(pairs):
     pos = [s for y, s in pairs if y]
     neg = [s for y, s in pairs if not y]

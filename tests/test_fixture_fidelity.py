@@ -34,6 +34,11 @@ _T1 = "2024-07-16_09-14-40"
 _T2 = "2025-07-16_09-14-40"
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _cell(data, method=_P, conf=1.0, ts=_T1):
     return [(data, method, conf, ts)]
 

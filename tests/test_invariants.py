@@ -15,6 +15,8 @@ hold after any fold:
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -76,6 +78,7 @@ def _check_invariants(state, last_batch_triples):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(b1=batch_st, b2=batch_st)
+@pytest.mark.slow
 def test_scd2_fold_invariants(spark, b1, b2):
     t0 = datetime(2024, 1, 1)
     s1 = vs.merge_batch(vs.empty_state(spark), _to_df(spark, b1, t0))
@@ -106,6 +109,7 @@ edge_st = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=edge_st)
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """Star contraction must agree with a driver-side union-find on any
     random small graph (self-loops allowed; they are ignored)."""

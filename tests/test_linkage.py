@@ -222,6 +222,7 @@ ed_strings = st.lists(
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(ed_strings, ed_strings, st.integers(1, 2))
+@pytest.mark.slow
 def test_edit_distance_join_matches_brute_force(spark, ls, rs, k):
     from mlentory_etl_pipeline_spark.operators.linkage import (
         edit_distance_join,
@@ -260,6 +261,7 @@ cont_docs = st.lists(
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(cont_docs)
+@pytest.mark.slow
 def test_containment_join_matches_brute_force(spark, docs):
     from mlentory_etl_pipeline_spark.operators.dedup import containment_join
 

@@ -4,6 +4,8 @@ loop, graph serialization details, melt/range-dispatch typing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mlentory_etl_pipeline_spark.functions.text import edge_ngram_prefixes
@@ -232,6 +234,7 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert full_pairs == exact_pairs
 
 
+@pytest.mark.slow
 def test_trained_quantizers_recall(spark):
     """Trained (Lloyd's) IVF centroids and PQ codebooks must hold a
     recall@5 floor vs brute force, and training must be deterministic
@@ -1516,6 +1519,7 @@ from hypothesis import strategies as st
     ),
     dup_of=st.integers(min_value=0, max_value=3),
 )
+@pytest.mark.slow
 def test_angular_blocking_is_lossless_vs_brute_force(spark, vecs, dup_of):
     """The blocked pair set must EQUAL brute force at threshold 0.999
     — including planted exact near-dups (a 2x-scaled copy of one

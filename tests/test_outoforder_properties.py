@@ -35,6 +35,11 @@ SUBJECTS = 3
 PREDICATES = 2
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _scenario_contents(rng: random.Random, n_batches: int, k: int):
     """Random triples per batch for scenario ``k``: each (subject,
     predicate) pair is independently present/absent per batch with one

@@ -37,6 +37,11 @@ eb_case = st.lists(
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _eb_model(rows):
     rqs = [(k * 1_000_000) // n for k, n in rows]
     u = len(rqs)

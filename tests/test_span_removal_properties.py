@@ -22,6 +22,11 @@ from mlentory_etl_pipeline_spark.operators.dedup import remove_duplicate_spans
 N = 3
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _model(docs: dict[int, str], n: int = N) -> dict[int, tuple[str, int, int]]:
     toks = {d: t.split(" ") for d, t in docs.items()}
     occ: list[tuple[tuple[str, ...], int, int]] = []

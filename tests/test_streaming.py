@@ -4,6 +4,8 @@ produce identical results via the batch path and a real streaming run
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -245,6 +247,7 @@ def test_scd2_stream_load_incremental_parity(spark, tmp_path):
     assert ("m1", "p0", "v0") not in got_cur
 
 
+@pytest.mark.slow
 def test_scd2_stream_load_crash_recovery(spark, tmp_path):
     """Kill the foreachBatch SCD2 load MID-FOLD and restart from its
     checkpoint: the injected crash lands AFTER the store commit of

@@ -15,6 +15,11 @@ from mlentory_etl_pipeline_spark.operators.temporal import asof_join, range_join
 T0 = datetime(2024, 1, 1)
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _ts(s: int) -> datetime:
     return T0 + timedelta(seconds=s)
 
