@@ -267,9 +267,20 @@ def main():
 
     # Streaming bucket: micro-batch drain cost of the stateful
     # operators (VERDICT r4 №6 — make drain-cost regressions visible).
-    # Timed once (cold ≈ warm for a drain: the cost IS the micro-batch
-    # machinery, not JIT), kept out of headline_total.
+    # Same warm/cold methodology as the headline: r5 timed each drain
+    # once on the claim "cold ≈ warm for a drain", which measurement
+    # falsified — the FIRST stateful drain in a session pays ~3.3 s of
+    # data-independent engine init (a 3-row drain costs 6.0 s cold vs
+    # 2.7 s warm), and landing re-writes are page-cache warm on rerun.
+    # The reported bucket number is min(run1, run2) per drain — by the
+    # time the bucket runs, the session has executed 300+ queries and
+    # single-run times carry ±1.5 s co-tenancy noise that would mask
+    # real drain-cost regressions; min-of-two is the standard
+    # steady-state estimator under one-sided noise. Both raw runs stay
+    # visible (``streaming_run1``/``streaming_run2`` in the detail).
     streaming: dict[str, float] = {}
+    streaming_run1: dict[str, float] = {}
+    streaming_run2: dict[str, float] = {}
     for name in (
         "streaming_stateful_sessions",
         "streaming_dedup_watermark",
@@ -280,7 +291,11 @@ def main():
         if name in REGISTRY:
             t0 = time.perf_counter()
             REGISTRY[name].spark_fn(spark, sf_dir).count()
-            streaming[name] = round(time.perf_counter() - t0, 3)
+            streaming_run1[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            REGISTRY[name].spark_fn(spark, sf_dir).count()
+            streaming_run2[name] = round(time.perf_counter() - t0, 3)
+            streaming[name] = min(streaming_run1[name], streaming_run2[name])
 
     headline = {
         "metric": "headline_total",
@@ -291,6 +306,7 @@ def main():
         "cold_total": round(sum(cold.values()), 3),
         "streaming": streaming,
         "streaming_total": round(sum(streaming.values()), 3),
+        "streaming_cold_total": round(sum(streaming_run1.values()), 3),
     }
     detail = {
         "metric": "bench_detail",
@@ -300,6 +316,8 @@ def main():
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "streaming": streaming,
+        "streaming_run1": streaming_run1,
+        "streaming_run2": streaming_run2,
         **headline,
     }
     detail["metric"] = "bench_detail"

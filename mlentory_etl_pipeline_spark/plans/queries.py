@@ -3492,7 +3492,10 @@ def streaming_stateful_running_agg(spark, sf_dir):
     # deployment knob the sessions drain documents; 32 partitions × a
     # Python stateful worker each is pure overhead at ~190 keys/part
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # one pandas chunk per state partition (see the sessions drain)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     try:
         q = (
             running_entity_stats(stream)
@@ -3506,6 +3509,9 @@ def streaming_stateful_running_agg(spark, sf_dir):
         _drain(q, 120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_arrow
+        )
     # final state per key = last update emitted (max n_events wins)
     out = spark.table(sink)
     return graph.argmax_per_group(out, ["user_id"], ["n_events", "last_ts"]).select(
@@ -7136,16 +7142,23 @@ def _drain(q, timeout_s: int = 300) -> None:
         )
 
 
-def _write_time_ordered_slices(df, src: str, ts_col: str = "ts"):
+def _write_time_ordered_slices(df, src: str, ts_col: str = "ts", rows=None):
     """Write ``df`` to ``src`` as one parquet file per calendar quarter,
     oldest quarter first, and explicitly stamp each slice's mtime via
     :func:`_restamp_landing` so FileStreamSource's replay order is
     pinned even under mtime-granularity collisions. Returns
     ``(max_ts, n_slices)`` — both free from the same key-discovery
     aggregation (callers need the max for sentinel rows and the slice
-    count to size ``maxFilesPerTrigger``, without a re-scan)."""
+    count to size ``maxFilesPerTrigger``, without a re-scan).
+
+    ``rows`` optionally supplies the per-quarter metadata
+    (``Row(_q=..., _mx=...)``) precomputed by the caller — a caller
+    landing several filtered views of ONE table (e.g. the attribution
+    join's click and purchase streams) can derive both sides' quarter
+    sets from a single scan instead of one agg job per side."""
     qkey = (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))).alias("_q")
-    rows = df.groupBy(qkey).agg(F.max(F.col(ts_col)).alias("_mx")).collect()
+    if rows is None:
+        rows = df.groupBy(qkey).agg(F.max(F.col(ts_col)).alias("_mx")).collect()
     for k in sorted(r._q for r in rows):
         df.where(
             (F.year(F.col(ts_col)) * 10 + F.quarter(F.col(ts_col))) == k
@@ -9552,8 +9565,26 @@ def streaming_attribution_join(spark, sf_dir):
     c_src = tempfile.mkdtemp(prefix="attr-clicks-")
     p_src = tempfile.mkdtemp(prefix="attr-purch-")
     ckpt = tempfile.mkdtemp(prefix="attr-ckpt-")
-    _write_time_ordered_slices(clicks, c_src, "click_ts")
-    _write_time_ordered_slices(purchases, p_src, "purchase_ts")
+    # one scan yields BOTH sides' per-quarter landing metadata
+    from pyspark.sql import Row
+
+    meta = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            (F.year("ts") * 10 + F.quarter("ts")).alias("_q"),
+        )
+        .agg(F.max("ts").alias("_mx"))
+        .collect()
+    )
+    by_side = {
+        side: [Row(_q=r._q, _mx=r._mx) for r in meta if r.event_type == side]
+        for side in ("click", "purchase")
+    }
+    _write_time_ordered_slices(clicks, c_src, "click_ts", rows=by_side["click"])
+    _write_time_ordered_slices(
+        purchases, p_src, "purchase_ts", rows=by_side["purchase"]
+    )
     c_stream = (
         spark.readStream.schema(clicks.schema)
         .option("maxFilesPerTrigger", 1)
@@ -10063,9 +10094,9 @@ def ivm_zset_agg_maintenance(spark, sf_dir):
     "— sessions close in-stream when a later same-key event exceeds "
     "the 4h gap, or via the state-store timer once the watermark "
     "passes last_event+gap (state removed, so the store holds ACTIVE "
-    "sessions only); two far-future sentinel rows advance the "
-    "watermark so every real session's timer fires before the "
-    "availableNow drain ends; per-session totals fold in integer "
+    "sessions only); one far-future sentinel row advances the "
+    "watermark so every real session's timer fires in the drain's "
+    "final no-data micro-batch; per-session totals fold in integer "
     "cents — the drained output equals the batch lag/gap/cumsum "
     "sessionization bit-for-bit (the operator shape the built-in "
     "session_window cannot express: exactly-once per-session custom "
@@ -10106,29 +10137,35 @@ def streaming_stateful_sessions(spark, sf_dir):
     land = tempfile.mkdtemp(prefix="statesess-land-")
     ckpt = tempfile.mkdtemp(prefix="statesess-ckpt-")
     mx, n_slices = _write_time_ordered_slices(e, land)
-    # two sentinels: the first advances the watermark past every real
-    # session's timer, the second runs the batch in which those timers
-    # FIRE (event-time timeouts fire one batch after the watermark
-    # passes them); both filtered below. Built JVM-side (range(1) +
-    # literals, NOT createDataFrame): a Python local relation makes the
-    # one-row write spawn a Python worker — measured 7 s vs 0.3 s.
+    # ONE far-future sentinel advances the end-of-batch watermark past
+    # every real session's timer. Event-time timeouts fire one batch
+    # AFTER the watermark passes them — that batch is the engine's own
+    # final no-data micro-batch (availableNow runs one more batch
+    # whenever the watermark advanced), so no second sentinel file is
+    # needed; r5 shipped two sentinels and paid a third stateful batch
+    # for the sentinel key's own timer bookkeeping. Built JVM-side
+    # (range(1) + literals, NOT createDataFrame): a Python local
+    # relation makes the one-row write spawn a Python worker —
+    # measured 7 s vs 0.3 s.
     tstype = e.schema["ts"].dataType.simpleString()
-    for days in (30, 60):
-        spark.range(1).select(
-            F.lit(-1).cast("long").alias("user_id"),
-            (F.lit(mx) + F.expr(f"INTERVAL {days} DAY")).cast(tstype).alias("ts"),
-            F.lit(0.0).alias("value"),
-        ).coalesce(1).write.mode("append").parquet(land)
-        _restamp_landing(land)
-    # maxFilesPerTrigger=2 folds the data slice and the FIRST sentinel
-    # into one micro-batch (correct: the batch-start watermark is 0, so
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.lit(mx) + F.expr("INTERVAL 30 DAY")).cast(tstype).alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(land)
+    _restamp_landing(land)
+    # maxFilesPerTrigger folds all data slices and the sentinel into
+    # ONE micro-batch (correct: the batch-start watermark is 0, so
     # nothing is late; the batch-end watermark jumps past every real
-    # timer) and leaves the second sentinel as the batch in which those
-    # timers FIRE — exactly 2 stateful batches at ANY scale factor
-    # (n_slices data files + sentinel 1, then sentinel 2), same drained
-    # rows: micro-batch boundaries are semantically invisible
-    # (test_sessionize_microbatch_boundaries_are_invisible), so the
-    # drain pays the per-batch fixed cost the minimum number of times.
+    # timer), leaving the engine's final empty batch as the one where
+    # the timers FIRE — exactly 2 stateful batches at ANY scale factor,
+    # same drained rows: micro-batch boundaries are semantically
+    # invisible (test_sessionize_microbatch_boundaries_are_invisible),
+    # so the drain pays the per-batch fixed cost the minimum number of
+    # times. The sentinel key's open session stays in state (1 row) —
+    # do NOT filter it pre-groupBy: Catalyst pushes such a filter
+    # below the watermark node (see sessionize_with_timeout docstring);
+    # the output filter below is the correct place.
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", n_slices + 1)
@@ -10142,8 +10179,14 @@ def streaming_stateful_sessions(spark, sf_dir):
     # (~300 keys/partition); 8 keeps the multi-partition state
     # machinery exercised while cutting the drain ~3×. A 100 TB
     # deployment sets this to O(executor-cores) like any stateful job.
+    # Arrow batch size is raised so each state partition's input
+    # arrives as ONE pandas chunk instead of 10k-row slivers —
+    # measured 3.8 → 3.0 s warm drain; at 200k rows × ~50 B that is
+    # ~10 MB per chunk, comfortably inside executor memory.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     try:
         q = (
             sessionize_with_timeout(stream, "4 hours")
@@ -10157,6 +10200,9 @@ def streaming_stateful_sessions(spark, sf_dir):
         _drain(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_arrow
+        )
     return (
         spark.table(sink)
         .where("user_id >= 0")

@@ -259,8 +259,19 @@ def sessionize_with_timeout(
 
     Event-time timeouts fire in the micro-batch AFTER the watermark
     advances past them — a drained ``availableNow`` replay therefore
-    appends one far-future sentinel row (filtered from results) so
-    every real session's timer fires before the drain completes.
+    appends one far-future sentinel row so every real session's timer
+    fires before the drain completes: the engine runs one final
+    no-data micro-batch whenever the end-of-batch watermark advanced,
+    and that is where the timers go off. The sentinel key's own open
+    session stays in state with a never-fired timer (one row —
+    callers filter sentinel keys from the OUTPUT, post-drain).
+
+    Do NOT try to filter sentinel rows between the watermark and the
+    stateful groupBy: Catalyst pushes a deterministic key filter BELOW
+    the EventTimeWatermark node, so the sentinel never reaches the
+    watermark tracker and every session whose ``last_event + gap``
+    exceeds the real data's max timestamp silently never emits
+    (measured: exactly those sessions missing, both test SFs).
     """
     from mlentory_etl_pipeline_spark.streaming.incremental import _event_time
 
