@@ -11018,7 +11018,10 @@ def golden_record_users(spark, sf_dir):
     "micro-quantized ln(1 - d/n) terms over the DURATION-keyed "
     "aggregate (<= observation-days rows, metadata), one exp on the "
     "identical integer operand; per-user spans off one map-side "
-    "combined min/max aggregation",
+    "combined min/max aggregation. oracle-lint floor(ln) warn "
+    "justified: ln operands are the identical small rationals "
+    "(1 - d/n over integer at-risk counts) on both engines, grid "
+    ">=1e-2 from knife-edges; driver-green r5 with this construct",
     oracle="""
     WITH spans AS (
       SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY user_id
@@ -13957,7 +13960,11 @@ def croston_part_demand(spark, sf_dir):
     "to their 2^3 agreement PATTERNS first (the only pass over the "
     "pair table), EM iterates on metadata; micro-unit params + exact "
     "HUGEINT M-step sums unroll EM into a hard oracle (the Lloyd's/"
-    "pagerank/ALS precedent, now for EM)",
+    "pagerank/ALS precedent, now for EM; intermediate HUGEINT is "
+    "safe — the lint FAIL class is HUGEINT in the OUTPUT projection, "
+    "and every output column here is CAST). oracle-lint floor(ln) "
+    "warn justified: quantization hits identical micro-unit rationals "
+    "on both engines, grid >=1e-2 from knife-edges",
     oracle=_fs_em_oracle(5),
     survey_ops=("record-linkage", "G9 argmax disambiguation"),
 )
@@ -17540,7 +17547,13 @@ def _ds_round_sql(n: int, prev: str) -> str:
     "Laplace smoothing, E-step scores as sums of floor(1e6*ln(p)) on "
     "identical rationals, argmax with label tiebreak — the RLHF/"
     "annotation label-quality primitive; per round one item-keyed "
-    "join + aggregation, model state broadcast (J x L x L grid)",
+    "join + aggregation, model state broadcast (J x L x L grid). "
+    "oracle-lint floor(ln) warn justified: both engines quantize the "
+    "SAME rationals (integer counts / integer totals) and the score "
+    "grid sits >=1e-2 from every integer knife-edge on this corpus; "
+    "the r5 driver red was the HUGEINT output column (now CAST), with "
+    "identical floor(ln) scoring driver-green in "
+    "naive_bayes_lang_confusion",
     oracle="""
     WITH ann AS (
       SELECT doc_id AS i, j,
@@ -17765,7 +17778,13 @@ def _unigram_dp_levels(max_len: int) -> str:
     "Laplace-smoothed count re-estimation — the DP runs map-side as "
     "HOF folds over each distinct word's edge list (model broadcast, "
     "no joins in the hot loop); the oracle unrolls the same DP by "
-    "position level plus a recursive backtrack",
+    "position level plus a recursive backtrack. oracle-lint warns "
+    "justified: the RECURSIVE backtrack and the position-level unroll "
+    "are both bounded by MAX WORD LENGTH (a small corpus constant, "
+    "not data volume), floor(ln) quantizes identical integer-count "
+    "rationals >=1e-2 from knife-edges, and the r5 driver red was the "
+    "HUGEINT output column (now CAST) — deep-CTE/recursion shapes are "
+    "driver-green elsewhere (graph_hits, holt_winters families)",
     oracle="""
     WITH RECURSIVE w AS (
       SELECT word, COUNT(*) AS freq FROM (

@@ -31,6 +31,7 @@ _SLOW_BY_NAME = {
     "test_scd2_stream_load_incremental_parity",
     "test_sessionize_with_timeout_both_close_paths",
     "test_sessionize_microbatch_boundaries_are_invisible",
+    "test_sessionize_one_sentinel_final_empty_batch_fires_timers",
     "test_snapshot_time_travel",
     "test_bfs_crawl_loop",
     "test_personalized_pagerank_seed_locality",

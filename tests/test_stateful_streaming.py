@@ -280,6 +280,110 @@ def test_sessionize_microbatch_boundaries_are_invisible(spark, tmp_path):
     assert per_file == batch
 
 
+def test_sessionize_one_sentinel_final_empty_batch_fires_timers(spark, tmp_path):
+    """The registry drain recipe relies on a specific engine behavior:
+    after the last file-backed micro-batch, availableNow runs one
+    FINAL NO-DATA batch whenever the end-of-batch watermark advanced,
+    and event-time timers fire there. So ONE far-future sentinel
+    suffices (r5 shipped two — the second existed only to BE the
+    timer-firing batch). This test pins that behavior: a one-sentinel
+    drain, under both per-file and all-at-once batching, must equal
+    batch sessionization EXACTLY — if a Spark upgrade stops running
+    the final empty batch, every session whose last event + gap
+    exceeds the corpus max timestamp goes missing here (and in the
+    oracle gate).
+
+    Guard (measured, r6): do NOT filter the sentinel between
+    withWatermark and the stateful groupBy — Catalyst pushes the
+    filter below the EventTimeWatermark node and the sentinel stops
+    advancing the watermark; filter OUTPUT rows instead."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mlentory_etl_pipeline_spark.streaming.stateful import (
+        sessionize_with_timeout,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+    )
+    land = str(tmp_path / "land1s")
+    qkey = F.year("ts") * 10 + F.quarter("ts")
+    rows = e.groupBy(qkey.alias("_q")).agg(F.max("ts").alias("_mx")).collect()
+    for k in sorted(r._q for r in rows):
+        e.where(qkey == k).coalesce(1).write.mode("append").parquet(land)
+    mx = max(r._mx for r in rows)
+    tstype = e.schema["ts"].dataType.simpleString()
+    # exactly ONE sentinel
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.lit(mx) + F.expr("INTERVAL 30 DAY")).cast(tstype).alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(land)
+
+    def drain(tag, max_files):
+        reader = spark.readStream.schema(e.schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        q = (
+            sessionize_with_timeout(reader.parquet(land), "4 hours")
+            .writeStream.format("memory")
+            .queryName(f"sess_1s_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt1s_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "drain did not complete"
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.total_cents)
+            for r in spark.table(f"sess_1s_{tag}").where("user_id >= 0").collect()
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        per_file = drain("one", 1)
+        all_at_once = drain("all", None)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert per_file == all_at_once
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    batch = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_cents)
+        for r in e.selectExpr(
+            "user_id", "ts", "CAST(FLOOR(value * 100) AS BIGINT) AS cents"
+        )
+        .withColumn(
+            "brk",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts")
+                    > F.lag("ts").over(w) + F.expr("INTERVAL 4 HOURS")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("brk").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .collect()
+    )
+    assert per_file == batch
+
+
 def test_sessionize_tws_matches_v1_on_both_close_paths(spark, tmp_path):
     """The transformWithStateInPandas sessionizer (state v2: named
     ValueState + first-class event-time timers, RocksDB store) emits
