@@ -464,11 +464,18 @@ def synthetic_wav_media(spark, n: int = 8):
 
 
 def synthetic_media(spark, n: int = 64):
-    """Small deterministic media table for tests."""
+    """Small deterministic media table for tests. Payloads are
+    printable-ASCII bytes — the PLUMBING under test (binary column,
+    Arrow batching, schema contract) is byte-value-agnostic, and
+    ASCII is what lets the registry's decode query carry a HARD
+    DuckDB oracle: this build's sha256()/md5() accept only VARCHAR,
+    so an oracle can hash the payload iff it is valid UTF-8. The
+    payloads remain INVALID media (no RIFF/PNG magic), which the
+    corrupt-bytes tests rely on."""
     rows = []
     for i in range(n):
         media_type = ["image", "audio", "video"][i % 3]
-        content = bytes([(i * 37 + j) % 256 for j in range(64 + i)])
+        content = bytes([(i * 37 + j) % 95 + 32 for j in range(64 + i)])
         rows.append(
             (
                 i,

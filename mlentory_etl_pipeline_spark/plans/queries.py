@@ -2654,8 +2654,49 @@ def text_fingerprints(spark, sf_dir):
 @register(
     "multimodal_decode_features",
     "binary media column → deterministic fake decode via mapInPandas "
-    "(real Spark plumbing, stubbed codec)",
-    oracle=None,
+    "(real Spark plumbing, stubbed codec) — now under a HARD oracle: "
+    "the synthetic payloads are printable ASCII, so DuckDB can rebuild "
+    "each blob char-by-char, sha256 it, and replicate the stub's "
+    "features (digest bytes → float32(b/255) → micro-quantized long; "
+    "float32 cast parity verified EXHAUSTIVELY over all 256 byte "
+    "values); hex digits decode via instr digit arithmetic, not "
+    "'0x' casts",
+    oracle="""
+    WITH chars AS (
+      SELECT i, j, CHR(CAST((i * 37 + j) % 95 + 32 AS INTEGER)) AS c
+      FROM range(0, 64) r(i) CROSS JOIN range(0, 128) s(j)
+      WHERE j < 64 + i
+    ),
+    m AS (
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+             STRING_AGG(c, '' ORDER BY j) AS content
+      FROM chars GROUP BY i
+    ),
+    d AS (
+      SELECT media_id, media_type,
+             CAST(LEN(content) AS BIGINT) AS n_bytes,
+             SHA256(content) AS digest
+      FROM m
+    ),
+    f AS (
+      SELECT media_id,
+             STRING_AGG(CAST(CAST(ROUND(CAST(CAST(
+                 ((INSTR('0123456789abcdef',
+                         SUBSTR(digest, 2 * k + 1, 1)) - 1) * 16 +
+                  (INSTR('0123456789abcdef',
+                         SUBSTR(digest, 2 * k + 2, 1)) - 1)
+               ) / 255.0 AS FLOAT) AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS VARCHAR), '|' ORDER BY k) AS features
+      FROM d CROSS JOIN range(0, 8) t(k)
+      GROUP BY media_id
+    )
+    SELECT d.media_id, d.media_type, d.n_bytes,
+           d.digest AS content_sha, f.features
+    FROM d JOIN f USING (media_id)
+    ORDER BY d.media_id
+    """,
     survey_ops=("multimodal-decode",),
 )
 def multimodal_decode_features(spark, sf_dir):
