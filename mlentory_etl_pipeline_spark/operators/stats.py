@@ -2581,15 +2581,28 @@ def ccf_daily(
         F.sum(dec(F.col("_b")) * F.col("_b")).alias("_ssb"),
         F.sum(dec(F.col("_a")) * F.col("_b")).alias("_p0"),
     ]
+    # Each overlap sum coalesces to 0: for k >= n_days the lead window
+    # is empty and SUM over nothing is NULL, but the textbook CCF of an
+    # empty overlap is an empty covariance sum, i.e. 0 (caught by the
+    # hypothesis model test on a 2-day series at max_lag=2).
+    zero = F.lit(0).cast("decimal(38,0)")
     for k in range(1, max_lag + 1):
         bl, al = F.col(f"_bl{k}"), F.col(f"_al{k}")
         aggs += [
-            F.sum(F.when(bl.isNotNull(), dec(F.col("_a")) * bl)).alias(f"_pp{k}"),
-            F.sum(F.when(bl.isNotNull(), dec(F.col("_a")))).alias(f"_pa{k}"),
-            F.sum(dec(bl)).alias(f"_pb{k}"),
-            F.sum(F.when(al.isNotNull(), dec(F.col("_b")) * al)).alias(f"_np{k}"),
-            F.sum(F.when(al.isNotNull(), dec(F.col("_b")))).alias(f"_nb{k}"),
-            F.sum(dec(al)).alias(f"_na{k}"),
+            F.coalesce(
+                F.sum(F.when(bl.isNotNull(), dec(F.col("_a")) * bl)), zero
+            ).alias(f"_pp{k}"),
+            F.coalesce(
+                F.sum(F.when(bl.isNotNull(), dec(F.col("_a")))), zero
+            ).alias(f"_pa{k}"),
+            F.coalesce(F.sum(dec(bl)), zero).alias(f"_pb{k}"),
+            F.coalesce(
+                F.sum(F.when(al.isNotNull(), dec(F.col("_b")) * al)), zero
+            ).alias(f"_np{k}"),
+            F.coalesce(
+                F.sum(F.when(al.isNotNull(), dec(F.col("_b")))), zero
+            ).alias(f"_nb{k}"),
+            F.coalesce(F.sum(dec(al)), zero).alias(f"_na{k}"),
         ]
     a = leads.agg(*aggs)
     n = F.col("n_days").cast("double")
@@ -2607,11 +2620,16 @@ def ccf_daily(
                 + n * ma * mb
             )
         elif k > 0:
+            # the constant term multiplies the OVERLAP PAIR COUNT,
+            # which is max(n - k, 0) — n - k alone goes negative once
+            # the lag exceeds the series length
             num = (
                 F.col(f"_pp{k}").cast("double")
                 - mb * F.col(f"_pa{k}").cast("double")
                 - ma * F.col(f"_pb{k}").cast("double")
-                + (F.col("n_days") - k).cast("double") * ma * mb
+                + F.greatest(F.col("n_days") - k, F.lit(0)).cast("double")
+                * ma
+                * mb
             )
         else:
             j = -k
@@ -2619,7 +2637,9 @@ def ccf_daily(
                 F.col(f"_np{j}").cast("double")
                 - ma * F.col(f"_nb{j}").cast("double")
                 - mb * F.col(f"_na{j}").cast("double")
-                + (F.col("n_days") - j).cast("double") * ma * mb
+                + F.greatest(F.col("n_days") - j, F.lit(0)).cast("double")
+                * ma
+                * mb
             )
         rows.append(
             F.struct(
