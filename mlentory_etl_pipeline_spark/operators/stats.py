@@ -2538,7 +2538,10 @@ def ccf_daily(
 
     (full-series means/sds, the statsmodels ccf convention) closes in
     double on identical exact operands; zero-variance series yield
-    NULL via try_divide.
+    NULL via try_divide. A lag whose overlap is EMPTY (|k| >= n) is an
+    empty covariance sum — 0, not NULL (unlike acf_daily, whose
+    test-pinned contract is NULL for short series; each convention is
+    pinned by its own hypothesis model test).
 
     Scale posture: one groupBy to the daily two-column rollup (shuffle
     bounded by |days|), ONE ordered window over the calendar-bounded
