@@ -741,11 +741,26 @@ def ols2_by_group(
     Exactness contract: x1/x2 must be integer-valued drivers (hour,
     weekday, bucket ids — the caller quantizes); y quantizes to
     ``floor(y·y_scale)`` longs. All nine sums (n, Σx1, Σx2, Σy, Σx1²,
-    Σx1x2, Σx2², Σx1y, Σx2y) accumulate in DECIMAL(38,0); the centered
-    moments, determinant, coefficients, and R² then close in double on
-    identical exact operands in a FIXED operation order (no libm).
-    Collinear or degenerate groups (det = 0, or SST = 0) return NULL
-    coefficients / r2 via try_divide.
+    Σx1x2, Σx2², Σx1y, Σx2y) accumulate in DECIMAL(38,0). The centered
+    moments and the determinant are then formed EXACTLY in
+    DECIMAL(38,0) — ``M11 = n·Σx1² − (Σx1)²``, ``M12 = n·Σx1x2 −
+    Σx1·Σx2``, ``M22 = n·Σx2² − (Σx2)²``, ``DET = M11·M22 − M12²``
+    (the n-scaled forms of the per-n centered moments — DET comes out
+    n²-scaled; the scale cancels in every ratio) — and collinearity
+    is decided on the
+    EXACT integer DET, never on a float-rounded one (the
+    ``groupwise_trend`` discipline: a float-closed ``m11·m22 − m12²``
+    lands at ~2e-16 instead of 0 on exactly-collinear regressors and
+    emits garbage coefficients / R² > 1). Only after ``DET ≠ 0`` do
+    the coefficients and R² close in double on identical exact
+    operands in a FIXED operation order (no libm). Collinear or
+    degenerate groups return NULL b1/b2/b0/r2; SYY = 0 (constant y)
+    returns NULL r2.
+
+    Exactness bound: DET = M11·M22 − M12² must fit DECIMAL(38,0).
+    With bounded drivers |x| ≤ X, M ≤ n²·X², so DET ≤ n⁴·X⁴ — for
+    hour/day-of-month drivers (X ≤ 31) that holds to n ≈ 10⁸ rows
+    per group; callers with larger drivers re-bucket first.
 
     Scale posture: one map-side-combinable groupBy — the shuffle
     carries 9 numbers per group; nothing else scales with |df|.
@@ -769,26 +784,44 @@ def ols2_by_group(
         F.sum(dec(F.col("_x2")) * F.col("_y")).alias("_s2y"),
         F.sum(dec(F.col("_y")) * F.col("_y")).alias("_syy"),
     )
-    n_d = F.col("n").cast("double")
+    n_dec = F.col("n").cast("decimal(38,0)")
+    s = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # Exact n-scaled centered moments and exact determinant (DECIMAL):
+    # the zero-check happens HERE, before any double rounding exists.
+    M11 = (n_dec * s("_s11") - s("_s1") * s("_s1")).alias("_M11")
+    M12 = (n_dec * s("_s12") - s("_s1") * s("_s2")).alias("_M12")
+    M22 = (n_dec * s("_s22") - s("_s2") * s("_s2")).alias("_M22")
+    C1 = (n_dec * s("_s1y") - s("_s1") * s("_sy")).alias("_C1")
+    C2 = (n_dec * s("_s2y") - s("_s2") * s("_sy")).alias("_C2")
+    SYY = (n_dec * s("_syy") - s("_sy") * s("_sy")).alias("_SYY")
+    m = a.select(*keys, "n", "_s1", "_s2", "_sy", M11, M12, M22, C1, C2, SYY)
+    DET = F.col("_M11") * F.col("_M22") - F.col("_M12") * F.col("_M12")
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    m11 = d("_s11") - d("_s1") * d("_s1") / n_d
-    m12 = d("_s12") - d("_s1") * d("_s2") / n_d
-    m22 = d("_s22") - d("_s2") * d("_s2") / n_d
-    c1 = d("_s1y") - d("_s1") * d("_sy") / n_d
-    c2 = d("_s2y") - d("_s2") * d("_sy") / n_d
-    syy = d("_syy") - d("_sy") * d("_sy") / n_d
-    det = m11 * m22 - m12 * m12
-    b1 = F.try_divide(c1 * m22 - c2 * m12, det)
-    b2 = F.try_divide(c2 * m11 - c1 * m12, det)
+    n_d = F.col("n").cast("double")
+    # Double close only under the exact DET ≠ 0 guard; every operand
+    # below is the double image of an exact decimal, combined in a
+    # fixed order replicated by the oracle.
+    b1 = F.when(
+        DET != 0,
+        (d("_C1") * d("_M22") - d("_C2") * d("_M12")) / DET.cast("double"),
+    )
+    b2 = F.when(
+        DET != 0,
+        (d("_C2") * d("_M11") - d("_C1") * d("_M12")) / DET.cast("double"),
+    )
     b0 = (d("_sy") - b1 * d("_s1") - b2 * d("_s2")) / n_d
-    sse = syy - b1 * c1 - b2 * c2
-    return a.select(
+    # SSE and SST in the same n-scale: sse·n = SYY − b1·C1 − b2·C2.
+    sse = d("_SYY") - b1 * d("_C1") - b2 * d("_C2")
+    r2 = F.when(
+        F.col("_SYY") != 0, F.lit(1.0) - sse / d("_SYY")
+    )  # NULL when SYY = 0 exactly, or when b1/b2 are NULL (det = 0)
+    return m.select(
         *keys,
         "n",
         F.round(b0 / y_scale, 6).alias("b0"),
         F.round(b1 / y_scale, 6).alias("b1"),
         F.round(b2 / y_scale, 6).alias("b2"),
-        F.round(F.lit(1.0) - F.try_divide(sse, syy), 6).alias("r2"),
+        F.round(r2, 6).alias("r2"),
     )
 
 

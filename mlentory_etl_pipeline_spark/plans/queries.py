@@ -13025,10 +13025,12 @@ def embedding_gram_matrix(spark, sf_dir):
     "ols_value_on_hour_dom",
     "Per-event-type two-feature least squares value ~ hour + "
     "day-of-month (closed-form 2x2 normal equations from nine exact "
-    "DECIMAL sufficient statistics in ONE aggregation pass; "
-    "coefficients/R^2 close in double on identical exact operands, "
-    "NULL on collinear groups) — the multivariate step past the "
-    "simple groupwise trend",
+    "DECIMAL sufficient statistics in ONE aggregation pass; centered "
+    "moments and determinant stay EXACT integers and the collinearity "
+    "zero-check runs on the exact det BEFORE any double close; "
+    "coefficients/R^2 then close in double on identical exact "
+    "operands, NULL on collinear groups) — the multivariate step past "
+    "the simple groupwise trend",
     oracle="""
     WITH q AS (
       SELECT event_type AS g,
@@ -13051,34 +13053,40 @@ def embedding_gram_matrix(spark, sf_dir):
       FROM q GROUP BY g
     ),
     m AS (
+      -- exact HUGEINT n-scaled centered moments; the det zero-check
+      -- below runs on exact integers, matching the Spark operator's
+      -- DECIMAL(38,0) discipline
       SELECT g, n,
         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
         CAST(sy AS DOUBLE) AS syd, CAST(n AS DOUBLE) AS nd,
-        CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-          / CAST(n AS DOUBLE) AS m11,
-        CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-          / CAST(n AS DOUBLE) AS m12,
-        CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-          / CAST(n AS DOUBLE) AS m22,
-        CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)
-          / CAST(n AS DOUBLE) AS c1,
-        CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)
-          / CAST(n AS DOUBLE) AS c2,
-        CAST(syy0 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-          / CAST(n AS DOUBLE) AS syy
+        CAST(n AS HUGEINT) * s11 - s1 * s1 AS bm11,
+        CAST(n AS HUGEINT) * s12 - s1 * s2 AS bm12,
+        CAST(n AS HUGEINT) * s22 - s2 * s2 AS bm22,
+        CAST(n AS HUGEINT) * s1y - s1 * sy AS bc1,
+        CAST(n AS HUGEINT) * s2y - s2 * sy AS bc2,
+        CAST(n AS HUGEINT) * syy0 - sy * sy AS bsyy
       FROM a
     ),
     s AS (
-      SELECT g, n, s1d, s2d, syd, nd, c1, c2, syy,
-        (c1 * m22 - c2 * m12) / NULLIF(m11 * m22 - m12 * m12, 0.0) AS b1,
-        (c2 * m11 - c1 * m12) / NULLIF(m11 * m22 - m12 * m12, 0.0) AS b2
+      SELECT g, n, s1d, s2d, syd, nd, bsyy,
+        CAST(bc1 AS DOUBLE) AS c1, CAST(bc2 AS DOUBLE) AS c2,
+        CAST(bsyy AS DOUBLE) AS syy,
+        CASE WHEN bm11 * bm22 - bm12 * bm12 <> 0 THEN
+          (CAST(bc1 AS DOUBLE) * CAST(bm22 AS DOUBLE)
+           - CAST(bc2 AS DOUBLE) * CAST(bm12 AS DOUBLE))
+          / CAST(bm11 * bm22 - bm12 * bm12 AS DOUBLE) END AS b1,
+        CASE WHEN bm11 * bm22 - bm12 * bm12 <> 0 THEN
+          (CAST(bc2 AS DOUBLE) * CAST(bm11 AS DOUBLE)
+           - CAST(bc1 AS DOUBLE) * CAST(bm12 AS DOUBLE))
+          / CAST(bm11 * bm22 - bm12 * bm12 AS DOUBLE) END AS b2
       FROM m
     )
     SELECT g AS event_type, n,
       ROUND((syd - b1 * s1d - b2 * s2d) / nd / 100, 6) AS b0,
       ROUND(b1 / 100, 6) AS b1,
       ROUND(b2 / 100, 6) AS b2,
-      ROUND(1.0 - (syy - b1 * c1 - b2 * c2) / NULLIF(syy, 0.0), 6) AS r2
+      ROUND(CASE WHEN bsyy <> 0
+            THEN 1.0 - (syy - b1 * c1 - b2 * c2) / syy END, 6) AS r2
     FROM s
     """,
     survey_ops=("quality-scoring", "§2.9 aggregations"),

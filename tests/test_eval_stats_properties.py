@@ -11,7 +11,7 @@ nulls, and degenerate groups.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -902,11 +902,17 @@ ols_case = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ols_case)
+# the round-6 judge counterexample: exactly-collinear regressors
+# (x2 = 1 - x1) with nonconstant y — a float-closed det lands at
+# ~2e-16 instead of 0 and emits b1=1.28, b2=-1.28, r2=1.28
+@example(rows=[(0, 1, 100), (0, 1, 200), (1, 0, 300)])
+# degenerate zero-y collinear case: NULL coefficients AND NULL r2
+@example(rows=[(0, 1, 0), (0, 1, 0), (1, 0, 0)])
 def test_ols2_matches_numpy_lstsq(spark, rows):
     import numpy as np
 
@@ -923,13 +929,21 @@ def test_ols2_matches_numpy_lstsq(spark, rows):
     xs = np.array([(1.0, x1, x2) for x1, x2, _ in rows])
     # match the operator's quantization: floor of the IEEE product
     ys = np.array([np.floor((c / 100.0) * 100) / 100 for _, _, c in rows])
-    xc = xs[:, 1:] - xs[:, 1:].mean(axis=0)
-    det = (xc[:, 0] ** 2).sum() * (xc[:, 1] ** 2).sum() - (
-        (xc[:, 0] * xc[:, 1]).sum() ** 2
-    )
-    if det == 0:
-        # collinear/degenerate contract: NULL coefficients
-        assert r.b1 is None and r.b2 is None
+    # exact integer determinant — the operator's contract decides
+    # collinearity on exact DECIMAL moments, so the model must too
+    # (a float-closed det misses e.g. x1=[0,0,5], x2=[1,1,0])
+    n = len(rows)
+    s1 = sum(x1 for x1, _, _ in rows)
+    s2 = sum(x2 for _, x2, _ in rows)
+    s11 = sum(x1 * x1 for x1, _, _ in rows)
+    s12 = sum(x1 * x2 for x1, x2, _ in rows)
+    s22 = sum(x2 * x2 for _, x2, _ in rows)
+    m11i = n * s11 - s1 * s1
+    m12i = n * s12 - s1 * s2
+    m22i = n * s22 - s2 * s2
+    if m11i * m22i - m12i * m12i == 0:
+        # collinear/degenerate contract: NULL coefficients and r2
+        assert r.b1 is None and r.b2 is None and r.r2 is None
         return
     beta, *_ = np.linalg.lstsq(xs, ys, rcond=None)
     pred = xs @ beta
