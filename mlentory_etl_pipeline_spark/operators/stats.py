@@ -422,8 +422,12 @@ def mann_whitney_u(
 
     Scale posture: one groupBy on the quantized value (shuffle bounded
     by |distinct values|, not |df|), then ``distributed_cum_before``
-    — no single-partition window. Degenerate contract: z is NULL
-    (try_divide) when either group is empty or all values tie.
+    — no single-partition window. Degenerate contract: z is NULL when
+    either group is empty or all values tie — the all-tie case is
+    decided on the EXACT integer tie factor ``n(n+1)(n−1) − T`` in
+    DECIMAL (the ols2_by_group discipline: the float σ² lands at a
+    tiny nonzero residual instead of 0 once n³ passes 2⁵³, which
+    would emit a garbage z instead of NULL).
     """
     q = df.where(group.isin(a, b)).select(
         F.floor(value * scale).cast("long").alias("_s"),
@@ -459,14 +463,20 @@ def mann_whitney_u(
         - F.col("_tie").cast("double")
         / (n.cast("double") * (n - 1).cast("double"))
     )
+    # exact integer all-tie check: σ² = 0 ⟺ n(n+1)(n−1) − T = 0
+    n_dec = (F.col("n_a") + F.col("n_b")).cast("decimal(38,0)")
+    tie_factor = n_dec * (n_dec + 1) * (n_dec - 1) - F.col("_tie")
     return agg.select(
         "n_a",
         "n_b",
         F.round(two_u / 2, 1).alias("u_a"),
         F.round(
-            F.try_divide(
-                two_u - na.cast("double") * nb.cast("double"),
-                2 * F.sqrt(var12),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0) & (tie_factor != 0),
+                F.try_divide(
+                    two_u - na.cast("double") * nb.cast("double"),
+                    2 * F.sqrt(var12),
+                ),
             ),
             4,
         ).alias("z_value"),
@@ -699,6 +709,11 @@ def acf_daily(
     a = leads.groupBy("_g").agg(*aggs)
     m = F.col("_s").cast("double") / F.col("n_days").cast("double")
     den = F.col("_ss").cast("double") - F.col("n_days").cast("double") * m * m
+    # exact integer zero-variance check: n·Σv² − (Σv)² in DECIMAL —
+    # a CONSTANT daily series must yield NULL acf, and the float den
+    # above only lands at exactly 0 while n·m² stays inside 2⁵³
+    nd_dec = F.col("n_days").cast("decimal(38,0)")
+    den_exact = nd_dec * F.col("_ss") - F.col("_s") * F.col("_s")
     lag_rows = []
     for k in range(1, max_lag + 1):
         num = (
@@ -709,7 +724,9 @@ def acf_daily(
         lag_rows.append(
             F.struct(
                 F.lit(k).alias("lag"),
-                F.round(F.try_divide(num, den), 6).alias("acf"),
+                F.round(
+                    F.when(den_exact != 0, F.try_divide(num, den)), 6
+                ).alias("acf"),
             )
         )
     return a.select(
@@ -1317,17 +1334,19 @@ def welch_t_test(
     def close(suf):
         n = F.col(f"_n{suf}").cast("double")
         mean = F.col(f"_s{suf}").cast("double") / n / cents
-        # unbiased variance from exact sums, in value units;
-        # try_divide: a single-observation group has no variance and
-        # must yield NULL t/df, not an ANSI divide-by-zero error
+        # unbiased variance from the EXACT n-scaled numerator
+        # n·Σv² − (Σv)² (DECIMAL, the ols2_by_group discipline): a
+        # zero-variance group is exactly 0.0, never a float residual
+        # that would leak a garbage t; try_divide: a single-
+        # observation group (denominator n(n−1) = 0) has no variance
+        # and must yield NULL t/df, not an ANSI divide-by-zero error
+        nd = F.col(f"_n{suf}").cast("decimal(38,0)")
+        vnum = (
+            nd * F.col(f"_ss{suf}")
+            - F.col(f"_s{suf}").cast("decimal(38,0)") * F.col(f"_s{suf}")
+        )
         var = (
-            F.try_divide(
-                F.col(f"_ss{suf}").cast("double")
-                - F.col(f"_s{suf}").cast("double")
-                * F.col(f"_s{suf}").cast("double")
-                / n,
-                n - 1,
-            )
+            F.try_divide(vnum.cast("double"), n * (n - 1))
             / (cents * cents)
         )
         return n, mean, var
@@ -2646,6 +2665,14 @@ def ccf_daily(
     mb = F.col("_sb").cast("double") / n
     sda = F.sqrt(F.col("_ssa").cast("double") - n * ma * ma)
     sdb = F.sqrt(F.col("_ssb").cast("double") - n * mb * mb)
+    # exact integer zero-variance checks (n·Σv² − (Σv)² in DECIMAL):
+    # a CONSTANT series must yield NULL ccf at every lag — the float
+    # radicands above can land at a tiny nonzero (or negative → NaN)
+    # residual instead of 0 once n·m² passes 2⁵³
+    nd_dec = F.col("n_days").cast("decimal(38,0)")
+    va_exact = nd_dec * F.col("_ssa") - F.col("_sa") * F.col("_sa")
+    vb_exact = nd_dec * F.col("_ssb") - F.col("_sb") * F.col("_sb")
+    nondegenerate = (va_exact != 0) & (vb_exact != 0)
     rows = []
     for k in range(-max_lag, max_lag + 1):
         if k == 0:
@@ -2681,7 +2708,11 @@ def ccf_daily(
             F.struct(
                 F.lit(k).alias("lag"),
                 F.round(
-                    F.try_divide(F.try_divide(num, sda), sdb), 6
+                    F.when(
+                        nondegenerate,
+                        F.try_divide(F.try_divide(num, sda), sdb),
+                    ),
+                    6,
                 ).alias("ccf"),
             )
         )
@@ -2799,10 +2830,14 @@ def diff_in_diff(
         )
 
     def var(k):
+        # exact n-scaled numerator n·Σv² − (Σv)² in DECIMAL (the
+        # ols2_by_group discipline): a zero-variance cell is exactly
+        # 0.0, never a float residual that would leak a garbage t
         n = F.col(f"n_{k}").cast("double")
-        s = F.col(f"_s{k}").cast("double")
+        nd = F.col(f"n_{k}").cast("decimal(38,0)")
+        vnum = nd * F.col(f"_ss{k}") - F.col(f"_s{k}") * F.col(f"_s{k}")
         return F.try_divide(
-            F.col(f"_ss{k}").cast("double") - s * s / n, n - F.lit(1.0)
+            vnum.cast("double"), n * (n - F.lit(1.0))
         ) / F.lit(cf * cf)
 
     did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
@@ -2932,9 +2967,15 @@ def cuped_adjustment(
     n = F.col("n_entities").cast("double")
     sx = F.col("_sx").cast("double")
     sy = F.col("_sy").cast("double")
-    cov = (F.col("_sxy").cast("double") - sx * sy / n) / (n - F.lit(1.0))
-    vx = (F.col("_sxx").cast("double") - sx * sx / n) / (n - F.lit(1.0))
-    vy = (F.col("_syy").cast("double") - sy * sy / n) / (n - F.lit(1.0))
+    # exact n-scaled moment numerators in DECIMAL (the ols2_by_group
+    # discipline): var(X) = 0 (constant pre-metric) is exactly 0.0,
+    # so θ = cov/vx is NULL by contract, never a garbage ratio of
+    # float residuals
+    nd = F.col("n_entities").cast("decimal(38,0)")
+    sxd, syd = F.col("_sx"), F.col("_sy")
+    cov = (nd * F.col("_sxy") - sxd * syd).cast("double") / (n * (n - F.lit(1.0)))
+    vx = (nd * F.col("_sxx") - sxd * sxd).cast("double") / (n * (n - F.lit(1.0)))
+    vy = (nd * F.col("_syy") - syd * syd).cast("double") / (n * (n - F.lit(1.0)))
     theta = F.try_divide(cov, vx)
     vc = vy - F.try_divide(cov * cov, vx)
     return a.select(

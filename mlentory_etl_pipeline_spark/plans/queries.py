@@ -10776,10 +10776,10 @@ def score_calibration_purchase(spark, sf_dir):
       SELECT na, nb,
         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100 AS ma,
         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100 AS mb,
-        (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
-           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) / 10000 AS va,
-        (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
-           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) / 10000 AS vb
+        CAST(CAST(na AS HUGEINT) * ssa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+           / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1)) / 10000 AS va,
+        CAST(CAST(nb AS HUGEINT) * ssb - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+           / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)) / 10000 AS vb
       FROM w
     ),
     se AS (
@@ -11418,10 +11418,10 @@ def oov_rate_by_source(spark, sf_dir):
       SELECT weekday, na, nb,
         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100 AS ma,
         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100 AS mb,
-        (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
-           / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) / 10000 AS va,
-        (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
-           / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) / 10000 AS vb
+        CAST(CAST(na AS HUGEINT) * ssa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+           / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1)) / 10000 AS va,
+        CAST(CAST(nb AS HUGEINT) * ssb - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+           / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)) / 10000 AS vb
       FROM w
     ),
     se AS (
@@ -12538,13 +12538,16 @@ def cms_error_audit(spark, sf_dir):
     )
     SELECT n_a, n_b,
       ROUND(CAST(rs2 - CAST(n_a AS HUGEINT)*(n_a+1) AS DOUBLE) / 2, 1) AS u_a,
-      ROUND((CAST(rs2 - CAST(n_a AS HUGEINT)*(n_a+1) AS DOUBLE)
+      ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                  AND CAST(n_a + n_b AS HUGEINT) * (n_a + n_b + 1)
+                      * (n_a + n_b - 1) - tie <> 0 THEN
+        (CAST(rs2 - CAST(n_a AS HUGEINT)*(n_a+1) AS DOUBLE)
               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
             / (2 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
                  * (CAST(n_a + n_b + 1 AS DOUBLE)
                     - CAST(tie AS DOUBLE)
                       / (CAST(n_a + n_b AS DOUBLE)
-                         * CAST(n_a + n_b - 1 AS DOUBLE))))), 4) AS z_value
+                         * CAST(n_a + n_b - 1 AS DOUBLE))))) END, 4) AS z_value
     FROM t
     """,
     survey_ops=("quality-scoring", "§2.9 aggregations"),
@@ -12709,11 +12712,12 @@ def _acf_oracle(max_lag: int) -> str:
     m = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
     arms = "\n    UNION ALL\n    ".join(
         f"""SELECT g AS "group", n AS n_days, {k} AS lag,
-      ROUND((CAST(p{k} AS DOUBLE)
+      ROUND(CASE WHEN CAST(n AS HUGEINT) * ss - s * s <> 0 THEN
+            (CAST(p{k} AS DOUBLE)
              - {m} * CAST(a{k} + b{k} AS DOUBLE)
              + CAST(n - {k} AS DOUBLE) * ({m}) * ({m}))
             / NULLIF(CAST(ss AS DOUBLE)
-                     - CAST(n AS DOUBLE) * ({m}) * ({m}), 0.0), 6) AS acf
+                     - CAST(n AS DOUBLE) * ({m}) * ({m}), 0.0) END, 6) AS acf
     FROM a"""
         for k in range(1, max_lag + 1)
     )
@@ -13486,7 +13490,9 @@ def _ccf_oracle(max_lag: int = 7) -> str:
             )
         lag_rows.append(
             f"SELECT n_days, {k} AS lag,"
-            f" ROUND(({num}) / sda / sdb, 6) AS ccf FROM m"
+            f" ROUND(CASE WHEN CAST(n_days AS HUGEINT) * ssa - sa * sa <> 0"
+            f" AND CAST(n_days AS HUGEINT) * ssb - sb * sb <> 0"
+            f" THEN ({num}) / sda / sdb END, 6) AS ccf FROM m"
         )
     union = "\n      UNION ALL ".join(lag_rows)
     return f"""
@@ -14693,15 +14699,15 @@ def link_prediction_suppliers(spark, sf_dir):
       SELECT n_entities,
              CAST(n_entities AS DOUBLE) AS n,
              CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
-             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
-                / CAST(n_entities AS DOUBLE))
-               / (CAST(n_entities AS DOUBLE) - 1.0) AS cov,
-             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                / CAST(n_entities AS DOUBLE))
-               / (CAST(n_entities AS DOUBLE) - 1.0) AS vx,
-             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-                / CAST(n_entities AS DOUBLE))
-               / (CAST(n_entities AS DOUBLE) - 1.0) AS vy
+             CAST(CAST(n_entities AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / (CAST(n_entities AS DOUBLE)
+                  * (CAST(n_entities AS DOUBLE) - 1.0)) AS cov,
+             CAST(CAST(n_entities AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               / (CAST(n_entities AS DOUBLE)
+                  * (CAST(n_entities AS DOUBLE) - 1.0)) AS vx,
+             CAST(CAST(n_entities AS HUGEINT) * syy - sy * sy AS DOUBLE)
+               / (CAST(n_entities AS DOUBLE)
+                  * (CAST(n_entities AS DOUBLE) - 1.0)) AS vy
       FROM a
     )
     SELECT n_entities,
@@ -14867,10 +14873,10 @@ def cohort_ltv_weekly(spark, sf_dir):
         CAST(st0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) / 100.0 AS mt0,
         CAST(sc1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) / 100.0 AS mc1,
         CAST(sc0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) / 100.0 AS mc0,
-        (CAST(sst1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) / (CAST(n_t1 AS DOUBLE) - 1.0) / 10000.0 AS vt1,
-        (CAST(sst0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / (CAST(n_t0 AS DOUBLE) - 1.0) / 10000.0 AS vt0,
-        (CAST(ssc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) * CAST(sc1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / (CAST(n_c1 AS DOUBLE) - 1.0) / 10000.0 AS vc1,
-        (CAST(ssc0 AS DOUBLE) - CAST(sc0 AS DOUBLE) * CAST(sc0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / (CAST(n_c0 AS DOUBLE) - 1.0) / 10000.0 AS vc0
+        CAST(CAST(n_t1 AS HUGEINT) * sst1 - st1 * st1 AS DOUBLE) / (CAST(n_t1 AS DOUBLE) * (CAST(n_t1 AS DOUBLE) - 1.0)) / 10000.0 AS vt1,
+        CAST(CAST(n_t0 AS HUGEINT) * sst0 - st0 * st0 AS DOUBLE) / (CAST(n_t0 AS DOUBLE) * (CAST(n_t0 AS DOUBLE) - 1.0)) / 10000.0 AS vt0,
+        CAST(CAST(n_c1 AS HUGEINT) * ssc1 - sc1 * sc1 AS DOUBLE) / (CAST(n_c1 AS DOUBLE) * (CAST(n_c1 AS DOUBLE) - 1.0)) / 10000.0 AS vc1,
+        CAST(CAST(n_c0 AS HUGEINT) * ssc0 - sc0 * sc0 AS DOUBLE) / (CAST(n_c0 AS DOUBLE) * (CAST(n_c0 AS DOUBLE) - 1.0)) / 10000.0 AS vc0
       FROM a
     )
     SELECT CAST(n_t1 AS BIGINT) AS n_t1, CAST(n_t0 AS BIGINT) AS n_t0,

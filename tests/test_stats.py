@@ -1259,3 +1259,95 @@ def test_spearman_exact_on_known_sequences(spark):
     # Pearson-on-midranks = 0.9486832980505138 (hand-computed)
     assert abs(rho_of([(1, 1), (2, 2), (2, 3), (3, 4)])
                - 0.9486832980505138) < 1e-9
+
+
+# --- exact-integer zero-checks on degenerate inputs (round-7 audit) ----
+# Each of these inputs makes the checked quantity EXACTLY zero in
+# integer arithmetic while a float-closed version of the same moment
+# lands at a ~1e-16 residual; the contract is NULL, not garbage.
+
+
+def test_welch_t_null_when_both_groups_constant(spark):
+    rows = [("a", 7.0)] * 3 + [("b", 9.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.welch_t_test(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    assert r.t_stat is None and r.df is None
+    assert r.mean_a == 7.0 and r.mean_b == 9.0
+
+
+def test_welch_t_defined_with_one_constant_group(spark):
+    rows = [("a", 7.0)] * 3 + [("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.welch_t_test(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    # var_a = 0 exactly, var_b > 0: t is mathematically defined
+    assert r.t_stat is not None
+    expected = (7.0 - 2.0) / math.sqrt(1.0 / 3)
+    assert abs(r.t_stat - expected) < 1e-3
+
+
+def test_mann_whitney_null_z_when_all_values_tie(spark):
+    rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.mann_whitney_u(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    assert r.z_value is None
+    assert r.n_a == 4 and r.n_b == 3
+
+
+def test_acf_null_on_constant_daily_series(spark):
+    # two events every day -> densified series is constant -> var = 0
+    rows = [
+        ("g", f"2024-01-{d:02d} 0{h}:00:00") for d in range(1, 11) for h in (1, 2)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = stats.acf_daily(df, F.col("g"), F.col("ts"), max_lag=3).collect()
+    assert len(out) == 3
+    assert all(r.acf is None for r in out)
+
+
+def test_ccf_null_when_one_series_constant(spark):
+    # a: constant 1/day; b: varying counts
+    rows = [("2024-01-%02d 01:00:00" % d, True, False) for d in range(1, 9)]
+    rows += [
+        ("2024-01-%02d 02:00:00" % d, False, True)
+        for d in range(1, 9)
+        for _ in range(d)  # 1,2,3,... purchases per day
+    ]
+    df = spark.createDataFrame(rows, "ts string, ia boolean, ib boolean").select(
+        F.col("ts").cast("timestamp").alias("ts"), "ia", "ib"
+    )
+    out = stats.ccf_daily(df, F.col("ts"), F.col("ia"), F.col("ib"), max_lag=2).collect()
+    assert len(out) == 5
+    assert all(r.ccf is None for r in out)
+
+
+def test_cuped_null_theta_when_pre_metric_constant(spark):
+    # every user has identical pre-period sum -> var(X) = 0 exactly
+    rows = []
+    for u in range(5):
+        rows.append((u, "2024-01-10 00:00:00", 3.0))       # pre
+        rows.append((u, "2024-01-20 00:00:00", float(u)))  # post varies
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    r = stats.cuped_adjustment(
+        df, F.col("user_id"),
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        F.col("value"),
+    ).collect()[0]
+    assert r.theta is None and r.var_cuped is None
+    assert r.var_post is not None and r.var_post > 0
+
+
+def test_did_null_t_when_all_cells_constant(spark):
+    rows = []
+    for treated in (True, False):
+        for post in (True, False):
+            rows += [(treated, post, 4.0)] * 3
+    df = spark.createDataFrame(rows, "tr boolean, po boolean, v double")
+    r = stats.diff_in_diff(
+        df, F.col("tr"), F.col("po"), F.col("v")
+    ).collect()[0]
+    assert r.t_stat is None
+    assert r.did == 0.0 and r.se == 0.0
