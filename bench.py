@@ -295,6 +295,12 @@ def main():
             t0 = time.perf_counter()
             REGISTRY[name].spark_fn(spark, sf_dir).count()
             streaming_run2[name] = round(time.perf_counter() - t0, 3)
+            # METHODOLOGY (since r6; ADVICE r6): the bucket reports
+            # min(run1, run2). BENCH artifacts from r1-r5 recorded a
+            # SINGLE run, so cross-round comparisons of streaming /
+            # streaming_total spanning r6 are not apples-to-apples —
+            # compare streaming_cold_total (= run1, the old
+            # semantics), or per-run numbers in BENCH_DETAIL.json.
             streaming[name] = min(streaming_run1[name], streaming_run2[name])
 
     headline = {

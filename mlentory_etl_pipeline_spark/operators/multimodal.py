@@ -26,7 +26,6 @@ from __future__ import annotations
 import binascii
 import hashlib
 import io
-import math
 import struct
 import wave
 import zlib
@@ -435,9 +434,19 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def _wav_bytes(freq_hz: float, n_samples: int = 800, rate: int = 8000) -> bytes:
-    """A genuine little PCM16 mono WAV: one sine tone. Deterministic,
-    stdlib-only — real input for the real decoder."""
+def _wav_bytes(media_id: int, n_samples: int = 800, rate: int = 8000) -> bytes:
+    """A genuine little PCM16 mono WAV. Deterministic, stdlib-only —
+    real input for the real decoder.
+
+    The samples are an INTEGER LATTICE, not a sine: ``a_0 = 128`` (the
+    planted peak) and ``a_i = ((media_id·37 + i·13) mod 255) − 127``.
+    This is the printable-ASCII-payload device applied to audio — every
+    quantity the decoder derives is exact binary arithmetic (peak = 128
+    = 2⁷ so normalization divides by a power of two; squared samples
+    are 14-bit dyadics whose sums stay exact under ANY summation
+    order), so a DuckDB oracle can reproduce the per-segment RMS
+    through plain SQL integer math + one SQRT, and the registry query
+    carries a HARD oracle THROUGH the real ``wave`` decode path."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -445,7 +454,8 @@ def _wav_bytes(freq_hz: float, n_samples: int = 800, rate: int = 8000) -> bytes:
         w.setframerate(rate)
         frames = b"".join(
             struct.pack(
-                "<h", int(32000 * math.sin(2 * math.pi * freq_hz * i / rate))
+                "<h",
+                128 if i == 0 else ((media_id * 37 + i * 13) % 255) - 127,
             )
             for i in range(n_samples)
         )
@@ -455,9 +465,9 @@ def _wav_bytes(freq_hz: float, n_samples: int = 800, rate: int = 8000) -> bytes:
 
 def synthetic_wav_media(spark, n: int = 8):
     """Deterministic media table whose audio rows carry VALID WAV bytes
-    (ascending sine frequencies) — drives the real decode path."""
+    (per-id integer-lattice tones) — drives the real decode path."""
     rows = [
-        (i, "audio", _wav_bytes(200.0 + 100.0 * i), "wav", None, None, 100)
+        (i, "audio", _wav_bytes(i), "wav", None, None, 100)
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

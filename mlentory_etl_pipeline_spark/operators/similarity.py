@@ -1444,7 +1444,24 @@ def embedding_gram_exact(
     is d(d+1)/2 groups. This is the map-side-combine shape of the
     mergeable-sketch family, with numpy doing the per-batch flops.
     """
-    import pandas as pd  # noqa: F401 (signature of the generator)
+    exact = _gram_exact_int(df, vec_col, n_dims, scale)
+    return exact.select(
+        "i",
+        "j",
+        "n_vectors",
+        F.round(
+            F.col("gram_int").cast("double")
+            / F.lit(float(scale) * float(scale)),
+            6,
+        ).alias("gram"),
+    )
+
+
+def _gram_exact_int(df, vec_col: str, n_dims: int, scale: int):
+    """Upper-triangle EXACT integer Gram entries (the un-rounded core of
+    :func:`embedding_gram_exact`): (i, j, n_vectors, gram_int DECIMAL).
+    Same mapInPandas partial scheme; the consumer decides the close."""
+    import pandas as pd  # noqa: F401
 
     out_schema = "i int, j int, n long, partial long"
 
@@ -1473,11 +1490,7 @@ def embedding_gram_exact(
     parts = df.select(vec_col).mapInPandas(gram_batches, out_schema)
     return parts.groupBy("i", "j").agg(
         F.sum("n").alias("n_vectors"),
-        F.round(
-            F.sum(F.col("partial").cast("decimal(38,0)")).cast("double")
-            / F.lit(float(scale) * float(scale)),
-            6,
-        ).alias("gram"),
+        F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram_int"),
     )
 
 
@@ -1501,14 +1514,31 @@ def embedding_pca(
     matrix (d is tens-to-hundreds — never data-scale). ``collect()``
     here moves d(d+1)/2 + d numbers, not data.
 
-    The eigen step is numpy ``eigh`` (symmetric), so this query is
-    rows-only at the oracle gate — the EXACT distributed inputs are
-    what the hard-oracled ``embedding_gram_matrix`` verifies; the
-    eigen step is property-tested against a direct numpy covariance
-    PCA in pytest.
-    """
-    import numpy as np
+    The eigen step is a QUANTIZED POWER ITERATION with deflation (the
+    trained-quantizer device that hard-oracled the k-means/IVF-PQ
+    family): the n²-scaled covariance ``M = n·G − S·Sᵀ`` is an EXACT
+    integer matrix (G = quantized integer Gram, S = quantized integer
+    dim sums), and each of the T = 30 iterations is pure integer
+    arithmetic — matvec ``w = A·v`` over exact integers, then L∞
+    re-quantization ``v' = (w·10⁶) tdiv max|w|`` (truncating integer
+    division, matching DuckDB's ``//``). No float exists anywhere in
+    the loop, so a DuckDB recursive CTE over LIST(HUGEINT) state
+    replays it bit-for-bit and the query carries a HARD oracle. Each
+    eigenvalue closes as ONE double division of the exact Rayleigh
+    integers (vᵀAv, vᵀv); deflation stays integral:
+    ``A' = A − (λ_int·v·vᵀ) tdiv den`` with ``λ_int = num tdiv den``.
 
+    Accuracy contract: T = 30 contracts component error by
+    (λ₂/λ₁)³⁰; the truncating quantization perturbs each step by
+    ≤ 2⁻²⁰ relative — the spectrum agrees with numpy eigh to ~1e-5
+    on separated spectra (property-tested); a tied/degenerate
+    spectrum yields a deterministic (engine-identical) basis choice.
+    Exactness bound: HUGEINT/DECIMAL(38) holds while n²·scale²·d
+    stays under ~10³⁶ — n ≤ ~10⁷ vectors at scale = 10⁶; larger
+    corpora pre-shift M (spectrum ratios are shift-invariant).
+    ``explained`` ratios divide by the exact trace of M (= total
+    variance), so they cover the full spectrum, not just top-k.
+    """
     sums = df.select(
         F.posexplode(F.slice(F.col(vec_col), 1, n_dims)).alias("_i", "_v")
     ).groupBy("_i").agg(
@@ -1519,31 +1549,64 @@ def embedding_pca(
         ).alias("_s"),
         F.count(F.lit(1)).alias("_n"),
     )
-    gram = embedding_gram_exact(df, vec_col, n_dims, scale)
-    g_rows = gram.collect()
+    g_rows = _gram_exact_int(df, vec_col, n_dims, scale).collect()
     s_rows = sums.collect()
-    n = g_rows[0]["n_vectors"]
-    mean = np.zeros(n_dims)
+    n = int(g_rows[0]["n_vectors"])
+    s = [0] * n_dims
     for r in s_rows:
-        mean[r["_i"]] = float(r["_s"]) / scale / n
-    g = np.zeros((n_dims, n_dims))
+        s[r["_i"]] = int(r["_s"])
+    g = [[0] * n_dims for _ in range(n_dims)]
     for r in g_rows:
-        g[r["i"] - 1, r["j"] - 1] = r["gram"]
-        g[r["j"] - 1, r["i"] - 1] = r["gram"]
-    cov = g / n - np.outer(mean, mean)
-    evals = np.linalg.eigh(cov)[0][::-1]
-    total = float(evals.sum())
-    spark = df.sparkSession
-    out = [
-        (
-            k + 1,
-            int(n),
-            round(float(evals[k]), 6),
-            round(float(evals[k] / total), 6) if total > 0 else None,
-        )
-        for k in range(min(top_k, n_dims))
+        v = int(r["gram_int"])
+        g[r["i"] - 1][r["j"] - 1] = v
+        g[r["j"] - 1][r["i"] - 1] = v
+    # exact n²-scaled covariance and its trace (total variance)
+    a = [
+        [n * g[i][j] - s[i] * s[j] for j in range(n_dims)]
+        for i in range(n_dims)
     ]
-    return spark.createDataFrame(
+    trace_m = sum(a[i][i] for i in range(n_dims))
+
+    def tdiv(x: int, d: int) -> int:
+        # truncate-toward-zero division (DuckDB // semantics); d > 0
+        return x // d if x >= 0 else -((-x) // d)
+
+    out = []
+    for k in range(min(top_k, n_dims)):
+        v = [scale] * n_dims
+        for _ in range(30):
+            w = [sum(a[i][j] * v[j] for j in range(n_dims)) for i in range(n_dims)]
+            # max(·, 1) keeps a deflated-to-zero matrix deterministic
+            # in BOTH engines (v collapses to the zero vector; the
+            # NULL close below reports the exhausted spectrum)
+            mx = max(max(abs(x) for x in w), 1)
+            v = [tdiv(x * scale, mx) for x in w]
+        num = sum(v[i] * a[i][j] * v[j] for i in range(n_dims) for j in range(n_dims))
+        den = sum(x * x for x in v)
+        if den == 0 or trace_m <= 0:
+            eig = None if den == 0 else 0.0
+            exp = None
+        else:
+            eig = (
+                float(num) / float(den) / float(n) / float(n)
+                / float(scale * scale)
+            )
+            exp = (float(num) / float(den)) / float(trace_m)
+        out.append(
+            (
+                k + 1,
+                n,
+                round(eig, 6) if eig is not None else None,
+                round(exp, 6) if exp is not None else None,
+            )
+        )
+        d2 = max(den, 1)
+        lam_int = tdiv(num, d2)
+        a = [
+            [a[i][j] - tdiv(lam_int * v[i] * v[j], d2) for j in range(n_dims)]
+            for i in range(n_dims)
+        ]
+    return df.sparkSession.createDataFrame(
         out, "component int, n_vectors long, eigenvalue double, explained double"
     )
 

@@ -42,8 +42,19 @@ def hll_partitioned_distinct(
     exact count. The two-level shape is the point: persisted level-1
     sketches make tomorrow's rollup an incremental union, not a
     re-scan — the same incremental posture as the SCD2 store.
+
+    The shard hash is the engine-portable seeded-md5 family (the CMS
+    scheme) rather than xxhash64, so the registry query's oracle can
+    replicate ``n_shards`` exactly; any deterministic hash works —
+    sharding only has to spread values, and the sketch union is
+    shard-assignment-invariant.
     """
-    shard = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_shards))
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_shards),
+    )
     level1 = df.groupBy(F.col(group_col), shard.alias("_shard")).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
     )

@@ -1468,17 +1468,46 @@ def range_join_event_sessions(spark, sf_dir):
     "approx_aggregates",
     "sketch aggregates per event_type: HyperLogLog++ distinct users and "
     "approximate median value — the fixed-memory substitutes for exact "
-    "distinct/median at 100 TB; accuracy vs exact asserted in tests "
-    "(sketch values are engine-specific — rows-only driver check)",
-    oracle=None,
+    "distinct/median at 100 TB. The sketch VALUES are engine-specific, "
+    "so the hard oracle checks the error-bound CLAIMS instead: the "
+    "Spark side computes both the sketch and the exact companions in "
+    "one pass and emits booleans (HLL within 5% of exact ~ 2.5 sigma "
+    "at rsd=0.02; approx median inside the exact [p49, p51] rank "
+    "band, 100x the sketch's 1/10000 rank error), the oracle asserts "
+    "the exact columns and TRUE bounds — a sketch regression flips a "
+    "boolean and hash-mismatches. Production runs the sketch half "
+    "only; the exact companions are the validation-scale audit.",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_in_rank_band
+    FROM events GROUP BY event_type
+    """,
     survey_ops=("approx-aggregates",),
 )
 def approx_aggregates(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-        F.percentile_approx("value", 0.5, 10000).alias("median_value_approx"),
+    a = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.percentile_approx("value", 0.5, 10000).alias("_amed"),
+        F.percentile("value", F.lit(0.49)).alias("_p49"),
+        F.percentile("value", F.lit(0.51)).alias("_p51"),
+    )
+    return a.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("_amed") >= F.col("_p49")) & (F.col("_amed") <= F.col("_p51"))
+        ).alias("median_in_rank_band"),
     )
 
 
@@ -7023,17 +7052,48 @@ def windowed_distinct_users(spark, sf_dir):
     "Two-level HyperLogLog distinct count: per-(group, shard) sketches "
     "union into per-group estimates — the mergeable-sketch rollup shape "
     "that makes tomorrow's distinct count an incremental union instead "
-    "of a re-scan; shuffle carries sketch blobs, never rows "
-    "(non-SQL-expressible: DataSketches HLL binary; error bound "
-    "test-asserted vs exact in tests/test_sketches.py)",
+    "of a re-scan; shuffle carries sketch blobs, never rows. The HLL "
+    "binary is engine-specific, so the hard oracle checks the error-"
+    "bound CLAIM: estimate within 5% of exact (~ 3 sigma at lg_k=12's "
+    "1.6% rsd) as a boolean, plus the exact distinct count and the "
+    "exact shard fan-out (portable seeded-md5 shard hash, replicated "
+    "by the oracle); a sketch regression flips the boolean",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard,
+             user_id
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
     survey_ops=("approx-aggregates",),
 )
 def approx_distinct_hll_partitioned(spark, sf_dir):
     from mlentory_etl_pipeline_spark.operators import sketches
 
     e = t(spark, sf_dir, "events")
-    return sketches.hll_partitioned_distinct(e, "event_type", "user_id").orderBy(
-        "event_type"
+    est = sketches.hll_partitioned_distinct(e, "event_type", "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_shards",
+            "n_exact",
+            (
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -7164,7 +7224,10 @@ def _restamp_landing(src: str) -> None:
         t_stamp = state[2] + state[1] * 10.0
         os.utime(os.path.join(src, name), (t_stamp, t_stamp))
         state[0].add(name)
-    state[1] += 1
+        # per FILE, not per call (ADVICE r6): a caller that lands
+        # several visible files before one restamp still gets every
+        # file a strictly increasing mtime in sorted-path order
+        state[1] += 1
 
 
 _LANDING_STAMPS: dict = {}
@@ -8129,10 +8192,31 @@ def ann_trained_recall_audit(spark, sf_dir):
     "multimodal_real_wav_decode",
     "REAL (non-stub) media decode: genuine PCM16 WAV bytes parsed by "
     "the stdlib wave codec inside the same Arrow mapInPandas plumbing "
-    "as the fake path — per-segment RMS audio fingerprints, "
-    "deterministic sine-tone inputs; rows-only (binary decode has no "
-    "SQL oracle)",
-    oracle=None,
+    "as the fake path — per-segment RMS audio fingerprints. HARD "
+    "oracle through the real decode: the integer-lattice payload "
+    "(planted peak 128 = 2^7, 14-bit dyadic squared samples) makes "
+    "every RMS exact binary arithmetic up to ONE division and ONE "
+    "IEEE sqrt, which the oracle reproduces from the same lattice "
+    "formula — including the float32 feature-column cast",
+    oracle="""
+    WITH ids AS (SELECT UNNEST(RANGE(0, 16)) AS media_id),
+    samp AS (
+      SELECT media_id, i,
+             CASE WHEN i = 0 THEN 128
+                  ELSE ((media_id * 37 + i * 13) % 255) - 127 END AS a
+      FROM ids, UNNEST(RANGE(0, 800)) AS t(i)
+    ),
+    seg AS (
+      SELECT media_id, i // 100 AS g,
+             SQRT(CAST(SUM(a * a) AS DOUBLE) / 16384.0 / 100.0) AS rms
+      FROM samp GROUP BY 1, 2
+    )
+    SELECT media_id, 'audio' AS media_type, CAST(1644 AS BIGINT) AS n_bytes,
+           STRING_AGG(
+             CAST(CAST(ROUND(CAST(CAST(rms AS REAL) AS DOUBLE) * 1000000, 0)
+                       AS BIGINT) AS VARCHAR), '|' ORDER BY g) AS features
+    FROM seg GROUP BY media_id
+    """,
     survey_ops=("multimodal-decode",),
 )
 def multimodal_real_wav_decode(spark, sf_dir):
@@ -8142,7 +8226,6 @@ def multimodal_real_wav_decode(spark, sf_dir):
         "media_id",
         "media_type",
         "n_bytes",
-        "content_sha",
         F.array_join(
             F.transform(
                 "features",
@@ -13110,15 +13193,111 @@ def ols_value_on_hour_dom(spark, sf_dir):
     return out
 
 
+def _pca_power_oracle(d: int = 8, iters: int = 30, top_k: int = 4,
+                      scale: int = 1_000_000) -> str:
+    """SQL twin of similarity.embedding_pca's quantized power
+    iteration: the n²-scaled covariance M = n·G − S·Sᵀ is exact
+    HUGEINT, every iteration is pure integer arithmetic over a
+    LIST(HUGEINT) state in a recursive CTE (truncating ``//`` matches
+    the operator's tdiv), deflation stays integral, and each
+    eigenvalue closes as the same one double division of the exact
+    Rayleigh integers. MATERIALIZED everywhere — inlined CTEs would
+    re-expand the recursion per reference."""
+    rng = f"range(1, {d + 1})"
+
+    def step(aref):
+        mat = (f"list_transform({rng}, i -> list_sum("
+               f"list_transform({rng}, j -> {aref}[i][j] * v[j])))")
+        return (f"list_transform({mat}, x -> (x * {scale}) // "
+                f"GREATEST(list_max(list_transform({mat}, y -> abs(y))), 1))")
+
+    v0 = f"list_transform({rng}, i -> CAST({scale} AS HUGEINT))"
+    parts = [f"""
+    WITH RECURSIVE q AS MATERIALIZED (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding[1:{d}],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    flat AS MATERIALIZED (
+      SELECT vec_id, UNNEST(GENERATE_SERIES(1, {d})) AS i, UNNEST(v) AS a
+      FROM q
+    ),
+    tot AS MATERIALIZED (SELECT COUNT(*) AS n FROM q),
+    g AS MATERIALIZED (
+      SELECT f1.i AS i, f2.i AS j, SUM(CAST(f1.a AS HUGEINT) * f2.a) AS gij
+      FROM flat f1 JOIN flat f2 ON f1.vec_id = f2.vec_id
+      GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+      SELECT i, CAST(SUM(a) AS HUGEINT) AS si FROM flat GROUP BY i
+    ),
+    m AS MATERIALIZED (
+      SELECT g.i, g.j,
+             CAST(tot.n AS HUGEINT) * g.gij - s1.si * s2.si AS mij
+      FROM g CROSS JOIN tot
+      JOIN s s1 ON s1.i = g.i JOIN s s2 ON s2.i = g.j
+    ),
+    tr AS MATERIALIZED (SELECT SUM(mij) AS t FROM m WHERE i = j),
+    a1 AS MATERIALIZED (
+      SELECT list(lrow ORDER BY i) AS a FROM (
+        SELECT i, list(mij ORDER BY j) AS lrow FROM m GROUP BY i
+      )
+    )"""]
+    for c in range(1, top_k + 1):
+        parts.append(f""",
+    it{c} AS (
+      SELECT 0 AS k, {v0} AS v
+      UNION ALL
+      SELECT k + 1, {step("aa.a")}
+      FROM it{c}, a{c} aa WHERE k < {iters}
+    ),
+    f{c} AS MATERIALIZED (SELECT v FROM it{c} WHERE k = {iters}),
+    e{c} AS MATERIALIZED (
+      SELECT
+        list_sum(list_transform({rng}, i -> v[i] * list_sum(
+          list_transform({rng}, j -> aa.a[i][j] * v[j])))) AS num,
+        list_sum(list_transform(v, x -> x * x)) AS den
+      FROM f{c}, a{c} aa
+    )""")
+        if c < top_k:
+            parts.append(f""",
+    a{c + 1} AS MATERIALIZED (
+      SELECT list_transform({rng}, i -> list_transform({rng}, j ->
+        aa.a[i][j] - ((e.num // GREATEST(e.den, 1)) * f.v[i] * f.v[j])
+                     // GREATEST(e.den, 1))) AS a
+      FROM a{c} aa, e{c} e, f{c} f
+    )""")
+    sq2 = float(scale) * float(scale)
+    sel = "\n    UNION ALL\n    ".join(
+        f"""SELECT {c} AS component, tot.n AS n_vectors,
+      CASE WHEN e.den = 0 THEN NULL WHEN tr.t <= 0 THEN 0.0
+           ELSE ROUND(CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE)
+                / CAST(tot.n AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                / {sq2}, 6) END AS eigenvalue,
+      CASE WHEN e.den = 0 OR tr.t <= 0 THEN NULL
+           ELSE ROUND((CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE))
+                / CAST(tr.t AS DOUBLE), 6) END AS explained
+    FROM e{c} e, tot, tr"""
+        for c in range(1, top_k + 1)
+    )
+    parts.append("\n    " + sel + "\n    ORDER BY component")
+    return "".join(parts)
+
+
 @register(
     "embedding_pca_spectrum",
     "Top-4 PCA eigenvalues + explained-variance ratios of the first 8 "
     "embedding dims — distributed exact Gram/mean pass (the hard-"
-    "oracled embedding_gram_matrix inputs) + driver-side d x d eigh; "
-    "rows-only at the gate (eigendecomposition is not "
-    "SQL-expressible; the distributed half carries the hard oracle, "
-    "the eigen step is property-tested vs direct numpy PCA in pytest)",
-    oracle=None,
+    "oracled embedding_gram_matrix inputs) + a QUANTIZED POWER "
+    "ITERATION with integral deflation on the driver: the n^2-scaled "
+    "covariance M = n*G - S*S^T is exact integer, every iteration is "
+    "pure integer arithmetic (L-inf requantization via truncating "
+    "division), so a DuckDB recursive CTE over LIST(HUGEINT) state "
+    "replays the eigen-extraction bit-for-bit — HARD oracle through "
+    "the full spectrum, not just the Gram inputs; agreement with "
+    "numpy eigh property-tested in pytest",
+    oracle=_pca_power_oracle(),
     survey_ops=("similarity-search", "N4 embedding generation"),
 )
 def embedding_pca_spectrum(spark, sf_dir):
@@ -20474,16 +20653,23 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # The local gate (scripts/check_correctness.py) still verifies ALL
 # entries; this only rotates which 50 the driver replays.
 
-# r6 rotation (VERDICT r5 №4): 20 multi-round-green entries swap out
-# for 20 never-driver-checked family representatives. Kept: the SCD2
-# spine (6), q1, croissant_ingest, and — per VERDICT №1 — the four r5
-# driver-red queries (dawid_skene, bpe_train_merges, unigram_lm,
-# streaming_stateful_sessions) stay IN until externally green; their
-# oracles' HUGEINT output columns (the actual red cause) are now cast.
-# Several swap-ins (sessionize, token_budget, json_corrupt, q12, dq,
-# variant, profile, mann_kendall, pass_at_k, fellegi_sunter,
-# weighted_percentiles) carried the same latent HUGEINT outputs — they
-# validate the fix class externally.
+# r7 rotation (VERDICT r6 №3): 29 swaps. Leads: the two red-history
+# queries the judge ordered retested (ann_lsh_bucketed_topk, red r01,
+# hard-oracled since; approx_aggregates, red r1-r4 rows-only, now
+# carrying a hard error-bound oracle), the other three newly
+# hard-oracled holdouts (approx_distinct_hll_partitioned,
+# multimodal_real_wav_decode, embedding_pca_spectrum — registry now
+# 367/367 oracle-backed), and the 8 queries whose oracles changed in
+# the round-7 exact-zero-check audit (ols, welch x2, mann-whitney,
+# acf, ccf, cuped, did) — a changed oracle deserves external
+# confirmation. The rest are never-checked family reps from the
+# judge's list: graph iteratives, as-of joins, intervals,
+# forecast/monitoring, corpus comparison, linkage, sketch audits,
+# kneser-ney. Kept: the SCD2 spine (7), croissant_ingest, the r6
+# bench-watch headliner sessionize_events_gaps, and one rep each for
+# streaming/IVM/incremental/multimodal-PNG/dedup/NLP/coreset (all
+# driver-green r6, retained for regression continuity). The four r5
+# reds all went green in r6 and rotate out.
 _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "scd2_version_ranges",
@@ -20491,50 +20677,50 @@ _DRIVER_WINDOW = [
     "scd2_history",
     "scd2_touch_unchanged",
     "graph_delta_publish",
-    "profile_orders_columns",  # r6: profiling (entity_chunking out: driver-green r3+r5)
-    "dq_constraint_audit",  # r6: DQ audit (naive_bayes out: classify keeps dawid)
-    "croissant_ingest",
-    "pass_at_k_return_tasks",  # r6: LLM eval (average_precision out: same family)
-    "q12_shipping_lag_priority",  # r6: TPC-H join+CASE counts (side_entity_minting out)
-    "range_dispatch_nested",
-    "rule_table_mapper",
-    "json_corrupt_records_audit",  # r6: robust ingest (arxiv_triples out: melt keeps range_dispatch)
-    "variant_props_rollup",  # r6: VARIANT surface (yaml_front_matter out: T2 gate-covered)
-    "watermark_incremental",  # r6: S2 incremental fetch (path_expression out)
-    "kv_prefix_sharing_docs",  # r6: serving family (connector_croissant_fetch out)
-    "multimodal_png_luminance",  # r6: REAL PNG decode under hard oracle (vocab_scan out)
-    "mann_kendall_user_trend",  # r6: trend stats (msprt out: stats keeps KM/bootstrap)
-    "theil_sen_user_slope",  # r6: robust forecasting rep (watermark_greenlist out)
-    "weighted_percentiles_price",  # r6: weighted profiling (rfm out)
-    "ntriples_datasource_roundtrip",
-    "sessionize_events_gaps",  # r6: headline windowed sessionization (bucketed_colocated out)
     "scd2_reified_current_export",
+    "croissant_ingest",
+    "ntriples_datasource_roundtrip",
+    "sessionize_events_gaps",  # bench-watch (VERDICT r6 №6)
     "nlp_sectionize",
-    "bm25_document_rank",  # r6: Q6 full-text rank (nlp_section_dedup out: dedup family below)
-    "fellegi_sunter_part_weights",  # r6: linkage EM (edit_distance out: record_linkage stays)
-    "dawid_skene_consensus_labels",  # r5-red, kept until driver-green
     "nlp_grouped_qa",
-    "dpo_pair_mining",  # r6: RL-prep pair mining (question_clustering out)
-    "dedup_minhash_lsh",  # r6: banded-LSH flagship (incremental variant out)
-    "multimodal_phash_buckets",
-    "decontaminate_semantic_lsh",
+    "dedup_minhash_lsh",
     "kcenter_greedy_coreset",
-    "record_linkage_blocked",
-    "ann_ivf_pq_topk",
-    "late_interaction_maxsim",
-    "mixture_build_funnel",
-    "privacy_k_anonymity_audit",
-    "grpo_group_advantages",  # r6: RL-prep group advantages (rendezvous out)
-    "token_budget_sample",  # r6: sampling quota (quantile_normalize out: r4 weak item closed)
-    "bpe_train_merges",  # r5-red, kept until driver-green
-    "cms_token_heavy_hitters",  # r6: sketch family (hll out: sketch rep swaps)
-    "http_chunk_sink_receipts",
-    "temperature_mix_sample",  # r6: mixture sampling (graph_triangle out)
-    "unigram_lm_tokenizer_round",  # r5-red, kept until driver-green
-    "kaplan_meier_churn",
-    "bootstrap_ci_avg_quantity",
+    "streaming_stateful_sessions",
     "ivm_join_delta",
-    "streaming_stateful_sessions",  # r5-red, kept until driver-green
+    "watermark_incremental",
+    "http_chunk_sink_receipts",
+    "multimodal_png_luminance",
+    "rule_table_mapper",
+    "range_dispatch_nested",
+    "ann_lsh_bucketed_topk",  # r7: red r01, never re-windowed — judge priority 1
+    "approx_aggregates",  # r7: red r1-r4 rows-only, now hard error-bound oracle
+    "approx_distinct_hll_partitioned",  # r7: newly hard-oracled (error-bound boolean)
+    "multimodal_real_wav_decode",  # r7: newly hard-oracled (lattice-payload device)
+    "embedding_pca_spectrum",  # r7: newly hard-oracled (quantized power iteration)
+    "ols_value_on_hour_dom",  # r7: oracle changed (exact DECIMAL det — the r6 red fix)
+    "ab_welch_value_test",  # r7: oracle changed (exact variance numerators)
+    "welch_value_by_weekday",  # r7: oracle changed (same)
+    "ab_mann_whitney_values",  # r7: oracle changed (exact tie factor gate)
+    "acf_daily_event_counts",  # r7: oracle changed (exact variance gate)
+    "ccf_views_purchases",  # r7: oracle changed (exact variance gates)
+    "cuped_value_variance_reduction",  # r7: oracle changed (exact moment numerators)
+    "did_purchase_value",  # r7: oracle changed (exact cell variances)
+    "graph_pagerank_suppliers",  # r7: graph-iterative rep, never driver-checked
+    "graph_kcore_customers",  # r7: same family
+    "graph_label_propagation",  # r7: same family
+    "asof_join_prior_view",  # r7: as-of join rep
+    "asof_tolerance_nearest",  # r7: as-of tolerance variant
+    "interval_coalesce_validity",  # r7: interval algebra rep
+    "holt_winters_event_volumes",  # r7: forecast rep (WITH RECURSIVE oracle)
+    "croston_part_demand",  # r7: intermittent-demand forecast rep
+    "msprt_daily_value_monitor",  # r7: sequential monitoring rep
+    "jsd_source_unigrams",  # r7: corpus-comparison rep
+    "monroe_log_odds_sources",  # r7: corpus-comparison rep
+    "sorted_neighborhood_link",  # r7: linkage rep
+    "setsim_prefix_jaccard",  # r7: set-similarity linkage rep
+    "hll_error_audit",  # r7: sketch-audit rep
+    "bloom_fp_audit",  # r7: sketch-audit rep
+    "kneser_ney_bigram_lm",  # r7: LM smoothing rep
 ]
 
 

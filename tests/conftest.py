@@ -79,11 +79,28 @@ def pytest_collection_modifyitems(config, items):
     # `-m fast` tier: everything not explicitly marked slow. The full
     # suite (no -m) remains the shipping gate; fast is the mid-session
     # smoke tier (< 5 min), covering every module's cheap tests.
+    seen = set()
     for item in items:
         if item.originalname in _SLOW_BY_NAME or item.name in _SLOW_BY_NAME:
+            seen.add(item.originalname or item.name)
             item.add_marker(pytest.mark.slow)
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.fast)
+    # by-name list maintained apart from the test files (ADVICE r6):
+    # a renamed/deleted test must not silently drop to the fast tier
+    # or leave a stale entry. Only enforced on full collections — a
+    # path- or -k-restricted run legitimately collects a subset.
+    whole_suite = {a.rstrip("/") for a in config.args} <= {"", ".", "tests"}
+    if whole_suite and not config.getoption("keyword"):
+        stale = _SLOW_BY_NAME - seen
+        if stale:
+            import warnings
+
+            warnings.warn(
+                "conftest._SLOW_BY_NAME entries match no collected test "
+                f"(renamed or deleted?): {sorted(stale)}",
+                stacklevel=1,
+            )
 
 
 @pytest.fixture(scope="session")
