@@ -183,14 +183,28 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _decode_png(content: bytes, dim: int) -> list[float]:
     """REAL image decode via the stdlib only (zlib inflate + scanline
     unfilter, PNG spec §9–§10): grayscale luminance per pixel, then
     ``dim`` per-segment means in [0, 1] — the same feature contract as
     the Pillow path, so the two decoders are drop-in equivalents.
-    8-bit depth, color types 0/2/3/4/6, non-interlaced. 16-bit depth
-    and Adam7 interlace raise NotImplementedError (capability gap →
-    fallback_to_fake taxonomy, same as 24-bit WAV)."""
+    8- and 16-bit depth, color types 0/2/3/4/6, interlace 0 (linear)
+    and 1 (Adam7 — each pass is an independently-filtered sub-image
+    scattered back onto the pixel grid in reading order). Sub-byte
+    depths (1/2/4, bit-packed scanlines) raise NotImplementedError
+    (capability gap → fallback_to_fake taxonomy, same as 24-bit WAV)."""
     import numpy as np
 
     width = height = None
@@ -208,62 +222,79 @@ def _decode_png(content: bytes, dim: int) -> list[float]:
             idat.extend(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(
             f"real media decode: PNG bit depth {depth} unsupported"
         )
-    if interlace:
-        raise NotImplementedError(
-            "real media decode: Adam7-interlaced PNG unsupported"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: invalid interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG: invalid color type {ctype}")
+    nbytes = depth // 8
+    bpp = channels * nbytes
     raw = zlib.decompress(bytes(idat))
-    px = np.frombuffer(
-        bytes(_png_unfilter(raw, width, height, channels)), dtype=np.uint8
-    ).reshape(height * width, channels)
-    if ctype == 0:
-        lum = px[:, 0].astype(np.float64)
-    elif ctype == 4:  # gray + alpha: luminance ignores alpha
+    if interlace == 0:
+        flat = bytes(_png_unfilter(raw, width, height, bpp))
+    else:
+        # Adam7: unfilter each pass as its own sub-image, then scatter
+        # pixels back to (x, y) = (x0 + i·dx, y0 + j·dy)
+        img = bytearray(width * height * bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            size = (pw * bpp + 1) * ph
+            sub = _png_unfilter(raw[pos : pos + size], pw, ph, bpp)
+            pos += size
+            for j in range(ph):
+                for i in range(pw):
+                    o = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    s = (j * pw + i) * bpp
+                    img[o : o + bpp] = sub[s : s + bpp]
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        flat = bytes(img)
+    dt = np.uint8 if depth == 8 else np.dtype(">u2")
+    mx = 255.0 if depth == 8 else 65535.0
+    px = np.frombuffer(flat, dtype=dt).reshape(height * width, channels)
+    if ctype in (0, 4):  # gray / gray+alpha: luminance ignores alpha
         lum = px[:, 0].astype(np.float64)
     elif ctype == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
-        rgb = pal[px[:, 0]].astype(np.int64)
+        rgb = pal[px[:, 0].astype(np.int64)].astype(np.int64)
         lum = (
             rgb[:, 0] * _LUMA[0] + rgb[:, 1] * _LUMA[1] + rgb[:, 2] * _LUMA[2]
         ) // 1000
         lum = lum.astype(np.float64)
+        mx = 255.0  # palette entries are 8-bit regardless of depth
     else:  # 2 (RGB) or 6 (RGBA): alpha ignored, 601-2 integer luma
         rgb = px[:, :3].astype(np.int64)
         lum = (
             rgb[:, 0] * _LUMA[0] + rgb[:, 1] * _LUMA[1] + rgb[:, 2] * _LUMA[2]
         ) // 1000
         lum = lum.astype(np.float64)
-    segs = np.array_split(lum / 255.0, dim)
+    segs = np.array_split(lum / mx, dim)
     return [float(s.mean()) if s.size else 0.0 for s in segs]
 
 
-def png_encode_gray(
-    pixels: bytes, width: int, height: int, filter_type: int = 0
-) -> bytes:
-    """Minimal grayscale 8-bit PNG ENCODER (stdlib zlib) — the test and
-    oracle-side twin of :func:`_decode_png`. ``filter_type`` applies
-    the chosen scanline filter (0–4) to every row, so a decode
-    round-trip exercises the matching unfilter path."""
-    if len(pixels) != width * height:
-        raise ValueError("pixels length != width*height")
+def _png_filter_rows(
+    rows: list[bytes], stride: int, filter_type: int, bpp: int = 1
+) -> bytearray:
+    """Apply the chosen scanline filter (0–4) to every row of one
+    (sub-)image — the encoder-side inverse of :func:`_png_unfilter`."""
     raw = bytearray()
-    prev = bytes(width)
-    for y in range(height):
-        line = pixels[y * width : (y + 1) * width]
+    prev = bytes(stride)
+    for line in rows:
         raw.append(filter_type)
-        for x in range(width):
-            a = line[x - 1] if x else 0
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
             b = prev[x]
-            c = prev[x - 1] if x else 0
+            c = prev[x - bpp] if x >= bpp else 0
             if filter_type == 0:
                 v = line[x]
             elif filter_type == 1:
@@ -281,6 +312,48 @@ def png_encode_gray(
                 raise ValueError(f"filter type {filter_type}")
             raw.append(v & 0xFF)
         prev = line
+    return raw
+
+
+def png_encode_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    filter_type: int = 0,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal grayscale PNG ENCODER (stdlib zlib) — the test and
+    oracle-side twin of :func:`_decode_png`. ``filter_type`` applies
+    the chosen scanline filter (0–4) to every row, so a decode
+    round-trip exercises the matching unfilter path; ``depth`` 8 or 16
+    (16-bit pixels are big-endian sample pairs), ``interlace`` emits
+    the Adam7 pass sequence (each pass filtered independently)."""
+    nbytes = depth // 8
+    if depth not in (8, 16):
+        raise ValueError(f"depth {depth}")
+    if len(pixels) != width * height * nbytes:
+        raise ValueError("pixels length != width*height*depth/8")
+
+    def row(y, xs):
+        line = bytearray()
+        for x in xs:
+            o = (y * width + x) * nbytes
+            line += pixels[o : o + nbytes]
+        return bytes(line)
+
+    raw = bytearray()
+    if not interlace:
+        rows = [row(y, range(width)) for y in range(height)]
+        raw = _png_filter_rows(rows, width * nbytes, filter_type, nbytes)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            xs = list(range(x0, width, dx))
+            ys = list(range(y0, height, dy))
+            if not xs or not ys:
+                continue
+            rows = [row(y, xs) for y in ys]
+            raw += _png_filter_rows(rows, len(xs) * nbytes, filter_type, nbytes)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -290,7 +363,9 @@ def png_encode_gray(
             + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, 0, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -172,9 +172,43 @@ def pytest_approx_list(vals):
     return pytest.approx(vals, abs=1e-6)
 
 
+def test_png_decode_16bit_and_adam7_roundtrip(spark):
+    """Round-7 decoder breadth: 16-bit depth and Adam7 interlace are
+    REAL paths now — encode the same pixels linear/interlaced at both
+    depths and the features must match the directly-computed means."""
+    import struct as _struct
+
+    import numpy as np
+
+    w, h = 16, 12
+    vals = [((x * 251 + y * 997) * 57) % 65536 for y in range(h) for x in range(w)]
+    pix16 = b"".join(_struct.pack(">H", v) for v in vals)
+    pix8 = bytes(v >> 8 for v in vals)
+    rows = [
+        (0, "image", multimodal.png_encode_gray(pix16, w, h, depth=16), "png", w, h, None),
+        (1, "image", multimodal.png_encode_gray(pix16, w, h, filter_type=4, depth=16, interlace=True), "png", w, h, None),
+        (2, "image", multimodal.png_encode_gray(pix8, w, h, filter_type=3, interlace=True), "png", w, h, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.decode_media(media, fake=False).collect()}
+    want16 = [
+        float(s.mean())
+        for s in np.array_split(np.array(vals, dtype=np.float64) / 65535.0, 8)
+    ]
+    want8 = [
+        float(s.mean())
+        for s in np.array_split(
+            np.frombuffer(pix8, np.uint8).astype(np.float64) / 255.0, 8
+        )
+    ]
+    assert got[0].features == pytest_approx_list(want16)
+    assert got[1].features == pytest_approx_list(want16)  # Adam7 ≡ linear
+    assert got[2].features == pytest_approx_list(want8)
+
+
 def test_png_decode_failure_taxonomy(spark):
     """Corrupt PNG bytes → ValueError (quarantine, never masked);
-    capability gaps (16-bit depth) → NotImplementedError, which
+    capability gaps (sub-byte bit depth) → NotImplementedError, which
     fallback_to_fake degrades gracefully."""
     import struct as _struct
 
@@ -189,10 +223,11 @@ def test_png_decode_failure_taxonomy(spark):
         multimodal.decode_media(media, fake=False).collect()
     assert "media decode failed" in str(exc.value)
 
-    # 16-bit depth: rewrite IHDR (fix its CRC) — capability gap
+    # 4-bit depth (bit-packed scanlines): rewrite IHDR (fix its CRC)
+    # — the remaining capability gap now that 16-bit/Adam7 are real
     import binascii as _binascii
 
-    ihdr = _struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", 8, 8, 4, 0, 0, 0, 0)
     chunk = (
         _struct.pack(">I", len(ihdr))
         + b"IHDR"
