@@ -46,7 +46,7 @@ def _pairwise_auc(pairs):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -88,7 +88,7 @@ def _cusum_model(values):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -147,7 +147,7 @@ def _gr_model(rows):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -195,7 +195,7 @@ def _cohort_model(events):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -229,7 +229,7 @@ privacy_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -284,7 +284,7 @@ def _qn_model(rows):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -307,7 +307,7 @@ def test_quantile_normalize_matches_rank_model(spark, pairs):
 # ---------------------------------------------------------------------
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -355,7 +355,7 @@ def test_robust_location_matches_order_stat_model(spark, cents, trim_pct):
 # ---------------------------------------------------------------------
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -405,7 +405,7 @@ def test_theil_sen_matches_pairwise_median_model(spark, cents):
 # ---------------------------------------------------------------------
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -481,7 +481,7 @@ def _mw_model(pairs):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -522,7 +522,7 @@ def _ks_model(pairs):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -553,7 +553,7 @@ gini_case = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -594,7 +594,7 @@ jk_case = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -638,7 +638,7 @@ acf_case = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -730,7 +730,7 @@ def _pava_model(pairs):
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -774,7 +774,7 @@ def _pdisc(sorted_vals, q):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -842,7 +842,7 @@ mk_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -962,7 +962,7 @@ def test_ols2_matches_numpy_lstsq(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1023,7 +1023,7 @@ rank_case = st.tuples(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1088,7 +1088,7 @@ basket_case = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1151,7 +1151,7 @@ rrf_case = st.tuples(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1201,7 +1201,7 @@ season_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1252,7 +1252,7 @@ def test_weekday_seasonality_matches_dict_model(spark, events):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1309,7 +1309,7 @@ psi_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1377,7 +1377,7 @@ conf_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1433,7 +1433,7 @@ label_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1485,7 +1485,7 @@ ccf_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1545,7 +1545,7 @@ div_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1595,7 +1595,7 @@ lr_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1653,7 +1653,7 @@ did_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1708,7 +1708,7 @@ ltv_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1780,7 +1780,7 @@ band_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1854,7 +1854,7 @@ cuped_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1908,7 +1908,7 @@ link_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1956,7 +1956,7 @@ def test_jaccard_link_prediction_matches_dict_model(spark, pairs, max_deg):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1994,7 +1994,7 @@ rake_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2046,7 +2046,7 @@ def test_rake_keywords_matches_dict_model(spark, toks):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2083,7 +2083,7 @@ def test_mad_scale_matches_sorted_model(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2126,7 +2126,7 @@ sky_case = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2165,7 +2165,7 @@ wp_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2213,7 +2213,7 @@ woe_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2271,7 +2271,7 @@ stump_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2353,7 +2353,7 @@ attr_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2430,7 +2430,7 @@ als_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2483,7 +2483,7 @@ fs_case = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2551,7 +2551,7 @@ croston_case = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2622,7 +2622,7 @@ dbscan_case = st.tuples(
 
 
 @settings(
-    max_examples=15,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
