@@ -1373,6 +1373,24 @@ def test_embedding_pca_matches_direct_numpy(spark):
     assert got[0].explained > 0.9
 
 
+def test_embedding_pca_degenerate_constant_vectors(spark):
+    """Constant embeddings → M = n·G − S·Sᵀ is exactly the zero matrix:
+    the quantized power iteration collapses v to the zero vector and
+    the contract is NULL eigenvalue/explained, never a 0/0 garbage
+    ratio (mirrors the oracle's CASE WHEN den=0/trace<=0 close)."""
+    from mlentory_etl_pipeline_spark.operators.similarity import embedding_pca
+
+    df = spark.createDataFrame(
+        [(i, [0.25, -0.5, 0.125, 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_pca(df, "embedding", n_dims=4, top_k=2).collect()
+    assert [r.component for r in got] == [1, 2]
+    for r in got:
+        assert r.n_vectors == 40
+        assert r.eigenvalue is None and r.explained is None
+
+
 def test_personalized_pagerank_seed_locality(spark):
     from mlentory_etl_pipeline_spark.operators import graph
 
