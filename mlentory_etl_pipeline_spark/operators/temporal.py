@@ -1116,7 +1116,19 @@ def seasonal_adjusted_bursts(
     sd = F.sqrt(
         (F.col("_ss").cast("double") - F.col("_s").cast("double") * m) / n
     )
-    z = F.try_divide(F.col("_au").cast("double") - m, sd)
+    # exact integer zero-variance gate (n·Σv² − (Σv)², the
+    # ols2_by_group discipline): a group whose ADJUSTED series is
+    # constant has no bursts — without the exact check the float
+    # radicand can land at a tiny NEGATIVE residual, sqrt gives NaN,
+    # and Spark orders NaN above every threshold, flagging EVERY day
+    var_exact = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_ss")
+        - F.col("_s") * F.col("_s")
+    )
+    z = F.when(
+        var_exact != 0,
+        F.try_divide(F.col("_au").cast("double") - m, sd),
+    )
     return (
         adjusted.join(F.broadcast(mo), "_g")
         .select(

@@ -14554,12 +14554,16 @@ def skyline_parts_price_size(spark, sf_dir):
     z AS (
       SELECT a.g, a.d, a.c,
              ROUND(CAST(a.au AS DOUBLE) / 1000000.0, 6) AS adjusted,
-             ROUND((CAST(a.au AS DOUBLE)
+             -- exact HUGEINT zero-variance gate (mirrors the Spark
+             -- operator): constant adjusted series -> NULL z, and the
+             -- float radicand can't go tiny-negative into SQRT
+             ROUND(CASE WHEN CAST(m.n AS HUGEINT) * m.ss - m.s * m.s <> 0
+                   THEN (CAST(a.au AS DOUBLE)
                     - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
                    / NULLIF(SQRT((CAST(m.ss AS DOUBLE)
                        - CAST(m.s AS DOUBLE)
                          * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
-                       / CAST(m.n AS DOUBLE)), 0), 4) AS z
+                       / CAST(m.n AS DOUBLE)), 0) END, 4) AS z
       FROM adjusted a JOIN mo m ON m.g = a.g
     )
     SELECT g AS "group", d AS day, c AS n_events, adjusted, z

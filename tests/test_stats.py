@@ -1351,3 +1351,27 @@ def test_did_null_t_when_all_cells_constant(spark):
     ).collect()[0]
     assert r.t_stat is None
     assert r.did == 0.0 and r.se == 0.0
+
+
+def test_seasonal_bursts_constant_feed_flags_nothing(spark):
+    """A perfectly rhythmic feed (same count every day) has ZERO
+    adjusted variance — the exact-integer gate must emit no bursts.
+    Without it the float radicand can go tiny-negative, sqrt gives
+    NaN, and Spark orders NaN above every threshold, flagging EVERY
+    day (round-7 audit, the ols2_by_group failure class)."""
+    from mlentory_etl_pipeline_spark.operators.temporal import (
+        seasonal_adjusted_bursts,
+    )
+
+    rows = [
+        ("g", f"2024-01-{d:02d} 0{h}:00:00")
+        for d in range(1, 22)
+        for h in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string").select(
+        "g", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = seasonal_adjusted_bursts(
+        df, F.col("g"), F.col("ts"), z_threshold=2.0
+    ).collect()
+    assert out == []
