@@ -13296,7 +13296,10 @@ def _pca_power_oracle(d: int = 8, iters: int = 30, top_k: int = 4,
     "division), so a DuckDB recursive CTE over LIST(HUGEINT) state "
     "replays the eigen-extraction bit-for-bit — HARD oracle through "
     "the full spectrum, not just the Gram inputs; agreement with "
-    "numpy eigh property-tested in pytest",
+    "numpy eigh property-tested in pytest. Lint-warn justification "
+    "(WITH RECURSIVE): the recursion is a FIXED 30-step loop per "
+    "component over pure-integer list state — no floats, no "
+    "engine-version-sensitive semantics, terminates by counter",
     oracle=_pca_power_oracle(),
     survey_ops=("similarity-search", "N4 embedding generation"),
 )
