@@ -971,6 +971,27 @@ def case_maxsim(spark, sf_dir: str, k: int) -> DataFrame:
     return similarity.late_interaction_maxsim(qt, dt, k=5)
 
 
+def case_gram_pca(spark, sf_dir: str, k: int) -> DataFrame:
+    # the PCA Gram pass (round-7's quantized power-iteration input):
+    # embeddings k-fold with per-replica dim rotation; the mapInPandas
+    # integer partial aggregation is O(N*d^2) with a d(d+1)/2-row
+    # shuffle per Arrow batch, so wall time must scale ~linearly in N
+    # (the driver-side 30x4 iteration is O(d^3) and N-free)
+    from mlentory_etl_pipeline_spark.operators.similarity import (
+        _gram_exact_int,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    rep = _replicated(e.select("vec_id", "embedding"), k).select(
+        F.concat(
+            F.slice("embedding", F.col("_rep") % 8 + 1,
+                    F.lit(64) - F.col("_rep") % 8),
+            F.slice("embedding", F.lit(1), F.col("_rep") % 8),
+        ).alias("embedding"),
+    )
+    return _gram_exact_int(rep, "embedding", n_dims=8, scale=1_000_000)
+
+
 CASES = {
     "minhash": case_minhash,
     "span_removal": case_span_removal,
@@ -1014,6 +1035,7 @@ CASES = {
     "angular_pairs": case_angular_pairs,
     "set_cover": case_set_cover,
     "maxsim": case_maxsim,
+    "gram_pca": case_gram_pca,
 }
 
 
