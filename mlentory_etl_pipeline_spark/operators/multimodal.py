@@ -89,10 +89,18 @@ def _decode_wav(content: bytes, dim: int) -> list[float]:
     elif sampwidth in (2, 4):
         dtype = {2: np.int16, 4: np.int32}[sampwidth]
         samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    elif sampwidth == 3:
+        # 24-bit packed PCM: little-endian byte triples, sign-extended
+        # via the int32 trick (place in the top 3 bytes, arithmetic
+        # shift back down)
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = (
+            ((b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)) >> 8
+        ).astype(np.float64)
     else:
-        # capability gap (e.g. 24-bit packed PCM), not corrupt bytes —
-        # routed to the missing-codec taxonomy so fallback_to_fake
-        # applies (see _features_of)
+        # capability gap, not corrupt bytes — routed to the
+        # missing-codec taxonomy so fallback_to_fake applies
+        # (see _features_of)
         raise NotImplementedError(
             f"real media decode: WAV sample width {sampwidth} unsupported"
         )
@@ -222,44 +230,68 @@ def _decode_png(content: bytes, dim: int) -> list[float]:
             idat.extend(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"real media decode: PNG bit depth {depth} unsupported"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG: invalid bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG: invalid interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG: invalid color type {ctype}")
-    nbytes = depth // 8
-    bpp = channels * nbytes
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(
+            f"PNG: bit depth {depth} invalid for color type {ctype}"
+        )
+    # filtering operates on BYTES: bpp is the per-pixel byte distance
+    # (floored to 1 for bit-packed scanlines, spec §9)
+    bpp = max(1, channels * depth // 8)
+
+    def row_bytes(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
+    def samples_of(seg: bytes, pw: int, ph: int):
+        """Unfilter one (sub-)image and return an int sample grid of
+        shape (ph, pw, channels) — bit-packed rows unpack MSB-first,
+        each scanline padded independently to a byte boundary."""
+        rb = row_bytes(pw)
+        flat = bytes(_png_unfilter(seg, rb, ph, bpp) if depth < 8
+                     else _png_unfilter(seg, pw, ph, bpp))
+        if depth == 16:
+            return np.frombuffer(flat, dtype=np.dtype(">u2")).reshape(
+                ph, pw, channels
+            ).astype(np.int64)
+        if depth == 8:
+            return np.frombuffer(flat, dtype=np.uint8).reshape(
+                ph, pw, channels
+            ).astype(np.int64)
+        rows = np.frombuffer(flat, dtype=np.uint8).reshape(ph, rb)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        return vals[:, :, None].astype(np.int64)
+
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        flat = bytes(_png_unfilter(raw, width, height, bpp))
+        want = (row_bytes(width) + 1) * height if depth < 8 else None
+        if want is not None and len(raw) != want:
+            raise ValueError("PNG pixel data length mismatch")
+        grid = samples_of(raw, width, height)
     else:
         # Adam7: unfilter each pass as its own sub-image, then scatter
-        # pixels back to (x, y) = (x0 + i·dx, y0 + j·dy)
-        img = bytearray(width * height * bpp)
+        # samples back to (x, y) = (x0 + i·dx, y0 + j·dy)
+        grid = np.zeros((height, width, channels), dtype=np.int64)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            size = (pw * bpp + 1) * ph
-            sub = _png_unfilter(raw[pos : pos + size], pw, ph, bpp)
+            size = (row_bytes(pw) + 1) * ph
+            grid[y0::dy, x0::dx, :] = samples_of(raw[pos : pos + size], pw, ph)
             pos += size
-            for j in range(ph):
-                for i in range(pw):
-                    o = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
-                    s = (j * pw + i) * bpp
-                    img[o : o + bpp] = sub[s : s + bpp]
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        flat = bytes(img)
-    dt = np.uint8 if depth == 8 else np.dtype(">u2")
-    mx = 255.0 if depth == 8 else 65535.0
-    px = np.frombuffer(flat, dtype=dt).reshape(height * width, channels)
+    mx = float((1 << depth) - 1)
+    px = grid.reshape(height * width, channels)
     if ctype in (0, 4):  # gray / gray+alpha: luminance ignores alpha
         lum = px[:, 0].astype(np.float64)
     elif ctype == 3:
@@ -329,23 +361,38 @@ def png_encode_gray(
     round-trip exercises the matching unfilter path; ``depth`` 8 or 16
     (16-bit pixels are big-endian sample pairs), ``interlace`` emits
     the Adam7 pass sequence (each pass filtered independently)."""
-    nbytes = depth // 8
-    if depth not in (8, 16):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"depth {depth}")
+    # sub-byte depths (1/2/4) take ONE BYTE PER PIXEL in ``pixels``
+    # (values < 2^depth) and bit-pack each scanline MSB-first
+    nbytes = max(1, depth // 8)
     if len(pixels) != width * height * nbytes:
-        raise ValueError("pixels length != width*height*depth/8")
+        raise ValueError("pixels length != width*height*bytes-per-pixel")
 
     def row(y, xs):
-        line = bytearray()
+        if depth >= 8:
+            line = bytearray()
+            for x in xs:
+                o = (y * width + x) * nbytes
+                line += pixels[o : o + nbytes]
+            return bytes(line)
+        acc = bytearray()
+        cur, nb = 0, 0
         for x in xs:
-            o = (y * width + x) * nbytes
-            line += pixels[o : o + nbytes]
-        return bytes(line)
+            cur = (cur << depth) | (pixels[y * width + x] & ((1 << depth) - 1))
+            nb += depth
+            if nb == 8:
+                acc.append(cur)
+                cur, nb = 0, 0
+        if nb:
+            acc.append(cur << (8 - nb))
+        return bytes(acc)
 
+    fbpp = max(1, depth // 8) if depth >= 8 else 1
     raw = bytearray()
     if not interlace:
         rows = [row(y, range(width)) for y in range(height)]
-        raw = _png_filter_rows(rows, width * nbytes, filter_type, nbytes)
+        raw = _png_filter_rows(rows, len(rows[0]), filter_type, fbpp)
     else:
         for x0, y0, dx, dy in _ADAM7:
             xs = list(range(x0, width, dx))
@@ -353,7 +400,7 @@ def png_encode_gray(
             if not xs or not ys:
                 continue
             rows = [row(y, xs) for y in ys]
-            raw += _png_filter_rows(rows, len(xs) * nbytes, filter_type, nbytes)
+            raw += _png_filter_rows(rows, len(rows[0]), filter_type, fbpp)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
