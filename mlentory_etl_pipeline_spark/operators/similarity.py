@@ -1592,12 +1592,14 @@ def embedding_pca(
                 / float(scale * scale)
             )
             exp = (float(num) / float(den)) / float(trace_m)
+        from mlentory_etl_pipeline_spark.functions.rounding import round_half_up
+
         out.append(
             (
                 k + 1,
                 n,
-                round(eig, 6) if eig is not None else None,
-                round(exp, 6) if exp is not None else None,
+                round_half_up(eig, 6) if eig is not None else None,
+                round_half_up(exp, 6) if exp is not None else None,
             )
         )
         d2 = max(den, 1)

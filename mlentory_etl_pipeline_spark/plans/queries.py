@@ -8175,10 +8175,17 @@ def ann_trained_recall_audit(spark, sf_dir):
     n_exact = brute.count()
 
     def _recall(approx, method):
+        from mlentory_etl_pipeline_spark.functions.rounding import (
+            round_half_up,
+        )
+
         if n_exact == 0:  # degenerate corpus: report 0, don't divide
             return (method, 0.0)
         hits = brute.join(approx, ["query_id", "neighbor_id"]).count()
-        return (method, round(hits / n_exact, 4))
+        # engine-convention rounding: hits/n_exact has a SHORT repr, so
+        # Python's banker's round would diverge from the oracle's
+        # ROUND on true .xxxx5 ties
+        return (method, round_half_up(hits / n_exact, 4))
 
     rows = [
         _recall(ivf, "ivf_trained"),
