@@ -3839,10 +3839,12 @@ def msprt_always_valid(
         daily.agg(
             F.count(F.lit(1)).alias("_u"),
             F.sum(F.col(d_micro_col).cast("decimal(38,0)")).alias("_s1"),
+            # cast BEFORE squaring: a sparse day's mean difference can
+            # reach ~1e11 micro-units, whose long square overflows
+            # (found by the sf0.001 off-scale gate, round 7)
             F.sum(
-                (F.col(d_micro_col) * F.col(d_micro_col)).cast(
-                    "decimal(38,0)"
-                )
+                F.col(d_micro_col).cast("decimal(38,0)")
+                * F.col(d_micro_col)
             ).alias("_s2"),
         )
     )
