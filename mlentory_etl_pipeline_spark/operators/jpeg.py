@@ -1,0 +1,828 @@
+"""Baseline JPEG (ITU-T T.81) decoder + encoder twin — stdlib + numpy.
+
+Closes the last real-media capability gap in the multimodal family
+(reference anchor: ``HFDatasetManager.py:459-489`` loads arbitrary HF
+image columns; PNG landed in round 6, JPEG lands here). Same design as
+the PNG pair in :mod:`.multimodal`: a from-scratch DECODER for the real
+path and an ENCODER twin so tests can round-trip without any external
+codec, plus hard-exactness fixtures (constant 8x8 blocks quantize and
+reconstruct bit-exactly through the real DCT path, see
+``tests/test_jpeg.py``).
+
+Scope — baseline + extended-sequential DCT, the processes that cover
+the overwhelming majority of JPEGs in the wild:
+
+- markers: SOI/EOI, APPn/COM (skipped), DQT (8- and 16-bit), DHT,
+  SOF0/SOF1, DRI + RST0-7 restart intervals, SOS;
+- canonical Huffman decode built from the DHT (BITS, HUFFVAL) pairs
+  exactly as Annex C specifies;
+- interleaved multi-component MCUs with arbitrary sampling factors
+  (4:4:4, 4:2:0, 4:2:2, ...) and the non-interleaved single-component
+  scan geometry (one block per MCU, component-local block grid);
+- dequantize -> de-zigzag -> exact separable float IDCT
+  (``A.T @ C @ A`` with the orthonormal DCT-II basis matrix) -> level
+  shift -> clamp;
+- chroma upsampling by nearest-neighbor index mapping (general for any
+  factor ratio), JFIF full-range YCbCr -> RGB.
+
+Progressive (SOF2), lossless/hierarchical (SOF3, SOF5-15) and
+arithmetic coding raise ``NotImplementedError`` — the same
+capability-gap taxonomy as the PNG/WAV gates, so ``decode_media``'s
+``fallback_to_fake`` applies. Corrupt bytes raise ``ValueError``.
+
+Scale note: JPEG entropy decode is inherently serial WITHIN one image
+(DC prediction chains through the scan), so the parallel unit is the
+image row, exactly how :func:`.multimodal.decode_media` batches them —
+Arrow moves whole binary columns and each executor decodes its
+partition's images independently; there is no cross-row state.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# zigzag scan position -> natural (row-major) coefficient index (T.81 fig 5)
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.1 example quantization tables (natural order)
+QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Annex K.3 example Huffman tables as (BITS[1..16], HUFFVAL) pairs.
+# NOTE these values are NOT load-bearing for round-trip correctness:
+# the encoder derives its code assignments from the same pair it writes
+# into the DHT segment, and the decoder rebuilds from that segment — a
+# transcription slip would still round-trip. They matter only for
+# interop with external JPEGs, and they give the decoder realistic
+# variable-length codes to chew on (1..16 bit lengths).
+HUFF_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+HUFF_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+HUFF_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+HUFF_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+# orthonormal DCT-II basis: A[u, x] = 0.5 * C(u) * cos((2x+1) u pi / 16)
+# spatial = A.T @ coeffs @ A ; coeffs = A @ spatial @ A.T
+_DCT_A = np.array(
+    [
+        [
+            0.5 * (math.sqrt(0.5) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# SOF markers for coding processes this decoder does not implement —
+# capability gaps (NotImplementedError), not corrupt bytes
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT",
+    0xC3: "lossless sequential",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic extended sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "arithmetic differential sequential",
+    0xCE: "arithmetic differential progressive",
+    0xCF: "arithmetic differential lossless",
+}
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy-coded data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+# ------------------------------------------------------------- Huffman
+
+
+def _build_decode_table(bits, huffval) -> dict:
+    """Canonical (length, code) -> symbol map per T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits, huffval) -> dict:
+    """symbol -> (code, length), the inverse of :func:`_build_decode_table`."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_decode_table(bits, huffval).items()
+    }
+
+
+def _read_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s-bit magnitude pattern to its signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _category(v: int) -> int:
+    """Bit-length category of a signed coefficient (encoder side)."""
+    return abs(v).bit_length()
+
+
+# ------------------------------------------------------------- decoder
+
+
+def _split_entropy(data: bytes, pos: int):
+    """Split the entropy-coded stream at ``pos`` into restart segments,
+    unstuffing 0xFF00 as it goes. Returns (segments, pos-after-scan)."""
+    segs = []
+    cur = bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= n:
+                raise ValueError("JPEG: truncated entropy stream")
+            m = data[pos + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break  # any other marker ends the scan
+        cur.append(b)
+        pos += 1
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def _decode_block(reader, dc_table, ac_table, pred, qtab):
+    """One 8x8 block: Huffman -> dequantized natural-order coefficients."""
+    s = _read_symbol(reader, dc_table)
+    if s > 11:
+        raise ValueError("JPEG: invalid DC category")
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    coef = np.zeros(64, dtype=np.float64)
+    coef[0] = pred * qtab[0]
+    k = 1
+    while k < 64:
+        rs = _read_symbol(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC coefficient index out of range")
+        nat = ZIGZAG[k]
+        coef[nat] = _extend(reader.read_bits(s), s) * qtab[nat]
+        k += 1
+    return coef.reshape(8, 8), pred
+
+
+def decode_jpeg(content: bytes):
+    """Decode a baseline/extended-sequential JPEG.
+
+    Returns ``(planes, width, height)`` where ``planes`` is a list of
+    uint8 numpy arrays of shape (height, width), one per component in
+    frame order (1 = grayscale, 3 = YCbCr), each already upsampled to
+    the full pixel grid. Raises ``ValueError`` on corrupt bytes and
+    ``NotImplementedError`` on unimplemented coding processes.
+    """
+    if len(content) < 4 or content[0] != 0xFF or content[1] != 0xD8:
+        raise ValueError("not a JPEG: bad SOI marker")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None  # (width, height, comps) comps = [(cid, h, v, tq)]
+    planes_raw: dict[int, np.ndarray] = {}  # comp index -> padded plane
+    pos = 2
+    n = len(content)
+    while pos < n:
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker, got data byte")
+        marker = content[pos + 1] if pos + 1 < n else None
+        if marker is None:
+            raise ValueError("JPEG: truncated marker")
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
+        if pos + 2 > n:
+            raise ValueError("JPEG: truncated segment header")
+        (seglen,) = struct.unpack(">H", content[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("JPEG: bad segment length")
+        data = content[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                nat = np.zeros(64, dtype=np.int64)
+                if pq == 0:
+                    if i + 64 > len(data):
+                        raise ValueError("JPEG: truncated DQT")
+                    for z in range(64):
+                        nat[ZIGZAG[z]] = data[i + z]
+                    i += 64
+                elif pq == 1:
+                    if i + 128 > len(data):
+                        raise ValueError("JPEG: truncated DQT")
+                    for z in range(64):
+                        nat[ZIGZAG[z]] = struct.unpack(
+                            ">H", data[i + 2 * z : i + 2 * z + 2]
+                        )[0]
+                    i += 128
+                else:
+                    raise ValueError(f"JPEG: invalid DQT precision {pq}")
+                if (nat == 0).any():
+                    raise ValueError("JPEG: zero quantizer step")
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                if tc > 1:
+                    raise ValueError("JPEG: invalid Huffman table class")
+                bits = tuple(data[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = tuple(data[i + 17 : i + 17 + cnt])
+                if len(vals) != cnt:
+                    raise ValueError("JPEG: truncated DHT")
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            if data[0] != 8:
+                raise NotImplementedError(
+                    f"real media decode: JPEG sample precision {data[0]} "
+                    "unsupported (8-bit only)"
+                )
+            height, width = struct.unpack(">HH", data[1:5])
+            if not width or not height:
+                raise ValueError("JPEG: zero frame dimension")
+            nc = data[5]
+            comps = []
+            for c in range(nc):
+                cid = data[6 + 3 * c]
+                hv = data[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, data[8 + 3 * c]))
+            if any(h < 1 or h > 4 or v < 1 or v > 4 for _, h, v, _ in comps):
+                raise ValueError("JPEG: invalid sampling factor")
+            frame = (width, height, comps)
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                "real media decode: JPEG coding process "
+                f"({_SOF_UNSUPPORTED[marker]}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            width, height, comps = frame
+            ns = data[0]
+            scan = []  # (comp_index, dc_table, ac_table)
+            for s_i in range(ns):
+                cs = data[1 + 2 * s_i]
+                tdta = data[2 + 2 * s_i]
+                matches = [i for i, c in enumerate(comps) if c[0] == cs]
+                if not matches:
+                    raise ValueError("JPEG: scan selects unknown component")
+                ci = matches[0]
+                td, ta = tdta >> 4, tdta & 0x0F
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError("JPEG: scan references missing DHT")
+                scan.append((ci, htables[(0, td)], htables[(1, ta)]))
+            # Ss/Se/AhAl must be the sequential defaults
+            if data[1 + 2 * ns] != 0 or data[2 + 2 * ns] != 63:
+                raise ValueError("JPEG: bad spectral selection for sequential")
+            segments, pos = _split_entropy(content, pos)
+            _decode_scan(
+                frame, scan, qtables, segments, restart_interval, planes_raw
+            )
+        # else: APPn / COM / unknown — skipped
+    if frame is None or not planes_raw:
+        raise ValueError("JPEG: no image data decoded")
+    width, height, comps = frame
+    hmax = max(h for _, h, v, _ in comps)
+    vmax = max(v for _, h, v, _ in comps)
+    planes = []
+    for ci, (_, h, v, _) in enumerate(comps):
+        if ci not in planes_raw:
+            raise ValueError("JPEG: component missing from scan data")
+        plane = planes_raw[ci]
+        # crop the block-padded plane to the component's true size, then
+        # nearest-neighbor index-map up to the full pixel grid (general
+        # for any factor ratio)
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(height) * v) // vmax
+        xs = (np.arange(width) * h) // hmax
+        planes.append(plane[np.ix_(ys, xs)])
+    return planes, width, height
+
+
+def _decode_scan(frame, scan, qtables, segments, restart_interval, planes_raw):
+    """Entropy-decode one sequential scan into padded component planes."""
+    width, height, comps = frame
+    hmax = max(h for _, h, v, _ in comps)
+    vmax = max(v for _, h, v, _ in comps)
+    A = _DCT_A
+
+    def idct_place(plane, coef, by, bx):
+        block = A.T @ coef @ A + 128.0
+        np.clip(np.rint(block), 0, 255, out=block)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block.astype(np.uint8)
+
+    if len(scan) == 1:
+        # non-interleaved: one block per MCU on the component's own grid
+        ci, dct, act = scan[0]
+        _, h, v, tq = comps[ci]
+        if tq not in qtables:
+            raise ValueError("JPEG: missing quantization table")
+        qtab = qtables[tq]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        bx_n, by_n = -(-cw // 8), -(-ch // 8)
+        plane = planes_raw.setdefault(
+            ci, np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
+        )
+        total = bx_n * by_n
+        reader, seg_idx, pred = _BitReader(segments[0]), 0, 0
+        for m in range(total):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                reader, pred = _BitReader(segments[seg_idx]), 0
+            coef, pred = _decode_block(reader, dct, act, pred, qtab)
+            idct_place(plane, coef, m // bx_n, m % bx_n)
+        return
+
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = []
+    for ci, _, _ in scan:
+        _, h, v, tq = comps[ci]
+        if tq not in qtables:
+            raise ValueError("JPEG: missing quantization table")
+        planes.append(
+            planes_raw.setdefault(
+                ci, np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.uint8)
+            )
+        )
+    reader, seg_idx = _BitReader(segments[0]), 0
+    preds = [0] * len(scan)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(scan)
+        my, mx = m // mcux, m % mcux
+        for s_i, (ci, dct, act) in enumerate(scan):
+            _, h, v, tq = comps[ci]
+            qtab = qtables[tq]
+            for by in range(v):
+                for bx in range(h):
+                    coef, preds[s_i] = _decode_block(
+                        reader, dct, act, preds[s_i], qtab
+                    )
+                    idct_place(planes[s_i], coef, my * v + by, mx * h + bx)
+
+
+def decode_jpeg_luma(content: bytes):
+    """Decode to per-pixel 8-bit luminance (row-major numpy array).
+
+    Grayscale frames pass Y through; color frames convert JFIF
+    full-range YCbCr -> RGB (rounded, clamped) and then apply the same
+    ITU-R 601-2 integer luma as the PNG path, so the two stdlib image
+    decoders share one feature contract.
+    """
+    planes, width, height = decode_jpeg(content)
+    if len(planes) == 1:
+        return planes[0].astype(np.int64)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"real media decode: {len(planes)}-component JPEG unsupported"
+        )
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.int64)
+    g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(
+        np.int64
+    )
+    b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.int64)
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _scaled_quant(base, quality: int) -> np.ndarray:
+    """IJG quality scaling: 5000/q below 50, 200-2q above, clamp 1..255."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _encode_blocks(plane: np.ndarray, qtab: np.ndarray):
+    """FDCT + quantize every 8x8 block of a padded component plane.
+    Returns an (by, bx, 64) int array of zigzag-ordered coefficients."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    shifted = plane.astype(np.float64) - 128.0
+    out = np.zeros((h8, w8, 64), dtype=np.int64)
+    A = _DCT_A
+    qnat = qtab.reshape(8, 8).astype(np.float64)
+    zz = np.array(ZIGZAG)
+    for by in range(h8):
+        for bx in range(w8):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.rint((A @ block @ A.T) / qnat).astype(np.int64)
+            out[by, bx] = coef.reshape(64)[zz]
+    return out
+
+
+def _write_block(writer, zzcoef, pred, dc_codes, ac_codes):
+    """Entropy-encode one block of zigzag coefficients; returns new pred."""
+    dc = int(zzcoef[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zzcoef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("JPEG encoder: AC coefficient out of range")
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate a component plane up to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph = (-h) % bh
+    pw = (-w) % bw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+
+def _dqt_segment(tq: int, qtab: np.ndarray) -> bytes:
+    zz = bytes(int(qtab[ZIGZAG[z]]) for z in range(64))
+    return _marker(0xDB, bytes([tq]) + zz)
+
+
+def _dht_segment(tc: int, th: int, table) -> bytes:
+    bits, vals = table
+    return _marker(
+        0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    )
+
+
+_APP0_JFIF = _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+
+def jpeg_encode_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quality: int = 90,
+    restart_interval: int = 0,
+    quant_override=None,
+) -> bytes:
+    """Grayscale baseline JPEG encoder — the test twin of
+    :func:`decode_jpeg`. ``quant_override`` (64 natural-order ints)
+    replaces the quality-scaled Annex K table; the exactness fixtures
+    use it to plant quantizers that divide the planted DC values."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    qtab = (
+        np.asarray(quant_override, dtype=np.int64)
+        if quant_override is not None
+        else _scaled_quant(QUANT_LUMA, quality)
+    )
+    plane = _pad_to_blocks(
+        np.frombuffer(pixels, dtype=np.uint8).reshape(height, width), 8, 8
+    )
+    blocks = _encode_blocks(plane, qtab)
+    by_n, bx_n = blocks.shape[0], blocks.shape[1]
+    dc_codes = _build_encode_table(*HUFF_DC_LUMA)
+    ac_codes = _build_encode_table(*HUFF_AC_LUMA)
+    writer = _BitWriter()
+    body = bytearray()
+    pred = 0
+    rst = 0
+    for m in range(by_n * bx_n):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            body += writer.out + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            pred = 0
+        pred = _write_block(
+            writer, blocks[m // bx_n, m % bx_n], pred, dc_codes, ac_codes
+        )
+    writer.flush()
+    body += writer.out
+    sof = _marker(
+        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    sos = _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = _marker(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + _APP0_JFIF
+        + _dqt_segment(0, qtab)
+        + sof
+        + _dht_segment(0, 0, HUFF_DC_LUMA)
+        + _dht_segment(1, 0, HUFF_AC_LUMA)
+        + dri
+        + sos
+        + bytes(body)
+        + b"\xff\xd9"
+    )
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray):
+    """JFIF full-range RGB -> YCbCr, rounded to uint8 planes."""
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return tuple(
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    )
+
+
+def _box_subsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Mean-of-box chroma subsampling with edge replication for odd dims."""
+    if fy == 1 and fx == 1:
+        return plane
+    p = _pad_to_blocks(plane, fy, fx).astype(np.float64)
+    h, w = p.shape
+    boxes = p.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+    return np.clip(np.rint(boxes), 0, 255).astype(np.uint8)
+
+
+def jpeg_encode_rgb(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Color baseline JPEG encoder: interleaved YCbCr scan with luma
+    sampling factors ``subsampling`` = (h, v) — (1,1) = 4:4:4,
+    (2,1) = 4:2:2, (2,2) = 4:2:0. ``pixels`` is row-major RGB triples."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels length != width*height*3")
+    hs, vs = subsampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("subsampling factors must be 1 or 2")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    # component planes padded to the MCU grid (luma: 8h x 8v blocks)
+    y_p = _pad_to_blocks(y, 8 * vs, 8 * hs)
+    cb_p = _pad_to_blocks(_box_subsample(cb, vs, hs), 8, 8)
+    cr_p = _pad_to_blocks(_box_subsample(cr, vs, hs), 8, 8)
+    # chroma planes must span the same MCU grid as luma
+    mcux, mcuy = y_p.shape[1] // (8 * hs), y_p.shape[0] // (8 * vs)
+    cb_p = _pad_to_blocks(cb_p, mcuy * 8, mcux * 8)[: mcuy * 8, : mcux * 8]
+    cr_p = _pad_to_blocks(cr_p, mcuy * 8, mcux * 8)[: mcuy * 8, : mcux * 8]
+    yb = _encode_blocks(y_p, qy)
+    cbb = _encode_blocks(cb_p, qc)
+    crb = _encode_blocks(cr_p, qc)
+    dc_y = _build_encode_table(*HUFF_DC_LUMA)
+    ac_y = _build_encode_table(*HUFF_AC_LUMA)
+    dc_c = _build_encode_table(*HUFF_DC_CHROMA)
+    ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+    writer = _BitWriter()
+    body = bytearray()
+    preds = [0, 0, 0]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            body += writer.out + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _BitWriter()
+            preds = [0, 0, 0]
+        my, mx = m // mcux, m % mcux
+        for by in range(vs):
+            for bx in range(hs):
+                preds[0] = _write_block(
+                    writer, yb[my * vs + by, mx * hs + bx], preds[0], dc_y, ac_y
+                )
+        preds[1] = _write_block(writer, cbb[my, mx], preds[1], dc_c, ac_c)
+        preds[2] = _write_block(writer, crb[my, mx], preds[2], dc_c, ac_c)
+    writer.flush()
+    body += writer.out
+    sof = _marker(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = _marker(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + _APP0_JFIF
+        + _dqt_segment(0, qy)
+        + _dqt_segment(1, qc)
+        + sof
+        + _dht_segment(0, 0, HUFF_DC_LUMA)
+        + _dht_segment(1, 0, HUFF_AC_LUMA)
+        + _dht_segment(0, 1, HUFF_DC_CHROMA)
+        + _dht_segment(1, 1, HUFF_AC_CHROMA)
+        + dri
+        + sos
+        + bytes(body)
+        + b"\xff\xd9"
+    )

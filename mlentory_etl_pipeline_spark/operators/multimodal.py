@@ -7,10 +7,12 @@ Decoding is layered by what the environment provides:
   real Spark plumbing (schema contract, batch iteration,
   partition-parallel execution) with no codec at all.
 - ``fake=False`` — REAL decoders, resolved per modality at runtime:
-  WAV audio through the stdlib ``wave`` module and PNG images through
-  a stdlib zlib-inflate + scanline-unfilter decoder (both always
-  available); other images through Pillow when importable;
-  ``soundfile`` for non-WAV audio when importable. A modality whose
+  WAV audio through the stdlib ``wave`` module, PNG images through
+  a stdlib zlib-inflate + scanline-unfilter decoder, and baseline
+  JPEG through the from-scratch Huffman+IDCT decoder in :mod:`.jpeg`
+  (all always available); other images through Pillow when
+  importable; ``soundfile`` for non-WAV audio when importable. A
+  modality whose
   codec is absent raises a clear ``NotImplementedError`` — or degrades
   to the deterministic stub when ``fallback_to_fake=True`` (the
   posture for mixed fleets where some workers lack a codec).
@@ -421,6 +423,22 @@ def png_encode_gray(
     )
 
 
+def _decode_jpeg(content: bytes, dim: int) -> list[float]:
+    """REAL image decode for baseline JPEG via the from-scratch stdlib
+    decoder (:mod:`.jpeg`): per-pixel luminance (Y for grayscale
+    frames; YCbCr->RGB then the same 601-2 integer luma as the PNG
+    path for color), then ``dim`` per-segment means in [0, 1].
+    Progressive/lossless/arithmetic JPEG raise NotImplementedError —
+    the fallback_to_fake capability-gap taxonomy."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg_luma
+
+    lum = decode_jpeg_luma(content).reshape(-1).astype(np.float64)
+    segs = np.array_split(lum / 255.0, dim)
+    return [float(s.mean()) if s.size else 0.0 for s in segs]
+
+
 def _image_decoder():
     """Pillow-backed image decoder, or None when Pillow is absent."""
     try:
@@ -470,9 +488,10 @@ def decode_media(
 
     ``fake=True`` runs the deterministic fake decoder for every row.
     ``fake=False`` dispatches REAL decoders per (media_type, format):
-    WAV audio and PNG images always decode (stdlib ``wave`` / zlib
-    inflate + unfilter); other images decode when Pillow is
-    importable; other audio when ``soundfile`` is importable.
+    WAV audio, PNG and baseline-JPEG images always decode (stdlib
+    ``wave`` / zlib inflate + unfilter / from-scratch Huffman+IDCT);
+    other images decode when Pillow is importable; other audio when
+    ``soundfile`` is importable.
     A row whose modality has no available codec raises
     ``NotImplementedError`` ("real media decode …") unless
     ``fallback_to_fake=True``, which degrades that row to the
@@ -498,6 +517,9 @@ def decode_media(
         elif media_type == "image" and (fmt or "").lower() == "png":
             # stdlib PNG path: always available, Pillow-free
             decoder = _decode_png
+        elif media_type == "image" and (fmt or "").lower() in ("jpg", "jpeg"):
+            # stdlib baseline-JPEG path: always available, Pillow-free
+            decoder = _decode_jpeg
         elif media_type == "image":
             decoder = image_decoder
         if decoder is None:

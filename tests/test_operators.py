@@ -84,9 +84,10 @@ def test_multimodal_real_decode_raises_without_codec(spark):
         pytest.skip("Pillow present — the no-codec path can't trigger")
     except ImportError:
         pass
-    # PNG now decodes via the stdlib path, so the codec-absent branch
-    # needs a non-PNG image format (jpeg requires Pillow)
-    rows = [(i, "image", bytes([i] * 32), "jpeg", 8, 4, None) for i in range(3)]
+    # PNG and baseline JPEG now decode via stdlib paths, so the
+    # codec-absent branch needs a format with no built-in decoder
+    # (webp requires Pillow)
+    rows = [(i, "image", bytes([i] * 32), "webp", 8, 4, None) for i in range(3)]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception) as exc:
         multimodal.decode_media(media, fake=False).collect()
@@ -251,9 +252,10 @@ def test_png_decode_failure_taxonomy(spark):
     assert "media decode failed" in str(exc.value)
 
     # every IHDR-valid (depth, ctype, interlace) combination decodes
-    # now, so the image capability gap is a FORMAT with no codec in
-    # this container (jpeg without Pillow): NotImplementedError
-    # without fallback, deterministic stub with it
+    # now, and baseline JPEG decodes via the stdlib path, so the image
+    # capability gap is a FORMAT with no codec in this container
+    # (webp without Pillow): NotImplementedError without fallback,
+    # deterministic stub with it
     try:
         import PIL  # noqa: F401
 
@@ -261,15 +263,38 @@ def test_png_decode_failure_taxonomy(spark):
     except ImportError:
         has_pillow = False
     if not has_pillow:
-        mediaj = spark.createDataFrame(
-            [(0, "image", b"\xff\xd8\xff\xe0fakejpeg", "jpeg", 8, 8, None)],
+        mediaw = spark.createDataFrame(
+            [(0, "image", b"RIFF\x00\x00\x00\x00WEBPfake", "webp", 8, 8, None)],
             multimodal.MEDIA_SCHEMA,
         )
         with pytest.raises(Exception) as exc:
-            multimodal.decode_media(mediaj, fake=False).collect()
+            multimodal.decode_media(mediaw, fake=False).collect()
         assert "real media decode" in str(exc.value)
-        fb = multimodal.decode_media(mediaj, fake=False, fallback_to_fake=True)
+        fb = multimodal.decode_media(mediaw, fake=False, fallback_to_fake=True)
         assert len(fb.collect()[0].features) == 8
+    # corrupt JPEG bytes are ValueError (bad data), not a capability gap
+    mediaj = spark.createDataFrame(
+        [(0, "image", b"\xff\xd8\xff\xe0fakejpeg", "jpeg", 8, 8, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediaj, fake=False).collect()
+    assert "media decode failed" in str(exc.value)
+    # ... while a PROGRESSIVE JPEG is a capability gap inside the codec:
+    # NotImplementedError taxonomy, so fallback_to_fake applies
+    sof2_only = (
+        b"\xff\xd8"
+        + bytes([0xFF, 0xC2, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    mediap = spark.createDataFrame(
+        [(0, "image", sof2_only, "jpeg", 8, 8, None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediap, fake=False).collect()
+    assert "real media decode" in str(exc.value)
+    fbp = multimodal.decode_media(mediap, fake=False, fallback_to_fake=True)
+    assert len(fbp.collect()[0].features) == 8
 
 
 def test_frame_sample_plan(spark):
