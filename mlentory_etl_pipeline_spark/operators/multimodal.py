@@ -76,36 +76,132 @@ def _fake_features(content: bytes, dim: int = 8) -> list[float]:
     return [digest[i] / 255.0 for i in range(dim)]
 
 
-def _decode_wav(content: bytes, dim: int) -> list[float]:
-    """REAL audio decode via the stdlib ``wave`` module: parse the PCM
-    stream, mono-mix, normalize, and emit ``dim`` per-segment RMS
-    energies in [0, 1] — a miniature but genuine audio fingerprint."""
+def _g711_tables():
+    """All-256-code decode tables for G.711 mu-law and A-law, built from
+    the CCITT reference formulas (the same tables sox/audioop ship).
+    mu-law: complement, then magnitude ((2m+33) << e) - 33 at x4 scale;
+    A-law: XOR 0x55, segment 0 is linear, sign bit SET means positive."""
     import numpy as np
 
-    with wave.open(io.BytesIO(content)) as w:
-        sampwidth, nchannels = w.getsampwidth(), w.getnchannels()
-        raw = w.readframes(w.getnframes())
+    ulaw = np.zeros(256, dtype=np.int32)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[code] = -(t - 0x84) if (u & 0x80) else (t - 0x84)
+    alaw = np.zeros(256, dtype=np.int32)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[code] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+def _wav_samples_ext(content: bytes):
+    """RIFF walker for the WAV formats the stdlib ``wave`` module
+    rejects: IEEE float (3), A-law (6), mu-law (7), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, dispatched on the SubFormat code).
+    Returns (interleaved float64 samples, nchannels). Unknown formats
+    raise NotImplementedError (capability gap); malformed bytes raise
+    ValueError."""
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, nchannels, _rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt == 0xFFFE:  # EXTENSIBLE: SubFormat GUID leads with the code
+        if len(fmt) < 26:
+            raise ValueError("WAV extensible fmt chunk too short")
+        (audio_fmt,) = struct.unpack("<H", fmt[24:26])
+    if nchannels < 1:
+        raise ValueError("WAV: zero channels")
+    if audio_fmt == 1:  # PCM landed here only via EXTENSIBLE
+        return _pcm_samples(data, bits // 8), nchannels
+    if audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(
+                f"real media decode: float WAV with {bits} bits unsupported"
+            )
+        return samples, nchannels
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law
+        ulaw, alaw = _g711_tables()
+        table = alaw if audio_fmt == 6 else ulaw
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return table[codes].astype(np.float64), nchannels
+    raise NotImplementedError(
+        f"real media decode: WAV audio format {audio_fmt} unsupported"
+    )
+
+
+def _pcm_samples(raw: bytes, sampwidth: int):
+    """Integer PCM frames -> float64 samples (shared by the stdlib-wave
+    and RIFF-extension paths)."""
+    import numpy as np
+
     if sampwidth == 1:
         # 8-bit WAV is UNSIGNED per the spec (128 = silence)
-        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
-    elif sampwidth in (2, 4):
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    if sampwidth in (2, 4):
         dtype = {2: np.int16, 4: np.int32}[sampwidth]
-        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    elif sampwidth == 3:
+        return np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 3:
         # 24-bit packed PCM: little-endian byte triples, sign-extended
         # via the int32 trick (place in the top 3 bytes, arithmetic
         # shift back down)
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
-        samples = (
+        return (
             ((b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)) >> 8
         ).astype(np.float64)
-    else:
-        # capability gap, not corrupt bytes — routed to the
-        # missing-codec taxonomy so fallback_to_fake applies
-        # (see _features_of)
-        raise NotImplementedError(
-            f"real media decode: WAV sample width {sampwidth} unsupported"
-        )
+    # capability gap, not corrupt bytes — routed to the missing-codec
+    # taxonomy so fallback_to_fake applies (see _features_of)
+    raise NotImplementedError(
+        f"real media decode: WAV sample width {sampwidth} unsupported"
+    )
+
+
+def _decode_wav(content: bytes, dim: int) -> list[float]:
+    """REAL audio decode: the stdlib ``wave`` module for PCM streams,
+    falling back to the RIFF extension walker for the formats it
+    rejects (IEEE float, G.711 A-law/mu-law, EXTENSIBLE); mono-mix,
+    normalize, and emit ``dim`` per-segment RMS energies in [0, 1] — a
+    miniature but genuine audio fingerprint."""
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            sampwidth, nchannels = w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        samples = _pcm_samples(raw, sampwidth)
+    except wave.Error:
+        # stdlib wave only does plain PCM; non-PCM formats are still
+        # REAL decodable media, not corrupt bytes
+        samples, nchannels = _wav_samples_ext(content)
     if nchannels > 1:
         samples = samples.reshape(-1, nchannels).mean(axis=1)
     peak = float(np.abs(samples).max()) if samples.size else 0.0

@@ -909,6 +909,146 @@ def test_dsir_scores_favor_target_vocabulary(spark):
     assert got[200] > 0 > got[201]
 
 
+def _riff_wav(audio_fmt, nchannels, bits, data, extensible=False):
+    """Hand-rolled RIFF writer for the formats stdlib wave can't emit."""
+    import struct as _struct
+
+    block_align = max(1, nchannels * bits // 8)
+    if extensible:
+        sub_guid = (
+            _struct.pack("<H", audio_fmt)
+            + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        )
+        fmt = (
+            _struct.pack(
+                "<HHIIHH", 0xFFFE, nchannels, 8000, 8000 * block_align,
+                block_align, bits,
+            )
+            + _struct.pack("<HHI", 22, bits, 0x4)
+            + sub_guid
+        )
+    else:
+        fmt = _struct.pack(
+            "<HHIIHH", audio_fmt, nchannels, 8000, 8000 * block_align,
+            block_align, bits,
+        )
+
+    def chunk(tag, body):
+        return tag + _struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    payload = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + _struct.pack("<I", len(payload)) + payload
+
+
+def test_g711_decode_tables_match_ccitt_pins():
+    """Known G.711 vectors: mu-law 0x00 -> -32124, 0x80 -> +32124,
+    0xFF/0x7F -> 0; A-law 0xD5 -> +8, 0x55 -> -8, 0xAA -> +32256.
+    Plus sign symmetry and per-half monotonicity across all 256 codes."""
+    import numpy as np
+
+    ulaw, alaw = multimodal._g711_tables()
+    assert ulaw[0x00] == -32124 and ulaw[0x80] == 32124
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0
+    assert alaw[0xD5] == 8 and alaw[0x55] == -8
+    assert alaw[0xAA] == 32256 and alaw[0x2A] == -32256
+    # mu-law sign symmetry: flipping the (pre-complement) sign bit
+    # negates the sample
+    codes = np.arange(256)
+    assert (ulaw[codes] == -ulaw[codes ^ 0x80]).all()
+    assert (alaw[codes] == -alaw[codes ^ 0x80]).all()
+    # within the positive half, magnitude decreases as the mu-law code
+    # increases (0x80 is the largest magnitude, 0xFF is zero)
+    assert (np.diff(ulaw[0x80:0x100]) <= 0).all()
+
+
+def test_multimodal_nonpcm_wav_formats(spark):
+    """IEEE-float, mu-law, A-law and EXTENSIBLE WAVs decode for real:
+    stdlib wave rejects them, the RIFF extension walker takes over."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    ulaw, _alaw = multimodal._g711_tables()
+    # float32: alternating +/-0.5 -> normalized |sample| = 1 everywhere
+    f32 = _riff_wav(
+        3, 1, 32,
+        b"".join(
+            _struct.pack("<f", 0.5 if i % 2 == 0 else -0.5) for i in range(800)
+        ),
+    )
+    # float64 via the 64-bit branch: same signal
+    f64 = _riff_wav(
+        3, 1, 64,
+        b"".join(
+            _struct.pack("<d", 0.25 if i % 2 == 0 else -0.25)
+            for i in range(800)
+        ),
+    )
+    # mu-law: the two max-magnitude codes -> constant |32124|
+    mu = _riff_wav(7, 1, 8, bytes([0x00, 0x80] * 400))
+    # A-law: max-magnitude codes 0xAA/0x2A -> constant |32256|
+    al = _riff_wav(6, 1, 8, bytes([0xAA, 0x2A] * 400))
+    # EXTENSIBLE wrapper around plain PCM16
+    pcm = b"".join(
+        _struct.pack("<h", 1000 if i % 2 == 0 else -1000) for i in range(800)
+    )
+    ext = _riff_wav(1, 1, 16, pcm, extensible=True)
+    rows = [
+        (0, "audio", f32, "wav", None, None, 100),
+        (1, "audio", f64, "wav", None, None, 100),
+        (2, "audio", mu, "wav", None, None, 100),
+        (3, "audio", al, "wav", None, None, 100),
+        (4, "audio", ext, "wav", None, None, 100),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in multimodal.decode_media(media, fake=False).collect()
+    }
+    # constant-magnitude signals: every per-segment normalized RMS is 1
+    for media_id in range(5):
+        feats = got[media_id].features
+        assert len(feats) == 8
+        assert all(abs(x - 1.0) < 1e-6 for x in feats), (media_id, feats)
+    # a mu-law ramp through ALL codes must match the table-decoded RMS
+    ramp_codes = bytes(range(256)) * 4
+    ramp = _riff_wav(7, 1, 8, ramp_codes)
+    samples = ulaw[np.frombuffer(ramp_codes, dtype=np.uint8)].astype(
+        np.float64
+    )
+    samples = samples / np.abs(samples).max()
+    want = [
+        float(np.sqrt((s * s).mean()))
+        for s in np.array_split(samples, 8)
+    ]
+    mediar = spark.createDataFrame(
+        [(9, "audio", ramp, "wav", None, None, 100)], multimodal.MEDIA_SCHEMA
+    )
+    [gr] = multimodal.decode_media(mediar, fake=False).collect()
+    assert all(abs(float(a) - b) < 1e-6 for a, b in zip(gr.features, want))
+    # unknown format code (2 = ADPCM): capability gap taxonomy
+    adpcm = _riff_wav(2, 1, 4, bytes(400))
+    mediaa = spark.createDataFrame(
+        [(5, "audio", adpcm, "wav", None, None, 100)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediaa, fake=False).collect()
+    assert "audio format 2 unsupported" in str(exc.value)
+    fb = multimodal.decode_media(mediaa, fake=False, fallback_to_fake=True)
+    assert len(fb.collect()[0].features) == 8
+    # truncated chunk: corrupt bytes, ValueError taxonomy
+    mediat = spark.createDataFrame(
+        [(6, "audio", f32[:40], "wav", None, None, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediat, fake=False).collect()
+    assert "media decode failed" in str(exc.value)
+
+
 def test_multimodal_8bit_wav_and_unsupported_width(spark):
     import io as _io
     import wave as _wave
