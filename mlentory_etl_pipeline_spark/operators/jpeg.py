@@ -9,26 +9,32 @@ codec, plus hard-exactness fixtures (constant 8x8 blocks quantize and
 reconstruct bit-exactly through the real DCT path, see
 ``tests/test_jpeg.py``).
 
-Scope — baseline + extended-sequential DCT, the processes that cover
-the overwhelming majority of JPEGs in the wild:
+Scope — baseline, extended-sequential, AND progressive DCT, the
+processes that cover essentially every JPEG in the wild:
 
 - markers: SOI/EOI, APPn/COM (skipped), DQT (8- and 16-bit), DHT,
-  SOF0/SOF1, DRI + RST0-7 restart intervals, SOS;
+  SOF0/SOF1/SOF2, DRI + RST0-7 restart intervals, SOS;
 - canonical Huffman decode built from the DHT (BITS, HUFFVAL) pairs
   exactly as Annex C specifies;
 - interleaved multi-component MCUs with arbitrary sampling factors
   (4:4:4, 4:2:0, 4:2:2, ...) and the non-interleaved single-component
   scan geometry (one block per MCU, component-local block grid);
+- progressive scans (T.81 Annex G): DC first/refine, AC spectral
+  bands with cross-block EOB runs, AC successive-approximation
+  refinement — all scans accumulate quantized coefficients in
+  per-component buffers, so progressive and sequential share one
+  reconstruction path (and must decode identically, which the tests
+  assert bit-for-bit);
 - dequantize -> de-zigzag -> exact separable float IDCT
   (``A.T @ C @ A`` with the orthonormal DCT-II basis matrix) -> level
   shift -> clamp;
 - chroma upsampling by nearest-neighbor index mapping (general for any
   factor ratio), JFIF full-range YCbCr -> RGB.
 
-Progressive (SOF2), lossless/hierarchical (SOF3, SOF5-15) and
-arithmetic coding raise ``NotImplementedError`` — the same
-capability-gap taxonomy as the PNG/WAV gates, so ``decode_media``'s
-``fallback_to_fake`` applies. Corrupt bytes raise ``ValueError``.
+Lossless/hierarchical (SOF3, SOF5-15) and arithmetic coding raise
+``NotImplementedError`` — the same capability-gap taxonomy as the
+PNG/WAV gates, so ``decode_media``'s ``fallback_to_fake`` applies.
+Corrupt bytes raise ``ValueError``.
 
 Scale note: JPEG entropy decode is inherently serial WITHIN one image
 (DC prediction chains through the scan), so the parallel unit is the
@@ -144,6 +150,17 @@ HUFF_AC_CHROMA = (
     ),
 )
 
+# AC table for PROGRESSIVE scans: Annex K's sequential table has no
+# EOBn symbols (0x10..0xE0 encode cross-block EOB runs, G.1.2.2), so a
+# progressive encoder must ship its own table. All 176 valid run/size
+# symbols (r 0..15 x s 0..10) as fixed 8-bit canonical codes — legal
+# (BITS[8]=176 < 255 keeps the all-ones code unused) and trivially
+# decodable by the same Annex C reconstruction as any other DHT.
+HUFF_AC_PROG = (
+    (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple((r << 4) | s for r in range(16) for s in range(11)),
+)
+
 # orthonormal DCT-II basis: A[u, x] = 0.5 * C(u) * cos((2x+1) u pi / 16)
 # spatial = A.T @ coeffs @ A ; coeffs = A @ spatial @ A.T
 _DCT_A = np.array(
@@ -160,7 +177,6 @@ _DCT_A = np.array(
 # SOF markers for coding processes this decoder does not implement —
 # capability gaps (NotImplementedError), not corrupt bytes
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT",
     0xC3: "lossless sequential",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -307,15 +323,16 @@ def _split_entropy(data: bytes, pos: int):
     return segs, pos
 
 
-def _decode_block(reader, dc_table, ac_table, pred, qtab):
-    """One 8x8 block: Huffman -> dequantized natural-order coefficients."""
+def _seq_block(reader, dc_table, ac_table, coef, pred):
+    """One sequential 8x8 block: Huffman -> quantized natural-order
+    coefficients written into ``coef`` (a length-64 int32 view).
+    Returns the updated DC predictor."""
     s = _read_symbol(reader, dc_table)
     if s > 11:
         raise ValueError("JPEG: invalid DC category")
     diff = _extend(reader.read_bits(s), s) if s else 0
     pred += diff
-    coef = np.zeros(64, dtype=np.float64)
-    coef[0] = pred * qtab[0]
+    coef[0] = pred
     k = 1
     while k < 64:
         rs = _read_symbol(reader, ac_table)
@@ -328,20 +345,117 @@ def _decode_block(reader, dc_table, ac_table, pred, qtab):
         k += r
         if k > 63:
             raise ValueError("JPEG: AC coefficient index out of range")
-        nat = ZIGZAG[k]
-        coef[nat] = _extend(reader.read_bits(s), s) * qtab[nat]
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
         k += 1
-    return coef.reshape(8, 8), pred
+    return pred
+
+
+# -------- progressive scan block decoders (T.81 Annex G / libjpeg
+# jdphuff.c semantics; successive-approximation bits combine via
+# two's-complement shifts and ORs, which Python ints share with C)
+
+
+def _dc_first_block(reader, dc_table, coef, pred, al):
+    s = _read_symbol(reader, dc_table)
+    if s > 11:
+        raise ValueError("JPEG: invalid DC category")
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    coef[0] = pred << al
+    return pred
+
+
+def _dc_refine_block(reader, coef, al):
+    if reader.read_bit():
+        coef[0] = int(coef[0]) | (1 << al)
+
+
+def _ac_first_block(reader, ac_table, coef, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC coefficient outside spectral band")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, ac_table, coef, ss, se, al, state):
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG: bad AC refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                # FULL run count here: the tail pass below must still
+                # consume the CURRENT block's correction bits (the
+                # decrement happens after it) — pre-decrementing would
+                # skip them for EOB0 and desync the bit stream
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            # advance over r zero-history coefficients, emitting a
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                z = ZIGZAG[k]
+                c = int(coef[z])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[z] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[ZIGZAG[k]] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # block is inside an EOB run: correction bits only
+        while k <= se:
+            z = ZIGZAG[k]
+            c = int(coef[z])
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                coef[z] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def decode_jpeg(content: bytes):
-    """Decode a baseline/extended-sequential JPEG.
+    """Decode a baseline, extended-sequential, or progressive JPEG.
 
     Returns ``(planes, width, height)`` where ``planes`` is a list of
     uint8 numpy arrays of shape (height, width), one per component in
     frame order (1 = grayscale, 3 = YCbCr), each already upsampled to
     the full pixel grid. Raises ``ValueError`` on corrupt bytes and
     ``NotImplementedError`` on unimplemented coding processes.
+
+    All scans accumulate QUANTIZED coefficients into per-component
+    block buffers; dequantization and the IDCT run once at the end —
+    which is what makes progressive (multi-scan successive
+    approximation) and sequential decoding share one reconstruction
+    path: a progressive stream that carries the same final
+    coefficients as a sequential one decodes to identical pixels.
     """
     if len(content) < 4 or content[0] != 0xFF or content[1] != 0xD8:
         raise ValueError("not a JPEG: bad SOI marker")
@@ -349,7 +463,8 @@ def decode_jpeg(content: bytes):
     htables: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None  # (width, height, comps) comps = [(cid, h, v, tq)]
-    planes_raw: dict[int, np.ndarray] = {}  # comp index -> padded plane
+    progressive = False
+    bufs: dict[int, np.ndarray] = {}  # comp index -> (bh, bw, 64) int32
     pos = 2
     n = len(content)
     while pos < n:
@@ -408,7 +523,8 @@ def decode_jpeg(content: bytes):
                     raise ValueError("JPEG: truncated DHT")
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            progressive = marker == 0xC2
             if data[0] != 8:
                 raise NotImplementedError(
                     f"real media decode: JPEG sample precision {data[0]} "
@@ -436,38 +552,66 @@ def decode_jpeg(content: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
-            width, height, comps = frame
             ns = data[0]
-            scan = []  # (comp_index, dc_table, ac_table)
+            _, _, comps = frame
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("JPEG: bad spectral selection for sequential")
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("JPEG: progressive DC scan needs Se=0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError("JPEG: bad progressive AC scan header")
+            scan = []  # (comp_index, dc_table | None, ac_table | None)
             for s_i in range(ns):
                 cs = data[1 + 2 * s_i]
                 tdta = data[2 + 2 * s_i]
                 matches = [i for i, c in enumerate(comps) if c[0] == cs]
                 if not matches:
                     raise ValueError("JPEG: scan selects unknown component")
-                ci = matches[0]
                 td, ta = tdta >> 4, tdta & 0x0F
-                if (0, td) not in htables or (1, ta) not in htables:
-                    raise ValueError("JPEG: scan references missing DHT")
-                scan.append((ci, htables[(0, td)], htables[(1, ta)]))
-            # Ss/Se/AhAl must be the sequential defaults
-            if data[1 + 2 * ns] != 0 or data[2 + 2 * ns] != 63:
-                raise ValueError("JPEG: bad spectral selection for sequential")
+                # only the tables this scan kind actually consults must
+                # be present (a DC-refinement scan reads raw bits only)
+                need_dc = ss == 0 and (not progressive or ah == 0)
+                need_ac = se > 0
+                if need_dc and (0, td) not in htables:
+                    raise ValueError("JPEG: scan references missing DC DHT")
+                if need_ac and (1, ta) not in htables:
+                    raise ValueError("JPEG: scan references missing AC DHT")
+                scan.append(
+                    (matches[0], htables.get((0, td)), htables.get((1, ta)))
+                )
             segments, pos = _split_entropy(content, pos)
             _decode_scan(
-                frame, scan, qtables, segments, restart_interval, planes_raw
+                frame, scan, segments, restart_interval, bufs,
+                ss, se, ah, al, progressive,
             )
         # else: APPn / COM / unknown — skipped
-    if frame is None or not planes_raw:
+    if frame is None or not bufs:
         raise ValueError("JPEG: no image data decoded")
     width, height, comps = frame
     hmax = max(h for _, h, v, _ in comps)
     vmax = max(v for _, h, v, _ in comps)
     planes = []
-    for ci, (_, h, v, _) in enumerate(comps):
-        if ci not in planes_raw:
+    for ci, (_, h, v, tq) in enumerate(comps):
+        if ci not in bufs:
             raise ValueError("JPEG: component missing from scan data")
-        plane = planes_raw[ci]
+        if tq not in qtables:
+            raise ValueError("JPEG: missing quantization table")
+        # dequantize + IDCT every block at once (einsum batches the
+        # separable transform), level-shift, clamp
+        deq = bufs[ci].astype(np.float64) * qtables[tq].astype(np.float64)
+        bh, bw = deq.shape[0], deq.shape[1]
+        blocks = deq.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ux,bcuv,vz->bcxz", _DCT_A, blocks, _DCT_A)
+        spatial += 128.0
+        np.clip(np.rint(spatial), 0, 255, out=spatial)
+        plane = (
+            spatial.astype(np.uint8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         # crop the block-padded plane to the component's true size, then
         # nearest-neighbor index-map up to the full pixel grid (general
         # for any factor ratio)
@@ -480,74 +624,78 @@ def decode_jpeg(content: bytes):
     return planes, width, height
 
 
-def _decode_scan(frame, scan, qtables, segments, restart_interval, planes_raw):
-    """Entropy-decode one sequential scan into padded component planes."""
+def _decode_scan(
+    frame, scan, segments, restart_interval, bufs, ss, se, ah, al, progressive
+):
+    """Entropy-decode one scan into the quantized-coefficient buffers.
+
+    Sequential scans decode full blocks; progressive scans dispatch to
+    the DC-first/DC-refine/AC-first/AC-refine block decoders. Restart
+    markers reset DC predictors AND the EOB run."""
     width, height, comps = frame
     hmax = max(h for _, h, v, _ in comps)
     vmax = max(v for _, h, v, _ in comps)
-    A = _DCT_A
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
 
-    def idct_place(plane, coef, by, bx):
-        block = A.T @ coef @ A + 128.0
-        np.clip(np.rint(block), 0, 255, out=block)
-        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block.astype(np.uint8)
+    def buf_of(ci):
+        _, h, v, _ = comps[ci]
+        return bufs.setdefault(
+            ci, np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
+        )
 
+    # per-MCU block lists: non-interleaved scans walk the component's
+    # own ceil-grid (one block per MCU); interleaved scans walk the MCU
+    # grid with h x v blocks per component
     if len(scan) == 1:
-        # non-interleaved: one block per MCU on the component's own grid
-        ci, dct, act = scan[0]
-        _, h, v, tq = comps[ci]
-        if tq not in qtables:
-            raise ValueError("JPEG: missing quantization table")
-        qtab = qtables[tq]
+        ci = scan[0][0]
+        _, h, v, _ = comps[ci]
         cw = -(-width * h // hmax)
         ch = -(-height * v // vmax)
         bx_n, by_n = -(-cw // 8), -(-ch // 8)
-        plane = planes_raw.setdefault(
-            ci, np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
-        )
         total = bx_n * by_n
-        reader, seg_idx, pred = _BitReader(segments[0]), 0, 0
-        for m in range(total):
-            if restart_interval and m and m % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("JPEG: missing restart segment")
-                reader, pred = _BitReader(segments[seg_idx]), 0
-            coef, pred = _decode_block(reader, dct, act, pred, qtab)
-            idct_place(plane, coef, m // bx_n, m % bx_n)
-        return
 
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = []
-    for ci, _, _ in scan:
-        _, h, v, tq = comps[ci]
-        if tq not in qtables:
-            raise ValueError("JPEG: missing quantization table")
-        planes.append(
-            planes_raw.setdefault(
-                ci, np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.uint8)
-            )
-        )
+        def mcu_blocks(m):
+            return ((0, m // bx_n, m % bx_n),)
+
+    else:
+        total = mcux * mcuy
+
+        def mcu_blocks(m):
+            my, mx = m // mcux, m % mcux
+            out = []
+            for s_i, (ci, _, _) in enumerate(scan):
+                _, h, v, _ = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        out.append((s_i, my * v + by, mx * h + bx))
+            return out
+
+    sbufs = [buf_of(ci) for ci, _, _ in scan]
     reader, seg_idx = _BitReader(segments[0]), 0
     preds = [0] * len(scan)
-    for m in range(mcux * mcuy):
+    state = {"eobrun": 0}
+    for m in range(total):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("JPEG: missing restart segment")
             reader = _BitReader(segments[seg_idx])
             preds = [0] * len(scan)
-        my, mx = m // mcux, m % mcux
-        for s_i, (ci, dct, act) in enumerate(scan):
-            _, h, v, tq = comps[ci]
-            qtab = qtables[tq]
-            for by in range(v):
-                for bx in range(h):
-                    coef, preds[s_i] = _decode_block(
-                        reader, dct, act, preds[s_i], qtab
-                    )
-                    idct_place(planes[s_i], coef, my * v + by, mx * h + bx)
+            state = {"eobrun": 0}
+        for s_i, by, bx in mcu_blocks(m):
+            coef = sbufs[s_i][by, bx]
+            dct, act = scan[s_i][1], scan[s_i][2]
+            if not progressive:
+                preds[s_i] = _seq_block(reader, dct, act, coef, preds[s_i])
+            elif ss == 0 and ah == 0:
+                preds[s_i] = _dc_first_block(reader, dct, coef, preds[s_i], al)
+            elif ss == 0:
+                _dc_refine_block(reader, coef, al)
+            elif ah == 0:
+                _ac_first_block(reader, act, coef, ss, se, al, state)
+            else:
+                _ac_refine_block(reader, act, coef, ss, se, al, state)
 
 
 def decode_jpeg_luma(content: bytes):
@@ -637,6 +785,166 @@ def _write_block(writer, zzcoef, pred, dc_codes, ac_codes):
     return dc
 
 
+# -------- progressive scan emitters (encoder side of T.81 Annex G;
+# the same successive-approximation conventions as libjpeg jcphuff.c:
+# DC uses the arithmetic shift so refinement bits are true
+# two's-complement low bits, AC shifts the MAGNITUDE toward zero)
+
+
+def _sos_segment(comp_specs, ss, se, ah, al) -> bytes:
+    payload = bytes([len(comp_specs)])
+    for cs, td, ta in comp_specs:
+        payload += bytes([cs, (td << 4) | ta])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return _marker(0xDA, payload)
+
+
+def _emit_dc_first(blocks_seq, dc_codes_by_slot, al) -> bytes:
+    """DC-first scan: sequential DC coding of the arithmetic-shifted
+    values; ``blocks_seq`` yields (slot, zigzag-coefs) in scan order."""
+    w = _BitWriter()
+    preds: dict[int, int] = {}
+    for slot, zz in blocks_seq:
+        val = int(zz[0]) >> al
+        diff = val - preds.get(slot, 0)
+        preds[slot] = val
+        s = _category(diff)
+        code, length = dc_codes_by_slot[slot][s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_dc_refine(blocks_seq, al) -> bytes:
+    """DC-refinement scan: one raw bit per block, no Huffman coding."""
+    w = _BitWriter()
+    for _slot, zz in blocks_seq:
+        w.write((int(zz[0]) >> al) & 1, 1)
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_ac_first(blocks, ac_codes, ss, se, al) -> bytes:
+    """AC-first scan over one component's blocks: run-length coding of
+    the magnitude-shifted band with cross-block EOB runs."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            w.write(code, length)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            mag = (-v if v < 0 else v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                r -= 16
+            s = mag.bit_length()
+            code, length = ac_codes[(r << 4) | s]
+            w.write(code, length)
+            sv = -mag if v < 0 else mag
+            w.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_ac_refine(blocks, ac_codes, ss, se, al) -> bytes:
+    """AC-refinement scan: newly-nonzero coefficients become (run, 1)
+    symbols with a sign bit; already-nonzero coefficients contribute
+    one correction bit each, buffered behind the symbol (or the EOB
+    run) that precedes their positions — mirror of
+    :func:`_ac_refine_block`."""
+    w = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered behind an EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            w.write(code, length)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+
+    for zz in blocks:
+        absvals = []
+        eob = -1  # band index of the LAST newly-nonzero coefficient
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            mag = (-v if v < 0 else v) >> al
+            absvals.append(mag)
+            if mag == 1:
+                eob = k
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for k in range(ss, se + 1):
+            mag = absvals[k - ss]
+            if mag == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if mag > 1:
+                br.append(mag & 1)
+                continue
+            flush_eob()
+            code, length = ac_codes[(r << 4) | 1]
+            w.write(code, length)
+            w.write(0 if int(zz[k]) < 0 else 1, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    w.flush()
+    return bytes(w.out)
+
+
+# the standard-ish progressive script: coarse DC, split AC bands, two
+# AC refinement passes, final DC bit
+_PROG_DC_AL = 1
+_PROG_AC_FIRST = ((1, 5, 2), (6, 63, 2))  # (ss, se, al)
+_PROG_AC_REFINE = ((1, 63, 2, 1), (1, 63, 1, 0))  # (ss, se, ah, al)
+
+
 def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Edge-replicate a component plane up to multiples of (bh, bw)."""
     h, w = plane.shape
@@ -671,13 +979,19 @@ def jpeg_encode_gray(
     quality: int = 90,
     restart_interval: int = 0,
     quant_override=None,
+    progressive: bool = False,
 ) -> bytes:
-    """Grayscale baseline JPEG encoder — the test twin of
-    :func:`decode_jpeg`. ``quant_override`` (64 natural-order ints)
-    replaces the quality-scaled Annex K table; the exactness fixtures
-    use it to plant quantizers that divide the planted DC values."""
+    """Grayscale JPEG encoder — the test twin of :func:`decode_jpeg`.
+    ``quant_override`` (64 natural-order ints) replaces the
+    quality-scaled Annex K table; the exactness fixtures use it to
+    plant quantizers that divide the planted DC values.
+    ``progressive=True`` emits an SOF2 stream carrying the SAME
+    quantized coefficients across six successive-approximation scans,
+    so it must decode pixel-identical to the sequential encoding."""
     if len(pixels) != width * height:
         raise ValueError("pixels length != width*height")
+    if progressive and restart_interval:
+        raise ValueError("progressive encoding does not take restarts here")
     qtab = (
         np.asarray(quant_override, dtype=np.int64)
         if quant_override is not None
@@ -690,6 +1004,36 @@ def jpeg_encode_gray(
     by_n, bx_n = blocks.shape[0], blocks.shape[1]
     dc_codes = _build_encode_table(*HUFF_DC_LUMA)
     ac_codes = _build_encode_table(*HUFF_AC_LUMA)
+    head = (
+        b"\xff\xd8"
+        + _APP0_JFIF
+        + _dqt_segment(0, qtab)
+        + _marker(
+            0xC2 if progressive else 0xC0,
+            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        )
+        + _dht_segment(0, 0, HUFF_DC_LUMA)
+        + _dht_segment(1, 0, HUFF_AC_PROG if progressive else HUFF_AC_LUMA)
+    )
+    if progressive:
+        acp = _build_encode_table(*HUFF_AC_PROG)
+        rm = [blocks[by, bx] for by in range(by_n) for bx in range(bx_n)]
+        spec = [(1, 0, 0)]
+        scans = _sos_segment(spec, 0, 0, 0, _PROG_DC_AL) + _emit_dc_first(
+            ((0, z) for z in rm), [dc_codes], _PROG_DC_AL
+        )
+        for ss, se, al in _PROG_AC_FIRST:
+            scans += _sos_segment(spec, ss, se, 0, al) + _emit_ac_first(
+                rm, acp, ss, se, al
+            )
+        for ss, se, ah, al in _PROG_AC_REFINE:
+            scans += _sos_segment(spec, ss, se, ah, al) + _emit_ac_refine(
+                rm, acp, ss, se, al
+            )
+        scans += _sos_segment(spec, 0, 0, _PROG_DC_AL, 0) + _emit_dc_refine(
+            ((0, z) for z in rm), 0
+        )
+        return head + scans + b"\xff\xd9"
     writer = _BitWriter()
     body = bytearray()
     pred = 0
@@ -706,23 +1050,9 @@ def jpeg_encode_gray(
         )
     writer.flush()
     body += writer.out
-    sof = _marker(
-        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    )
     sos = _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     dri = _marker(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    return (
-        b"\xff\xd8"
-        + _APP0_JFIF
-        + _dqt_segment(0, qtab)
-        + sof
-        + _dht_segment(0, 0, HUFF_DC_LUMA)
-        + _dht_segment(1, 0, HUFF_AC_LUMA)
-        + dri
-        + sos
-        + bytes(body)
-        + b"\xff\xd9"
-    )
+    return head + dri + sos + bytes(body) + b"\xff\xd9"
 
 
 def _rgb_to_ycbcr(rgb: np.ndarray):
@@ -755,12 +1085,18 @@ def jpeg_encode_rgb(
     quality: int = 90,
     subsampling: tuple[int, int] = (2, 2),
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Color baseline JPEG encoder: interleaved YCbCr scan with luma
-    sampling factors ``subsampling`` = (h, v) — (1,1) = 4:4:4,
-    (2,1) = 4:2:2, (2,2) = 4:2:0. ``pixels`` is row-major RGB triples."""
+    """Color JPEG encoder: YCbCr with luma sampling factors
+    ``subsampling`` = (h, v) — (1,1) = 4:4:4, (2,1) = 4:2:2,
+    (2,2) = 4:2:0. ``pixels`` is row-major RGB triples.
+    ``progressive=True`` emits SOF2 with an interleaved DC scan and
+    per-component non-interleaved AC band scans carrying the SAME
+    quantized coefficients — pixel-identical to the sequential form."""
     if len(pixels) != width * height * 3:
         raise ValueError("pixels length != width*height*3")
+    if progressive and restart_interval:
+        raise ValueError("progressive encoding does not take restarts here")
     hs, vs = subsampling
     if hs not in (1, 2) or vs not in (1, 2):
         raise ValueError("subsampling factors must be 1 or 2")
@@ -783,6 +1119,64 @@ def jpeg_encode_rgb(
     ac_y = _build_encode_table(*HUFF_AC_LUMA)
     dc_c = _build_encode_table(*HUFF_DC_CHROMA)
     ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+    if progressive:
+        acp = _build_encode_table(*HUFF_AC_PROG)
+        head = (
+            b"\xff\xd8"
+            + _APP0_JFIF
+            + _dqt_segment(0, qy)
+            + _dqt_segment(1, qc)
+            + _marker(
+                0xC2,
+                struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            + _dht_segment(0, 0, HUFF_DC_LUMA)
+            + _dht_segment(0, 1, HUFF_DC_CHROMA)
+            # one progressive AC table shared by all components
+            + _dht_segment(1, 0, HUFF_AC_PROG)
+        )
+
+        def dc_blocks():
+            # interleaved MCU order, tagged by scan slot
+            for m in range(mcux * mcuy):
+                my, mx = m // mcux, m % mcux
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield 0, yb[my * vs + by, mx * hs + bx]
+                yield 1, cbb[my, mx]
+                yield 2, crb[my, mx]
+
+        # per-component AC scans walk each component's own ceil grid
+        # (T.81 non-interleaved geometry), not the MCU-padded grid
+        def ceil_blocks(arr, cw, ch):
+            bxn, byn = -(-cw // 8), -(-ch // 8)
+            return [arr[by, bx] for by in range(byn) for bx in range(bxn)]
+
+        ccw, cch = -(-width // hs), -(-height // vs)
+        comp_ac = [
+            (1, ceil_blocks(yb, width, height)),
+            (2, ceil_blocks(cbb, ccw, cch)),
+            (3, ceil_blocks(crb, ccw, cch)),
+        ]
+        dc_spec = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+        scans = _sos_segment(dc_spec, 0, 0, 0, _PROG_DC_AL) + _emit_dc_first(
+            dc_blocks(), [dc_y, dc_c, dc_c], _PROG_DC_AL
+        )
+        for ss, se, al in _PROG_AC_FIRST:
+            for cs, blk in comp_ac:
+                scans += _sos_segment(
+                    [(cs, 0, 0)], ss, se, 0, al
+                ) + _emit_ac_first(blk, acp, ss, se, al)
+        for ss, se, ah, al in _PROG_AC_REFINE:
+            for cs, blk in comp_ac:
+                scans += _sos_segment(
+                    [(cs, 0, 0)], ss, se, ah, al
+                ) + _emit_ac_refine(blk, acp, ss, se, al)
+        scans += _sos_segment(dc_spec, 0, 0, _PROG_DC_AL, 0) + _emit_dc_refine(
+            dc_blocks(), 0
+        )
+        return head + scans + b"\xff\xd9"
     writer = _BitWriter()
     body = bytearray()
     preds = [0, 0, 0]

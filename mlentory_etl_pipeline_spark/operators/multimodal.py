@@ -520,12 +520,13 @@ def png_encode_gray(
 
 
 def _decode_jpeg(content: bytes, dim: int) -> list[float]:
-    """REAL image decode for baseline JPEG via the from-scratch stdlib
-    decoder (:mod:`.jpeg`): per-pixel luminance (Y for grayscale
-    frames; YCbCr->RGB then the same 601-2 integer luma as the PNG
-    path for color), then ``dim`` per-segment means in [0, 1].
-    Progressive/lossless/arithmetic JPEG raise NotImplementedError —
-    the fallback_to_fake capability-gap taxonomy."""
+    """REAL image decode for baseline/extended-sequential/progressive
+    JPEG via the from-scratch stdlib decoder (:mod:`.jpeg`): per-pixel
+    luminance (Y for grayscale frames; YCbCr->RGB then the same 601-2
+    integer luma as the PNG path for color), then ``dim`` per-segment
+    means in [0, 1]. Lossless/arithmetic JPEG raise
+    NotImplementedError — the fallback_to_fake capability-gap
+    taxonomy."""
     import numpy as np
 
     from .jpeg import decode_jpeg_luma

@@ -156,6 +156,67 @@ def test_color_smooth_gradient_bounds():
         assert err.max() <= 14 and err.mean() <= 3.0, (sub, err.max())
 
 
+def test_progressive_gray_equals_sequential():
+    """THE progressive invariant: an SOF2 stream carrying the same
+    quantized coefficients across DC-first / AC-band / AC-refine /
+    DC-refine scans must decode pixel-identical to the sequential
+    stream. Random noise maximizes ZRL + EOB-run + refinement traffic."""
+    rng = np.random.default_rng(7)
+    cases = [_gradient(37, 23), _gradient(16, 8), _gradient(1, 1)]
+    cases += [
+        rng.integers(0, 256, size=(int(rng.integers(5, 80)),
+                                   int(rng.integers(5, 80)))).astype(np.uint8)
+        for _ in range(6)
+    ]
+    for img in cases:
+        h, w = img.shape
+        q = int(rng.integers(25, 100))
+        seq = jpeg.decode_jpeg(
+            jpeg.jpeg_encode_gray(img.tobytes(), w, h, quality=q)
+        )[0][0]
+        prog_bytes = jpeg.jpeg_encode_gray(
+            img.tobytes(), w, h, quality=q, progressive=True
+        )
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = jpeg.decode_jpeg(prog_bytes)[0][0]
+        assert np.array_equal(seq, prog), (w, h, q)
+
+
+def test_progressive_color_equals_sequential():
+    rng = np.random.default_rng(11)
+    for (w, h), sub in (
+        ((40, 24), (2, 2)),
+        ((19, 26), (2, 2)),
+        ((19, 26), (1, 1)),
+        ((33, 17), (2, 1)),
+    ):
+        rgb = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        sp, _, _ = jpeg.decode_jpeg(
+            jpeg.jpeg_encode_rgb(rgb.tobytes(), w, h, subsampling=sub)
+        )
+        pp, _, _ = jpeg.decode_jpeg(
+            jpeg.jpeg_encode_rgb(
+                rgb.tobytes(), w, h, subsampling=sub, progressive=True
+            )
+        )
+        assert all(np.array_equal(a, b) for a, b in zip(sp, pp)), (w, h, sub)
+
+
+def test_progressive_constant_blocks_bit_exact():
+    """The sequential exactness fixture holds through the progressive
+    path too: successive approximation reassembles the exact quantized
+    DC values (arithmetic-shift first scan + OR-ed refinement bit)."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for k, v in enumerate((2, 60, 200, 254)):
+        by, bx = divmod(k, 2)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    enc = jpeg.jpeg_encode_gray(
+        img.tobytes(), 16, 16, quant_override=[16] * 64, progressive=True
+    )
+    planes, _, _ = jpeg.decode_jpeg(enc)
+    assert (planes[0] == img).all()
+
+
 def test_16bit_dqt_precision_path():
     """Rewrite the encoder's 8-bit DQT segment as a 16-bit-precision
     one (Pq=1); the decoder must parse it and produce identical pixels."""
@@ -195,7 +256,8 @@ def test_corrupt_and_unsupported_taxonomy():
     bad[i + 5] = 0  # first (zigzag DC) quantizer entry -> 0
     with pytest.raises(ValueError, match="quantizer"):
         jpeg.decode_jpeg(bytes(bad))
-    # progressive / lossless / arithmetic / 12-bit: capability gaps
+    # lossless / arithmetic / 12-bit: capability gaps (progressive is a
+    # REAL path now — see test_progressive_*)
     def sof_only(marker: int, precision: int = 8) -> bytes:
         return (
             b"\xff\xd8"
@@ -203,11 +265,14 @@ def test_corrupt_and_unsupported_taxonomy():
             + b"\xff\xd9"
         )
 
-    for marker in (0xC2, 0xC3, 0xCA):
+    for marker in (0xC3, 0xCA):
         with pytest.raises(NotImplementedError, match="real media decode"):
             jpeg.decode_jpeg(sof_only(marker))
     with pytest.raises(NotImplementedError, match="precision"):
         jpeg.decode_jpeg(sof_only(0xC0, precision=12))
+    # a progressive frame with no scan data is CORRUPT, not a gap
+    with pytest.raises(ValueError, match="no image data"):
+        jpeg.decode_jpeg(sof_only(0xC2))
 
 
 def test_zero_quant_override_cannot_roundtrip_silently():
@@ -257,16 +322,20 @@ def test_decode_media_real_jpeg(spark):
     rgb = np.zeros((16, 16, 3), dtype=np.uint8)
     rgb[..., 0], rgb[..., 1], rgb[..., 2] = 10, 250, 90
     enc_rgb = jpeg.jpeg_encode_rgb(rgb.tobytes(), 16, 16, subsampling=(2, 2))
+    enc_prog = jpeg.jpeg_encode_gray(
+        gray.tobytes(), 32, 24, quant_override=[16] * 64, progressive=True
+    )
     rows = [
         (0, "image", enc_gray, "jpeg", 32, 24, None),
         (1, "image", enc_rgb, "jpg", 16, 16, None),
+        (2, "image", enc_prog, "jpeg", 32, 24, None),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {
         r.media_id: r
         for r in multimodal.decode_media(media, fake=False, feature_dim=6).collect()
     }
-    for media_id, content in ((0, enc_gray), (1, enc_rgb)):
+    for media_id, content in ((0, enc_gray), (1, enc_rgb), (2, enc_prog)):
         want = multimodal._decode_jpeg(content, 6)
         assert len(got[media_id].features) == 6
         assert all(
@@ -282,3 +351,6 @@ def test_decode_media_real_jpeg(spark):
         abs(float(a) - b) < 1e-6
         for a, b in zip(got[0].features, want_exact)
     )
+    # and the PROGRESSIVE encoding of the same image decodes to the
+    # same exact features through the Spark path
+    assert list(got[2].features) == list(got[0].features)

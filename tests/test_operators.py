@@ -280,15 +280,16 @@ def test_png_decode_failure_taxonomy(spark):
     with pytest.raises(Exception) as exc:
         multimodal.decode_media(mediaj, fake=False).collect()
     assert "media decode failed" in str(exc.value)
-    # ... while a PROGRESSIVE JPEG is a capability gap inside the codec:
-    # NotImplementedError taxonomy, so fallback_to_fake applies
-    sof2_only = (
+    # ... while an ARITHMETIC-coded JPEG is a capability gap inside the
+    # codec: NotImplementedError taxonomy, so fallback_to_fake applies
+    # (progressive is a real decode path now — tests/test_jpeg.py)
+    sofa_only = (
         b"\xff\xd8"
-        + bytes([0xFF, 0xC2, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+        + bytes([0xFF, 0xCA, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
         + b"\xff\xd9"
     )
     mediap = spark.createDataFrame(
-        [(0, "image", sof2_only, "jpeg", 8, 8, None)], multimodal.MEDIA_SCHEMA
+        [(0, "image", sofa_only, "jpeg", 8, 8, None)], multimodal.MEDIA_SCHEMA
     )
     with pytest.raises(Exception) as exc:
         multimodal.decode_media(mediap, fake=False).collect()
