@@ -7,12 +7,12 @@ Decoding is layered by what the environment provides:
   real Spark plumbing (schema contract, batch iteration,
   partition-parallel execution) with no codec at all.
 - ``fake=False`` — REAL decoders, resolved per modality at runtime:
-  WAV audio through the stdlib ``wave`` module, PNG images through
-  a stdlib zlib-inflate + scanline-unfilter decoder, and baseline
-  JPEG through the from-scratch Huffman+IDCT decoder in :mod:`.jpeg`
-  (all always available); other images through Pillow when
-  importable; ``soundfile`` for non-WAV audio when importable. A
-  modality whose
+  WAV audio (PCM via stdlib ``wave``; IEEE-float/G.711/EXTENSIBLE via
+  the RIFF walker), PNG (stdlib zlib inflate + unfilter), JPEG
+  (from-scratch Huffman+IDCT, baseline through progressive,
+  :mod:`.jpeg`) and GIF (LZW + palette, :mod:`.gif`) — all always
+  available; other images through Pillow when importable;
+  ``soundfile`` for non-WAV audio when importable. A modality whose
   codec is absent raises a clear ``NotImplementedError`` — or degrades
   to the deterministic stub when ``fallback_to_fake=True`` (the
   posture for mixed fleets where some workers lack a codec).
@@ -536,6 +536,20 @@ def _decode_jpeg(content: bytes, dim: int) -> list[float]:
     return [float(s.mean()) if s.size else 0.0 for s in segs]
 
 
+def _decode_gif(content: bytes, dim: int) -> list[float]:
+    """REAL image decode for GIF87a/89a via the from-scratch stdlib
+    decoder (:mod:`.gif`): first-frame luminance (GIF is lossless, so
+    the decode itself is exact), then ``dim`` per-segment means in
+    [0, 1] — the same feature contract as the PNG/JPEG paths."""
+    import numpy as np
+
+    from .gif import decode_gif_luma
+
+    lum = decode_gif_luma(content).reshape(-1).astype(np.float64)
+    segs = np.array_split(lum / 255.0, dim)
+    return [float(s.mean()) if s.size else 0.0 for s in segs]
+
+
 def _image_decoder():
     """Pillow-backed image decoder, or None when Pillow is absent."""
     try:
@@ -615,8 +629,11 @@ def decode_media(
             # stdlib PNG path: always available, Pillow-free
             decoder = _decode_png
         elif media_type == "image" and (fmt or "").lower() in ("jpg", "jpeg"):
-            # stdlib baseline-JPEG path: always available, Pillow-free
+            # stdlib JPEG path (baseline/extended/progressive)
             decoder = _decode_jpeg
+        elif media_type == "image" and (fmt or "").lower() == "gif":
+            # stdlib GIF path: LZW + palette, lossless
+            decoder = _decode_gif
         elif media_type == "image":
             decoder = image_decoder
         if decoder is None:
