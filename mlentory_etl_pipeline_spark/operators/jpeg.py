@@ -516,6 +516,8 @@ def decode_jpeg(content: bytes):
                 tc, th = data[i] >> 4, data[i] & 0x0F
                 if tc > 1:
                     raise ValueError("JPEG: invalid Huffman table class")
+                if i + 17 > len(data):
+                    raise ValueError("JPEG: truncated DHT")
                 bits = tuple(data[i + 1 : i + 17])
                 cnt = sum(bits)
                 vals = tuple(data[i + 17 : i + 17 + cnt])
@@ -525,6 +527,8 @@ def decode_jpeg(content: bytes):
                 i += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             progressive = marker == 0xC2
+            if len(data) < 6 or len(data) < 6 + 3 * data[5]:
+                raise ValueError("JPEG: truncated SOF segment")
             if data[0] != 8:
                 raise NotImplementedError(
                     f"real media decode: JPEG sample precision {data[0]} "
@@ -548,10 +552,14 @@ def decode_jpeg(content: bytes):
                 f"({_SOF_UNSUPPORTED[marker]}) unsupported"
             )
         elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                raise ValueError("JPEG: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
+            if not data or len(data) < 4 + 2 * data[0]:
+                raise ValueError("JPEG: truncated SOS segment")
             ns = data[0]
             _, _, comps = frame
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]

@@ -197,11 +197,16 @@ def _decode_wav(content: bytes, dim: int) -> list[float]:
         with wave.open(io.BytesIO(content)) as w:
             sampwidth, nchannels = w.getsampwidth(), w.getnchannels()
             raw = w.readframes(w.getnframes())
-        samples = _pcm_samples(raw, sampwidth)
-    except wave.Error:
-        # stdlib wave only does plain PCM; non-PCM formats are still
-        # REAL decodable media, not corrupt bytes
+    except Exception:
+        # stdlib wave only does plain PCM — and raises a ZOO on bad
+        # bytes (wave.Error, EOFError on a truncated fmt chunk, bare
+        # RuntimeError from chunk seeks). Whatever it was, re-parse
+        # with the strict RIFF walker: non-PCM formats decode for
+        # real, true garbage gets a clean ValueError, unknown formats
+        # a NotImplementedError.
         samples, nchannels = _wav_samples_ext(content)
+    else:
+        samples = _pcm_samples(raw, sampwidth)
     if nchannels > 1:
         samples = samples.reshape(-1, nchannels).mean(axis=1)
     peak = float(np.abs(samples).max()) if samples.size else 0.0
@@ -227,9 +232,9 @@ def _png_chunks(content: bytes):
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if pos + 12 + length > len(content):
             raise ValueError("truncated PNG chunk")
+        data = content[pos + 8 : pos + 8 + length]
         crc = binascii.crc32(ctype + data) & 0xFFFFFFFF
         (want,) = struct.unpack(
             ">I", content[pos + 8 + length : pos + 12 + length]
@@ -319,6 +324,8 @@ def _decode_png(content: bytes, dim: int) -> list[float]:
     idat = bytearray()
     for tag, data in _png_chunks(content):
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("PNG: malformed IHDR length")
             width, height, depth, ctype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
@@ -367,7 +374,10 @@ def _decode_png(content: bytes, dim: int) -> list[float]:
         vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
         return vals[:, :, None].astype(np.int64)
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: corrupt IDAT stream: {e}") from e
     if interlace == 0:
         want = (row_bytes(width) + 1) * height if depth < 8 else None
         if want is not None and len(raw) != want:
