@@ -560,6 +560,18 @@ def _decode_gif(content: bytes, dim: int) -> list[float]:
     return [float(s.mean()) if s.size else 0.0 for s in segs]
 
 
+def _decode_bmp(content: bytes, dim: int) -> list[float]:
+    """REAL image decode for BMP via the from-scratch stdlib decoder
+    (:mod:`.bmp`): lossless, same 601-2 luma feature contract."""
+    import numpy as np
+
+    from .bmp import decode_bmp_luma
+
+    lum = decode_bmp_luma(content).reshape(-1).astype(np.float64)
+    segs = np.array_split(lum / 255.0, dim)
+    return [float(s.mean()) if s.size else 0.0 for s in segs]
+
+
 def _image_decoder():
     """Pillow-backed image decoder, or None when Pillow is absent."""
     try:
@@ -644,6 +656,9 @@ def decode_media(
         elif media_type == "image" and (fmt or "").lower() == "gif":
             # stdlib GIF path: LZW + palette, lossless
             decoder = _decode_gif
+        elif media_type == "image" and (fmt or "").lower() == "bmp":
+            # stdlib BMP path: uncompressed/RLE8 DIB, lossless
+            decoder = _decode_bmp
         elif media_type == "image":
             decoder = image_decoder
         if decoder is None:
