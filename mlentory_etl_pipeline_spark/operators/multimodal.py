@@ -572,6 +572,19 @@ def _decode_bmp(content: bytes, dim: int) -> list[float]:
     return [float(s.mean()) if s.size else 0.0 for s in segs]
 
 
+def _decode_tiff(content: bytes, dim: int) -> list[float]:
+    """REAL image decode for baseline TIFF via the from-scratch stdlib
+    decoder (:mod:`.tiff`): lossless, same 601-2 luma feature
+    contract."""
+    import numpy as np
+
+    from .tiff import decode_tiff_luma
+
+    lum = decode_tiff_luma(content).reshape(-1).astype(np.float64)
+    segs = np.array_split(lum / 255.0, dim)
+    return [float(s.mean()) if s.size else 0.0 for s in segs]
+
+
 def _image_decoder():
     """Pillow-backed image decoder, or None when Pillow is absent."""
     try:
@@ -659,6 +672,9 @@ def decode_media(
         elif media_type == "image" and (fmt or "").lower() == "bmp":
             # stdlib BMP path: uncompressed/RLE8 DIB, lossless
             decoder = _decode_bmp
+        elif media_type == "image" and (fmt or "").lower() in ("tif", "tiff"):
+            # stdlib TIFF path: baseline uncompressed/PackBits
+            decoder = _decode_tiff
         elif media_type == "image":
             decoder = image_decoder
         if decoder is None:
