@@ -16,7 +16,7 @@ import os
 import sys
 import time
 from collections import Counter
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 
 import duckdb
@@ -28,7 +28,7 @@ from mlentory_etl_pipeline_spark.session import get_spark  # noqa: E402
 from mlentory_etl_pipeline_spark.sources.tpch import TABLES  # noqa: E402
 
 
-def canon(v):
+def canon(v, naive_utc: bool = False):
     if v is None:
         return None
     if isinstance(v, bool):
@@ -42,23 +42,64 @@ def canon(v):
     if isinstance(v, int):
         return ("num", float(v))
     if isinstance(v, datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
+        # Canonicalize to the INSTANT (epoch seconds), host-TZ-invariant.
+        # PySpark collect() renders TimestampType as a NAIVE datetime in
+        # the HOST local zone (TimestampType.fromInternal uses
+        # datetime.fromtimestamp), so interpreting naive-as-local
+        # recovers the instant regardless of the machine's TZ; DuckDB
+        # naive timestamps are UTC wall clocks and go through
+        # canon(..., naive_utc=True). Aware datetimes carry their zone.
+        # (Known limit: a DST-fold local hour is ambiguous — the gate
+        # and audits run in DST-free zones.)
+        if v.tzinfo is None and not naive_utc:
+            return ("ts", v.timestamp())
+        return ("ts", v.replace(tzinfo=v.tzinfo or timezone.utc).timestamp())
     if isinstance(v, date):
         return ("ts", datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
+        return tuple(canon(x, naive_utc=naive_utc) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        return tuple(
+            sorted((k, canon(x, naive_utc=naive_utc)) for k, x in v.items())
+        )
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def instant_cols(df) -> frozenset:
+    """Top-level columns of Spark type TIMESTAMP (instant semantics).
+    collect() renders these as naive HOST-LOCAL datetimes, so canon
+    must interpret them as local to recover the instant; every other
+    naive datetime (TIMESTAMP_NTZ from Spark, DuckDB TIMESTAMP) is a
+    TZ-independent wall clock and goes through naive_utc=True."""
+    return frozenset(
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"
+    )
+
+
+def spark_canonical_sorted_rows(df) -> list:
+    """Host-TZ-invariant canonical row reprs, sorted — the form the
+    determinism and TZ audits hash."""
+    cols = df.columns
+    inst = instant_cols(df)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        repr(
+            tuple(
+                canon(r[cols[i]], naive_utc=cols[i] not in inst)
+                for i in order
+            )
+        )
+        for r in df.collect()
+    )
 
 
 def spark_result(spark, name, sf_dir):
     df = REGISTRY[name].spark_fn(spark, sf_dir)
     cols = df.columns
     rows = df.collect()
-    return cols, [tuple(r[c] for c in cols) for r in rows]
+    return cols, [tuple(r[c] for c in cols) for r in rows], instant_cols(df)
 
 
 def duck_result(con, name):
@@ -67,7 +108,7 @@ def duck_result(con, name):
     return cols, cur.fetchall()
 
 
-def compare(name, s_cols, s_rows, d_cols, d_rows):
+def compare(name, s_cols, s_rows, d_cols, d_rows, inst=frozenset()):
     problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
@@ -76,8 +117,13 @@ def compare(name, s_cols, s_rows, d_cols, d_rows):
         problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
     order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-    s_set = Counter(tuple(canon(r[i]) for i in order) for r in s_rows)
-    d_set = Counter(tuple(canon(r[i]) for i in d_order) for r in d_rows)
+    s_set = Counter(
+        tuple(canon(r[i], naive_utc=s_cols[i] not in inst) for i in order)
+        for r in s_rows
+    )
+    d_set = Counter(
+        tuple(canon(r[i], naive_utc=True) for i in d_order) for r in d_rows
+    )
     if s_set != d_set:
         only_s = list((s_set - d_set).items())[:3]
         only_d = list((d_set - s_set).items())[:3]
@@ -102,7 +148,7 @@ def main():
             continue
         t0 = time.time()
         try:
-            s_cols, s_rows = spark_result(spark, name, sf_dir)
+            s_cols, s_rows, inst = spark_result(spark, name, sf_dir)
         except Exception as e:
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}")
             failures += 1
@@ -113,7 +159,7 @@ def main():
             print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {str(e).splitlines()[0][:200]}")
             failures += 1
             continue
-        problems = compare(name, s_cols, s_rows, d_cols, d_rows)
+        problems = compare(name, s_cols, s_rows, d_cols, d_rows, inst)
         dt = time.time() - t0
         if problems:
             failures += 1

@@ -66,7 +66,7 @@ def _run_pass(which: str, sf_dir: str, names: list[str], out_path: str) -> None:
     from mlentory_etl_pipeline_spark.session import get_spark
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from check_correctness import canon  # noqa: E402
+    from check_correctness import spark_canonical_sorted_rows  # noqa: E402
 
     cfg = PASSES[which]
     os.environ["SPARK_GRAFT_CPUS"] = cfg["cpus"]
@@ -76,12 +76,8 @@ def _run_pass(which: str, sf_dir: str, names: list[str], out_path: str) -> None:
     for name in names:
         t0 = time.time()
         try:
-            df = REGISTRY[name].spark_fn(spark, sf_dir)
-            cols = df.columns
-            order = sorted(range(len(cols)), key=lambda i: cols[i])
-            rows = sorted(
-                repr(tuple(canon(r[cols[i]]) for i in order))
-                for r in df.collect()
+            rows = spark_canonical_sorted_rows(
+                REGISTRY[name].spark_fn(spark, sf_dir)
             )
             h = hashlib.md5("\n".join(rows).encode()).hexdigest()
             out[name] = {"rows": len(rows), "hash": h}

@@ -1,0 +1,85 @@
+"""Unit tests for the verification stack's value canonicalization
+(``scripts/check_correctness.canon``) — specifically the host-timezone
+invariance semantics the TZ audit (scripts/tz_audit.py) depends on.
+
+The two naive-datetime cases that MUST be kept apart:
+
+- Spark ``TimestampType`` collect() output: a naive datetime rendered
+  in the HOST LOCAL zone (PySpark ``TimestampType.fromInternal`` uses
+  ``datetime.fromtimestamp``). Recovering the instant requires
+  interpreting naive-as-local -> ``canon(v)`` (default).
+- Spark ``TimestampType_NTZ`` collect() output and DuckDB ``TIMESTAMP``
+  fetches: TZ-independent wall clocks -> ``canon(v, naive_utc=True)``.
+
+Mixing them up makes the gate pass only on hosts whose TZ matches the
+data's rendering — the exact bug class the TZ audit exists to catch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+from check_correctness import canon  # noqa: E402
+
+
+def test_naive_local_mode_recovers_instant_across_tz():
+    """canon(v) on a host-local rendering must give the same epoch no
+    matter the host zone: simulate by rendering one instant in two
+    zones and canonicalizing under each."""
+    instant = 1_700_000_000  # arbitrary epoch second
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "UTC"
+        time.tzset()
+        rendered_utc = datetime.fromtimestamp(instant)
+        got_utc = canon(rendered_utc)
+        os.environ["TZ"] = "Pacific/Kiritimati"  # UTC+14, no DST
+        time.tzset()
+        rendered_far = datetime.fromtimestamp(instant)
+        got_far = canon(rendered_far)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    assert rendered_utc != rendered_far  # the renderings DO differ
+    assert got_utc == got_far == ("ts", float(instant))
+
+
+def test_naive_utc_mode_is_wall_clock_stable():
+    """canon(v, naive_utc=True) must not consult the host zone at all:
+    a wall clock canonicalizes to its UTC-interpreted epoch."""
+    wall = datetime(2024, 6, 1, 12, 30, 45)
+    want = ("ts", wall.replace(tzinfo=timezone.utc).timestamp())
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "Pacific/Kiritimati", "America/New_York"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            assert canon(wall, naive_utc=True) == want, tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_aware_datetimes_ignore_both_modes():
+    aware = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert canon(aware) == canon(aware, naive_utc=True) == (
+        "ts",
+        aware.timestamp(),
+    )
+
+
+def test_non_datetime_values_unaffected_by_mode():
+    for v in (None, True, 3, 2.5, "x", b"\x00\xff", [1, "a"], {"k": 1}):
+        assert canon(v) == canon(v, naive_utc=True)
