@@ -721,6 +721,93 @@ def decode_media(
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame, every_ms: int = 1000, feature_dim: int = 8
+) -> DataFrame:
+    """REAL multi-frame decode + per-frame feature extraction for the
+    one multi-frame format this container can decode: animated GIF
+    (``media_type='video', format='gif'``). One output row per sampled
+    timestamp: at t = 0, every_ms, 2*every_ms, ... (while t is inside
+    the animation's total duration) the frame whose display interval
+    covers t is decoded to luminance segment means — the moving-image
+    counterpart of :func:`frame_sample_plan`, with the decode step
+    real instead of stubbed. The frame selected for t is the LAST one
+    whose start time is <= t — so zero-delay frames (empty display
+    intervals) are skipped over, and an all-zero-delay animation
+    yields a single sample of its final frame (what a renderer leaves
+    on screen after the instantaneous flips).
+
+    Scale notes: same posture as decode_media — Arrow moves whole
+    binary batches, rows decode independently, no cross-row state."""
+    import numpy as np
+
+    from .gif import decode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, indexes, stamps, feats = [], [], [], []
+            for mid, fmt, content in zip(
+                pdf["media_id"], pdf["format"], pdf["content"]
+            ):
+                if (fmt or "").lower() != "gif":
+                    raise NotImplementedError(
+                        "real media decode: no multi-frame codec for "
+                        f"format={fmt!r} in this environment"
+                    )
+                frames, palettes, delays, _w, _h = decode_gif(
+                    content or b""
+                )
+                starts = np.concatenate(
+                    [[0], np.cumsum(delays)]
+                )  # frame k shows during [starts[k], starts[k+1])
+                total = int(starts[-1])
+                ts = 0
+                while True:
+                    k = int(np.searchsorted(starts, ts, side="right") - 1)
+                    k = min(k, len(frames) - 1)
+                    rgb = palettes[k][frames[k]].astype(np.int64)
+                    lum = (
+                        rgb[..., 0] * _LUMA[0]
+                        + rgb[..., 1] * _LUMA[1]
+                        + rgb[..., 2] * _LUMA[2]
+                    ) // 1000
+                    segs = np.array_split(
+                        lum.reshape(-1).astype(np.float64) / 255.0,
+                        feature_dim,
+                    )
+                    ids.append(mid)
+                    indexes.append(k)
+                    stamps.append(ts)
+                    feats.append(
+                        [float(s.mean()) if s.size else 0.0 for s in segs]
+                    )
+                    ts += every_ms
+                    if ts >= max(total, 1):
+                        break
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": indexes,
+                    "frame_ts_ms": stamps,
+                    "features": feats,
+                }
+            )
+
+    return df.where(F.col("media_type") == "video").mapInPandas(
+        run, FRAME_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (the decode of each frame is the stubbed step above). Pure
