@@ -55,7 +55,12 @@ def canon(v, naive_utc: bool = False):
             return ("ts", v.timestamp())
         return ("ts", v.replace(tzinfo=v.tzinfo or timezone.utc).timestamp())
     if isinstance(v, date):
-        return ("ts", datetime(v.year, v.month, v.day).isoformat())
+        # UTC-midnight epoch, so a DATE on one side equals a midnight
+        # TIMESTAMP on the other (as the old isoformat canon did)
+        return (
+            "ts",
+            datetime(v.year, v.month, v.day, tzinfo=timezone.utc).timestamp(),
+        )
     if isinstance(v, (list, tuple)):
         return tuple(canon(x, naive_utc=naive_utc) for x in v)
     if isinstance(v, dict):

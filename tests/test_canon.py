@@ -80,6 +80,28 @@ def test_aware_datetimes_ignore_both_modes():
     )
 
 
+def test_date_equals_midnight_wall_clock_timestamp():
+    """A DATE on one side must equal a midnight TIMESTAMP on the other
+    (DuckDB often returns midnight timestamps where Spark returns
+    dates, and vice versa), and be host-TZ-independent."""
+    from datetime import date
+
+    d = date(2024, 6, 1)
+    midnight = datetime(2024, 6, 1, 0, 0, 0)
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "Pacific/Kiritimati"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            assert canon(d) == canon(midnight, naive_utc=True), tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
 def test_non_datetime_values_unaffected_by_mode():
     for v in (None, True, 3, 2.5, "x", b"\x00\xff", [1, "a"], {"k": 1}):
         assert canon(v) == canon(v, naive_utc=True)
