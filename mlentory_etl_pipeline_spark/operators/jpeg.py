@@ -9,8 +9,9 @@ codec, plus hard-exactness fixtures (constant 8x8 blocks quantize and
 reconstruct bit-exactly through the real DCT path, see
 ``tests/test_jpeg.py``).
 
-Scope — baseline, extended-sequential, AND progressive DCT, the
-processes that cover essentially every JPEG in the wild:
+Scope — baseline, extended-sequential, progressive DCT, AND lossless
+(Annex H) Huffman processes — essentially every non-arithmetic JPEG
+in the wild:
 
 - markers: SOI/EOI, APPn/COM (skipped), DQT (8- and 16-bit), DHT,
   SOF0/SOF1/SOF2, DRI + RST0-7 restart intervals, SOS;
@@ -29,9 +30,15 @@ processes that cover essentially every JPEG in the wild:
   (``A.T @ C @ A`` with the orthonormal DCT-II basis matrix) -> level
   shift -> clamp;
 - chroma upsampling by nearest-neighbor index mapping (general for any
-  factor ratio), JFIF full-range YCbCr -> RGB.
+  factor ratio), JFIF full-range YCbCr -> RGB;
+- lossless (SOF3): Annex H neighbor prediction (all 7 predictors,
+  point transform, modulo-2^16 differences, category 16), precisions
+  2-16 (scaled to the 8-bit plane contract above 8), bit-exact by
+  construction — so a lossless-JPEG and a PNG of the same pixels must
+  produce IDENTICAL features, which the tests assert on arbitrary
+  images.
 
-Lossless/hierarchical (SOF3, SOF5-15) and arithmetic coding raise
+Hierarchical/differential (SOF5-15) and arithmetic coding raise
 ``NotImplementedError`` — the same capability-gap taxonomy as the
 PNG/WAV gates, so ``decode_media``'s ``fallback_to_fake`` applies.
 Corrupt bytes raise ``ValueError``.
@@ -177,7 +184,6 @@ _DCT_A = np.array(
 # SOF markers for coding processes this decoder does not implement —
 # capability gaps (NotImplementedError), not corrupt bytes
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless sequential",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
     0xC7: "differential lossless",
@@ -441,6 +447,186 @@ def _ac_refine_block(reader, ac_table, coef, ss, se, al, state):
         state["eobrun"] -= 1
 
 
+def _lossless_predict(plane, x, y, predictor, default):
+    """T.81 H.1.2.1 prediction: a = left, b = above, c = above-left.
+    First sample uses the default (2^(P-1-Al)); the rest of the first
+    line predicts from the left; the first column predicts from
+    above."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    c = int(plane[y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
+
+
+def _decode_lossless_scan(
+    frame, scan_comp, segments, restart_interval, sample_planes,
+    precision, predictor, al,
+):
+    """One non-interleaved lossless scan (T.81 Annex H): Huffman
+    categories code sample DIFFERENCES from a neighbor prediction;
+    category 16 means +32768 with no extra bits; arithmetic is modulo
+    2^16. A restart resets the predictor to the default for the next
+    sample (both twin sides share this convention)."""
+    width, height, comps = frame
+    ci, dc_table, _ = scan_comp
+    _, h, v, _ = comps[ci]
+    hmax = max(hh for _, hh, vv, _ in comps)
+    vmax = max(vv for _, hh, vv, _ in comps)
+    cw = -(-width * h // hmax)
+    ch = -(-height * v // vmax)
+    default = 1 << (precision - 1 - al)
+    plane = np.zeros((ch, cw), dtype=np.int64)
+    reader, seg_idx = _BitReader(segments[0]), 0
+    force_default = False
+    m = 0
+    for y in range(ch):
+        for x in range(cw):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                force_default = True
+            s = _read_symbol(reader, dc_table)
+            if s > 16:
+                raise ValueError("JPEG: invalid lossless category")
+            if s == 16:
+                diff = 32768
+            elif s:
+                diff = _extend(reader.read_bits(s), s)
+            else:
+                diff = 0
+            pred = (
+                default
+                if force_default
+                else _lossless_predict(plane, x, y, predictor, default)
+            )
+            force_default = False
+            plane[y, x] = (pred + diff) & 0xFFFF
+            m += 1
+    sample_planes[ci] = plane << al
+
+
+# DC-style Huffman table for LOSSLESS scans: categories 0..16 (a
+# 16-bit-precision difference can need category 16, which Annex K's
+# 0..11 DC table cannot code). Fixed 5-bit canonical codes; the
+# all-ones code stays unused (17 < 31).
+HUFF_DC_LOSSLESS = (
+    (0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(17)),
+)
+
+
+def jpeg_encode_gray_lossless(
+    pixels: bytes,
+    width: int,
+    height: int,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless-JPEG (SOF3) grayscale encoder — the twin of the Annex H
+    decode path. ``pixels`` is 1 byte per sample for precision <= 8,
+    2 bytes big-endian per sample above. With ``point_transform`` = 0
+    the round trip is bit-exact (it IS lossless); a nonzero point
+    transform drops the low ``Al`` bits (decoder re-shifts)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform out of range")
+    nbytes = 1 if precision <= 8 else 2
+    if len(pixels) != width * height * nbytes:
+        raise ValueError("pixels length mismatch")
+    arr = np.frombuffer(
+        pixels, dtype=np.uint8 if nbytes == 1 else np.dtype(">u2")
+    ).astype(np.int64).reshape(height, width)
+    arr = arr >> point_transform
+    default = 1 << (precision - 1 - point_transform)
+    codes = _build_encode_table(*HUFF_DC_LOSSLESS)
+    writer = _BitWriter()
+    body = bytearray()
+    rst = 0
+    m = 0
+    force_default = False
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and m and m % restart_interval == 0:
+                writer.flush()
+                body += writer.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                force_default = True
+            pred = (
+                default
+                if force_default
+                else _lossless_predict(arr, x, y, predictor, default)
+            )
+            force_default = False
+            diff = int(arr[y, x]) - pred
+            # modulo-2^16 wrap into the signed 16-bit window (H.1.2.1)
+            diff = ((diff + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                diff = 32768
+            if diff == 32768:
+                code, length = codes[16]
+                writer.write(code, length)
+            else:
+                s = _category(diff)
+                code, length = codes[s]
+                writer.write(code, length)
+                if s:
+                    writer.write(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                    )
+            m += 1
+    writer.flush()
+    body += writer.out
+    sof = _marker(
+        0xC3,
+        struct.pack(">BHHB", precision, height, width, 1)
+        + bytes([1, 0x11, 0]),
+    )
+    sos = _marker(
+        0xDA, bytes([1, 1, 0x00, predictor, 0, point_transform])
+    )
+    dri = (
+        _marker(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + _APP0_JFIF
+        + sof
+        + _dht_segment(0, 0, HUFF_DC_LOSSLESS)
+        + dri
+        + sos
+        + bytes(body)
+        + b"\xff\xd9"
+    )
+
+
 def decode_jpeg(content: bytes):
     """Decode a baseline, extended-sequential, or progressive JPEG.
 
@@ -464,7 +650,10 @@ def decode_jpeg(content: bytes):
     restart_interval = 0
     frame = None  # (width, height, comps) comps = [(cid, h, v, tq)]
     progressive = False
+    lossless = False
+    precision = 8
     bufs: dict[int, np.ndarray] = {}  # comp index -> (bh, bw, 64) int32
+    sample_planes: dict[int, np.ndarray] = {}  # lossless: ci -> (h, w)
     pos = 2
     n = len(content)
     while pos < n:
@@ -525,14 +714,22 @@ def decode_jpeg(content: bytes):
                     raise ValueError("JPEG: truncated DHT")
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # baseline / extended sequential / progressive / lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(data) < 6 or len(data) < 6 + 3 * data[5]:
                 raise ValueError("JPEG: truncated SOF segment")
-            if data[0] != 8:
+            precision = data[0]
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(
+                        f"JPEG: invalid lossless precision {precision}"
+                    )
+            elif precision != 8:
                 raise NotImplementedError(
-                    f"real media decode: JPEG sample precision {data[0]} "
-                    "unsupported (8-bit only)"
+                    f"real media decode: JPEG sample precision {precision} "
+                    "unsupported (8-bit only for DCT processes)"
                 )
             height, width = struct.unpack(">HH", data[1:5])
             if not width or not height:
@@ -564,7 +761,16 @@ def decode_jpeg(content: bytes):
             _, _, comps = frame
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0x0F
-            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+            if lossless:
+                # Ss = predictor selector, Al = point transform
+                if not 1 <= ss <= 7 or se != 0 or ah != 0:
+                    raise ValueError("JPEG: bad lossless scan header")
+                if ns != 1:
+                    raise NotImplementedError(
+                        "real media decode: interleaved lossless JPEG "
+                        "scan unsupported"
+                    )
+            elif not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("JPEG: bad spectral selection for sequential")
             if progressive:
                 if ss == 0 and se != 0:
@@ -580,9 +786,12 @@ def decode_jpeg(content: bytes):
                     raise ValueError("JPEG: scan selects unknown component")
                 td, ta = tdta >> 4, tdta & 0x0F
                 # only the tables this scan kind actually consults must
-                # be present (a DC-refinement scan reads raw bits only)
-                need_dc = ss == 0 and (not progressive or ah == 0)
-                need_ac = se > 0
+                # be present (a DC-refinement scan reads raw bits only;
+                # lossless scans code sample differences with DC tables)
+                need_dc = lossless or (
+                    ss == 0 and (not progressive or ah == 0)
+                )
+                need_ac = se > 0 and not lossless
                 if need_dc and (0, td) not in htables:
                     raise ValueError("JPEG: scan references missing DC DHT")
                 if need_ac and (1, ta) not in htables:
@@ -591,35 +800,53 @@ def decode_jpeg(content: bytes):
                     (matches[0], htables.get((0, td)), htables.get((1, ta)))
                 )
             segments, pos = _split_entropy(content, pos)
-            _decode_scan(
-                frame, scan, segments, restart_interval, bufs,
-                ss, se, ah, al, progressive,
-            )
+            if lossless:
+                _decode_lossless_scan(
+                    frame, scan[0], segments, restart_interval,
+                    sample_planes, precision, ss, al,
+                )
+            else:
+                _decode_scan(
+                    frame, scan, segments, restart_interval, bufs,
+                    ss, se, ah, al, progressive,
+                )
         # else: APPn / COM / unknown — skipped
-    if frame is None or not bufs:
+    if frame is None or not (bufs or sample_planes):
         raise ValueError("JPEG: no image data decoded")
     width, height, comps = frame
     hmax = max(h for _, h, v, _ in comps)
     vmax = max(v for _, h, v, _ in comps)
     planes = []
     for ci, (_, h, v, tq) in enumerate(comps):
-        if ci not in bufs:
-            raise ValueError("JPEG: component missing from scan data")
-        if tq not in qtables:
-            raise ValueError("JPEG: missing quantization table")
-        # dequantize + IDCT every block at once (einsum batches the
-        # separable transform), level-shift, clamp
-        deq = bufs[ci].astype(np.float64) * qtables[tq].astype(np.float64)
-        bh, bw = deq.shape[0], deq.shape[1]
-        blocks = deq.reshape(bh, bw, 8, 8)
-        spatial = np.einsum("ux,bcuv,vz->bcxz", _DCT_A, blocks, _DCT_A)
-        spatial += 128.0
-        np.clip(np.rint(spatial), 0, 255, out=spatial)
-        plane = (
-            spatial.astype(np.uint8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
-        )
+        if lossless:
+            if ci not in sample_planes:
+                raise ValueError("JPEG: component missing from scan data")
+            full = sample_planes[ci].astype(np.int64)
+            # 8-bit output contract: higher precisions scale like the
+            # PNG/TIFF 16-bit paths
+            if precision > 8:
+                full >>= precision - 8
+            plane = np.clip(full, 0, 255).astype(np.uint8)
+        else:
+            if ci not in bufs:
+                raise ValueError("JPEG: component missing from scan data")
+            if tq not in qtables:
+                raise ValueError("JPEG: missing quantization table")
+            # dequantize + IDCT every block at once (einsum batches the
+            # separable transform), level-shift, clamp
+            deq = bufs[ci].astype(np.float64) * qtables[tq].astype(
+                np.float64
+            )
+            bh, bw = deq.shape[0], deq.shape[1]
+            blocks = deq.reshape(bh, bw, 8, 8)
+            spatial = np.einsum("ux,bcuv,vz->bcxz", _DCT_A, blocks, _DCT_A)
+            spatial += 128.0
+            np.clip(np.rint(spatial), 0, 255, out=spatial)
+            plane = (
+                spatial.astype(np.uint8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
         # crop the block-padded plane to the component's true size, then
         # nearest-neighbor index-map up to the full pixel grid (general
         # for any factor ratio)

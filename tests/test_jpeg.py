@@ -217,6 +217,57 @@ def test_progressive_constant_blocks_bit_exact():
     assert (planes[0] == img).all()
 
 
+def test_lossless_all_predictors_bit_exact():
+    """SOF3 lossless (T.81 Annex H): every predictor round-trips any
+    image exactly; restart intervals and the 16-bit/point-transform
+    variants behave per spec."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(13, 17)).astype(np.uint8)
+    for predictor in range(1, 8):
+        enc = jpeg.jpeg_encode_gray_lossless(
+            img.tobytes(), 17, 13, predictor=predictor
+        )
+        assert b"\xff\xc3" in enc
+        assert np.array_equal(jpeg.decode_jpeg(enc)[0][0], img), predictor
+    # restart interval invariance
+    enc = jpeg.jpeg_encode_gray_lossless(
+        img.tobytes(), 17, 13, predictor=4, restart_interval=7
+    )
+    assert np.array_equal(jpeg.decode_jpeg(enc)[0][0], img)
+    # point transform drops Al low bits (decoder re-shifts)
+    enc = jpeg.jpeg_encode_gray_lossless(
+        img.tobytes(), 17, 13, predictor=2, point_transform=2
+    )
+    assert np.array_equal(jpeg.decode_jpeg(enc)[0][0], (img >> 2) << 2)
+    # 16-bit precision scales to the 8-bit plane contract
+    img16 = rng.integers(0, 65536, size=(9, 7)).astype(">u2")
+    enc = jpeg.jpeg_encode_gray_lossless(
+        img16.tobytes(), 7, 9, predictor=7, precision=16
+    )
+    want = (img16.astype(np.int64) >> 8).astype(np.uint8)
+    assert np.array_equal(jpeg.decode_jpeg(enc)[0][0], want)
+
+
+def test_lossless_features_equal_png_for_arbitrary_images():
+    """The strongest cross-codec invariant: lossless JPEG and PNG of
+    the SAME arbitrary pixels produce bit-identical features (no
+    constant-block fixture needed — both decodes are exact)."""
+    rng = np.random.default_rng(21)
+    for _ in range(3):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        f_jls = multimodal._decode_jpeg(
+            jpeg.jpeg_encode_gray_lossless(
+                img.tobytes(), w, h, predictor=int(rng.integers(1, 8))
+            ),
+            8,
+        )
+        f_png = multimodal._decode_png(
+            multimodal.png_encode_gray(img.tobytes(), w, h), 8
+        )
+        assert f_jls == f_png
+
+
 def test_16bit_dqt_precision_path():
     """Rewrite the encoder's 8-bit DQT segment as a 16-bit-precision
     one (Pq=1); the decoder must parse it and produce identical pixels."""
@@ -256,8 +307,8 @@ def test_corrupt_and_unsupported_taxonomy():
     bad[i + 5] = 0  # first (zigzag DC) quantizer entry -> 0
     with pytest.raises(ValueError, match="quantizer"):
         jpeg.decode_jpeg(bytes(bad))
-    # lossless / arithmetic / 12-bit: capability gaps (progressive is a
-    # REAL path now — see test_progressive_*)
+    # arithmetic / differential / 12-bit-DCT: capability gaps
+    # (progressive AND lossless are REAL paths now)
     def sof_only(marker: int, precision: int = 8) -> bytes:
         return (
             b"\xff\xd8"
@@ -265,14 +316,15 @@ def test_corrupt_and_unsupported_taxonomy():
             + b"\xff\xd9"
         )
 
-    for marker in (0xC3, 0xCA):
+    for marker in (0xC5, 0xCA):
         with pytest.raises(NotImplementedError, match="real media decode"):
             jpeg.decode_jpeg(sof_only(marker))
     with pytest.raises(NotImplementedError, match="precision"):
         jpeg.decode_jpeg(sof_only(0xC0, precision=12))
-    # a progressive frame with no scan data is CORRUPT, not a gap
-    with pytest.raises(ValueError, match="no image data"):
-        jpeg.decode_jpeg(sof_only(0xC2))
+    # progressive / lossless frames with no scan data are CORRUPT
+    for marker in (0xC2, 0xC3):
+        with pytest.raises(ValueError, match="no image data"):
+            jpeg.decode_jpeg(sof_only(marker))
 
 
 def test_zero_quant_override_cannot_roundtrip_silently():

@@ -102,6 +102,16 @@ def test_jpeg_progressive_equals_sequential_property(img, quality):
     assert np.array_equal(seq, prog)
 
 
+@settings(max_examples=40, deadline=None)
+@given(img=_image(), predictor=st.integers(1, 7))
+def test_jpeg_lossless_roundtrip_property(img, predictor):
+    h, w = img.shape
+    got = jpeg.decode_jpeg(
+        jpeg.jpeg_encode_gray_lossless(img.tobytes(), w, h, predictor=predictor)
+    )[0][0]
+    assert np.array_equal(got, img)
+
+
 @settings(max_examples=25, deadline=None)
 @given(img=_image(max_side=16), restart=st.integers(1, 5))
 def test_jpeg_restart_interval_invariant_property(img, restart):

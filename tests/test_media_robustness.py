@@ -91,8 +91,10 @@ def test_jpeg_mutation_taxonomy():
     img = _gray_image(24, 16)
     seq = jpeg.jpeg_encode_gray(img.tobytes(), 24, 16, quality=80)
     prog = jpeg.jpeg_encode_gray(img.tobytes(), 24, 16, quality=80, progressive=True)
+    jls = jpeg.jpeg_encode_gray_lossless(img.tobytes(), 24, 16, predictor=4)
     _assert_mutations_stay_in_taxonomy(seq, jpeg.decode_jpeg, 120)
     _assert_mutations_stay_in_taxonomy(prog, jpeg.decode_jpeg, 120)
+    _assert_mutations_stay_in_taxonomy(jls, jpeg.decode_jpeg, 120)
 
 
 def test_gif_mutation_taxonomy():
