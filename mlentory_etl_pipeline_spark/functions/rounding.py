@@ -25,3 +25,20 @@ def round_half_up(x: float, nd: int) -> float:
     return float(
         Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
     )
+
+
+def round_ties_up_col(col, nd: int):
+    """ENGINE-IDENTICAL in-plan rounding for scale-robust closes:
+    ``FLOOR(x * 10^nd + 0.5) / 10^nd`` — every step is an IEEE double
+    op both Spark and DuckDB must compute bit-identically on identical
+    inputs, unlike ``F.round``/``ROUND`` whose tie conventions diverge
+    (measured at sf0.1: the exact rational 4098260.41325 — a TRUE
+    half-tie, because cents/count quotients have small denominators,
+    so ties are NOT measure-zero — rounds DOWN under Spark's
+    binary-value HALF_UP and UP under DuckDB's multiply-based round).
+    Write the oracle side as ``FLOOR(x * 1eN + 0.5) / 1eN`` verbatim.
+    Ties round toward +infinity (documented, consistent)."""
+    from pyspark.sql import functions as F
+
+    p = float(10**nd)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)

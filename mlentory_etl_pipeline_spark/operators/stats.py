@@ -1824,17 +1824,26 @@ def aqp_sum_estimate(
         F.sum(raw * raw).alias("_sumsq"),
     )
     est = F.col("_sum").cast("double") * F.lit(inv_p)
+    # the raw-unit sum of squares exceeds 2^53: engine-portable cast
+    # (see portable_big_double — DuckDB's HUGEINT cast double-rounds)
     se = F.sqrt(
         F.lit(var_factor)
-        * (F.col("_sumsq").cast("double") / F.lit(float(10 ** (2 * value_scale))))
+        * (
+            portable_big_double(F.col("_sumsq"))
+            / F.lit(float(10 ** (2 * value_scale)))
+        )
     )
+    # scale-robust closes: engine ROUND tie conventions diverge on
+    # knife-edge doubles (sf0.1 finding) — floor device instead
+    from ..functions.rounding import round_ties_up_col
+
     return agg.select(
         *group_cols,
         "n_sampled",
-        F.round(est, 4).alias("est_sum"),
-        F.round(se, 4).alias("std_err"),
-        F.round(est - F.lit(float(z)) * se, 4).alias("ci_lo"),
-        F.round(est + F.lit(float(z)) * se, 4).alias("ci_hi"),
+        round_ties_up_col(est, 4).alias("est_sum"),
+        round_ties_up_col(se, 4).alias("std_err"),
+        round_ties_up_col(est - F.lit(float(z)) * se, 4).alias("ci_lo"),
+        round_ties_up_col(est + F.lit(float(z)) * se, 4).alias("ci_hi"),
     ).orderBy(*group_cols)
 
 
@@ -2862,6 +2871,29 @@ def diff_in_diff(
     )
 
 
+def portable_big_double(col: Column) -> Column:
+    """Engine-portable nonnegative big-integer -> double conversion.
+
+    ``CAST(huge AS DOUBLE)`` is engine-specific above 2^53: DuckDB's
+    HUGEINT cast double-rounds through its 2^64 limb representation
+    (measured: 52212025701372833284 -> 5.221202570137284e19, one ulp
+    above the correctly-rounded 5.221202570137283e19 that Spark's
+    decimal cast produces). Splitting at 2^32 makes both halves
+    exactly castable (hi < 2^53 while the input < 2^85) and the
+    recombination ``hi * 2^32 + lo`` is a fixed IEEE double sequence
+    every engine computes identically. Oracle-side twin:
+    ``CAST(x // 4294967296 AS DOUBLE) * 4294967296.0 +
+    CAST(x % 4294967296 AS DOUBLE)``.
+    """
+    two32 = F.lit(4294967296).cast("decimal(38,0)")
+    lo = F.pmod(col, two32)  # exact: modulo of decimals is exact
+    # (col - lo) is an exact multiple of 2^32, so the decimal division
+    # yields the exact integer quotient (scale rounding of an integer
+    # is the identity); both halves then cast to double exactly
+    hi = (col - lo) / two32
+    return hi.cast("double") * F.lit(4294967296.0) + lo.cast("double")
+
+
 def rolling_bands(
     df: DataFrame,
     ts: Column,
@@ -2882,7 +2914,12 @@ def rolling_bands(
     units; the trailing Σ and Σ² are exact integer window sums (frame
     summation order can't drift — the moving_avg contract), and mean /
     population-variance / band edges close in fixed-shape double
-    arithmetic on identical exact operands.
+    arithmetic on identical exact operands. The Σ² exceeds 2^53, and
+    engines' big-integer→double CASTs disagree by an ulp there
+    (measured at sf0.1: DuckDB's HUGEINT cast double-rounds through
+    its 2^64 limbs while Spark's decimal cast rounds correctly), so
+    the conversion goes through :func:`portable_big_double` — exact
+    2^32-limb split + IEEE recombination, identical in any engine.
 
     Scale posture: one day-keyed rollup (shuffle bounded by |days|),
     one ordered window over the calendar-bounded global series.
@@ -2900,20 +2937,28 @@ def rolling_bands(
     rs = F.sum("_s").over(w)
     rss = F.sum((F.col("_s") * F.col("_s")).cast("decimal(38,0)")).over(w)
     n = cnt.cast("double")
+    # rs stays under 2^53 at any plausible scale (cents of a global
+    # daily total); rss does NOT — portable conversion required
+    rss_d = portable_big_double(rss)
     m = rs.cast("double") / n / F.lit(cf)
     var = (
-        (rss.cast("double") - rs.cast("double") * rs.cast("double") / n)
+        (rss_d - rs.cast("double") * rs.cast("double") / n)
         / n
         / F.lit(cf * cf)
     )
     band = F.when(cnt >= min_obs, F.sqrt(var) * F.lit(n_sigma))
     v = F.col("_s").cast("double") / F.lit(cf)
+    # scale-robust closes: engine ROUND tie conventions diverge on
+    # knife-edge doubles (sf0.1 finding) — the floor device is
+    # engine-identical (functions/rounding.py)
+    from ..functions.rounding import round_ties_up_col
+
     out = daily.select(
         "day",
-        F.round(v, 6).alias("day_value"),
-        F.round(m, 6).alias("rolling_mean"),
-        F.round(m + band, 6).alias("upper_band"),
-        F.round(m - band, 6).alias("lower_band"),
+        round_ties_up_col(v, 6).alias("day_value"),
+        round_ties_up_col(m, 6).alias("rolling_mean"),
+        round_ties_up_col(m + band, 6).alias("upper_band"),
+        round_ties_up_col(m - band, 6).alias("lower_band"),
         F.when(
             band.isNotNull(), (v > m + band) | (v < m - band)
         ).alias("outside_band"),

@@ -524,9 +524,14 @@ def rfm_segments(
         (F.lit(1) + gt(F.col("_f"), "f")).alias("f_score"),
         (F.lit(1) + gt(F.col("_md"), "m")).alias("m_score"),
     )
+    from ..functions.rounding import round_ties_up_col
+
+    # scale-robust close: cents/count quotients land on TRUE 4-dp ties
+    # (small denominators), where F.round and DuckDB ROUND diverge —
+    # the floor device is engine-identical (functions/rounding.py)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(
+        round_ties_up_col(
             F.sum("_m").cast("double")
             / F.count(F.lit(1)).cast("double")
             / 100,

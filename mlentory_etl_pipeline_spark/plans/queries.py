@@ -11619,14 +11619,26 @@ def holt_trend_forecast_users(spark, sf_dir):
                  * CAST(rev * 10000 AS DECIMAL(19,0))) AS s2
       FROM s GROUP BY l_returnflag
     )
+    -- floor device, not ROUND: engine tie conventions diverge on
+    -- knife-edge doubles (sf0.1 finding)
+    -- s2 exceeds 2^53: portable 2^32-limb cast (portable_big_double twin)
+    , d AS (
+      SELECT l_returnflag, n_sampled,
+             CAST(s1 AS DOUBLE) * 10.0 AS est,
+             -- NOTE: // on DECIMAL goes through double in this engine;
+             -- HUGEINT // is the exact integral quotient
+             SQRT(90.0 * ((CAST(CAST(s2 AS HUGEINT) // 4294967296 AS DOUBLE)
+                             * 4294967296.0
+                           + CAST(CAST(s2 AS HUGEINT) % 4294967296 AS DOUBLE))
+                          / 100000000.0)) AS se
+      FROM a
+    )
     SELECT l_returnflag, n_sampled,
-           ROUND(CAST(s1 AS DOUBLE) * 10.0, 4) AS est_sum,
-           ROUND(SQRT(90.0 * (CAST(s2 AS DOUBLE) / 100000000.0)), 4) AS std_err,
-           ROUND(CAST(s1 AS DOUBLE) * 10.0
-                 - 1.96 * SQRT(90.0 * (CAST(s2 AS DOUBLE) / 100000000.0)), 4) AS ci_lo,
-           ROUND(CAST(s1 AS DOUBLE) * 10.0
-                 + 1.96 * SQRT(90.0 * (CAST(s2 AS DOUBLE) / 100000000.0)), 4) AS ci_hi
-    FROM a ORDER BY l_returnflag
+           FLOOR(est * 1e4 + 0.5) / 1e4 AS est_sum,
+           FLOOR(se * 1e4 + 0.5) / 1e4 AS std_err,
+           FLOOR((est - 1.96 * se) * 1e4 + 0.5) / 1e4 AS ci_lo,
+           FLOOR((est + 1.96 * se) * 1e4 + 0.5) / 1e4 AS ci_hi
+    FROM d ORDER BY l_returnflag
     """,
     survey_ops=("monitoring-stats", "sampling-quota", "§2.9 aggregations"),
 )
@@ -12965,8 +12977,10 @@ def isotonic_purchase_rate_by_cohort(spark, sf_dir):
       FROM cust, b
     )
     SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
-      ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100, 4)
-        AS avg_monetary
+      -- floor device, not ROUND: cents/count quotients hit TRUE 4-dp
+      -- ties where engine ROUND conventions diverge (sf0.1 finding)
+      FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100
+            * 1e4 + 0.5) / 1e4 AS avg_monetary
     FROM s GROUP BY r_score, f_score, m_score
     """,
     survey_ops=("§2.9 aggregations", "sampling-splits"),
@@ -14950,17 +14964,26 @@ def cuped_value_variance_reduction(spark, sf_dir):
       WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     ),
     m AS (
+      -- rss exceeds 2^53: DuckDB's HUGEINT->DOUBLE cast double-rounds
+      -- through its 2^64 limbs, so convert via the exact 2^32-limb
+      -- split (portable_big_double's oracle twin)
       SELECT day, v, cnt,
              CAST(rs AS DOUBLE) / CAST(cnt AS DOUBLE) / 100.0 AS mu,
-             (CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+             ((CAST(rss // 4294967296 AS DOUBLE) * 4294967296.0
+               + CAST(rss % 4294967296 AS DOUBLE))
+              - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
                 / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) / 10000.0 AS var
       FROM r
     )
     SELECT day,
-           ROUND(v, 6) AS day_value,
-           ROUND(mu, 6) AS rolling_mean,
-           ROUND(mu + (CASE WHEN cnt >= 5 THEN SQRT(var) * 2.0 END), 6) AS upper_band,
-           ROUND(mu - (CASE WHEN cnt >= 5 THEN SQRT(var) * 2.0 END), 6) AS lower_band,
+           -- floor device, not ROUND: engine tie conventions diverge
+           -- on knife-edge doubles (sf0.1 finding)
+           FLOOR(v * 1e6 + 0.5) / 1e6 AS day_value,
+           FLOOR(mu * 1e6 + 0.5) / 1e6 AS rolling_mean,
+           FLOOR((mu + (CASE WHEN cnt >= 5 THEN SQRT(var) * 2.0 END))
+                 * 1e6 + 0.5) / 1e6 AS upper_band,
+           FLOOR((mu - (CASE WHEN cnt >= 5 THEN SQRT(var) * 2.0 END))
+                 * 1e6 + 0.5) / 1e6 AS lower_band,
            CASE WHEN cnt >= 5
                 THEN v > mu + SQRT(var) * 2.0 OR v < mu - SQRT(var) * 2.0
                 END AS outside_band
