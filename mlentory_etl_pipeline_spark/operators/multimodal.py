@@ -159,6 +159,127 @@ def _wav_samples_ext(content: bytes):
     )
 
 
+def _aiff_samples(content: bytes):
+    """AIFF (big-endian IFF): COMM (channels, frames, bits, 80-bit
+    extended-float rate — parsed but unused here) + SSND big-endian
+    PCM. AIFC compressed variants raise NotImplementedError."""
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"FORM":
+        raise ValueError("not an AIFF: bad FORM header")
+    form_type = content[8:12]
+    if form_type == b"AIFC":
+        # only uncompressed AIFC passes; compression dispatch below
+        pass
+    elif form_type != b"AIFF":
+        raise ValueError("not an AIFF: bad form type")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack(">I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated AIFF chunk")
+        if tag == b"COMM":
+            comm = body
+        elif tag == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # IFF chunks are word-aligned
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nchannels, _nframes, bits = struct.unpack(">HIH", comm[:8])
+    if form_type == b"AIFC":
+        ctype = comm[18:22] if len(comm) >= 22 else b"NONE"
+        if ctype not in (b"NONE", b"sowt"):
+            raise NotImplementedError(
+                f"real media decode: AIFC compression {ctype!r} unsupported"
+            )
+        little = ctype == b"sowt"
+    else:
+        little = False
+    offset, _blocksize = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + offset :]
+    endian = "<" if little else ">"
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.float64)
+    elif bits in (16, 32):
+        dt = np.dtype(endian + ("i2" if bits == 16 else "i4"))
+        n = len(data) // dt.itemsize
+        samples = np.frombuffer(data[: n * dt.itemsize], dtype=dt).astype(
+            np.float64
+        )
+    elif bits == 24:
+        b = np.frombuffer(
+            data[: len(data) - len(data) % 3], dtype=np.uint8
+        ).reshape(-1, 3).astype(np.int32)
+        if little:
+            samples = (
+                ((b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)) >> 8
+            ).astype(np.float64)
+        else:
+            samples = (
+                ((b[:, 2] << 8) | (b[:, 1] << 16) | (b[:, 0] << 24)) >> 8
+            ).astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"real media decode: AIFF sample size {bits} unsupported"
+        )
+    if nchannels < 1:
+        raise ValueError("AIFF: zero channels")
+    return samples, nchannels
+
+
+def _au_samples(content: bytes):
+    """Sun AU (.snd): big-endian header, then mu-law / A-law / PCM /
+    IEEE-float payloads — the G.711 tables are shared with the WAV
+    walker."""
+    import numpy as np
+
+    if len(content) < 24 or content[:4] != b".snd":
+        raise ValueError("not an AU file: bad magic")
+    offset, _size, encoding, _rate, nchannels = struct.unpack(
+        ">IIIII", content[4:24]
+    )
+    if offset < 24 or offset > len(content):
+        raise ValueError("AU: bad data offset")
+    if nchannels < 1:
+        raise ValueError("AU: zero channels")
+    data = content[offset:]
+    if encoding == 1:  # G.711 mu-law
+        ulaw, _ = _g711_tables()
+        samples = ulaw[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
+    elif encoding == 27:  # G.711 A-law
+        _, alaw = _g711_tables()
+        samples = alaw[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
+    elif encoding in (2, 3, 4, 5):  # 8/16/24/32-bit linear PCM (BE)
+        if encoding == 2:
+            samples = np.frombuffer(data, dtype=np.int8).astype(np.float64)
+        elif encoding == 4:
+            b = np.frombuffer(
+                data[: len(data) - len(data) % 3], dtype=np.uint8
+            ).reshape(-1, 3).astype(np.int32)
+            samples = (
+                ((b[:, 2] << 8) | (b[:, 1] << 16) | (b[:, 0] << 24)) >> 8
+            ).astype(np.float64)
+        else:
+            dt = np.dtype(">i2" if encoding == 3 else ">i4")
+            n = len(data) // dt.itemsize
+            samples = np.frombuffer(
+                data[: n * dt.itemsize], dtype=dt
+            ).astype(np.float64)
+    elif encoding in (6, 7):  # IEEE float32 / float64 (BE)
+        dt = np.dtype(">f4" if encoding == 6 else ">f8")
+        n = len(data) // dt.itemsize
+        samples = np.frombuffer(data[: n * dt.itemsize], dtype=dt).astype(
+            np.float64
+        )
+    else:
+        raise NotImplementedError(
+            f"real media decode: AU encoding {encoding} unsupported"
+        )
+    return samples, nchannels
+
+
 def _pcm_samples(raw: bytes, sampwidth: int):
     """Integer PCM frames -> float64 samples (shared by the stdlib-wave
     and RIFF-extension paths)."""
@@ -207,8 +328,17 @@ def _decode_wav(content: bytes, dim: int) -> list[float]:
         samples, nchannels = _wav_samples_ext(content)
     else:
         samples = _pcm_samples(raw, sampwidth)
+    return _audio_features(samples, nchannels, dim)
+
+
+def _audio_features(samples, nchannels: int, dim: int) -> list[float]:
+    """Shared feature tail for every audio container: mono-mix, peak
+    normalize, per-segment RMS in [0, 1]."""
+    import numpy as np
+
     if nchannels > 1:
-        samples = samples.reshape(-1, nchannels).mean(axis=1)
+        n = (samples.size // nchannels) * nchannels
+        samples = samples[:n].reshape(-1, nchannels).mean(axis=1)
     peak = float(np.abs(samples).max()) if samples.size else 0.0
     if peak:
         samples = samples / peak
@@ -216,6 +346,16 @@ def _decode_wav(content: bytes, dim: int) -> list[float]:
     return [
         float(np.sqrt((s * s).mean())) if s.size else 0.0 for s in segs
     ]
+
+
+def _decode_aiff(content: bytes, dim: int) -> list[float]:
+    """REAL audio decode for AIFF/AIFC via the stdlib IFF walker."""
+    return _audio_features(*_aiff_samples(content), dim)
+
+
+def _decode_au(content: bytes, dim: int) -> list[float]:
+    """REAL audio decode for Sun AU via the stdlib header parser."""
+    return _audio_features(*_au_samples(content), dim)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -658,6 +798,12 @@ def decode_media(
         decoder = None
         if media_type == "audio" and (fmt or "").lower() == "wav":
             decoder = _decode_wav
+        elif media_type == "audio" and (fmt or "").lower() in (
+            "aiff", "aif", "aifc",
+        ):
+            decoder = _decode_aiff
+        elif media_type == "audio" and (fmt or "").lower() in ("au", "snd"):
+            decoder = _decode_au
         elif media_type == "audio":
             decoder = soundfile_decoder
         elif media_type == "image" and (fmt or "").lower() == "png":

@@ -1050,6 +1050,82 @@ def test_multimodal_nonpcm_wav_formats(spark):
     assert "media decode failed" in str(exc.value)
 
 
+def test_multimodal_aiff_and_au_formats(spark):
+    """AIFF (big-endian IFF) and Sun AU decode for real — constant-
+    magnitude signals give all-ones RMS features, cross-checked
+    against the identical signal shipped as WAV."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    # AIFF: +/-1000 int16 big-endian square wave
+    frames = b"".join(
+        _struct.pack(">h", 1000 if i % 2 == 0 else -1000) for i in range(800)
+    )
+    comm = _struct.pack(">HIH", 1, 800, 16) + bytes(10)  # 80-bit rate unused
+    ssnd = _struct.pack(">II", 0, 0) + frames
+
+    def chunk(tag, body):
+        return tag + _struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    payload = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    aiff = b"FORM" + _struct.pack(">I", len(payload)) + payload
+    # AU: same signal, encoding 3 (int16 BE), plus a mu-law variant
+    au = (
+        b".snd" + _struct.pack(">IIIII", 24, len(frames), 3, 8000, 1) + frames
+    )
+    au_ulaw = (
+        b".snd"
+        + _struct.pack(">IIIII", 24, 800, 1, 8000, 1)
+        + bytes([0x00, 0x80] * 400)
+    )
+    rows = [
+        (0, "audio", aiff, "aiff", None, None, 100),
+        (1, "audio", au, "au", None, None, 100),
+        (2, "audio", au_ulaw, "snd", None, None, 100),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in multimodal.decode_media(media, fake=False).collect()
+    }
+    for media_id in range(3):
+        feats = got[media_id].features
+        assert all(abs(x - 1.0) < 1e-6 for x in feats), (media_id, feats)
+    # compressed AIFC: capability gap taxonomy
+    payload_c = (
+        b"AIFC"
+        + chunk(b"COMM", comm + b"ima4" + b"\x00")
+        + chunk(b"SSND", ssnd)
+    )
+    aifc = b"FORM" + _struct.pack(">I", len(payload_c)) + payload_c
+    mediac = spark.createDataFrame(
+        [(3, "audio", aifc, "aifc", None, None, 100)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediac, fake=False).collect()
+    assert "real media decode" in str(exc.value)
+    # unknown AU encoding (23 = G.721 ADPCM): capability gap
+    au_bad = b".snd" + _struct.pack(">IIIII", 24, 400, 23, 8000, 1) + bytes(400)
+    mediab = spark.createDataFrame(
+        [(4, "audio", au_bad, "au", None, None, 100)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediab, fake=False).collect()
+    assert "real media decode" in str(exc.value)
+    # truncated AIFF: corrupt-bytes taxonomy
+    mediat = spark.createDataFrame(
+        [(5, "audio", aiff[:30], "aiff", None, None, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(mediat, fake=False).collect()
+    assert "media decode failed" in str(exc.value)
+
+
 def test_multimodal_8bit_wav_and_unsupported_width(spark):
     import io as _io
     import wave as _wave
