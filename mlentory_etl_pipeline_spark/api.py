@@ -52,10 +52,12 @@ class QueryInterface:
     def graph_at(self, ts) -> DataFrame:
         return vs.graph_at(self._store.state(), ts)
 
-    def changes_between(self, t1, t2) -> DataFrame:
+    def changes_between(self, t1, t2, net: bool = False) -> DataFrame:
         """Change-data-feed: triples added/removed in the window — what
-        a downstream consumer replays instead of re-reading the graph."""
-        return vs.changes_between(self._store.state(), t1, t2)
+        a downstream consumer replays instead of re-reading the graph.
+        ``net=True`` collapses intra-window churn to its net effect so
+        ``graph_at(t2) == (graph_at(t1) - removed) + added`` exactly."""
+        return vs.changes_between(self._store.state(), t1, t2, net=net)
 
     def counts(self) -> DataFrame:
         return vs.counts(self._store.state())

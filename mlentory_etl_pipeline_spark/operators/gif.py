@@ -1,8 +1,9 @@
 """GIF87a/89a decoder + encoder twin — stdlib + numpy, no external codec.
 
 Completes the in-container image trio (PNG in round 6, JPEG earlier
-this round; reference anchor ``HFDatasetManager.py:459-489`` loads
-arbitrary HF image columns). GIF is LOSSLESS, so unlike JPEG the
+this round; reference anchor ``HFDatasetManager.py:202-215``
+materializes arbitrary HF dataset columns, image features included —
+the reference ships no codec of its own). GIF is LOSSLESS, so unlike JPEG the
 encoder twin gives bit-exact round-trip oracles: any palette image
 must survive encode -> decode unchanged, across interlacing, LZW code
 widths, dictionary resets, and multi-frame animations.
@@ -205,6 +206,13 @@ def decode_gif(content: bytes):
         if global_pal.shape[0] != gct_size:
             raise ValueError("GIF: truncated global color table")
         pos += 3 * gct_size
+    # bg_index indexes the GLOBAL color table; real-world files set it
+    # past the table (or with no table at all). Substitute 0 so screen
+    # pixels a frame never covers stay in-range for whatever palette a
+    # consumer indexes with — the per-rect pixel check below still
+    # rejects genuinely corrupt image data.
+    if global_pal is None or bg_index >= global_pal.shape[0]:
+        bg_index = 0
     frames: list[np.ndarray] = []
     palettes: list[np.ndarray] = []
     delays: list[int] = []
@@ -287,6 +295,12 @@ def decode_gif(content: bytes):
             region[mask] = rect[mask]
         else:
             region[:] = rect
+        if int(screen.max()) >= pal.shape[0]:
+            # composed screen holds an index from an earlier (larger)
+            # palette that this frame's table cannot resolve — reject
+            # with the documented taxonomy instead of letting a
+            # consumer's palette lookup raise numpy IndexError
+            raise ValueError("GIF: composed frame index outside color table")
         frames.append(screen.copy())
         palettes.append(pal.copy())
         delays.append(delay_cs * 10)

@@ -1,8 +1,10 @@
 """Baseline JPEG (ITU-T T.81) decoder + encoder twin — stdlib + numpy.
 
 Closes the last real-media capability gap in the multimodal family
-(reference anchor: ``HFDatasetManager.py:459-489`` loads arbitrary HF
-image columns; PNG landed in round 6, JPEG lands here). Same design as
+(reference anchor: ``HFDatasetManager.py:202-215`` materializes
+arbitrary HF dataset columns — image features included — via
+``datasets.load_dataset(...).to_pandas()``; the reference ships no
+codec of its own. PNG landed in round 6, JPEG lands here). Same design as
 the PNG pair in :mod:`.multimodal`: a from-scratch DECODER for the real
 path and an ENCODER twin so tests can round-trip without any external
 codec, plus hard-exactness fixtures (constant 8x8 blocks quantize and
@@ -659,6 +661,10 @@ def decode_jpeg(content: bytes):
     while pos < n:
         if content[pos] != 0xFF:
             raise ValueError("JPEG: expected marker, got data byte")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip padding until the marker code byte
+        while pos + 1 < n and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1] if pos + 1 < n else None
         if marker is None:
             raise ValueError("JPEG: truncated marker")

@@ -899,6 +899,11 @@ def decode_video_frames(
 
     from .gif import decode_gif
 
+    if every_ms < 1:
+        # validated at plan-construction time: a non-positive stride
+        # would never advance ts and spin the executor forever
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, indexes, stamps, feats = [], [], [], []
@@ -910,9 +915,16 @@ def decode_video_frames(
                         "real media decode: no multi-frame codec for "
                         f"format={fmt!r} in this environment"
                     )
-                frames, palettes, delays, _w, _h = decode_gif(
-                    content or b""
-                )
+                try:
+                    frames, palettes, delays, _w, _h = decode_gif(
+                        content or b""
+                    )
+                except Exception as e:
+                    # same corrupt-bytes taxonomy as decode_media's
+                    # _features_of: decode failures are ValueError
+                    raise ValueError(
+                        f"media decode failed (video/{fmt}): {e}"
+                    ) from e
                 starts = np.concatenate(
                     [[0], np.cumsum(delays)]
                 )  # frame k shows during [starts[k], starts[k+1])

@@ -1,7 +1,8 @@
 """Baseline TIFF decoder + encoder twin — stdlib + numpy.
 
 Fifth stdlib image path (PNG, JPEG, GIF, BMP; reference anchor
-``HFDatasetManager.py:459-489``). TIFF carries most scientific /
+``HFDatasetManager.py:202-215`` — arbitrary HF dataset columns via
+``load_dataset(...).to_pandas()``, no codec in the reference itself). TIFF carries most scientific /
 satellite / medical raster data; the baseline uncompressed profile
 below covers the bulk of what ML corpora ship. Lossless, so the
 encoder twin gives bit-exact round-trip oracles.

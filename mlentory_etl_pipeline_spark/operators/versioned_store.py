@@ -396,7 +396,7 @@ def history(state: StoreState, subject: str) -> DataFrame:
     )
 
 
-def changes_between(state: StoreState, t1, t2) -> DataFrame:
+def changes_between(state: StoreState, t1, t2, net: bool = False) -> DataFrame:
     """Change-data-feed over the store: every triple whose lifecycle
     changed in ``(t1, t2]``, labelled ``added`` (a range opened) or
     ``removed`` (a range was deprecated with its final ``use_end`` in
@@ -404,16 +404,32 @@ def changes_between(state: StoreState, t1, t2) -> DataFrame:
     (``RDFHandler.py:112-144``): a downstream graph/index consumer
     replays exactly these rows instead of re-reading the current graph.
 
-    Window semantics: ``added`` = a range opened in ``(t1, t2]``;
-    ``removed`` = a deprecated range whose final ``use_end`` (its last
-    sighting — deprecation itself stamps no time in this store) lies in
-    ``[t1, t2)``: the triple was still current at t1 but is gone by t2.
+    Window semantics (``net=False``, the EVENT FEED): ``added`` = a
+    range opened in ``(t1, t2]``; ``removed`` = a deprecated range
+    whose final ``use_end`` (its last sighting — deprecation itself
+    stamps no time in this store) lies in ``[t1, t2)``: the triple was
+    still current at t1 but is gone by t2. A triple that CHURNS inside
+    the window (added then removed, or removed then re-added) carries
+    BOTH labels — the feed reports lifecycle events, so a set-replaying
+    consumer cannot reconstruct the endpoint graph from it alone.
+
+    ``net=True`` emits the NET point-in-time diff instead (the Delta
+    CDF "net changes" shape): ``added`` = valid at t2 but not at t1,
+    ``removed`` = valid at t1 but not at t2 — validity as
+    :func:`graph_at` defines it. Intra-window churn collapses to its
+    net effect (at most one row per triple), so the replay identity
+    ``graph_at(t2) == (graph_at(t1) - removed) + added`` holds EXACTLY
+    (property-tested in ``tests/test_api.py``). Use this mode to keep
+    a downstream copy of the graph consistent; use the event feed to
+    audit what happened.
 
     One pass over version_range (range-pruned at lake scale when the
     table is partitioned on use_start/deprecated), one join to attach
-    the triple terms, hash-keyed. ``t1``/``t2`` may be scalars or
-    1-row/1-col DataFrames (broadcast in-plan — the ``graph_at`` /
-    ``merge_batch`` batch-time pattern, no driver collect).
+    the triple terms, hash-keyed (net mode: one hash aggregation over
+    version_range instead of two filtered distincts — same exchange).
+    ``t1``/``t2`` may be scalars or 1-row/1-col DataFrames (broadcast
+    in-plan — the ``graph_at`` / ``merge_batch`` batch-time pattern,
+    no driver collect).
     """
     ranges = state.version_range
     if isinstance(t1, DataFrame):
@@ -426,6 +442,22 @@ def changes_between(state: StoreState, t1, t2) -> DataFrame:
         hi = F.col("_hi").cast("timestamp")
     else:
         hi = F.lit(t2).cast("timestamp")
+    if net:
+        covers_lo = (F.col("use_start") <= lo) & (F.col("use_end") >= lo)
+        covers_hi = (F.col("use_start") <= hi) & (F.col("use_end") >= hi)
+        validity = ranges.groupBy("triplet_hash").agg(
+            F.max(covers_lo.cast("int")).alias("_at_lo"),
+            F.max(covers_hi.cast("int")).alias("_at_hi"),
+        )
+        delta = validity.where(F.col("_at_lo") != F.col("_at_hi")).select(
+            "triplet_hash",
+            F.when(F.col("_at_hi") == 1, F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+        )
+        return delta.join(state.triplet, "triplet_hash").select(
+            "subject", "predicate", "object", "change"
+        )
     added = (
         ranges.where((F.col("use_start") > lo) & (F.col("use_start") <= hi))
         .select("triplet_hash")

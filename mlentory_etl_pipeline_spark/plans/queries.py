@@ -8139,9 +8139,15 @@ def _recall_audit_oracle() -> str:
     "ksub=16, ADC shortlist 60) and trained IVF-PQ (residual encoding, "
     "nprobe 4, m=4, ksub=16) against the exact brute-force top-5, one "
     "row per method — the quality gate a production ANN deployment "
-    "monitors, expressed as a query; every method holds >= 0.85 "
-    "(pytest-asserted floor); the quantized Lloyd folds make even the "
-    "AUDIT hard-oracled (three unrolled pipelines composed in SQL)",
+    "monitors, expressed as a query; every method holds >= 0.85 at "
+    "the pytest-asserted sf; the quantized Lloyd folds make even the "
+    "AUDIT hard-oracled (three unrolled pipelines composed in SQL). "
+    "Measured r8 (VERDICT r7 №6 telemetry, recall@5 over 10 queries = "
+    "50 pairs): sf0.01 ivf 0.92 / pq 0.98 / ivf_pq 0.90; sf0.1 ivf "
+    "1.00 / pq 0.80 / ivf_pq 0.70 — the sf0.1 PQ dips are the fixed "
+    "(m, ksub, shortlist) budget spread over 10x the corpus, expected "
+    "for an audit with frozen capacity; track these numbers round-"
+    "over-round, not just the oracle's pass/fail",
     oracle=_recall_audit_oracle(),
     survey_ops=("ann-quantization", "ann-lsh"),
 )
@@ -12471,7 +12477,11 @@ def _minhash_recall_oracle(num_hashes=12, bands=4, threshold=0.5) -> str:
     "wasted on non-dups), the two numbers that justify (num_hashes, "
     "bands) before a 1e9-doc run; at lake scale the quadratic truth "
     "side runs on a sample, the plan is the same shingle inverted-"
-    "index join, never a cartesian",
+    "index join, never a cartesian. Measured r8 (VERDICT r7 №6 "
+    "telemetry): recall 0.988333 / precision 0.863173 at sf0.01 "
+    "(600 true pairs), recall 0.991368 / precision 0.362115 at sf0.1 "
+    "(6024 true pairs) — a slide below ~0.98 recall at either sf is "
+    "the regression signal even while boolean gates stay green",
     oracle=_minhash_recall_oracle(),
     survey_ops=("dedup-minhash-lsh", "monitoring-stats"),
 )
@@ -20132,8 +20142,8 @@ def multimodal_phash_buckets(spark, sf_dir):
     "features must equal the oracle's direct md5 hex-pair arithmetic "
     "— the encode->deflate->inflate->unfilter->segment round-trip is "
     "verified END TO END, closing the round-5 'real image decode is "
-    "rows-only' gap (reference media payloads: "
-    "HFDatasetManager.py:459-489)",
+    "rows-only' gap (reference media payloads arrive via "
+    "HFDatasetManager.py:202-215 load_dataset->to_pandas)",
     oracle="""
     WITH d AS (
       SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS hx
@@ -20690,24 +20700,28 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # The local gate (scripts/check_correctness.py) still verifies ALL
 # entries; this only rotates which 50 the driver replays.
 
-# r7 rotation (VERDICT r6 №3): 29 swaps. Leads: the two red-history
-# queries the judge ordered retested (ann_lsh_bucketed_topk, red r01,
-# hard-oracled since; approx_aggregates, red r1-r4 rows-only, now
-# carrying a hard error-bound oracle), the other three newly
-# hard-oracled holdouts (approx_distinct_hll_partitioned,
-# multimodal_real_wav_decode, embedding_pca_spectrum — registry now
-# 367/367 oracle-backed), and the 8 queries whose oracles changed in
-# the round-7 exact-zero-check audit (ols, welch x2, mann-whitney,
-# acf, ccf, cuped, did) — a changed oracle deserves external
-# confirmation. The rest are never-checked family reps from the
-# judge's list: graph iteratives, as-of joins, intervals,
-# forecast/monitoring, corpus comparison, linkage, sketch audits,
-# kneser-ney. Kept: the SCD2 spine (7), croissant_ingest, the r6
-# bench-watch headliner sessionize_events_gaps, and one rep each for
-# streaming/IVM/incremental/multimodal-PNG/dedup/NLP/coreset (all
-# driver-green r6, retained for regression continuity). The four r5
-# reds all went green in r6 and rotate out.
+# r8 rotation (VERDICT r7 №1): 35 swaps, every one a query with ZERO
+# external driver history (149/367 ever-checked entering the round;
+# this window takes it to 184). Leads are exactly the judge's
+# zero-external-history families: the TPC-H adapted shapes (q2 q4 q9
+# q15 q16 q18 q21 q22 — the §2.9 join/set-op checklist plans
+# COVERAGE.md documents), layout (zorder/compaction/range-partition;
+# rendezvous_shard_docs already driver-green r6), survival (cox,
+# logrank; kaplan_meier driver-green r6), DP (event + user-level),
+# multimodal decode (features/frame-sample/arrow-digest), packing
+# (bins + efficiency audit), search (RRF hybrid, inverted index),
+# plus never-checked reps for streaming drains, trained-ANN + the two
+# recall audits (VERDICT r7 №6 telemetry now in their docstrings),
+# dedup/semdedup, curation quality, linkage golden-record, RDF
+# serialization sinks, and the HITS graph iterative. Kept (15): the
+# SCD2 spine (7), croissant_ingest, bench-watch headliner
+# sessionize_events_gaps, and one rep each for streaming/IVM/
+# incremental/multimodal-PNG/dedup/NLP — all driver-r7 green,
+# retained for regression continuity. All r7 entries were green, so
+# everything else rotates out. Every swap-in passed
+# scripts/oracle_lint.py and the local three-way gate before shipping.
 _DRIVER_WINDOW = [
+    # -- regression keeps (driver-r7 green) --
     "q1_pricing_summary",
     "scd2_version_ranges",
     "scd2_current_graph",
@@ -20716,48 +20730,60 @@ _DRIVER_WINDOW = [
     "graph_delta_publish",
     "scd2_reified_current_export",
     "croissant_ingest",
-    "ntriples_datasource_roundtrip",
-    "sessionize_events_gaps",  # bench-watch (VERDICT r6 №6)
-    "nlp_sectionize",
-    "nlp_grouped_qa",
-    "dedup_minhash_lsh",
-    "kcenter_greedy_coreset",
+    "sessionize_events_gaps",  # bench-watch (VERDICT r6 №6 / r7 №3)
     "streaming_stateful_sessions",
     "ivm_join_delta",
     "watermark_incremental",
-    "http_chunk_sink_receipts",
     "multimodal_png_luminance",
-    "rule_table_mapper",
-    "range_dispatch_nested",
-    "ann_lsh_bucketed_topk",  # r7: red r01, never re-windowed — judge priority 1
-    "approx_aggregates",  # r7: red r1-r4 rows-only, now hard error-bound oracle
-    "approx_distinct_hll_partitioned",  # r7: newly hard-oracled (error-bound boolean)
-    "multimodal_real_wav_decode",  # r7: newly hard-oracled (lattice-payload device)
-    "embedding_pca_spectrum",  # r7: newly hard-oracled (quantized power iteration)
-    "ols_value_on_hour_dom",  # r7: oracle changed (exact DECIMAL det — the r6 red fix)
-    "ab_welch_value_test",  # r7: oracle changed (exact variance numerators)
-    "welch_value_by_weekday",  # r7: oracle changed (same)
-    "ab_mann_whitney_values",  # r7: oracle changed (exact tie factor gate)
-    "acf_daily_event_counts",  # r7: oracle changed (exact variance gate)
-    "ccf_views_purchases",  # r7: oracle changed (exact variance gates)
-    "cuped_value_variance_reduction",  # r7: oracle changed (exact moment numerators)
-    "did_purchase_value",  # r7: oracle changed (exact cell variances)
-    "graph_pagerank_suppliers",  # r7: graph-iterative rep, never driver-checked
-    "graph_kcore_customers",  # r7: same family
-    "graph_label_propagation",  # r7: same family
-    "asof_join_prior_view",  # r7: as-of join rep
-    "asof_tolerance_nearest",  # r7: as-of tolerance variant
-    "interval_coalesce_validity",  # r7: interval algebra rep
-    "holt_winters_event_volumes",  # r7: forecast rep (WITH RECURSIVE oracle)
-    "croston_part_demand",  # r7: intermittent-demand forecast rep
-    "msprt_daily_value_monitor",  # r7: sequential monitoring rep
-    "jsd_source_unigrams",  # r7: corpus-comparison rep
-    "monroe_log_odds_sources",  # r7: corpus-comparison rep
-    "sorted_neighborhood_link",  # r7: linkage rep
-    "setsim_prefix_jaccard",  # r7: set-similarity linkage rep
-    "hll_error_audit",  # r7: sketch-audit rep
-    "bloom_fp_audit",  # r7: sketch-audit rep
-    "kneser_ney_bigram_lm",  # r7: LM smoothing rep
+    "dedup_minhash_lsh",
+    "nlp_sectionize",
+    # -- TPC-H adapted shapes (judge priority 1, never driver-checked) --
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    # -- layout --
+    "zorder_orders_layout",
+    "compaction_plan_files",
+    "range_partition_plan",
+    # -- survival --
+    "cox_ph_time_to_purchase",
+    "logrank_churn_payers",
+    # -- differential privacy --
+    "dp_noisy_event_counts",
+    "dp_user_level_event_counts",
+    # -- multimodal decode --
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_arrow_digest",
+    # -- sequence packing --
+    "pack_sequences_bins",
+    "packing_efficiency_audit",
+    # -- search --
+    "hybrid_rrf_search",
+    "inverted_index_postings",
+    # -- streaming drains (never-checked variants) --
+    "streaming_dedup_watermark",
+    "streaming_attribution_join",
+    "agg_state_stream_rollup",
+    # -- trained ANN + recall telemetry audits (VERDICT r7 №6) --
+    "ann_ivf_trained_topk",
+    "ann_trained_recall_audit",
+    "dedup_minhash_recall_audit",
+    # -- dedup / curation / linkage --
+    "dedup_intradoc_lines",
+    "semdedup_embeddings",
+    "gopher_quality_filter",
+    "golden_record_users",
+    # -- RDF serialization sinks (S12 family, never driver-checked) --
+    "turtle_serialization",
+    "jsonld_serialization",
+    # -- graph iterative --
+    "graph_hits_supplier_parts",
 ]
 
 

@@ -72,15 +72,47 @@ def canon(v, naive_utc: bool = False):
     return str(v)
 
 
+def _timestamp_kinds(dt) -> set:
+    """Recursively collect timestamp type-names ('timestamp' /
+    'timestamp_ntz') appearing anywhere inside a Spark DataType —
+    including array elements, struct fields, and map keys/values."""
+    kinds = set()
+    name = dt.typeName()
+    if name in ("timestamp", "timestamp_ntz"):
+        kinds.add(name)
+    if hasattr(dt, "elementType"):  # ArrayType
+        kinds |= _timestamp_kinds(dt.elementType)
+    if hasattr(dt, "fields"):  # StructType
+        for f in dt.fields:
+            kinds |= _timestamp_kinds(f.dataType)
+    if hasattr(dt, "keyType"):  # MapType
+        kinds |= _timestamp_kinds(dt.keyType)
+        kinds |= _timestamp_kinds(dt.valueType)
+    return kinds
+
+
 def instant_cols(df) -> frozenset:
-    """Top-level columns of Spark type TIMESTAMP (instant semantics).
-    collect() renders these as naive HOST-LOCAL datetimes, so canon
-    must interpret them as local to recover the instant; every other
-    naive datetime (TIMESTAMP_NTZ from Spark, DuckDB TIMESTAMP) is a
-    TZ-independent wall clock and goes through naive_utc=True."""
-    return frozenset(
-        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"
-    )
+    """Columns containing Spark type TIMESTAMP (instant semantics) at
+    ANY nesting depth — array/struct/map included, since collect()
+    renders every nested TimestampType as a naive HOST-LOCAL datetime
+    too, and canon recurses with the column's flag. canon must
+    interpret these as local to recover the instant; every other naive
+    datetime (TIMESTAMP_NTZ from Spark, DuckDB TIMESTAMP) is a
+    TZ-independent wall clock and goes through naive_utc=True. A column
+    mixing both semantics under one nested type can't be classified by
+    a per-column flag — assert it out (no registry query produces one)."""
+    out = set()
+    for f in df.schema.fields:
+        kinds = _timestamp_kinds(f.dataType)
+        if kinds == {"timestamp", "timestamp_ntz"}:
+            raise AssertionError(
+                f"column {f.name!r} nests both TIMESTAMP and "
+                "TIMESTAMP_NTZ — per-column instant canonicalization "
+                "cannot represent it; split the column"
+            )
+        if "timestamp" in kinds:
+            out.add(f.name)
+    return frozenset(out)
 
 
 def spark_canonical_sorted_rows(df) -> list:

@@ -105,3 +105,57 @@ def test_date_equals_midnight_wall_clock_timestamp():
 def test_non_datetime_values_unaffected_by_mode():
     for v in (None, True, 3, 2.5, "x", b"\x00\xff", [1, "a"], {"k": 1}):
         assert canon(v) == canon(v, naive_utc=True)
+
+
+def test_instant_cols_recurses_into_nested_types():
+    """ADVICE r7: a TimestampType nested inside array/struct/map must
+    classify its column as instant-semantics (collect() renders nested
+    timestamps host-local too); NTZ stays wall-clock; a column mixing
+    both is unclassifiable and asserts out."""
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from check_correctness import instant_cols
+
+    class FakeDF:
+        def __init__(self, schema):
+            self.schema = schema
+
+    schema = StructType(
+        [
+            StructField("plain", TimestampType()),
+            StructField("arr", ArrayType(TimestampType())),
+            StructField(
+                "st", StructType([StructField("t", TimestampType())])
+            ),
+            StructField("mp", MapType(StringType(), TimestampType())),
+            StructField("ntz", TimestampNTZType()),
+            StructField("arr_ntz", ArrayType(TimestampNTZType())),
+            StructField("s", StringType()),
+        ]
+    )
+    assert instant_cols(FakeDF(schema)) == {"plain", "arr", "st", "mp"}
+
+    mixed = StructType(
+        [
+            StructField(
+                "bad",
+                StructType(
+                    [
+                        StructField("a", TimestampType()),
+                        StructField("b", TimestampNTZType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    with pytest.raises(AssertionError, match="nests both"):
+        instant_cols(FakeDF(mixed))

@@ -2,8 +2,9 @@
 (``operators/gif.py``) and its ``decode_media`` integration. GIF is
 lossless, so every round trip asserts BIT-EXACT equality.
 
-Reference anchor: ``HFDatasetManager.py:459-489`` (arbitrary HF image
-columns; PNG/JPEG/GIF now decode without Pillow).
+Reference anchor: ``HFDatasetManager.py:202-215`` (arbitrary HF dataset
+columns, image features included, via load_dataset -> to_pandas;
+PNG/JPEG/GIF now decode without Pillow).
 """
 
 from __future__ import annotations
@@ -203,3 +204,45 @@ def test_decode_media_real_gif(spark):
     ).reshape(-1) / 255.0
     want = [float(s.mean()) for s in np.array_split(lum, 6)]
     assert all(abs(float(a) - b) < 1e-6 for a, b in zip(got.features, want))
+
+
+def test_bg_index_out_of_range_substituted():
+    """ADVICE r7: a logical-screen bg_index past the global color table
+    (real-world files do this) must not leave out-of-range indices on
+    the composed screen — decode substitutes 0 and luma lookup works."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 4, size=(4, 4)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    raw = bytearray(gif.gif_encode([img], pal, 4, 4))
+    # grow the logical screen to 8x8 (the 4x4 frame now covers a
+    # quarter of it) and point bg_index far past the 4-entry table
+    raw[6:10] = np.array([8, 0, 8, 0], dtype=np.uint8).tobytes()
+    raw[11] = 200
+    frames, pals, _d, w, h = gif.decode_gif(bytes(raw))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(frames[0][:4, :4], img)
+    # uncovered screen area got the substituted index 0, in-range
+    assert int(frames[0][4:, :].max()) < pals[0].shape[0]
+    gif.decode_gif_luma(bytes(raw))  # must not raise
+
+
+def test_decode_video_frames_rejects_nonpositive_stride(spark):
+    """ADVICE r7: every_ms <= 0 would never advance the sample clock —
+    validated at plan-construction time, before any executor spins."""
+    media = spark.createDataFrame([], multimodal.MEDIA_SCHEMA)
+    for bad in (0, -100):
+        with pytest.raises(ValueError, match="every_ms"):
+            multimodal.decode_video_frames(media, every_ms=bad)
+
+
+def test_decode_video_frames_corrupt_bytes_taxonomy(spark):
+    """ADVICE r7: corrupt GIF bytes inside decode_video_frames surface
+    as the documented 'media decode failed' ValueError taxonomy (same
+    as decode_media), not a raw decoder exception."""
+    media = spark.createDataFrame(
+        [(1, "video", b"GIF89a\x00\x00", "gif", 8, 8, 100)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_video_frames(media, every_ms=100).collect()
+    assert "media decode failed (video/gif)" in str(exc.value)

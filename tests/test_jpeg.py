@@ -1,9 +1,10 @@
 """Tests for the from-scratch baseline JPEG decoder + encoder twin
 (``operators/jpeg.py``) and its ``decode_media`` integration.
 
-Reference anchor: ``HFDatasetManager.py:459-489`` (the reference loads
-arbitrary HF image columns through PIL; this repo's stdlib decoders
-cover PNG + baseline JPEG without it).
+Reference anchor: ``HFDatasetManager.py:202-215`` (the reference
+materializes arbitrary HF dataset columns — image features included —
+via load_dataset -> to_pandas; this repo's stdlib decoders cover
+PNG + baseline JPEG without any external codec).
 """
 
 from __future__ import annotations
@@ -406,3 +407,19 @@ def test_decode_media_real_jpeg(spark):
     # and the PROGRESSIVE encoding of the same image decodes to the
     # same exact features through the Spark path
     assert list(got[2].features) == list(got[0].features)
+
+
+def test_fill_bytes_before_markers_skipped():
+    """ADVICE r7 / T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+    the stream before a marker code — a padded stream must decode to
+    the identical pixels as the unpadded one."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(16, 24)).astype(np.uint8)
+    enc = jpeg.jpeg_encode_gray(img.tobytes(), 24, 16)
+    base, w, h = jpeg.decode_jpeg(enc)
+    # pad the marker right after SOI (always a segment boundary) and
+    # the EOI at the very end with runs of 0xFF fill bytes
+    padded = enc[:2] + b"\xff" * 5 + enc[2:-2] + b"\xff" * 3 + enc[-2:]
+    got, gw, gh = jpeg.decode_jpeg(padded)
+    assert (gw, gh) == (w, h)
+    assert all(np.array_equal(a, b) for a, b in zip(got, base))
