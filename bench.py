@@ -327,11 +327,50 @@ def main():
         **headline,
     }
     detail["metric"] = "bench_detail"
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # Driver-vs-local divergence, machine-readable (VERDICT r7 №3):
+    # a builder-box run (SPARK_GRAFT_BENCH_LOCAL=1) stamps its warm
+    # numbers into `local_warm`; any other run (the driver's) carries
+    # the previous block forward untouched, so the shipped artifact
+    # always holds BOTH the driver's numbers (top level) and the last
+    # same-code local run to ratio them against.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as f:
+        with open(detail_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_LOCAL") == "1":
+        # BEST-of-runs: this box hosts an external co-tenant (r8
+        # measured the same code at 13.2 s and 72.4 s warm back to
+        # back, the second with warm > cold — a load spike, not the
+        # plan). The achievable floor is the number that attributes
+        # driver-vs-local divergence, so a local run only replaces the
+        # block when its warm total is lower; every run's total is
+        # appended to `history` so the noise band itself is recorded.
+        old = prev.get("local_warm", {})
+        hist = list(old.get("history", []))[-19:] + [headline["value"]]
+        if not old or headline["value"] < old.get("value", float("inf")):
+            detail["local_warm"] = {
+                "value": headline["value"],
+                "queries": timings,
+                "streaming_total": headline["streaming_total"],
+                "streaming": streaming,
+                "scenarios": scenarios,
+                "sf": sf,
+                "history": hist,
+            }
+        else:
+            detail["local_warm"] = {**old, "history": hist}
+    elif "local_warm" in prev:
+        detail["local_warm"] = prev["local_warm"]
+    # stage_timings (scripts/stage_timings.py) is likewise a sidecar
+    # block a plain bench run must not erase
+    if "stage_timings" in prev:
+        detail["stage_timings"] = prev["stage_timings"]
+    try:
+        with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
