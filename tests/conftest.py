@@ -86,6 +86,7 @@ _SLOW_BY_NAME = {
     "test_simhash_blocking_complete",
     "test_changes_between_scalar_and_inplan_agree",
     "test_triangle_degree_orientation_bounds_hub_fanout",
+    "test_net_replay_invariant_random_batches",
 }
 
 

@@ -168,3 +168,46 @@ def test_search_with_history_equals_hand_composition(churn_store, spark):
     # every version range of the churned predicates is in the trail
     preds = [t[cols.index("predicate")] for t in got_rows]
     assert preds.count("p_churn_readd") == 2  # two ranges: dep + re-added
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PREDS = [f"p{i}" for i in range(6)]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.sets(st.sampled_from(_PREDS), min_size=1, max_size=6),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_net_replay_invariant_random_batches(spark, tmp_path_factory, batches):
+    """Property form of the replay invariant: for ANY sequence of
+    per-batch predicate sets (arbitrary add/remove/readd churn),
+    net-mode changes_between reconstructs graph_at exactly between
+    every pair of batch boundaries, and equals current_graph at the
+    final one."""
+    times = [dt.datetime(2024, 1, 1 + i) for i in range(len(batches))]
+    store = vs.VersionedTripleStore(
+        spark, str(tmp_path_factory.mktemp("prop") / "store")
+    )
+    for ts, preds in zip(times, batches):
+        store.load_batch(_batch(spark, ts, sorted(preds)), touch_unchanged=True)
+    qi = QueryInterface(store)
+    graphs = [_spo(qi.graph_at(t)) for t in times]
+    for i in range(len(times)):
+        for j in range(i + 1, len(times)):
+            feed = qi.changes_between(times[i], times[j], net=True).collect()
+            added = {(r.subject, r.predicate, r.object) for r in feed if r.change == "added"}
+            removed = {(r.subject, r.predicate, r.object) for r in feed if r.change == "removed"}
+            assert (graphs[i] - removed) | added == graphs[j], (i, j, batches)
+            assert added == graphs[j] - graphs[i], (i, j, batches)
+            assert removed == graphs[i] - graphs[j], (i, j, batches)
+    assert graphs[-1] == _spo(qi.current_graph()), batches
