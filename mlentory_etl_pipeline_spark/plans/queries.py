@@ -1054,6 +1054,48 @@ def scd2_changes_between(spark, sf_dir):
 
 
 @register(
+    "scd2_changes_net",
+    "NET point-in-time change feed over the SCD2 store (the Delta CDF "
+    "'net changes' shape, VERDICT r8 №2's sanctioned registry "
+    "exception): added = valid at t2 but not t1, removed = valid at t1 "
+    "but not t2 — validity exactly as graph_at defines it, so "
+    "intra-window churn collapses to its net effect and the replay "
+    "identity graph_at(t2) == (graph_at(t1) - removed) + added holds; "
+    "unlike the event feed, a batch-absent-but-undeprecated triple "
+    "(use_end frozen at t1) IS net-removed; one hash aggregation over "
+    "version_range, window bounds broadcast in-plan",
+    oracle=_SCD2_ORACLE_CTE
+    + """
+    , t1v AS (SELECT MAX(ts) AS v FROM events WHERE ts < TIMESTAMP '{split}'),
+    t2v AS (SELECT MAX(ts) AS v FROM events),
+    at1 AS (
+      SELECT DISTINCT subject, predicate, object FROM ranges, t1v
+      WHERE use_start <= t1v.v AND use_end >= t1v.v
+    ),
+    at2 AS (
+      SELECT DISTINCT subject, predicate, object FROM ranges, t2v
+      WHERE use_start <= t2v.v AND use_end >= t2v.v
+    )
+    SELECT subject, predicate, object, 'added' AS change
+    FROM at2 ANTI JOIN at1 USING (subject, predicate, object)
+    UNION ALL
+    SELECT subject, predicate, object, 'removed' AS change
+    FROM at1 ANTI JOIN at2 USING (subject, predicate, object)
+    """.format(split=T_SPLIT),
+    survey_ops=("S14", "Q10", "S2"),
+)
+def scd2_changes_net(spark, sf_dir):
+    """`changes_between(..., net=True)` (versioned_store.py:399) under
+    a hard point-in-time validity-diff oracle. Reference anchor: the
+    S14 delta publish (RDFHandler.py:112-144) — net mode is what a
+    set-replaying consumer needs to reconstruct graph_at(t2)."""
+    e = t(spark, sf_dir, "events")
+    t1 = e.where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp")).agg(F.max("ts"))
+    t2 = e.agg(F.max("ts"))
+    return vs.changes_between(_scd2_state(spark, sf_dir), t1, t2, net=True)
+
+
+@register(
     "scd2_incremental_refresh_slice",
     "incremental downstream maintenance (S16 delta-indexing shape): "
     "subjects touched by the change feed -> left-semi join against the "
@@ -20722,28 +20764,31 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # The local gate (scripts/check_correctness.py) still verifies ALL
 # entries; this only rotates which 50 the driver replays.
 
-# r8 rotation (VERDICT r7 №1): 35 swaps, every one a query with ZERO
-# external driver history (149/367 ever-checked entering the round;
-# this window takes it to 184). Leads are exactly the judge's
-# zero-external-history families: the TPC-H adapted shapes (q2 q4 q9
-# q15 q16 q18 q21 q22 — the §2.9 join/set-op checklist plans
-# COVERAGE.md documents), layout (zorder/compaction/range-partition;
-# rendezvous_shard_docs already driver-green r6), survival (cox,
-# logrank; kaplan_meier driver-green r6), DP (event + user-level),
-# multimodal decode (features/frame-sample/arrow-digest), packing
-# (bins + efficiency audit), search (RRF hybrid, inverted index),
-# plus never-checked reps for streaming drains, trained-ANN + the two
-# recall audits (VERDICT r7 №6 telemetry now in their docstrings),
-# dedup/semdedup, curation quality, linkage golden-record, RDF
-# serialization sinks, and the HITS graph iterative. Kept (15): the
-# SCD2 spine (7), croissant_ingest, bench-watch headliner
-# sessionize_events_gaps, and one rep each for streaming/IVM/
-# incremental/multimodal-PNG/dedup/NLP — all driver-r7 green,
-# retained for regression continuity. All r7 entries were green, so
-# everything else rotates out. Every swap-in passed
-# scripts/oracle_lint.py and the local three-way gate before shipping.
+# r9 rotation (VERDICT r8 №2): 34 swap-ins with ZERO external driver
+# history (184/368 ever-checked entering the round; this window takes
+# it to 218) plus the sanctioned new registry entry scd2_changes_net
+# (VERDICT r8 №3) in its first window. Leads are exactly the verdict's
+# named pool: the remaining TPC-H adapted shapes (q6 q7 q8 q10 q11 q13
+# q14 q17 q19 q20 — q6/q19 judge-green r8), the ANN pq/seed variants
+# that share this round's capacity fix (ann_ivf_pq_seed_topk,
+# ann_pq_adc_topk, ann_int8_rerank_topk), the stats/drift family (ks/
+# psi/kl/cusum/wasserstein), classify/calibration (calibration-bins,
+# Platt, kappa, Krippendorff), cogroup + UDTF reps,
+# ivm_zset_agg_maintenance, sparql_optional_filter,
+# snapshot_diff_orders, pivot_user_event_matrix,
+# dedup_cluster_components (all judge-green r8), and judge-green
+# curation reps (dsir, stratified split, incremental semdedup,
+# median-CI). Kept (16): the SCD2 spine (7), croissant_ingest,
+# bench-watch headliner sessionize_events_gaps, streaming/incremental/
+# dedup/NLP anchors, and the THREE capacity-fix ANN queries
+# (ann_ivf_trained_topk, ann_ivf_pq_topk, ann_trained_recall_audit —
+# their plans changed this round via similarity.ann_capacity, so the
+# changed behavior gets external confirmation, per the same rule that
+# sanctioned scd2_changes_net). All r8 entries were green; everything
+# else rotates out. Every swap-in passed scripts/oracle_lint.py and
+# the local three-scale gate before shipping.
 _DRIVER_WINDOW = [
-    # -- regression keeps (driver-r7 green) --
+    # -- regression keeps (driver-r8 green) --
     "q1_pricing_summary",
     "scd2_version_ranges",
     "scd2_current_graph",
@@ -20754,58 +20799,55 @@ _DRIVER_WINDOW = [
     "croissant_ingest",
     "sessionize_events_gaps",  # bench-watch (VERDICT r6 №6 / r7 №3)
     "streaming_stateful_sessions",
-    "ivm_join_delta",
     "watermark_incremental",
-    "multimodal_png_luminance",
     "dedup_minhash_lsh",
     "nlp_sectionize",
-    # -- TPC-H adapted shapes (judge priority 1, never driver-checked) --
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_type_profit",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "q22_sales_opportunity",
-    # -- layout --
-    "zorder_orders_layout",
-    "compaction_plan_files",
-    "range_partition_plan",
-    # -- survival --
-    "cox_ph_time_to_purchase",
-    "logrank_churn_payers",
-    # -- differential privacy --
-    "dp_noisy_event_counts",
-    "dp_user_level_event_counts",
-    # -- multimodal decode --
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_arrow_digest",
-    # -- sequence packing --
-    "pack_sequences_bins",
-    "packing_efficiency_audit",
-    # -- search --
-    "hybrid_rrf_search",
-    "inverted_index_postings",
-    # -- streaming drains (never-checked variants) --
-    "streaming_dedup_watermark",
-    "streaming_attribution_join",
-    "agg_state_stream_rollup",
-    # -- trained ANN + recall telemetry audits (VERDICT r7 №6) --
+    # -- capacity-fix ANN (changed this round — re-confirm externally) --
     "ann_ivf_trained_topk",
+    "ann_ivf_pq_topk",
     "ann_trained_recall_audit",
-    "dedup_minhash_recall_audit",
-    # -- dedup / curation / linkage --
-    "dedup_intradoc_lines",
-    "semdedup_embeddings",
-    "gopher_quality_filter",
-    "golden_record_users",
-    # -- RDF serialization sinks (S12 family, never driver-checked) --
-    "turtle_serialization",
-    "jsonld_serialization",
-    # -- graph iterative --
-    "graph_hits_supplier_parts",
+    # -- sanctioned new entry (VERDICT r8 №3), first window --
+    "scd2_changes_net",
+    # -- remaining TPC-H adapted shapes (never driver-checked) --
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_brand_discounts",
+    "q20_dominant_supplier",
+    # -- ANN pq/seed/int8 variants (share the capacity-fix plans) --
+    "ann_ivf_pq_seed_topk",
+    "ann_pq_adc_topk",
+    "ann_int8_rerank_topk",
+    # -- stats / drift family --
+    "ks_value_drift_halves",
+    "psi_value_drift_events",
+    "kl_domain_drift_by_source",
+    "cusum_value_changepoint",
+    "wasserstein_value_drift_halves",
+    # -- classify / calibration --
+    "score_calibration_purchase",
+    "platt_scaling_purchase_score",
+    "classifier_kappa_agreement",
+    "krippendorff_alpha_langs",
+    # -- cogroup / UDTF reps --
+    "cogroup_reconcile_order_totals",
+    "nlp_sectionize_udtf",
+    # -- verdict-named never-checked reps --
+    "ivm_zset_agg_maintenance",
+    "sparql_optional_filter",
+    "snapshot_diff_orders",
+    "pivot_user_event_matrix",
+    "dedup_cluster_components",
+    # -- judge-green curation / stats reps --
+    "dsir_importance_weights",
+    "stratified_split_counts",
+    "semdedup_incremental_batch",
+    "median_ci_event_values",
 ]
 
 
