@@ -349,9 +349,34 @@ def main():
         # driver-vs-local divergence, so a local run only replaces the
         # block when its warm total is lower; every run's total is
         # appended to `history` so the noise band itself is recorded.
+        # The block is stamped with the HEAD commit sha (ADVICE r8):
+        # after a code change the old floor no longer describes the
+        # shipped code, so a sha mismatch RESETS the best-of (the
+        # current run becomes the floor even if slower) while history
+        # keeps accumulating across shas. Run the local bench from a
+        # committed tree — HEAD is the stamp, dirty-tree edits are not
+        # visible to it.
+        def _git_sha():
+            try:
+                import subprocess
+
+                return subprocess.check_output(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    text=True,
+                ).strip()
+            except Exception:
+                return None
+
         old = prev.get("local_warm", {})
+        sha = _git_sha()
+        same_code = sha is None or old.get("git_sha") == sha
         hist = list(old.get("history", []))[-19:] + [headline["value"]]
-        if not old or headline["value"] < old.get("value", float("inf")):
+        if (
+            not old
+            or not same_code
+            or headline["value"] < old.get("value", float("inf"))
+        ):
             detail["local_warm"] = {
                 "value": headline["value"],
                 "queries": timings,
@@ -359,6 +384,7 @@ def main():
                 "streaming": streaming,
                 "scenarios": scenarios,
                 "sf": sf,
+                "git_sha": sha,
                 "history": hist,
             }
         else:

@@ -185,6 +185,16 @@ def decode_gif(content: bytes):
     composition (disposal 0/1 draw-over, 2 restore-to-background).
     Frames with a local palette are remapped into it per-frame, so
     ``palette_rgb`` is a per-frame list of (n, 3) uint8 arrays.
+
+    DOCUMENTED LIMIT (ADVICE r8, kept under the codec freeze): the
+    index+per-frame-palette model cannot represent a spec-valid
+    animation where a later frame's SMALLER local color table must
+    coexist with persisted pixels indexed into an earlier, larger
+    palette — true GIF composition is per-frame in RGB space. Such
+    inputs raise ``GIF: composed frame index outside color table``
+    (taxonomy-tested) rather than mis-colour; composing to RGB at
+    draw time would widen support but changes the return contract
+    every consumer (luma, digests, encoder twins) is built on.
     """
     if len(content) < 13 or content[:4] != b"GIF8" or content[4:6] not in (
         b"7a",

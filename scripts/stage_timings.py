@@ -43,9 +43,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TIMING_SUBSTRINGS = ("time", "Time", "duration", "Duration")
 
 
-def stage_timings(jdf) -> list[dict]:
-    """One entry per physical node carrying any timing metric."""
+def stage_timings(jdf) -> tuple[list[dict], list[str]]:
+    """One entry per physical node carrying any timing metric, plus the
+    names of timing metrics that failed to parse (ADVICE r8: silently
+    dropped metrics made attribution gaps invisible — now they land in
+    the artifact as ``dropped_metrics``)."""
     rows: list[dict] = []
+    dropped: list[str] = []
     seen: set[int] = set()
     stack = [jdf.queryExecution().executedPlan()]
     while stack:
@@ -63,7 +67,7 @@ def stage_timings(jdf) -> list[dict]:
                 try:
                     mets[name] = int(kv._2().value())
                 except Exception:
-                    pass
+                    dropped.append(f"{node.nodeName()}:{name}")
         if mets:
             # shuffleWriteTime is the one nsTiming metric here
             # (SQLMetrics.createNanoTimingMetric) — normalize to ms
@@ -71,23 +75,35 @@ def stage_timings(jdf) -> list[dict]:
                 mets["shuffleWriteTime"] = mets["shuffleWriteTime"] // 1_000_000
             rows.append({"node": node.nodeName(), "id": nid, "ms": mets})
         stack.extend(_children(node))
-    return rows
+    return rows, dropped
 
 
 def classify(rows: list[dict]) -> dict:
-    """Roll per-node timers into the four attribution buckets."""
+    """Roll per-node timers into the attribution buckets. fetch-wait
+    only counts on shuffle-read-carrying nodes (ADVICE r8: a metric
+    whose NAME matches 'fetch'+'wait' on a non-shuffle node would have
+    misattributed co-tenant I/O); anything that matches no specific
+    rule on an unrecognized node class lands in other_ms so a bucket
+    miss is a visible number, not a silent merge into operator_ms."""
     buckets = {"exchange_write_ms": 0, "fetch_wait_ms": 0,
-               "broadcast_ms": 0, "operator_ms": 0, "scan_ms": 0}
+               "broadcast_ms": 0, "operator_ms": 0, "scan_ms": 0,
+               "other_ms": 0}
+    shuffle_read_nodes = ("Exchange", "AQEShuffleRead", "ShuffleQueryStage",
+                          "CustomShuffleReader")
     for r in rows:
+        node = r["node"]
         for k, v in r["ms"].items():
             lk = k.lower()
             if "fetch" in lk and "wait" in lk:
-                buckets["fetch_wait_ms"] += v
-            elif r["node"] == "Exchange" or "shuffle write" in lk:
+                if node in shuffle_read_nodes or "shuffle" in node.lower():
+                    buckets["fetch_wait_ms"] += v
+                else:
+                    buckets["other_ms"] += v
+            elif node == "Exchange" or "shuffle write" in lk:
                 buckets["exchange_write_ms"] += v
-            elif r["node"] == "BroadcastExchange" or "broadcast" in lk:
+            elif node == "BroadcastExchange" or "broadcast" in lk:
                 buckets["broadcast_ms"] += v
-            elif "scan" in lk or r["node"].startswith("Scan"):
+            elif "scan" in lk or node.startswith("Scan"):
                 buckets["scan_ms"] += v
             else:
                 buckets["operator_ms"] += v
@@ -98,7 +114,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--only", default="scd2_version_ranges")
+    # default = the top-3 cost centers (VERDICT r8 №6): the SCD2
+    # headliner plus the two other expensive headline queries, so the
+    # divergence-attribution recipe covers all three.
+    ap.add_argument(
+        "--only",
+        default="scd2_version_ranges,streaming_stateful_sessions,"
+                "dedup_minhash_lsh",
+    )
     args = ap.parse_args()
 
     spark = get_spark("mlentory-stage-timings")
@@ -115,11 +138,12 @@ def main() -> None:
         t0 = time.perf_counter()
         df._jdf.queryExecution().toRdd().count()
         wall = round(time.perf_counter() - t0, 3)
-        rows = stage_timings(df._jdf)
+        rows, dropped = stage_timings(df._jdf)
         out[name] = {
             "wall_sec": wall,
             "sf_dir": args.sf,
             "buckets": classify(rows),
+            "dropped_metrics": dropped,
             "nodes": rows,
         }
         print(json.dumps({"query": name, "wall_sec": wall,

@@ -24,6 +24,8 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mlentory_etl_pipeline_spark.api import QueryInterface
@@ -169,9 +171,6 @@ def test_search_with_history_equals_hand_composition(churn_store, spark):
     preds = [t[cols.index("predicate")] for t in got_rows]
     assert preds.count("p_churn_readd") == 2  # two ranges: dep + re-added
 
-
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
 
 _PREDS = [f"p{i}" for i in range(6)]
 
