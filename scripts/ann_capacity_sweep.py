@@ -17,16 +17,9 @@ sys.path.insert(0, "/root/repo")
 from mlentory_etl_pipeline_spark.operators import similarity  # noqa: E402
 
 
-def capacity(n: int) -> dict:
-    nlist = 16
-    while (nlist * 2) * (nlist * 2) <= n:
-        nlist *= 2
-    return {
-        "nlist": nlist,
-        "nprobe": max(4, nlist // 4),
-        "ksub": 16 if n < 1000 else 32,
-        "shortlist": max(60, n // 10),
-    }
+# the shipped rule — measure IT, don't fork it (edit similarity.ann_capacity
+# to experiment with an alternative rule)
+capacity = similarity.ann_capacity
 
 
 def main():
