@@ -303,6 +303,21 @@ def main():
             # semantics), or per-run numbers in BENCH_DETAIL.json.
             streaming[name] = min(streaming_run1[name], streaming_run2[name])
 
+    # ANN quality telemetry in the benched run (VERDICT r8 №7): the
+    # trained-quantizer recall audit at THIS bench's scale factor, so
+    # the driver-visible artifact carries the quality numbers (not just
+    # times) round-over-round — the frozen-capacity decay of r7/r8 was
+    # only visible once these were measured at sf0.1. Detail-only:
+    # quality isn't a time and must not perturb headline_total.
+    ann_recall: dict[str, float] = {}
+    if "ann_trained_recall_audit" in REGISTRY:
+        t0 = time.perf_counter()
+        for row in REGISTRY["ann_trained_recall_audit"].spark_fn(
+            spark, sf_dir
+        ).collect():
+            ann_recall[row["method"]] = float(row["recall_at_5"])
+        ann_recall["_audit_sec"] = round(time.perf_counter() - t0, 3)
+
     headline = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -318,6 +333,7 @@ def main():
         "metric": "bench_detail",
         "sf": sf,
         "cold_queries": cold,
+        "ann_recall": ann_recall,
         "scenarios": scenarios,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
