@@ -359,18 +359,29 @@ def cogroup_reconcile(
         return None if v is None else int(v * cents)
 
     def reconcile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # cent columns are built dtype=object (python ints), NOT int64:
+        # an outer merge would NaN-fill and upcast int64 -> float64,
+        # silently rounding totals past 2^53 cents — object columns
+        # keep the "exact; never a float" contract. drop_duplicates
+        # preserves the one-row-per-key output contract when an input
+        # side carries repeated keys (the per-key cogroup took iloc[0];
+        # first-row-wins is the same rule).
         lc = pd.DataFrame(
             {
-                key_col: lpdf[key_col],
-                "_lc": [to_cents(v) for v in lpdf[left_total]],
+                key_col: lpdf[key_col].to_numpy(),
+                "_lc": pd.Series(
+                    [to_cents(v) for v in lpdf[left_total]], dtype="object"
+                ),
             }
-        )
+        ).drop_duplicates(key_col)
         rc = pd.DataFrame(
             {
-                key_col: rpdf[key_col],
-                "_rc": [to_cents(v) for v in rpdf[right_total]],
+                key_col: rpdf[key_col].to_numpy(),
+                "_rc": pd.Series(
+                    [to_cents(v) for v in rpdf[right_total]], dtype="object"
+                ),
             }
-        )
+        ).drop_duplicates(key_col)
         m = lc.merge(rc, on=key_col, how="outer")
         status, diffs = [], []
         for lv, rv in zip(m["_lc"], m["_rc"]):

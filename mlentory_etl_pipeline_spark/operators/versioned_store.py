@@ -443,11 +443,16 @@ def changes_between(state: StoreState, t1, t2, net: bool = False) -> DataFrame:
     else:
         hi = F.lit(t2).cast("timestamp")
     if net:
+        # coalesce: a NULL bound (e.g. max(ts) over an empty pre-split
+        # slice) must read as "covers nothing", not poison the whole
+        # comparison — with t1 NULL the correct net diff is "everything
+        # valid at t2 is added", which the <=/>= NULL semantics would
+        # otherwise silently turn into an empty result (r9 review).
         covers_lo = (F.col("use_start") <= lo) & (F.col("use_end") >= lo)
         covers_hi = (F.col("use_start") <= hi) & (F.col("use_end") >= hi)
         validity = ranges.groupBy("triplet_hash").agg(
-            F.max(covers_lo.cast("int")).alias("_at_lo"),
-            F.max(covers_hi.cast("int")).alias("_at_hi"),
+            F.max(F.coalesce(covers_lo.cast("int"), F.lit(0))).alias("_at_lo"),
+            F.max(F.coalesce(covers_hi.cast("int"), F.lit(0))).alias("_at_hi"),
         )
         delta = validity.where(F.col("_at_lo") != F.col("_at_hi")).select(
             "triplet_hash",

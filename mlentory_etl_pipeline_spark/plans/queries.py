@@ -8202,13 +8202,15 @@ def _recall_audit_oracle() -> str:
     "All quantizer sizes come from the scale-aware capacity rule "
     "similarity.ann_capacity (nlist = largest power of two with "
     "nlist^2 <= N, nprobe = nlist/4, ksub 16->32 at N>=1000, "
-    "shortlist = max(60, N/10) — VERDICT r8 №1, closing the frozen-"
-    "capacity decay r7's telemetry exposed). Measured r9 (recall@5 "
-    "over 10 queries = 50 pairs): sf0.01 (N=500: nlist 16/nprobe 4/"
-    "ksub 16/shortlist 60) ivf 0.92 / pq 0.98 / ivf_pq 0.90; sf0.1 "
-    "(N=2000: nlist 32/nprobe 8/ksub 32/shortlist 200) ivf 0.94 / "
-    "pq 1.00 / ivf_pq 0.94 — vs r8's frozen-capacity sf0.1 pq 0.80 / "
-    "ivf_pq 0.70; track these numbers round-over-round, not just the "
+    "shortlist = 4*nlist so the exact rerank pool grows with sqrt(N), "
+    "never linearly — VERDICT r8 №1, closing the frozen-capacity "
+    "decay r7's telemetry exposed). Measured r9 (recall@5 over 10 "
+    "queries = 50 pairs): sf0.01 (N=500: nlist 16/nprobe 4/ksub 16/"
+    "shortlist 64) ivf 0.92 / pq 0.98 / ivf_pq 0.90; sf0.1 (N=2000: "
+    "nlist 32/nprobe 8/ksub 32/shortlist 128) ivf 0.94 / pq 0.92 / "
+    "ivf_pq 0.94 — vs r8's frozen-capacity sf0.1 pq 0.80 / ivf_pq "
+    "0.70; the numbers also land in BENCH_DETAIL.json ann_recall at "
+    "every benched sf; track them round-over-round, not just the "
     "oracle's pass/fail",
     oracle=_recall_audit_oracle(),
     survey_ops=("ann-quantization", "ann-lsh"),
@@ -20771,10 +20773,11 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # The local gate (scripts/check_correctness.py) still verifies ALL
 # entries; this only rotates which 50 the driver replays.
 
-# r9 rotation (VERDICT r8 №2): 34 swap-ins with ZERO external driver
-# history (184/368 ever-checked entering the round; this window takes
-# it to 218) plus the sanctioned new registry entry scd2_changes_net
-# (VERDICT r8 №3) in its first window. Leads are exactly the verdict's
+# r9 rotation (VERDICT r8 №2): 34 never-driver-checked entries — 33
+# rotation swap-ins from the 183-pool plus the sanctioned NEW registry
+# entry scd2_changes_net (VERDICT r8 №3) in its first window —
+# (184/368 ever-checked entering the round; this window takes it to
+# 218). Leads are exactly the verdict's
 # named pool: the remaining TPC-H adapted shapes (q6 q7 q8 q10 q11 q13
 # q14 q17 q19 q20 — q6/q19 judge-green r8), the ANN pq/seed variants
 # that share this round's capacity fix (ann_ivf_pq_seed_topk,

@@ -82,9 +82,13 @@ def classify(rows: list[dict]) -> dict:
     """Roll per-node timers into the attribution buckets. fetch-wait
     only counts on shuffle-read-carrying nodes (ADVICE r8: a metric
     whose NAME matches 'fetch'+'wait' on a non-shuffle node would have
-    misattributed co-tenant I/O); anything that matches no specific
-    rule on an unrecognized node class lands in other_ms so a bucket
-    miss is a visible number, not a silent merge into operator_ms."""
+    misattributed co-tenant I/O — those land in other_ms instead).
+    operator_ms remains the catch-all for every other op-node timer by
+    design (enumerating Spark's operator node names would rot); the
+    visibility guarantees are other_ms for displaced fetch-wait and
+    the per-node `nodes` list + `dropped_metrics` in the artifact,
+    which let a reader re-bucket by hand when a new node class shows
+    up."""
     buckets = {"exchange_write_ms": 0, "fetch_wait_ms": 0,
                "broadcast_ms": 0, "operator_ms": 0, "scan_ms": 0,
                "other_ms": 0}

@@ -132,6 +132,24 @@ def test_net_mode_scalar_and_inplan_bounds_agree(churn_store, spark):
     assert scalar == inplan
 
 
+def test_net_mode_null_lower_bound_is_all_added(churn_store, spark):
+    """A NULL t1 (e.g. max(ts) over an empty pre-split slice, the
+    in-plan bound pattern) must read as "covers nothing": everything
+    valid at t2 is net-added and nothing is removed — matching the
+    point-in-time-diff oracle, where at1 is simply empty. Before the
+    r9 coalesce fix the NULL poisoned the comparison and the feed came
+    back EMPTY."""
+    state = churn_store.state()
+    lo = spark.range(1).select(F.lit(None).cast("timestamp"))
+    hi = spark.range(1).select(F.lit(T2).cast("timestamp"))
+    feed = vs.changes_between(state, lo, hi, net=True).collect()
+    assert feed, "NULL t1 must not empty the net feed"
+    assert {r.change for r in feed} == {"added"}
+    assert {(r.subject, r.predicate, r.object) for r in feed} == _spo(
+        vs.graph_at(state, T2)
+    )
+
+
 def test_search_with_history_equals_hand_composition(churn_store, spark):
     """The facade's composite method must equal the plan a user would
     hand-write from its parts: bm25 hits left-joined onto the

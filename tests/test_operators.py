@@ -411,11 +411,14 @@ def test_ann_capacity_rule():
 
     cap = similarity.ann_capacity
     # floors at tiny corpora
-    assert cap(0) == {"nlist": 16, "nprobe": 4, "ksub": 16, "shortlist": 60}
+    assert cap(0) == {"nlist": 16, "nprobe": 4, "ksub": 16, "shortlist": 64}
     assert cap(255)["nlist"] == 16
     # the measured audit points
-    assert cap(500) == {"nlist": 16, "nprobe": 4, "ksub": 16, "shortlist": 60}
-    assert cap(2000) == {"nlist": 32, "nprobe": 8, "ksub": 32, "shortlist": 200}
+    assert cap(500) == {"nlist": 16, "nprobe": 4, "ksub": 16, "shortlist": 64}
+    assert cap(2000) == {"nlist": 32, "nprobe": 8, "ksub": 32, "shortlist": 128}
+    # shortlist grows with sqrt(N) (4x nlist), never linearly: at a
+    # million vectors the exact rerank pool is 0.2% of the corpus
+    assert cap(10**6)["shortlist"] == 4 * cap(10**6)["nlist"] == 2048
     # nlist is the largest power of two with nlist^2 <= N (within caps)
     for n in [256, 1023, 1024, 1025, 4096, 10**6, 10**9]:
         c = cap(n)
