@@ -309,13 +309,19 @@ def main():
     # times) round-over-round — the frozen-capacity decay of r7/r8 was
     # only visible once these were measured at sf0.1. Detail-only:
     # quality isn't a time and must not perturb headline_total.
-    ann_recall: dict[str, float] = {}
+    ann_recall: dict[str, float | str] = {}
     if "ann_trained_recall_audit" in REGISTRY:
+        # Guarded (ADVICE r9): the audit is ~70 s of driver-coordinated
+        # training — a failure here must not destroy the timing
+        # artifact already measured above.
         t0 = time.perf_counter()
-        for row in REGISTRY["ann_trained_recall_audit"].spark_fn(
-            spark, sf_dir
-        ).collect():
-            ann_recall[row["method"]] = float(row["recall_at_5"])
+        try:
+            for row in REGISTRY["ann_trained_recall_audit"].spark_fn(
+                spark, sf_dir
+            ).collect():
+                ann_recall[row["method"]] = float(row["recall_at_5"])
+        except Exception as e:  # noqa: BLE001 - telemetry must not kill bench
+            ann_recall["error"] = str(e)[:500]
         ann_recall["_audit_sec"] = round(time.perf_counter() - t0, 3)
 
     headline = {
@@ -328,6 +334,10 @@ def main():
         "streaming": streaming,
         "streaming_total": round(sum(streaming.values()), 3),
         "streaming_cold_total": round(sum(streaming_run1.values()), 3),
+        # per-method trained-ANN recall@5 at THIS bench's sf, in the
+        # driver-parsed line itself (VERDICT r9 №7) — the quality
+        # number rides the same artifact as the timings.
+        "ann_recall": ann_recall,
     }
     detail = {
         "metric": "bench_detail",
@@ -376,17 +386,27 @@ def main():
             try:
                 import subprocess
 
-                return subprocess.check_output(
+                repo = os.path.dirname(os.path.abspath(__file__))
+                sha = subprocess.check_output(
                     ["git", "rev-parse", "--short", "HEAD"],
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    cwd=repo,
                     text=True,
                 ).strip()
+                dirty = subprocess.check_output(
+                    ["git", "status", "--porcelain"], cwd=repo, text=True
+                ).strip()
+                # A dirty tree gets a distinct stamp so uncommitted
+                # edits also reset the floor (ADVICE r9).
+                return sha + ("-dirty" if dirty else "")
             except Exception:
                 return None
 
         old = prev.get("local_warm", {})
         sha = _git_sha()
-        same_code = sha is None or old.get("git_sha") == sha
+        # sha unavailable → NOT same-code (ADVICE r9): without a stamp
+        # we cannot prove the stale floor still describes this tree, so
+        # always reset rather than let an old best-of persist.
+        same_code = sha is not None and old.get("git_sha") == sha
         hist = list(old.get("history", []))[-19:] + [headline["value"]]
         if (
             not old

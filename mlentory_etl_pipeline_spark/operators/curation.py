@@ -851,28 +851,63 @@ def build_training_mixture(
         minhash_lsh_dedup_pairs,
     )
 
+    # Stage-boundary lineage cap (VERDICT r9 №3): every stage frame is
+    # referenced TWICE (as the next stage's input and again in the
+    # funnel tagging below), so an uncapped composition re-expands each
+    # stage's subtree per reference — the registry's widest plan (619
+    # exchanges, 12 s of pure plan-build). A lazy localCheckpoint
+    # truncates the logical plan at each boundary (same trick
+    # vs.materialized uses between SCD2 folds): plan width stays
+    # O(stage) and each stage computes exactly once at action time,
+    # pinned on the executors for its two consumers.
+    #
+    # The checkpointed subtree is planned with AQE and auto-broadcast
+    # OFF (restored immediately after): an adaptive plan's toRdd — and
+    # any broadcast exchange's doExecute — materializes its query
+    # stages EAGERLY, which would execute the whole chain at
+    # plan-build time (measured ~9.5 s at sf0.001) instead of keeping
+    # the registry contract that building a DataFrame runs no jobs.
+    # With both off, toRdd is a pure lazy RDD DAG: the chain's
+    # small-side joins inside each stage segment run as shuffle joins
+    # rather than broadcasts — an accepted trade on this OFF-headline
+    # reporting query (the ids being joined are post-agg and tiny, and
+    # the chain is already shuffle-bound on those keys); the OUTER
+    # funnel plan below is planned under normal conf and keeps AQE +
+    # broadcasts.
+    def _cap(df: DataFrame) -> DataFrame:
+        sp = df.sparkSession
+        keys = ("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+        saved = [(k, sp.conf.get(k)) for k in keys]
+        sp.conf.set(keys[0], "false")
+        sp.conf.set(keys[1], "-1")
+        try:
+            return df.localCheckpoint(eager=False)
+        finally:
+            for k, v in saved:
+                sp.conf.set(k, v)
+
     stages: list[tuple[str, DataFrame]] = [("raw", docs)]
     keep_ids = (
         gopher_quality(docs, id_col, text_col, min_words=5, min_stopword_hits=0)
         .where(F.col("keep"))
         .select(id_col)
     )
-    quality = docs.join(keep_ids, id_col)
+    quality = _cap(docs.join(keep_ids, id_col))
     stages.append(("quality", quality))
-    exact = exact_dedup(quality, [text_col], id_col).select(*docs.columns)
+    exact = _cap(exact_dedup(quality, [text_col], id_col).select(*docs.columns))
     stages.append(("exact_dedup", exact))
     pairs = minhash_lsh_dedup_pairs(
         exact, id_col, text_col, threshold=near_dup_threshold
     )
     dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    near = exact.join(dup_ids, id_col, "left_anti")
+    near = _cap(exact.join(dup_ids, id_col, "left_anti"))
     stages.append(("near_dedup", near))
     contaminated = (
         decontaminate(near, eval_docs, id_col, text_col)
         .select(F.col("corpus_id").alias(id_col))
         .distinct()
     )
-    clean = near.join(contaminated, id_col, "left_anti")
+    clean = _cap(near.join(contaminated, id_col, "left_anti"))
     stages.append(("decontaminated", clean))
     if doc_vecs is not None and eval_vecs is not None:
         corpus_vecs = clean.select(F.col(id_col).alias("corpus_id")).join(
@@ -895,11 +930,13 @@ def build_training_mixture(
             .select(F.col("corpus_id").alias(id_col))
             .distinct()
         )
-        clean = clean.join(sem_flagged, id_col, "left_anti")
+        clean = _cap(clean.join(sem_flagged, id_col, "left_anti"))
         stages.append(("semantic_decontaminated", clean))
-    final = token_budget_sample(
-        clean, id_col, [source_col], tokens_col, token_budget
-    ).select(*docs.columns)
+    final = _cap(
+        token_budget_sample(
+            clean, id_col, [source_col], tokens_col, token_budget
+        ).select(*docs.columns)
+    )
     stages.append(("token_budget", final))
 
     # Funnel as ONE lazy plan instead of one eager count-action per

@@ -29,6 +29,8 @@ the join — ``max_block_size`` does the dropping declaratively.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -356,7 +358,19 @@ def cogroup_reconcile(
     )
 
     def to_cents(v):
-        return None if v is None else int(v * cents)
+        # FLOOR(v*cents) on a repr-exact Decimal (ADVICE r9): the
+        # documented path feeds decimal.Decimal (exact either way),
+        # but if a caller feeds a float total (out_schema permits
+        # double), the old int(v*cents) would truncate
+        # 10.55*100 = 1054.999... to 1054 and flag a false mismatch.
+        # Decimal(str(v)) re-reads the float at its shortest repr, so
+        # 10.55 -> 1055 exactly; FLOOR (not half-even) is the
+        # operator's written contract — it matches the reconciliation
+        # oracle's CAST(FLOOR(tot*100) AS BIGINT) on sub-cent values.
+        if v is None:
+            return None
+        d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+        return int((d * cents).to_integral_value(rounding=decimal.ROUND_FLOOR))
 
     def reconcile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         # cent columns are built dtype=object (python ints), NOT int64:

@@ -104,6 +104,11 @@ def rp_bucket(df: DataFrame, vec_col: str, dim: int, num_planes: int = 8, seed: 
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+# Memoized band-bucket array expressions, keyed by the full
+# rp_bucket_bands signature (see construction note inside).
+_RP_BANDS_CACHE: dict[tuple, "Column"] = {}
+
+
 def rp_bucket_bands(
     df: DataFrame,
     vec_col: str,
@@ -125,20 +130,30 @@ def rp_bucket_bands(
     and joins unioned. Total shuffle volume is the same (the explode
     is num_bands rows per input either way); scans drop num_bands-fold.
     """
-    band_buckets = []
-    for band in range(num_bands):
-        planes = _hyperplanes(dim, num_planes, seed_base + seed_stride * band)
-        bucket = None
-        for i, plane in enumerate(planes):
-            lit_plane = F.array(*[F.lit(x) for x in plane])
-            bit = F.when(
-                dot_product(F.col(vec_col), lit_plane) > 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        band_buckets.append(bucket.cast("int"))
-    return df.select(
-        "*", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
-    )
+    # The bucket expressions are deterministic in the signature and
+    # expensive to CONSTRUCT (num_bands*num_planes literal hyperplane
+    # arrays = thousands of Py4J calls — measured ~3 s per call), so
+    # memoize the built Column per signature: unresolved Column
+    # expressions are immutable and reusable across DataFrames, and a
+    # query that buckets both sides (corpus + eval) or is re-built in
+    # a sweep pays construction once per process instead of per call.
+    key = (vec_col, dim, num_planes, num_bands, seed_base, seed_stride)
+    bands_expr = _RP_BANDS_CACHE.get(key)
+    if bands_expr is None:
+        band_buckets = []
+        for band in range(num_bands):
+            planes = _hyperplanes(dim, num_planes, seed_base + seed_stride * band)
+            bucket = None
+            for i, plane in enumerate(planes):
+                lit_plane = F.array(*[F.lit(x) for x in plane])
+                bit = F.when(
+                    dot_product(F.col(vec_col), lit_plane) > 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            band_buckets.append(bucket.cast("int"))
+        bands_expr = F.array(*band_buckets)
+        _RP_BANDS_CACHE[key] = bands_expr
+    return df.select("*", F.posexplode(bands_expr).alias("band", "bucket"))
 
 
 def lsh_bucket_topk(

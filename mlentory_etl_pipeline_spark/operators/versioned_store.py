@@ -412,6 +412,9 @@ def changes_between(state: StoreState, t1, t2, net: bool = False) -> DataFrame:
     the window (added then removed, or removed then re-added) carries
     BOTH labels — the feed reports lifecycle events, so a set-replaying
     consumer cannot reconstruct the endpoint graph from it alone.
+    NULL bounds follow the same contract as net mode: a NULL ``t1``
+    reads as -infinity (everything up to ``t2`` is in the window) and a
+    NULL ``t2`` reads as covers-nothing (empty feed).
 
     ``net=True`` emits the NET point-in-time diff instead (the Delta
     CDF "net changes" shape): ``added`` = valid at t2 but not at t1,
@@ -463,15 +466,24 @@ def changes_between(state: StoreState, t1, t2, net: bool = False) -> DataFrame:
         return delta.join(state.triplet, "triplet_hash").select(
             "subject", "predicate", "object", "change"
         )
+    # Event-feed NULL-bound contract (mirrors net mode, r9 ADVICE): a
+    # NULL lo (e.g. max(ts) over an empty pre-split slice) reads as
+    # "-infinity" — every event up to hi is in the window — instead of
+    # use_start > NULL silently emptying the feed. A NULL hi already
+    # reads as "covers nothing" (both <= hi predicates go UNKNOWN →
+    # empty feed), which is the correct mirror of net mode's empty
+    # graph_at(NULL); no special-casing needed for it.
+    after_lo_open = F.coalesce(F.col("use_start") > lo, lo.isNull())
+    after_lo_closed = F.coalesce(F.col("use_end") >= lo, lo.isNull())
     added = (
-        ranges.where((F.col("use_start") > lo) & (F.col("use_start") <= hi))
+        ranges.where(after_lo_open & (F.col("use_start") <= hi))
         .select("triplet_hash")
         .distinct()
         .withColumn("change", F.lit("added"))
     )
     removed = (
         ranges.where(
-            F.col("deprecated") & (F.col("use_end") >= lo) & (F.col("use_end") < hi)
+            F.col("deprecated") & after_lo_closed & (F.col("use_end") < hi)
         )
         .select("triplet_hash")
         .distinct()

@@ -1118,7 +1118,12 @@ def scd2_incremental_refresh_slice(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     t1 = e.where(F.col("ts") < F.lit(T_SPLIT).cast("timestamp")).agg(F.max("ts"))
     t2 = e.agg(F.max("ts"))
-    state = _scd2_state(spark, sf_dir)
+    # The state feeds TWO consumers (change feed + current graph), so
+    # cap its lineage once here (VERDICT r9 №3) — the fold's subtree
+    # would otherwise be re-expanded per consumer (121-exchange plan).
+    # Lazy: building the DataFrame still runs no jobs; the fold
+    # computes once at action time and both consumers read the pin.
+    state = vs.materialized(_scd2_state(spark, sf_dir))
     changed_subjects = (
         vs.changes_between(state, t1, t2).select("subject").distinct()
     )
@@ -20773,91 +20778,103 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # The local gate (scripts/check_correctness.py) still verifies ALL
 # entries; this only rotates which 50 the driver replays.
 
-# r9 rotation (VERDICT r8 №2): 34 never-driver-checked entries — 33
-# rotation swap-ins from the 183-pool plus the sanctioned NEW registry
-# entry scd2_changes_net (VERDICT r8 №3) in its first window —
-# (184/368 ever-checked entering the round; this window takes it to
-# 218). Leads are exactly the verdict's
-# named pool: the remaining TPC-H adapted shapes (q6 q7 q8 q10 q11 q13
-# q14 q17 q19 q20 — q6/q19 judge-green r8), the ANN pq/seed variants
-# that share this round's capacity fix (ann_ivf_pq_seed_topk,
-# ann_pq_adc_topk, ann_int8_rerank_topk), the stats/drift family (ks/
-# psi/kl/cusum/wasserstein), classify/calibration (calibration-bins,
-# Platt, kappa, Krippendorff), cogroup + UDTF reps,
-# ivm_zset_agg_maintenance, sparql_optional_filter,
-# snapshot_diff_orders, pivot_user_event_matrix,
-# dedup_cluster_components (all judge-green r8), and judge-green
-# curation reps (dsir, stratified split, incremental semdedup,
-# median-CI). Kept (16): the SCD2 spine (7), croissant_ingest,
-# bench-watch headliner sessionize_events_gaps, streaming/incremental/
-# dedup/NLP anchors, and the THREE capacity-fix ANN queries
-# (ann_ivf_trained_topk, ann_ivf_pq_topk, ann_trained_recall_audit —
-# their plans changed this round via similarity.ann_capacity, so the
-# changed behavior gets external confirmation, per the same rule that
-# sanctioned scd2_changes_net). All r8 entries were green; everything
-# else rotates out. Every swap-in passed scripts/oracle_lint.py and
-# the local three-scale gate before shipping.
+# r10 rotation (VERDICT r9 №1): 41 never-driver-checked swap-ins from
+# the 150-query pool (218/368 ever-checked entering the round; this
+# window takes it to 259), clearing the ordered ≥40 / ≥258 bar. Leads
+# follow the verdict's family order: monitoring/forecast (Holt,
+# backtest, Bollinger, z-score bursts, seasonal adjustment, weekday
+# seasonality), sketch-accuracy audits (CMS error, KLL-style quantile
+# sketch, Misra-Gries heavy hitters ×2, HLL set algebra + rolling
+# distinct, bloom prune), sampling/quota (weighted ×2, quota, hash
+# split, token-budget waterfill, negative sampling, shard shuffle),
+# text-fingerprint/PII (winnowing, content digest, PII redact, lang-id
+# confusion, repetition stats, quote containment), graph extras (PPR,
+# link prediction, co-purchase, association rules, Bradley-Terry), and
+# profiling reps (rank functions, exact percentiles, bivariate
+# profile, corr matrix, FD audit, skew profile, ntile, cube, range
+# frame). Kept (9): three anchors (the flagship scd2_version_ranges,
+# dedup_minhash_lsh, ann_trained_recall_audit — the anchor set shrunk
+# from 17 exactly as the verdict ordered) plus the SIX queries whose
+# plans changed in r10 (mixture_build_funnel +
+# scd2_incremental_refresh_slice lineage caps, decontaminate_semantic
+# _lsh / semdedup_incremental_batch / dedup_embedding_cosine_lsh via
+# the rp-band memoization, scd2_changes_between via the event-feed
+# NULL-bound fix, cogroup_reconcile_order_totals via the to_cents
+# floor fix) — changed behavior gets external confirmation, the same
+# rule r9 applied to the capacity-fix ANN queries
+# (dedup_embedding_cosine_lsh is both changed-plan AND never-checked,
+# so it sits in the swap-in block). All r9 entries were green;
+# everything else rotates out. Every swap-in passed
+# scripts/oracle_lint.py and the local three-scale gate before
+# shipping.
 _DRIVER_WINDOW = [
-    # -- regression keeps (driver-r8 green) --
-    "q1_pricing_summary",
-    "scd2_version_ranges",
-    "scd2_current_graph",
-    "scd2_history",
-    "scd2_touch_unchanged",
-    "graph_delta_publish",
-    "scd2_reified_current_export",
-    "croissant_ingest",
-    "sessionize_events_gaps",  # bench-watch (VERDICT r6 №6 / r7 №3)
-    "streaming_stateful_sessions",
-    "watermark_incremental",
-    "dedup_minhash_lsh",
-    "nlp_sectionize",
-    # -- capacity-fix ANN (changed this round — re-confirm externally) --
-    "ann_ivf_trained_topk",
-    "ann_ivf_pq_topk",
-    "ann_trained_recall_audit",
-    # -- sanctioned new entry (VERDICT r8 №3), first window --
-    "scd2_changes_net",
-    # -- remaining TPC-H adapted shapes (never driver-checked) --
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_brand_discounts",
-    "q20_dominant_supplier",
-    # -- ANN pq/seed/int8 variants (share the capacity-fix plans) --
-    "ann_ivf_pq_seed_topk",
-    "ann_pq_adc_topk",
-    "ann_int8_rerank_topk",
-    # -- stats / drift family --
-    "ks_value_drift_halves",
-    "psi_value_drift_events",
-    "kl_domain_drift_by_source",
-    "cusum_value_changepoint",
-    "wasserstein_value_drift_halves",
-    # -- classify / calibration --
-    "score_calibration_purchase",
-    "platt_scaling_purchase_score",
-    "classifier_kappa_agreement",
-    "krippendorff_alpha_langs",
-    # -- cogroup / UDTF reps --
-    "cogroup_reconcile_order_totals",
-    "nlp_sectionize_udtf",
-    # -- verdict-named never-checked reps --
-    "ivm_zset_agg_maintenance",
-    "sparql_optional_filter",
-    "snapshot_diff_orders",
-    "pivot_user_event_matrix",
-    "dedup_cluster_components",
-    # -- judge-green curation / stats reps --
-    "dsir_importance_weights",
-    "stratified_split_counts",
+    # -- anchors (VERDICT r9 №1: anchor set shrunk to the spine reps
+    #    so the never-checked swap-in count clears 40) --
+    "scd2_version_ranges",  # flagship / V2-V5 spine (also entry())
+    "dedup_minhash_lsh",  # near-dup headliner, recall-telemetry carrier
+    "ann_trained_recall_audit",  # the r9 capacity-fix quality gate
+    # -- plans CHANGED this round (r9's rule: changed behavior gets
+    #    external confirmation) — the r10 lineage caps touched the
+    #    funnel + refresh slice, the rp-band memoization touched every
+    #    sign-RP LSH consumer, the event-feed NULL-bound fix touched
+    #    changes_between(net=False), and the to_cents floor fix
+    #    touched the cogroup reconcile --
+    "mixture_build_funnel",
+    "scd2_incremental_refresh_slice",
+    "scd2_changes_between",
+    "decontaminate_semantic_lsh",
     "semdedup_incremental_batch",
-    "median_ci_event_values",
+    "cogroup_reconcile_order_totals",
+    # -- never-driver-checked swap-ins (41; VERDICT r9 №1 pool order).
+    #    dedup_embedding_cosine_lsh doubles as a changed-plan confirm
+    #    (rp-band memoization) --
+    "dedup_embedding_cosine_lsh",
+    # monitoring / forecast
+    "holt_trend_forecast_users",
+    "forecast_backtest_users",
+    "bollinger_daily_revenue",
+    "zscore_volume_bursts",
+    "seasonal_adjusted_bursts_events",
+    "weekday_seasonality_events",
+    # sketch-accuracy audits
+    "cms_error_audit",
+    "histogram_quantile_sketch",
+    "profile_heavy_hitters",
+    "hll_set_algebra_overlap",
+    "hll_rolling_7day_distinct_users",
+    "mg_frequent_tokens",
+    "bloom_prune_semi_join",
+    # sampling / quota
+    "weighted_sample_docs",
+    "weighted_sample_per_source",
+    "quota_sample_per_group",
+    "hash_split_assign",
+    "token_budget_waterfill_sources",
+    "negative_sampling_pool",
+    "corpus_shuffle_shards",
+    # text fingerprint / PII
+    "winnowing_fingerprints_docs",
+    "dataset_content_digest_docs",
+    "text_pii_redact",
+    "lang_id_confusion",
+    "text_repetition_stats",
+    "containment_quote_detection",
+    # graph extras
+    "graph_ppr_related_suppliers",
+    "link_prediction_suppliers",
+    "copurchase_supplier_pairs",
+    "association_rules_suppliers",
+    "bradley_terry_supplier_ratings",
+    # profiling reps
+    "rank_functions_profile",
+    "exact_percentiles_quantity",
+    "stats_bivariate_profile",
+    "corr_matrix_lineitem",
+    "functional_dependency_audit",
+    "skew_join_key_profile",
+    "ntile_order_quartiles",
+    "cube_revenue_flags",
+    "range_frame_customer_revenue",
 ]
 
 

@@ -118,13 +118,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    # default = the top-3 cost centers (VERDICT r8 №6): the SCD2
-    # headliner plus the two other expensive headline queries, so the
-    # divergence-attribution recipe covers all three.
+    # default = the top-4 cost centers (VERDICT r8 №6 + r9 №6): the
+    # SCD2 headliner, the two other expensive headline queries, and
+    # ann_ivf_topk — the 4th cost center (trending up r8→r9), whose
+    # quantizer-training stage is driver-coordinated, so per-node
+    # attribution separates training cost from probe cost.
     ap.add_argument(
         "--only",
         default="scd2_version_ranges,streaming_stateful_sessions,"
-                "dedup_minhash_lsh",
+                "dedup_minhash_lsh,ann_ivf_topk",
     )
     args = ap.parse_args()
 

@@ -150,6 +150,35 @@ def test_net_mode_null_lower_bound_is_all_added(churn_store, spark):
     )
 
 
+def test_event_feed_null_lower_bound_is_minus_infinity(churn_store, spark):
+    """The EVENT feed's NULL-bound contract (ADVICE r9): a NULL t1
+    reads as -infinity — every range opened up to t2 is `added`, every
+    deprecation closed before t2 is `removed` — instead of
+    use_start > NULL silently emptying the feed (which the oracle
+    would mirror, so only a unit test can catch it). A NULL t2 already
+    reads as covers-nothing (empty feed), matching net mode's empty
+    graph_at(NULL)."""
+    state = churn_store.state()
+    lo = spark.range(1).select(F.lit(None).cast("timestamp"))
+    hi = spark.range(1).select(F.lit(T2).cast("timestamp"))
+    feed = vs.changes_between(state, lo, hi).collect()
+    assert feed, "NULL t1 must not empty the event feed"
+    added = {(r.subject, r.predicate, r.object) for r in feed if r.change == "added"}
+    # -infinity lower bound: every triple that EVER had a range opened
+    # by t2 appears as added — a superset of the graph at t2.
+    assert added >= _spo(vs.graph_at(state, T2))
+    # under the open bound the both-labels set widens to EVERY triple
+    # whose lifecycle both opened and fully closed by t2 — the churn
+    # pair plus p_removed (opened before T0, deprecated before T2)
+    removed = {(r.subject, r.predicate, r.object) for r in feed if r.change == "removed"}
+    assert {p for _, p, _ in added & removed} == {
+        "p_churn_readd", "p_churn_addrem", "p_removed",
+    }
+    # NULL upper bound: covers nothing -> empty feed, both modes agree
+    null_hi = spark.range(1).select(F.lit(None).cast("timestamp"))
+    assert vs.changes_between(state, lo, null_hi).count() == 0
+
+
 def test_search_with_history_equals_hand_composition(churn_store, spark):
     """The facade's composite method must equal the plan a user would
     hand-write from its parts: bm25 hits left-joined onto the

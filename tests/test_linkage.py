@@ -197,6 +197,31 @@ def test_cogroup_reconcile_all_statuses(spark):
     assert out[2].left_total == 20.0 and out[2].right_total == 19.5
 
 
+def test_cogroup_reconcile_float_totals_repr_exact(spark):
+    """ADVICE r9: a DOUBLE totals column (the out_schema permits it)
+    must not false-mismatch on binary float representation —
+    10.55 * 100 = 1054.999... used to truncate to 1054 cents. to_cents
+    now reads floats at their shortest repr (Decimal(str(v))) before
+    the contract FLOOR, so 10.55 on both sides is an exact match and a
+    genuine sub-cent difference still floors like the oracle's
+    CAST(FLOOR(tot*100) AS BIGINT)."""
+    from mlentory_etl_pipeline_spark.operators.linkage import cogroup_reconcile
+
+    left = spark.createDataFrame(
+        [(1, 10.55), (2, 0.29), (3, 12.345)], "k long, ltot double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.55), (2, 0.29), (3, 12.341)], "k long, rtot double"
+    )
+    out = {r.k: r for r in cogroup_reconcile(
+        left, right, "k", "ltot", "rtot"
+    ).collect()}
+    assert out[1].status == "match" and out[1].diff_cents == 0
+    assert out[2].status == "match" and out[2].diff_cents == 0
+    # sub-cent digits floor: 1234.5 -> 1234, 1234.1 -> 1234 -> match
+    assert out[3].status == "match" and out[3].diff_cents == 0
+
+
 # --- edit_distance_join vs brute-force DP ----------------------------
 
 
