@@ -92,16 +92,45 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal with exact binary64 round-trip: ``repr`` is
+    the shortest string that parses back to the same bits (verified for
+    exponents, negatives, and denormals), and Spark's ``…D`` literal
+    parses via Double.parseDouble — so the SQL text and ``F.lit(x)``
+    produce bit-identical Literal values."""
+    return repr(x) + "D"
+
+
+def _bucket_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """SQL text of one band's sign-RP bucket: bit i = sign of the dot
+    product with hyperplane i. Semantically identical to the Column
+    composition (same zip_with/aggregate fold, same double accumulator,
+    same CASE) — expressed as TEXT because constructing thousands of
+    per-component ``F.lit`` Columns is ~3 s of Py4J round-trips per
+    call, while one ``F.expr`` parse of the same tree is ~50 ms."""
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = _dot_sql(vec_col, plane)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def _dot_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL text of ``dot_product(col, lit(plane))`` — the same
+    zip_with/aggregate fold with a double accumulator."""
+    arr = "array(" + ",".join(_dlit(x) for x in plane) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
 def rp_bucket(df: DataFrame, vec_col: str, dim: int, num_planes: int = 8, seed: int = 7) -> DataFrame:
     """Attach a sign-random-projection bucket id: bit i = sign of the
     dot product with hyperplane i. Deterministic, engine-portable."""
-    planes = _hyperplanes(dim, num_planes, seed)
-    bucket = None
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot_product(F.col(vec_col), lit_plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("int"))
+    bucket = F.expr(_bucket_sql(vec_col, _hyperplanes(dim, num_planes, seed)))
+    return df.withColumn("bucket", bucket)
 
 
 # Memoized band-bucket array expressions, keyed by the full
@@ -131,27 +160,23 @@ def rp_bucket_bands(
     is num_bands rows per input either way); scans drop num_bands-fold.
     """
     # The bucket expressions are deterministic in the signature and
-    # expensive to CONSTRUCT (num_bands*num_planes literal hyperplane
-    # arrays = thousands of Py4J calls — measured ~3 s per call), so
-    # memoize the built Column per signature: unresolved Column
-    # expressions are immutable and reusable across DataFrames, and a
-    # query that buckets both sides (corpus + eval) or is re-built in
-    # a sweep pays construction once per process instead of per call.
+    # were expensive to CONSTRUCT Column-by-Column (num_bands *
+    # num_planes literal hyperplane arrays = thousands of Py4J calls,
+    # measured ~3 s per call). Built instead as ONE SQL text + one
+    # F.expr parse (~50 ms; bit-identity with the Column composition
+    # asserted in tests), and still memoized per signature so a query
+    # that buckets both sides or is re-built in a sweep pays the parse
+    # once per process.
     key = (vec_col, dim, num_planes, num_bands, seed_base, seed_stride)
     bands_expr = _RP_BANDS_CACHE.get(key)
     if bands_expr is None:
-        band_buckets = []
-        for band in range(num_bands):
-            planes = _hyperplanes(dim, num_planes, seed_base + seed_stride * band)
-            bucket = None
-            for i, plane in enumerate(planes):
-                lit_plane = F.array(*[F.lit(x) for x in plane])
-                bit = F.when(
-                    dot_product(F.col(vec_col), lit_plane) > 0, F.lit(1 << i)
-                ).otherwise(F.lit(0))
-                bucket = bit if bucket is None else bucket + bit
-            band_buckets.append(bucket.cast("int"))
-        bands_expr = F.array(*band_buckets)
+        band_sqls = [
+            _bucket_sql(
+                vec_col, _hyperplanes(dim, num_planes, seed_base + seed_stride * band)
+            )
+            for band in range(num_bands)
+        ]
+        bands_expr = F.expr("array(" + ",".join(band_sqls) + ")")
         _RP_BANDS_CACHE[key] = bands_expr
     return df.select("*", F.posexplode(bands_expr).alias("band", "bucket"))
 
@@ -187,9 +212,7 @@ def lsh_bucket_topk(
         q = queries.select(
             "*",
             *[
-                dot_product(F.col(query_vec_col), F.array(*[F.lit(x) for x in p])).alias(
-                    f"_d{i}"
-                )
+                F.expr(_dot_sql(query_vec_col, p)).alias(f"_d{i}")
                 for i, p in enumerate(planes)
             ],
         )

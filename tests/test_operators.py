@@ -335,6 +335,50 @@ def test_lsh_bucket_recall_vs_brute_force(spark):
     assert multi_recall >= 0.3, f"multi-probe recall {multi_recall}"
 
 
+def test_rp_bucket_sql_text_bit_identical_to_column_build(spark):
+    """The sign-RP bucket expressions are built as ONE SQL text
+    (F.expr) because per-component F.lit construction cost ~3 s of
+    Py4J round-trips per call (r10); this pins the text path
+    bit-identical to the Column composition it replaced — double
+    literals must round-trip exactly (repr + 'D') and the
+    zip_with/aggregate fold must accumulate in the same order."""
+    # literal round-trip, including exponent forms and denormals
+    edge = [1e-05, -1.2e-07, 0.1, -0.9999999999999999, 5e-324, 123456.789]
+    row = spark.range(1).select(
+        *[F.expr(similarity._dlit(v)).alias(f"c{i}") for i, v in enumerate(edge)]
+    ).first()
+    assert all(row[i] == v for i, v in enumerate(edge))
+
+    from mlentory_etl_pipeline_spark.functions.vectors import dot_product
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for planes_n, bands_n in ((2, 20), (4, 16)):
+        got = similarity.rp_bucket_bands(e, "embedding", 64, planes_n, bands_n)
+        # reference: the original Column-by-Column composition
+        band_cols = []
+        for band in range(bands_n):
+            hp = similarity._hyperplanes(64, planes_n, 7 + 1000 * band)
+            bucket = None
+            for i, plane in enumerate(hp):
+                lit_plane = F.array(*[F.lit(x) for x in plane])
+                bit = F.when(
+                    dot_product(F.col("embedding"), lit_plane) > 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            band_cols.append(bucket.cast("int"))
+        ref = e.select("*", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+        agg = lambda d: d.groupBy("vec_id").agg(  # noqa: E731
+            F.sort_array(F.collect_list(F.struct("band", "bucket"))).alias("bb")
+        )
+        n_diff = (
+            agg(got).alias("g")
+            .join(agg(ref).alias("r"), "vec_id")
+            .where("g.bb <> r.bb")
+            .count()
+        )
+        assert n_diff == 0, f"planes={planes_n} bands={bands_n}: {n_diff} rows differ"
+
+
 def test_ivf_topk_recall_and_exactness(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = e.where("vec_id < 20").select(
