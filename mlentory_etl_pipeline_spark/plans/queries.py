@@ -20803,8 +20803,14 @@ def spearman_value_hour_by_type(spark, sf_dir):
 # floor fix) — changed behavior gets external confirmation, the same
 # rule r9 applied to the capacity-fix ANN queries
 # (dedup_embedding_cosine_lsh is both changed-plan AND never-checked,
-# so it sits in the swap-in block). All r9 entries were green;
-# everything else rotates out. Every swap-in passed
+# so it sits in the swap-in block). The later r10 SQL-text rebuild of
+# the sign-RP bucket expressions is BIT-IDENTICAL by construction
+# (pinned by test_rp_bucket_sql_text_bit_identical_to_column_build +
+# a 6-query oracle re-gate), so its extra consumers (ann_lsh_bucketed
+# _topk, semdedup_embeddings) did not displace never-checked swap-ins
+# — the ≥40 rotation bar outranks re-confirming a no-behavior-change
+# edit already covered by three window entries. All r9 entries were
+# green; everything else rotates out. Every swap-in passed
 # scripts/oracle_lint.py and the local three-scale gate before
 # shipping.
 _DRIVER_WINDOW = [
