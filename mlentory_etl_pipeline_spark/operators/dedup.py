@@ -165,6 +165,19 @@ def _minhash_aggs(num_hashes: int, base: Column) -> list[Column]:
     ]
 
 
+def _minhash_agg_exprs(num_hashes: int, base: str = "_h") -> list[Column]:
+    """The same K min-of-affine-permutation aggregates as
+    :func:`_minhash_aggs`, built as SQL text — one ``F.expr`` parse per
+    agg instead of ~8 per-Column Py4J round-trips each (the sign-RP
+    precedent). Integer arithmetic is identical: the coefficient
+    literals fit int32 either way and promote to long against the
+    64-bit base hash."""
+    return [
+        F.expr(f"min(({a} * {base} + {b}) % {MINHASH_P}) AS mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+
+
 def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int = 12) -> DataFrame:
     """K-permutation MinHash signature per doc — min of each affine
     permutation over the doc's shingles. One shuffle, map-side combine.
@@ -174,7 +187,7 @@ def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int = 12) -
     other, so referencing ``shingle_base_hash`` inside each of the K
     ``min`` aggs would recompute the md5 K times per shingle."""
     h = shingled.withColumn("_h", shingle_base_hash(F.col("shingle")))
-    return h.groupBy(id_col).agg(*_minhash_aggs(num_hashes, F.col("_h")))
+    return h.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
 
 
 def _banded_long(
@@ -184,15 +197,13 @@ def _banded_long(
     (rows_per_band = num_hashes // bands) and md5 each band so the LSH
     join key is one column pair."""
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
+    band_sqls = [
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f")) AS band{b}"
         for b in range(bands)
     ]
-    banded = signatures.select(F.col(id_col), *band_cols)
+    banded = signatures.selectExpr(id_col, *band_sqls)
     stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
     return banded.selectExpr(
         id_col, f"stack({bands}, {stack_expr}) as (band_idx, band_hash)"
@@ -334,7 +345,7 @@ def minhash_lsh_dedup_pairs(
     )
     per_doc = sh.groupBy(id_col).agg(
         F.collect_set("_h").alias("sh"),
-        *_minhash_aggs(num_hashes, F.col("_h")),
+        *_minhash_agg_exprs(num_hashes),
     ).cache()
     cand = lsh_candidate_pairs(per_doc, id_col, num_hashes, bands)
     sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -377,7 +388,7 @@ def minhash_incremental_pairs(
         )
         return sh.groupBy(id_col).agg(
             F.collect_set("_h").alias("sh"),
-            *_minhash_aggs(num_hashes, F.col("_h")),
+            *_minhash_agg_exprs(num_hashes),
         )
 
     stored_doc = per_doc(stored)

@@ -963,13 +963,15 @@ def _events_as_triples(spark, sf_dir, lo=None, hi=None):
         e = e.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
     if hi is not None:
         e = e.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-    return e.select(
-        F.col("user_id").cast("string").alias("subject"),
-        F.col("event_type").alias("predicate"),
-        F.floor(F.col("value") / 100).cast("int").cast("string").alias("object"),
-        F.lit("events").alias("extraction_method"),
-        F.lit(1.0).alias("confidence"),
-        F.col("ts").alias("extraction_time"),
+    # SQL-text projection (one parse, not ~25 per-Column Py4J calls);
+    # 1.0D keeps the confidence literal a DOUBLE like F.lit(1.0) did.
+    return e.selectExpr(
+        "CAST(user_id AS STRING) AS subject",
+        "event_type AS predicate",
+        "CAST(CAST(FLOOR(value / 100) AS INT) AS STRING) AS object",
+        "'events' AS extraction_method",
+        "1.0D AS confidence",
+        "ts AS extraction_time",
     )
 
 

@@ -337,3 +337,24 @@ def test_minhash_recall_audit_planted_dups(spark):
     assert out.recall == 1.0
     assert out.candidate_pairs >= 10
     assert out.candidate_precision <= 1.0
+
+
+def test_minhash_sql_text_aggs_match_column_composition(spark):
+    # r10: _minhash_agg_exprs builds the K min-of-affine aggregates as
+    # SQL text (driver-side plan-construction cost); this pins the
+    # bit-identity of the text form against the original per-Column
+    # composition on a real shingle table.
+    from mlentory_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(12))) for i in range(8)],
+        "doc_id int, text string",
+    )
+    sh = dedup.doc_shingles(docs, "doc_id", "text", n=3, distinct=False).select(
+        F.col("doc_id"), dedup.shingle_base_hash(F.col("shingle")).alias("_h")
+    )
+    via_cols = sh.groupBy("doc_id").agg(
+        *dedup._minhash_aggs(12, F.col("_h"))
+    ).collect()
+    via_text = sh.groupBy("doc_id").agg(*dedup._minhash_agg_exprs(12)).collect()
+    assert sorted(map(tuple, via_cols)) == sorted(map(tuple, via_text))
