@@ -32,6 +32,7 @@ from mlentory_etl_pipeline_spark.functions.vectors import (
     dot_product,
     l2_norm,
 )
+from mlentory_etl_pipeline_spark.operators.dedup import _ensure_parallelism
 
 
 def brute_force_topk(
@@ -52,7 +53,11 @@ def brute_force_topk(
     """
     # Precompute norms once per side — the cross join then evaluates a
     # single dot product per pair instead of re-deriving both norms.
-    c = corpus.select(
+    # _ensure_parallelism: the per-pair HOF dot products evaluate
+    # interpreted on the corpus side's partitions; a one-file local
+    # corpus arrives as ONE partition and runs single-threaded (no-op
+    # on a real many-split corpus — same guard as dedup shingling).
+    c = _ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")
     )
     q = queries.select(
@@ -204,7 +209,9 @@ def lsh_bucket_topk(
     steeply with probes while the scored candidate set stays
     ``(1 + extra_probes) / 2^planes`` of the corpus — the corpus side
     is still bucketed once, only the (tiny) query side fans out."""
-    c = rp_bucket(corpus, vec_col, dim, num_planes)
+    # corpus-side bucket signs are num_planes interpreted HOF dots per
+    # vector — spread a one-partition local input first (no-op at scale)
+    c = rp_bucket(_ensure_parallelism(corpus), vec_col, dim, num_planes)
     if extra_probes > 0:
         planes = _hyperplanes(dim, num_planes)
         # Project per-plane dots first (expressions inside HOF lambdas
@@ -419,7 +426,13 @@ def ivf_topk(
         if centroids is not None
         else seed_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    c = ivf_probe_cells(corpus, cents, id_col, vec_col, nprobe=1, norm_alias="_cn")
+    # corpus-side cell assignment is an interpreted HOF map over every
+    # vector × n_centroids — spread a one-partition local input first
+    # (no-op on a many-split corpus; seeds keep the unspread corpus so
+    # the id<n filter still pushes down to the scan)
+    c = ivf_probe_cells(
+        _ensure_parallelism(corpus), cents, id_col, vec_col, nprobe=1, norm_alias="_cn"
+    )
     q = ivf_probe_cells(
         queries, cents, query_id_col, query_vec_col, nprobe=nprobe, norm_alias="_qn"
     )
@@ -495,6 +508,7 @@ def _int8_coarse_ranked(
     IEEE op each), so the ranking is bit-reproducible in any engine."""
     from mlentory_etl_pipeline_spark.functions.vectors import abs_max, quantize_int8
 
+    corpus = _ensure_parallelism(corpus)  # int8 dot HOFs run corpus-side
     c = corpus.select(
         F.col(id_col), F.col(vec_col), (abs_max(F.col(vec_col)) / 127.0).alias("_csc")
     ).select(
@@ -654,8 +668,11 @@ def pq_adc_topk(
             F.col("chunk").alias("cw"),
         )
 
-    # encode corpus: nearest codeword per (vector, subspace)
-    cchunks = _subspace_chunks(corpus, id_col, vec_col, m, sub)
+    # encode corpus: nearest codeword per (vector, subspace) — spread a
+    # one-partition local input before the m×ksub interpreted _l2sq
+    # evals per vector (no-op on a many-split corpus; the seed-codebook
+    # path above keeps the unspread corpus for filter pushdown)
+    cchunks = _subspace_chunks(_ensure_parallelism(corpus), id_col, vec_col, m, sub)
     codes = (
         cchunks.join(F.broadcast(codebook), "j")
         .groupBy(id_col, "j")
@@ -782,8 +799,14 @@ def ivf_pq_topk(
     )
 
     # corpus → (id, cell, residual); broadcast joins only, then pinned:
-    # the codebook training scans it several times.
-    c_cells = ivf_probe_cells(corpus, cents, id_col, vec_col, nprobe=1, norm_alias="_cn")
+    # the codebook training scans it several times. _ensure_parallelism
+    # spreads a one-partition local input across cores before the
+    # interpreted per-cell HOF assignment (no-op on a real corpus);
+    # c_res and every training iteration inherit the spread through the
+    # localCheckpoint.
+    c_cells = ivf_probe_cells(
+        _ensure_parallelism(corpus), cents, id_col, vec_col, nprobe=1, norm_alias="_cn"
+    )
     c_res = (
         c_cells.join(F.broadcast(cent_rows), "cell")
         .select(
@@ -914,10 +937,32 @@ def kmeans_cluster(
     dim_df = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not dim_df:
         return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
-    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    # spread a one-partition local input before the interpreted per-
+    # centroid HOF assignment loop; the checkpoint pins the spread for
+    # every Lloyd iteration (no-op on a many-split corpus)
+    vecs = _ensure_parallelism(df.select(id_col, vec_col)).localCheckpoint(eager=False)
     centroids = _lloyd_centroids(vecs, id_col, vec_col, k, iters, round_digits)
     return _kmeans_assign(vecs, id_col, vec_col, centroids, round_digits).select(
         F.col(id_col), F.col("cluster")
+    )
+
+
+def _cent_array_sql(cents: list[list[float]]) -> str:
+    """SQL text of the literal ``array<struct<cid:int, cv:array<double>>>``
+    centroid table — the Column composition costs k×(d+3) Py4J
+    round-trips per call (k=32, d=64 → ~2 500 calls ≈ 1.5 s PER Lloyd
+    iteration); one ``F.expr`` parse of the same tree is ~10 ms.
+    ``_dlit`` keeps every component an exact binary64 round-trip, so the
+    literals are bit-identical to ``F.lit(x)``."""
+    return (
+        "array("
+        + ",".join(
+            f"named_struct('cid', {i}, 'cv', array("
+            + ",".join(_dlit(x) for x in cv)
+            + "))"
+            for i, cv in enumerate(cents)
+        )
+        + ")"
     )
 
 
@@ -930,15 +975,7 @@ def _kmeans_assign(
 ) -> DataFrame:
     """Map-only nearest-centroid assignment against a literal centroid
     array (rounded L2, ties -> lower centroid id)."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            )
-            for i, cv in enumerate(cents)
-        ]
-    )
+    cent_lit = F.expr(_cent_array_sql(cents))
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(
@@ -1029,7 +1066,9 @@ def trained_centroids(
     registry queries are rows-only by declared design, with recall@k vs
     :func:`brute_force_topk` asserted in tests."""
     spark = corpus.sparkSession
-    vecs = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    vecs = _ensure_parallelism(corpus.select(id_col, vec_col)).localCheckpoint(
+        eager=False
+    )
     cents = _lloyd_centroids(vecs, id_col, vec_col, n_centroids, iters)
     rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)]
     # explicit schema: empty corpora yield zero seed rows, and schema
@@ -1064,9 +1103,9 @@ def train_pq_codebook(
     if not dim_row:
         return spark.createDataFrame([], "j int, code int, cw array<float>")
     sub = dim_row[0].d // m
-    chunks = _subspace_chunks(corpus, id_col, vec_col, m, sub).localCheckpoint(
-        eager=False
-    )
+    chunks = _subspace_chunks(
+        _ensure_parallelism(corpus), id_col, vec_col, m, sub
+    ).localCheckpoint(eager=False)
     # ALL m subspace trainings run JOINTLY, keyed by j: one assignment
     # pass + one (j, cluster, dim) update shuffle per iteration instead
     # of m sequential trainings (m=16 flat PQ: 2 jobs vs 32 — measured
@@ -1096,20 +1135,10 @@ def train_pq_codebook(
     quant = 10**6
     for _ in range(max(iters - 1, 0)):
         # per-j centroid literal: outer array indexed by j, inner the
-        # (cid, cv) struct array _kmeans_assign uses
-        per_j = F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("cid"),
-                            F.array(*[F.lit(x) for x in cents[j][c]]).alias("cv"),
-                        )
-                        for c in range(ksub)
-                    ]
-                )
-                for j in range(m)
-            ]
+        # (cid, cv) struct array _kmeans_assign uses — SQL text for the
+        # same reason as _cent_array_sql (m×ksub×sub literal components)
+        per_j = F.expr(
+            "array(" + ",".join(_cent_array_sql(cents[j]) for j in range(m)) + ")"
         )
         scored = F.transform(
             F.element_at(per_j, F.col("j") + 1),
@@ -1873,7 +1902,9 @@ def cosine_pairs_angular_blocked(
     ).where(F.col("_n") > 0)
     for j, r in enumerate(refs):
         rnorm = math.sqrt(sum(x * x for x in r))
-        rcol = F.array(*[F.lit(float(x)) for x in r])
+        # SQL-text literal array (one parse vs d Py4J calls; _dlit is
+        # an exact binary64 round-trip, bit-identical to F.lit)
+        rcol = F.expr("array(" + ",".join(_dlit(float(x)) for x in r) + ")")
         cosr = dot_product(F.col("_e"), rcol) / (F.col("_n") * F.lit(rnorm))
         v = v.withColumn(
             f"_t{j}",
