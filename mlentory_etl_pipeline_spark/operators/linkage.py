@@ -428,12 +428,13 @@ def cogroup_reconcile(
 
 
 def fellegi_sunter_em(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     agreement_cols: list[str],
     iters: int = 5,
     init_prior_u: int = 100000,
     init_m_u: int = 800000,
     init_u_u: int = 300000,
+    pattern_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Fellegi-Sunter record-linkage weights by EM — the statistical
     model behind every probabilistic matcher (Splink, dedupe.io): from
@@ -455,20 +456,50 @@ def fellegi_sunter_em(
 
     Returns one row per field: (field, m, u, w_agree, w_disagree,
     match_prior, n_pairs).
+
+    ``pattern_counts`` feeds the collapse result directly: a DataFrame
+    with the ``agreement_cols`` (boolean) plus a long ``_n`` pair count
+    per pattern, when the caller can COUNT pairs without materializing
+    them (e.g. within-block agreement counts via grouping-sets +
+    inclusion-exclusion — Σ_g C(n_g, 2) per field subset; guide §3.4:
+    the pair stream existed only to be counted). Zero-count rows are
+    dropped so the pattern table matches what the pairs path groups to.
+    CONTRACT: counts must equal the pairs path's — in particular the
+    counting identity treats equal NULLs as agreeing, while a pair
+    stream's ``a.col == b.col`` yields NULL (→ disagree); callers must
+    guarantee non-null fields (or pre-coalesce) before using this path.
     """
     S = 1000000
     n_f = len(agreement_cols)
-    pat = (
-        pairs.groupBy(
-            *[
-                F.col(c).cast("boolean").alias(f"_a{i}")
-                for i, c in enumerate(agreement_cols)
-            ]
+    if (pairs is None) == (pattern_counts is None):
+        raise ValueError(
+            "fellegi_sunter_em: pass exactly one of pairs / pattern_counts"
         )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .localCheckpoint(eager=False)
-    )
-    spark = pairs.sparkSession
+    if pattern_counts is not None:
+        pat = (
+            pattern_counts.select(
+                *[
+                    F.col(c).cast("boolean").alias(f"_a{i}")
+                    for i, c in enumerate(agreement_cols)
+                ],
+                F.col("_n").cast("long").alias("_n"),
+            )
+            .where(F.col("_n") > 0)
+            .localCheckpoint(eager=False)
+        )
+        spark = pattern_counts.sparkSession
+    else:
+        pat = (
+            pairs.groupBy(
+                *[
+                    F.col(c).cast("boolean").alias(f"_a{i}")
+                    for i, c in enumerate(agreement_cols)
+                ]
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=False)
+        )
+        spark = pairs.sparkSession
     params = spark.range(1).select(
         F.lit(init_prior_u).cast("long").alias("_p"),
         *[F.lit(init_m_u).cast("long").alias(f"_m{i}") for i in range(n_f)],

@@ -14328,18 +14328,53 @@ def fellegi_sunter_part_weights(spark, sf_dir):
         "p_size",
         F.substring("p_name", 1, 5).alias("pfx"),
     )
-    pairs = (
-        p.alias("a")
-        .join(p.alias("b"), "p_brand")
-        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .select(
-            (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
-            (F.col("a.p_size") == F.col("b.p_size")).alias("size_agree"),
-            (F.col("a.pfx") == F.col("b.pfx")).alias("name_agree"),
-        )
+    # r10 optimization (guide §3.4 — the exploding join existed only to
+    # be COUNTED): the EM consumes nothing but the 2^3 agreement-pattern
+    # counts, and within-brand pairs agreeing on every field of a
+    # subset S number Σ_g C(n_g, 2) over groups keyed by (brand ∪ S).
+    # One cube computes all 8 subset roll-ups in a single O(N) pass and
+    # inclusion-exclusion recovers the EXACT-pattern counts the pair
+    # stream would have grouped to — bit-identical pattern table
+    # (parity pinned by test_fellegi_pattern_counts_match_pair_stream;
+    # TPC-H part fields are non-null, the precondition the counts path
+    # documents), so the EM fold and the SQL oracle are untouched.
+    # Before: a.join(b, "p_brand").where(a.key < b.key) materialized
+    # ~n²/(2·brands) rows (sf0.1: ~8M) to count 8 patterns.
+    g = (
+        p.cube("p_brand", "p_type", "p_size", "pfx")
+        .agg(F.grouping_id().alias("_gid"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_gid") < 8)  # brand itself is never rolled up
+        .groupBy("_gid")
+        .agg(F.sum(F.expr("_n * (_n - 1) DIV 2")).alias("_a"))
+    )
+    a8 = g.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_gid") == k, F.col("_a"))), F.lit(0)
+            ).alias(f"_s{k}")
+            for k in range(8)
+        ]
+    )
+    # grouping_id bits (type=4, size=2, pfx=1; bit set = rolled up):
+    # _s0=A{tsn} _s1=A{ts} _s2=A{tn} _s3=A{t} _s4=A{sn} _s5=A{s}
+    # _s6=A{n} _s7=A{} — Möbius over the subset lattice:
+    pattern_counts = a8.selectExpr(
+        "stack(8,"
+        " true,  true,  true,  _s0,"
+        " true,  true,  false, _s1 - _s0,"
+        " true,  false, true,  _s2 - _s0,"
+        " true,  false, false, _s3 - _s1 - _s2 + _s0,"
+        " false, true,  true,  _s4 - _s0,"
+        " false, true,  false, _s5 - _s1 - _s4 + _s0,"
+        " false, false, true,  _s6 - _s2 - _s4 + _s0,"
+        " false, false, false, _s7 - _s3 - _s5 - _s6 + _s1 + _s2 + _s4 - _s0"
+        ") AS (type_agree, size_agree, name_agree, _n)"
     )
     return fellegi_sunter_em(
-        pairs, ["type_agree", "size_agree", "name_agree"], iters=5
+        None,
+        ["type_agree", "size_agree", "name_agree"],
+        iters=5,
+        pattern_counts=pattern_counts,
     )
 
 

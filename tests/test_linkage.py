@@ -348,3 +348,86 @@ def test_b_cubed_hand_case(spark):
     )
     p = b_cubed(perfect, "item", "pred", "gold").collect()[0]
     assert (p.b3_precision, p.b3_recall, p.b3_f1) == (1.0, 1.0, 1.0)
+
+
+def test_fellegi_pattern_counts_match_pair_stream(spark):
+    """The r10 counting path (cube + inclusion-exclusion) must feed the
+    EM the exact pattern table the pair stream groups to: same 2^F
+    pattern multiset, same EM output to the last micro-unit. Mirrors
+    fellegi_sunter_part_weights' construction on a small synthetic
+    'part' table (non-null fields — the documented precondition)."""
+    from mlentory_etl_pipeline_spark.operators.linkage import fellegi_sunter_em
+
+    rng = random.Random(42)
+    rows = [
+        (
+            i,
+            f"b{rng.randrange(3)}",
+            f"t{rng.randrange(4)}",
+            rng.randrange(3),
+            f"n{rng.randrange(2)}",
+        )
+        for i in range(120)
+    ]
+    p = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_type string, p_size int, pfx string"
+    )
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), "p_brand")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
+            (F.col("a.p_size") == F.col("b.p_size")).alias("size_agree"),
+            (F.col("a.pfx") == F.col("b.pfx")).alias("name_agree"),
+        )
+    )
+    g = (
+        p.cube("p_brand", "p_type", "p_size", "pfx")
+        .agg(F.grouping_id().alias("_gid"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_gid") < 8)
+        .groupBy("_gid")
+        .agg(F.sum(F.expr("_n * (_n - 1) DIV 2")).alias("_a"))
+    )
+    a8 = g.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("_gid") == k, F.col("_a"))), F.lit(0)
+            ).alias(f"_s{k}")
+            for k in range(8)
+        ]
+    )
+    counts = a8.selectExpr(
+        "stack(8,"
+        " true,  true,  true,  _s0,"
+        " true,  true,  false, _s1 - _s0,"
+        " true,  false, true,  _s2 - _s0,"
+        " true,  false, false, _s3 - _s1 - _s2 + _s0,"
+        " false, true,  true,  _s4 - _s0,"
+        " false, true,  false, _s5 - _s1 - _s4 + _s0,"
+        " false, false, true,  _s6 - _s2 - _s4 + _s0,"
+        " false, false, false, _s7 - _s3 - _s5 - _s6 + _s1 + _s2 + _s4 - _s0"
+        ") AS (type_agree, size_agree, name_agree, _n)"
+    )
+    # 1. the pattern tables themselves agree (zero-count rows dropped)
+    fields = ["type_agree", "size_agree", "name_agree"]
+    from_pairs = {
+        tuple(r[f] for f in fields): r["n"]
+        for r in pairs.groupBy(*fields).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from_counts = {
+        tuple(r[f] for f in fields): r["_n"]
+        for r in counts.where(F.col("_n") > 0).collect()
+    }
+    assert from_pairs == from_counts
+    # 2. end-to-end EM parity through both operator entrypoints
+    em_pairs = fellegi_sunter_em(pairs, fields, iters=5).collect()
+    em_counts = fellegi_sunter_em(
+        None, fields, iters=5, pattern_counts=counts
+    ).collect()
+    assert [tuple(r) for r in em_pairs] == [tuple(r) for r in em_counts]
+    # 3. exactly one of pairs / pattern_counts must be given
+    with pytest.raises(ValueError):
+        fellegi_sunter_em(pairs, fields, pattern_counts=counts)
+    with pytest.raises(ValueError):
+        fellegi_sunter_em(None, fields)
