@@ -148,6 +148,133 @@ def disambiguate_statements(batch: DataFrame) -> DataFrame:
     )
 
 
+# ---- merge_batch SQL bodies (r10 §2: one parse+analysis per output
+# table instead of ~28 chained DataFrame ops per merge, each of which
+# is a Py4J round-trip plus an eager JVM analysis over the growing
+# tree — measured 0.73 s of pure construction per 2-merge fold before,
+# ~0.2 s after, identical Catalyst expressions).
+#
+# _MERGE_DISAMBIG_SQL = with_hashes + disambiguate_statements fused:
+# the same md5 content hashes, the same max(struct) G9 argmax (struct
+# field order confidence, extraction_time, extraction_method,
+# info_hash = the same lexicographic tie-break).
+_MERGE_DISAMBIG_SQL = """
+SELECT triplet_hash, subject, predicate, object,
+       p.extraction_method AS extraction_method,
+       p.confidence AS confidence,
+       p.extraction_time AS extraction_time,
+       p.info_hash AS info_hash
+FROM (
+  SELECT md5(concat(CAST(subject AS STRING), CAST(predicate AS STRING),
+                    CAST(object AS STRING))) AS triplet_hash,
+         subject, predicate, object,
+         max(named_struct(
+             'confidence', confidence,
+             'extraction_time', extraction_time,
+             'extraction_method', extraction_method,
+             'info_hash', md5(concat(CAST(extraction_method AS STRING),
+                              format_number(CAST(confidence AS DOUBLE), 5)))
+         )) AS p
+  FROM {batch}
+  GROUP BY 1, 2, 3, 4
+) g
+"""
+
+# V2: store ∪ (batch anti-join store) on the content hash.
+_MERGE_TRIPLET_SQL = """
+SELECT triplet_hash, subject, predicate, object FROM {st}
+UNION ALL
+SELECT b.triplet_hash, b.subject, b.predicate, b.object
+FROM {b} b LEFT ANTI JOIN {st} st ON b.triplet_hash = st.triplet_hash
+"""
+
+# V3: first() per info_hash is exactly what dropDuplicates(["info_hash"])
+# compiles to (ReplaceDeduplicateWithAggregate).
+_MERGE_INFO_SQL = """
+SELECT info_hash, extraction_method, extraction_confidence FROM {si}
+UNION ALL
+SELECT d.info_hash, d.extraction_method, d.extraction_confidence
+FROM (
+  SELECT info_hash, first(extraction_method) AS extraction_method,
+         first(confidence) AS extraction_confidence
+  FROM {b} GROUP BY info_hash
+) d LEFT ANTI JOIN {si} si ON d.info_hash = si.info_hash
+"""
+
+# V4+V5+V6 in one pass over the open ranges (see merge_batch docstring);
+# __ELSE_END__ is substituted per touch_unchanged BEFORE the formatter
+# runs (str.format would eat the {b}/{vr} placeholders).
+_MERGE_RANGE_SQL_TEMPLATE = """
+WITH bt AS (SELECT max(extraction_time) AS _bt FROM {b}),
+     opened AS (
+       SELECT triplet_hash, info_hash, subject, use_start, use_end, deprecated
+       FROM {vr} WHERE NOT deprecated
+     ),
+     touched AS (SELECT triplet_hash, info_hash, subject, true AS _touched FROM {b}),
+     bsubj AS (
+       SELECT subject, true AS _subj_in_batch
+       FROM (SELECT DISTINCT subject FROM {b})
+     )
+SELECT /*+ BROADCAST(bt) */
+       o.triplet_hash, o.info_hash, o.subject, o.use_start,
+       CASE WHEN t._touched THEN greatest(o.use_end, bt._bt)
+            WHEN coalesce(s._subj_in_batch, false) THEN o.use_end
+            ELSE __ELSE_END__ END AS use_end,
+       (o.deprecated OR (coalesce(s._subj_in_batch, false)
+            AND (NOT coalesce(t._touched, false))
+            AND o.use_end < bt._bt)) AS deprecated
+FROM opened o
+LEFT JOIN (SELECT triplet_hash, info_hash, _touched FROM touched) t
+       ON o.triplet_hash = t.triplet_hash AND o.info_hash = t.info_hash
+LEFT JOIN bsubj s ON o.subject = s.subject
+CROSS JOIN bt
+UNION ALL
+SELECT /*+ BROADCAST(bt) */
+       t.triplet_hash, t.info_hash, t.subject,
+       bt._bt AS use_start, bt._bt AS use_end, false AS deprecated
+FROM touched t
+LEFT ANTI JOIN opened o
+       ON t.triplet_hash = o.triplet_hash AND t.info_hash = o.info_hash
+CROSS JOIN bt
+UNION ALL
+SELECT triplet_hash, info_hash, subject, use_start, use_end, deprecated
+FROM {vr} WHERE deprecated
+"""
+_MERGE_RANGE_SQL = _MERGE_RANGE_SQL_TEMPLATE.replace("__ELSE_END__", "o.use_end")
+_MERGE_RANGE_SQL_TOUCH = _MERGE_RANGE_SQL_TEMPLATE.replace(
+    "__ELSE_END__", "greatest(o.use_end, bt._bt)"
+)
+
+
+def _sql_on(spark: SparkSession, template: str, **dfs: DataFrame) -> DataFrame:
+    """Run one SQL statement over DataFrame inputs, each exposed as a
+    uuid-named GLOBAL temp view for the duration of the call.
+
+    Global (not session-local) views because the SCD2 merge crosses
+    sessions in the streaming path: ``foreachBatch`` hands merge_batch a
+    micro-batch DataFrame owned by the stream's *cloned* session while
+    the store state belongs to the outer one — a session-local view
+    registered on one is unresolvable from the other, which is exactly
+    how PySpark's ``spark.sql(..., df=df)`` formatter fails here.
+    Views are dropped before returning; the returned DataFrame's plan
+    is already analyzed, so the drop cannot invalidate it (the same
+    contract the stock formatter relies on). Caveat: the catalog drop
+    also UNCACHES any cache entry whose plan sameResults the dropped
+    view — so inputs passed here must not be .cache()d yet (cache them
+    after the last _sql_on over them; correctness is unaffected either
+    way, only recompute)."""
+    names: dict[str, str] = {}
+    try:
+        for k, df in dfs.items():
+            n = "_vs_" + uuid.uuid4().hex
+            df.createOrReplaceGlobalTempView(n)
+            names[k] = "global_temp." + n
+        return spark.sql(template.format(**names))
+    finally:
+        for qualified in names.values():
+            spark.catalog.dropGlobalTempView(qualified.split(".", 1)[1])
+
+
 def merge_batch(
     state: StoreState,
     batch: DataFrame,
@@ -184,102 +311,42 @@ def merge_batch(
             "(raw parquet ns-timestamps read as long? route through "
             "sources.tpch.load_table or cast explicitly)"
         )
-    # The disambiguated batch feeds the batch-time scan plus four joins:
-    # cache it so the shuffle+agg runs once.
-    b = disambiguate_statements(with_hashes(batch.select(*BATCH_COLUMNS))).cache()
-    # batch_time stays IN-PLAN: a broadcast 1-row aggregate cross-joined
-    # where needed — no driver collect(), so folding N batches issues no
-    # blocking job per batch and the whole load stays one lazy plan.
-    bt = F.broadcast(b.agg(F.max("extraction_time").alias("_bt")))
-    batch_time = F.col("_bt")
-
-    # V2: append unseen triplets (anti-join on the content hash).
-    new_triplets = (
-        b.select("triplet_hash", "subject", "predicate", "object")
-        .join(state.triplet, "triplet_hash", "left_anti")
+    # The whole merge is FOUR spark.sql statements (r10 §2): one
+    # parse+analysis per output table instead of ~28 chained DataFrame
+    # ops, each of which was a Py4J round-trip plus an eager JVM
+    # analysis over the growing tree. The SQL bodies above reproduce
+    # the former per-op composition node for node:
+    #   - disambiguation = with_hashes + disambiguate_statements
+    #     (same md5 hashes, same max(struct) argmax);
+    #   - V2/V3 anti-join appends (first() per info_hash is the exact
+    #     ReplaceDeduplicateWithAggregate form of dropDuplicates);
+    #   - V4+V5+V6 single pass over the open ranges, with the same
+    #     out-of-order guard (the reference's ``vr.use_end <
+    #     curr_update_date``, GraphHandler.py:319-345): a late batch
+    #     neither regresses use_end (greatest keeps it monotone) nor
+    #     deprecates ranges its batch-time has not passed. batch_time
+    #     stays IN-PLAN as a broadcast 1-row aggregate (no collect, a
+    #     fold of N batches issues no blocking job per batch).
+    # The disambiguated batch feeds the batch-time scan plus four
+    # joins: cache it so the shuffle+agg runs once.
+    spark = batch.sparkSession
+    b = _sql_on(spark, _MERGE_DISAMBIG_SQL, batch=batch)
+    triplet = _sql_on(spark, _MERGE_TRIPLET_SQL, b=b, st=state.triplet)
+    extraction_info = _sql_on(spark, _MERGE_INFO_SQL, b=b, si=state.extraction_info)
+    version_range = _sql_on(
+        spark,
+        _MERGE_RANGE_SQL_TOUCH if touch_unchanged else _MERGE_RANGE_SQL,
+        b=b,
+        vr=state.version_range,
     )
-    triplet = state.triplet.unionByName(new_triplets)
-
-    # V3: append unseen extraction-info rows.
-    new_infos = (
-        b.select(
-            "info_hash",
-            F.col("extraction_method"),
-            F.col("confidence").alias("extraction_confidence"),
-        )
-        .dropDuplicates(["info_hash"])
-        .join(state.extraction_info, "info_hash", "left_anti")
-    )
-    extraction_info = state.extraction_info.unionByName(new_infos)
-
-    # V4: MERGE on (triplet_hash, info_hash) against *open* ranges.
-    # version_range denormalizes ``subject`` (the entity key), so the
-    # V5 subject lookup needs NO join against the triplet table — one
-    # fewer store-sized shuffle per merge, and the range table can be
-    # partitioned by entity at lake scale (the reference's V8 affinity).
-    touched = b.selectExpr(
-        "triplet_hash", "info_hash", "subject", "true AS _touched"
-    )
-    open_ranges = state.version_range.where(~F.col("deprecated"))
-    closed_ranges = state.version_range.where(F.col("deprecated"))
-
-    # V4 + V5 + V6 in one pass over the open ranges:
-    #   touched               → use_end advances to batch_time
-    #   untouched, subject in batch  → deprecated (V5)
-    #   untouched, subject absent    → use_end advances only under V6
-    batch_subjects = b.select("subject").distinct()
-    # Out-of-order guard (the reference's ``vr.use_end <
-    # curr_update_date`` predicate, GraphHandler.py:319-345): a
-    # late-arriving batch older than a range's use_end neither regresses
-    # the range (use_end is monotone via greatest) nor deprecates it —
-    # only ranges the batch's time has actually passed can deprecate.
-    # For in-order folds this is behavior-identical to the unguarded
-    # form (prior open ranges always end before the next batch time).
-    # The conditional projections are built as SQL TEXT (one parse per
-    # selectExpr instead of dozens of per-Column Py4J round-trips —
-    # the sign-RP precedent, similarity._bucket_sql): expression trees
-    # are unchanged (CASE WHEN mirrors F.when's null-handling, OR/AND/
-    # NOT and coalesce are the same Catalyst nodes).
-    else_end = "greatest(use_end, _bt)" if touch_unchanged else "use_end"
-    merged_open = (
-        open_ranges.join(touched.drop("subject"), ["triplet_hash", "info_hash"], "left")
-        .join(
-            batch_subjects.selectExpr("subject", "true AS _subj_in_batch"),
-            "subject",
-            "left",
-        )
-        .crossJoin(bt)
-        .selectExpr(
-            "triplet_hash",
-            "info_hash",
-            "subject",
-            "use_start",
-            "CASE WHEN _touched THEN greatest(use_end, _bt) "
-            "WHEN coalesce(_subj_in_batch, false) THEN use_end "
-            f"ELSE {else_end} END AS use_end",
-            "(deprecated OR (coalesce(_subj_in_batch, false) "
-            "AND (NOT coalesce(_touched, false)) "
-            "AND use_end < _bt)) AS deprecated",
-        )
-    )
-    inserted = (
-        touched.join(
-            open_ranges.select("triplet_hash", "info_hash"),
-            ["triplet_hash", "info_hash"],
-            "left_anti",
-        )
-        .crossJoin(bt)
-        .selectExpr(
-            "triplet_hash",
-            "info_hash",
-            "subject",
-            "_bt AS use_start",
-            "_bt AS use_end",
-            "false AS deprecated",
-        )
-    )
-
-    version_range = merged_open.unionByName(inserted).unionByName(closed_ranges)
+    # cache() LAST: Catalog.dropGlobalTempView (inside _sql_on) also
+    # UNCACHES any cache entry whose plan sameResults the dropped view
+    # (measured — caching b before the three consumer statements left
+    # the flagship with 0 InMemoryTableScans and 24 parquet re-scans).
+    # Consumers resolve the cache lazily at execution (withCachedData),
+    # so registering it after they are built still dedups the
+    # shuffle+agg to one materialization.
+    b.cache()
 
     return StoreState(triplet=triplet, extraction_info=extraction_info, version_range=version_range)
 
