@@ -154,31 +154,41 @@ def disambiguate_statements(batch: DataFrame) -> DataFrame:
 # tree — measured 0.73 s of pure construction per 2-merge fold before,
 # ~0.2 s after, identical Catalyst expressions).
 #
-# _MERGE_DISAMBIG_SQL = with_hashes + disambiguate_statements fused:
-# the same md5 content hashes, the same max(struct) G9 argmax (struct
-# field order confidence, extraction_time, extraction_method,
-# info_hash = the same lexicographic tie-break).
-_MERGE_DISAMBIG_SQL = """
-SELECT triplet_hash, subject, predicate, object,
-       p.extraction_method AS extraction_method,
-       p.confidence AS confidence,
-       p.extraction_time AS extraction_time,
-       p.info_hash AS info_hash
-FROM (
-  SELECT md5(concat(CAST(subject AS STRING), CAST(predicate AS STRING),
-                    CAST(object AS STRING))) AS triplet_hash,
-         subject, predicate, object,
-         max(named_struct(
-             'confidence', confidence,
-             'extraction_time', extraction_time,
-             'extraction_method', extraction_method,
-             'info_hash', md5(concat(CAST(extraction_method AS STRING),
-                              format_number(CAST(confidence AS DOUBLE), 5)))
-         )) AS p
-  FROM {batch}
-  GROUP BY 1, 2, 3, 4
-) g
-"""
+# The disambiguated-batch constructor (with_hashes +
+# disambiguate_statements fused into 4 ops of SQL text — same md5
+# content hashes, same max(struct) G9 argmax with the lexicographic
+# (confidence, extraction_time, extraction_method, info_hash)
+# tie-break) deliberately stays on the DataFrame API rather than a
+# temp-view SQL statement: its plan must be IDENTICAL across calls so
+# the CacheManager dedups repeated merges of the same batch (warm
+# bench runs, scenario folds). A per-call uuid view name inside the
+# plan defeats sameResult and forced a re-materialization of the
+# shuffle+agg on every call (measured: flagship warm exec 0.7 → 1.6 s
+# before this was caught).
+_MERGE_HASH_PROV_EXPRS = (
+    "md5(concat(CAST(subject AS STRING), CAST(predicate AS STRING), "
+    "CAST(object AS STRING))) AS triplet_hash",
+    "subject",
+    "predicate",
+    "object",
+    "named_struct("
+    "'confidence', confidence, "
+    "'extraction_time', extraction_time, "
+    "'extraction_method', extraction_method, "
+    "'info_hash', md5(concat(CAST(extraction_method AS STRING), "
+    "format_number(CAST(confidence AS DOUBLE), 5)))"
+    ") AS _prov",
+)
+_MERGE_DISAMBIG_OUT_EXPRS = (
+    "triplet_hash",
+    "subject",
+    "predicate",
+    "object",
+    "p.extraction_method AS extraction_method",
+    "p.confidence AS confidence",
+    "p.extraction_time AS extraction_time",
+    "p.info_hash AS info_hash",
+)
 
 # V2: store ∪ (batch anti-join store) on the content hash.
 _MERGE_TRIPLET_SQL = """
@@ -258,11 +268,12 @@ def _sql_on(spark: SparkSession, template: str, **dfs: DataFrame) -> DataFrame:
     how PySpark's ``spark.sql(..., df=df)`` formatter fails here.
     Views are dropped before returning; the returned DataFrame's plan
     is already analyzed, so the drop cannot invalidate it (the same
-    contract the stock formatter relies on). Caveat: the catalog drop
-    also UNCACHES any cache entry whose plan sameResults the dropped
-    view — so inputs passed here must not be .cache()d yet (cache them
-    after the last _sql_on over them; correctness is unaffected either
-    way, only recompute)."""
+    contract the stock formatter relies on). The drop goes through the
+    JVM SessionCatalog directly, NOT ``spark.catalog.dropGlobalTempView``:
+    the Catalog-API wrapper also UNCACHES any cache entry whose plan
+    sameResults the dropped view, which silently evicted the merge's
+    cached disambiguated batch (measured as a re-materialization of
+    its shuffle+agg on every downstream action)."""
     names: dict[str, str] = {}
     try:
         for k, df in dfs.items():
@@ -271,8 +282,9 @@ def _sql_on(spark: SparkSession, template: str, **dfs: DataFrame) -> DataFrame:
             names[k] = "global_temp." + n
         return spark.sql(template.format(**names))
     finally:
+        jcatalog = spark._jsparkSession.sessionState().catalog()
         for qualified in names.values():
-            spark.catalog.dropGlobalTempView(qualified.split(".", 1)[1])
+            jcatalog.dropGlobalTempView(qualified.split(".", 1)[1])
 
 
 def merge_batch(
@@ -330,7 +342,13 @@ def merge_batch(
     # The disambiguated batch feeds the batch-time scan plus four
     # joins: cache it so the shuffle+agg runs once.
     spark = batch.sparkSession
-    b = _sql_on(spark, _MERGE_DISAMBIG_SQL, batch=batch)
+    b = (
+        batch.selectExpr(*_MERGE_HASH_PROV_EXPRS)
+        .groupBy("triplet_hash", "subject", "predicate", "object")
+        .agg(F.expr("max(_prov)").alias("p"))
+        .selectExpr(*_MERGE_DISAMBIG_OUT_EXPRS)
+        .cache()
+    )
     triplet = _sql_on(spark, _MERGE_TRIPLET_SQL, b=b, st=state.triplet)
     extraction_info = _sql_on(spark, _MERGE_INFO_SQL, b=b, si=state.extraction_info)
     version_range = _sql_on(
@@ -339,14 +357,6 @@ def merge_batch(
         b=b,
         vr=state.version_range,
     )
-    # cache() LAST: Catalog.dropGlobalTempView (inside _sql_on) also
-    # UNCACHES any cache entry whose plan sameResults the dropped view
-    # (measured — caching b before the three consumer statements left
-    # the flagship with 0 InMemoryTableScans and 24 parquet re-scans).
-    # Consumers resolve the cache lazily at execution (withCachedData),
-    # so registering it after they are built still dedups the
-    # shuffle+agg to one materialization.
-    b.cache()
 
     return StoreState(triplet=triplet, extraction_info=extraction_info, version_range=version_range)
 
