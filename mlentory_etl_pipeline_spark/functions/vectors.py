@@ -43,6 +43,43 @@ def abs_max(a: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------- SQL twins
+#
+# Each builder below emits the SQL TEXT of its Column twin above —
+# same zip_with/aggregate fold, same double (or long) accumulator,
+# same cast and rounding nodes — for the hot constructors where the
+# Column composition costs dozens of Py4J round-trips per call (the
+# sign-RP/minhash precedent; bit-identity pinned by
+# test_operators.test_vector_sql_twins_bit_identical). Arguments are
+# SQL fragments (a column name or a nested expression), interpolated
+# verbatim.
+
+def dot_product_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * "
+        f"CAST(v AS DOUBLE)))"
+    )
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    return f"({dot_product_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+def abs_max_sql(a: str) -> str:
+    return f"aggregate({a}, 0.0D, (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+
+
+def quantize_int8_sql(a: str, scale: str) -> str:
+    return f"transform({a}, v -> CAST(round(CAST(v AS DOUBLE) / {scale}) AS INT))"
+
+
 def quantize_int8(a: Column, scale: Column) -> Column:
     """Symmetric per-vector int8 quantization against a PRE-PROJECTED
     scale column (``abs_max(v)/127``): ``q_i = round(v_i / scale)``.

@@ -29,8 +29,11 @@ from pyspark.sql import functions as F
 
 from mlentory_etl_pipeline_spark.functions.vectors import (
     cosine_similarity,
+    cosine_similarity_sql,
     dot_product,
+    dot_product_sql,
     l2_norm,
+    l2_norm_sql,
 )
 from mlentory_etl_pipeline_spark.operators.dedup import _ensure_parallelism
 
@@ -57,22 +60,27 @@ def brute_force_topk(
     # interpreted on the corpus side's partitions; a one-file local
     # corpus arrives as ONE partition and runs single-threaded (no-op
     # on a real many-split corpus — same guard as dedup shingling).
-    c = _ensure_parallelism(corpus).select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_cn")
+    # SQL-text projections (one parse each; the Column-composed HOF
+    # builders cost dozens of Py4J round-trips per call — bit-identity
+    # with the Column twins pinned by test_vector_sql_twins_bit_identical)
+    c = _ensure_parallelism(corpus).selectExpr(
+        f"`{id_col}`", f"`{vec_col}`", f"{l2_norm_sql(f'`{vec_col}`')} AS _cn"
     )
-    q = queries.select(
-        F.col(query_id_col), F.col(query_vec_col), l2_norm(F.col(query_vec_col)).alias("_qn")
+    q = queries.selectExpr(
+        f"`{query_id_col}`",
+        f"`{query_vec_col}`",
+        f"{l2_norm_sql(f'`{query_vec_col}`')} AS _qn",
     )
     joined = F.broadcast(q).crossJoin(c)
-    score = dot_product(F.col(query_vec_col), F.col(vec_col)) / (
-        F.col("_qn") * F.col("_cn")
+    score_sql = (
+        f"({dot_product_sql(f'`{query_vec_col}`', f'`{vec_col}`')} / (_qn * _cn))"
     )
     if round_digits is not None:
-        score = F.round(score, round_digits)
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        score.alias("score"),
+        score_sql = f"round({score_sql}, {round_digits})"
+    scored = joined.selectExpr(
+        f"`{query_id_col}`",
+        f"`{id_col}` AS neighbor_id",
+        f"{score_sql} AS score",
     ).where(F.col(query_id_col) != F.col("neighbor_id"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -341,10 +349,10 @@ def seed_centroids(
     Lloyd's) producing the same broadcast-array shape; every downstream
     step is unchanged.
     """
-    cent = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).cast("int").alias("cid"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+    cent = corpus.where(F.col(id_col) < n_centroids).selectExpr(
+        f"CAST(`{id_col}` AS INT) AS cid",
+        f"`{vec_col}` AS cv",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS cn",
     )
     return cent.agg(F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("_cents"))
 
@@ -368,29 +376,28 @@ def ivf_probe_cells(
     before ranking so the centroid choice is reproducible across
     engines (the oracle ranks with the identical rounded cosine).
     """
-    v = df.crossJoin(F.broadcast(centroids)).withColumn(
-        norm_alias, l2_norm(F.col(vec_col))
+    # SQL-text form of the former Column composition (same transform →
+    # array_sort → slice → explode nodes; bit-identity pinned by
+    # test_vector_sql_twins_bit_identical): the per-call HOF lambda
+    # construction alone was ~0.3 s of Py4J round-trips.
+    v = df.crossJoin(F.broadcast(centroids)).selectExpr(
+        "*", f"{l2_norm_sql(f'`{vec_col}`')} AS {norm_alias}"
     )
     # struct(-score, cid): ascending array_sort = score desc, cid asc.
-    scored_cells = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            (
-                -F.round(
-                    dot_product(F.col(vec_col), c["cv"]) / (F.col(norm_alias) * c["cn"]),
-                    round_digits,
-                )
-            ).alias("negsc"),
-            c["cid"].alias("cid"),
-        ),
+    negsc = (
+        f"-round({dot_product_sql(f'`{vec_col}`', 'c.cv')} / "
+        f"(`{norm_alias}` * c.cn), {round_digits})"
     )
-    probes = F.slice(F.array_sort(scored_cells), 1, nprobe)
-    return v.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col(norm_alias),
-        F.explode(probes).alias("_p"),
-    ).select(F.col(id_col), F.col(vec_col), F.col(norm_alias), F.col("_p.cid").alias("cell"))
+    probes = (
+        f"slice(array_sort(transform(_cents, "
+        f"c -> struct({negsc} AS negsc, c.cid AS cid))), 1, {nprobe})"
+    )
+    return v.selectExpr(
+        f"`{id_col}`",
+        f"`{vec_col}`",
+        f"`{norm_alias}`",
+        f"explode({probes}) AS _p",
+    ).selectExpr(f"`{id_col}`", f"`{vec_col}`", f"`{norm_alias}`", "_p.cid AS cell")
 
 
 def ivf_topk(
@@ -439,14 +446,11 @@ def ivf_topk(
     scored = (
         q.join(c, "cell")
         .where(F.col(query_id_col) != F.col(id_col))
-        .select(
-            F.col(query_id_col),
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                dot_product(F.col(query_vec_col), F.col(vec_col))
-                / (F.col("_qn") * F.col("_cn")),
-                4,
-            ).alias("score"),
+        .selectExpr(
+            f"`{query_id_col}`",
+            f"`{id_col}` AS neighbor_id",
+            f"round({dot_product_sql(f'`{query_vec_col}`', f'`{vec_col}`')} / "
+            f"(_qn * _cn), 4) AS score",
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -483,10 +487,12 @@ def int8_rerank_topk(
     exact = F.broadcast(short.select(query_id_col, query_vec_col, "neighbor_id")).join(
         floats, "neighbor_id"
     )
-    score = F.round(
-        cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4
-    ).alias("score")
-    rescored = exact.select(F.col(query_id_col), F.col("neighbor_id"), score)
+    rescored = exact.selectExpr(
+        f"`{query_id_col}`",
+        "neighbor_id",
+        f"round({cosine_similarity_sql(f'`{query_vec_col}`', f'`{vec_col}`')}, 4)"
+        " AS score",
+    )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
 
@@ -506,42 +512,48 @@ def _int8_coarse_ranked(
     DESC, neighbor ASC) cut at ``shortlist``. The integer dot is
     engine-exact and the rescale is a product of three doubles (one
     IEEE op each), so the ranking is bit-reproducible in any engine."""
-    from mlentory_etl_pipeline_spark.functions.vectors import abs_max, quantize_int8
+    from mlentory_etl_pipeline_spark.functions.vectors import (
+        abs_max_sql,
+        quantize_int8_sql,
+    )
 
     corpus = _ensure_parallelism(corpus)  # int8 dot HOFs run corpus-side
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), (abs_max(F.col(vec_col)) / 127.0).alias("_csc")
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("_csc"),
-        quantize_int8(F.col(vec_col), F.col("_csc")).alias("_cq"),
+    # SQL-text projections (bit-identity with the Column twins pinned
+    # by test_vector_sql_twins_bit_identical)
+    c = corpus.selectExpr(
+        f"`{id_col}`",
+        f"`{vec_col}`",
+        f"({abs_max_sql(f'`{vec_col}`')} / 127.0D) AS _csc",
+    ).selectExpr(
+        f"`{id_col}`",
+        f"`{vec_col}`",
+        "_csc",
+        f"{quantize_int8_sql(f'`{vec_col}`', '_csc')} AS _cq",
     )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        (abs_max(F.col(query_vec_col)) / 127.0).alias("_qsc"),
-    ).select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        F.col("_qsc"),
-        quantize_int8(F.col(query_vec_col), F.col("_qsc")).alias("_qq"),
+    q = queries.selectExpr(
+        f"`{query_id_col}`",
+        f"`{query_vec_col}`",
+        f"({abs_max_sql(f'`{query_vec_col}`')} / 127.0D) AS _qsc",
+    ).selectExpr(
+        f"`{query_id_col}`",
+        f"`{query_vec_col}`",
+        "_qsc",
+        f"{quantize_int8_sql(f'`{query_vec_col}`', '_qsc')} AS _qq",
     )
     # Integer dot (exact, engine-portable) — accumulate in long.
-    int_dot = F.aggregate(
-        F.zip_with("_qq", "_cq", lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    int_dot_sql = (
+        "aggregate(zip_with(_qq, _cq, (x, y) -> CAST(x AS BIGINT) * "
+        "CAST(y AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     coarse = (
         F.broadcast(q)
         .crossJoin(c.drop(vec_col))
         .where(F.col(query_id_col) != F.col(id_col))
-        .select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
-            F.col(id_col).alias("neighbor_id"),
-            (int_dot.cast("double") * F.col("_qsc") * F.col("_csc")).alias("approx_score"),
+        .selectExpr(
+            f"`{query_id_col}`",
+            f"`{query_vec_col}`",
+            f"`{id_col}` AS neighbor_id",
+            f"(CAST({int_dot_sql} AS DOUBLE) * _qsc * _csc) AS approx_score",
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -603,6 +615,19 @@ def _l2sq(a, b, digits: int = 6):
             lambda acc, v: acc + v,
         ),
         digits,
+    )
+
+
+def _l2sq_sql(a: str, b: str, digits: int = 6) -> str:
+    """SQL text of :func:`_l2sq` — same fold, same double casts, same
+    rounding (bit-identity pinned by test_vector_sql_twins_bit_identical;
+    used by the hot PQ constructors where the Column-composed lambda
+    costs dozens of Py4J round-trips per call)."""
+    return (
+        f"round(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+        f"(acc, v) -> acc + v), {digits})"
     )
 
 
@@ -677,8 +702,8 @@ def pq_adc_topk(
         cchunks.join(F.broadcast(codebook), "j")
         .groupBy(id_col, "j")
         .agg(
-            F.min_by(
-                F.col("code"), F.struct(_l2sq(F.col("chunk"), F.col("cw")), F.col("code"))
+            F.expr(
+                f"min_by(code, struct({_l2sq_sql('chunk', 'cw')}, code))"
             ).alias("code")
         )
     )
@@ -689,7 +714,7 @@ def pq_adc_topk(
         query_id_col,
         "j",
         "code",
-        _l2sq(F.col("chunk"), F.col("cw")).cast("decimal(18,6)").alias("d"),
+        F.expr(f"CAST({_l2sq_sql('chunk', 'cw')} AS DECIMAL(18,6))").alias("d"),
     )
 
     # ADC scan: m exact-decimal lookups per (query, corpus vector)
@@ -715,12 +740,11 @@ def pq_adc_topk(
         F.broadcast(short)
         .join(qfloats, query_id_col)
         .join(floats, "neighbor_id")
-        .select(
-            F.col(query_id_col),
-            F.col("neighbor_id"),
-            F.round(cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4).alias(
-                "score"
-            ),
+        .selectExpr(
+            f"`{query_id_col}`",
+            "neighbor_id",
+            f"round({cosine_similarity_sql(f'`{query_vec_col}`', f'`{vec_col}`')}, 4)"
+            " AS score",
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -809,14 +833,11 @@ def ivf_pq_topk(
     )
     c_res = (
         c_cells.join(F.broadcast(cent_rows), "cell")
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            F.zip_with(
-                F.col(vec_col),
-                F.col("_cellv"),
-                lambda a, b: a.cast("double") - b.cast("double"),
-            ).alias("_resid"),
+        .selectExpr(
+            f"`{id_col}`",
+            "cell",
+            f"zip_with(`{vec_col}`, _cellv, (a, b) -> "
+            "CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS _resid",
         )
         .localCheckpoint(eager=False)
     )
@@ -831,8 +852,8 @@ def ivf_pq_topk(
         cchunks.join(F.broadcast(codebook), "j")
         .groupBy(id_col, "j")
         .agg(
-            F.min_by(
-                F.col("code"), F.struct(_l2sq(F.col("chunk"), F.col("cw")), F.col("code"))
+            F.expr(
+                f"min_by(code, struct({_l2sq_sql('chunk', 'cw')}, code))"
             ).alias("code")
         )
         .join(c_res.select(id_col, "cell"), id_col)
@@ -842,14 +863,11 @@ def ivf_pq_topk(
     q_cells = ivf_probe_cells(
         queries, cents, query_id_col, query_vec_col, nprobe=nprobe, norm_alias="_qn"
     )
-    q_res = q_cells.join(F.broadcast(cent_rows), "cell").select(
-        F.col(query_id_col),
-        F.col("cell"),
-        F.zip_with(
-            F.col(query_vec_col),
-            F.col("_cellv"),
-            lambda a, b: a.cast("double") - b.cast("double"),
-        ).alias("_qresid"),
+    q_res = q_cells.join(F.broadcast(cent_rows), "cell").selectExpr(
+        f"`{query_id_col}`",
+        "cell",
+        f"zip_with(`{query_vec_col}`, _cellv, (a, b) -> "
+        "CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS _qresid",
     )
     qchunks = q_res.select(
         F.col(query_id_col),
@@ -865,7 +883,7 @@ def ivf_pq_topk(
         "cell",
         "j",
         "code",
-        _l2sq(F.col("chunk"), F.col("cw")).cast("decimal(18,6)").alias("d"),
+        F.expr(f"CAST({_l2sq_sql('chunk', 'cw')} AS DECIMAL(18,6))").alias("d"),
     )
 
     # ADC scan over probed cells only; m exact-decimal lookups per pair
@@ -889,12 +907,11 @@ def ivf_pq_topk(
         F.broadcast(short)
         .join(qfloats, query_id_col)
         .join(floats, "neighbor_id")
-        .select(
-            F.col(query_id_col),
-            F.col("neighbor_id"),
-            F.round(cosine_similarity(F.col(query_vec_col), F.col(vec_col)), 4).alias(
-                "score"
-            ),
+        .selectExpr(
+            f"`{query_id_col}`",
+            "neighbor_id",
+            f"round({cosine_similarity_sql(f'`{query_vec_col}`', f'`{vec_col}`')}, 4)"
+            " AS score",
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -975,29 +992,20 @@ def _kmeans_assign(
 ) -> DataFrame:
     """Map-only nearest-centroid assignment against a literal centroid
     array (rounded L2, ties -> lower centroid id)."""
-    cent_lit = F.expr(_cent_array_sql(cents))
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        c["cv"],
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                round_digits,
-            ).alias("dist"),
-            c["cid"].alias("cid"),
-        ),
+    # whole assignment as ONE SQL text (the centroid literal was
+    # already text; the per-iteration lambda construction was the
+    # remaining Py4J cost — this runs once per Lloyd iteration)
+    scored = (
+        f"transform({_cent_array_sql(cents)}, c -> struct("
+        f"round(aggregate(zip_with(`{vec_col}`, c.cv, "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        f"0.0D, (acc, x) -> acc + x), {round_digits}) AS dist, "
+        f"c.cid AS cid))"
     )
-    return vecs.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
+    return vecs.selectExpr(
+        f"`{id_col}`",
+        f"`{vec_col}`",
+        f"element_at(array_sort({scored}), 1).cid AS cluster",
     )
 
 
@@ -1073,10 +1081,13 @@ def trained_centroids(
     rows = [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)]
     # explicit schema: empty corpora yield zero seed rows, and schema
     # inference cannot work from an empty list
-    cent_df = spark.createDataFrame(rows, "cid int, cv array<double>").select(
-        F.col("cid").cast("int"),
-        F.col("cv").cast("array<float>"),
-        l2_norm(F.col("cv")).alias("cn"),
+    # NOTE: cn is the norm of the DOUBLE cv (as the Column form
+    # computed it — l2_norm referenced the pre-cast input), not of the
+    # float-cast copy; casting first would perturb low bits.
+    cent_df = spark.createDataFrame(rows, "cid int, cv array<double>").selectExpr(
+        "CAST(cid AS INT) AS cid",
+        "CAST(cv AS ARRAY<FLOAT>) AS cv",
+        f"{l2_norm_sql('cv')} AS cn",
     )
     return cent_df.agg(
         F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("_cents")
@@ -1137,31 +1148,22 @@ def train_pq_codebook(
         # per-j centroid literal: outer array indexed by j, inner the
         # (cid, cv) struct array _kmeans_assign uses — SQL text for the
         # same reason as _cent_array_sql (m×ksub×sub literal components)
-        per_j = F.expr(
+        per_j = (
             "array(" + ",".join(_cent_array_sql(cents[j]) for j in range(m)) + ")"
         )
-        scored = F.transform(
-            F.element_at(per_j, F.col("j") + 1),
-            lambda c: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("chunk"),
-                            c["cv"],
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("dist"),
-                c["cid"].alias("cid"),
-            ),
+        # whole per-iteration assignment as ONE SQL text (same nodes as
+        # the former Column-composed transform; _cent_array_sql already
+        # carried the literals as text)
+        scored = (
+            f"transform(element_at({per_j}, j + 1), c -> struct("
+            f"round(aggregate(zip_with(chunk, c.cv, "
+            f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            f"0.0D, (acc, x) -> acc + x), 6) AS dist, "
+            f"c.cid AS cid))"
         )
         assigned = chunks.select(
-            "j",
-            F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
+            F.col("j"),
+            F.expr(f"element_at(array_sort({scored}), 1).cid").alias("cluster"),
             F.posexplode(F.col("chunk")).alias("pos", "val"),
         )
         upd = (

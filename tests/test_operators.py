@@ -335,6 +335,41 @@ def test_lsh_bucket_recall_vs_brute_force(spark):
     assert multi_recall >= 0.3, f"multi-probe recall {multi_recall}"
 
 
+def test_vector_sql_twins_bit_identical(spark):
+    """r10: the hot ANN constructors build their vector math as SQL
+    text (one F.expr parse) instead of Column-composed HOF lambdas
+    (dozens of Py4J round-trips per call). This pins each _sql twin
+    bit-identical to its Column builder on real embeddings — same
+    fold order, same double/long accumulators, same casts."""
+    from mlentory_etl_pipeline_spark.functions import vectors as V
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    pairs = e.alias("a").crossJoin(e.alias("b")).selectExpr(
+        "a.embedding AS x", "b.embedding AS y"
+    ).limit(200)
+    via_cols = pairs.select(
+        V.dot_product(F.col("x"), F.col("y")).alias("d"),
+        V.l2_norm(F.col("x")).alias("n"),
+        V.cosine_similarity(F.col("x"), F.col("y")).alias("c"),
+        V.abs_max(F.col("x")).alias("m"),
+    ).collect()
+    via_text = pairs.selectExpr(
+        f"{V.dot_product_sql('x', 'y')} AS d",
+        f"{V.l2_norm_sql('x')} AS n",
+        f"{V.cosine_similarity_sql('x', 'y')} AS c",
+        f"{V.abs_max_sql('x')} AS m",
+    ).collect()
+    assert [tuple(r) for r in via_cols] == [tuple(r) for r in via_text]
+
+    scaled = e.select(
+        F.col("embedding").alias("x"),
+        (V.abs_max(F.col("embedding")) / 127.0).alias("s"),
+    )
+    q_cols = scaled.select(V.quantize_int8(F.col("x"), F.col("s")).alias("q")).collect()
+    q_text = scaled.selectExpr(f"{V.quantize_int8_sql('x', 's')} AS q").collect()
+    assert [r.q for r in q_cols] == [r.q for r in q_text]
+
+
 def test_rp_bucket_sql_text_bit_identical_to_column_build(spark):
     """The sign-RP bucket expressions are built as ONE SQL text
     (F.expr) because per-component F.lit construction cost ~3 s of
