@@ -68,7 +68,11 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     is added."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Probe the JVM Dataset's RDD directly: the Python-side ``df.rdd``
+    # property additionally builds the Arrow/pickle serde wrapper
+    # (javaToPython), ~70 ms per call on this box for a probe that only
+    # needs a partition count (this helper guards many hot operators).
+    if df._jdf.rdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -80,11 +84,16 @@ def doc_shingles(
     verification, MinHash and SimHash. ``distinct=False`` skips the
     dedup shuffle for consumers whose aggregation is already
     set-semantic (``min``/``collect_set``)."""
-    words = _ensure_parallelism(df).select(
-        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    # SQL text (one parse per projection; same split/transform/slice
+    # nodes as the Column composition — the r10 construction-cost
+    # pattern, bit-identity implied by the hard-oracled consumers)
+    words = _ensure_parallelism(df).selectExpr(
+        f"`{id_col}`", f"split(lower(trim(`{text_col}`)), '\\\\s+') AS _w"
     )
-    sh = words.select(
-        F.col(id_col), F.explode(_shingles_of_words(F.col("_w"), n)).alias("shingle")
+    sh = words.selectExpr(
+        f"`{id_col}`",
+        f"explode(transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+        f"i -> array_join(slice(_w, i + 1, {n}), ' '))) AS shingle",
     )
     return sh.distinct() if distinct else sh
 
