@@ -1249,10 +1249,7 @@ def semantic_dedup(
         a.join(b, "cell")
         .where(F.col("_ia") < F.col("_ib"))
         .where(
-            F.round(
-                dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                4,
-            )
+            F.expr(f"round({dot_product_sql('_va', '_vb')} / (_na * _nb), 4)")
             >= threshold
         )
         .select(F.col("_ia").alias("u"), F.col("_ib").alias("v"))
@@ -1387,7 +1384,9 @@ def semantic_dedup_incremental(
     ).localCheckpoint(eager=False)
 
     def _cos(va, na, vb, nb):
-        return F.round(dot_product(va, vb) / (na * nb), 4)
+        # SQL text (r10 §7): args are plain column NAMES; one parse
+        # instead of the HOF-lambda Py4J round-trips
+        return F.expr(f"round({dot_product_sql(va, vb)} / ({na} * {nb}), 4)")
 
     sb = s.select(
         "cell", F.col(vec_col).alias("_vs"), F.col("_n").alias("_ns")
@@ -1397,7 +1396,7 @@ def semantic_dedup_incremental(
     )
     lost_to_store = (
         bb.join(sb, "cell")
-        .where(_cos(F.col("_vs"), F.col("_ns"), F.col("_vb"), F.col("_nb")) >= threshold)
+        .where(_cos("_vs", "_ns", "_vb", "_nb") >= threshold)
         .select(id_col)
         .distinct()
     )
@@ -1412,7 +1411,7 @@ def semantic_dedup_incremental(
     lost_in_batch = (
         b1.join(b2, "cell")
         .where(F.col("_ia") < F.col("_ib"))
-        .where(_cos(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")) >= threshold)
+        .where(_cos("_va", "_na", "_vb", "_nb") >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()
     )
@@ -1540,9 +1539,9 @@ def nearest_centroid_confusion(
         id_col,
         "label",
         "pred_label",
-        F.round(cosine_similarity(F.col(vec_col), F.col("_centroid")), 4).alias(
-            "_score"
-        ),
+        F.expr(
+            f"round({cosine_similarity_sql(f'`{vec_col}`', '_centroid')}, 4)"
+        ).alias("_score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("pred_label"))
     pred = scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
@@ -1936,9 +1935,8 @@ def cosine_pairs_angular_blocked(
         cand = cand.where(
             F.abs(F.col(f"_ta{j}") - F.col(f"_tb{j}")) <= F.lit(band)
         )
-    score = F.round(
-        dot_product(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
-        round_dp,
+    score = F.expr(
+        f"round({dot_product_sql('_ea', '_eb')} / (_na * _nb), {round_dp})"
     )
     return cand.where(score >= F.lit(threshold)).select("a_id", "b_id")
 
