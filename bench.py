@@ -74,8 +74,45 @@ def scd2_scenarios(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _proc_stat_snapshot() -> list[int] | None:
+    """First /proc/stat cpu line (user nice system idle iowait irq
+    softirq steal ...), or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return [int(x) for x in parts[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _load_telemetry(start: list[int] | None, end: list[int] | None) -> dict:
+    """Machine-load deltas over the bench run (VERDICT r10 №3): a
+    co-tenant window on the bench box is indistinguishable from a real
+    regression after the fact unless the artifact itself records the
+    competing load. steal_pct > ~1 or busy_other unexpectedly high
+    flags a contested run."""
+    out: dict = {}
+    try:
+        out["loadavg_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    if start and end and len(start) >= 8 and len(end) >= 8:
+        d = [e - s for s, e in zip(start, end)]
+        tot = sum(d)
+        if tot > 0:
+            out["steal_pct"] = round(100.0 * d[7] / tot, 2)
+            out["busy_pct"] = round(100.0 * (tot - d[3] - d[4]) / tot, 2)
+            out["iowait_pct"] = round(100.0 * d[4] / tot, 2)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    stat_start = _proc_stat_snapshot()
+    try:
+        loadavg_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_start = None
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("mlentory-bench")
@@ -338,6 +375,13 @@ def main():
         # driver-parsed line itself (VERDICT r9 №7) — the quality
         # number rides the same artifact as the timings.
         "ann_recall": ann_recall,
+        # machine-load telemetry over the whole run (VERDICT r10 №3,
+        # additions-only): lets a noise window be adjudicated from the
+        # artifact instead of re-litigated round-over-round.
+        "load": {
+            **({"loadavg_start": loadavg_start} if loadavg_start is not None else {}),
+            **_load_telemetry(stat_start, _proc_stat_snapshot()),
+        },
     }
     detail = {
         "metric": "bench_detail",

@@ -58,23 +58,62 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return _shingles_of_words(F.split(F.lower(F.trim(text)), r"\s+"), n)
 
 
+#: Bytes of plan-stats input per spread task. The r11 width sweep on
+#: the heavy-map headliners (minhash shingling, ANN scoring, n-gram
+#: decontaminate, curation) measured widths {2,4,6,8,16,32} at
+#: local[32]/sf0.1: 4-6 tasks beat 32 by ~15% (5.2/4.9/4.8 s vs 5.7 s
+#: bucket total) — per-stage fan-out should follow data size, not core
+#: count (guide §2.2/§2.6; 32 tiny tasks cost more scheduling than the
+#: extra threads buy). 128 KiB/task puts the sf0.1 corpora (595 KB
+#: documents → 5, 799 KB embeddings → 7) in that sweet spot while any
+#: real corpus still reaches full parallelism (a 30 MB side input →
+#: 240 ≫ cores). Overridable per session via
+#: ``spark.mlentory.spread.targetPartitionBytes``.
+_SPREAD_TARGET_BYTES = 128 * 1024
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's default parallelism if the input
-    has fewer partitions. Shingling fans out ~wordcount shingles per
-    doc through interpreted HOF lambdas, so a skinny input (one small
-    parquet file → 1-2 partitions) would starve the executors: measured
-    2.6× on the minhash pipeline at sf0.1/local[32]. On a real corpus
-    (thousands of input splits) the condition is false and no shuffle
-    is added."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    # Probe the JVM Dataset's RDD directly: the Python-side ``df.rdd``
-    # property additionally builds the Arrow/pickle serde wrapper
-    # (javaToPython), ~70 ms per call on this box for a probe that only
-    # needs a partition count (this helper guards many hot operators).
-    if df._jdf.rdd().getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Spread a skinny input (one small parquet file → 1-2 partitions)
+    before per-row-heavy map work: shingling fans out ~wordcount
+    shingles per doc through interpreted HOF lambdas, so a 1-partition
+    scan would starve the executors (measured 2.6× on the minhash
+    pipeline at sf0.1/local[32]). The width is DATA-SIZED, not
+    core-count-sized: ceil(plan-stats bytes / 128 KiB) clamped to
+    [1, defaultParallelism] (r11: core-count-wide fan-out measured
+    ~15% slower — see ``_SPREAD_TARGET_BYTES``). On a real corpus
+    (thousands of input splits) the partition-count guard is false and
+    no shuffle is added."""
+    spark = df.sparkSession
+    limit = spark.sparkContext.defaultParallelism
+    try:
+        tgt = int(
+            spark.conf.get(
+                "spark.mlentory.spread.targetPartitionBytes",
+                str(_SPREAD_TARGET_BYTES),
+            )
+        )
+    except Exception:
+        tgt = _SPREAD_TARGET_BYTES
+    # Width from ANALYZED-plan stats (~1 ms driver-side — no optimizer
+    # run, no physical planning): r11 measured the former
+    # ``_jdf.rdd().getNumPartitions()`` probe at ~54 ms per fresh plan
+    # (it compiles the physical plan and builds the RDD, all thrown
+    # away once we wrap the input in a repartition), across ~18 guarded
+    # constructor paths. The partition-count probe is now paid ONLY on
+    # the width >= limit branch, i.e. for inputs big enough that they
+    # may already be split (the 100 TB corpus case, where it returns
+    # without adding a shuffle — same contract as before).
+    size = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    width = max(1, min(limit, -(-size // max(1, tgt))))
+    if width >= limit:
+        if df._jdf.rdd().getNumPartitions() >= limit:
+            return df
+        return df.repartition(limit)
+    if width == 1:
+        # Below one target-size task of data the HOF fan-out is trivial;
+        # an exchange would cost more than it spreads (sf0.001 gates).
+        return df
+    return df.repartition(width)
 
 
 def doc_shingles(
