@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mlentory_etl_pipeline_spark.operators.capping import lazy_cap
+
 SCALE = 10**6
 
 
@@ -54,7 +56,8 @@ def als_rank1(
         F.col(user_col).alias("_u"),
         F.col(item_col).alias("_i"),
         F.col(rating_col).cast("long").alias("_r"),
-    ).localCheckpoint(eager=False)
+    )
+    r = lazy_cap(r)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     lam = lambda_millionths * SCALE  # λ·10¹² in micro² units
     users = r.select("_u").distinct().select(
@@ -78,8 +81,8 @@ def als_rank1(
                 .cast("long")
                 .alias("_if"),
             )
-            .localCheckpoint(eager=False)
         )
+        items = lazy_cap(items)
         ri = r.join(items, "_i")
         users = (
             ri.groupBy("_u")
@@ -96,8 +99,8 @@ def als_rank1(
                 .cast("long")
                 .alias("_uf"),
             )
-            .localCheckpoint(eager=False)
         )
+        users = lazy_cap(users)
     return items.select(
         F.col("_i").alias(item_col),
         F.round(F.col("_if").cast("double") / F.lit(float(SCALE)), 6).alias(

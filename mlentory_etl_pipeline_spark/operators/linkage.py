@@ -34,6 +34,8 @@ import decimal
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mlentory_etl_pipeline_spark.operators.capping import lazy_cap
+
 
 def blocked_link(
     left: DataFrame,
@@ -485,8 +487,8 @@ def fellegi_sunter_em(
                 F.col("_n").cast("long").alias("_n"),
             )
             .where(F.col("_n") > 0)
-            .localCheckpoint(eager=False)
         )
+        pat = lazy_cap(pat)
         spark = pattern_counts.sparkSession
     else:
         pat = (
@@ -497,8 +499,8 @@ def fellegi_sunter_em(
                 ]
             )
             .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint(eager=False)
         )
+        pat = lazy_cap(pat)
         spark = pairs.sparkSession
     params = spark.range(1).select(
         F.lit(init_prior_u).cast("long").alias("_p"),
@@ -567,7 +569,7 @@ def fellegi_sunter_em(
                 .otherwise(F.col(f"_u{i}"))
                 .alias(f"_u{i}")
             )
-        params = a.select(*upd).localCheckpoint(eager=False)
+        params = lazy_cap(a.select(*upd))
     n_pairs = pat.agg(F.sum("_n").alias("n_pairs"))
     LN2 = 0.6931471805599453
     rows = []

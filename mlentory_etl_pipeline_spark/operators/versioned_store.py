@@ -211,15 +211,24 @@ FROM (
 ) d LEFT ANTI JOIN {si} si ON d.info_hash = si.info_hash
 """
 
-# V4+V5+V6 in one pass over the open ranges (see merge_batch docstring);
+# V4+V5+V6 over the range table in TWO scans instead of three (r11,
+# guide §2.4 fewer passes / §1.2 fewest-passes-first): the former body
+# scanned {vr} three times (opened-join, anti-join for new ranges,
+# deprecated passthrough) and unioned three branches — for a fold,
+# every consumer of merge k re-executed merge k-1's subtree three
+# times, and at 100 TB the range table would be read thrice per merge.
+# The deprecated passthrough now folds into the main LEFT JOIN branch
+# as CASE arms: the `AND NOT o.deprecated` join condition keeps
+# deprecated rows unmatched (their touched counterpart, if any, still
+# gets its fresh range from the anti-join branch, which was always
+# against OPEN ranges only), and the joins stay broadcast-able — a
+# FULL OUTER single-scan variant was measured and REJECTED: it forces
+# a sort-merge join where this shape keeps broadcast hash joins (warm
+# exec 0.7-1.0 s → 1.4-1.7 s at sf0.1).
 # __ELSE_END__ is substituted per touch_unchanged BEFORE the formatter
 # runs (str.format would eat the {b}/{vr} placeholders).
 _MERGE_RANGE_SQL_TEMPLATE = """
 WITH bt AS (SELECT max(extraction_time) AS _bt FROM {b}),
-     opened AS (
-       SELECT triplet_hash, info_hash, subject, use_start, use_end, deprecated
-       FROM {vr} WHERE NOT deprecated
-     ),
      touched AS (SELECT triplet_hash, info_hash, subject, true AS _touched FROM {b}),
      bsubj AS (
        SELECT subject, true AS _subj_in_batch
@@ -227,15 +236,18 @@ WITH bt AS (SELECT max(extraction_time) AS _bt FROM {b}),
      )
 SELECT /*+ BROADCAST(bt) */
        o.triplet_hash, o.info_hash, o.subject, o.use_start,
-       CASE WHEN t._touched THEN greatest(o.use_end, bt._bt)
+       CASE WHEN o.deprecated THEN o.use_end
+            WHEN t._touched THEN greatest(o.use_end, bt._bt)
             WHEN coalesce(s._subj_in_batch, false) THEN o.use_end
             ELSE __ELSE_END__ END AS use_end,
-       (o.deprecated OR (coalesce(s._subj_in_batch, false)
-            AND (NOT coalesce(t._touched, false))
-            AND o.use_end < bt._bt)) AS deprecated
-FROM opened o
+       CASE WHEN o.deprecated THEN true
+            ELSE (coalesce(s._subj_in_batch, false)
+                  AND (NOT coalesce(t._touched, false))
+                  AND o.use_end < bt._bt) END AS deprecated
+FROM {vr} o
 LEFT JOIN (SELECT triplet_hash, info_hash, _touched FROM touched) t
        ON o.triplet_hash = t.triplet_hash AND o.info_hash = t.info_hash
+      AND NOT o.deprecated
 LEFT JOIN bsubj s ON o.subject = s.subject
 CROSS JOIN bt
 UNION ALL
@@ -243,12 +255,9 @@ SELECT /*+ BROADCAST(bt) */
        t.triplet_hash, t.info_hash, t.subject,
        bt._bt AS use_start, bt._bt AS use_end, false AS deprecated
 FROM touched t
-LEFT ANTI JOIN opened o
+LEFT ANTI JOIN (SELECT triplet_hash, info_hash FROM {vr} WHERE NOT deprecated) o
        ON t.triplet_hash = o.triplet_hash AND t.info_hash = o.info_hash
 CROSS JOIN bt
-UNION ALL
-SELECT triplet_hash, info_hash, subject, use_start, use_end, deprecated
-FROM {vr} WHERE deprecated
 """
 _MERGE_RANGE_SQL = _MERGE_RANGE_SQL_TEMPLATE.replace("__ELSE_END__", "o.use_end")
 _MERGE_RANGE_SQL_TOUCH = _MERGE_RANGE_SQL_TEMPLATE.replace(
